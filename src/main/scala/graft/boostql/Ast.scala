@@ -1,0 +1,74 @@
+package graft.boostql
+
+/** BoostQL abstract syntax — the QueryOps-equivalent IR (SURVEY.md §2.7).
+  *
+  * Mirrors the reference's parsed-query IR (query/base/queryops.go:11-95)
+  * as plain case classes: select fields with the 1/2/3-part name sugar
+  * (query/parser/selectfieldparser.go:29-37), a single family source, a
+  * WHERE tree of comparisons + AND/OR
+  * (query/base/logicalexpression.go:10-36), and — beyond the reference,
+  * which only declared them as enum values (query/base/expression.go:17-33)
+  * — GROUP BY / HAVING / ORDER BY / LIMIT.
+  */
+object Ast {
+
+  /** The reference's exactly-four-scalar-type literal system
+    * (query/base/common.go:4-23).
+    */
+  sealed trait BLit
+  final case class BInt(v: Long) extends BLit
+  final case class BFloat(v: Double) extends BLit
+  final case class BStr(v: String) extends BLit
+  final case class BBool(v: Boolean) extends BLit
+
+  /** A raw (not yet resolved) dotted name of 1-3 parts. Resolution rules
+    * per selectfieldparser.go:115-133:
+    *  - `s`          → series s, value attribute
+    *  - `s.a`        → series s, attribute a (or alias-qualified series value
+    *                   if s is the FROM alias)
+    *  - `al.s.a`     → alias al, series s, attribute a
+    */
+  final case class RawName(parts: Seq[String]) {
+    def text: String = parts.mkString(".")
+  }
+
+  /** Resolved field: a series and either its value (attr=None) or a named
+    * per-point attribute.
+    */
+  final case class FieldRef(series: String, attr: Option[String]) {
+    /** Canonical output column name: `cpu` / `cpu_host`. */
+    def colName: String = attr.fold(series)(a => s"${series}_$a")
+  }
+
+  sealed trait Operand
+  final case class OLit(lit: BLit) extends Operand
+  final case class ORef(name: RawName) extends Operand
+  /** Aggregate call as a HAVING operand, e.g. `HAVING sum(cpu) > 5`. */
+  final case class OAgg(fn: String, arg: Option[RawName]) extends Operand
+
+  /** Comparison ops of the reference (logicalexpression.go:10-36). */
+  sealed trait BExpr
+  final case class Cmp(op: String, left: Operand, right: Operand) extends BExpr
+  final case class AndE(left: BExpr, right: BExpr) extends BExpr
+  final case class OrE(left: BExpr, right: BExpr) extends BExpr
+
+  sealed trait SelectItem
+  final case class FieldItem(name: RawName) extends SelectItem
+  /** Aggregate beyond the reference's 🔲 Aggregate enum: fn in
+    * {count,sum,avg,min,max}; arg None means `count(*)`.
+    */
+  final case class AggItem(fn: String, arg: Option[RawName]) extends SelectItem
+
+  final case class Source(domain: String, family: String, alias: Option[String])
+
+  final case class OrderItem(item: SelectItem, asc: Boolean)
+
+  final case class QuerySpec(
+      select: Seq[SelectItem],
+      source: Source,
+      where: Option[BExpr],
+      groupBy: Seq[RawName],
+      having: Option[BExpr],
+      orderBy: Seq[OrderItem],
+      limit: Option[Int])
+}

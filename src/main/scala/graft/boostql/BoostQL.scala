@@ -1,0 +1,29 @@
+package graft.boostql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.TimeSeriesTable
+import graft.tables.Tables
+
+/** Public entry point for the BoostQL dialect: SQL string → DataFrame.
+  *
+  * The reference's full query lifecycle (SURVEY.md §3: parse → plan DAG →
+  * pull-based executor) collapses to parse → compile → Catalyst here.
+  * `families` plays the role of the m3 namespace lookup
+  * (query/executor/executor.go:394-423): it maps `domain.family` to the
+  * series-family DataFrame.
+  */
+object BoostQL {
+
+  def sql(query: String, families: ((String, String)) => DataFrame): DataFrame = {
+    val spec = Parser.parse(query)
+    Compiler.compile(spec, families((spec.source.domain, spec.source.family)))
+  }
+
+  /** Convenience resolver for the driver testdata: any `domain.family`
+    * resolves to the events table adapted to the series-family shape
+    * (FIXTURES.md §3).
+    */
+  def onTestdata(spark: SparkSession, sfDir: String)(query: String): DataFrame =
+    sql(query, _ => TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)))
+}

@@ -1,0 +1,183 @@
+package graft.boostql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Ast._
+
+/** BoostQL → DataFrame compiler.
+  *
+  * Where the reference builds a plan DAG and pulls rows through it one at
+  * a time (query/executor/planner.go:115-243, executor.go:184-274), we
+  * emit a declarative DataFrame plan and let Catalyst do scan dedup,
+  * projection pruning, predicate pushdown and codegen (SURVEY.md §4 —
+  * every rewrite the reference hand-rolls is stock in Catalyst).
+  *
+  * Semantics decisions (SURVEY.md §7.4):
+  *  - Multi-series alignment (the reference's positional zip,
+  *    executor.go:857-868) is an exact-`ts` inner equi-join — deterministic
+  *    where the reference's row-order zip is only incidentally so.
+  *  - Comparisons use Spark/ANSI coercion, not the reference's
+  *    left-operand-driven matrix (logicalexpression.go:248-325); its
+  *    bool LT≡EQ quirk (329-394) is deliberately not reproduced.
+  *  - A WHERE-referenced field that is not selected is fetched but pruned
+  *    from the output, like the reference's whereOnlyFields
+  *    (executor.go:524-533) — here it falls out of the final projection.
+  */
+object Compiler {
+
+  final case class CompileException(msg: String) extends RuntimeException(msg)
+
+  /** Resolve the 1/2/3-part name sugar (selectfieldparser.go:115-133). */
+  def resolve(name: RawName, alias: Option[String]): FieldRef = name.parts match {
+    case Seq(s) => FieldRef(s, None)
+    case Seq(a, b) if alias.contains(a) => FieldRef(b, None)
+    case Seq(s, a) => FieldRef(s, Some(a))
+    case Seq(al, s, a) =>
+      if (!alias.contains(al))
+        throw CompileException(s"unknown alias '$al' in ${name.text}")
+      FieldRef(s, Some(a))
+    case _ => throw CompileException(s"bad field name ${name.text}")
+  }
+
+  private def aggColName(fn: String, arg: Option[FieldRef]): String =
+    s"${fn}_${arg.fold("star")(_.colName)}"
+
+  private def aggColumn(fn: String, arg: Option[FieldRef]): Column = {
+    val name = aggColName(fn, arg)
+    val c = arg match {
+      case None => count(lit(1))
+      case Some(r) => fn match {
+        case "count" => count(col(r.colName))
+        case "sum"   => sum(col(r.colName))
+        case "avg"   => avg(col(r.colName))
+        case "min"   => min(col(r.colName))
+        case "max"   => max(col(r.colName))
+        case other   => throw CompileException(s"unknown aggregate $other")
+      }
+    }
+    c.as(name)
+  }
+
+  private def litColumn(l: BLit): Column = l match {
+    case BInt(v)   => lit(v)
+    case BFloat(v) => lit(v)
+    case BStr(v)   => lit(v)
+    case BBool(v)  => lit(v)
+  }
+
+  /** Compile a query against a series-family DataFrame with the
+    * TimeSeriesTable schema (series, ts, value, tags, attributes).
+    */
+  def compile(spec: QuerySpec, family: DataFrame): DataFrame = {
+    val alias = spec.source.alias
+
+    def ref(n: RawName): FieldRef = resolve(n, alias)
+
+    // --- collect every field the query touches -------------------------
+    def exprRefs(e: BExpr): Seq[FieldRef] = e match {
+      case Cmp(_, l, r) => Seq(l, r).collect { case ORef(n) => ref(n) }
+      case AndE(l, r)   => exprRefs(l) ++ exprRefs(r)
+      case OrE(l, r)    => exprRefs(l) ++ exprRefs(r)
+    }
+    def itemRefs(i: SelectItem): Seq[FieldRef] = i match {
+      case FieldItem(n)       => Seq(ref(n))
+      case AggItem(_, Some(n)) => Seq(ref(n))
+      case AggItem(_, None)   => Seq.empty
+    }
+    val allRefs: Seq[FieldRef] =
+      (spec.select.flatMap(itemRefs) ++
+        spec.where.toSeq.flatMap(exprRefs) ++
+        spec.groupBy.map(ref) ++
+        spec.having.toSeq.flatMap(exprRefs) ++
+        spec.orderBy.flatMap(o => itemRefs(o.item))).distinct
+    if (allRefs.isEmpty) throw CompileException("query references no fields")
+
+    val seriesNames = allRefs.map(_.series).distinct
+
+    // --- per-series projection, then exact-ts alignment join -----------
+    // Each series contributes its value column (named after the series)
+    // and any referenced attribute columns (series_attr). Catalyst dedups
+    // the shared scan (the reference does this by vertex reuse,
+    // planner.go:265-290) and pushes `series = 'x'` into parquet.
+    def seriesDf(s: String): DataFrame = {
+      val attrs = allRefs.filter(r => r.series == s && r.attr.isDefined)
+      val cols = Seq(col("ts"), col("value").as(s)) ++
+        attrs.map(r => element_at(col("attributes"), r.attr.get).as(r.colName))
+      family.filter(col("series") === s).select(cols: _*)
+    }
+
+    val aligned: DataFrame = seriesNames.map(seriesDf) match {
+      case Seq(one) => one
+      case many => many.reduce((a, b) => a.join(b, Seq("ts"), "inner"))
+    }
+
+    // --- WHERE ----------------------------------------------------------
+    def operandColumn(o: Operand, aggOk: Boolean): Column = o match {
+      case OLit(l) => litColumn(l)
+      case ORef(n) => col(ref(n).colName)
+      case OAgg(fn, arg) =>
+        if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
+        col(aggColName(fn, arg.map(ref)))
+    }
+    def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
+      case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
+      case OrE(l, r)  => exprColumn(l, aggOk) || exprColumn(r, aggOk)
+      case Cmp(op, l, r) =>
+        val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
+        op match {
+          case "="  => a === b
+          case "!=" => a =!= b
+          case "<"  => a < b
+          case ">"  => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+        }
+    }
+
+    val filtered = spec.where.fold(aligned)(w => aligned.filter(exprColumn(w, aggOk = false)))
+
+    // --- aggregation / projection ---------------------------------------
+    val hasAgg = spec.select.exists(_.isInstanceOf[AggItem]) ||
+      spec.groupBy.nonEmpty || spec.having.nonEmpty
+
+    val projected: DataFrame = if (hasAgg) {
+      val groupCols = spec.groupBy.map(n => col(ref(n).colName))
+      // every plain select field must be a grouping key
+      val groupNames = spec.groupBy.map(ref).map(_.colName).toSet
+      spec.select.foreach {
+        case FieldItem(n) if !groupNames.contains(ref(n).colName) =>
+          throw CompileException(s"${n.text} must appear in GROUP BY")
+        case _ => ()
+      }
+      // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped later)
+      def havingAggs(e: BExpr): Seq[(String, Option[FieldRef])] = e match {
+        case Cmp(_, l, r) => Seq(l, r).collect { case OAgg(f, a) => (f, a.map(ref)) }
+        case AndE(l, r)   => havingAggs(l) ++ havingAggs(r)
+        case OrE(l, r)    => havingAggs(l) ++ havingAggs(r)
+      }
+      val selectAggs = spec.select.collect { case AggItem(f, a) => (f, a.map(ref)) }
+      val orderAggs = spec.orderBy.map(_.item).collect { case AggItem(f, a) => (f, a.map(ref)) }
+      val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(havingAggs) ++ orderAggs).distinct
+      if (aggSpecs.isEmpty)
+        throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
+      val aggCols = aggSpecs.map { case (f, a) => aggColumn(f, a) }
+      val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      spec.having.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
+    } else filtered
+
+    // --- ORDER BY / LIMIT / final projection -----------------------------
+    def itemColName(i: SelectItem): String = i match {
+      case FieldItem(n)    => ref(n).colName
+      case AggItem(f, a)   => aggColName(f, a.map(ref))
+    }
+    val ordered =
+      if (spec.orderBy.isEmpty) projected
+      else projected.orderBy(spec.orderBy.map { o =>
+        val c = col(itemColName(o.item))
+        if (o.asc) c.asc else c.desc
+      }: _*)
+    val limited = spec.limit.fold(ordered)(ordered.limit)
+    limited.select(spec.select.map(i => col(itemColName(i))): _*)
+  }
+}

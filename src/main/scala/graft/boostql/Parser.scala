@@ -1,0 +1,217 @@
+package graft.boostql
+
+import Ast._
+
+/** Recursive-descent parser for the BoostQL dialect.
+  *
+  * Grammar (the reference parses this subset with the TiDB MySQL parser,
+  * query/parser/parser.go:25-52; we hand-roll it — no external deps, and
+  * the dialect is tiny):
+  *
+  * {{{
+  * query    := SELECT items FROM src (WHERE or)? (GROUP BY names)?
+  *             (HAVING or)? (ORDER BY orders)? (LIMIT int)?
+  * items    := item (',' item)*
+  * item     := agg '(' ('*' | name) ')' | name
+  * name     := ident ('.' ident ('.' ident)?)?
+  * src      := ident '.' ident (AS? ident)?
+  * or       := and (OR and)*
+  * and      := cmp (AND cmp)*
+  * cmp      := '(' or ')' | operand op operand
+  * operand  := literal | name
+  * op       := >= | <= | != | <> | == | = | < | >
+  * }}}
+  */
+object Parser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TSym(s: String) extends Tok
+  private case object TEnd extends Tok
+
+  private val keywords = Set("select", "from", "where", "and", "or", "group",
+    "by", "having", "order", "limit", "as", "asc", "desc", "true", "false")
+  private val aggFns = Set("count", "sum", "avg", "min", "max")
+
+  private def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += TIdent(sql.substring(j, i))
+      } else if (c.isDigit || (c == '-' && i + 1 < n && sql(i + 1).isDigit)) {
+        val j = i
+        if (c == '-') i += 1
+        while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1
+        out += TNum(sql.substring(j, i))
+      } else if (c == '\'' || c == '"') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && sql(i) != q) { sb += sql(i); i += 1 }
+        if (i >= n) throw ParseException(s"unterminated string at offset $i")
+        i += 1
+        out += TStr(sb.toString)
+      } else {
+        val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
+        if (Set(">=", "<=", "!=", "<>", "==").contains(two)) { out += TSym(two); i += 2 }
+        else if ("()<>=,.*".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+        else throw ParseException(s"unexpected character '$c' at offset $i")
+      }
+    }
+    out += TEnd
+    out.result()
+  }
+
+  def parse(sql: String): QuerySpec = new P(tokenize(sql)).query()
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def kw(s: String): Boolean = peek match {
+      case TIdent(id) if id.equalsIgnoreCase(s) => pos += 1; true
+      case _ => false
+    }
+    private def expectKw(s: String): Unit =
+      if (!kw(s)) throw ParseException(s"expected $s, got $peek")
+    private def sym(s: String): Boolean = peek match {
+      case TSym(x) if x == s => pos += 1; true
+      case _ => false
+    }
+    private def expectSym(s: String): Unit =
+      if (!sym(s)) throw ParseException(s"expected '$s', got $peek")
+    private def ident(): String = next() match {
+      case TIdent(s) => s
+      case t => throw ParseException(s"expected identifier, got $t")
+    }
+
+    def query(): QuerySpec = {
+      expectKw("select")
+      val items = selectItems()
+      expectKw("from")
+      val src = source()
+      val where = if (kw("where")) Some(orExpr()) else None
+      val grp =
+        if (kw("group")) { expectKw("by"); nameList() } else Seq.empty
+      val having = if (kw("having")) Some(orExpr()) else None
+      val ord =
+        if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
+      val lim = if (kw("limit")) Some(intLit()) else None
+      peek match {
+        case TEnd => QuerySpec(items, src, where, grp, having, ord, lim)
+        case t => throw ParseException(s"trailing input: $t")
+      }
+    }
+
+    private def selectItems(): Seq[SelectItem] = {
+      val b = Seq.newBuilder[SelectItem]
+      b += selectItem()
+      while (sym(",")) b += selectItem()
+      b.result()
+    }
+
+    private def selectItem(): SelectItem = peek match {
+      case TIdent(id) if aggFns.contains(id.toLowerCase) &&
+          toks(pos + 1) == TSym("(") =>
+        pos += 2
+        val arg = if (sym("*")) None else Some(rawName())
+        expectSym(")")
+        AggItem(id.toLowerCase, arg)
+      case _ => FieldItem(rawName())
+    }
+
+    private def rawName(): RawName = {
+      val b = Seq.newBuilder[String]
+      b += ident()
+      var k = 1
+      while (k < 3 && peek == TSym(".")) { pos += 1; b += ident(); k += 1 }
+      RawName(b.result())
+    }
+
+    private def nameList(): Seq[RawName] = {
+      val b = Seq.newBuilder[RawName]
+      b += rawName()
+      while (sym(",")) b += rawName()
+      b.result()
+    }
+
+    private def orderList(): Seq[OrderItem] = {
+      val b = Seq.newBuilder[OrderItem]
+      def one(): OrderItem = {
+        val it = selectItem()
+        val asc = if (kw("desc")) false else { kw("asc"); true }
+        OrderItem(it, asc)
+      }
+      b += one()
+      while (sym(",")) b += one()
+      b.result()
+    }
+
+    private def source(): Source = {
+      val domain = ident()
+      expectSym(".")
+      val family = ident()
+      val alias = peek match {
+        case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(ident())
+        case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
+        case _ => None
+      }
+      Source(domain, family, alias)
+    }
+
+    private def orExpr(): BExpr = {
+      var e = andExpr()
+      while (kw("or")) e = OrE(e, andExpr())
+      e
+    }
+
+    private def andExpr(): BExpr = {
+      var e = cmpExpr()
+      while (kw("and")) e = AndE(e, cmpExpr())
+      e
+    }
+
+    private def cmpExpr(): BExpr =
+      if (sym("(")) { val e = orExpr(); expectSym(")"); e }
+      else {
+        val l = operand()
+        val op = next() match {
+          case TSym(s) if Set(">=", "<=", "!=", "<>", "==", "=", "<", ">").contains(s) =>
+            if (s == "==") "=" else if (s == "<>") "!=" else s
+          case t => throw ParseException(s"expected comparison operator, got $t")
+        }
+        val r = operand()
+        Cmp(op, l, r)
+      }
+
+    private def operand(): Operand = peek match {
+      case TNum(s) =>
+        pos += 1
+        if (s.contains('.')) OLit(BFloat(s.toDouble)) else OLit(BInt(s.toLong))
+      case TStr(s) => pos += 1; OLit(BStr(s))
+      case TIdent(id) if id.equalsIgnoreCase("true") => pos += 1; OLit(BBool(true))
+      case TIdent(id) if id.equalsIgnoreCase("false") => pos += 1; OLit(BBool(false))
+      case TIdent(id) if aggFns.contains(id.toLowerCase) &&
+          toks(pos + 1) == TSym("(") =>
+        pos += 2
+        val arg = if (sym("*")) None else Some(rawName())
+        expectSym(")")
+        OAgg(id.toLowerCase, arg)
+      case TIdent(_) => ORef(rawName())
+      case t => throw ParseException(s"expected operand, got $t")
+    }
+
+    private def intLit(): Int = next() match {
+      case TNum(s) if !s.contains('.') => s.toInt
+      case t => throw ParseException(s"expected integer, got $t")
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.boostql.BoostQL
+
+/** End-to-end BoostQL demo — the analogue of the reference's
+  * examples/basic_client (main.go:104-253): open a family, run dialect
+  * queries, print results. Run:
+  * `sbt "runMain graft.examples.BasicQuery /root/testdata/sf0.001"`.
+  */
+object BasicQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-basic-query")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val run = BoostQL.onTestdata(spark, sfDir) _
+
+    // ad-hoc mode: second arg is a BoostQL query to run and show
+    if (args.length > 1) {
+      run(args(1)).show(20, truncate = false)
+      spark.stop()
+      return
+    }
+
+    println("== flagship: SELECT click.user, click FROM dom.events WHERE click < 100.0")
+    run("SELECT click.user, click FROM dom.events WHERE click < 100.0").show(5)
+
+    println("== multi-series align (exact-ts equi-join of click & view)")
+    run("SELECT click, view FROM dom.events WHERE click > 0.0").show(5)
+
+    println("== aggregate tier the reference only declared (GROUP BY/HAVING/ORDER BY/LIMIT)")
+    run("SELECT purchase.user, count(*), avg(purchase) FROM dom.events " +
+      "GROUP BY purchase.user HAVING count(*) > 2 " +
+      "ORDER BY count(*) DESC, purchase.user LIMIT 5").show()
+
+    println("== alias-qualified sugar + AND/OR")
+    run("SELECT e.signup.user, signup FROM dom.events e " +
+      "WHERE (signup >= 50.0 AND signup <= 200.0) OR signup.user = '7'").show(5)
+
+    spark.stop()
+  }
+}

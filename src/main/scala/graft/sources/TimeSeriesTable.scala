@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native series-family facade (SURVEY.md §1.4).
+  *
+  * The reference's SeriesFamily (core/seriesfamily.go:8-11) is "a
+  * collection of series that shares certain attributes" — its table
+  * analogue. Here a family IS a table: long-format rows
+  * `(series string, ts timestamp, value double, tags map, attributes map)`
+  * stored as date-partitioned parquet. Everything the reference
+  * hand-builds on top of m3db — distributionFactor striping
+  * (m3dbseriesfamily.go:156-168), k-way shard merge
+  * (boostseriesiterator.go:270-343), symbol-table dictionary streams
+  * (core/symtable.go:28-55) — collapses into Spark partitioning, shuffle
+  * sort, and parquet dictionary encoding respectively.
+  *
+  * Scale stance: writes are partitioned by event date so time-range reads
+  * prune partitions; within a file, rows are sorted by (series, ts) so
+  * parquet row-group min/max stats prune series scans. At 100 TB this is
+  * the layout that keeps a `WHERE series = 'cpu' AND ts BETWEEN ...`
+  * query reading only the touched dates' files and only the row groups
+  * containing that series.
+  */
+object TimeSeriesTable {
+  val SchemaColumns: Seq[String] = Seq("series", "ts", "value", "tags", "attributes")
+
+  val schema: StructType = StructType(Seq(
+    StructField("series", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = true),
+    StructField("tags", MapType(StringType, StringType), nullable = true),
+    StructField("attributes", MapType(StringType, StringType), nullable = true)
+  ))
+
+  /** Adapt the driver's `events` table to the series-family row shape
+    * (FIXTURES.md §3): series=event_type, attributes=parsed props JSON,
+    * user_id hoisted as an attribute, tags empty.
+    */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val attrs = from_json(col("props"), MapType(StringType, StringType))
+    events.select(
+      col("event_type").as("series"),
+      col("ts"),
+      col("value"),
+      map().cast(MapType(StringType, StringType)).as("tags"),
+      map_concat(
+        coalesce(attrs, map().cast(MapType(StringType, StringType))),
+        map(lit("user"), col("user_id").cast(StringType)),
+        map(lit("event_id"), col("event_id").cast(StringType))
+      ).as("attributes")
+    )
+  }
+
+  /** Open a family from a warehouse root: `root/domain/family/` parquet. */
+  def open(spark: SparkSession, root: String, domain: String, family: String): DataFrame =
+    spark.read.schema(schema).parquet(s"$root/$domain/$family")
+
+  /** Append rows (any DataFrame with the family schema), partitioned by
+    * event date — the write path analogue of SeriesFamily.WriteTagged
+    * (m3dbseriesfamily.go:147-185). `sortWithinPartitions` gives parquet
+    * row groups clustered by series so series predicates prune via
+    * min/max stats.
+    */
+  def append(df: DataFrame, root: String, domain: String, family: String): Unit =
+    df.withColumn("dt", to_date(col("ts")))
+      .repartition(col("dt"))
+      .sortWithinPartitions("series", "ts")
+      .write.partitionBy("dt").mode("append")
+      .parquet(s"$root/$domain/$family")
+
+  /** Time-range scan `[start, end)` — the FetchSeries analogue
+    * (executor.go:426-478). The predicate is a plain column filter, so
+    * Catalyst pushes it into the parquet scan (partition pruning on dt +
+    * row-group stats on ts).
+    */
+  def timeRange(df: DataFrame, start: Timestamp, end: Timestamp): DataFrame =
+    df.filter(col("ts") >= lit(start) && col("ts") < lit(end))
+
+  /** Fetch one series over a time range, time-ordered — the reference's
+    * Fetch + k-way merge (boostseriesiterator.go:157-343) is just a sort.
+    */
+  def fetchSeries(df: DataFrame, series: String, start: Timestamp, end: Timestamp): DataFrame =
+    timeRange(df, start, end).filter(col("series") === series).orderBy("ts")
+}
