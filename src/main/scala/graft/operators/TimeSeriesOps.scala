@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators — the "rich set of time-series functions"
+  * the reference's README names as its goal (README.md:8) but never
+  * built. All are composed from stock Spark operators so Catalyst/AQE
+  * plan them (SURVEY.md §2.5, §7.2 step 4); none needs a custom
+  * physical node.
+  *
+  * Scale notes: every operator here is one shuffle on its natural key
+  * (the series/by-key), which is the minimum any engine needs for these
+  * semantics. Nothing collects to the driver; skewed by-keys are handled
+  * by AQE skew-join/partition-coalescing at runtime.
+  */
+object TimeSeriesOps {
+
+  /** Backward as-of join (inclusive): for each left row, the most recent
+    * right row with `right.ts <= left.ts` and equal by-keys; unmatched
+    * left rows keep nulls (left-join semantics).
+    *
+    * This is the deterministic generalization of the reference's
+    * positional multi-series zip (executor.go:857-868, SURVEY.md §2.3 J4).
+    *
+    * Implementation: union both sides tagged with a side marker, one
+    * window partitioned by the by-keys ordered by (ts, side) — right rows
+    * sort before left rows at equal ts, so equal-ts matches are included
+    * — then `last(col, ignoreNulls)` carries each right column forward.
+    * One shuffle total, no per-row lookups, no broadcast requirement:
+    * at 100 TB this beats a range-join (O(n·m) per key) and works for
+    * arbitrarily large both sides.
+    *
+    * @param rightCols right columns to carry; they appear as
+    *                  `{prefix}{col}` on the output
+    * @param toleranceMicros if set, matches older than this many
+    *                  microseconds before left.ts are nulled out
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      tsCol: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val side = "__graft_side"
+    val rts = s"${prefix}ts"
+    val r = right.select(
+      (by.map(col) :+ col(tsCol)) ++ rightCols.map(c => col(c).as(s"$prefix$c")): _*)
+      .withColumn(rts, col(tsCol))
+      .withColumn(side, lit(0))
+    val l = left.withColumn(side, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(tsCol).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rightCols.map(c => s"$prefix$c") :+ rts)
+      .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    val joined = carried.filter(col(side) === 1).drop(side)
+    val bounded = toleranceMicros match {
+      case None => joined
+      case Some(tol) =>
+        val inTol = unix_micros(col(tsCol)) - unix_micros(col(rts)) <= lit(tol)
+        rightCols.map(c => s"$prefix$c").foldLeft(joined)((df, c) =>
+          df.withColumn(c, when(inTol, col(c))))
+          .withColumn(rts, when(inTol, col(rts)))
+    }
+    bounded.drop(rts)
+  }
+
+  /** Per-key difference between consecutive points:
+    * `value - lag(value)` over (partition by keys order by ts, tieBreak).
+    * First point per key yields null.
+    */
+  def delta(df: DataFrame, by: Seq[String], tsCol: String, valCol: String,
+      tieBreak: Seq[String], out: String = "delta"): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    df.withColumn(out, col(valCol) - lag(col(valCol), 1).over(w))
+  }
+
+  /** Per-key rate of change per second between consecutive points. */
+  def rate(df: DataFrame, by: Seq[String], tsCol: String, valCol: String,
+      tieBreak: Seq[String], out: String = "rate"): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val dv = col(valCol) - lag(col(valCol), 1).over(w)
+    val dtMicros = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    df.withColumn(out, when(dtMicros > 0, dv / (dtMicros.cast("double") / 1e6)))
+  }
+
+  /** Resample each key onto a dense daily grid over [gridStart, gridEnd]
+    * and carry the last observed value forward (LOCF gap-fill). The grid
+    * is built with `sequence` + `explode` per key — no driver-side loops —
+    * and the fill is one window pass.
+    *
+    * `pickLast` chooses the representative value within a day: max_by of
+    * `valCol` by `orderCol` (the latest observation of the day).
+    */
+  def resampleDailyLocf(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      orderCol: String, gridStart: String, gridEnd: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(max_by(col(valCol), col(orderCol)).as("day_val"))
+    val grid = df.select(col(keyCol)).distinct()
+      .withColumn("day",
+        explode(sequence(lit(gridStart).cast("date"), lit(gridEnd).cast("date"))))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("locf_val", last(col("day_val"), ignoreNulls = true).over(w))
+      .drop("day_val")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.boostql.BoostQL
+
+/** Queries exercised through the BoostQL dialect front end — the
+  * reference's executed surface (SELECT sugar + WHERE,
+  * executor_test.go:188) plus the tiers it declared but never built
+  * (GROUP BY / HAVING / ORDER BY / LIMIT, expression.go:17-33).
+  */
+object BoostQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def run(s: SparkSession, d: String, q: String): DataFrame =
+    BoostQL.onTestdata(s, d)(q)
+
+  def queries: Map[String, Q] = Map(
+    "boost_select_where" -> ((s, d) =>
+      run(s, d, "SELECT click.user, click FROM dom.events WHERE click < 100.0")
+        .orderBy("click_user", "click")),
+
+    "boost_and_or" -> ((s, d) =>
+      run(s, d, "SELECT signup.event_id, signup FROM dom.events " +
+        "WHERE (signup >= 50.0 AND signup <= 200.0) OR signup.user = '7'")
+        .orderBy("signup_event_id")),
+
+    "boost_groupby_having" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, count(*), min(purchase), max(purchase) " +
+        "FROM dom.events GROUP BY purchase.user HAVING count(*) > 2 " +
+        "ORDER BY purchase.user")),
+
+    "boost_orderby_limit" -> ((s, d) =>
+      run(s, d, "SELECT error, error.event_id FROM dom.events " +
+        "WHERE error > 150.0 ORDER BY error DESC, error.event_id LIMIT 20"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "boost_select_where" ->
+      """SELECT CAST(user_id AS VARCHAR) AS click_user, value AS click
+        |FROM events WHERE event_type = 'click' AND value < 100.0
+        |ORDER BY click_user, click""".stripMargin,
+
+    "boost_and_or" ->
+      """SELECT CAST(event_id AS VARCHAR) AS signup_event_id, value AS signup
+        |FROM events WHERE event_type = 'signup'
+        |  AND ((value >= 50.0 AND value <= 200.0) OR CAST(user_id AS VARCHAR) = '7')
+        |ORDER BY signup_event_id""".stripMargin,
+
+    "boost_groupby_having" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user, COUNT(*) AS count_star,
+        |  MIN(value) AS min_purchase, MAX(value) AS max_purchase
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 HAVING COUNT(*) > 2
+        |ORDER BY purchase_user""".stripMargin,
+
+    "boost_orderby_limit" ->
+      """SELECT value AS error, CAST(event_id AS VARCHAR) AS error_event_id
+        |FROM events WHERE event_type = 'error' AND value > 150.0
+        |ORDER BY error DESC, error_event_id LIMIT 20""".stripMargin
+  )
+}

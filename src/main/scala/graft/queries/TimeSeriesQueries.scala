@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+import graft.tables.Tables
+
+/** Time-series operator tier over the events family: time-range scans
+  * (S2), ordered merge (S3), series alignment (J4, bucketed — the
+  * non-vacuous form of the reference's positional zip), as-of join,
+  * tumbling windows, delta/rate, LOCF resample.
+  *
+  * Timestamps never appear raw in oracled outputs — they are compared as
+  * `epoch microseconds` bigints (or DATEs) to sidestep parquet
+  * nanos-vs-micros unit skew between Spark and DuckDB.
+  */
+object TimeSeriesQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  def queries: Map[String, Q] = Map(
+    "ts_time_range_scan" -> ((s, d) =>
+      ev(s, d)
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")),
+
+    "ts_ordered_merge" -> ((s, d) =>
+      // the reference's k-way shard merge (boostseriesiterator.go:270-343)
+      // is just a sort here; shuffle does the merge
+      ev(s, d)
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))),
+
+    "ts_align_bucket" -> ((s, d) => {
+      // J4 series alignment, bucketed to the hour: conditional aggregation
+      // = single shuffle, no N-way self-join
+      def su(t: String) = sum(when(col("event_type") === t,
+        col("value").cast("decimal(18,2)"))).cast("double")
+      def n(t: String) = count(when(col("event_type") === t, lit(1)))
+      ev(s, d)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+        .agg(su("click").as("click_sum"), n("click").as("click_n"),
+          su("view").as("view_sum"), n("view").as("view_n"))
+        .orderBy("bucket_us")
+    }),
+
+    "ts_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeSeriesOps.asofJoin(purchases, clicks,
+        by = Seq("user_id"), tsCol = "ts", rightCols = Seq("value"), prefix = "click_")
+        .select(col("event_id"), col("value"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    "ts_delta" -> ((s, d) =>
+      TimeSeriesOps.delta(ev(s, d), by = Seq("event_type"), tsCol = "ts",
+        valCol = "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("event_type"), col("delta"))
+        .orderBy("event_id")),
+
+    "ts_rate" -> ((s, d) =>
+      TimeSeriesOps.rate(ev(s, d), by = Seq("event_type"), tsCol = "ts",
+        valCol = "value", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("rate"))
+        .orderBy("event_id")),
+
+    "ts_tumbling_window" -> ((s, d) =>
+      // tumbling 6-hour windows via window() — the declarative form of the
+      // reference's executionWindowSize loop (executor.go:239-252)
+      ev(s, d)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value"), col("min_value"),
+          col("max_value"))
+        .orderBy("w_start_us", "event_type")),
+
+    "ts_resample_locf" -> ((s, d) =>
+      TimeSeriesOps.resampleDailyLocf(ev(s, d), keyCol = "event_type",
+        tsCol = "ts", valCol = "value", orderCol = "event_id",
+        gridStart = "2024-01-01", gridEnd = "2024-01-30")
+        .select(col("event_type"), col("day"), col("locf_val"))
+        .orderBy("event_type", "day"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_time_range_scan" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_ordered_merge" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "ts_align_bucket" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_sum,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_sum,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n
+        |FROM events GROUP BY 1 ORDER BY bucket_us""".stripMargin,
+
+    "ts_asof_join" ->
+      """SELECT l.event_id, l.value, r.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "ts_delta" ->
+      """SELECT event_id, event_type,
+        |  value - LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_rate" ->
+      """SELECT event_id,
+        |  CASE WHEN dt_us > 0 THEN dv / (CAST(dt_us AS DOUBLE) / 1e6) END AS rate
+        |FROM (
+        |  SELECT event_id,
+        |    value - LAG(value) OVER w AS dv,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_tumbling_window" ->
+      """SELECT epoch_us(w_start) AS w_start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM (SELECT *, time_bucket(INTERVAL '6 hours', ts) AS w_start FROM events)
+        |GROUP BY w_start, event_type ORDER BY w_start_us, event_type""".stripMargin,
+
+    "ts_resample_locf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         max_by(value, event_id) AS day_val
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT CAST(UNNEST(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) d)
+        |SELECT g.event_type, g.day,
+        |  LAST_VALUE(dv.day_val IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_val
+        |FROM grid g LEFT JOIN daily dv
+        |  ON g.event_type = dv.event_type AND g.day = dv.day
+        |ORDER BY g.event_type, g.day""".stripMargin
+  )
+}
