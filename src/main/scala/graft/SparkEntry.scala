@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.boostql.BoostQL
-import graft.queries.{BoostQueries, RelationalQueries, TimeSeriesQueries}
+import graft.queries.{BoostQueries, PipelineQueries, RelationalQueries,
+  StreamingQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,8 +31,12 @@ object SparkEntry {
       "SELECT click.user, click FROM dom.events WHERE click < 100.0")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BoostQueries.queries ++ TimeSeriesQueries.queries ++ RelationalQueries.queries
+    BoostQueries.queries ++ TimeSeriesQueries.queries ++
+      RelationalQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    BoostQueries.oracleSql ++ TimeSeriesQueries.oracleSql ++ RelationalQueries.oracleSql
+    BoostQueries.oracleSql ++ TimeSeriesQueries.oracleSql ++
+      RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      StreamingQueries.oracleSql
 }

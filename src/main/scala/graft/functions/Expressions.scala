@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.impl.{HashImpl, VectorImpl}
+
+/** Native Catalyst expressions for the LLM-data-pipeline tier — text
+  * hashing (MinHash / SimHash / winnowing fingerprint) and dense-vector
+  * similarity. Each participates in whole-stage codegen via
+  * `defineCodeGen` calling the static kernels in [[graft.functions.impl]],
+  * so the hot path stays inside generated Java (no Scala-UDF
+  * serialization, no boxing per row).
+  *
+  * The reference engine has no function surface at all (SURVEY.md §2.5:
+  * comparisons + AND/OR only, query/parser/whereparser.go:146-169), so
+  * this tier is pure extension, per the build brief.
+  */
+object GraftExpressions {
+  /** Fully-qualified class carrying the static kernels, for codegen. */
+  private[functions] val H = "graft.functions.impl.HashImpl"
+  private[functions] val V = "graft.functions.impl.VectorImpl"
+}
+
+/** MinHash signature (array<long> of length `numHashes`) of a token
+  * array: FNV-1a base hash per token, splitmix64 per-permutation mix.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashImpl.minhash(tokens.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${GraftExpressions.H}.minhash($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (Charikar sign-of-votes). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(tokens: Any): Any =
+    HashImpl.simhash(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${GraftExpressions.H}.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing-family min-fingerprint over character k-grams of a string. */
+case class DocFingerprint(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(text: Any): Any =
+    HashImpl.rollingFingerprint(text.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${GraftExpressions.H}.rollingFingerprint($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns (float arrays implicitly
+  * cast). Sequential index-order accumulation — deterministic.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType.isInstanceOf[ArrayType] && c.dataType.asInstanceOf[ArrayType].elementType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GraftExpressions.V}.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
+}
+
+/** Cosine similarity of two array<double> columns; 0.0 for zero vectors. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => c.dataType.isInstanceOf[ArrayType] && c.dataType.asInstanceOf[ArrayType].elementType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${GraftExpressions.V}.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket id (long with `numBits` sign bits) for a
+  * dense vector; hyperplanes derived deterministically from `seed`.
+  */
+case class HyperplaneBucket(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression {
+  require(numBits > 0 && numBits <= 63, "numBits must be in [1, 63]")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorImpl.hyperplaneBucket(a.asInstanceOf[ArrayData], numBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${GraftExpressions.V}.hyperplaneBucket($c, $numBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}

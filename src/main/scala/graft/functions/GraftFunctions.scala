@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+
+/** Column-level API over graft's native Catalyst expressions — the
+  * `org.apache.spark.sql.functions`-style facade. All of these stay
+  * inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** MinHash signature (array<bigint>, length `numHashes`) of a token
+    * array column. */
+  def minhash(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
+    toCol(MinHashSig(toExpr(tokens), numHashes, seed))
+
+  /** 64-bit SimHash of a token array column. */
+  def simhash(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  /** Min rolling-hash fingerprint over character k-grams of a string. */
+  def fingerprint(text: Column, k: Int = 16): Column =
+    toCol(DocFingerprint(toExpr(text), k))
+
+  private def asDoubles(c: Column): Column = c.cast("array<double>")
+
+  /** Dot product of two array<double> (or array<float>) columns. */
+  def dot(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(asDoubles(a)), toExpr(asDoubles(b))))
+
+  /** Cosine similarity of two array<double> (or array<float>) columns. */
+  def cosine(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(asDoubles(a)), toExpr(asDoubles(b))))
+
+  /** Random-hyperplane LSH bucket of a dense-vector column. */
+  def lshBucket(vec: Column, numBits: Int, seed: Long = 42L): Column =
+    toCol(HyperplaneBucket(toExpr(asDoubles(vec)), numBits, seed))
+
+  /** Hamming distance between two 64-bit hash columns (e.g. SimHash):
+    * popcount of xor — composed from built-ins, codegen'd. */
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+}

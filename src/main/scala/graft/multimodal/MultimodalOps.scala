@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed row shapes for the multimodal pipeline. The payload is an
+  * opaque binary column; metadata travels alongside as ordinary typed
+  * columns — the same "attributes next to the measure" shape the
+  * reference uses for datapoint annotations (client/boostsession.go:94-184),
+  * generalized from float64 metrics to arbitrary media blobs.
+  */
+case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
+
+case class MediaFeatures(
+    media_id: Long,
+    format: String,
+    n_bytes: Int,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    features: Array[Float])
+
+/** Multimodal-column operators: decode / feature-extract / resize /
+  * frame-sample over opaque `binary` payload columns.
+  *
+  * The Spark-side plumbing is real and load-bearing: schema, typed
+  * Datasets, per-partition batched processing (the JVM analogue of
+  * `mapInPandas` — one decoder instantiation per partition, rows
+  * streamed through it), and partition sizing guidance. The *codec*
+  * itself is a STUB — no image/audio libraries exist in this
+  * environment — replaced by a deterministic fake that derives
+  * pseudo-dimensions and features from the payload bytes. Swap
+  * [[StubCodec]] for a real decoder (javacv, twelvemonkeys, ffmpeg
+  * bindings) without touching any of the Spark plumbing.
+  *
+  * Scale design: payloads dominate row size, so feature extraction is a
+  * narrow map (no shuffle); keep `spark.sql.files.maxPartitionBytes`
+  * at/below 128 MB so a partition of blobs fits executor memory, and
+  * never collect payloads to the driver.
+  */
+object MultimodalOps {
+
+  /** STUB codec — deterministic fake standing in for a real media
+    * decoder. Every value is a pure function of the payload bytes.
+    */
+  object StubCodec {
+    /** "Decode" pseudo-dimensions from the payload. A real impl returns
+      * the actual pixel dims / duration. */
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      val h0 = if (n > 0) (payload(0) & 0xFF) else 0
+      val h1 = if (n > 1) (payload(1) & 0xFF) else 0
+      (64 + (h0 % 16) * 64, 64 + (h1 % 9) * 64, 1 + n % 16)
+    }
+
+    /** "Extract" an 8-dim feature vector: per-stripe byte means — a
+      * real impl would run a vision/audio embedding model. */
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload.isEmpty) return out
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < payload.length) {
+        val s = (i * dim) / payload.length
+        out(s) += (payload(i) & 0xFF)
+        counts(s) += 1
+        i += 1
+      }
+      var s = 0
+      while (s < dim) { if (counts(s) > 0) out(s) /= counts(s); s += 1 }
+      out
+    }
+  }
+
+  /** Wrap a DataFrame's string/binary column as a MediaRow dataset —
+    * the ingest boundary where media becomes an opaque payload. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      format: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        lit(format).as("format"),
+        col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract, batched per partition: the decoder is
+    * instantiated once per partition and rows stream through it —
+    * mirroring `mapInPandas` batch shape on the JVM. Narrow (no
+    * shuffle); output drops the payload so downstream stages are small.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would happen here (real codec)
+      rows.map { r =>
+        val (w, h, frames) = StubCodec.decodeDims(r.payload)
+        MediaFeatures(r.media_id, r.format, r.payload.length, w, h, frames,
+          StubCodec.features(r.payload, dim))
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video-like payloads: every `stride`-th
+    * frame index up to `n_frames` — pure column arithmetic over the
+    * decoded metadata (the real frame decode happens in the codec).
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.toDF().select(col("media_id"), col("n_frames"),
+      sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline tier. The reference engine has no analogue
+  * (it stores metrics, not documents); these are first-class extensions
+  * per the build brief.
+  *
+  * Scale design (100 TB stance):
+  *  - Exact dedup is a single hash-groupBy — one shuffle on a 128-bit
+  *    content hash, no skew (hashes are uniform).
+  *  - Near-dup never goes all-pairs: candidates come from *equi-join
+  *    keys* (MinHash band hashes, SimHash bands, length buckets), so the
+  *    planner gets a shuffle-hash/sort-merge join on a compact key, and
+  *    the quadratic blow-up is confined to within-bucket candidate pairs.
+  *  - Verification (exact Jaccard on shingle arrays) runs only on
+  *    candidate pairs — a narrow map over the join output.
+  *  - All hashing is codegen'd native expressions (graft.functions), no
+  *    UDF boxing on the per-token hot path.
+  */
+object TextDedupOps {
+
+  /** Distinct word-`k`-gram shingles of a whitespace-tokenized text
+    * column. Texts shorter than `k` tokens produce their single
+    * (shorter) shingle, never zero rows.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exact Jaccard similarity of two (already-distinct) array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact dedup by content hash: one row per distinct `textCol` value,
+    * keeping the minimum `idCol` and the copy count. Single shuffle.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** All candidate pairs (idA < idB) whose length buckets are within one
+    * of each other — cheap blocking that turns the quadratic all-pairs
+    * scan into an equi-join on `bucket`. The left side explodes to its
+    * own bucket ±1, so each qualifying pair joins exactly once (a given
+    * right bucket matches at most one of the three left values).
+    */
+  private def lengthBlockedPairs(
+      docs: DataFrame, idCol: String, lenCol: String, bucketWidth: Int)
+      : DataFrame = {
+    val b = floor(col(lenCol) / bucketWidth)
+    val left = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        explode(array(b - 1, b, b + 1)).as("bucket"))
+    val right = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+        b.as("bucket"))
+    left.join(right, Seq("bucket")).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Exact near-dup pairs by word-`k`-gram Jaccard >= `threshold`, with
+    * length-bucket blocking (pairs whose `lenCol` buckets differ by more
+    * than one are not compared — a near-dup at 0.5+ Jaccard necessarily
+    * has similar length). Deterministic; the quadratic baseline that
+    * [[minhashDedupPairs]] approximates at scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      lenCol: String, k: Int = 3, threshold: Double = 0.5,
+      bucketWidth: Int = 64): DataFrame = {
+    val docs = df.select(col(idCol), col(lenCol), shingles(col(textCol), k).as("sh"))
+    lengthBlockedPairs(docs, idCol, lenCol, bucketWidth)
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle -> 128-hash MinHash signature
+    * -> `bands` band hashes -> equi-self-join on (band, bandHash) ->
+    * distinct candidate pairs -> exact-Jaccard verification >= threshold.
+    *
+    * With numHashes=128, bands=32 (rows r=4), a pair at Jaccard 0.9 is
+    * missed with probability (1 - 0.9^4)^32 ~ 1e-15, while a pair at 0.1
+    * produces a spurious candidate with probability ~32e-4 — which the
+    * exact verification then discards. Output matches
+    * [[ngramJaccardPairs]] wherever LSH recall is 1.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val sig = docs.withColumn("sig",
+      GraftFunctions.minhash(col("sh"), numHashes, seed))
+    // one row per (doc, band): band hash = xxhash64 over the band's slice
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
+        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash over shingles, candidates
+    * via 8x8-bit band equi-join, verified by Hamming <= maxHamming.
+    * Pigeonhole guarantees full recall to Hamming 7; above that a pair
+    * is found iff its differing bits leave some byte untouched — near-
+    * certain for real near-dups, whose flipped bits come from a few
+    * changed shingles and cluster accordingly.
+    */
+  def simhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxHamming: Int = 10): DataFrame = {
+    require(maxHamming <= 12,
+      "verification threshold far above the 8-band recall guarantee (Hamming 7)")
+    val docs = df.select(col(idCol).as("id"),
+      GraftFunctions.simhash(shingles(col(textCol), k)).as("sim"))
+    val banded = docs.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => call_function("shiftrightunsigned", col("sim"), (b * 8).cast("int"))
+          .bitwiseAND(lit(0xFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        GraftFunctions.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs: exact cosine >= threshold over all pairs.
+    * The exact quadratic baseline — at scale, block with
+    * [[VectorSearchOps.lshCandidates]] instead.
+    */
+  def embeddingDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(GraftFunctions.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB stance): the query set is small and the corpus
+  * is huge, so every variant broadcasts the *queries* and streams the
+  * corpus — never the reverse, and never a corpus self-shuffle. Top-k
+  * per query is a window over (query, candidate) pairs, which AQE
+  * handles as a standard partial-sort; for very large k-lists swap in
+  * a bounded-heap Aggregator.
+  */
+object VectorSearchOps {
+
+  /** Brute-force cosine top-k: every (query x corpus) pair scored with
+    * the codegen'd cosine kernel, ranked per query. Exact; the recall
+    * baseline for [[annLshTopK]].
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Candidate set via multi-table random-hyperplane LSH: a corpus row
+    * is a candidate for a query if they share a bucket in any of
+    * `tables` independent hash tables. Returns (q_id, nbr_id) distinct.
+    * Corpus side computes `tables` bucket ids in one narrow pass
+    * (posexplode), then equi-joins the broadcast query buckets — the
+    * 100TB-shaped plan: no corpus shuffle, scan-side filter.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, numBits: Int, tables: Int, seed: Long = 42L): DataFrame = {
+    def buckets(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("v"))
+        .select(col(id), col("v"), posexplode(array(
+          (0 until tables).map(t =>
+            GraftFunctions.lshBucket(col("v"), numBits, seed + 1000L * t)): _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val cb = buckets(corpus, "nbr_id")
+    val qb = buckets(queries, "q_id")
+    cb.join(broadcast(qb.select("q_id", "table", "bucket")), Seq("table", "bucket"))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select("q_id", "nbr_id").distinct()
+  }
+
+  /** ANN top-k: LSH candidates re-ranked by exact cosine. Approximate —
+    * recall depends on numBits/tables vs the data's similarity
+    * structure. A true neighbor at angle θ survives one table with
+    * probability (1-θ/π)^numBits; defaults (6 bits x 8 tables) probe
+    * ~12% of a structureless corpus for ~0.4 recall at cosine ~0.45 —
+    * on real embedding corpora (near-dup neighbors at cosine 0.9+,
+    * θ≈25°: per-table 0.86^6≈0.40, 8 tables ≈ 0.98 recall) the same
+    * defaults are near-exact while probing far less.
+    */
+  def annLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numBits: Int = 6, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cand = lshCandidates(corpus, queries, idCol, vecCol, numBits, tables, seed)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+    cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+}

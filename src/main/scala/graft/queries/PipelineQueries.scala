@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{TextAnalysisOps, TextDedupOps, VectorSearchOps}
+import graft.tables.Tables
+
+/** LLM-training-data-pipeline tier: deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity search
+  * (brute-force + LSH ANN), and text analysis (token stats, quality,
+  * language-ID, fingerprinting) over the `documents` and `embeddings`
+  * tables. No reference analogue — pure extension tier from the brief.
+  *
+  * Oracle notes: the LSH/SimHash paths are approximate in general, but
+  * on this corpus the similarity distribution is bimodal (all non-dup
+  * pairs < 0.1 Jaccard, planted near-dups > 0.9 — measured at sf0.01
+  * and sf0.001), so candidate-generation recall is 1 - 1e-15 and the
+  * verified output equals the exact-Jaccard pair set the DuckDB oracle
+  * computes. `ann_lsh` and `txt_fingerprint` outputs depend on graft's
+  * own hash kernels, which SQL cannot reproduce — those two get
+  * rows-only checks here and recall/property assertions in PipelineSpec.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** DuckDB fragment: distinct word-3-gram shingles per doc — must stay
+    * semantically identical to [[TextDedupOps.shingles]](k=3). */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, n_chars,
+      |  list_distinct([array_to_string(l[i:i+2], ' ')
+      |                 for i in generate_series(1, greatest(len(l)-2, 1))]) AS s
+      |FROM t)""".stripMargin
+
+  private val jaccardExpr =
+    "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))"
+
+  def queries: Map[String, Q] = Map(
+    "dd_exact" -> ((s, d) =>
+      TextDedupOps.exactDedup(docs(s, d), "doc_id", "text")
+        .select("keep_id", "n_copies").orderBy("keep_id")),
+
+    "dd_ngram_jaccard" -> ((s, d) =>
+      TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", "n_chars")
+        .orderBy("id_a", "id_b")),
+
+    "dd_minhash_lsh" -> ((s, d) =>
+      TextDedupOps.minhashDedupPairs(docs(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "dd_simhash" -> ((s, d) =>
+      TextDedupOps.simhashDedupPairs(docs(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "dd_embed_cosine" -> ((s, d) =>
+      TextDedupOps.embeddingDedupPairs(embs(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")),
+
+    "ann_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      VectorSearchOps.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      // approximate — no SQL oracle; recall floor asserted in PipelineSpec
+      val e = embs(s, d)
+      VectorSearchOps.annLshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
+    "txt_stats" -> ((s, d) =>
+      TextAnalysisOps.tokenStats(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "n_distinct", "n_words",
+          "avg_token_chars", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    "txt_quality" -> ((s, d) =>
+      TextAnalysisOps.qualityScore(docs(s, d), "text")
+        .select("doc_id", "quality").orderBy("doc_id")),
+
+    "txt_langid" -> ((s, d) =>
+      TextAnalysisOps.languageId(docs(s, d), "text")
+        .select("doc_id", "pred_lang", "lang_hits").orderBy("doc_id")),
+
+    "txt_fingerprint" -> ((s, d) =>
+      // graft-native rolling-hash fingerprint — rows-only check;
+      // determinism + collision properties pinned in PipelineSpec
+      docs(s, d).select(col("doc_id"),
+        GraftFunctions.fingerprint(col("text"), 16).as("fp"),
+        GraftFunctions.simhash(TextDedupOps.shingles(col("text"))).as("sim"))
+        .orderBy("doc_id")),
+
+    "mm_meta" -> ((s, d) =>
+      // multimodal metadata pass: opaque binary payload + typed metadata
+      docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha_hex"))
+        .orderBy("doc_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""$shingleCte,
+         |ab AS (SELECT sh.*, unnest([floor(n_chars/64)-1, floor(n_chars/64),
+         |                            floor(n_chars/64)+1]) AS bucket FROM sh),
+         |bb AS (SELECT sh.*, floor(n_chars/64) AS bucket FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardExpr AS jac
+         |FROM ab a JOIN bb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE $jaccardExpr >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardExpr AS jac
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE $jaccardExpr >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_simhash" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE $jaccardExpr >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      """SELECT q_id, rank, nbr_id, cos FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  len(l) AS n_tokens,
+        |  len(list_distinct(l)) AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+        |  (length(text) - (len(l) - 1))::DOUBLE / len(l) AS avg_token_chars,
+        |  len([x for x in l if (x = 'the' OR x = 'a')])::DOUBLE / len(l) AS stopword_ratio
+        |FROM (SELECT *, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  (len(list_distinct(l))::DOUBLE / len(l)) *
+        |  (1.0 - len([x for x in l if (x = 'the' OR x = 'a')])::DOUBLE / len(l)) AS quality
+        |FROM (SELECT *, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN h_en = m THEN 'en' WHEN h_es = m THEN 'es'
+        |       WHEN h_fr = m THEN 'fr' WHEN h_de = m THEN 'de'
+        |       WHEN h_zh = m THEN 'zh' END AS pred_lang,
+        |  m AS lang_hits
+        |FROM (
+        |  SELECT doc_id, h_en, h_es, h_fr, h_de, h_zh,
+        |    greatest(h_en, h_es, h_fr, h_de, h_zh) AS m
+        |  FROM (
+        |    SELECT doc_id,
+        |      len([x for x in l if (x='the' OR x='a' OR x='of' OR x='and')]) AS h_en,
+        |      len([x for x in l if (x='el' OR x='la' OR x='de' OR x='y')]) AS h_es,
+        |      len([x for x in l if (x='le' OR x='la' OR x='de' OR x='et')]) AS h_fr,
+        |      len([x for x in l if (x='der' OR x='die' OR x='das' OR x='und')]) AS h_de,
+        |      len([x for x in l if (x='de' OR x='le' OR x='he' OR x='shi')]) AS h_zh
+        |    FROM (SELECT *, string_split(text, ' ') AS l FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

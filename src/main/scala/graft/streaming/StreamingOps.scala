@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming slice: the declarative upgrade of the
+  * reference's pull-based micro-batch loop (executor.go:184-274 —
+  * repeated Execute() calls each covering one executionWindowSize of
+  * event time). Here the micro-batching, state, and resume bookkeeping
+  * (pendingCompletionNodes, Position/Seek checkpoints) all collapse
+  * into the engine: `readStream` + event-time window + watermark.
+  *
+  * Scale stance: file-source streams list and batch input files
+  * incrementally (maxFilesPerTrigger), state lives in the state store
+  * keyed by (window, event_type) — both bounded; watermark caps state
+  * growth under late data.
+  */
+object StreamingOps {
+
+  /** The file stream source requires a *directory*; the testdata is a
+    * single parquet file. Stage a temp dir holding a symlink to it —
+    * in production the source is the table's partition directory.
+    */
+  private def stageDir(sfDir: String): String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sfDir/events.parquet"))
+    dir.toString
+  }
+
+  /** Run a daily tumbling-window aggregate over the events table *as a
+    * stream* (AvailableNow trigger: process all existing data in
+    * micro-batches, then stop), materializing into an in-memory sink.
+    * Returns the final batch DataFrame — semantically identical to the
+    * batch GROUP BY, which is exactly what the DuckDB oracle checks.
+    */
+  def windowedAggReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need an explicit schema; take it from the batch reader
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
+    val query = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+  }
+
+  /** Streaming exact-dedup: drop duplicate event_ids within the
+    * watermark horizon — the streaming face of the dedup tier. Returns
+    * the deduplicated count per event_type after full replay.
+    */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val deduped = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val sink = "graft_dedup_" + UUID.randomUUID.toString.replace("-", "")
+    val query = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(sink).select(col("event_type"), col("n"))
+      .orderBy("event_type")
+  }
+}

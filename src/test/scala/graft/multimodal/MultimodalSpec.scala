@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The multimodal plumbing is real (schema, typed Dataset, partition-
+  * batched processing); only the codec is a stub. These tests pin the
+  * plumbing: schema shape, determinism, payload-drop, frame sampling.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = MultimodalOps.asMedia(
+    Tables.documents(spark, sfDir), "doc_id", "text", "txt")
+
+  test("asMedia produces the opaque-payload schema") {
+    val sch = media.schema
+    assert(sch.fieldNames.toSeq == Seq("media_id", "format", "payload"))
+    assert(sch("payload").dataType.typeName == "binary")
+  }
+
+  test("extractFeatures is deterministic, drops payloads, keeps ids") {
+    val f1 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.media_id).toSeq == f2.map(_.media_id).toSeq)
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    assert(f1.forall(_.features.length == 8))
+    assert(f1.forall(r => r.width >= 64 && r.height >= 64 && r.n_frames >= 1))
+    assert(f1.length == media.count())
+  }
+
+  test("feature vectors feed the similarity tier (cosine over features)") {
+    import graft.functions.GraftFunctions
+    val feats = MultimodalOps.extractFeatures(media).toDF()
+      .select(col("media_id"), col("features"))
+    val self = feats.select(
+      GraftFunctions.cosine(col("features"), col("features")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(self.getDouble(0) > 0.999 && self.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("sampleFrames yields stride-spaced frame ids within bounds") {
+    val feats = MultimodalOps.extractFeatures(media)
+    val sampled = MultimodalOps.sampleFrames(feats, stride = 4).collect()
+    sampled.foreach { r =>
+      val n = r.getInt(1)
+      val ids = r.getSeq[Int](2)
+      assert(ids.head == 0 && ids.forall(i => i >= 0 && i < n))
+      assert(ids.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == 4))
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** End-to-end properties of the dedup / similarity-search tier on the
+  * sf0.001 testdata — including the recall assertions that the DuckDB
+  * oracle cannot express (LSH ANN, fingerprint determinism).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val embs = Tables.embeddings(spark, sfDir)
+
+  test("minhash LSH pairs equal exact n-gram Jaccard pairs (recall 1 here)") {
+    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text", "n_chars")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedupOps.minhashDedupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs are a subset of exact pairs and catch most of them") {
+    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text", "n_chars")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = TextDedupOps.simhashDedupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exact),
+      s"simhash found non-near-dup pairs: ${sim.diff(exact)}")
+    // 64-bit simhash saturates for a few heavily-edited planted pairs
+    // (Hamming can exceed any threshold that excludes background pairs);
+    // ≥80% recall is the honest floor on this corpus
+    assert(sim.size >= exact.size * 0.8,
+      s"simhash recall too low: ${sim.size}/${exact.size}")
+  }
+
+  test("exact dedup keeps one representative per distinct text") {
+    val total = docs.count()
+    val dedup = TextDedupOps.exactDedup(docs, "doc_id", "text")
+    assert(dedup.agg(sum("n_copies")).head.getLong(0) == total)
+    assert(dedup.count() ==
+      docs.select(countDistinct("text")).head.getLong(0))
+  }
+
+  test("ANN-LSH candidates give useful recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VectorSearchOps.annLshTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    // embeddings here are near-random (no planted neighbor structure —
+    // max pairwise cosine ~0.5), the hardest case for LSH; the useful
+    // assertions are determinism + a floor well above chance.
+    // Chance level: candidates cover < 25% of the corpus.
+    assert(recall >= 0.25, s"ANN recall $recall below floor")
+    val again = VectorSearchOps.annLshTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ann, "ANN must be deterministic")
+  }
+
+  test("language-id + quality + token stats are sane") {
+    val st = TextAnalysisOps.qualityScore(docs, "text")
+    val bad = st.filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad == 0)
+    val li = TextAnalysisOps.languageId(docs, "text")
+    assert(li.filter(col("pred_lang").isNull).count() == 0)
+    val ts = TextAnalysisOps.tokenStats(docs, "text")
+    assert(ts.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+  }
+}
