@@ -102,16 +102,20 @@ object TextDedupOps {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded.as("a").join(banded.as("b"),
+    // verify BEFORE deduping candidates: a pair matching in m bands
+    // recomputes the (cheap, codegen'd) Jaccard m times, but the
+    // distinct() then shuffles only (id_a, id_b, jac) fixed-width rows
+    // instead of dragging both shingle arrays through an aggregate —
+    // the difference between shuffling KBs and shuffling bytes per pair
+    // at corpus scale.
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
-        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jac"))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over shingles, candidates
@@ -132,15 +136,15 @@ object TextDedupOps {
         b => call_function("shiftrightunsigned", col("sim"), (b * 8).cast("int"))
           .bitwiseAND(lit(0xFFL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    // filter on Hamming before the distinct so the dedup shuffle only
+    // ever sees surviving (rare) pairs
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        GraftFunctions.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"))
+      .filter(GraftFunctions.hamming64(col("a.sim"), col("b.sim")) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** Embedding near-dup pairs: exact cosine >= threshold over all pairs.
