@@ -61,11 +61,20 @@ object Ast {
 
   final case class Source(domain: String, family: String, alias: Option[String])
 
+  /** An additional FROM source: `JOIN src ON a.x = b.y` (on = the
+    * AND-chain of equality comparisons) or a bare comma `, src` (on =
+    * None → cross join, J2). The reference parses exactly this shape
+    * (query/parser/joinparser.go:84-201) but leaves `AddJoinOp` an empty
+    * stub (query/base/queryops.go:61-66) — here it executes.
+    */
+  final case class JoinClause(source: Source, on: Option[BExpr])
+
   final case class OrderItem(item: SelectItem, asc: Boolean)
 
   final case class QuerySpec(
       select: Seq[SelectItem],
       source: Source,
+      joins: Seq[JoinClause],
       where: Option[BExpr],
       groupBy: Seq[RawName],
       having: Option[BExpr],

@@ -15,10 +15,8 @@ import graft.tables.Tables
   */
 object BoostQL {
 
-  def sql(query: String, families: ((String, String)) => DataFrame): DataFrame = {
-    val spec = Parser.parse(query)
-    Compiler.compile(spec, families((spec.source.domain, spec.source.family)))
-  }
+  def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
+    Compiler.compile(Parser.parse(query), families)
 
   /** Convenience resolver for the driver testdata: any `domain.family`
     * resolves to the events table adapted to the series-family shape

@@ -23,12 +23,19 @@ import Ast._
   *  - A WHERE-referenced field that is not selected is fetched but pruned
   *    from the output, like the reference's whereOnlyFields
   *    (executor.go:524-533) — here it falls out of the final projection.
+  *  - JOINs (parsed-but-stubbed in the reference, queryops.go:61-66)
+  *    execute: each source compiles to its own series-aligned frame,
+  *    then frames fold left through inner equi-joins (ON) or cross
+  *    joins (comma/CROSS JOIN). In multi-source queries every field
+  *    reference must be alias-qualified (`al.series` / `al.series.attr`)
+  *    and output columns are prefixed `alias_series[_attr]`.
   */
 object Compiler {
 
   final case class CompileException(msg: String) extends RuntimeException(msg)
 
-  /** Resolve the 1/2/3-part name sugar (selectfieldparser.go:115-133). */
+  /** Resolve the 1/2/3-part name sugar (selectfieldparser.go:115-133)
+    * against a single source. */
   def resolve(name: RawName, alias: Option[String]): FieldRef = name.parts match {
     case Seq(s) => FieldRef(s, None)
     case Seq(a, b) if alias.contains(a) => FieldRef(b, None)
@@ -40,10 +47,16 @@ object Compiler {
     case _ => throw CompileException(s"bad field name ${name.text}")
   }
 
-  private def aggColName(fn: String, arg: Option[FieldRef]): String =
+  /** A field pinned to its source; `colName` is the output column name
+    * (alias-prefixed only when the query has multiple sources). */
+  private final case class SField(src: Int, prefix: Option[String], f: FieldRef) {
+    def colName: String = prefix.fold(f.colName)(p => s"${p}_${f.colName}")
+  }
+
+  private def aggColName(fn: String, arg: Option[SField]): String =
     s"${fn}_${arg.fold("star")(_.colName)}"
 
-  private def aggColumn(fn: String, arg: Option[FieldRef]): Column = {
+  private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
       case None => count(lit(1))
@@ -66,53 +79,78 @@ object Compiler {
     case BBool(v)  => lit(v)
   }
 
-  /** Compile a query against a series-family DataFrame with the
-    * TimeSeriesTable schema (series, ts, value, tags, attributes).
+  /** Compile a query; `families` resolves each (domain, family) source to
+    * a series-family DataFrame (schema: series, ts, value, tags,
+    * attributes).
     */
-  def compile(spec: QuerySpec, family: DataFrame): DataFrame = {
-    val alias = spec.source.alias
+  def compile(spec: QuerySpec, families: ((String, String)) => DataFrame): DataFrame = {
+    val sources: Seq[Source] = spec.source +: spec.joins.map(_.source)
+    val multi = sources.length > 1
+    val aliasIdx: Map[String, Int] =
+      sources.zipWithIndex.flatMap { case (s, i) => s.alias.map(_ -> i) }.toMap
+    if (multi && aliasIdx.size < sources.length)
+      throw CompileException("multi-source queries require an alias on every source")
 
-    def ref(n: RawName): FieldRef = resolve(n, alias)
+    def ref(n: RawName): SField =
+      if (!multi)
+        SField(0, None, resolve(n, sources.head.alias))
+      else n.parts match {
+        case Seq(al, s) if aliasIdx.contains(al) =>
+          SField(aliasIdx(al), Some(al), FieldRef(s, None))
+        case Seq(al, s, a) if aliasIdx.contains(al) =>
+          SField(aliasIdx(al), Some(al), FieldRef(s, Some(a)))
+        case _ => throw CompileException(
+          s"${n.text}: field references must be alias-qualified in multi-source queries")
+      }
 
     // --- collect every field the query touches -------------------------
-    def exprRefs(e: BExpr): Seq[FieldRef] = e match {
+    def exprRefs(e: BExpr): Seq[SField] = e match {
       case Cmp(_, l, r) => Seq(l, r).collect { case ORef(n) => ref(n) }
       case AndE(l, r)   => exprRefs(l) ++ exprRefs(r)
       case OrE(l, r)    => exprRefs(l) ++ exprRefs(r)
     }
-    def itemRefs(i: SelectItem): Seq[FieldRef] = i match {
-      case FieldItem(n)       => Seq(ref(n))
+    def itemRefs(i: SelectItem): Seq[SField] = i match {
+      case FieldItem(n)        => Seq(ref(n))
       case AggItem(_, Some(n)) => Seq(ref(n))
-      case AggItem(_, None)   => Seq.empty
+      case AggItem(_, None)    => Seq.empty
     }
-    val allRefs: Seq[FieldRef] =
+    val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
         spec.where.toSeq.flatMap(exprRefs) ++
+        spec.joins.flatMap(_.on.toSeq.flatMap(exprRefs)) ++
         spec.groupBy.map(ref) ++
         spec.having.toSeq.flatMap(exprRefs) ++
         spec.orderBy.flatMap(o => itemRefs(o.item))).distinct
     if (allRefs.isEmpty) throw CompileException("query references no fields")
 
-    val seriesNames = allRefs.map(_.series).distinct
-
-    // --- per-series projection, then exact-ts alignment join -----------
-    // Each series contributes its value column (named after the series)
-    // and any referenced attribute columns (series_attr). Catalyst dedups
-    // the shared scan (the reference does this by vertex reuse,
-    // planner.go:265-290) and pushes `series = 'x'` into parquet.
-    def seriesDf(s: String): DataFrame = {
-      val attrs = allRefs.filter(r => r.series == s && r.attr.isDefined)
-      val cols = Seq(col("ts"), col("value").as(s)) ++
-        attrs.map(r => element_at(col("attributes"), r.attr.get).as(r.colName))
-      family.filter(col("series") === s).select(cols: _*)
+    // --- per-source frame: per-series projection + exact-ts align ------
+    // Each series contributes its value column and any referenced
+    // attribute columns. Catalyst dedups the shared scan (the reference
+    // does this by vertex reuse, planner.go:265-290) and pushes
+    // `series = 'x'` into parquet.
+    def sourceFrame(srcIdx: Int): DataFrame = {
+      val family = families((sources(srcIdx).domain, sources(srcIdx).family))
+      val refs = allRefs.filter(_.src == srcIdx)
+      val seriesNames = refs.map(_.f.series).distinct
+      if (seriesNames.isEmpty)
+        throw CompileException(
+          s"source ${sources(srcIdx).domain}.${sources(srcIdx).family} is never referenced")
+      def seriesDf(s: String): DataFrame = {
+        val valName = refs.find(r => r.f.series == s && r.f.attr.isEmpty)
+          .map(_.colName).getOrElse(
+            if (multi) s"${sources(srcIdx).alias.get}_$s" else s)
+        val attrs = refs.filter(r => r.f.series == s && r.f.attr.isDefined)
+        val cols = Seq(col("ts"), col("value").as(valName)) ++
+          attrs.map(r => element_at(col("attributes"), r.f.attr.get).as(r.colName))
+        family.filter(col("series") === s).select(cols: _*)
+      }
+      val aligned = seriesNames.map(seriesDf).reduce((a, b) => a.join(b, Seq("ts"), "inner"))
+      // ts is per-source internal (not addressable in the dialect);
+      // rename so multi-source joins don't collide on it
+      aligned.withColumnRenamed("ts", s"__ts_$srcIdx")
     }
 
-    val aligned: DataFrame = seriesNames.map(seriesDf) match {
-      case Seq(one) => one
-      case many => many.reduce((a, b) => a.join(b, Seq("ts"), "inner"))
-    }
-
-    // --- WHERE ----------------------------------------------------------
+    // --- expression compilation ----------------------------------------
     def operandColumn(o: Operand, aggOk: Boolean): Column = o match {
       case OLit(l) => litColumn(l)
       case ORef(n) => col(ref(n).colName)
@@ -135,7 +173,18 @@ object Compiler {
         }
     }
 
-    val filtered = spec.where.fold(aligned)(w => aligned.filter(exprColumn(w, aggOk = false)))
+    // --- fold sources through joins ------------------------------------
+    val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
+      case (acc, (JoinClause(_, on), i)) =>
+        val right = sourceFrame(i + 1)
+        on match {
+          case Some(cond) => acc.join(right, exprColumn(cond, aggOk = false), "inner")
+          case None       => acc.crossJoin(right)
+        }
+    }
+
+    // --- WHERE ----------------------------------------------------------
+    val filtered = spec.where.fold(joined)(w => joined.filter(exprColumn(w, aggOk = false)))
 
     // --- aggregation / projection ---------------------------------------
     val hasAgg = spec.select.exists(_.isInstanceOf[AggItem]) ||
@@ -151,7 +200,7 @@ object Compiler {
         case _ => ()
       }
       // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped later)
-      def havingAggs(e: BExpr): Seq[(String, Option[FieldRef])] = e match {
+      def havingAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
         case Cmp(_, l, r) => Seq(l, r).collect { case OAgg(f, a) => (f, a.map(ref)) }
         case AndE(l, r)   => havingAggs(l) ++ havingAggs(r)
         case OrE(l, r)    => havingAggs(l) ++ havingAggs(r)
@@ -168,8 +217,8 @@ object Compiler {
 
     // --- ORDER BY / LIMIT / final projection -----------------------------
     def itemColName(i: SelectItem): String = i match {
-      case FieldItem(n)    => ref(n).colName
-      case AggItem(f, a)   => aggColName(f, a.map(ref))
+      case FieldItem(n)  => ref(n).colName
+      case AggItem(f, a) => aggColName(f, a.map(ref))
     }
     val ordered =
       if (spec.orderBy.isEmpty) projected
@@ -180,4 +229,8 @@ object Compiler {
     val limited = spec.limit.fold(ordered)(ordered.limit)
     limited.select(spec.select.map(i => col(itemColName(i))): _*)
   }
+
+  /** Single-family convenience (the pre-JOIN surface). */
+  def compile(spec: QuerySpec, family: DataFrame): DataFrame =
+    compile(spec, (_: (String, String)) => family)
 }

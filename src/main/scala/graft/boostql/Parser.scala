@@ -34,7 +34,8 @@ object Parser {
   private case object TEnd extends Tok
 
   private val keywords = Set("select", "from", "where", "and", "or", "group",
-    "by", "having", "order", "limit", "as", "asc", "desc", "true", "false")
+    "by", "having", "order", "limit", "as", "asc", "desc", "true", "false",
+    "join", "inner", "cross", "on")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -98,6 +99,7 @@ object Parser {
       val items = selectItems()
       expectKw("from")
       val src = source()
+      val joins = joinClauses()
       val where = if (kw("where")) Some(orExpr()) else None
       val grp =
         if (kw("group")) { expectKw("by"); nameList() } else Seq.empty
@@ -106,9 +108,34 @@ object Parser {
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
       val lim = if (kw("limit")) Some(intLit()) else None
       peek match {
-        case TEnd => QuerySpec(items, src, where, grp, having, ord, lim)
+        case TEnd => QuerySpec(items, src, joins, where, grp, having, ord, lim)
         case t => throw ParseException(s"trailing input: $t")
       }
+    }
+
+    /** `JOIN src ON cond` (INNER optional), `CROSS JOIN src`, or the
+      * comma form `, src` (cross join via FROM list — the TiDB join-tree
+      * shape the reference captures, joinparser.go:86-97).
+      */
+    private def joinClauses(): Seq[JoinClause] = {
+      val b = Seq.newBuilder[JoinClause]
+      var more = true
+      while (more) {
+        if (sym(",")) b += JoinClause(source(), None)
+        else if (kw("cross")) { expectKw("join"); b += JoinClause(source(), None) }
+        else if (kw("inner") || peekIsKw("join")) {
+          expectKw("join")
+          val s = source()
+          expectKw("on")
+          b += JoinClause(s, Some(andExpr()))
+        } else more = false
+      }
+      b.result()
+    }
+
+    private def peekIsKw(s: String): Boolean = peek match {
+      case TIdent(id) => id.equalsIgnoreCase(s)
+      case _ => false
     }
 
     private def selectItems(): Seq[SelectItem] = {

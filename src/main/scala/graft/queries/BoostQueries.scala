@@ -32,7 +32,20 @@ object BoostQueries {
 
     "boost_orderby_limit" -> ((s, d) =>
       run(s, d, "SELECT error, error.event_id FROM dom.events " +
-        "WHERE error > 150.0 ORDER BY error DESC, error.event_id LIMIT 20"))
+        "WHERE error > 150.0 ORDER BY error DESC, error.event_id LIMIT 20")),
+
+    // J1: the reference parses JOIN..ON but AddJoinOp is an empty stub
+    // (queryops.go:61-66); here it plans and executes
+    "boost_join" -> ((s, d) =>
+      run(s, d, "SELECT a.click.user, count(*) FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user " +
+        "WHERE a.click < 100.0 GROUP BY a.click.user ORDER BY a.click.user")),
+
+    // J2+J3: comma cross join with the join condition in WHERE — Catalyst
+    // extracts it into an equi-join (SURVEY.md §2.3 J3)
+    "boost_cross_where" -> ((s, d) =>
+      run(s, d, "SELECT count(*) FROM dom.events AS a, dom.events AS b " +
+        "WHERE a.purchase.user = b.signup.user"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,6 +70,19 @@ object BoostQueries {
     "boost_orderby_limit" ->
       """SELECT value AS error, CAST(event_id AS VARCHAR) AS error_event_id
         |FROM events WHERE event_type = 'error' AND value > 150.0
-        |ORDER BY error DESC, error_event_id LIMIT 20""".stripMargin
+        |ORDER BY error DESC, error_event_id LIMIT 20""".stripMargin,
+
+    "boost_join" ->
+      """SELECT CAST(a.user_id AS VARCHAR) AS a_click_user, COUNT(*) AS count_star
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND value < 100.0) a
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |GROUP BY 1 ORDER BY a_click_user""".stripMargin,
+
+    "boost_cross_where" ->
+      """SELECT COUNT(*) AS count_star
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a,
+        |     (SELECT * FROM events WHERE event_type = 'signup') b
+        |WHERE CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)""".stripMargin
   )
 }

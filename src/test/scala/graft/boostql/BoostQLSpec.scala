@@ -1,0 +1,93 @@
+package graft.boostql
+
+import graft.SparkSpec
+import graft.sources.TimeSeriesTable
+import graft.tables.Tables
+
+import Ast._
+
+/** Parser + compiler unit coverage for the BoostQL dialect, pinning the
+  * reference's name-sugar rules (selectfieldparser.go:29-37,115-133) and
+  * the join surface the reference parses but never executes.
+  */
+class BoostQLSpec extends SparkSpec {
+
+  private def fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+
+  test("name sugar: 1/2/3-part resolution with alias") {
+    assert(Compiler.resolve(RawName(Seq("cpu")), None) == FieldRef("cpu", None))
+    assert(Compiler.resolve(RawName(Seq("cpu", "host")), None) ==
+      FieldRef("cpu", Some("host")))
+    // alias-qualified series value: d.cpu with FROM ... AS d
+    assert(Compiler.resolve(RawName(Seq("d", "cpu")), Some("d")) ==
+      FieldRef("cpu", None))
+    assert(Compiler.resolve(RawName(Seq("d", "cpu", "host")), Some("d")) ==
+      FieldRef("cpu", Some("host")))
+    intercept[Compiler.CompileException] {
+      Compiler.resolve(RawName(Seq("x", "cpu", "host")), Some("d"))
+    }
+  }
+
+  test("parser: full clause chain round-trips") {
+    val q = Parser.parse(
+      "SELECT cpu.host, count(*) FROM dom.fam WHERE cpu > 1.5 AND cpu.host != 'h1' " +
+        "GROUP BY cpu.host HAVING count(*) > 2 ORDER BY count(*) DESC LIMIT 5")
+    assert(q.select.length == 2)
+    assert(q.where.isDefined && q.groupBy.length == 1 && q.having.isDefined)
+    assert(q.orderBy.length == 1 && !q.orderBy.head.asc && q.limit.contains(5))
+  }
+
+  test("parser: join forms") {
+    val j = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(j.joins.length == 1 && j.joins.head.on.isDefined)
+    val c = Parser.parse("SELECT a.cpu, b.mem FROM dom.f1 AS a, dom.f2 AS b")
+    assert(c.joins.length == 1 && c.joins.head.on.isEmpty)
+    val x = Parser.parse("SELECT a.cpu, b.mem FROM dom.f1 AS a CROSS JOIN dom.f2 AS b")
+    assert(x.joins.length == 1 && x.joins.head.on.isEmpty)
+  }
+
+  test("parser rejects malformed input") {
+    intercept[Parser.ParseException](Parser.parse("SELECT FROM dom.fam"))
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM fam"))
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM dom.fam WHERE cpu <"))
+    // (a bare trailing identifier is a legal implicit alias)
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM dom.fam AS f trailing"))
+  }
+
+  test("compiler: flagship select+where shape") {
+    val df = Compiler.compile(
+      Parser.parse("SELECT click.user, click FROM dom.events WHERE click < 100.0"), fam)
+    assert(df.columns.toSeq == Seq("click_user", "click"))
+    assert(df.count() > 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("click") >= 100.0).count() == 0)
+  }
+
+  test("compiler: executed JOIN matches manual DataFrame join") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.click.user, count(*) FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user " +
+        "GROUP BY a.click.user ORDER BY a.click.user"),
+      (_: (String, String)) => fam)
+    val clicks = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "user").as("u"))
+    val views = fam.filter(col("series") === "view")
+      .select(element_at(col("attributes"), "user").as("u"))
+    val expected = clicks.join(views, "u").groupBy("u").count()
+      .orderBy("u").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("compiler: multi-source requires aliases and qualified refs") {
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.cpu FROM dom.f1 AS a, dom.f2"), (_: (String, String)) => fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT cpu FROM dom.f1 AS a, dom.f2 AS b"), (_: (String, String)) => fam)
+    }
+  }
+}
