@@ -74,12 +74,18 @@ object TimeSeriesTable {
       .parquet(s"$root/$domain/$family")
 
   /** Time-range scan `[start, end)` — the FetchSeries analogue
-    * (executor.go:426-478). The predicate is a plain column filter, so
-    * Catalyst pushes it into the parquet scan (partition pruning on dt +
-    * row-group stats on ts).
+    * (executor.go:426-478). The `ts` predicate pushes into parquet
+    * row-group stats; Spark cannot infer `dt` bounds from a `ts`
+    * predicate on its own, so when the frame is partitioned (has `dt`)
+    * the equivalent date bounds are added explicitly — that is what
+    * turns the scan into a partition-pruned one at 100 TB.
     */
-  def timeRange(df: DataFrame, start: Timestamp, end: Timestamp): DataFrame =
-    df.filter(col("ts") >= lit(start) && col("ts") < lit(end))
+  def timeRange(df: DataFrame, start: Timestamp, end: Timestamp): DataFrame = {
+    val base = df.filter(col("ts") >= lit(start) && col("ts") < lit(end))
+    if (df.columns.contains("dt"))
+      base.filter(col("dt") >= to_date(lit(start)) && col("dt") <= to_date(lit(end)))
+    else base
+  }
 
   /** Fetch one series over a time range, time-ordered — the reference's
     * Fetch + k-way merge (boostseriesiterator.go:157-343) is just a sort.

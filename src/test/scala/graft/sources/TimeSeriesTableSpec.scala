@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Write-path round trip for the series-family table (S5) plus the
+  * pruning claims the layout makes: date partition pruning and series
+  * predicate pushdown.
+  */
+class TimeSeriesTableSpec extends SparkSpec {
+
+  test("append → open round-trips the family, date-partitioned") {
+    val root = Files.createTempDirectory("graft-tst").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val back = TimeSeriesTable.open(spark, root, "dom", "events")
+    assert(back.count() == fam.count())
+    // same content: per-series counts and value checksums agree
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("series").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("s"))
+        .orderBy("series").collect().toSeq
+    assert(sig(back) == sig(fam))
+    // partition layout: dt=... subdirectories exist
+    val dirs = new java.io.File(s"$root/dom/events").listFiles()
+    assert(dirs != null && dirs.exists(_.getName.startsWith("dt=")))
+  }
+
+  test("time-range scan prunes date partitions; series filter is pushed") {
+    val root = Files.createTempDirectory("graft-tst2").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val back = TimeSeriesTable.open(spark, root, "dom", "events")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val scanned = TimeSeriesTable.fetchSeries(back, "click",
+      Timestamp.valueOf("2024-01-10 00:00:00"),
+      Timestamp.valueOf("2024-01-12 00:00:00"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(series,click)"),
+      s"series predicate should reach parquet:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"dt partition pruning should be in effect:\n$plan")
+    // correctness of the pruned scan
+    val expected = fam.filter(col("series") === "click" &&
+      col("ts") >= "2024-01-10" && col("ts") < "2024-01-12").count()
+    assert(scanned.count() == expected)
+  }
+}
