@@ -39,6 +39,15 @@ object TextDedupOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Shingles pre-hashed to 64-bit longs. Intersection/union *sizes*
+    * (all Jaccard needs) are preserved short of a 64-bit collision
+    * between two distinct shingles of a compared pair (~1e-15 per
+    * pair); long-array set ops hash fixed-width words instead of UTF-8
+    * strings, which is most of the pairwise-verification cost at scale.
+    */
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
   /** Exact dedup by content hash: one row per distinct `textCol` value,
     * keeping the minimum `idCol` and the copy count. Single shuffle.
     */
@@ -46,35 +55,29 @@ object TextDedupOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** All candidate pairs (idA < idB) whose length buckets are within one
-    * of each other — cheap blocking that turns the quadratic all-pairs
-    * scan into an equi-join on `bucket`. The left side explodes to its
-    * own bucket ±1, so each qualifying pair joins exactly once (a given
-    * right bucket matches at most one of the three left values).
-    */
-  private def lengthBlockedPairs(
-      docs: DataFrame, idCol: String, lenCol: String, bucketWidth: Int)
-      : DataFrame = {
-    val b = floor(col(lenCol) / bucketWidth)
-    val left = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-        explode(array(b - 1, b, b + 1)).as("bucket"))
-    val right = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-        b.as("bucket"))
-    left.join(right, Seq("bucket")).filter(col("id_a") < col("id_b"))
-  }
-
-  /** Exact near-dup pairs by word-`k`-gram Jaccard >= `threshold`, with
-    * length-bucket blocking (pairs whose `lenCol` buckets differ by more
-    * than one are not compared — a near-dup at 0.5+ Jaccard necessarily
-    * has similar length). Deterministic; the quadratic baseline that
-    * [[minhashDedupPairs]] approximates at scale.
+  /** Exact near-dup pairs by word-`k`-gram Jaccard >= `threshold`, via
+    * an inverted shingle index (the all-pairs-similarity shape): explode
+    * (doc, shingle) postings, self-equi-join on the shingle, count
+    * shared shingles per pair — that count IS |A∩B|, and with per-doc
+    * sizes carried along, J = c / (|A|+|B|-c). Pairs sharing no shingle
+    * never materialize (their J is 0 by definition), so this is exact
+    * over ALL pairs while doing no array set-ops and shuffling only
+    * fixed-width rows. Cost concentrates on high-document-frequency
+    * shingles (f docs → f² pair rows) — the known hot-key shape, which
+    * AQE skew-join splitting absorbs; corpora with pathological boiler-
+    * plate shingles should pre-drop them (a df-cap filter on `posts`).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      lenCol: String, k: Int = 3, threshold: Double = 0.5,
-      bucketWidth: Int = 64): DataFrame = {
-    val docs = df.select(col(idCol), col(lenCol), shingles(col(textCol), k).as("sh"))
-    lengthBlockedPairs(docs, idCol, lenCol, bucketWidth)
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val posts = docs.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    posts.as("a").join(posts.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -94,9 +97,10 @@ object TextDedupOps {
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    val sig = docs.withColumn("sig",
-      GraftFunctions.minhash(col("sh"), numHashes, seed))
+    val docs = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), k).as("sh"),
+      GraftFunctions.minhash(shingles(col(textCol), k), numHashes, seed).as("sig"))
+    val sig = docs
     // one row per (doc, band): band hash = xxhash64 over the band's slice
     val banded = sig.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -108,7 +112,12 @@ object TextDedupOps {
     // instead of dragging both shingle arrays through an aggregate —
     // the difference between shuffling KBs and shuffling bytes per pair
     // at corpus scale.
-    banded.as("a").join(banded.as("b"),
+    // repartition both sides on the join key: the self-join branches
+    // become byte-identical subplans ending in the same Exchange, so
+    // ReuseExchange computes the shingle+signature pipeline ONCE and
+    // replays it for the other side (a broadcast join would re-run it)
+    val keyed = banded.repartition(col("band"), col("band_hash"))
+    keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
@@ -137,8 +146,10 @@ object TextDedupOps {
           .bitwiseAND(lit(0xFFL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     // filter on Hamming before the distinct so the dedup shuffle only
-    // ever sees surviving (rare) pairs
-    banded.as("a").join(banded.as("b"),
+    // ever sees surviving (rare) pairs; repartition-keyed self-join →
+    // ReuseExchange computes the simhash pipeline once (see minhash)
+    val keyed = banded.repartition(col("band"), col("band_bits"))
+    keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.id") < col("b.id"))

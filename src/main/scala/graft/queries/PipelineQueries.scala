@@ -46,7 +46,7 @@ object PipelineQueries {
         .select("keep_id", "n_copies").orderBy("keep_id")),
 
     "dd_ngram_jaccard" -> ((s, d) =>
-      TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", "n_chars")
+      TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
     "dd_minhash_lsh" -> ((s, d) =>
@@ -111,12 +111,9 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""$shingleCte,
-         |ab AS (SELECT sh.*, unnest([floor(n_chars/64)-1, floor(n_chars/64),
-         |                            floor(n_chars/64)+1]) AS bucket FROM sh),
-         |bb AS (SELECT sh.*, floor(n_chars/64) AS bucket FROM sh)
+      s"""$shingleCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardExpr AS jac
-         |FROM ab a JOIN bb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $jaccardExpr >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -15,7 +15,7 @@ class PipelineSpec extends SparkSpec {
   private lazy val embs = Tables.embeddings(spark, sfDir)
 
   test("minhash LSH pairs equal exact n-gram Jaccard pairs (recall 1 here)") {
-    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text", "n_chars")
+    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = TextDedupOps.minhashDedupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -24,7 +24,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("simhash pairs are a subset of exact pairs and catch most of them") {
-    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text", "n_chars")
+    val exact = TextDedupOps.ngramJaccardPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = TextDedupOps.simhashDedupPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
