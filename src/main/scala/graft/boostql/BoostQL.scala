@@ -18,6 +18,17 @@ object BoostQL {
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
     Compiler.compile(Parser.parse(query), families)
 
+  /** Time-scoped execution — the dialect face of the reference's
+    * `[windowStart, windowEnd)` execution window (executor.go:239-252,
+    * an Executor parameter there, not SQL). Every family frame is
+    * range-filtered before series resolution, so the bound reaches the
+    * parquet scan (row-group stats + dt partition pruning when present).
+    */
+  def sql(query: String, families: ((String, String)) => DataFrame,
+      windowStart: java.sql.Timestamp, windowEnd: java.sql.Timestamp): DataFrame =
+    Compiler.compile(Parser.parse(query), key =>
+      graft.sources.TimeSeriesTable.timeRange(families(key), windowStart, windowEnd))
+
   /** Convenience resolver for the driver testdata: any `domain.family`
     * resolves to the events table adapted to the series-family shape
     * (FIXTURES.md §3).

@@ -109,4 +109,25 @@ object MultimodalOps {
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
     features.toDF().select(col("media_id"), col("n_frames"),
       sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
+
+  /** Resize pass: decode → scale to (targetW, targetH) → re-encode.
+    * STUB codec: the "resized payload" is a deterministic byte
+    * downsample (every ceil(len/target)-th byte) — a real impl swaps in
+    * an image scaler. Plumbing (narrow map, payload in/payload out,
+    * metadata updated alongside) is the production shape.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val targetBytes = math.max(targetW * targetH / 1024, 16)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n <= targetBytes) r.payload
+          else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
+        MediaRow(r.media_id, r.format, out)
+      }
+    }
+  }
 }

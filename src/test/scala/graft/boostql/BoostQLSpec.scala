@@ -80,6 +80,38 @@ class BoostQLSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("time-scoped execution bounds the window like the reference executor") {
+    import java.sql.Timestamp
+    val scoped = BoostQL.sql(
+      "SELECT click, click.event_id FROM dom.events",
+      (_: (String, String)) => fam,
+      Timestamp.valueOf("2024-01-10 00:00:00"),
+      Timestamp.valueOf("2024-01-12 00:00:00"))
+    import org.apache.spark.sql.functions._
+    val manual = fam.filter(col("series") === "click" &&
+      col("ts") >= "2024-01-10" && col("ts") < "2024-01-12").count()
+    assert(scoped.count() == manual && manual > 0)
+  }
+
+  test("comparison coercion is ANSI (documented divergence from the reference)") {
+    // int literal against double value column: numeric widening, not
+    // the reference's left-operand-driven matrix
+    val a = Compiler.compile(
+      Parser.parse("SELECT click FROM dom.events WHERE click < 100"), fam)
+    val b = Compiler.compile(
+      Parser.parse("SELECT click FROM dom.events WHERE click < 100.0"), fam)
+    assert(a.count() == b.count())
+    // string attribute vs string literal: plain equality
+    val c = Compiler.compile(
+      Parser.parse("SELECT click FROM dom.events WHERE click.user = '7'"), fam)
+    assert(c.count() > 0)
+    // the reference's bool LT≡EQ quirk (logicalexpression.go:376-390) is
+    // NOT reproduced: true < false is a real less-than (i.e. false)
+    val d = Compiler.compile(
+      Parser.parse("SELECT click FROM dom.events WHERE true < false"), fam)
+    assert(d.count() == 0)
+  }
+
   test("compiler: multi-source requires aliases and qualified refs") {
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(

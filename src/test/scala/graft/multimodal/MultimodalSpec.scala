@@ -40,6 +40,14 @@ class MultimodalSpec extends SparkSpec {
     assert(self.getDouble(0) > 0.999 && self.getDouble(1) <= 1.0 + 1e-9)
   }
 
+  test("resize bounds payloads and is deterministic") {
+    val small = MultimodalOps.resize(media, 128, 128).collect()
+    assert(small.forall(_.payload.length <= math.max(128 * 128 / 1024, 16)))
+    val again = MultimodalOps.resize(media, 128, 128).collect()
+    assert(small.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
   test("sampleFrames yields stride-spaced frame ids within bounds") {
     val feats = MultimodalOps.extractFeatures(media)
     val sampled = MultimodalOps.sampleFrames(feats, stride = 4).collect()
