@@ -93,6 +93,90 @@ object TimeSeriesOps {
     df.withColumn(out, when(dtMicros > 0, dv / (dtMicros.cast("double") / 1e6)))
   }
 
+  /** Sessionize: split each key's event stream into sessions wherever
+    * the gap to the previous event exceeds `gapSeconds`. session_id is
+    * the running count of gap-breaks (0-based per key) — the standard
+    * lag + cumulative-sum formulation, one shuffle on the by-key.
+    */
+  def sessionize(df: DataFrame, by: Seq[String], tsCol: String,
+      tieBreak: Seq[String], gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val gapMicros = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+    val isBreak = when(gapMicros.isNull, lit(0))
+      .when(gapMicros > gapSeconds * 1000000L, lit(1)).otherwise(lit(0))
+    df.withColumn("session_id",
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Linear interpolation of each key's series onto a dense daily grid:
+    * grid days between two observations get the time-weighted blend of
+    * the surrounding values; days outside the observed range stay at the
+    * boundary value (LOCF forward / NOCB backward). Two window passes
+    * (prev/next carried value+day), no self-join.
+    */
+  def resampleDailyLinear(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      orderCol: String, gridStart: String, gridEnd: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(max_by(col(valCol), col(orderCol)).as("day_val"))
+    val grid = df.select(col(keyCol)).distinct()
+      .withColumn("day",
+        explode(sequence(lit(gridStart).cast("date"), lit(gridEnd).cast("date"))))
+    val sparse = grid.join(daily, Seq(keyCol, "day"), "left")
+    val wAsc = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col(keyCol)).orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayNum = datediff(col("day"), lit(gridStart).cast("date"))
+    val withEnds = sparse
+      .withColumn("pv", last(col("day_val"), ignoreNulls = true).over(wAsc))
+      .withColumn("pd", last(when(col("day_val").isNotNull, dayNum), ignoreNulls = true).over(wAsc))
+      .withColumn("nv", last(col("day_val"), ignoreNulls = true).over(wDesc))
+      .withColumn("nd", last(when(col("day_val").isNotNull, dayNum), ignoreNulls = true).over(wDesc))
+    withEnds.withColumn("interp_val",
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("nd") === col("pd"), col("pv"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) *
+              (dayNum - col("pd")).cast("double") / (col("nd") - col("pd"))))
+      .drop("day_val", "pv", "pd", "nv", "nd")
+  }
+
+  /** Exponentially-weighted moving average per key:
+    * `y_i = alpha*x_i + (1-alpha)*y_{i-1}` — a sequential recurrence no
+    * window function expresses. Scale-correct pattern: repartition by
+    * key, sort within partitions by (key, ts, tieBreak), then a single
+    * mapPartitions pass streams each key's run without buffering a
+    * series in memory. One shuffle, O(1) state per key.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      tieBreak: Seq[String], alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val cols = df.columns
+    val keyIdx = cols.indexOf(keyCol)
+    val valIdx = cols.indexOf(valCol)
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions((col(keyCol) +: col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("ewma", org.apache.spark.sql.types.DoubleType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var y = 0.0
+      var seen = false
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        if (!seen || k != curKey) { curKey = k; y = r.getDouble(valIdx); seen = true }
+        else y = alpha * r.getDouble(valIdx) + (1 - alpha) * y
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ y)
+      }
+    }(enc)
+  }
+
   /** Resample each key onto a dense daily grid over [gridStart, gridEnd]
     * and carry the last observed value forward (LOCF gap-fill). The grid
     * is built with `sequence` + `explode` per key — no driver-side loops —

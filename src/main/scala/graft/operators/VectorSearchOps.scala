@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,53 @@ object VectorSearchOps {
     cb.join(broadcast(qb.select("q_id", "table", "bucket")), Seq("table", "bucket"))
       .filter(col("nbr_id") =!= col("q_id"))
       .select("q_id", "nbr_id").distinct()
+  }
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
+    *
+    * Centroids are a deterministic sample of the corpus (the `nlist`
+    * smallest xxhash64(id) rows) collected to the driver: a model
+    * artifact of nlist×dim doubles, legitimately driver-sized, inlined
+    * into the plan as a literal array. That makes list assignment a
+    * ZERO-SHUFFLE narrow map (an `aggregate` argmax over the literal
+    * centroids per row) — at 100 TB the corpus is scanned once, never
+    * re-partitioned; queries probe their `nprobe` closest lists and only
+    * candidate (query × list-member) pairs are scored exactly.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val cents = c.withColumn("h", xxhash64(col("nbr_id"))).orderBy("h").limit(nlist)
+      .select("nbr_id", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), lit(v).as("v")) }: _*)
+    def bestList(vec: Column): Column =
+      aggregate(centArr,
+        struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+        (acc, ce) => {
+          val s = GraftFunctions.cosine(vec, ce.getField("v"))
+          when(s > acc.getField("sim"),
+            struct(ce.getField("cid").as("cid"), s.as("sim"))).otherwise(acc)
+        }).getField("cid")
+    val assigned = c.withColumn("cid", bestList(col("cv")))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probes = q.select(col("q_id"), col("qv"), explode(centArr).as("ce"))
+      .select(col("q_id"), col("qv"), col("ce.cid").as("cid"),
+        GraftFunctions.cosine(col("qv"), col("ce.v")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rk") <= nprobe)
+      .select("q_id", "qv", "cid")
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
   }
 
   /** ANN top-k: LSH candidates re-ranked by exact cosine. Approximate —

@@ -92,7 +92,34 @@ object TimeSeriesQueries {
         tsCol = "ts", valCol = "value", orderCol = "event_id",
         gridStart = "2024-01-01", gridEnd = "2024-01-30")
         .select(col("event_type"), col("day"), col("locf_val"))
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    "ts_sessionize" -> ((s, d) =>
+      TimeSeriesOps.sessionize(ev(s, d), by = Seq("user_id"), tsCol = "ts",
+        tieBreak = Seq("event_id"), gapSeconds = 6 * 3600)
+        .select(col("event_id"), col("session_id"))
+        .orderBy("event_id")),
+
+    "ts_interp_linear" -> ((s, d) =>
+      TimeSeriesOps.resampleDailyLinear(ev(s, d), keyCol = "event_type",
+        tsCol = "ts", valCol = "value", orderCol = "event_id",
+        gridStart = "2024-01-01", gridEnd = "2024-01-30")
+        .select(col("event_type"), col("day"), round(col("interp_val"), 6).as("interp_val"))
+        .orderBy("event_type", "day")),
+
+    "ts_ewma" -> ((s, d) => {
+      // bounded to the first 50 points per series so the oracle's
+      // closed-form power() formulation stays in range; the operator
+      // itself streams unbounded series (sorted-partition recurrence)
+      val e = ev(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts").asc, col("event_id").asc)
+      val top = e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+      TimeSeriesOps.ewma(top, keyCol = "event_type", tsCol = "ts",
+        valCol = "value", tieBreak = Seq("event_id"), alpha = 0.1)
+        .select(col("event_type"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,6 +187,67 @@ object TimeSeriesQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_val
         |FROM grid g LEFT JOIN daily dv
         |  ON g.event_type = dv.event_type AND g.day = dv.day
-        |ORDER BY g.event_type, g.day""".stripMargin
+        |ORDER BY g.event_type, g.day""".stripMargin,
+
+    "ts_sessionize" ->
+      """SELECT event_id,
+        |  SUM(CASE WHEN prev_us IS NULL THEN 0
+        |           WHEN epoch_us(ts) - prev_us > 21600000000 THEN 1
+        |           ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM (SELECT *, LAG(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_interp_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         max_by(value, event_id) AS day_val
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT CAST(UNNEST(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) d),
+        |sparse AS (
+        |  SELECT g.event_type, g.day,
+        |         date_diff('day', DATE '2024-01-01', g.day) AS dn, dv.day_val
+        |  FROM grid g LEFT JOIN daily dv
+        |    ON g.event_type = dv.event_type AND g.day = dv.day),
+        |ends AS (
+        |  SELECT *,
+        |    LAST_VALUE(day_val IGNORE NULLS) OVER wa AS pv,
+        |    LAST_VALUE(CASE WHEN day_val IS NOT NULL THEN dn END IGNORE NULLS) OVER wa AS pd,
+        |    LAST_VALUE(day_val IGNORE NULLS) OVER wd AS nv,
+        |    LAST_VALUE(CASE WHEN day_val IS NOT NULL THEN dn END IGNORE NULLS) OVER wd AS nd
+        |  FROM sparse
+        |  WINDOW wa AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wd AS (PARTITION BY event_type ORDER BY day DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  round(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN nd = pd THEN pv
+        |             ELSE pv + (nv - pv) * (dn - pd)::DOUBLE / (nd - pd)
+        |        END, 6) AS interp_val
+        |FROM ends ORDER BY event_type, day""".stripMargin,
+
+    "ts_ewma" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |top AS (SELECT * FROM ranked WHERE rn <= 50),
+        |t AS (SELECT *,
+        |    SUM(value * power(0.9, -rn)) OVER (
+        |      PARTITION BY event_type ORDER BY rn) AS ti,
+        |    FIRST_VALUE(value) OVER (PARTITION BY event_type ORDER BY rn) AS x1
+        |  FROM top)
+        |SELECT event_type, event_id,
+        |  round(power(0.9, rn - 1) * x1 + 0.1 * power(0.9, rn) * (ti - x1 / 0.9), 6) AS ewma
+        |FROM t ORDER BY event_type, event_id""".stripMargin
   )
 }

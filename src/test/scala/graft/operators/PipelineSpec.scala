@@ -65,6 +65,24 @@ class PipelineSpec extends SparkSpec {
     assert(again == ann, "ANN must be deterministic")
   }
 
+  test("IVF ANN is deterministic with a useful recall floor") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearchOps.ivfTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // nprobe/nlist = 4/32 → ~12.5% of a structureless corpus probed;
+    // chance recall would be ~0.125
+    assert(recall >= 0.15, s"IVF recall $recall below floor")
+    val again = VectorSearchOps.ivfTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf, "IVF must be deterministic")
+  }
+
   test("language-id + quality + token stats are sane") {
     val st = TextAnalysisOps.qualityScore(docs, "text")
     val bad = st.filter(col("quality") < 0 || col("quality") > 1).count()
