@@ -44,6 +44,11 @@ object BasicQuery {
     run("SELECT e.signup.user, signup FROM dom.events e " +
       "WHERE (signup >= 50.0 AND signup <= 200.0) OR signup.user = '7'").show(5)
 
+    println("== executed JOIN (the reference parses this but never runs it)")
+    run("SELECT a.click.user, count(*) FROM dom.events AS a " +
+      "JOIN dom.events AS b ON a.click.user = b.view.user " +
+      "GROUP BY a.click.user ORDER BY count(*) DESC LIMIT 5").show()
+
     spark.stop()
   }
 }
