@@ -58,6 +58,31 @@ object StreamingOps {
       .orderBy("w_start_us", "event_type")
   }
 
+  /** Stream the events table INTO a series-family parquet table — the
+    * full `readStream → transform → writeStream` chain with a durable
+    * sink: date-partitioned parquet + checkpointing, exactly the shape
+    * a production ingest job runs forever with a real trigger. Returns
+    * after the AvailableNow replay completes; read the family back with
+    * [[graft.sources.TimeSeriesTable.open]].
+    */
+  def streamIntoFamily(spark: SparkSession, sfDir: String, root: String,
+      domain: String, family: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val fam = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.sources.TimeSeriesTable.fromEvents)
+      .withColumn("dt", to_date(col("ts")))
+    val query = fam.writeStream
+      .format("parquet")
+      .option("path", s"$root/$domain/$family")
+      .option("checkpointLocation", s"$root/.checkpoints/$domain.$family")
+      .partitionBy("dt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming exact-dedup: drop duplicate event_ids within the
     * watermark horizon — the streaming face of the dedup tier. Returns
     * the deduplicated count per event_type after full replay.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Direct unit coverage for TimeSeriesOps corners the oracle queries
+  * don't reach: as-of tolerance, EWMA recurrence on a known series,
+  * sessionization gap edges.
+  */
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val left = Seq(
+      ("k", ts("2024-01-01 00:00:10"), 1),
+      ("k", ts("2024-01-01 00:10:00"), 2)
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:05"), 100.0)
+    ).toDF("k", "ts", "rv")
+    val noTol = TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", Seq("rv"))
+      .orderBy("lv").select("asof_rv").collect().map(r => Option(r.get(0)))
+    assert(noTol.toSeq == Seq(Some(100.0), Some(100.0)))
+    // 60s tolerance: the 00:10 left row is ~10 min after the match → null
+    val tol = TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", Seq("rv"),
+      toleranceMicros = Some(60L * 1000000))
+      .orderBy("lv").select("asof_rv").collect().map(r => Option(r.get(0)))
+    assert(tol.toSeq == Seq(Some(100.0), None))
+  }
+
+  test("ewma recurrence matches a hand-rolled fold") {
+    val xs = Seq(10.0, 20.0, 30.0, 40.0)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 00:00:0$i"), v) }.toDF("k", "ts", "v")
+    val got = TimeSeriesOps.ewma(df, "k", "ts", "v", Seq.empty, alpha = 0.5)
+      .orderBy("ts").select("ewma").collect().map(_.getDouble(0)).toSeq
+    val expected = xs.tail.scanLeft(xs.head)((y, x) => 0.5 * x + 0.5 * y)
+    assert(got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("sessionize splits exactly at gaps beyond the threshold") {
+    val df = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 1L),
+      ("u", ts("2024-01-01 00:30:00"), 2L), // 30 min gap — same session
+      ("u", ts("2024-01-01 02:00:01"), 3L), // >90 min gap — new session
+      ("u", ts("2024-01-01 02:10:00"), 4L)
+    ).toDF("u", "ts", "id")
+    val got = TimeSeriesOps.sessionize(df, Seq("u"), "ts", Seq("id"),
+      gapSeconds = 5400)
+      .orderBy("id").select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 1L, 1L))
+  }
+}

@@ -22,6 +22,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("readStream → transform → writeStream lands a readable family") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    StreamingOps.streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val back = graft.sources.TimeSeriesTable.open(spark, root, "dom", "events")
+    val batch = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    assert(back.count() == batch.count())
+    val a = back.groupBy("series").count().orderBy("series").collect().toSeq
+    val b = batch.groupBy("series").count().orderBy("series").collect().toSeq
+    assert(a == b)
+  }
+
   test("streaming dedup count equals batch distinct count") {
     val streamed = StreamingOps.streamingDedupCounts(spark, sfDir).collect()
     val batch = Tables.events(spark, sfDir)
