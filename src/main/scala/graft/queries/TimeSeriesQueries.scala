@@ -94,6 +94,17 @@ object TimeSeriesQueries {
         .select(col("event_type"), col("day"), col("locf_val"))
         .orderBy("event_type", "day")),
 
+    "ts_window_stats" -> ((s, d) =>
+      // the README's "rich set of time-series functions" aggregate tier:
+      // dispersion + exact interpolated percentiles per series per day
+      ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("value")), 6).as("sd"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type", "day")),
+
     "ts_sessionize" -> ((s, d) =>
       TimeSeriesOps.sessionize(ev(s, d), by = Seq("user_id"), tsCol = "ts",
         tieBreak = Seq("event_id"), gapSeconds = 6 * 3600)
@@ -188,6 +199,13 @@ object TimeSeriesQueries {
         |FROM grid g LEFT JOIN daily dv
         |  ON g.event_type = dv.event_type AND g.day = dv.day
         |ORDER BY g.event_type, g.day""".stripMargin,
+
+    "ts_window_stats" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  round(stddev_samp(value), 6) AS sd,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
     "ts_sessionize" ->
       """SELECT event_id,
