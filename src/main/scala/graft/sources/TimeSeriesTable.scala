@@ -56,9 +56,14 @@ object TimeSeriesTable {
     )
   }
 
-  /** Open a family from a warehouse root: `root/domain/family/` parquet. */
-  def open(spark: SparkSession, root: String, domain: String, family: String): DataFrame =
-    spark.read.schema(schema).parquet(s"$root/$domain/$family")
+  /** Open a family from a warehouse root: `root/domain/family/`.
+    * Format is parquet by default; orc/json/csv are supported for
+    * interchange (the explicit schema keeps text formats lossless for
+    * the scalar columns; maps require parquet/orc).
+    */
+  def open(spark: SparkSession, root: String, domain: String, family: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.schema(schema).format(format).load(s"$root/$domain/$family")
 
   /** Append rows (any DataFrame with the family schema), partitioned by
     * event date — the write path analogue of SeriesFamily.WriteTagged
@@ -66,12 +71,13 @@ object TimeSeriesTable {
     * row groups clustered by series so series predicates prune via
     * min/max stats.
     */
-  def append(df: DataFrame, root: String, domain: String, family: String): Unit =
+  def append(df: DataFrame, root: String, domain: String, family: String,
+      format: String = "parquet"): Unit =
     df.withColumn("dt", to_date(col("ts")))
       .repartition(col("dt"))
       .sortWithinPartitions("series", "ts")
       .write.partitionBy("dt").mode("append")
-      .parquet(s"$root/$domain/$family")
+      .format(format).save(s"$root/$domain/$family")
 
   /** Time-range scan `[start, end)` — the FetchSeries analogue
     * (executor.go:426-478). The `ts` predicate pushes into parquet

@@ -31,6 +31,21 @@ class TimeSeriesTableSpec extends SparkSpec {
     assert(dirs != null && dirs.exists(_.getName.startsWith("dt=")))
   }
 
+  test("orc and json formats round-trip the family") {
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    for (fmt <- Seq("orc", "json")) {
+      val root = Files.createTempDirectory(s"graft-$fmt").toString
+      TimeSeriesTable.append(fam, root, "dom", "events", fmt)
+      val back = TimeSeriesTable.open(spark, root, "dom", "events", fmt)
+      assert(back.count() == fam.count(), fmt)
+      val a = back.groupBy("series").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s")).orderBy("series").collect().toSeq
+      val b = fam.groupBy("series").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s")).orderBy("series").collect().toSeq
+      assert(a == b, fmt)
+    }
+  }
+
   test("time-range scan prunes date partitions; series filter is pushed") {
     val root = Files.createTempDirectory("graft-tst2").toString
     val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
