@@ -74,7 +74,7 @@ object VectorSearchOps {
     val cents = c.withColumn("h", xxhash64(col("nbr_id"))).orderBy("h").limit(nlist)
       .select("nbr_id", "cv").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val centArr = array(cents.map { case (cid, v) =>
+    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
       struct(lit(cid).as("cid"), lit(v).as("v")) }: _*)
     def bestList(vec: Column): Column =
       aggregate(centArr,
