@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{
-  BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,40 +30,126 @@ object GraftExpressions {
 
 /** MinHash signature (array<long> of length `numHashes`) of a token
   * array: FNV-1a base hash per token, splitmix64 per-permutation mix.
+  * Also accepts array<long> of pre-hashed tokens (fnv64 values, e.g.
+  * from [[WordShingleHashes]]) — bit-identical output, skips the
+  * per-token string hashing.
   */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
   require(numHashes > 0, "numHashes must be positive")
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        (elemType == StringType || elemType == LongType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+      s"$prettyName expects array<string> or array<long>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
   override protected def nullSafeEval(tokens: Any): Any =
-    HashImpl.minhash(tokens.asInstanceOf[ArrayData], numHashes, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (elemType == StringType)
+      HashImpl.minhash(tokens.asInstanceOf[ArrayData], numHashes, seed)
+    else
+      HashImpl.minhashFromHashes(tokens.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (elemType == StringType) "minhash" else "minhashFromHashes"
     defineCodeGen(ctx, ev,
-      c => s"${GraftExpressions.H}.minhash($c, $numHashes, ${seed}L)")
+      c => s"${GraftExpressions.H}.$m($c, $numHashes, ${seed}L)")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
-/** 64-bit SimHash of a token array (Charikar sign-of-votes). */
+/** 64-bit SimHash of a token array (Charikar sign-of-votes). Also
+  * accepts array<long> of pre-hashed tokens — bit-identical output.
+  */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType] && child.dataType.asInstanceOf[ArrayType].elementType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        (elemType == StringType || elemType == LongType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+      s"$prettyName expects array<string> or array<long>, got ${children.map(_.dataType.simpleString).mkString(", ")}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   override protected def nullSafeEval(tokens: Any): Any =
-    HashImpl.simhash(tokens.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"${GraftExpressions.H}.simhash($c)")
+    if (elemType == StringType) HashImpl.simhash(tokens.asInstanceOf[ArrayData])
+    else HashImpl.simhashFromHashes(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (elemType == StringType) "simhash" else "simhashFromHashes"
+    defineCodeGen(ctx, ev, c => s"${GraftExpressions.H}.$m($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** Distinct fnv64 hashes of the word-`k`-gram shingles of a string, in
+  * one pass over its UTF-8 bytes (see HashImpl.shingleHashes). The
+  * hot-path replacement for split → slice/concat → distinct → hash
+  * chains of built-ins, which materialize every token and shingle
+  * string per row.
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(text: Any): Any =
+    HashImpl.shingleHashes(text.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${GraftExpressions.H}.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** Block-nested-loop cosine pair kernel: given two packed vector blocks
+  * (array<struct<id:long, v:array<double>>>), emits every cross-block
+  * pair with cosine >= `threshold` as array<struct<id_a, id_b, cos>>,
+  * id_a < id_b. When `sameBlock` is true both inputs are the same block
+  * and only i < j pairs are scored. The GEMM-shaped inner loop runs over
+  * flat double[]s inside one eval call — the scale path for *exact*
+  * all-pairs similarity, where per-pair join rows (two copied vectors
+  * each) are the dominant cost. eval-only (CodegenFallback): the kernel
+  * call is per block-pair, not per logical pair, so codegen of the
+  * outer row loop is immaterial.
+  */
+case class CosinePairsAbove(itemsA: Expression, itemsB: Expression,
+    sameBlock: Expression, threshold: Double)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = itemsA
+  override def second: Expression = itemsB
+  override def third: Expression = sameBlock
+  private def okBlock(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(f0, f1)), _) =>
+      f0.dataType == LongType &&
+        (f1.dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okBlock(itemsA.dataType) && okBlock(itemsB.dataType) &&
+        sameBlock.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<struct<long, array<double>>>, same, boolean), got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_cosine_pairs"
+  override protected def nullSafeEval(a: Any, b: Any, same: Any): Any =
+    VectorImpl.cosinePairs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      same.asInstanceOf[Boolean], threshold)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CosinePairsAbove =
+    copy(itemsA = f, itemsB = s, sameBlock = t)
 }
 
 /** Winnowing-family min-fingerprint over character k-grams of a string. */

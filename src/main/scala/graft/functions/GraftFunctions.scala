@@ -21,6 +21,18 @@ object GraftFunctions {
   def fingerprint(text: Column, k: Int = 16): Column =
     toCol(DocFingerprint(toExpr(text), k))
 
+  /** Distinct fnv64 hashes of word-`k`-gram shingles of a string column,
+    * computed in one byte-level pass. Feed the result to [[minhash]] /
+    * [[simhash]] for bit-identical, string-free signatures. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    toCol(WordShingleHashes(toExpr(text), k))
+
+  /** Block-nested-loop exact cosine pair kernel over two packed vector
+    * blocks; see [[CosinePairsAbove]]. */
+  def cosinePairs(itemsA: Column, itemsB: Column, sameBlock: Column,
+      threshold: Double): Column =
+    toCol(CosinePairsAbove(toExpr(itemsA), toExpr(itemsB), toExpr(sameBlock), threshold))
+
   private def asDoubles(c: Column): Column = c.cast("array<double>")
 
   /** Dot product of two array<double> (or array<float>) columns. */

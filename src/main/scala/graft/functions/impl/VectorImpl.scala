@@ -1,6 +1,8 @@
 package graft.functions.impl
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
 /** Dense-vector kernels over Catalyst ArrayData (array<double> columns).
   * Index-order sequential accumulation — deterministic, and bit-for-bit
@@ -32,6 +34,76 @@ object VectorImpl {
     val na = norm(a)
     val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Unpack an array<struct<id:long, v:array<double>>> block into
+    * primitive arrays (ids, vectors, norms) once per kernel call, so the
+    * O(|A|·|B|·dim) pair loop below touches only flat double[]s.
+    */
+  private def unpackBlock(items: ArrayData)
+      : (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val n = items.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = if (row.isNullAt(1)) new Array[Double](0)
+        else row.getArray(1).toDoubleArray()
+      vecs(i) = v
+      var acc = 0.0
+      var t = 0
+      while (t < v.length) { acc += v(t) * v(t); t += 1 }
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, vecs, norms)
+  }
+
+  /** All pairs across two vector blocks with cosine >= threshold, as
+    * array<struct<id_a, id_b, cos>> with id_a < id_b. `sameBlock` pairs
+    * each element once (i < j); distinct blocks take the full cross
+    * product (the caller enumerates unordered block pairs). This is the
+    * block-nested-loop kernel behind exact all-pairs similarity: per
+    * call it does a GEMM-shaped |A|·|B|·dim loop over flat doubles —
+    * no per-pair row materialization, no array copies in the join.
+    * Accumulation order matches [[cosine]], so emitted values are
+    * bit-identical to the naive pairwise form.
+    */
+  def cosinePairs(a: ArrayData, b: ArrayData, sameBlock: Boolean,
+      threshold: Double): ArrayData = {
+    val (idsA, vecsA, normsA) = unpackBlock(a)
+    val (idsB, vecsB, normsB) =
+      if (sameBlock) (idsA, vecsA, normsA) else unpackBlock(b)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < idsA.length) {
+      val vi = vecsA(i)
+      val ni = normsA(i)
+      var j = if (sameBlock) i + 1 else 0
+      while (j < idsB.length) {
+        val nj = normsB(j)
+        var cos = 0.0
+        if (ni != 0.0 && nj != 0.0) {
+          val vj = vecsB(j)
+          val dim = math.min(vi.length, vj.length)
+          var d = 0.0
+          var t = 0
+          while (t < dim) { d += vi(t) * vj(t); t += 1 }
+          cos = d / (ni * nj)
+        }
+        if (cos >= threshold && idsA(i) != idsB(j)) {
+          val lo = math.min(idsA(i), idsB(j))
+          val hi = math.max(idsA(i), idsB(j))
+          out += new GenericInternalRow(Array[Any](lo, hi, cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Random-hyperplane LSH bucket (Charikar): sign bit per hyperplane,

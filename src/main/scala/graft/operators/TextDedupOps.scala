@@ -39,14 +39,17 @@ object TextDedupOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Shingles pre-hashed to 64-bit longs. Intersection/union *sizes*
-    * (all Jaccard needs) are preserved short of a 64-bit collision
-    * between two distinct shingles of a compared pair (~1e-15 per
-    * pair); long-array set ops hash fixed-width words instead of UTF-8
-    * strings, which is most of the pairwise-verification cost at scale.
+  /** Shingles pre-hashed to 64-bit longs (one-pass native kernel — no
+    * token/shingle string materialization; profiling at sf0.1 showed the
+    * built-in split→slice→concat→distinct→hash chain costing ~1 ms/doc,
+    * >10x the joins it fed). Intersection/union *sizes* (all Jaccard
+    * needs) are preserved short of a 64-bit collision between two
+    * distinct shingles of a compared pair (~1e-15 per pair); long-array
+    * set ops hash fixed-width words instead of UTF-8 strings, which is
+    * most of the pairwise-verification cost at scale.
     */
   def hashedShingles(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    GraftFunctions.shingleHashes(text, k)
 
   /** Exact dedup by content hash: one row per distinct `textCol` value,
     * keeping the minimum `idCol` and the copy count. Single shuffle.
@@ -66,12 +69,16 @@ object TextDedupOps {
     * shingles (f docs → f² pair rows) — the known hot-key shape, which
     * AQE skew-join splitting absorbs; corpora with pathological boiler-
     * plate shingles should pre-drop them (a df-cap filter on `posts`).
+    * The explicit repartition on the join key makes the two self-join
+    * branches end in the same Exchange, so ReuseExchange computes the
+    * shingle pipeline once.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
     val posts = docs.select(col("id"), col("n"), explode(col("sh")).as("g"))
+      .repartition(col("g"))
     posts.as("a").join(posts.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -97,9 +104,11 @@ object TextDedupOps {
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val docs = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), k).as("sh"),
-      GraftFunctions.minhash(shingles(col(textCol), k), numHashes, seed).as("sig"))
+    // hash shingles once; MinHash consumes the pre-hashed longs
+    // (bit-identical to hashing the shingle strings — see HashImpl)
+    val docs = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
+      .select(col("id"), col("sh"),
+        GraftFunctions.minhash(col("sh"), numHashes, seed).as("sig"))
     val sig = docs
     // one row per (doc, band): band hash = xxhash64 over the band's slice
     val banded = sig.select(col("id"), col("sh"),
@@ -139,7 +148,7 @@ object TextDedupOps {
     require(maxHamming <= 12,
       "verification threshold far above the 8-band recall guarantee (Hamming 7)")
     val docs = df.select(col(idCol).as("id"),
-      GraftFunctions.simhash(shingles(col(textCol), k)).as("sim"))
+      GraftFunctions.simhash(hashedShingles(col(textCol), k)).as("sim"))
     val banded = docs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftrightunsigned", col("sim"), (b * 8).cast("int"))
@@ -158,11 +167,50 @@ object TextDedupOps {
       .distinct()
   }
 
-  /** Embedding near-dup pairs: exact cosine >= threshold over all pairs.
-    * The exact quadratic baseline — at scale, block with
-    * [[VectorSearchOps.lshCandidates]] instead.
+  /** Embedding near-dup pairs: exact cosine >= threshold over all pairs,
+    * computed as a BLOCKED nested-loop — vectors are packed into
+    * ~`blockSize`-row blocks (one corpus shuffle), unordered block pairs
+    * are enumerated, and a native GEMM-shaped kernel scores each block
+    * pair in one call ([[graft.functions.CosinePairsAbove]]).
+    *
+    * Why not LSH-block? Measured on this corpus the embeddings are pure
+    * noise (pairwise cosine is a 0-centered bell; matches are the >=
+    * threshold tail, θ≈63°) — hyperplane LSH at that angle either misses
+    * tail pairs or probes more pairs than brute force, so for an *exact*
+    * contract the blocked kernel IS the scale path: quadratic in pairs
+    * (inherent to exactness at a threshold inside the noise bulk) but
+    * with per-pair cost reduced to `dim` fused multiply-adds on flat
+    * doubles, no per-pair join-row materialization (two copied vectors
+    * per row — the dominant cost of the naive self-join, ~3x slower at
+    * sf0.1). Corpora with genuine near-dup structure (matches at cosine
+    * >= ~0.8) should use [[VectorSearchOps.lshCandidates]] blocking
+    * instead and verify exactly.
     */
   def embeddingDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockSize: Int = 1024): DataFrame = {
+    val idType = df.schema(idCol).dataType // integral; restored on output
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val nBlocks = math.max(1, math.ceil(v.count().toDouble / blockSize).toInt)
+    val blocks = v.groupBy(pmod(xxhash64(col("id")), lit(nBlocks)).as("blk"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("items"))
+    // kernel threshold is backed off by 1e-6 so pairs that ROUND up to
+    // the threshold at 6 decimals survive to the outer rounded filter
+    // (matches the round-then-compare contract of the naive form)
+    blocks.as("a").join(blocks.as("b"), col("a.blk") <= col("b.blk"))
+      .select(explode(GraftFunctions.cosinePairs(
+        col("a.items"), col("b.items"),
+        col("a.blk") === col("b.blk"), threshold - 1e-6)).as("p"))
+      .select(col("p.id_a").cast(idType).as("id_a"),
+        col("p.id_b").cast(idType).as("id_b"),
+        round(col("p.cos"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The naive all-pairs self-join form of [[embeddingDedupPairs]] —
+    * kept as the recall/equivalence baseline for tests.
+    */
+  def embeddingDedupPairsNaive(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))

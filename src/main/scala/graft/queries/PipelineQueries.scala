@@ -101,7 +101,7 @@ object PipelineQueries {
       // determinism + collision properties pinned in PipelineSpec
       docs(s, d).select(col("doc_id"),
         GraftFunctions.fingerprint(col("text"), 16).as("fp"),
-        GraftFunctions.simhash(TextDedupOps.shingles(col("text"))).as("sim"))
+        GraftFunctions.simhash(TextDedupOps.hashedShingles(col("text"))).as("sim"))
         .orderBy("doc_id")),
 
     "mm_meta" -> ((s, d) =>

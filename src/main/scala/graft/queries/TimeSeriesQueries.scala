@@ -209,11 +209,11 @@ object TimeSeriesQueries {
 
     "ts_sessionize" ->
       """SELECT event_id,
-        |  SUM(CASE WHEN prev_us IS NULL THEN 0
+        |  CAST(SUM(CASE WHEN prev_us IS NULL THEN 0
         |           WHEN epoch_us(ts) - prev_us > 21600000000 THEN 1
         |           ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM (SELECT *, LAG(epoch_us(ts)) OVER (
         |        PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |      FROM events)

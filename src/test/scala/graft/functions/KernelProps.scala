@@ -39,6 +39,34 @@ object KernelProps extends Properties("graft.kernels") {
       HashImpl.simhash(toks(s)) == HashImpl.simhash(toks(s.reverse))
     }
 
+  // the one-pass byte-range shingle kernel must agree exactly with the
+  // definitional form: distinct string k-gram shingles, fnv64 each
+  private def stringShingleHashes(text: String, k: Int): Seq[Long] = {
+    val ts = text.split(" ", -1)
+    val m = math.max(ts.length - k, 0) + 1
+    (0 until m).map(i => ts.slice(i, i + k).mkString(" "))
+      .distinct.map(s => HashImpl.fnv64(UTF8String.fromString(s)))
+  }
+
+  private val text: Gen[String] = Gen.listOf(Gen.oneOf(token, Gen.const("")))
+    .map(_.mkString(" ")) // includes empty tokens / repeated spaces
+
+  property("shingleHashes == fnv64 over distinct string shingles") =
+    forAll(text, Gen.choose(1, 5)) { (t, k) =>
+      val fast = HashImpl.shingleHashes(UTF8String.fromString(t), k)
+        .toLongArray().toSeq
+      Prop(fast == stringShingleHashes(t, k)) :| s"text='$t' k=$k"
+    }
+
+  property("minhash/simhash from pre-hashed tokens are bit-identical") =
+    forAll(tokens) { a =>
+      val s = a.distinct
+      val hs = ArrayData.toArrayData(
+        s.map(t => HashImpl.fnv64(UTF8String.fromString(t))).toArray)
+      HashImpl.minhashFromHashes(hs, 24, 42L).toLongArray().toSeq == sig(s) &&
+        HashImpl.simhashFromHashes(hs) == HashImpl.simhash(toks(s))
+    }
+
   property("fingerprint deterministic; equal strings collide") =
     forAll(token, Gen.choose(1, 32)) { (t, k) =>
       val u = UTF8String.fromString(t)

@@ -37,6 +37,21 @@ class PipelineSpec extends SparkSpec {
       s"simhash recall too low: ${sim.size}/${exact.size}")
   }
 
+  test("blocked embedding dedup equals the naive all-pairs join exactly") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // low threshold → plenty of pairs from the random-noise bulk; several
+    // blocks even at sf0.001 (blockSize 64)
+    val blocked = pairs(TextDedupOps
+      .embeddingDedupPairs(embs, "vec_id", "embedding", 0.3, blockSize = 64)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos")))
+    val naive = pairs(TextDedupOps
+      .embeddingDedupPairsNaive(embs, "vec_id", "embedding", 0.3)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos")))
+    assert(naive.nonEmpty, "threshold should admit some pairs")
+    assert(blocked == naive)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val total = docs.count()
     val dedup = TextDedupOps.exactDedup(docs, "doc_id", "text")
