@@ -46,11 +46,15 @@ object Ast {
   /** Aggregate call as a HAVING operand, e.g. `HAVING sum(cpu) > 5`. */
   final case class OAgg(fn: String, arg: Option[RawName]) extends Operand
 
-  /** Comparison ops of the reference (logicalexpression.go:10-36). */
+  /** Comparison ops of the reference (logicalexpression.go:10-36), plus
+    * NOT — absent from the reference's connective set (AND/OR only,
+    * whereparser.go:146-169) but required by any real predicate surface.
+    */
   sealed trait BExpr
   final case class Cmp(op: String, left: Operand, right: Operand) extends BExpr
   final case class AndE(left: BExpr, right: BExpr) extends BExpr
   final case class OrE(left: BExpr, right: BExpr) extends BExpr
+  final case class NotE(expr: BExpr) extends BExpr
 
   sealed trait SelectItem
   final case class FieldItem(name: RawName) extends SelectItem

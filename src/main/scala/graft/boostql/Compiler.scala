@@ -47,25 +47,32 @@ object Compiler {
     case _ => throw CompileException(s"bad field name ${name.text}")
   }
 
-  /** A field pinned to its source; `colName` is the output column name
-    * (alias-prefixed only when the query has multiple sources). */
-  private final case class SField(src: Int, prefix: Option[String], f: FieldRef) {
-    def colName: String = prefix.fold(f.colName)(p => s"${p}_${f.colName}")
+  /** A field pinned to its source. `inName` is the column name inside the
+    * compiled frame; `outName` is the user-facing name (they differ only
+    * for the reserved time axis `ts`, which is internally per-source).
+    * Prefixes are alias-derived and only used in multi-source queries.
+    */
+  private final case class SField(src: Int, prefix: Option[String], f: FieldRef,
+      isTs: Boolean = false) {
+    def inName: String =
+      if (isTs) s"__ts_$src" else prefix.fold(f.colName)(p => s"${p}_${f.colName}")
+    def outName: String =
+      if (isTs) prefix.fold("ts")(p => s"${p}_ts") else inName
   }
 
   private def aggColName(fn: String, arg: Option[SField]): String =
-    s"${fn}_${arg.fold("star")(_.colName)}"
+    s"${fn}_${arg.fold("star")(_.outName)}"
 
   private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
       case None => count(lit(1))
       case Some(r) => fn match {
-        case "count" => count(col(r.colName))
-        case "sum"   => sum(col(r.colName))
-        case "avg"   => avg(col(r.colName))
-        case "min"   => min(col(r.colName))
-        case "max"   => max(col(r.colName))
+        case "count" => count(col(r.inName))
+        case "sum"   => sum(col(r.inName))
+        case "avg"   => avg(col(r.inName))
+        case "min"   => min(col(r.inName))
+        case "max"   => max(col(r.inName))
         case other   => throw CompileException(s"unknown aggregate $other")
       }
     }
@@ -91,10 +98,20 @@ object Compiler {
     if (multi && aliasIdx.size < sources.length)
       throw CompileException("multi-source queries require an alias on every source")
 
+    // `ts` / `al.ts` names the reserved time axis (a series cannot be
+    // called ts) — the dialect face of the reference's executor window
+    // (executor.go:239-252)
     def ref(n: RawName): SField =
-      if (!multi)
-        SField(0, None, resolve(n, sources.head.alias))
+      if (!multi) n.parts match {
+        case Seq(t) if t.equalsIgnoreCase("ts") =>
+          SField(0, None, FieldRef("ts", None), isTs = true)
+        case Seq(a, t) if sources.head.alias.contains(a) && t.equalsIgnoreCase("ts") =>
+          SField(0, None, FieldRef("ts", None), isTs = true)
+        case _ => SField(0, None, resolve(n, sources.head.alias))
+      }
       else n.parts match {
+        case Seq(al, t) if aliasIdx.contains(al) && t.equalsIgnoreCase("ts") =>
+          SField(aliasIdx(al), Some(al), FieldRef("ts", None), isTs = true)
         case Seq(al, s) if aliasIdx.contains(al) =>
           SField(aliasIdx(al), Some(al), FieldRef(s, None))
         case Seq(al, s, a) if aliasIdx.contains(al) =>
@@ -108,6 +125,7 @@ object Compiler {
       case Cmp(_, l, r) => Seq(l, r).collect { case ORef(n) => ref(n) }
       case AndE(l, r)   => exprRefs(l) ++ exprRefs(r)
       case OrE(l, r)    => exprRefs(l) ++ exprRefs(r)
+      case NotE(x)      => exprRefs(x)
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
       case FieldItem(n)        => Seq(ref(n))
@@ -130,18 +148,23 @@ object Compiler {
     // `series = 'x'` into parquet.
     def sourceFrame(srcIdx: Int): DataFrame = {
       val family = families((sources(srcIdx).domain, sources(srcIdx).family))
-      val refs = allRefs.filter(_.src == srcIdx)
+      val refs = allRefs.filter(r => r.src == srcIdx && !r.isTs)
       val seriesNames = refs.map(_.f.series).distinct
       if (seriesNames.isEmpty)
         throw CompileException(
           s"source ${sources(srcIdx).domain}.${sources(srcIdx).family} is never referenced")
       def seriesDf(s: String): DataFrame = {
         val valName = refs.find(r => r.f.series == s && r.f.attr.isEmpty)
-          .map(_.colName).getOrElse(
+          .map(_.inName).getOrElse(
             if (multi) s"${sources(srcIdx).alias.get}_$s" else s)
         val attrs = refs.filter(r => r.f.series == s && r.f.attr.isDefined)
+        // `s.k` reads per-point attribute k, falling back to the series-
+        // level tag k (reference: tags are series metadata, seriesfamily
+        // .go:19-37; per-point attributes shadow them on name collision)
         val cols = Seq(col("ts"), col("value").as(valName)) ++
-          attrs.map(r => element_at(col("attributes"), r.f.attr.get).as(r.colName))
+          attrs.map(r => coalesce(
+            element_at(col("attributes"), r.f.attr.get),
+            element_at(col("tags"), r.f.attr.get)).as(r.inName))
         family.filter(col("series") === s).select(cols: _*)
       }
       val aligned = seriesNames.map(seriesDf).reduce((a, b) => a.join(b, Seq("ts"), "inner"))
@@ -153,7 +176,7 @@ object Compiler {
     // --- expression compilation ----------------------------------------
     def operandColumn(o: Operand, aggOk: Boolean): Column = o match {
       case OLit(l) => litColumn(l)
-      case ORef(n) => col(ref(n).colName)
+      case ORef(n) => col(ref(n).inName)
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
@@ -161,6 +184,7 @@ object Compiler {
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
       case OrE(l, r)  => exprColumn(l, aggOk) || exprColumn(r, aggOk)
+      case NotE(x)    => !exprColumn(x, aggOk)
       case Cmp(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
         op match {
@@ -191,11 +215,11 @@ object Compiler {
       spec.groupBy.nonEmpty || spec.having.nonEmpty
 
     val projected: DataFrame = if (hasAgg) {
-      val groupCols = spec.groupBy.map(n => col(ref(n).colName))
+      val groupCols = spec.groupBy.map(n => col(ref(n).inName))
       // every plain select field must be a grouping key
-      val groupNames = spec.groupBy.map(ref).map(_.colName).toSet
+      val groupNames = spec.groupBy.map(ref).map(_.inName).toSet
       spec.select.foreach {
-        case FieldItem(n) if !groupNames.contains(ref(n).colName) =>
+        case FieldItem(n) if !groupNames.contains(ref(n).inName) =>
           throw CompileException(s"${n.text} must appear in GROUP BY")
         case _ => ()
       }
@@ -204,6 +228,7 @@ object Compiler {
         case Cmp(_, l, r) => Seq(l, r).collect { case OAgg(f, a) => (f, a.map(ref)) }
         case AndE(l, r)   => havingAggs(l) ++ havingAggs(r)
         case OrE(l, r)    => havingAggs(l) ++ havingAggs(r)
+        case NotE(x)      => havingAggs(x)
       }
       val selectAggs = spec.select.collect { case AggItem(f, a) => (f, a.map(ref)) }
       val orderAggs = spec.orderBy.map(_.item).collect { case AggItem(f, a) => (f, a.map(ref)) }
@@ -217,7 +242,7 @@ object Compiler {
 
     // --- ORDER BY / LIMIT / final projection -----------------------------
     def itemColName(i: SelectItem): String = i match {
-      case FieldItem(n)  => ref(n).colName
+      case FieldItem(n)  => ref(n).inName
       case AggItem(f, a) => aggColName(f, a.map(ref))
     }
     val ordered =
@@ -227,7 +252,10 @@ object Compiler {
         if (o.asc) c.asc else c.desc
       }: _*)
     val limited = spec.limit.fold(ordered)(ordered.limit)
-    limited.select(spec.select.map(i => col(itemColName(i))): _*)
+    limited.select(spec.select.map {
+      case FieldItem(n) => val r = ref(n); col(r.inName).as(r.outName)
+      case i            => col(itemColName(i))
+    }: _*)
   }
 
   /** Single-family convenience (the pre-JOIN surface). */

@@ -17,10 +17,13 @@ import Ast._
   * src      := ident '.' ident (AS? ident)?
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
-  * cmp      := '(' or ')' | operand op operand
+  * cmp      := NOT cmp | '(' or ')' | operand op operand
   * operand  := literal | name
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
+  *
+  * `ts` (optionally alias-qualified) names the time axis — the dialect
+  * face of the reference's `[windowStart, windowEnd)` executor window.
   */
 object Parser {
 
@@ -33,9 +36,9 @@ object Parser {
   private case class TSym(s: String) extends Tok
   private case object TEnd extends Tok
 
-  private val keywords = Set("select", "from", "where", "and", "or", "group",
-    "by", "having", "order", "limit", "as", "asc", "desc", "true", "false",
-    "join", "inner", "cross", "on")
+  private val keywords = Set("select", "from", "where", "and", "or", "not",
+    "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
+    "false", "join", "inner", "cross", "on")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -207,7 +210,8 @@ object Parser {
     }
 
     private def cmpExpr(): BExpr =
-      if (sym("(")) { val e = orExpr(); expectSym(")"); e }
+      if (kw("not")) NotE(cmpExpr())
+      else if (sym("(")) { val e = orExpr(); expectSym(")"); e }
       else {
         val l = operand()
         val op = next() match {

@@ -45,7 +45,30 @@ object BoostQueries {
     // extracts it into an equi-join (SURVEY.md §2.3 J3)
     "boost_cross_where" -> ((s, d) =>
       run(s, d, "SELECT count(*) FROM dom.events AS a, dom.events AS b " +
-        "WHERE a.purchase.user = b.signup.user"))
+        "WHERE a.purchase.user = b.signup.user")),
+
+    // NOT — beyond the reference's AND/OR-only connective set
+    // (whereparser.go:146-169)
+    "boost_not" -> ((s, d) =>
+      run(s, d, "SELECT signup.event_id, signup FROM dom.events " +
+        "WHERE NOT (signup < 50.0 OR signup > 200.0) ORDER BY signup.event_id")),
+
+    // series-level tags: `purchase.env` / `purchase.dc` miss the per-point
+    // attribute map and fall back to the family's tags (dc/env — the
+    // reference's series metadata, executor_test.go:127-131)
+    "boost_tag_filter" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase.env, purchase.dc, purchase " +
+        "FROM dom.events WHERE purchase.env = 'test' " +
+        "AND NOT purchase.dc = 'dc0' AND purchase > 100.0 " +
+        "ORDER BY purchase.event_id")),
+
+    // the reference's [windowStart, windowEnd) executor window
+    // (executor.go:239-252), expressed in query text via the reserved
+    // time axis `ts`
+    "boost_time_scope" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click FROM dom.events " +
+        "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00' " +
+        "ORDER BY click.event_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -83,6 +106,28 @@ object BoostQueries {
       """SELECT COUNT(*) AS count_star
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') a,
         |     (SELECT * FROM events WHERE event_type = 'signup') b
-        |WHERE CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)""".stripMargin
+        |WHERE CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)""".stripMargin,
+
+    "boost_not" ->
+      """SELECT CAST(event_id AS VARCHAR) AS signup_event_id, value AS signup
+        |FROM events WHERE event_type = 'signup'
+        |  AND NOT (value < 50.0 OR value > 200.0)
+        |ORDER BY signup_event_id""".stripMargin,
+
+    // tags are deterministic per series (see TimeSeriesTable.fromEvents):
+    // purchase → env=test, dc=dc2 (length 8 % 3), so the tag predicates
+    // reduce to constants here and the tag columns to literals
+    "boost_tag_filter" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  'test' AS purchase_env, 'dc2' AS purchase_dc, value AS purchase
+        |FROM events WHERE event_type = 'purchase' AND value > 100.0
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_time_scope" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click
+        |FROM events WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY click_event_id""".stripMargin
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TimeSeriesOps
+import graft.sources.TimeSeriesTable
 import graft.tables.Tables
 
 /** Time-series operator tier over the events family: time-range scans
@@ -117,6 +118,26 @@ object TimeSeriesQueries {
         gridStart = "2024-01-01", gridEnd = "2024-01-30")
         .select(col("event_type"), col("day"), round(col("interp_val"), 6).as("interp_val"))
         .orderBy("event_type", "day")),
+
+    "ts_tag_groupby" -> ((s, d) =>
+      // aggregate across SERIES by a series-level tag — non-vacuous
+      // because the env tag partitions the families' series into two sets
+      TimeSeriesTable.fromEvents(ev(s, d))
+        .groupBy(element_at(col("tags"), "env").as("env"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("env")),
+
+    "ts_tag_fetch" -> ((s, d) =>
+      // FetchTagged analogue: conjunctive tag matchers select the series
+      // set (here env=prod ∧ dc=dc2 ⇒ exactly the click series)
+      TimeSeriesTable.fetchTagged(
+          TimeSeriesTable.fromEvents(ev(s, d)),
+          Map("env" -> "prod", "dc" -> "dc2"))
+        .groupBy("series")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("series")),
 
     "ts_ewma" -> ((s, d) => {
       // bounded to the first 50 points per series so the oracle's
@@ -252,6 +273,22 @@ object TimeSeriesQueries {
         |             ELSE pv + (nv - pv) * (dn - pd)::DOUBLE / (nd - pd)
         |        END, 6) AS interp_val
         |FROM ends ORDER BY event_type, day""".stripMargin,
+
+    "ts_tag_groupby" ->
+      """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'prod'
+        |            ELSE 'test' END AS env,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY env""".stripMargin,
+
+    "ts_tag_fetch" ->
+      """SELECT event_type AS series, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE (CASE WHEN event_type IN ('click', 'view') THEN 'prod'
+        |            ELSE 'test' END) = 'prod'
+        |  AND ('dc' || CAST(length(event_type) % 3 AS VARCHAR)) = 'dc2'
+        |GROUP BY 1 ORDER BY series""".stripMargin,
 
     "ts_ewma" ->
       """WITH ranked AS (

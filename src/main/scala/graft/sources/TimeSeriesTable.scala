@@ -39,7 +39,11 @@ object TimeSeriesTable {
 
   /** Adapt the driver's `events` table to the series-family row shape
     * (FIXTURES.md §3): series=event_type, attributes=parsed props JSON,
-    * user_id hoisted as an attribute, tags empty.
+    * user_id hoisted as an attribute. Series-level tags (the reference's
+    * dc/env-style series metadata, executor_test.go:127-131) are derived
+    * deterministically from the series name — constant per series, so
+    * they behave exactly like stored tags and stay oracle-expressible:
+    * dc = 'dc' || length(series) % 3, env = prod for click/view else test.
     */
   def fromEvents(events: DataFrame): DataFrame = {
     val attrs = from_json(col("props"), MapType(StringType, StringType))
@@ -47,7 +51,10 @@ object TimeSeriesTable {
       col("event_type").as("series"),
       col("ts"),
       col("value"),
-      map().cast(MapType(StringType, StringType)).as("tags"),
+      map(
+        lit("dc"), concat(lit("dc"), pmod(length(col("event_type")), lit(3)).cast(StringType)),
+        lit("env"), when(col("event_type").isin("click", "view"), "prod").otherwise("test")
+      ).as("tags"),
       map_concat(
         coalesce(attrs, map().cast(MapType(StringType, StringType))),
         map(lit("user"), col("user_id").cast(StringType)),
@@ -98,4 +105,15 @@ object TimeSeriesTable {
     */
   def fetchSeries(df: DataFrame, series: String, start: Timestamp, end: Timestamp): DataFrame =
     timeRange(df, start, end).filter(col("series") === series).orderBy("ts")
+
+  /** Select the series whose tags carry every given (key, value) — the
+    * FetchTagged analogue (m3dbseriesfamily.go:187-224, there a tag-query
+    * against the index; here a conjunctive map filter the scan evaluates
+    * row-side, prunable via parquet dictionary stats on the tag column).
+    */
+  def fetchTagged(df: DataFrame, tags: Map[String, String]): DataFrame = {
+    require(tags.nonEmpty, "fetchTagged needs at least one tag matcher")
+    df.filter(tags.map { case (k, v) => element_at(col("tags"), k) === v }
+      .reduce(_ && _))
+  }
 }
