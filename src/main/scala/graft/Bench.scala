@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,10 +23,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.view.filterKeys(f).toMap)
-    val results = selected.map { case (name, fn) =>
+    // One timed run of a query = plan + execute + count. A single
+    // iteration per query proved statistically unusable (round-3 bench
+    // swung 2.6x total / 26x per-query on byte-identical code — GC, JIT
+    // and page-cache interference in a 56-query shared session), so each
+    // query runs `iters` times and reports the MEDIAN. The first
+    // iteration absorbs that query's JIT/cache warmup; the median then
+    // discards any iteration a concurrent GC pause lands on.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.map { case (name, fn) =>
+      val ts = Array.fill(iters)(timeOnce(fn)).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -114,9 +114,15 @@ object HashImpl {
     }
     starts(nTok) = bytes.length + 1
     val m = math.max(nTok - k, 0) + 1
-    // open-addressing dedup set, power-of-two capacity >= 2m
+    // open-addressing dedup set, power-of-two capacity >= 2m. Capacity
+    // math runs in Long: `m * 2` as Int wraps negative for ~2^30-token
+    // documents and the probe loop below would then never terminate on a
+    // 4-slot table. Documents that large cannot fit the set anyway
+    // (an Array[Long] tops out near 2^31), so reject them explicitly.
+    require(m < (1 << 30),
+      s"document has $m shingles; shingleHashes supports < 2^30")
     var cap = 4
-    while (cap < m * 2) cap <<= 1
+    while (cap < m.toLong * 2) cap <<= 1
     val slots = new Array[Long](cap)
     val used = new Array[Boolean](cap)
     val out = new Array[Long](m)

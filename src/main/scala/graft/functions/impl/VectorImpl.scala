@@ -39,6 +39,11 @@ object VectorImpl {
   /** Unpack an array<struct<id:long, v:array<double>>> block into
     * primitive arrays (ids, vectors, norms) once per kernel call, so the
     * O(|A|·|B|·dim) pair loop below touches only flat double[]s.
+    * Null vectors are SKIPPED (not zero-padded): the naive self-join
+    * form excludes null-vector rows — its cosine expression yields null,
+    * which fails any threshold filter — and the blocked kernel must
+    * agree even at threshold <= 0, where a zero-length stand-in would
+    * have emitted cos 0.0 pairs the naive form never produces.
     */
   private def unpackBlock(items: ArrayData)
       : (Array[Long], Array[Array[Double]], Array[Double]) = {
@@ -47,19 +52,24 @@ object VectorImpl {
     val vecs = new Array[Array[Double]](n)
     val norms = new Array[Double](n)
     var i = 0
+    var nOut = 0
     while (i < n) {
       val row = items.getStruct(i, 2)
-      ids(i) = row.getLong(0)
-      val v = if (row.isNullAt(1)) new Array[Double](0)
-        else row.getArray(1).toDoubleArray()
-      vecs(i) = v
-      var acc = 0.0
-      var t = 0
-      while (t < v.length) { acc += v(t) * v(t); t += 1 }
-      norms(i) = math.sqrt(acc)
+      if (!row.isNullAt(1)) {
+        val v = row.getArray(1).toDoubleArray()
+        ids(nOut) = row.getLong(0)
+        vecs(nOut) = v
+        var acc = 0.0
+        var t = 0
+        while (t < v.length) { acc += v(t) * v(t); t += 1 }
+        norms(nOut) = math.sqrt(acc)
+        nOut += 1
+      }
       i += 1
     }
-    (ids, vecs, norms)
+    if (nOut == n) (ids, vecs, norms)
+    else (java.util.Arrays.copyOf(ids, nOut), java.util.Arrays.copyOf(vecs, nOut),
+      java.util.Arrays.copyOf(norms, nOut))
   }
 
   /** All pairs across two vector blocks with cosine >= threshold, as

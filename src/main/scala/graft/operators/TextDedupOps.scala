@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.GraftFunctions
 
@@ -65,25 +66,50 @@ object TextDedupOps {
     * sizes carried along, J = c / (|A|+|B|-c). Pairs sharing no shingle
     * never materialize (their J is 0 by definition), so this is exact
     * over ALL pairs while doing no array set-ops and shuffling only
-    * fixed-width rows. Cost concentrates on high-document-frequency
-    * shingles (f docs → f² pair rows) — the known hot-key shape, which
-    * AQE skew-join splitting absorbs; corpora with pathological boiler-
-    * plate shingles should pre-drop them (a df-cap filter on `posts`).
-    * The explicit repartition on the join key makes the two self-join
-    * branches end in the same Exchange, so ReuseExchange computes the
-    * shingle pipeline once.
+    * fixed-width rows. The explicit repartition on the join key makes
+    * the two self-join branches end in the same Exchange, so
+    * ReuseExchange computes the shingle pipeline once.
+    *
+    * Cost concentrates on high-document-frequency shingles: a shingle
+    * in f docs emits f^2 pair rows, so corpus-wide boilerplate ("terms
+    * of service apply") turns the self-join quadratic. `maxDf` is the
+    * prefix-filtering guard: shingles with df > maxDf are dropped from
+    * the posting join, bounding any shingle's pair-row contribution at
+    * maxDf^2. Emitted Jaccard values remain EXACT — each doc's (tiny,
+    * <= #hot-shingles) set of dropped shingles is carried on the side
+    * and its per-pair intersection restored before the threshold filter.
+    * The one semantic gap, documented and deliberate: a pair sharing
+    * ONLY above-cap shingles is never considered (at maxDf=1000 such
+    * pairs are boilerplate clusters, the territory of [[exactDedup]]).
+    * The df aggregate rides the posting Exchange (map-side partial agg,
+    * no extra shuffle); join strategies for the small hot-shingle frames
+    * are left to AQE.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
     val docs = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
     val posts = docs.select(col("id"), col("n"), explode(col("sh")).as("g"))
       .repartition(col("g"))
-    posts.as("a").join(posts.as("b"),
+    val hot = posts.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") > maxDf).select(col("g"))
+    val hotPerDoc = posts.join(hot, Seq("g"))
+      .groupBy(col("id")).agg(collect_list(col("g")).as("hot_sh"))
+    val capped = posts.join(hot, Seq("g"), "left_anti")
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c_cap"))
+    val emptyHot = array().cast("array<bigint>")
+    pairs
+      .join(hotPerDoc.select(col("id").as("id_a"), col("hot_sh").as("hot_a")),
+        Seq("id_a"), "left")
+      .join(hotPerDoc.select(col("id").as("id_b"), col("hot_sh").as("hot_b")),
+        Seq("id_b"), "left")
+      .withColumn("c", col("c_cap") + size(array_intersect(
+        coalesce(col("hot_a"), emptyHot), coalesce(col("hot_b"), emptyHot))))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -137,28 +163,54 @@ object TextDedupOps {
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over shingles, candidates
-    * via 8x8-bit band equi-join, verified by Hamming <= maxHamming.
-    * Pigeonhole guarantees full recall to Hamming 7; above that a pair
-    * is found iff its differing bits leave some byte untouched — near-
-    * certain for real near-dups, whose flipped bits come from a few
-    * changed shingles and cluster accordingly.
+    * via a combination-of-blocks band equi-join, verified by
+    * Hamming <= maxHamming.
+    *
+    * Candidate keys are the C(8,2) = 28 ordered PAIRS of the hash's 8
+    * 8-bit blocks, each a 16-bit value — 28 x 2^16 ~ 1.8M possible
+    * buckets. (Single 8-bit blocks — the naive banding — give only
+    * 8 x 2^8 = 2,048 buckets TOTAL, independent of corpus size, which
+    * degenerates to O(n^2/256) candidate pairs at scale.) Pigeonhole on
+    * pairs-of-blocks guarantees full recall to Hamming 6: <= 6 flipped
+    * bits leave >= 2 of the 8 blocks untouched, and that block pair is a
+    * matching key. For Hamming 7..maxHamming a pair is found iff >= 2
+    * blocks are untouched — near-certain for real near-dups, whose
+    * flipped bits come from a few changed shingles and cluster
+    * accordingly.
+    *
+    * `bucketCap` drops candidate buckets holding more than that many
+    * docs before the self-join: a bucket of f docs emits O(f^2) pair
+    * rows, and buckets that hot at a 1.8M-key space are boilerplate
+    * clusters better handled by [[exactDedup]] first. The cap bounds
+    * per-bucket work at cap^2 regardless of corpus size; the hot-key
+    * count rides the same Exchange as the self-join (one extra map-side
+    * partial aggregate, no extra shuffle).
     */
   def simhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxHamming: Int = 10): DataFrame = {
+      k: Int = 3, maxHamming: Int = 10, bucketCap: Int = 100000): DataFrame = {
     require(maxHamming <= 12,
-      "verification threshold far above the 8-band recall guarantee (Hamming 7)")
+      "verification threshold far above the pairs-of-blocks recall guarantee (Hamming 6)")
+    require(bucketCap > 0, "bucketCap must be positive")
     val docs = df.select(col(idCol).as("id"),
       GraftFunctions.simhash(hashedShingles(col(textCol), k)).as("sim"))
+    def block(b: Int): Column =
+      call_function("shiftrightunsigned", col("sim"), lit(b * 8))
+        .bitwiseAND(lit(0xFFL))
+    val blockPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val banded = docs.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        b => call_function("shiftrightunsigned", col("sim"), (b * 8).cast("int"))
-          .bitwiseAND(lit(0xFFL)))))
+      posexplode(array(blockPairs.map { case (i, j) =>
+        shiftleft(block(i), 8).bitwiseOR(block(j)) }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     // filter on Hamming before the distinct so the dedup shuffle only
     // ever sees surviving (rare) pairs; repartition-keyed self-join →
     // ReuseExchange computes the simhash pipeline once (see minhash)
     val keyed = banded.repartition(col("band"), col("band_bits"))
-    keyed.as("a").join(keyed.as("b"),
+    val hot = keyed.groupBy(col("band"), col("band_bits"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap)
+      .select(col("band"), col("band_bits"))
+    val capped = keyed.join(broadcast(hot), Seq("band", "band_bits"), "left_anti")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.id") < col("b.id"))
@@ -187,11 +239,28 @@ object TextDedupOps {
     * instead and verify exactly.
     */
   def embeddingDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockSize: Int = 1024): DataFrame = {
+      threshold: Double, numBlocks: Int = 0): DataFrame = {
     val idType = df.schema(idCol).dataType // integral; restored on output
+    // the kernel carries ids as longs; a silent cast of string/decimal
+    // ids would null them out and DROP their pairs — reject instead
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"embeddingDedupPairs needs an integral id column; $idCol is $idType")
     val v = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val nBlocks = math.max(1, math.ceil(v.count().toDouble / blockSize).toInt)
+    // Block count is a pure parallelism/memory knob — every unordered
+    // block pair is enumerated, so the OUTPUT is identical for any
+    // value. When the caller doesn't pass one, derive it from the
+    // optimizer's size estimate (plan-time, no job — the previous
+    // `v.count()` here fired an extra Spark job per invocation):
+    // one block per ~32 MB of input, floor 16 so small inputs still
+    // spread across a local[32] box, cap 4096 so the block-pair count
+    // (nBlocks^2/2) stays bounded.
+    val nBlocks =
+      if (numBlocks > 0) numBlocks
+      else {
+        val bytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+        math.min(4096L, math.max(16L, (bytes / (32L << 20)).toLong)).toInt
+      }
     val blocks = v.groupBy(pmod(xxhash64(col("id")), lit(nBlocks)).as("blk"))
       .agg(collect_list(struct(col("id"), col("v"))).as("items"))
     // kernel threshold is backed off by 1e-6 so pairs that ROUND up to

@@ -41,15 +41,99 @@ class PipelineSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // low threshold → plenty of pairs from the random-noise bulk; several
-    // blocks even at sf0.001 (blockSize 64)
+    // blocks even at sf0.001
     val blocked = pairs(TextDedupOps
-      .embeddingDedupPairs(embs, "vec_id", "embedding", 0.3, blockSize = 64)
+      .embeddingDedupPairs(embs, "vec_id", "embedding", 0.3, numBlocks = 8)
       .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos")))
     val naive = pairs(TextDedupOps
       .embeddingDedupPairsNaive(embs, "vec_id", "embedding", 0.3)
       .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos")))
     assert(naive.nonEmpty, "threshold should admit some pairs")
     assert(blocked == naive)
+  }
+
+  test("ngram df-cap bounds boilerplate pair explosion") {
+    import spark.implicits._
+    val boiler = (0 until 40).map(w => s"boiler$w").mkString(" ")
+    val d = (0 until 60).map(i => (i.toLong, s"$boiler unique$i token$i end$i"))
+      .toDF("doc_id", "text")
+    // uncapped: every pair is a near-dup through the shared boilerplate
+    val uncapped = TextDedupOps.ngramJaccardPairs(d, "doc_id", "text",
+      maxDf = 1000000).count()
+    assert(uncapped == 60L * 59 / 2)
+    // capped: the boilerplate shingles (df=60) are dropped; the only
+    // remaining shared shingles are per-doc-unique, so the posting
+    // self-join emits a BOUNDED candidate set instead of all 1770 pairs
+    val capped = TextDedupOps.ngramJaccardPairs(d, "doc_id", "text",
+      maxDf = 5).count()
+    assert(capped == 0, s"expected boilerplate-only pairs dropped, got $capped")
+  }
+
+  test("df-cap keeps jaccard values exact via hot-shingle completion") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all documents here"
+    val data = (0 until 5).flatMap { p =>
+      val body = (0 until 20).map(w => s"body${p}w$w").mkString(" ")
+      Seq((2L * p, s"$body $boiler"), (2L * p + 1, s"$body extra $boiler"))
+    }
+    val d = data.toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      TextDedupOps.ngramJaccardPairs(d, "doc_id", "text", maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(1000000)
+    // the boilerplate (df=10 > 5) is dropped from the posting join, but
+    // each planted pair still shares its body shingles, survives, and
+    // must report the SAME jaccard — the hot-shingle intersection is
+    // restored before the threshold filter
+    val capped = pairs(5)
+    assert(uncapped.size == 5)
+    assert(capped == uncapped)
+  }
+
+  test("simhash bucketCap bounds hot-bucket candidate explosion") {
+    import spark.implicits._
+    val base = (0 until 40).map(w => s"common$w").mkString(" ")
+    // identical docs: ONE simhash value, so every band bucket holds all
+    // 100 docs — the pathological hot-bucket shape (exactDedup territory)
+    val same = (0 until 100).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    assert(TextDedupOps.simhashDedupPairs(same, "doc_id", "text").count() == 100L * 99 / 2)
+    assert(TextDedupOps.simhashDedupPairs(same, "doc_id", "text", bucketCap = 20)
+      .count() == 0, "buckets above the cap must be dropped")
+    // near-identical docs: hot buckets dropped, small buckets survive —
+    // the cap bounds per-bucket work (<= cap^2 pair rows) monotonically
+    val varied = (0 until 100).map(i => (i.toLong, s"$base tail$i")).toDF("doc_id", "text")
+    val uncapped = TextDedupOps.simhashDedupPairs(varied, "doc_id", "text").count()
+    val capped = TextDedupOps.simhashDedupPairs(varied, "doc_id", "text",
+      bucketCap = 20).count()
+    assert(uncapped >= 4000, s"expected most of the 4950 near-dup pairs, got $uncapped")
+    assert(capped < uncapped / 2,
+      s"cap should prune hot-bucket candidates: $capped vs $uncapped")
+  }
+
+  test("null embedding vectors are excluded from blocked dedup (matches naive)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, null.asInstanceOf[Array[Double]]), (4L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // threshold <= 0 is the divergence trap: a zero-padded null would
+    // emit cos-0.0 pairs the naive form's null cosine never produces
+    val blocked = pairs(TextDedupOps
+      .embeddingDedupPairs(d, "vec_id", "embedding", 0.0, numBlocks = 2))
+    val naive = pairs(TextDedupOps
+      .embeddingDedupPairsNaive(d, "vec_id", "embedding", 0.0))
+    assert(blocked == naive)
+    assert(!blocked.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding dedup rejects non-integral id columns") {
+    import spark.implicits._
+    val d = Seq(("a", Array(1.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      TextDedupOps.embeddingDedupPairs(d, "vec_id", "embedding", 0.5)
+    }
   }
 
   test("exact dedup keeps one representative per distinct text") {
