@@ -32,7 +32,25 @@ object BoostQL {
   /** Convenience resolver for the driver testdata: any `domain.family`
     * resolves to the events table adapted to the series-family shape
     * (FIXTURES.md §3).
+    *
+    * The adapted frame is persisted once per (session, dir) and reused
+    * across queries: `fromEvents` derives the attribute map by parsing
+    * the `props` JSON, and without the cache that `from_json` lands in
+    * BOTH the Filter and the Project of every compiled query (Catalyst
+    * inlines it through the projection) — one JSON parse per row per
+    * occurrence. With the cache the map is materialized once and every
+    * boost query reads it back. This is a test-adapter concern only:
+    * the production path ([[TimeSeriesTable.open]]) stores `attributes`
+    * as a real parquet map column and never parses JSON.
     */
-  def onTestdata(spark: SparkSession, sfDir: String)(query: String): DataFrame =
-    sql(query, _ => TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)))
+  def onTestdata(spark: SparkSession, sfDir: String)(query: String): DataFrame = {
+    val fam = testdataCache.getOrElseUpdate((spark, sfDir), {
+      val f = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    sql(query, _ => fam)
+  }
+
+  private val testdataCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }

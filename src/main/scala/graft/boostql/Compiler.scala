@@ -198,11 +198,13 @@ object Compiler {
     }
 
     // --- fold sources through joins ------------------------------------
+    // joinType "left" null-extends the right source's columns for
+    // unmatched left rows, exactly Spark's LeftOuter semantics
     val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
-      case (acc, (JoinClause(_, on), i)) =>
+      case (acc, (JoinClause(_, on, joinType), i)) =>
         val right = sourceFrame(i + 1)
         on match {
-          case Some(cond) => acc.join(right, exprColumn(cond, aggOk = false), "inner")
+          case Some(cond) => acc.join(right, exprColumn(cond, aggOk = false), joinType)
           case None       => acc.crossJoin(right)
         }
     }

@@ -38,7 +38,7 @@ object Parser {
 
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
-    "false", "join", "inner", "cross", "on")
+    "false", "join", "inner", "cross", "on", "left", "outer")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -116,9 +116,11 @@ object Parser {
       }
     }
 
-    /** `JOIN src ON cond` (INNER optional), `CROSS JOIN src`, or the
-      * comma form `, src` (cross join via FROM list — the TiDB join-tree
-      * shape the reference captures, joinparser.go:86-97).
+    /** `JOIN src ON cond` (INNER optional), `LEFT [OUTER] JOIN src ON
+      * cond`, `CROSS JOIN src`, or the comma form `, src` (cross join
+      * via FROM list — the TiDB join-tree shape the reference captures,
+      * joinparser.go:86-97; LEFT OUTER is a dialect extension beyond
+      * the reference's inner/cross-only grammar).
       */
     private def joinClauses(): Seq[JoinClause] = {
       val b = Seq.newBuilder[JoinClause]
@@ -126,7 +128,13 @@ object Parser {
       while (more) {
         if (sym(",")) b += JoinClause(source(), None)
         else if (kw("cross")) { expectKw("join"); b += JoinClause(source(), None) }
-        else if (kw("inner") || peekIsKw("join")) {
+        else if (kw("left")) {
+          kw("outer") // optional
+          expectKw("join")
+          val s = source()
+          expectKw("on")
+          b += JoinClause(s, Some(andExpr()), "left")
+        } else if (kw("inner") || peekIsKw("join")) {
           expectKw("join")
           val s = source()
           expectKw("on")

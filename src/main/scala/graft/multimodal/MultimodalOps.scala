@@ -26,12 +26,15 @@ case class MediaFeatures(
   * The Spark-side plumbing is real and load-bearing: schema, typed
   * Datasets, per-partition batched processing (the JVM analogue of
   * `mapInPandas` — one decoder instantiation per partition, rows
-  * streamed through it), and partition sizing guidance. The *codec*
-  * itself is a STUB — no image/audio libraries exist in this
-  * environment — replaced by a deterministic fake that derives
-  * pseudo-dimensions and features from the payload bytes. Swap
-  * [[StubCodec]] for a real decoder (javacv, twelvemonkeys, ffmpeg
-  * bindings) without touching any of the Spark plumbing.
+  * streamed through it), and partition sizing guidance. Image
+  * dimension decode is REAL for the formats the JDK ships readers for
+  * (PNG/BMP/GIF/JPEG via [[ImageCodec]]/javax.imageio); payloads those
+  * readers don't recognize — audio, video, the synthetic testdata —
+  * fall back to [[StubCodec]], a deterministic fake that derives
+  * pseudo-dimensions and features from the payload bytes (no
+  * audio/video libraries exist in this environment). Swap in a heavier
+  * decoder (javacv, twelvemonkeys, ffmpeg bindings) without touching
+  * any of the Spark plumbing.
   *
   * Scale design: payloads dominate row size, so feature extraction is a
   * narrow map (no shuffle); keep `spark.sql.files.maxPartitionBytes`
@@ -39,6 +42,38 @@ case class MediaFeatures(
   * never collect payloads to the driver.
   */
 object MultimodalOps {
+
+  /** Real image decode via `javax.imageio` — the PNG/BMP/GIF/JPEG
+    * readers that ship with the JDK, so no external media library is
+    * needed for actual image dimensions. Reads only the header
+    * metadata (`getWidth`/`getHeight` on the reader, not a full
+    * `BufferedImage` decode), so per-payload cost is O(header), not
+    * O(pixels). Payloads no ImageIO reader recognizes (the synthetic
+    * testdata, audio, video) fall back to the deterministic
+    * [[StubCodec]] — the declared stub boundary for codecs this
+    * environment genuinely lacks.
+    */
+  object ImageCodec {
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              // GIF readers report frame count; single-image formats -> 1
+              val frames = try math.max(r.getNumImages(true), 1)
+                catch { case _: Exception => 1 }
+              (r.getWidth(0), r.getHeight(0), frames)
+            } finally r.dispose()
+          } else StubCodec.decodeDims(payload)
+        } finally if (iis != null) iis.close()
+      } catch { case _: Exception => StubCodec.decodeDims(payload) }
+    }
+  }
 
   /** STUB codec — deterministic fake standing in for a real media
     * decoder. Every value is a pure function of the payload bytes.
@@ -93,9 +128,10 @@ object MultimodalOps {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder setup would happen here (real codec)
+      // per-partition decoder setup would happen here (heavier codecs);
+      // ImageIO readers are instantiated per payload by format sniffing
       rows.map { r =>
-        val (w, h, frames) = StubCodec.decodeDims(r.payload)
+        val (w, h, frames) = ImageCodec.decodeDims(r.payload)
         MediaFeatures(r.media_id, r.format, r.payload.length, w, h, frames,
           StubCodec.features(r.payload, dim))
       }

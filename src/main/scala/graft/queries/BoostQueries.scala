@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.boostql.BoostQL
+import graft.sources.TimeSeriesTable
+import graft.tables.Tables
 
 /** Queries exercised through the BoostQL dialect front end — the
   * reference's executed surface (SELECT sugar + WHERE,
@@ -68,7 +70,33 @@ object BoostQueries {
     "boost_time_scope" -> ((s, d) =>
       run(s, d, "SELECT click.event_id, click FROM dom.events " +
         "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00' " +
-        "ORDER BY click.event_id"))
+        "ORDER BY click.event_id")),
+
+    // LEFT OUTER JOIN — dialect extension beyond the reference's
+    // inner/cross-only join grammar (joinparser.go:84-201): unmatched
+    // purchases keep null error columns (Spark asc sorts nulls first;
+    // the oracle spells NULLS FIRST)
+    "boost_left_join" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.error.event_id, b.error " +
+        "FROM dom.events AS a LEFT OUTER JOIN dom.events AS b " +
+        "ON a.purchase.user = b.error.user AND b.error > 250.0 " +
+        "WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id, b.error.event_id")),
+
+    // S5 write path, oracle-checked end to end: append the events
+    // family to a fresh warehouse root (date-partitioned, series-sorted
+    // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
+    // and query the REREAD copy through the dialect. Matching the
+    // direct-events oracle proves the write→read cycle lossless.
+    "boost_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql("SELECT view.event_id, view FROM dom.events WHERE view >= 200.0",
+          _ => reread)
+        .orderBy("view_event_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,6 +156,20 @@ object BoostQueries {
         |FROM events WHERE event_type = 'click'
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
-        |ORDER BY click_event_id""".stripMargin
+        |ORDER BY click_event_id""".stripMargin,
+
+    "boost_left_join" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_error_event_id, b.value AS b_error
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR) AND b.value > 250.0
+        |ORDER BY a_purchase_event_id, b_error_event_id NULLS FIRST""".stripMargin,
+
+    "boost_roundtrip" ->
+      """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
+        |FROM events WHERE event_type = 'view' AND value >= 200.0
+        |ORDER BY view_event_id""".stripMargin
   )
 }

@@ -27,7 +27,11 @@ object Tables {
     * matches what DuckDB sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-if-needed: repeated calls must not keep rewriting shared
+    // session conf (surprising in a shared session, and it invalidates
+    // cached session state on some conf paths)
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(raw.columns.map(col).toIndexedSeq: _*)

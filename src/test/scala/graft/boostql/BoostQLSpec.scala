@@ -41,10 +41,50 @@ class BoostQLSpec extends SparkSpec {
     val j = Parser.parse(
       "SELECT a.cpu, b.mem FROM dom.f1 AS a JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
     assert(j.joins.length == 1 && j.joins.head.on.isDefined)
+    assert(j.joins.head.joinType == "inner")
     val c = Parser.parse("SELECT a.cpu, b.mem FROM dom.f1 AS a, dom.f2 AS b")
     assert(c.joins.length == 1 && c.joins.head.on.isEmpty)
     val x = Parser.parse("SELECT a.cpu, b.mem FROM dom.f1 AS a CROSS JOIN dom.f2 AS b")
     assert(x.joins.length == 1 && x.joins.head.on.isEmpty)
+    // LEFT [OUTER] JOIN — both spellings, joinType "left"
+    val l = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a LEFT JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(l.joins.length == 1 && l.joins.head.on.isDefined)
+    assert(l.joins.head.joinType == "left")
+    val lo = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a LEFT OUTER JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(lo.joins.head.joinType == "left")
+    // LEFT without JOIN is malformed
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT a.cpu FROM dom.f1 AS a LEFT dom.f2 AS b ON a.cpu = b.cpu"))
+  }
+
+  test("compiler: LEFT OUTER JOIN null-extends unmatched rows") {
+    import org.apache.spark.sql.functions._
+    // the >150 ON condition keeps some users matchless so the null
+    // extension actually materializes on this corpus (error values top
+    // out just above 200 at sf0.001); other users do match, so both
+    // branches of the outer join are exercised
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.user, b.error FROM dom.events AS a " +
+        "LEFT OUTER JOIN dom.events AS b " +
+        "ON a.purchase.user = b.error.user AND b.error > 150.0"),
+      (_: (String, String)) => fam)
+    val purchases = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"))
+    val errors = fam.filter(col("series") === "error" && col("value") > 150.0)
+      .select(element_at(col("attributes"), "user").as("u"), col("value").as("v"))
+    def key(u: String, v: Option[Double]) = s"$u|${v.getOrElse("null")}"
+    val expected = purchases.join(errors, Seq("u"), "left").collect()
+      .map(r => key(r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sorted.toSeq
+    val got = df.collect()
+      .map(r => key(r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sorted.toSeq
+    assert(got == expected)
+    assert(got.exists(_.endsWith("|null")),
+      "corpus should contain purchases whose user never errored (null extension)")
+    assert(got.exists(!_.endsWith("|null")), "some purchases should match")
   }
 
   test("parser rejects malformed input") {

@@ -6,13 +6,40 @@ import graft.SparkSpec
 import graft.tables.Tables
 
 /** The multimodal plumbing is real (schema, typed Dataset, partition-
-  * batched processing); only the codec is a stub. These tests pin the
-  * plumbing: schema shape, determinism, payload-drop, frame sampling.
+  * batched processing), and image dimension decode is real for JDK-
+  * readable formats (ImageCodec/javax.imageio); non-image payloads use
+  * the deterministic stub. These tests pin the plumbing — schema shape,
+  * determinism, payload-drop, frame sampling — and the real decode.
   */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = MultimodalOps.asMedia(
     Tables.documents(spark, sfDir), "doc_id", "text", "txt")
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode actual dimensions via ImageIO") {
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xFF8800)
+    val png = encode(img, "png")
+    assert(MultimodalOps.ImageCodec.decodeDims(png) == ((37, 21, 1)))
+    assert(MultimodalOps.ImageCodec.decodeDims(encode(img, "bmp")) == ((37, 21, 1)))
+    // and through the Spark plumbing end to end
+    val session = spark
+    import session.implicits._
+    val ds = Seq(MediaRow(1L, "png", png)).toDS()
+    val f = MultimodalOps.extractFeatures(ds).collect().head
+    assert(f.width == 37 && f.height == 21 && f.n_frames == 1)
+    // non-image payloads fall back to the deterministic stub
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(MultimodalOps.ImageCodec.decodeDims(junk) ==
+      MultimodalOps.StubCodec.decodeDims(junk))
+  }
 
   test("asMedia produces the opaque-payload schema") {
     val sch = media.schema
