@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,21 +27,22 @@ object Bench {
     // iteration per query proved statistically unusable (round-3 bench
     // swung 2.6x total / 26x per-query on byte-identical code — GC, JIT
     // and page-cache interference in a 56-query shared session), so each
-    // query runs `iters` times and reports the MEDIAN. The first
-    // iteration absorbs that query's JIT/cache warmup; the median then
-    // discards any iteration a concurrent GC pause lands on.
+    // query runs `iters` times (sorted name order for run-to-run
+    // comparability) and reports the MEDIAN. The first iteration absorbs
+    // that query's JIT/cache warmup; the median then discards iterations
+    // a concurrent GC pause lands on.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = Array.fill(iters)(timeOnce(fn)).sorted
       name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
