@@ -132,34 +132,43 @@ object TextDedupOps {
     val rows = numHashes / bands
     // hash shingles once; MinHash consumes the pre-hashed longs
     // (bit-identical to hashing the shingle strings — see HashImpl)
-    val docs = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
-      .select(col("id"), col("sh"),
-        GraftFunctions.minhash(col("sh"), numHashes, seed).as("sig"))
-    val sig = docs
-    // one row per (doc, band): band hash = xxhash64 over the band's slice
-    val banded = sig.select(col("id"), col("sh"),
+    val sig = df.select(col(idCol).as("id"),
+      GraftFunctions.minhash(hashedShingles(col(textCol), k), numHashes, seed)
+        .as("sig"))
+    // one row per (doc, band): band hash = xxhash64 over the band's
+    // slice. Banded rows are FIXED-WIDTH (id, band, band_hash) — the
+    // shingle arrays deliberately do not ride the bands-per-doc explode,
+    // which would amplify the per-doc array bytes x bands through the
+    // candidate shuffle (measured ~2x the whole query's runtime at
+    // sf0.1, and GBs/doc-KB at corpus scale).
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // verify BEFORE deduping candidates: a pair matching in m bands
-    // recomputes the (cheap, codegen'd) Jaccard m times, but the
-    // distinct() then shuffles only (id_a, id_b, jac) fixed-width rows
-    // instead of dragging both shingle arrays through an aggregate —
-    // the difference between shuffling KBs and shuffling bytes per pair
-    // at corpus scale.
     // repartition both sides on the join key: the self-join branches
     // become byte-identical subplans ending in the same Exchange, so
-    // ReuseExchange computes the shingle+signature pipeline ONCE and
-    // replays it for the other side (a broadcast join would re-run it)
+    // ReuseExchange computes the signature pipeline ONCE and replays it
+    // for the other side (a broadcast join would re-run it)
     val keyed = banded.repartition(col("band"), col("band_hash"))
-    keyed.as("a").join(keyed.as("b"),
+    // candidates FIRST: a pair matching in m bands collapses to one row
+    // while still fixed-width, so the distinct shuffles 16-byte rows and
+    // exact-Jaccard verification runs once per candidate pair (not once
+    // per matching band)
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jac"))
-      .filter(col("jac") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // verify: join the shingle arrays back for just the candidate pairs
+    // (two joins against the corpus keyed by id — linear in corpus size,
+    // vs. bands-x-array-bytes through the band shuffle)
+    val sh = df.select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit SimHash over shingles, candidates
