@@ -97,8 +97,15 @@ object TextDedupOps {
     val hotPerDoc = posts.join(hot, Seq("g"))
       .groupBy(col("id")).agg(collect_list(col("g")).as("hot_sh"))
     val capped = posts.join(hot, Seq("g"), "left_anti")
+    // size filter (AllPairs/PPJoin): J >= t forces
+    // min(|A|,|B|) >= t * max(|A|,|B|) — since |A∩B| <= min and
+    // J <= min/max — so size-incompatible pairs are pruned AT the join,
+    // before they ever reach the pair aggregate. Exact: no qualifying
+    // pair can violate the bound.
     val pairs = capped.as("a").join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c_cap"))
