@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines:
+  * deterministic splits and deterministic global shuffles. No reference
+  * analogue (the reference stores metrics) — extension tier from the
+  * brief, shaped for the 100 TB case.
+  *
+  * Both operators key on a cryptographic digest of the id (md5), not on
+  * row order or a random() call: assignments are reproducible across
+  * runs, engines and cluster sizes, independent of partitioning, and
+  * stable under corpus growth (adding documents never reassigns
+  * existing ones — the property that keeps train/holdout contamination-
+  * free across dataset versions).
+  */
+object CorpusOps {
+
+  /** Hex md5 of the id (salted), the portable sort/assignment key:
+    * identical strings in any engine with md5 (Spark, DuckDB, Postgres).
+    */
+  private def hashKey(idCol: Column, salt: String): Column =
+    md5(concat(idCol.cast("string"), lit(salt)))
+
+  /** Assign each row to "train" or "holdout" with P(train) ~ trainFrac,
+    * deterministically from the id: train iff the first 8 hex digits of
+    * md5(id || salt) — a uniform 32-bit value — fall below
+    * floor(trainFrac * 2^32). Lexicographic hex compare == numeric
+    * compare (fixed width, lowercase), so the predicate is a plain
+    * string comparison any engine evaluates identically. Narrow (no
+    * shuffle); at 100 TB this is a map over the scan.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainFrac: Double,
+      salt: String = ""): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0, "trainFrac must be in (0, 1)")
+    val threshold = f"${math.floor(trainFrac * 4294967296.0).toLong}%08x"
+    df.withColumn("split",
+      when(substring(hashKey(col(idCol), salt), 1, 8) < lit(threshold), "train")
+        .otherwise("holdout"))
+  }
+
+  /** Deterministic global shuffle: order the corpus by md5(id || seed).
+    * Changing the seed gives an independent permutation; the same seed
+    * always gives the same one. The output carries the sort key so
+    * downstream stages can range-partition on it — at 100 TB the
+    * "shuffle" is a sort-write (Spark range partitions the sort), never
+    * a driver-side permutation.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: String = "0"): DataFrame =
+    df.withColumn("shuffle_key", hashKey(col(idCol), seed))
+      .orderBy("shuffle_key")
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{TextAnalysisOps, TextDedupOps, VectorSearchOps}
+import graft.operators.{CorpusOps, TextAnalysisOps, TextDedupOps, VectorSearchOps}
 import graft.tables.Tables
 
 /** LLM-training-data-pipeline tier: deduplication (exact, n-gram
@@ -104,6 +104,17 @@ object PipelineQueries {
         GraftFunctions.simhash(TextDedupOps.hashedShingles(col("text"))).as("sim"))
         .orderBy("doc_id")),
 
+    // deterministic md5-keyed train/holdout assignment — reproducible
+    // across engines/runs/partitionings (CorpusOps.hashSplit)
+    "pipe_split" -> ((s, d) =>
+      CorpusOps.hashSplit(docs(s, d), "doc_id", 0.9)
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // deterministic md5-keyed global shuffle (CorpusOps.deterministicShuffle)
+    "pipe_shuffle" -> ((s, d) =>
+      CorpusOps.deterministicShuffle(docs(s, d), "doc_id", "42")
+        .select("doc_id", "shuffle_key")),
+
     "mm_meta" -> ((s, d) =>
       // multimodal metadata pass: opaque binary payload + typed metadata
       docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -196,6 +207,18 @@ object PipelineQueries {
     "mm_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // 0.9 * 2^32 = 3865470566 = 0xe6666666; fixed-width lowercase hex
+    // compares identically as string and as number
+    "pipe_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |       THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipe_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin
   )
 }

@@ -136,6 +136,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash split is deterministic, stable under corpus growth, near trainFrac") {
+    val full = CorpusOps.hashSplit(docs, "doc_id", 0.9)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // assignment is a pure function of the id: splitting a SUBSET gives
+    // the same labels — growing the corpus never reassigns old docs
+    val subset = CorpusOps.hashSplit(docs.filter(col("doc_id") < 50), "doc_id", 0.9)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(subset.nonEmpty && subset.size < full.size)
+    assert(subset.forall { case (k, v) => full(k) == v })
+    val frac = full.values.count(_ == "train").toDouble / full.size
+    assert(math.abs(frac - 0.9) < 0.1, s"train fraction $frac too far from 0.9")
+    intercept[IllegalArgumentException](CorpusOps.hashSplit(docs, "doc_id", 1.5))
+  }
+
+  test("deterministic shuffle reproduces per seed and permutes across seeds") {
+    def order(seed: String) = CorpusOps.deterministicShuffle(docs, "doc_id", seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order("42") == order("42"))
+    assert(order("42") != order("43"))
+    assert(order("42").sorted == order("43").sorted)
+  }
+
   test("exact dedup keeps one representative per distinct text") {
     val total = docs.count()
     val dedup = TextDedupOps.exactDedup(docs, "doc_id", "text")
