@@ -102,6 +102,35 @@ object KernelProps extends Properties("graft.kernels") {
       math.abs(lhs - rhs) < 1e-6 * (1.0 + math.abs(rhs))
     }
 
+  // the pairs-of-blocks banding guarantee behind simhashDedupPairs:
+  // <= 6 flipped bits leave >= 2 of the 8 byte-blocks untouched, so some
+  // C(8,2) block-pair key matches — full candidate recall to Hamming 6
+  property("pairs-of-blocks banding catches every pair within Hamming 6") =
+    forAll(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(0, 6).flatMap(h => Gen.pick(h, 0 until 64))) { (x, flips) =>
+      val y = flips.foldLeft(x)((v, b) => v ^ (1L << b))
+      val d = x ^ y
+      val untouched = (0 until 8).count(b => ((d >>> (b * 8)) & 0xFFL) == 0L)
+      val caught = (for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j))
+        .exists { case (i, j) =>
+          ((d >>> (i * 8)) & 0xFFL) == 0L && ((d >>> (j * 8)) & 0xFFL) == 0L }
+      Prop(caught && untouched >= 2) :| s"d=$d untouched=$untouched"
+    }
+
+  // the PPJoin size filter behind ngramJaccardPairs: J >= t implies
+  // min(|A|,|B|) >= t * max(|A|,|B|) — the join-time bound never drops a
+  // qualifying pair
+  property("size filter is safe: J >= t implies size compatibility") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 50)).map(_.toSet),
+      Gen.nonEmptyListOf(Gen.choose(0, 50)).map(_.toSet),
+      Gen.choose(0.05, 0.95)) { (a: Set[Int], b: Set[Int], t: Double) =>
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      val sizeOk = math.min(a.size, b.size) >= t * math.max(a.size, b.size)
+      Prop(j < t || sizeOk) :| s"j=$j t=$t |a|=${a.size} |b|=${b.size}"
+    }
+
   property("jaccard estimate from minhash tracks true jaccard") =
     forAll(Gen.choose(5, 40), Gen.choose(0, 20)) { (shared, extra) =>
       val common = (1 to shared).map(i => s"c$i")
