@@ -20,6 +20,12 @@ object Ast {
   final case class BFloat(v: Double) extends BLit
   final case class BStr(v: String) extends BLit
   final case class BBool(v: Boolean) extends BLit
+  /** NULL literal. The reference mentions NULL but never implements it
+    * (query/base/expression.go:9-11); here it carries ANSI three-valued
+    * semantics: any comparison against it is unknown, so `x = NULL`
+    * matches nothing — row absence is asked with `IS NULL` instead.
+    */
+  case object BNull extends BLit
 
   /** A raw (not yet resolved) dotted name of 1-3 parts. Resolution rules
     * per selectfieldparser.go:115-133:
@@ -45,6 +51,15 @@ object Ast {
   final case class ORef(name: RawName) extends Operand
   /** Aggregate call as a HAVING operand, e.g. `HAVING sum(cpu) > 5`. */
   final case class OAgg(fn: String, arg: Option[RawName]) extends Operand
+  /** Arithmetic over operands (`+ - * /`, standard precedence) — absent
+    * from the reference's grammar (whereparser.go:146-169 rejects
+    * anything beyond literal/field comparisons) but the first everyday
+    * ask of any real predicate surface: `WHERE cpu > mem * 1.5`.
+    */
+  final case class OArith(op: String, left: Operand, right: Operand) extends Operand
+  /** Unary minus over a non-literal operand (literal negation folds at
+    * parse time). */
+  final case class ONeg(x: Operand) extends Operand
 
   /** Comparison ops of the reference (logicalexpression.go:10-36), plus
     * NOT — absent from the reference's connective set (AND/OR only,
@@ -55,6 +70,11 @@ object Ast {
   final case class AndE(left: BExpr, right: BExpr) extends BExpr
   final case class OrE(left: BExpr, right: BExpr) extends BExpr
   final case class NotE(expr: BExpr) extends BExpr
+  /** `x IS [NOT] NULL` — the dialect face of the engine's nil cells
+    * (missing per-point attributes decode to null, exactly the
+    * reference's unset ResultSet cells, executor.go:609-645).
+    */
+  final case class IsNullE(operand: Operand, negated: Boolean) extends BExpr
 
   sealed trait SelectItem
   final case class FieldItem(name: RawName) extends SelectItem
@@ -62,6 +82,12 @@ object Ast {
     * {count,sum,avg,min,max}; arg None means `count(*)`.
     */
   final case class AggItem(fn: String, arg: Option[RawName]) extends SelectItem
+  /** A computed select item (`SELECT cpu - mem AS diff`): any operand
+    * expression — arithmetic over fields, literals, and aggregate calls.
+    * `name` is the output column (the `AS` alias, or `expr_<position>`
+    * when unaliased).
+    */
+  final case class ExprItem(expr: Operand, name: String) extends SelectItem
 
   final case class Source(domain: String, family: String, alias: Option[String])
 
@@ -88,5 +114,6 @@ object Ast {
       groupBy: Seq[RawName],
       having: Option[BExpr],
       orderBy: Seq[OrderItem],
-      limit: Option[Int])
+      limit: Option[Int],
+      distinct: Boolean = false)
 }

@@ -84,6 +84,7 @@ object Compiler {
     case BFloat(v) => lit(v)
     case BStr(v)   => lit(v)
     case BBool(v)  => lit(v)
+    case BNull     => lit(null)
   }
 
   /** Compile a query; `families` resolves each (domain, family) source to
@@ -121,16 +122,28 @@ object Compiler {
       }
 
     // --- collect every field the query touches -------------------------
+    // (recursing through arithmetic AND through aggregate arguments —
+    // `HAVING sum(mem) > 5` must fetch mem even when nothing else
+    // references it)
+    def operandRefs(o: Operand): Seq[SField] = o match {
+      case ORef(n)         => Seq(ref(n))
+      case OAgg(_, arg)    => arg.map(ref).toSeq
+      case OArith(_, l, r) => operandRefs(l) ++ operandRefs(r)
+      case ONeg(x)         => operandRefs(x)
+      case OLit(_)         => Seq.empty
+    }
     def exprRefs(e: BExpr): Seq[SField] = e match {
-      case Cmp(_, l, r) => Seq(l, r).collect { case ORef(n) => ref(n) }
-      case AndE(l, r)   => exprRefs(l) ++ exprRefs(r)
-      case OrE(l, r)    => exprRefs(l) ++ exprRefs(r)
-      case NotE(x)      => exprRefs(x)
+      case Cmp(_, l, r)  => operandRefs(l) ++ operandRefs(r)
+      case IsNullE(o, _) => operandRefs(o)
+      case AndE(l, r)    => exprRefs(l) ++ exprRefs(r)
+      case OrE(l, r)     => exprRefs(l) ++ exprRefs(r)
+      case NotE(x)       => exprRefs(x)
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
       case FieldItem(n)        => Seq(ref(n))
       case AggItem(_, Some(n)) => Seq(ref(n))
       case AggItem(_, None)    => Seq.empty
+      case ExprItem(e, _)      => operandRefs(e)
     }
     val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
@@ -180,11 +193,23 @@ object Compiler {
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
+      case OArith(op, l, r) =>
+        val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
+        op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+        }
+      case ONeg(x) => -operandColumn(x, aggOk)
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
       case OrE(l, r)  => exprColumn(l, aggOk) || exprColumn(r, aggOk)
       case NotE(x)    => !exprColumn(x, aggOk)
+      case IsNullE(o, neg) =>
+        val c = operandColumn(o, aggOk)
+        if (neg) c.isNotNull else c.isNull
       case Cmp(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
         op match {
@@ -213,27 +238,49 @@ object Compiler {
     val filtered = spec.where.fold(joined)(w => joined.filter(exprColumn(w, aggOk = false)))
 
     // --- aggregation / projection ---------------------------------------
-    val hasAgg = spec.select.exists(_.isInstanceOf[AggItem]) ||
+    def opAggs(o: Operand): Seq[(String, Option[SField])] = o match {
+      case OAgg(f, a)      => Seq((f, a.map(ref)))
+      case OArith(_, l, r) => opAggs(l) ++ opAggs(r)
+      case ONeg(x)         => opAggs(x)
+      case _               => Seq.empty
+    }
+    def itemAggs(i: SelectItem): Seq[(String, Option[SField])] = i match {
+      case AggItem(f, a)  => Seq((f, a.map(ref)))
+      case ExprItem(e, _) => opAggs(e)
+      case _              => Seq.empty
+    }
+    val hasAgg = spec.select.exists(itemAggs(_).nonEmpty) ||
       spec.groupBy.nonEmpty || spec.having.nonEmpty
 
     val projected: DataFrame = if (hasAgg) {
       val groupCols = spec.groupBy.map(n => col(ref(n).inName))
-      // every plain select field must be a grouping key
+      // every bare (non-aggregated) select field must be a grouping key —
+      // inside ExprItems too (OAgg args are not bare: they aggregate)
       val groupNames = spec.groupBy.map(ref).map(_.inName).toSet
+      def bareRefs(o: Operand): Seq[SField] = o match {
+        case ORef(n)         => Seq(ref(n))
+        case OArith(_, l, r) => bareRefs(l) ++ bareRefs(r)
+        case ONeg(x)         => bareRefs(x)
+        case _               => Seq.empty
+      }
       spec.select.foreach {
         case FieldItem(n) if !groupNames.contains(ref(n).inName) =>
           throw CompileException(s"${n.text} must appear in GROUP BY")
+        case ExprItem(e, nm) =>
+          bareRefs(e).find(r => !groupNames.contains(r.inName)).foreach(r =>
+            throw CompileException(s"$nm: ${r.outName} must appear in GROUP BY"))
         case _ => ()
       }
       // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped later)
       def havingAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
-        case Cmp(_, l, r) => Seq(l, r).collect { case OAgg(f, a) => (f, a.map(ref)) }
-        case AndE(l, r)   => havingAggs(l) ++ havingAggs(r)
-        case OrE(l, r)    => havingAggs(l) ++ havingAggs(r)
-        case NotE(x)      => havingAggs(x)
+        case Cmp(_, l, r)  => opAggs(l) ++ opAggs(r)
+        case IsNullE(o, _) => opAggs(o)
+        case AndE(l, r)    => havingAggs(l) ++ havingAggs(r)
+        case OrE(l, r)     => havingAggs(l) ++ havingAggs(r)
+        case NotE(x)       => havingAggs(x)
       }
-      val selectAggs = spec.select.collect { case AggItem(f, a) => (f, a.map(ref)) }
-      val orderAggs = spec.orderBy.map(_.item).collect { case AggItem(f, a) => (f, a.map(ref)) }
+      val selectAggs = spec.select.flatMap(itemAggs)
+      val orderAggs = spec.orderBy.map(_.item).flatMap(itemAggs)
       val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(havingAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
@@ -242,22 +289,59 @@ object Compiler {
       spec.having.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
     } else filtered
 
-    // --- ORDER BY / LIMIT / final projection -----------------------------
+    // --- ORDER BY / DISTINCT / LIMIT / final projection ------------------
     def itemColName(i: SelectItem): String = i match {
-      case FieldItem(n)  => ref(n).inName
-      case AggItem(f, a) => aggColName(f, a.map(ref))
+      case FieldItem(n)    => ref(n).inName
+      case AggItem(f, a)   => aggColName(f, a.map(ref))
+      case ExprItem(_, nm) => nm
     }
-    val ordered =
-      if (spec.orderBy.isEmpty) projected
-      else projected.orderBy(spec.orderBy.map { o =>
-        val c = col(itemColName(o.item))
-        if (o.asc) c.asc else c.desc
-      }: _*)
-    val limited = spec.limit.fold(ordered)(ordered.limit)
-    limited.select(spec.select.map {
-      case FieldItem(n) => val r = ref(n); col(r.inName).as(r.outName)
-      case i            => col(itemColName(i))
-    }: _*)
+    def itemOutName(i: SelectItem): String = i match {
+      case FieldItem(n)    => ref(n).outName
+      case AggItem(f, a)   => aggColName(f, a.map(ref))
+      case ExprItem(_, nm) => nm
+    }
+    def outputCol(i: SelectItem): Column = i match {
+      case FieldItem(n)    => val r = ref(n); col(r.inName).as(r.outName)
+      case a: AggItem      => col(itemColName(a))
+      case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg).as(nm)
+    }
+    // a computed ORDER BY key sorts on its compiled expression (an
+    // arbitrary-expression sort, beyond select-shaped keys)
+    def orderCol(i: SelectItem): Column = i match {
+      case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg)
+      case other          => col(itemColName(other))
+    }
+
+    if (spec.distinct) {
+      // SQL DISTINCT semantics: dedup the projected rows, THEN order and
+      // limit — so ORDER BY keys must be select-shaped here (enforced
+      // structurally: a computed key must match a selected expression)
+      val out = projected.select(spec.select.map(outputCol): _*).distinct()
+      def distinctOrderCol(i: SelectItem): Column = i match {
+        case ExprItem(e, _) =>
+          spec.select.collectFirst {
+            case ExprItem(e2, nm) if e2 == e => col(nm)
+          }.getOrElse(throw CompileException(
+            "ORDER BY under DISTINCT must be a selected item"))
+        case other => col(itemOutName(other))
+      }
+      val ordered =
+        if (spec.orderBy.isEmpty) out
+        else out.orderBy(spec.orderBy.map { o =>
+          val c = distinctOrderCol(o.item)
+          if (o.asc) c.asc else c.desc
+        }: _*)
+      spec.limit.fold(ordered)(ordered.limit)
+    } else {
+      val ordered =
+        if (spec.orderBy.isEmpty) projected
+        else projected.orderBy(spec.orderBy.map { o =>
+          val c = orderCol(o.item)
+          if (o.asc) c.asc else c.desc
+        }: _*)
+      val limited = spec.limit.fold(ordered)(ordered.limit)
+      limited.select(spec.select.map(outputCol): _*)
+    }
   }
 
   /** Single-family convenience (the pre-JOIN surface). */

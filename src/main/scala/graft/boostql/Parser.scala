@@ -9,18 +9,26 @@ import Ast._
   * the dialect is tiny):
   *
   * {{{
-  * query    := SELECT items FROM src (WHERE or)? (GROUP BY names)?
+  * query    := SELECT DISTINCT? items FROM src (WHERE or)? (GROUP BY names)?
   *             (HAVING or)? (ORDER BY orders)? (LIMIT int)?
   * items    := item (',' item)*
-  * item     := agg '(' ('*' | name) ')' | name
+  * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
   * src      := ident '.' ident (AS? ident)?
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
-  * cmp      := NOT cmp | '(' or ')' | operand op operand
-  * operand  := literal | name
+  * cmp      := NOT cmp | '(' or ')' | add (op add | IS NOT? NULL)
+  * add      := mul (('+'|'-') mul)*
+  * mul      := unary (('*'|'/') unary)*
+  * unary    := '-' unary | primary
+  * primary  := literal | NULL | agg '(' ('*' | name) ')' | name | '(' add ')'
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
+  *
+  * `( …` is ambiguous between a parenthesized boolean group and a
+  * parenthesized arithmetic operand; `cmp` resolves it by first trying
+  * the comparison production and backtracking to the boolean group when
+  * that fails — the only backtrack point in the grammar.
   *
   * `ts` (optionally alias-qualified) names the time axis — the dialect
   * face of the reference's `[windowStart, windowEnd)` executor window.
@@ -38,7 +46,8 @@ object Parser {
 
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
-    "false", "join", "inner", "cross", "on", "left", "outer")
+    "false", "join", "inner", "cross", "on", "left", "outer", "is", "null",
+    "distinct")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -52,9 +61,10 @@ object Parser {
         val j = i
         while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
         out += TIdent(sql.substring(j, i))
-      } else if (c.isDigit || (c == '-' && i + 1 < n && sql(i + 1).isDigit)) {
+      } else if (c.isDigit) {
+        // `-5` lexes as '-' then '5'; the parser's unary-minus production
+        // folds it back into a negative literal
         val j = i
-        if (c == '-') i += 1
         while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1
         out += TNum(sql.substring(j, i))
       } else if (c == '\'' || c == '"') {
@@ -66,7 +76,7 @@ object Parser {
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (Set(">=", "<=", "!=", "<>", "==").contains(two)) { out += TSym(two); i += 2 }
-        else if ("()<>=,.*".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
+        else if ("()<>=,.*+-/".indexOf(c) >= 0) { out += TSym(c.toString); i += 1 }
         else throw ParseException(s"unexpected character '$c' at offset $i")
       }
     }
@@ -99,6 +109,7 @@ object Parser {
 
     def query(): QuerySpec = {
       expectKw("select")
+      val dist = kw("distinct")
       val items = selectItems()
       expectKw("from")
       val src = source()
@@ -111,7 +122,8 @@ object Parser {
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
       val lim = if (kw("limit")) Some(intLit()) else None
       peek match {
-        case TEnd => QuerySpec(items, src, joins, where, grp, having, ord, lim)
+        case TEnd =>
+          QuerySpec(items, src, joins, where, grp, having, ord, lim, dist)
         case t => throw ParseException(s"trailing input: $t")
       }
     }
@@ -151,19 +163,25 @@ object Parser {
 
     private def selectItems(): Seq[SelectItem] = {
       val b = Seq.newBuilder[SelectItem]
-      b += selectItem()
-      while (sym(",")) b += selectItem()
+      var i = 0
+      b += selectItem(i)
+      while (sym(",")) { i += 1; b += selectItem(i) }
       b.result()
     }
 
-    private def selectItem(): SelectItem = peek match {
-      case TIdent(id) if aggFns.contains(id.toLowerCase) &&
-          toks(pos + 1) == TSym("(") =>
-        pos += 2
-        val arg = if (sym("*")) None else Some(rawName())
-        expectSym(")")
-        AggItem(id.toLowerCase, arg)
-      case _ => FieldItem(rawName())
+    /** `add (AS ident)?` — a bare field ref or aggregate call keeps its
+      * legacy item class (and with it the `cpu_host` / `count_star`
+      * output-name conventions); anything computed, or anything aliased,
+      * becomes an [[ExprItem]].
+      */
+    private def selectItem(idx: Int): SelectItem = {
+      val e = addOperand()
+      val alias = if (kw("as")) Some(ident()) else None
+      (e, alias) match {
+        case (ORef(n), None)     => FieldItem(n)
+        case (OAgg(f, a), None)  => AggItem(f, a)
+        case (expr, al)          => ExprItem(expr, al.getOrElse(s"expr_$idx"))
+      }
     }
 
     private def rawName(): RawName = {
@@ -183,8 +201,9 @@ object Parser {
 
     private def orderList(): Seq[OrderItem] = {
       val b = Seq.newBuilder[OrderItem]
+      var i = 0
       def one(): OrderItem = {
-        val it = selectItem()
+        val it = selectItem(i); i += 1
         val asc = if (kw("desc")) false else { kw("asc"); true }
         OrderItem(it, asc)
       }
@@ -217,27 +236,81 @@ object Parser {
       e
     }
 
+    /** `( …` could open a boolean group or an arithmetic operand: try the
+      * comparison production first; on failure at an opening paren,
+      * backtrack and reparse as `( or )`.
+      */
     private def cmpExpr(): BExpr =
       if (kw("not")) NotE(cmpExpr())
-      else if (sym("(")) { val e = orExpr(); expectSym(")"); e }
       else {
-        val l = operand()
+        val save = pos
+        try comparison()
+        catch {
+          case e: ParseException =>
+            if (toks(save) == TSym("(")) {
+              pos = save
+              expectSym("(")
+              val x = orExpr()
+              expectSym(")")
+              x
+            } else throw e
+        }
+      }
+
+    private def comparison(): BExpr = {
+      val l = addOperand()
+      if (kw("is")) {
+        val neg = kw("not")
+        expectKw("null")
+        IsNullE(l, neg)
+      } else {
         val op = next() match {
           case TSym(s) if Set(">=", "<=", "!=", "<>", "==", "=", "<", ">").contains(s) =>
             if (s == "==") "=" else if (s == "<>") "!=" else s
           case t => throw ParseException(s"expected comparison operator, got $t")
         }
-        val r = operand()
-        Cmp(op, l, r)
+        Cmp(op, l, addOperand())
       }
+    }
 
-    private def operand(): Operand = peek match {
+    private def addOperand(): Operand = {
+      var e = mulOperand()
+      var go = true
+      while (go) {
+        if (sym("+")) e = OArith("+", e, mulOperand())
+        else if (sym("-")) e = OArith("-", e, mulOperand())
+        else go = false
+      }
+      e
+    }
+
+    private def mulOperand(): Operand = {
+      var e = unaryOperand()
+      var go = true
+      while (go) {
+        if (sym("*")) e = OArith("*", e, unaryOperand())
+        else if (sym("/")) e = OArith("/", e, unaryOperand())
+        else go = false
+      }
+      e
+    }
+
+    private def unaryOperand(): Operand =
+      if (sym("-")) unaryOperand() match {
+        case OLit(BInt(v))   => OLit(BInt(-v))
+        case OLit(BFloat(v)) => OLit(BFloat(-v))
+        case x               => ONeg(x)
+      }
+      else primaryOperand()
+
+    private def primaryOperand(): Operand = peek match {
       case TNum(s) =>
         pos += 1
         if (s.contains('.')) OLit(BFloat(s.toDouble)) else OLit(BInt(s.toLong))
       case TStr(s) => pos += 1; OLit(BStr(s))
       case TIdent(id) if id.equalsIgnoreCase("true") => pos += 1; OLit(BBool(true))
       case TIdent(id) if id.equalsIgnoreCase("false") => pos += 1; OLit(BBool(false))
+      case TIdent(id) if id.equalsIgnoreCase("null") => pos += 1; OLit(BNull)
       case TIdent(id) if aggFns.contains(id.toLowerCase) &&
           toks(pos + 1) == TSym("(") =>
         pos += 2
@@ -245,6 +318,11 @@ object Parser {
         expectSym(")")
         OAgg(id.toLowerCase, arg)
       case TIdent(_) => ORef(rawName())
+      case TSym("(") =>
+        pos += 1
+        val e = addOperand()
+        expectSym(")")
+        e
       case t => throw ParseException(s"expected operand, got $t")
     }
 
