@@ -145,13 +145,31 @@ object Compiler {
       case AggItem(_, None)    => Seq.empty
       case ExprItem(e, _)      => operandRefs(e)
     }
+
+    // A bare ORDER BY name resolves against select-item output names
+    // first (standard SQL: the output column shadows any source field),
+    // then falls through to a field ref. Without this, `ORDER BY d` for
+    // `SELECT cpu - mem AS d` would fabricate a phantom series 'd' whose
+    // empty frame silently annihilates the exact-ts join.
+    val orderItems: Seq[OrderItem] = spec.orderBy.map { o =>
+      o.item match {
+        case FieldItem(RawName(Seq(n))) if !n.equalsIgnoreCase("ts") =>
+          spec.select.collectFirst {
+            case it @ ExprItem(_, nm) if nm == n                       => it
+            case it @ AggItem(f, a) if aggColName(f, a.map(ref)) == n  => it
+            case it @ FieldItem(m) if ref(m).outName == n              => it
+          }.fold(o)(it => o.copy(item = it))
+        case _ => o
+      }
+    }
+
     val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
         spec.where.toSeq.flatMap(exprRefs) ++
         spec.joins.flatMap(_.on.toSeq.flatMap(exprRefs)) ++
         spec.groupBy.map(ref) ++
         spec.having.toSeq.flatMap(exprRefs) ++
-        spec.orderBy.flatMap(o => itemRefs(o.item))).distinct
+        orderItems.flatMap(o => itemRefs(o.item))).distinct
     if (allRefs.isEmpty) throw CompileException("query references no fields")
 
     // --- per-source frame: per-series projection + exact-ts align ------
@@ -280,7 +298,7 @@ object Compiler {
         case NotE(x)       => havingAggs(x)
       }
       val selectAggs = spec.select.flatMap(itemAggs)
-      val orderAggs = spec.orderBy.map(_.item).flatMap(itemAggs)
+      val orderAggs = orderItems.map(_.item).flatMap(itemAggs)
       val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(havingAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
@@ -314,28 +332,35 @@ object Compiler {
 
     if (spec.distinct) {
       // SQL DISTINCT semantics: dedup the projected rows, THEN order and
-      // limit — so ORDER BY keys must be select-shaped here (enforced
-      // structurally: a computed key must match a selected expression)
+      // limit — so every ORDER BY key must name a selected output column
+      // (a computed key must match a selected expression); anything else
+      // is a compile error, not a runtime unresolved-column surprise
       val out = projected.select(spec.select.map(outputCol): _*).distinct()
+      val selectedNames = spec.select.map(itemOutName).toSet
       def distinctOrderCol(i: SelectItem): Column = i match {
         case ExprItem(e, _) =>
           spec.select.collectFirst {
             case ExprItem(e2, nm) if e2 == e => col(nm)
           }.getOrElse(throw CompileException(
             "ORDER BY under DISTINCT must be a selected item"))
-        case other => col(itemOutName(other))
+        case other =>
+          val nm = itemOutName(other)
+          if (!selectedNames.contains(nm))
+            throw CompileException(
+              s"ORDER BY under DISTINCT must be a selected item ($nm is not)")
+          col(nm)
       }
       val ordered =
-        if (spec.orderBy.isEmpty) out
-        else out.orderBy(spec.orderBy.map { o =>
+        if (orderItems.isEmpty) out
+        else out.orderBy(orderItems.map { o =>
           val c = distinctOrderCol(o.item)
           if (o.asc) c.asc else c.desc
         }: _*)
       spec.limit.fold(ordered)(ordered.limit)
     } else {
       val ordered =
-        if (spec.orderBy.isEmpty) projected
-        else projected.orderBy(spec.orderBy.map { o =>
+        if (orderItems.isEmpty) projected
+        else projected.orderBy(orderItems.map { o =>
           val c = orderCol(o.item)
           if (o.asc) c.asc else c.desc
         }: _*)

@@ -106,6 +106,15 @@ object Parser {
       case TIdent(s) => s
       case t => throw ParseException(s"expected identifier, got $t")
     }
+    /** An alias must not be a keyword — `SELECT cpu AS from` would mint
+      * an output column that can never be referenced again (mirrors the
+      * bare-alias path's keyword exclusion in source()).
+      */
+    private def aliasIdent(): String = next() match {
+      case TIdent(s) if !keywords.contains(s.toLowerCase) => s
+      case TIdent(s) => throw ParseException(s"keyword '$s' cannot be an alias")
+      case t => throw ParseException(s"expected alias identifier, got $t")
+    }
 
     def query(): QuerySpec = {
       expectKw("select")
@@ -176,7 +185,7 @@ object Parser {
       */
     private def selectItem(idx: Int): SelectItem = {
       val e = addOperand()
-      val alias = if (kw("as")) Some(ident()) else None
+      val alias = if (kw("as")) Some(aliasIdent()) else None
       (e, alias) match {
         case (ORef(n), None)     => FieldItem(n)
         case (OAgg(f, a), None)  => AggItem(f, a)
@@ -217,7 +226,7 @@ object Parser {
       expectSym(".")
       val family = ident()
       val alias = peek match {
-        case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(ident())
+        case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(aliasIdent())
         case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
         case _ => None
       }

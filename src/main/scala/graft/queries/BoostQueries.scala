@@ -83,6 +83,29 @@ object BoostQueries {
         "WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id, b.error.event_id")),
 
+    // IS NULL over left-join null extension — the dialect face of the
+    // engine's nil cells (unset ResultSet cells, executor.go:609-645):
+    // purchases whose user never produced an error above 250
+    "boost_null_attr" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase " +
+        "FROM dom.events AS a LEFT OUTER JOIN dom.events AS b " +
+        "ON a.purchase.user = b.error.user AND b.error > 250.0 " +
+        "WHERE b.error IS NULL AND a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id")),
+
+    // arithmetic operands (extension: the reference's whereparser
+    // rejects anything beyond literal/field comparisons) + ORDER BY on
+    // a select alias (sorts the aliased expression, not a phantom field)
+    "boost_arith" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase * 2.0 - 100.0 AS adj " +
+        "FROM dom.events WHERE purchase * 0.5 > 100.0 " +
+        "ORDER BY adj DESC, purchase.event_id")),
+
+    // DISTINCT dedups the projected rows, THEN orders and limits
+    "boost_distinct" -> ((s, d) =>
+      run(s, d, "SELECT DISTINCT purchase.user FROM dom.events " +
+        "ORDER BY purchase.user LIMIT 50")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -166,6 +189,26 @@ object BoostQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
         |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR) AND b.value > 250.0
         |ORDER BY a_purchase_event_id, b_error_event_id NULLS FIRST""".stripMargin,
+
+    "boost_null_attr" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error' AND value > 250.0) b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |WHERE b.value IS NULL
+        |ORDER BY a_purchase_event_id""".stripMargin,
+
+    "boost_arith" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value * 2.0 - 100.0 AS adj
+        |FROM events WHERE event_type = 'purchase' AND value * 0.5 > 100.0
+        |ORDER BY adj DESC, purchase_event_id""".stripMargin,
+
+    "boost_distinct" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS purchase_user
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY purchase_user LIMIT 50""".stripMargin,
 
     "boost_roundtrip" ->
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view

@@ -207,6 +207,110 @@ class BoostQLSpec extends SparkSpec {
     assert(d.count() == 0)
   }
 
+  // ---- round-5 surface: NULL, arithmetic, aliases, DISTINCT ----------
+
+  test("NULL three-valued semantics: = NULL matches nothing, IS NULL sees absence") {
+    // `user` is present on every point; `region` exists on no point and
+    // no tag → decodes to null (the reference's unset ResultSet cells)
+    val eqNull = Compiler.compile(Parser.parse(
+      "SELECT click FROM dom.events WHERE click.user = NULL"), fam)
+    assert(eqNull.count() == 0)
+    val neNull = Compiler.compile(Parser.parse(
+      "SELECT click FROM dom.events WHERE click.user != NULL"), fam)
+    assert(neNull.count() == 0, "x != NULL is unknown, not true")
+    val isNull = Compiler.compile(Parser.parse(
+      "SELECT click, click.region FROM dom.events WHERE click.region IS NULL"), fam)
+    val isNotNull = Compiler.compile(Parser.parse(
+      "SELECT click FROM dom.events WHERE click.user IS NOT NULL"), fam)
+    val total = Compiler.compile(Parser.parse("SELECT click FROM dom.events"), fam).count()
+    assert(isNull.count() == total && total > 0)
+    assert(isNotNull.count() == total)
+  }
+
+  test("parser: arithmetic precedence and unary-minus folding") {
+    val q = Parser.parse("SELECT cpu FROM dom.f WHERE cpu > cpu + mem * 2")
+    q.where.get match {
+      case Cmp(">", _, OArith("+", ORef(_), OArith("*", ORef(_), OLit(BInt(2))))) => ()
+      case other => fail(s"* should bind tighter than +: $other")
+    }
+    // literal negation folds at parse time; field negation stays ONeg
+    val n = Parser.parse("SELECT cpu FROM dom.f WHERE cpu > -5")
+    assert(n.where.contains(Cmp(">", ORef(RawName(Seq("cpu"))), OLit(BInt(-5)))))
+    val f = Parser.parse("SELECT -cpu AS neg FROM dom.f")
+    assert(f.select.head == ExprItem(ONeg(ORef(RawName(Seq("cpu")))), "neg"))
+  }
+
+  test("parser: paren backtracking — arithmetic operand vs boolean group") {
+    val arith = Parser.parse("SELECT cpu FROM dom.f WHERE (cpu + 1) > 2")
+    assert(arith.where.exists(_.isInstanceOf[Cmp]))
+    val group = Parser.parse("SELECT cpu FROM dom.f WHERE (cpu = 1) AND mem = 2")
+    assert(group.where.exists(_.isInstanceOf[AndE]))
+  }
+
+  test("compiler: arithmetic expressions compile to column math") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click, click * 2.0 + 1.0 AS scaled FROM dom.events WHERE click > click - 1.0"), fam)
+    val rows = df.collect()
+    val total = fam.filter(col("series") === "click").count()
+    assert(rows.length == total && total > 0)
+    assert(rows.forall(r => math.abs(r.getDouble(1) - (r.getDouble(0) * 2.0 + 1.0)) < 1e-9))
+  }
+
+  test("ORDER BY select alias sorts the aliased expression (no phantom series)") {
+    // regression: `ORDER BY d` used to fabricate a series 'd' whose empty
+    // frame annihilated the exact-ts join → silently zero rows
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click * 2.0 AS d FROM dom.events ORDER BY d DESC LIMIT 5"), fam)
+    val got = df.collect().map(_.getDouble(1)).toSeq
+    assert(got.nonEmpty, "alias ORDER BY must not empty the result")
+    assert(got == got.sorted.reverse)
+    // aggregate alias too: ORDER BY n = ORDER BY count(*)
+    val agg = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) AS n FROM dom.events " +
+        "GROUP BY purchase.user ORDER BY n DESC, purchase.user LIMIT 3"), fam)
+    val counts = agg.collect().map(_.getLong(1)).toSeq
+    assert(counts.nonEmpty && counts == counts.sorted.reverse)
+  }
+
+  test("DISTINCT dedups projected rows, then orders and limits") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT DISTINCT click.user FROM dom.events ORDER BY click.user LIMIT 5"), fam)
+    val manual = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "user").as("u"))
+      .distinct().orderBy("u").limit(5)
+      .collect().map(_.getString(0)).toSeq
+    assert(df.collect().map(_.getString(0)).toSeq == manual && manual.nonEmpty)
+    // a non-selected ORDER BY key under DISTINCT is a compile error for
+    // every item kind, not a runtime unresolved-column surprise
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT DISTINCT click.user FROM dom.events ORDER BY click"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT DISTINCT click.user FROM dom.events ORDER BY count(*)"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT DISTINCT click.user FROM dom.events ORDER BY click + 1.0"), fam)
+    }
+  }
+
+  test("GROUP BY validation reaches inside ExprItems") {
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT click + 1.0 AS c, count(*) FROM dom.events GROUP BY click.user"), fam)
+    }
+  }
+
+  test("parser rejects keywords as aliases") {
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu AS from FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu AS select FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM dom.f AS where"))
+  }
+
   test("compiler: multi-source requires aliases and qualified refs") {
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
