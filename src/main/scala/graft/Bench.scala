@@ -1,6 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Time each query: `iters` runs in sorted name order, reporting the
+    * MEDIAN. A single iteration per query proved statistically unusable
+    * (round-3 bench swung 2.6x total / 26x per-query on byte-identical
+    * code — GC, JIT and page-cache interference in a 56-query shared
+    * session); the first iteration absorbs JIT/cache warmup and the
+    * median discards iterations a concurrent GC pause lands on.
+    *
+    * A query that throws on ANY iteration lands in the failed map with
+    * its error and contributes NO time — a broken query must never
+    * score its near-zero setup time and silently improve the total.
+    */
+  def run(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      iters: Int): (Seq[(String, Double)], Seq[(String, String)]) = {
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    val timed = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = Seq.fill(iters)(timeOnce(fn))
+      val errs = runs.collect { case Left(m) => m }
+      name -> (if (errs.nonEmpty) Left(errs.head)
+               else { val ok = runs.collect { case Right(t) => t }.sorted
+                      Right(ok(ok.length / 2)) })
+    }
+    (timed.collect { case (n, Right(t)) => n -> t },
+      timed.collect { case (n, Left(m)) => n -> m })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,27 +56,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.view.filterKeys(f).toMap)
-    // One timed run of a query = plan + execute + count. A single
-    // iteration per query proved statistically unusable (round-3 bench
-    // swung 2.6x total / 26x per-query on byte-identical code — GC, JIT
-    // and page-cache interference in a 56-query shared session), so each
-    // query runs `iters` times (sorted name order for run-to-run
-    // comparability) and reports the MEDIAN. The first iteration absorbs
-    // that query's JIT/cache warmup; the median then discards iterations
-    // a concurrent GC pause lands on.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = Array.fill(iters)(timeOnce(fn)).sorted
-      name -> ts(ts.length / 2)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (results, failed) = run(spark, sfDir, selected, iters)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    // failures are loud: nonzero exit so the harness flags the round
+    // instead of reading a silently-shrunk total
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -24,13 +24,27 @@ object StreamingOps {
   /** The file stream source requires a *directory*; the testdata is a
     * single parquet file. Stage a temp dir holding a symlink to it —
     * in production the source is the table's partition directory.
+    * One staged dir per sfDir for the JVM's lifetime (cleaned on exit);
+    * repeated calls must not leak a dir + symlink each.
     */
-  private def stageDir(sfDir: String): String = {
-    val dir = Files.createTempDirectory("graft-stream")
-    Files.createSymbolicLink(dir.resolve("events.parquet"),
-      Paths.get(s"$sfDir/events.parquet"))
-    dir.toString
-  }
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageDir(sfDir: String): String =
+    staged.computeIfAbsent(sfDir, { sf =>
+      val dir = Files.createTempDirectory("graft-stream")
+      dir.toFile.deleteOnExit()
+      val link = dir.resolve("events.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$sf/events.parquet"))
+      link.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** The NANOS-unit testdata requires this conf to be true; set it only
+    * when the effective value differs, so repeated calls don't keep
+    * rewriting a long-lived session's conf.
+    */
+  private def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Run a daily tumbling-window aggregate over the events table *as a
     * stream* (AvailableNow trigger: process all existing data in
@@ -39,7 +53,7 @@ object StreamingOps {
     * batch GROUP BY, which is exactly what the DuckDB oracle checks.
     */
   def windowedAggReplay(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     // file streams need an explicit schema; take it from the batch reader
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
@@ -67,7 +81,7 @@ object StreamingOps {
     */
   def streamIntoFamily(spark: SparkSession, sfDir: String, root: String,
       domain: String, family: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val fam = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -88,7 +102,7 @@ object StreamingOps {
     * the deduplicated count per event_type after full replay.
     */
   def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val deduped = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

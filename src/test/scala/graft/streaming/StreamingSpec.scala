@@ -41,4 +41,15 @@ class StreamingSpec extends SparkSpec {
       .orderBy("event_type").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("repeated streaming calls stage exactly one temp dir per sfDir") {
+    def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
+        !f.getName.startsWith("graft-stream-sink"))
+    StreamingOps.streamingDedupCounts(spark, sfDir).count()
+    val after1 = stagedDirs
+    StreamingOps.streamingDedupCounts(spark, sfDir).count()
+    StreamingOps.windowedAggReplay(spark, sfDir).count()
+    assert(stagedDirs == after1, "repeat calls must reuse the cached staged dir")
+  }
 }
