@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.boostql.{BoostQL, Compiler, Parser}
+import graft.sources.TimeSeriesTable
+import graft.tables.Tables
+
+/** Physical-plan regressions fail here instead of surfacing as bench
+  * mysteries: pushed filters must reach the parquet scan, nothing may
+  * plan a cartesian product except the deliberately-quadratic kernels,
+  * and the minhash pipeline must reuse its signature exchange.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    // collect(), not count(): count() plans a SEPARATE aggregate query,
+    // leaving this queryExecution unexecuted (isFinalPlan=false) — only
+    // an action on the same queryExecution drives AQE to the final plan
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dialect series/ts predicates reach the parquet scan as pushed filters") {
+    // the graft-written layout carries physical series + timestamp ts
+    // columns (the testdata adapter's NANOS-derived ts blocks stats
+    // pushdown by construction, pinned in BoostQLSpec)
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape").toString
+    TimeSeriesTable.append(
+      TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)), root, "dom", "events")
+    val stored = TimeSeriesTable.open(spark, root, "dom", "events")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click, ts FROM dom.events " +
+        "WHERE click > 50.0 AND ts >= '2024-01-10 00:00:00'"), stored)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), s"no pushed filters in:\n$plan")
+    assert(plan.contains("EqualTo(series,click)"),
+      s"series = 'click' must push into the scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(ts"),
+      s"ts bound must push into the scan:\n$plan")
+    assert(plan.contains("GreaterThan(value,50.0)"),
+      s"value predicate must push into the scan:\n$plan")
+  }
+
+  test("no cartesian product outside the deliberately-quadratic kernels") {
+    // ann_topk (brute-force verify baseline) and dd_embed_cosine (exact
+    // all-pairs by contract) are the two sanctioned quadratic paths;
+    // everything else must plan joins with keys
+    val checked = Seq(
+      "boost_select_where", "boost_join", "boost_left_join", "boost_null_attr",
+      "boost_arith", "boost_distinct", "q2_join_agg", "q5_multijoin",
+      "q_anti_join", "q_semi_join", "dd_exact", "dd_minhash_lsh",
+      "dd_ngram_jaccard", "dd_simhash", "ann_lsh", "ann_ivf",
+      "ts_asof_join", "ts_align_bucket", "ts_resample_locf",
+      "ts_interp_linear", "pipe_split", "pipe_shuffle", "txt_langid")
+    val offenders = checked.flatMap { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product planned in: ${offenders.mkString(", ")}")
+  }
+
+  test("dd_minhash_lsh computes the signature pipeline once (exchange reuse)") {
+    val plan = planOf(SparkEntry.queries("dd_minhash_lsh")(spark, sfDir))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"signature exchange should be computed once and reused:\n$plan")
+  }
+}
