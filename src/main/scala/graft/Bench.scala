@@ -24,6 +24,10 @@ object Bench {
       }
     }
     val timed = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the heap between queries: without this, a small query
+      // scheduled right after a heavy one pays the heavy query's GC
+      // debt, and with few iterations the median can't discard it
+      System.gc()
       val runs = Seq.fill(iters)(timeOnce(fn))
       val errs = runs.collect { case Left(m) => m }
       name -> (if (errs.nonEmpty) Left(errs.head)

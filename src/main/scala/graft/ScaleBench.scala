@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity proof for the dedup/ANN/pipeline tier: generate a
+  * deterministic 10x corpus from the base scale factor, bench the tier
+  * at both scales with the same median-of-N harness, and emit
+  * BENCH_scale.json with per-query growth ratios.
+  *
+  * Corpus construction (no RNG — byte-identical across runs):
+  *  - ids offset by replica * 100M (keeps them integral and disjoint);
+  *  - replica k>0 text goes through a per-replica substitution cipher
+  *    (alphabet rotated by k). An injective char map preserves shingle
+  *    equality WITHIN a replica — every near-dup cluster is reproduced
+  *    isomorphically, so output volume grows ~10x — while shingles
+  *    almost never collide ACROSS replicas, so clusters don't merge
+  *    into 10x-size blobs (which would make pair output quadratic by
+  *    construction and prove nothing about the operators);
+  *  - embedding components get a tiny per-replica additive offset
+  *    (cosine-visible; a multiplicative one would be cosine-invariant).
+  *
+  * dd_embed_cosine is excluded: exact all-pairs at a threshold is
+  * quadratic by contract (documented; scale-safe lshCandidates route
+  * exists in-repo).
+  */
+object ScaleBench {
+
+  private val IdOffset = 100000000L
+
+  private def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
+
+  def generate(spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val docReps = (0 until reps).map { k =>
+      val txt =
+        if (k == 0) col("text")
+        else translate(col("text"),
+          alpha + alpha.toUpperCase, rot(alpha, k) + rot(alpha, k).toUpperCase)
+      docs.select((col("doc_id") + lit(k * IdOffset)).as("doc_id"), txt.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embReps = (0 until reps).map { k =>
+      embs.select((col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(k * 1e-4f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }
+    embReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outJson = args.headOption.getOrElse("BENCH_scale.json")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(s"$scaleDir/documents.parquet")) ||
+        sys.env.contains("SPARK_GRAFT_REGEN")) {
+      System.err.println(s"[scale] generating ${reps}x corpus under $scaleDir")
+      generate(spark, baseDir, scaleDir, reps)
+    }
+
+    val tier = SparkEntry.queries.filter { case (n, _) =>
+      (n.startsWith("dd_") || n.startsWith("ann_") ||
+        n.startsWith("pipe_") || n.startsWith("txt_")) && n != "dd_embed_cosine"
+    }
+    // warm both corpora (footers, page cache, codegen)
+    Seq(baseDir, scaleDir).foreach { d =>
+      Seq("documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$d/$t.parquet").count()
+      }
+    }
+    System.err.println(s"[scale] benching ${tier.size} queries at base scale")
+    val (baseT, baseF) = Bench.run(spark, baseDir, tier, iters)
+    System.err.println(s"[scale] benching at ${reps}x")
+    val (scaleT, scaleF) = Bench.run(spark, scaleDir, tier, iters)
+
+    val baseMap = baseT.toMap
+    val ratios = scaleT.flatMap { case (n, t) =>
+      baseMap.get(n).map(b => n -> (if (b > 0) t / b else Double.NaN))
+    }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    def jfail(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString("{", ",", "}")
+    val totalBase = baseT.map(_._2).sum
+    val totalScale = scaleT.map(_._2).sum
+    val json =
+      s"""{"base_sf":"$baseDir","scale_dir":"$scaleDir","scale_factor":$reps,""" +
+      s""""iters":$iters,"excluded":["dd_embed_cosine (quadratic by exact-all-pairs contract)"],""" +
+      f""""total_base_sec":$totalBase%.3f,"total_scaled_sec":$totalScale%.3f,""" +
+      f""""total_ratio":${totalScale / totalBase}%.2f,""" +
+      s""""base":${jmap(baseT)},"scaled":${jmap(scaleT)},"ratio":${jmap(ratios)},""" +
+      s""""failed_base":${jfail(baseF)},"failed_scaled":${jfail(scaleF)}}"""
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(json)
+    spark.stop()
+    if (baseF.nonEmpty || scaleF.nonEmpty) sys.exit(2)
+  }
+}

@@ -91,15 +91,16 @@ object Ast {
 
   final case class Source(domain: String, family: String, alias: Option[String])
 
-  /** An additional FROM source: `[INNER|LEFT [OUTER]] JOIN src ON
-    * a.x = b.y` (on = the AND-chain of equality comparisons) or a bare
-    * comma `, src` (on = None → cross join, J2). The reference parses
-    * only the inner/cross shapes (query/parser/joinparser.go:84-201)
-    * and leaves `AddJoinOp` an empty stub (query/base/queryops.go:61-66)
-    * — here joins execute, and LEFT OUTER (the first thing a real user
-    * reaches for beyond the reference's grammar) is added to the
-    * dialect. `joinType` is a Spark join-type string: "inner" | "left";
-    * cross is encoded as on = None.
+  /** An additional FROM source: `[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN
+    * src ON a.x = b.y` (on = the AND-chain of equality comparisons) or
+    * a bare comma `, src` (on = None → cross join, J2). The reference
+    * parses only the inner/cross shapes (query/parser/joinparser.go:
+    * 84-201) and leaves `AddJoinOp` an empty stub (query/base/queryops
+    * .go:61-66) — here joins execute, and the outer-join family (the
+    * first thing a real user reaches for beyond the reference's
+    * grammar) is added to the dialect. `joinType` is a Spark join-type
+    * string: "inner" | "left" | "right" | "full"; cross is encoded as
+    * on = None.
     */
   final case class JoinClause(source: Source, on: Option[BExpr],
       joinType: String = "inner")

@@ -159,6 +159,14 @@ object Compiler {
             case it @ AggItem(f, a) if aggColName(f, a.map(ref)) == n  => it
             case it @ FieldItem(m) if ref(m).outName == n              => it
           }.fold(o)(it => o.copy(item = it))
+        // ORDER BY <ordinal>: a bare integer literal names a select
+        // position (sorting on a constant is meaningless, so the SQL
+        // reading is unambiguous)
+        case ExprItem(OLit(BInt(p)), _) =>
+          if (p < 1 || p > spec.select.length)
+            throw CompileException(
+              s"ORDER BY position $p is out of range 1..${spec.select.length}")
+          o.copy(item = spec.select(p.toInt - 1))
         case _ => o
       }
     }
@@ -241,8 +249,8 @@ object Compiler {
     }
 
     // --- fold sources through joins ------------------------------------
-    // joinType "left" null-extends the right source's columns for
-    // unmatched left rows, exactly Spark's LeftOuter semantics
+    // joinType "left"/"right"/"full" null-extends the unmatched side(s),
+    // exactly Spark's outer-join semantics
     val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
       case (acc, (JoinClause(_, on, joinType), i)) =>
         val right = sourceFrame(i + 1)

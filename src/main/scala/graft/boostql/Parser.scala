@@ -46,8 +46,8 @@ object Parser {
 
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
-    "false", "join", "inner", "cross", "on", "left", "outer", "is", "null",
-    "distinct")
+    "false", "join", "inner", "cross", "on", "left", "right", "full",
+    "outer", "is", "null", "distinct")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -137,30 +137,39 @@ object Parser {
       }
     }
 
-    /** `JOIN src ON cond` (INNER optional), `LEFT [OUTER] JOIN src ON
-      * cond`, `CROSS JOIN src`, or the comma form `, src` (cross join
-      * via FROM list — the TiDB join-tree shape the reference captures,
-      * joinparser.go:86-97; LEFT OUTER is a dialect extension beyond
-      * the reference's inner/cross-only grammar).
+    /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]
+      * JOIN src ON cond`, `CROSS JOIN src`, or the comma form `, src`
+      * (cross join via FROM list — the TiDB join-tree shape the
+      * reference captures, joinparser.go:86-97; the outer-join family
+      * is a dialect extension beyond the reference's inner/cross-only
+      * grammar).
       */
     private def joinClauses(): Seq[JoinClause] = {
       val b = Seq.newBuilder[JoinClause]
       var more = true
       while (more) {
+        def outerJoin(): Option[String] =
+          if (kw("left")) Some("left")
+          else if (kw("right")) Some("right")
+          else if (kw("full")) Some("full")
+          else None
         if (sym(",")) b += JoinClause(source(), None)
         else if (kw("cross")) { expectKw("join"); b += JoinClause(source(), None) }
-        else if (kw("left")) {
-          kw("outer") // optional
-          expectKw("join")
-          val s = source()
-          expectKw("on")
-          b += JoinClause(s, Some(andExpr()), "left")
-        } else if (kw("inner") || peekIsKw("join")) {
-          expectKw("join")
-          val s = source()
-          expectKw("on")
-          b += JoinClause(s, Some(andExpr()))
-        } else more = false
+        else outerJoin() match {
+          case Some(jt) =>
+            kw("outer") // optional
+            expectKw("join")
+            val s = source()
+            expectKw("on")
+            b += JoinClause(s, Some(andExpr()), jt)
+          case None =>
+            if (kw("inner") || peekIsKw("join")) {
+              expectKw("join")
+              val s = source()
+              expectKw("on")
+              b += JoinClause(s, Some(andExpr()))
+            } else more = false
+        }
       }
       b.result()
     }

@@ -83,6 +83,15 @@ object BoostQueries {
         "WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id, b.error.event_id")),
 
+    // FULL OUTER JOIN: both sides null-extend (RIGHT is the mirror
+    // case, covered in BoostQLSpec); non-equi ON predicates keep rows
+    // of both inputs alive as null-extended rows
+    "boost_full_join" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.error.event_id, b.error " +
+        "FROM dom.events AS a FULL OUTER JOIN dom.events AS b " +
+        "ON a.purchase.user = b.error.user AND b.error > 250.0 AND a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id, b.error.event_id")),
+
     // IS NULL over left-join null extension — the dialect face of the
     // engine's nil cells (unset ResultSet cells, executor.go:609-645):
     // purchases whose user never produced an error above 250
@@ -189,6 +198,16 @@ object BoostQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
         |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR) AND b.value > 250.0
         |ORDER BY a_purchase_event_id, b_error_event_id NULLS FIRST""".stripMargin,
+
+    "boost_full_join" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_error_event_id, b.value AS b_error
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  AND b.value > 250.0 AND a.value > 300.0
+        |ORDER BY a_purchase_event_id NULLS FIRST, b_error_event_id NULLS FIRST""".stripMargin,
 
     "boost_null_attr" ->
       """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,

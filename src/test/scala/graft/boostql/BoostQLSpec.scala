@@ -305,6 +305,60 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("parser: RIGHT/FULL outer join forms") {
+    val r = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a RIGHT JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(r.joins.head.joinType == "right")
+    val ro = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a RIGHT OUTER JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(ro.joins.head.joinType == "right")
+    val f = Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f1 AS a FULL OUTER JOIN dom.f2 AS b ON a.cpu.host = b.mem.host")
+    assert(f.joins.head.joinType == "full")
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT a.cpu FROM dom.f1 AS a RIGHT dom.f2 AS b ON a.cpu = b.cpu"))
+  }
+
+  test("compiler: RIGHT JOIN mirrors LEFT; FULL extends both sides") {
+    // RIGHT: every error row survives; purchases only where matched
+    val right = Compiler.compile(Parser.parse(
+      "SELECT a.purchase, b.error.event_id, b.error FROM dom.events AS a " +
+        "RIGHT JOIN dom.events AS b ON a.purchase.user = b.error.user " +
+        "AND a.purchase > 300.0"),
+      (_: (String, String)) => fam)
+    val mirror = Compiler.compile(Parser.parse(
+      "SELECT a.purchase, b.error.event_id, b.error FROM dom.events AS b " +
+        "LEFT JOIN dom.events AS a ON a.purchase.user = b.error.user " +
+        "AND a.purchase > 300.0"),
+      (_: (String, String)) => fam)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until 3).map(i => if (r.isNullAt(i)) "null" else r.get(i).toString)
+        .mkString("|")).sorted.toSeq
+    assert(keyed(right) == keyed(mirror) && keyed(right).nonEmpty)
+    assert(keyed(right).exists(_.startsWith("null|")), "unmatched errors null-extend")
+    // FULL: both null-extension directions present (threshold 150, not
+    // 250 — error values top out just above 200 at sf0.001)
+    val full = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, b.error.event_id FROM dom.events AS a " +
+        "FULL OUTER JOIN dom.events AS b ON a.purchase.user = b.error.user " +
+        "AND b.error > 150.0"),
+      (_: (String, String)) => fam)
+    val rows = full.collect()
+    assert(rows.exists(_.isNullAt(0)) && rows.exists(_.isNullAt(1)))
+    assert(rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("ORDER BY ordinal names a select position") {
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click FROM dom.events ORDER BY 2 DESC LIMIT 5"), fam)
+    val got = df.collect().map(_.getDouble(1)).toSeq
+    assert(got.nonEmpty && got == got.sorted.reverse)
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT click FROM dom.events ORDER BY 3"), fam)
+    }
+  }
+
   test("parser rejects keywords as aliases") {
     intercept[Parser.ParseException](Parser.parse("SELECT cpu AS from FROM dom.f"))
     intercept[Parser.ParseException](Parser.parse("SELECT cpu AS select FROM dom.f"))
