@@ -53,4 +53,15 @@ object BoostQL {
 
   private val testdataCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist and drop cached testdata frames — for `spark` only, or
+    * all sessions when omitted. The harness never needs this (one
+    * session, two dirs); a long-lived host embedding the facade does.
+    */
+  def evictTestdataCache(spark: Option[SparkSession] = None): Unit = {
+    val keys = testdataCache.keys.filter(k => spark.forall(_ eq k._1)).toSeq
+    keys.foreach { k =>
+      testdataCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 }

@@ -46,13 +46,31 @@ object StreamingOps {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Run `body` (which must start AND await a streaming query) with
+    * `spark.sql.shuffle.partitions` = n, restoring the old value after.
+    * A stateful streaming query creates one state-store instance per
+    * shuffle partition PER micro-batch, so the partition count should
+    * track state size, not core count — and it is pinned into the
+    * checkpoint at first start, which is why it's an explicit knob here
+    * rather than whatever the session happened to be configured with.
+    * At 100 TB state you'd raise it; for these replays 4 is plenty
+    * (measured: 32 → 4 cuts the dedup replay ~1.5x at sf0.1).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Run a daily tumbling-window aggregate over the events table *as a
     * stream* (AvailableNow trigger: process all existing data in
     * micro-batches, then stop), materializing into an in-memory sink.
     * Returns the final batch DataFrame — semantically identical to the
     * batch GROUP BY, which is exactly what the DuckDB oracle checks.
     */
-  def windowedAggReplay(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedAggReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
     ensureNanosAsLong(spark)
     // file streams need an explicit schema; take it from the batch reader
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -63,9 +81,11 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
-    val query = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.table(sink)
       .select(unix_micros(col("window.start")).as("w_start_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -101,7 +121,8 @@ object StreamingOps {
     * watermark horizon — the streaming face of the dedup tier. Returns
     * the deduplicated count per event_type after full replay.
     */
-  def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingDedupCounts(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
     ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val deduped = spark.readStream.schema(schema).parquet(stageDir(sfDir))
@@ -110,9 +131,11 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val sink = "graft_dedup_" + UUID.randomUUID.toString.replace("-", "")
-    val query = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val query = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
     spark.table(sink).select(col("event_type"), col("n"))
       .orderBy("event_type")
   }

@@ -365,6 +365,14 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM dom.f AS where"))
   }
 
+  test("testdata cache evicts and repopulates") {
+    assert(BoostQL.onTestdata(spark, sfDir)(
+      "SELECT click FROM dom.events LIMIT 1").count() == 1)
+    BoostQL.evictTestdataCache(Some(spark))
+    assert(BoostQL.onTestdata(spark, sfDir)(
+      "SELECT click FROM dom.events LIMIT 1").count() == 1)
+  }
+
   test("compiler: multi-source requires aliases and qualified refs") {
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
