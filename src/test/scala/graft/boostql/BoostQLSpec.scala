@@ -365,6 +365,27 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException](Parser.parse("SELECT cpu FROM dom.f AS where"))
   }
 
+  test("multi-source: arithmetic across aliases + ORDER BY alias/output name") {
+    // cross-alias arithmetic in an ExprItem, ordered by its alias — the
+    // alias-resolution rewrite must work when refs are alias-qualified
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.click.user, a.click - b.view AS d FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user " +
+        "ORDER BY d DESC LIMIT 10"),
+      (_: (String, String)) => fam)
+    val got = df.collect().map(_.getDouble(1)).toSeq
+    assert(got.nonEmpty && got == got.sorted.reverse)
+    // ORDER BY a prefixed output name (a_click) resolves to the field,
+    // not a phantom series
+    val byOut = Compiler.compile(Parser.parse(
+      "SELECT a.click, b.view FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user " +
+        "ORDER BY a_click LIMIT 10"),
+      (_: (String, String)) => fam)
+    val vals = byOut.collect().map(_.getDouble(0)).toSeq
+    assert(vals.nonEmpty && vals == vals.sorted)
+  }
+
   test("testdata cache evicts and repopulates") {
     assert(BoostQL.onTestdata(spark, sfDir)(
       "SELECT click FROM dom.events LIMIT 1").count() == 1)

@@ -1,0 +1,93 @@
+package graft.boostql
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import Ast._
+
+/** ScalaCheck properties over the dialect's arithmetic grammar: random
+  * expression trees are rendered to SQL two ways — fully parenthesized
+  * and with precedence-minimal parens — and both must parse back to an
+  * operand that evaluates to the tree's own value. Pins operator
+  * precedence, left associativity, paren handling, and unary-minus
+  * folding against an independent evaluator.
+  */
+object ParserProps extends Properties("graft.boostql.parser") {
+
+  private sealed trait T
+  private case class Leaf(v: Long) extends T
+  private case class Neg(x: T) extends T
+  private case class Bin(op: String, l: T, r: T) extends T
+
+  private def tree(depth: Int): Gen[T] =
+    if (depth <= 0) Gen.choose(0L, 9L).map(Leaf)
+    else Gen.frequency(
+      3 -> Gen.choose(0L, 9L).map(Leaf),
+      1 -> Gen.lzy(tree(depth - 1).map(Neg)),
+      4 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- Gen.lzy(tree(depth - 1))
+        r <- Gen.lzy(tree(depth - 1))
+      } yield Bin(op, l, r)))
+
+  private def eval(t: T): Long = t match {
+    case Leaf(v)       => v
+    case Neg(x)        => -eval(x)
+    case Bin("+", l, r) => eval(l) + eval(r)
+    case Bin("-", l, r) => eval(l) - eval(r)
+    case Bin("*", l, r) => eval(l) * eval(r)
+    case Bin(op, _, _)  => sys.error(op)
+  }
+
+  private def full(t: T): String = t match {
+    case Leaf(v)        => v.toString
+    case Neg(x)         => s"(- ${full(x)})"
+    case Bin(op, l, r)  => s"(${full(l)} $op ${full(r)})"
+  }
+
+  /** Precedence-minimal rendering: * binds tighter than +/-; operators
+    * are left-associative, so a right child at the same precedence is
+    * parenthesized (it matters for `-`), a left child is not.
+    */
+  private def prec(t: T): Int = t match {
+    case Bin("+", _, _) | Bin("-", _, _) => 1
+    case Bin("*", _, _)                  => 2
+    case _                               => 3
+  }
+  private def minimal(t: T): String = t match {
+    case Leaf(v) => v.toString
+    case Neg(x)  => if (prec(x) < 3) s"- (${minimal(x)})" else s"- ${minimal(x)}"
+    case b @ Bin(op, l, r) =>
+      val ls = if (prec(l) < prec(b)) s"(${minimal(l)})" else minimal(l)
+      val rs = if (prec(r) <= prec(b)) s"(${minimal(r)})" else minimal(r)
+      s"$ls $op $rs"
+  }
+
+  private def evalOperand(o: Operand): Long = o match {
+    case OLit(BInt(v))   => v
+    case ONeg(x)         => -evalOperand(x)
+    case OArith("+", l, r) => evalOperand(l) + evalOperand(r)
+    case OArith("-", l, r) => evalOperand(l) - evalOperand(r)
+    case OArith("*", l, r) => evalOperand(l) * evalOperand(r)
+    case other           => sys.error(s"unexpected operand $other")
+  }
+
+  private def parseExpr(sql: String): Operand =
+    Parser.parse(s"SELECT $sql AS v FROM d.f").select.head match {
+      case ExprItem(e, "v") => e
+      case other            => sys.error(s"unexpected item $other")
+    }
+
+  private val trees = Gen.choose(0, 4).flatMap(tree)
+
+  property("fully parenthesized rendering parses to the tree's value") =
+    forAll(trees) { t => evalOperand(parseExpr(full(t))) == eval(t) }
+
+  property("precedence-minimal rendering parses to the same value") =
+    forAll(trees) { t => evalOperand(parseExpr(minimal(t))) == eval(t) }
+
+  property("literal negation folds at parse time (no ONeg over literals)") =
+    forAll(Gen.choose(0L, 99L)) { v =>
+      parseExpr(s"- $v") == OLit(BInt(-v))
+    }
+}
