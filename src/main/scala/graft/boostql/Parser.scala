@@ -88,6 +88,19 @@ object Parser {
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
+    // recursion guard: the recursive-descent productions self-nest
+    // through parens / NOT / unary minus, so adversarially deep input
+    // would otherwise kill the JVM thread with StackOverflowError (an
+    // Error, not a catchable parse failure). 500 is far beyond any
+    // human query and well inside the default stack.
+    private var depth = 0
+    private val MaxDepth = 500
+    private def nested[T](body: => T): T = {
+      depth += 1
+      if (depth > MaxDepth)
+        throw ParseException(s"expression nesting exceeds $MaxDepth")
+      try body finally depth -= 1
+    }
     private def peek: Tok = toks(pos)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
     private def kw(s: String): Boolean = peek match {
@@ -259,16 +272,18 @@ object Parser {
       * backtrack and reparse as `( or )`.
       */
     private def cmpExpr(): BExpr =
-      if (kw("not")) NotE(cmpExpr())
+      if (kw("not")) NotE(nested(cmpExpr()))
       else {
         val save = pos
         try comparison()
         catch {
+          case e: ParseException if e.getMessage.startsWith("expression nesting") =>
+            throw e // never retry a depth overflow as a boolean group
           case e: ParseException =>
             if (toks(save) == TSym("(")) {
               pos = save
               expectSym("(")
-              val x = orExpr()
+              val x = nested(orExpr())
               expectSym(")")
               x
             } else throw e
@@ -314,7 +329,7 @@ object Parser {
     }
 
     private def unaryOperand(): Operand =
-      if (sym("-")) unaryOperand() match {
+      if (sym("-")) nested(unaryOperand()) match {
         case OLit(BInt(v))   => OLit(BInt(-v))
         case OLit(BFloat(v)) => OLit(BFloat(-v))
         case x               => ONeg(x)
@@ -338,7 +353,7 @@ object Parser {
       case TIdent(_) => ORef(rawName())
       case TSym("(") =>
         pos += 1
-        val e = addOperand()
+        val e = nested(addOperand())
         expectSym(")")
         e
       case t => throw ParseException(s"expected operand, got $t")

@@ -90,4 +90,32 @@ object ParserProps extends Properties("graft.boostql.parser") {
     forAll(Gen.choose(0L, 99L)) { v =>
       parseExpr(s"- $v") == OLit(BInt(-v))
     }
+
+  // ---- robustness: hostile input must fail as ParseException ----------
+
+  private val soupToken: Gen[String] = Gen.oneOf(
+    Gen.oneOf("SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "(", ")", ",",
+      ".", "*", "+", "-", "/", "=", "<", ">=", "IS", "NULL", "AS", "JOIN"),
+    Gen.identifier.map(_.take(8)),
+    Gen.choose(0, 999).map(_.toString),
+    Gen.alphaStr.map(s => s"'${s.take(6)}'"))
+
+  property("random token soup parses or throws ParseException, never anything else") =
+    forAll(Gen.listOfN(30, soupToken)) { toks =>
+      try { Parser.parse(toks.mkString(" ")); true }
+      catch {
+        case _: Parser.ParseException => true
+        case _: Throwable             => false
+      }
+    }
+
+  property("adversarial nesting depth is a ParseException, not StackOverflowError") =
+    forAll(Gen.oneOf(600, 5000, 50000)) { d =>
+      val deep = "(" * d + "1" + ")" * d
+      try { Parser.parse(s"SELECT cpu FROM d.f WHERE cpu > $deep"); false }
+      catch {
+        case _: Parser.ParseException => true
+        case _: Throwable             => false
+      }
+    }
 }
