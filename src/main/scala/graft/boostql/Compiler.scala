@@ -171,11 +171,32 @@ object Compiler {
       }
     }
 
+    // A bare GROUP BY name matching a select alias groups by that
+    // aliased EXPRESSION (`SELECT click * 0.5 AS half ... GROUP BY
+    // half`) — same phantom-series hazard as ORDER BY: treating the
+    // alias as a field ref would silently empty the join.
+    val groupEntries: Seq[Either[SField, ExprItem]] = spec.groupBy.map { n =>
+      n.parts match {
+        case Seq(one) =>
+          spec.select.collectFirst {
+            case it @ ExprItem(_, nm) if nm == one => it
+          }.map(Right(_)).getOrElse(Left(ref(n)))
+        case _ => Left(ref(n))
+      }
+    }
+    // output names of grouped-by expressions: post-aggregation these
+    // exist as grouping columns and must be read back, not recomputed
+    val groupedExprNames: Set[String] =
+      groupEntries.collect { case Right(ExprItem(_, nm)) => nm }.toSet
+
     val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
         spec.where.toSeq.flatMap(exprRefs) ++
         spec.joins.flatMap(_.on.toSeq.flatMap(exprRefs)) ++
-        spec.groupBy.map(ref) ++
+        groupEntries.flatMap {
+          case Left(sf) => Seq(sf)
+          case Right(ExprItem(e, _)) => operandRefs(e)
+        } ++
         spec.having.toSeq.flatMap(exprRefs) ++
         orderItems.flatMap(o => itemRefs(o.item))).distinct
     if (allRefs.isEmpty) throw CompileException("query references no fields")
@@ -279,10 +300,14 @@ object Compiler {
       spec.groupBy.nonEmpty || spec.having.nonEmpty
 
     val projected: DataFrame = if (hasAgg) {
-      val groupCols = spec.groupBy.map(n => col(ref(n).inName))
+      val groupCols = groupEntries.map {
+        case Left(sf)               => col(sf.inName)
+        case Right(ExprItem(e, nm)) => operandColumn(e, aggOk = false).as(nm)
+      }
       // every bare (non-aggregated) select field must be a grouping key —
-      // inside ExprItems too (OAgg args are not bare: they aggregate)
-      val groupNames = spec.groupBy.map(ref).map(_.inName).toSet
+      // inside ExprItems too (OAgg args are not bare: they aggregate);
+      // an ExprItem that IS a grouping entry is exempt (it's the key)
+      val groupNames = groupEntries.collect { case Left(sf) => sf.inName }.toSet
       def bareRefs(o: Operand): Seq[SField] = o match {
         case ORef(n)         => Seq(ref(n))
         case OArith(_, l, r) => bareRefs(l) ++ bareRefs(r)
@@ -292,6 +317,7 @@ object Compiler {
       spec.select.foreach {
         case FieldItem(n) if !groupNames.contains(ref(n).inName) =>
           throw CompileException(s"${n.text} must appear in GROUP BY")
+        case ExprItem(_, nm) if groupedExprNames.contains(nm) => ()
         case ExprItem(e, nm) =>
           bareRefs(e).find(r => !groupNames.contains(r.inName)).foreach(r =>
             throw CompileException(s"$nm: ${r.outName} must appear in GROUP BY"))
@@ -329,11 +355,15 @@ object Compiler {
     def outputCol(i: SelectItem): Column = i match {
       case FieldItem(n)    => val r = ref(n); col(r.inName).as(r.outName)
       case a: AggItem      => col(itemColName(a))
+      // a grouped-by expression already exists as the grouping column —
+      // read it back (its base columns are gone post-aggregation)
+      case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
       case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg).as(nm)
     }
     // a computed ORDER BY key sorts on its compiled expression (an
     // arbitrary-expression sort, beyond select-shaped keys)
     def orderCol(i: SelectItem): Column = i match {
+      case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
       case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg)
       case other          => col(itemColName(other))
     }

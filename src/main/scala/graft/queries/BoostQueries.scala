@@ -110,6 +110,11 @@ object BoostQueries {
         "FROM dom.events WHERE purchase * 0.5 > 100.0 " +
         "ORDER BY adj DESC, purchase.event_id")),
 
+    // GROUP BY a select alias groups by the aliased expression
+    "boost_group_expr" -> ((s, d) =>
+      run(s, d, "SELECT click * 0.5 AS half, count(*) FROM dom.events " +
+        "GROUP BY half ORDER BY half LIMIT 20")),
+
     // DISTINCT dedups the projected rows, THEN orders and limits
     "boost_distinct" -> ((s, d) =>
       run(s, d, "SELECT DISTINCT purchase.user FROM dom.events " +
@@ -223,6 +228,11 @@ object BoostQueries {
         |  value * 2.0 - 100.0 AS adj
         |FROM events WHERE event_type = 'purchase' AND value * 0.5 > 100.0
         |ORDER BY adj DESC, purchase_event_id""".stripMargin,
+
+    "boost_group_expr" ->
+      """SELECT value * 0.5 AS half, count(*) AS count_star
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY half ORDER BY half LIMIT 20""".stripMargin,
 
     "boost_distinct" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS purchase_user

@@ -298,6 +298,27 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY select alias groups by the aliased expression") {
+    import org.apache.spark.sql.functions._
+    // regression: GROUP BY half previously fabricated a phantom series
+    // 'half' whose empty frame silently zeroed the result
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click * 0.5 AS half, count(*) FROM dom.events " +
+        "GROUP BY half ORDER BY half LIMIT 10"), fam)
+    val manual = fam.filter(col("series") === "click")
+      .groupBy((col("value") * 0.5).as("half")).agg(count(lit(1)).as("n"))
+      .orderBy("half").limit(10)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val got = df.collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == manual && got.nonEmpty)
+    // HAVING still applies over the expression grouping
+    val hv = Compiler.compile(Parser.parse(
+      "SELECT purchase - purchase AS z, count(*) FROM dom.events " +
+        "GROUP BY z HAVING count(*) > 1"), fam)
+    val rows = hv.collect()
+    assert(rows.length == 1 && rows.head.getDouble(0) == 0.0)
+  }
+
   test("GROUP BY validation reaches inside ExprItems") {
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
