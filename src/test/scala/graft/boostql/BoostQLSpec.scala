@@ -319,6 +319,23 @@ class BoostQLSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getDouble(0) == 0.0)
   }
 
+  test("arithmetic over aggregates in SELECT and HAVING") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(purchase) - min(purchase) AS spread " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING sum(purchase) * 2.0 > min(purchase) + 10.0 " +
+        "ORDER BY purchase.user"), fam)
+    val manual = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"), col("value"))
+      .groupBy("u").agg(sum("value").as("s"), min("value").as("m"))
+      .filter(col("s") * 2.0 > col("m") + 10.0)
+      .select(col("u"), (col("s") - col("m")).as("spread"))
+      .orderBy("u").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == manual && got.nonEmpty)
+  }
+
   test("GROUP BY validation reaches inside ExprItems") {
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
