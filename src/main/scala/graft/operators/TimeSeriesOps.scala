@@ -83,6 +83,25 @@ object TimeSeriesOps {
     df.withColumn(out, col(valCol) - lag(col(valCol), 1).over(w))
   }
 
+  /** Rolling z-score anomaly signal: `(v - mean) / stddev` over the
+    * trailing `window` rows per key (ROWS frame — exact SQL window
+    * semantics, a narrow single-pass per sorted partition at any
+    * scale). Rounded to 6 decimals so the value is engine-portable
+    * (double accumulation order differs across engines); windows with
+    * zero dispersion yield null — no anomaly signal on a flat series.
+    */
+  def rollingZScore(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], window: Int = 20,
+      out: String = "zscore"): DataFrame = {
+    require(window > 1, "window must cover at least 2 rows")
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val mu = avg(col(valCol)).over(w)
+    val sd = stddev_samp(col(valCol)).over(w)
+    df.withColumn(out, when(sd > 0, round((col(valCol) - mu) / sd, 6)))
+  }
+
   /** Per-key rate of change per second between consecutive points. */
   def rate(df: DataFrame, by: Seq[String], tsCol: String, valCol: String,
       tieBreak: Seq[String], out: String = "rate"): DataFrame = {

@@ -74,6 +74,12 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("rate"))
         .orderBy("event_id")),
 
+    "ts_zscore" -> ((s, d) =>
+      TimeSeriesOps.rollingZScore(ev(s, d), by = Seq("event_type"), tsCol = "ts",
+        valCol = "value", tieBreak = Seq("event_id"), window = 20)
+        .select(col("event_id"), col("zscore"))
+        .orderBy("event_id")),
+
     "ts_tumbling_window" -> ((s, d) =>
       // tumbling 6-hour windows via window() — the declarative form of the
       // reference's executionWindowSize loop (executor.go:239-252)
@@ -220,6 +226,18 @@ object TimeSeriesQueries {
         |FROM grid g LEFT JOIN daily dv
         |  ON g.event_type = dv.event_type AND g.day = dv.day
         |ORDER BY g.event_type, g.day""".stripMargin,
+
+    "ts_zscore" ->
+      """SELECT event_id,
+        |  CASE WHEN sd > 0 THEN round((value - mu) / sd, 6) END AS zscore
+        |FROM (
+        |  SELECT event_id, value,
+        |    AVG(value) OVER w AS mu,
+        |    STDDEV_SAMP(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin,
 
     "ts_window_stats" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

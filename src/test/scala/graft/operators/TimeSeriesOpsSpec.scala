@@ -43,6 +43,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("rollingZScore matches a hand-rolled trailing-window computation") {
+    val xs = Seq(10.0, 12.0, 8.0, 30.0, 11.0, 9.0)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 00:00:0$i"), i.toLong, v) }.toDF("k", "ts", "id", "v")
+    val got = TimeSeriesOps.rollingZScore(df, Seq("k"), "ts", "v", Seq("id"),
+      window = 3, out = "z")
+      .orderBy("ts").select("z").collect().map(r => Option(r.get(0))).toSeq
+    def expect(i: Int): Option[Double] = {
+      val w = xs.slice(math.max(0, i - 2), i + 1)
+      val mu = w.sum / w.size
+      val sd = if (w.size < 2) 0.0
+        else math.sqrt(w.map(x => (x - mu) * (x - mu)).sum / (w.size - 1))
+      if (sd > 0) Some(math.rint((xs(i) - mu) / sd * 1e6) / 1e6) else None
+    }
+    got.zipWithIndex.foreach { case (g, i) =>
+      (g, expect(i)) match {
+        case (Some(a: Double), Some(b)) => assert(math.abs(a - b) < 1e-6, s"row $i")
+        case (None, None)               => ()
+        case other                      => fail(s"row $i: $other")
+      }
+    }
+    // first row of every key has a single-point window → null, never NaN
+    assert(got.head.isEmpty)
+  }
+
   test("sessionize splits exactly at gaps beyond the threshold") {
     val df = Seq(
       ("u", ts("2024-01-01 00:00:00"), 1L),
