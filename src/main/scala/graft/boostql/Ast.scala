@@ -75,6 +75,17 @@ object Ast {
     * reference's unset ResultSet cells, executor.go:609-645).
     */
   final case class IsNullE(operand: Operand, negated: Boolean) extends BExpr
+  /** `x [NOT] IN (e1, e2, …)` — sugar for the OR-fold of equalities,
+    * with exactly its ANSI three-valued semantics (a NULL element makes
+    * non-matches unknown, so `NOT IN` over a list containing NULL
+    * matches nothing). Extension beyond the reference's grammar.
+    */
+  final case class InE(operand: Operand, list: Seq[Operand], negated: Boolean) extends BExpr
+  /** `x [NOT] BETWEEN lo AND hi` — inclusive both ends (ANSI). */
+  final case class BetweenE(operand: Operand, lo: Operand, hi: Operand,
+      negated: Boolean) extends BExpr
+  /** `x [NOT] LIKE 'pat'` — SQL wildcards `%` / `_`, case-sensitive. */
+  final case class LikeE(operand: Operand, pattern: String, negated: Boolean) extends BExpr
 
   sealed trait SelectItem
   final case class FieldItem(name: RawName) extends SelectItem

@@ -135,6 +135,10 @@ object Compiler {
     def exprRefs(e: BExpr): Seq[SField] = e match {
       case Cmp(_, l, r)  => operandRefs(l) ++ operandRefs(r)
       case IsNullE(o, _) => operandRefs(o)
+      case InE(o, xs, _) => operandRefs(o) ++ xs.flatMap(operandRefs)
+      case BetweenE(o, lo, hi, _) =>
+        operandRefs(o) ++ operandRefs(lo) ++ operandRefs(hi)
+      case LikeE(o, _, _) => operandRefs(o)
       case AndE(l, r)    => exprRefs(l) ++ exprRefs(r)
       case OrE(l, r)     => exprRefs(l) ++ exprRefs(r)
       case NotE(x)       => exprRefs(x)
@@ -257,6 +261,21 @@ object Compiler {
       case IsNullE(o, neg) =>
         val c = operandColumn(o, aggOk)
         if (neg) c.isNotNull else c.isNull
+      // IN folds to OR-of-equalities: arbitrary operand elements work and
+      // the ANSI three-valued NULL behavior (incl. the NOT IN + NULL
+      // trap) falls out of the fold — matches what Catalyst's In rewrites
+      // to, so codegen and pushdown are unaffected
+      case InE(o, xs, neg) =>
+        val c = operandColumn(o, aggOk)
+        val folded = xs.map(x => c === operandColumn(x, aggOk)).reduce(_ || _)
+        if (neg) !folded else folded
+      case BetweenE(o, lo, hi, neg) =>
+        val c = operandColumn(o, aggOk)
+        val b = c >= operandColumn(lo, aggOk) && c <= operandColumn(hi, aggOk)
+        if (neg) !b else b
+      case LikeE(o, p, neg) =>
+        val c = operandColumn(o, aggOk).like(p)
+        if (neg) !c else c
       case Cmp(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
         op match {
@@ -327,6 +346,9 @@ object Compiler {
       def havingAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
         case Cmp(_, l, r)  => opAggs(l) ++ opAggs(r)
         case IsNullE(o, _) => opAggs(o)
+        case InE(o, xs, _) => opAggs(o) ++ xs.flatMap(opAggs)
+        case BetweenE(o, lo, hi, _) => opAggs(o) ++ opAggs(lo) ++ opAggs(hi)
+        case LikeE(o, _, _) => opAggs(o)
         case AndE(l, r)    => havingAggs(l) ++ havingAggs(r)
         case OrE(l, r)     => havingAggs(l) ++ havingAggs(r)
         case NotE(x)       => havingAggs(x)

@@ -17,7 +17,9 @@ import Ast._
   * src      := ident '.' ident (AS? ident)?
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
-  * cmp      := NOT cmp | '(' or ')' | add (op add | IS NOT? NULL)
+  * cmp      := NOT cmp | '(' or ')'
+  *           | add ( op add | IS NOT? NULL | NOT? IN '(' add (',' add)* ')'
+  *                 | NOT? BETWEEN add AND add | NOT? LIKE string )
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
@@ -47,7 +49,7 @@ object Parser {
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
-    "outer", "is", "null", "distinct")
+    "outer", "is", "null", "distinct", "in", "between", "like")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -297,12 +299,37 @@ object Parser {
         expectKw("null")
         IsNullE(l, neg)
       } else {
-        val op = next() match {
-          case TSym(s) if Set(">=", "<=", "!=", "<>", "==", "=", "<", ">").contains(s) =>
-            if (s == "==") "=" else if (s == "<>") "!=" else s
-          case t => throw ParseException(s"expected comparison operator, got $t")
+        // `NOT` here (between operand and predicate) is the infix form:
+        // IN / BETWEEN / LIKE only — prefix NOT is cmpExpr's job
+        val neg = kw("not")
+        if (kw("in")) {
+          expectSym("(")
+          val b = Seq.newBuilder[Operand]
+          b += addOperand()
+          while (sym(",")) b += addOperand()
+          expectSym(")")
+          InE(l, b.result(), neg)
+        } else if (kw("between")) {
+          // the BETWEEN…AND binds tighter than the boolean AND: the
+          // bounds are arithmetic operands, which never consume AND
+          val lo = addOperand()
+          expectKw("and")
+          BetweenE(l, lo, addOperand(), neg)
+        } else if (kw("like")) {
+          next() match {
+            case TStr(p) => LikeE(l, p, neg)
+            case t => throw ParseException(s"LIKE pattern must be a string, got $t")
+          }
+        } else if (neg) {
+          throw ParseException(s"expected IN, BETWEEN or LIKE after NOT, got $peek")
+        } else {
+          val op = next() match {
+            case TSym(s) if Set(">=", "<=", "!=", "<>", "==", "=", "<", ">").contains(s) =>
+              if (s == "==") "=" else if (s == "<>") "!=" else s
+            case t => throw ParseException(s"expected comparison operator, got $t")
+          }
+          Cmp(op, l, addOperand())
         }
-        Cmp(op, l, addOperand())
       }
     }
 

@@ -120,6 +120,17 @@ object BoostQueries {
       run(s, d, "SELECT DISTINCT purchase.user FROM dom.events " +
         "ORDER BY purchase.user LIMIT 50")),
 
+    // IN / BETWEEN / [NOT] LIKE — the everyday predicate sugar (all
+    // extensions: whereparser.go:146-169 accepts only the six
+    // comparison ops). IN folds to OR-of-equalities, BETWEEN is
+    // inclusive both ends, LIKE takes SQL % / _ wildcards.
+    "boost_in_between_like" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click.user, click FROM dom.events " +
+        "WHERE click.user IN ('3', '7', '11') " +
+        "AND click BETWEEN 50.0 AND 250.0 " +
+        "AND click.user NOT LIKE '1%' " +
+        "ORDER BY click.event_id")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -238,6 +249,15 @@ object BoostQueries {
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS purchase_user
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY purchase_user LIMIT 50""".stripMargin,
+
+    "boost_in_between_like" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  CAST(user_id AS VARCHAR) AS click_user, value AS click
+        |FROM events WHERE event_type = 'click'
+        |  AND CAST(user_id AS VARCHAR) IN ('3', '7', '11')
+        |  AND value BETWEEN 50.0 AND 250.0
+        |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
+        |ORDER BY click_event_id""".stripMargin,
 
     "boost_roundtrip" ->
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view

@@ -424,6 +424,54 @@ class BoostQLSpec extends SparkSpec {
     assert(vals.nonEmpty && vals == vals.sorted)
   }
 
+  test("parser: IN / BETWEEN / LIKE forms (prefix and infix NOT)") {
+    val in = Parser.parse("SELECT cpu FROM dom.f WHERE cpu IN (1, 2 + 1, mem)")
+    in.where.get match {
+      case InE(ORef(_), Seq(OLit(BInt(1)), OArith("+", _, _), ORef(_)), false) => ()
+      case other => fail(s"IN should take arbitrary operands: $other")
+    }
+    assert(Parser.parse("SELECT cpu FROM dom.f WHERE cpu NOT IN (1)")
+      .where.contains(InE(ORef(RawName(Seq("cpu"))), Seq(OLit(BInt(1))), true)))
+    // BETWEEN's AND binds tighter than the boolean AND
+    val bt = Parser.parse(
+      "SELECT cpu FROM dom.f WHERE cpu BETWEEN 1 AND 5 AND mem = 2")
+    bt.where.get match {
+      case AndE(BetweenE(_, OLit(BInt(1)), OLit(BInt(5)), false), Cmp("=", _, _)) => ()
+      case other => fail(s"BETWEEN..AND must bind tighter: $other")
+    }
+    assert(Parser.parse("SELECT h FROM dom.f WHERE h.user NOT LIKE 'a_c%'")
+      .where.exists { case LikeE(_, "a_c%", true) => true; case _ => false })
+    // prefix NOT still composes with the new predicates
+    assert(Parser.parse("SELECT cpu FROM dom.f WHERE NOT cpu IN (1)")
+      .where.exists(_.isInstanceOf[NotE]))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT cpu FROM dom.f WHERE cpu NOT > 1"))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT cpu FROM dom.f WHERE cpu LIKE 5"))
+  }
+
+  test("IN/BETWEEN/LIKE semantics: inclusive ends, NOT IN + NULL trap, wildcards") {
+    def cnt(q: String): Long = Compiler.compile(Parser.parse(q), fam).count()
+    val total = cnt("SELECT click FROM dom.events")
+    assert(total > 0)
+    // BETWEEN is inclusive both ends — complement partitions exactly
+    val in = cnt("SELECT click FROM dom.events WHERE click BETWEEN 100.0 AND 200.0")
+    val out = cnt("SELECT click FROM dom.events WHERE click NOT BETWEEN 100.0 AND 200.0")
+    assert(in + out == total)
+    val edge = cnt("SELECT click FROM dom.events WHERE click BETWEEN click AND click")
+    assert(edge == total, "x BETWEEN x AND x must match every row")
+    // ANSI NOT IN trap: a NULL element makes non-matches unknown → nothing
+    assert(cnt("SELECT click FROM dom.events WHERE click.user NOT IN ('3', NULL)") == 0)
+    assert(cnt("SELECT click FROM dom.events WHERE click.user IN ('3', NULL)") ==
+      cnt("SELECT click FROM dom.events WHERE click.user = '3'"))
+    // LIKE: % spans, _ is exactly one char; users are '0'..'14' at sf0.001
+    assert(cnt("SELECT click FROM dom.events WHERE click.user LIKE '1%'") ==
+      cnt("SELECT click FROM dom.events WHERE click.user = '1'") +
+      cnt("SELECT click FROM dom.events WHERE click.user LIKE '1_'"))
+    assert(cnt("SELECT click FROM dom.events WHERE click.user LIKE '_'") ==
+      cnt("SELECT click FROM dom.events WHERE click.user NOT LIKE '__'"))
+  }
+
   test("testdata cache evicts and repopulates") {
     assert(BoostQL.onTestdata(spark, sfDir)(
       "SELECT click FROM dom.events LIMIT 1").count() == 1)
