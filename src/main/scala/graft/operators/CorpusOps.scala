@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators for training-data pipelines:
@@ -38,6 +39,51 @@ object CorpusOps {
     df.withColumn("split",
       when(substring(hashKey(col(idCol), salt), 1, 8) < lit(threshold), "train")
         .otherwise("holdout"))
+  }
+
+  /** Stratified downsampling with per-stratum keep rates: row kept iff
+    * the uniform 32-bit value from md5(id || salt) falls below its
+    * stratum's threshold. The classic corpus-rebalance op (downsample
+    * the dominant language/source); deterministic from the id like
+    * [[hashSplit]], so resampling a grown corpus never flips an
+    * existing row's fate. Narrow (no shuffle) — the rate table compiles
+    * to a CASE expression, never a join, so at 100 TB this is a map
+    * over the scan and the filter is codegen'd.
+    *
+    * Rates must be in (0, 1]; a stratum at 1.0 is kept wholesale
+    * (the compare is `< "ffffffff".next`, i.e. always true, expressed
+    * as no filter). Unlisted strata use `defaultFrac`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultFrac: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    require((rates.values ++ Seq(defaultFrac)).forall(r => r > 0.0 && r <= 1.0),
+      "rates must be in (0, 1]")
+    def hex(frac: Double): String =
+      f"${math.floor(frac * 4294967296.0).toLong.min(4294967295L)}%08x"
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hex(defaultFrac))) {
+      case (elseCol, (stratum, frac)) =>
+        when(col(strataCol) === stratum, lit(hex(frac))).otherwise(elseCol)
+    }
+    df.filter(substring(hashKey(col(idCol), salt), 1, 8) <= threshold)
+  }
+
+  /** Canonical-survivor selection: keep exactly one row per group — the
+    * one with the largest `weightCol`, ties broken by smallest `idCol`
+    * (total order, so the survivor is deterministic). The standard final
+    * step of near-dup resolution: cluster with
+    * [[GraphOps.connectedComponents]], then keep each cluster's best
+    * document. One shuffle on the group key; the rank filter is a
+    * running window (no buffering beyond the frame row), so groups of
+    * any size stream through.
+    */
+  def canonicalPerGroup(df: DataFrame, groupCol: String, weightCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
   }
 
   /** Deterministic global shuffle: order the corpus by md5(id || seed).

@@ -55,6 +55,54 @@ object TextAnalysisOps {
       (col("n_distinct").cast("double") / col("n_tokens")) *
         (lit(1.0) - col("stopword_ratio")))
 
+  /** Corpus vocabulary by document frequency: one row per token that
+    * appears in at least one document, with `df` = number of distinct
+    * documents containing it, top `k` by (df DESC, token ASC) — the
+    * tie-break makes the cut deterministic. The whitespace tokenization
+    * matches [[tokenStats]].
+    *
+    * Scale shape: explode → per-doc distinct → groupBy(token) is the
+    * canonical word-count plan — partial aggregation combines map-side,
+    * so the shuffle carries one row per (partition, token), not per
+    * posting; top-k is TakeOrdered (per-partition heaps + driver merge
+    * of k rows), never a global sort. At 100 TB this is the same plan,
+    * just wider.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(array_distinct(toks(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
+  /** PII patterns shared by the redaction and the oracle SQL: each is
+    * valid and equivalent in both Java regex (Spark) and RE2 (DuckDB) —
+    * no lookaround, no backreferences. Applied in order; replacement
+    * tokens contain no digits or '@'/'.', so later patterns can never
+    * match inside an earlier replacement.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+\\d[\\d-]{6,}\\d" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII redaction pass: replaces emails, phone numbers and IPv4
+    * addresses with typed placeholders and emits per-document match
+    * counts (`n_emails`, `n_phones`, `n_ips`) alongside the `redacted`
+    * text. Pure regexp column expressions — narrow, codegen'd, runs at
+    * scan speed; the patterns are the cross-engine subset so the DuckDB
+    * oracle applies literally the same regexes.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val counted = df
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(piiPatterns(0)._1), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(piiPatterns(1)._1), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(col(textCol), lit(piiPatterns(2)._1), lit(0))))
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** Stopword-voting language ID: per-language stopword hit counts,
     * argmax with first-profile tie-break. Returns `pred_lang` and
     * `lang_hits` (the winning count).

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{CorpusOps, TextAnalysisOps, TextDedupOps, VectorSearchOps}
+import graft.operators.{CorpusOps, GraphOps, TextAnalysisOps, TextDedupOps,
+  VectorSearchOps}
 import graft.tables.Tables
 
 /** LLM-training-data-pipeline tier: deduplication (exact, n-gram
@@ -40,6 +41,39 @@ object PipelineQueries {
   private val jaccardExpr =
     "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))"
 
+  /** DuckDB fragment: near-dup components via min-label propagation as a
+    * recursive CTE — the oracle twin of [[GraphOps.connectedComponents]]
+    * over the exact-Jaccard pair set. `reach` saturates to every
+    * (node, reachable-label) pair; min(lbl) per node is the component
+    * minimum, exactly the Spark side's label.
+    */
+  private val componentCte =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardExpr >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** Near-dup clusters: exact Jaccard pairs -> connected components ->
+    * every doc labeled with its component (singletons label themselves).
+    * Shared by dd_cluster and dd_canonical.
+    */
+  private def clusteredDocs(s: SparkSession, d: String): DataFrame = {
+    val doc = docs(s, d)
+    val pairs = TextDedupOps.ngramJaccardPairs(doc, "doc_id", "text")
+    val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    doc.join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
   def queries: Map[String, Q] = Map(
     "dd_exact" -> ((s, d) =>
       TextDedupOps.exactDedup(docs(s, d), "doc_id", "text")
@@ -56,6 +90,19 @@ object PipelineQueries {
     "dd_simhash" -> ((s, d) =>
       TextDedupOps.simhashDedupPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+
+    // pair set -> clusters (large-star/small-star CC, GraphOps) -> every
+    // doc labeled; oracle recomputes the same labels via recursive CTE
+    "dd_cluster" -> ((s, d) =>
+      clusteredDocs(s, d).select("doc_id", "component").orderBy("doc_id")),
+
+    // cluster resolution: keep each component's longest doc (tie -> min
+    // id) — the survivor list a dedup pipeline actually emits
+    "dd_canonical" -> ((s, d) =>
+      CorpusOps.canonicalPerGroup(clusteredDocs(s, d),
+          "component", "n_chars", "doc_id")
+        .select(col("component"), col("doc_id").as("keep_id"), col("n_chars"))
+        .orderBy("component")),
 
     "dd_embed_cosine" -> ((s, d) =>
       TextDedupOps.embeddingDedupPairs(embs(s, d), "vec_id", "embedding", 0.45)
@@ -115,6 +162,31 @@ object PipelineQueries {
       CorpusOps.deterministicShuffle(docs(s, d), "doc_id", "42")
         .select("doc_id", "shuffle_key")),
 
+    // language rebalance: downsample en to 50%, zh to 25%, keep the rest
+    // — deterministic per-id thresholds (CorpusOps.stratifiedSample)
+    "pipe_stratified" -> ((s, d) =>
+      CorpusOps.stratifiedSample(docs(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // corpus vocabulary: top tokens by document frequency
+    "txt_vocab" -> ((s, d) =>
+      TextAnalysisOps.vocabulary(docs(s, d), "text", 100)),
+
+    // PII redaction over a deterministically synthesized contact suffix
+    // (the corpus itself has no digits); both engines build the same
+    // string, then scrub with the same RE2-and-Java-compatible patterns
+    "txt_pii" -> ((s, d) => {
+      val aug = docs(s, d).withColumn("t", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-202-555-0"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      TextAnalysisOps.piiRedact(aug, "t")
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("doc_id")
+    }),
+
     "mm_meta" -> ((s, d) =>
       // multimodal metadata pass: opaque binary payload + typed metadata
       docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -149,6 +221,19 @@ object PipelineQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $jaccardExpr >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_cluster" ->
+      s"""$componentCte
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dd_canonical" ->
+      s"""$componentCte
+         |SELECT component, keep_id, n_chars FROM (
+         |  SELECT c.component, d.doc_id AS keep_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |WHERE rk = 1 ORDER BY component""".stripMargin,
 
     "dd_embed_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -219,6 +304,38 @@ object PipelineQueries {
 
     "pipe_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key
-        |FROM documents ORDER BY shuffle_key""".stripMargin
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    // 0.5 * 2^32 = 0x80000000; 0.25 * 2^32 = 0x40000000; default keeps all
+    "pipe_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <=
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000'
+        |       ELSE 'ffffffff' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_vocab" ->
+      """SELECT token, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents))
+        |GROUP BY token ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "txt_pii" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or +1-202-555-0'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\+\d[\d-]{6,}\d')) AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Connected components (large-star/small-star) checked against an
+  * in-JVM union-find on structured edge cases and seeded random graphs.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference labels: component = min node id, via union-find. */
+  private def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots chosen as min(ra, rb) at every union, so find() IS the min id
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("single edge, duplicate and reversed edges, self-loops") {
+    val got = ccOf(Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 1L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set yields empty result") {
+    assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("path graph (worst-case diameter) collapses to one component") {
+    // a 64-node chain: diameter 63, converges only if the star rounds
+    // actually hop components together (not mere neighbor propagation)
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("two separate cliques stay separate") {
+    val c1 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val c2 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val got = ccOf(c1 ++ c2)
+    assert(got.filter(_._1 < 10).values.toSet === Set(0L))
+    assert(got.filter(_._1 >= 10).values.toSet === Set(10L))
+  }
+
+  test("matches union-find on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 120
+      // sparse: ~0.8 edges/node leaves many small components + singletons
+      val edges = Seq.fill(96)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      assert(ccOf(edges) === unionFind(nodes, edges), s"seed=$seed")
+    }
+  }
+
+  test("labels every node present in edges, roots included") {
+    val got = GraphOps.connectedComponents(
+      Seq((5L, 9L), (9L, 7L)).toDF("a", "b"), "a", "b")
+    val rows = got.as[(Long, Long)].collect().toMap
+    assert(rows === Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+  }
+}

@@ -152,6 +152,60 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusOps.hashSplit(docs, "doc_id", 1.5))
   }
 
+  test("stratified sample keeps per-stratum rates, stable under growth") {
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    val kept = CorpusOps.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // unlisted strata kept wholesale; listed strata near their rate
+    for ((lang, total) <- byLang) {
+      val k = keptByLang.getOrElse(lang, 0)
+      val want = rates.getOrElse(lang, 1.0)
+      assert(math.abs(k.toDouble / total - want) < 0.25,
+        s"$lang kept $k/$total, wanted ~$want")
+    }
+    // pure function of the id: a subset keeps exactly its survivors
+    val sub = CorpusOps.stratifiedSample(docs.filter(col("doc_id") < 50),
+        "doc_id", "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sub === kept.map(_._1).filter(_ < 50).toSet)
+    intercept[IllegalArgumentException](
+      CorpusOps.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.0)))
+  }
+
+  test("canonical-per-group keeps the heaviest row, ties to min id") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "g1"), (2L, 30L, "g1"), (3L, 30L, "g1"),
+      (4L, 5L, "g2")).toDF("id", "w", "g")
+    val got = CorpusOps.canonicalPerGroup(df, "g", "w", "id")
+      .select("g", "id").as[(String, Long)].collect().toMap
+    assert(got === Map("g1" -> 2L, "g2" -> 4L))
+  }
+
+  test("vocabulary counts document frequency, not term frequency") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b"), (2L, "b c"), (3L, "c c b")).toDF("id", "text")
+    val got = TextAnalysisOps.vocabulary(df, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    // b in 3 docs, a in 1, c in 2; order (df desc, token asc)
+    assert(got === Seq(("b", 3L), ("c", 2L), ("a", 1L)))
+  }
+
+  test("pii redaction scrubs emails, phones and ips with counts") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail me at jo.an+x@sub.example.org or 10.20.30.40, tel +1-555-000-1234")
+    ).toDF("id", "text")
+    val r = TextAnalysisOps.piiRedact(df, "text")
+      .select("n_emails", "n_phones", "n_ips", "redacted").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((1, 1, 1)))
+    assert(r.getString(3) ===
+      "mail me at <EMAIL> or <IP>, tel <PHONE>")
+  }
+
   test("deterministic shuffle reproduces per seed and permutes across seeds") {
     def order(seed: String) = CorpusOps.deterministicShuffle(docs, "doc_id", seed)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
