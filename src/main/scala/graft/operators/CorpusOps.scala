@@ -97,4 +97,35 @@ object CorpusOps {
       seed: String = "0"): DataFrame =
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy("shuffle_key")
+
+  /** Token-budget sequence packing: assign each document to a training
+    * bin of ~`budget` tokens. Documents are dealt into `16^groupChars`
+    * independent groups by the leading hex of md5(id || salt), ordered
+    * within the group by the full hash (a deterministic shuffle), and
+    * cut greedily: a doc opens a new bin when the running token total
+    * before it crosses a multiple of `budget`. Output adds `grp`,
+    * `cum_before` (tokens ahead of this doc in its group) and `bin`
+    * (the pack id within the group; `(grp, bin)` is globally unique).
+    *
+    * Scale shape: packing is inherently sequential, so the global
+    * sequence is sharded — each group packs independently under one
+    * window (one range-partitioned sort, no global single-partition
+    * scan). `groupChars` tunes parallelism: 1 → 16 groups (test scale),
+    * 2 → 256, 3 → 4096 (cluster scale). Deterministic from ids alone:
+    * regrowing the corpus never reorders existing groups' prefixes that
+    * hash-sort earlier, and any engine with md5 reproduces the exact
+    * assignment.
+    */
+  def packBins(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, groupChars: Int = 1, salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupChars >= 1 && groupChars <= 8, "groupChars must be in [1, 8]")
+    val w = Window.partitionBy(col("grp")).orderBy(col("pack_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_key", hashKey(col(idCol), salt))
+      .withColumn("grp", substring(col("pack_key"), 1, groupChars))
+      .withColumn("cum_before",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before").cast("double") / budget))
+  }
 }

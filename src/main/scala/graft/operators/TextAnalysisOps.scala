@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: token statistics,
@@ -120,5 +121,73 @@ object TextAnalysisOps {
         when(col(s"hits_$lang") === best, lit(lang)).otherwise(elseCol)
     }
     withCounts.withColumn("pred_lang", pred).withColumn("lang_hits", best)
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    * the public data-curation heuristics): fraction of token
+    * occurrences that are repeats (`dup_token_frac`), fraction of
+    * word-bigram occurrences that are repeats (`dup_bigram_frac`), and
+    * the share of bigram slots taken by the single most frequent bigram
+    * (`top_bigram_frac`) — high values flag boilerplate/spam documents
+    * a curation pipeline drops. Pure higher-order array expressions —
+    * narrow, no shuffle, runs at scan speed; per-doc cost is
+    * O(tokens * distinct-bigrams), bounded by document length, not
+    * corpus size. Rational arithmetic over exact counts (cross-engine
+    * exact doubles).
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t)
+    val bg = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val topCount = array_max(transform(array_distinct(bg),
+      x => size(filter(bg, y => y === x))))
+    df.withColumn("n_tokens", n)
+      .withColumn("dup_token_frac",
+        (n - size(array_distinct(t))).cast("double") / n)
+      .withColumn("dup_bigram_frac",
+        (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
+      .withColumn("top_bigram_frac", topCount.cast("double") / size(bg))
+  }
+
+  /** BM25 keyword search over whitespace tokens: scores every document
+    * against a bag of query `terms` and returns the global top `topK`
+    * as (id, score, rank). Uses the rational-idf variant
+    * `(N - df + 0.5) / (df + 0.5)` — the classic log() is monotone in
+    * it, so ranking is BM25-faithful while every score stays a chain of
+    * IEEE +,-,*,/ that any engine reproduces bit-identically (the
+    * repo's oracle-exactness convention; transcendental libm calls are
+    * the one thing DuckDB and the JVM may round differently).
+    *
+    * Scale shape: one tiny global aggregate (N, Σdl, per-term df — a
+    * single row, broadcast back), then scoring is a narrow map over the
+    * scan and top-k is TakeOrdered (per-partition heaps, k-row driver
+    * merge) — never a global sort. The rank column is a window over
+    * the k surviving rows only.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tok = df.select(col(idCol), toks(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val dfCols = terms.zipWithIndex.map { case (term, i) =>
+      sum(when(array_contains(col("tk"), term), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: dfCols): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("tk"), y => y === term)).cast("double")
+      val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    val top = tok.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
   }
 }

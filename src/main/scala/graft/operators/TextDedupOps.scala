@@ -303,4 +303,41 @@ object TextDedupOps {
         round(GraftFunctions.cosine(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Benchmark-contamination detection: for every corpus document, the
+    * word-`k`-gram overlap with each benchmark (eval-set) document,
+    * emitting pairs whose shared-shingle fraction of the BENCHMARK
+    * document reaches `minFrac` — the "eval set leaked into training
+    * data" check every LLM pipeline runs before training. The fraction
+    * is measured against the benchmark side (|C∩B| / |B|), so a short
+    * eval prompt embedded verbatim in a long crawl document still
+    * scores 1.0.
+    *
+    * Scale shape: the benchmark is the small side by construction
+    * (eval sets are 1e3-1e5 docs vs a 100 TB corpus), so its exploded
+    * shingle postings are broadcast — the corpus side stays a narrow
+    * scan + explode with NO shuffle of corpus bytes; the only exchange
+    * is the partial-aggregated (doc, bench) overlap counts, bounded by
+    * actual collisions, not corpus size. Shingles are 64-bit hashes
+    * ([[hashedShingles]]): intersection COUNTS are preserved short of a
+    * 64-bit collision within a compared pair (~1e-15), and fixed-width
+    * longs broadcast ~10x smaller than shingle strings.
+    */
+  def crossCorpusOverlap(corpus: DataFrame, bench: DataFrame,
+      corpusIdCol: String, benchIdCol: String, textCol: String,
+      k: Int = 3, minFrac: Double = 0.8): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
+    val c = corpus.select(col(corpusIdCol).as("doc_id"),
+      explode(hashedShingles(col(textCol), k)).as("g"))
+    val b = bench.select(col(benchIdCol).as("bench_id"),
+        hashedShingles(col(textCol), k).as("s"))
+      .select(col("bench_id"), size(col("s")).as("bench_n"),
+        explode(col("s")).as("g"))
+    c.join(broadcast(b), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"), col("bench_n"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("frac", col("n_common").cast("double") / col("bench_n"))
+      .filter(col("frac") >= minFrac)
+      .select(col("doc_id"), col("bench_id"), col("n_common"), col("frac"))
+  }
 }

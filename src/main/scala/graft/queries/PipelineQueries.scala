@@ -61,6 +61,47 @@ object PipelineQueries {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
        |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)""".stripMargin
 
+  private val bm25Terms = Seq("spark", "window", "join")
+
+  /** Render a Scala Double as a DuckDB DOUBLE literal. The e-notation
+    * forces DuckDB's double parser — a bare decimal literal parses as
+    * DECIMAL, whose exact decimal arithmetic rounds differently from
+    * IEEE doubles and breaks the bit-exact hash compare.
+    * `Double.toString` round-trips, so both engines compute on
+    * identical bits.
+    */
+  private def dlit(x: Double): String =
+    if (x.toString.contains("E")) x.toString else s"${x}e0"
+
+  /** DuckDB twin of [[TextAnalysisOps.bm25Search]], generated from the
+    * same constants so every double literal matches the Spark side
+    * bit-for-bit.
+    */
+  private def bm25OracleSql(terms: Seq[String], k1: Double, b: Double,
+      topK: Int): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(l, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n  ")
+    val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+      s"(n_docs - df_$i + ${dlit(0.5)}) / (df_$i + ${dlit(0.5)})" +
+        s" * (len([y for y in l if y = '$t'])::DOUBLE * ${dlit(k1 + 1.0)})" +
+        s" / (len([y for y in l if y = '$t'])::DOUBLE + ${dlit(k1)}" +
+        s" * (${dlit(1.0)} - ${dlit(b)} + ${dlit(b)} * dl::DOUBLE" +
+        s" / (sum_dl::DOUBLE / n_docs)))"
+    }.mkString("\n  + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+       |  len(string_split(text, ' ')) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |  $dfCols FROM d),
+       |sc AS (SELECT doc_id,
+       |  $scoreTerms AS score
+       |FROM d, st)
+       |SELECT doc_id, score, rank FROM (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+       |WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
   /** Near-dup clusters: exact Jaccard pairs -> connected components ->
     * every doc labeled with its component (singletons label themselves).
     * Shared by dd_cluster and dd_canonical.
@@ -193,7 +234,42 @@ object PipelineQueries {
         .select(col("doc_id"),
           length(col("payload")).as("n_bytes"),
           sha2(col("payload"), 256).as("sha_hex"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition signals: dup-token / dup-bigram /
+    // top-bigram fractions per document (TextAnalysisOps.repetitionStats)
+    "txt_repetition" -> ((s, d) =>
+      TextAnalysisOps.repetitionStats(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "dup_token_frac", "dup_bigram_frac",
+          "top_bigram_frac")
+        .orderBy("doc_id")),
+
+    // BM25 keyword search (rational-idf variant) — global top-20 docs
+    // for a 3-term query (TextAnalysisOps.bm25Search)
+    "txt_bm25" -> ((s, d) =>
+      TextAnalysisOps.bm25Search(docs(s, d), "doc_id", "text", bm25Terms)
+        .select("doc_id", "score", "rank").orderBy("rank")),
+
+    // benchmark-contamination check: corpus docs sharing >= 80% of a
+    // benchmark doc's 3-gram shingles; the "benchmark" is the
+    // deterministic doc_id % 37 == 0 slice, modeling an eval set that
+    // leaked into the training corpus (TextDedupOps.crossCorpusOverlap)
+    "pipe_decontam" -> ((s, d) => {
+      val doc = docs(s, d)
+      TextDedupOps.crossCorpusOverlap(doc,
+          doc.filter(col("doc_id") % 37 === 0), "doc_id", "doc_id", "text")
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // token-budget sequence packing: deal docs into 16 hash groups,
+    // greedy 512-token bins within each (CorpusOps.packBins)
+    "pipe_pack" -> ((s, d) => {
+      val doc = docs(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      CorpusOps.packBins(doc, "doc_id", "n_tokens", 512)
+        .select("doc_id", "grp", "bin", "cum_before", "n_tokens")
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -336,6 +412,42 @@ object PipelineQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l,
+        |  [array_to_string(l[i:i+1], ' ')
+        |   for i in generate_series(1, len(l)-1)] AS bg FROM t)
+        |SELECT doc_id, len(l) AS n_tokens,
+        |  (len(l) - len(list_distinct(l)))::DOUBLE / len(l) AS dup_token_frac,
+        |  (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg) AS dup_bigram_frac,
+        |  list_max([len([y for y in bg if y = x])
+        |            for x in list_distinct(bg)])::DOUBLE / len(bg) AS top_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "txt_bm25" -> bm25OracleSql(bm25Terms, 1.2, 0.75, 20),
+
+    "pipe_decontam" ->
+      s"""$shingleCte
+         |SELECT c.doc_id, b.doc_id AS bench_id,
+         |  len(list_intersect(c.s, b.s)) AS n_common,
+         |  len(list_intersect(c.s, b.s))::DOUBLE / len(b.s) AS frac
+         |FROM sh c JOIN sh b ON b.doc_id % 37 = 0
+         |WHERE len(list_intersect(c.s, b.s))::DOUBLE / len(b.s) >= ${dlit(0.8)}
+         |ORDER BY c.doc_id, bench_id""".stripMargin,
+
+    "pipe_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || 'pack') AS pack_key FROM documents),
+        |g AS (SELECT *, substr(pack_key, 1, 1) AS grp FROM t),
+        |c AS (SELECT *,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY pack_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cum_before FROM g)
+        |SELECT doc_id, grp,
+        |  CAST(floor(cum_before::DOUBLE / 512e0) AS BIGINT) AS bin,
+        |  cum_before, n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

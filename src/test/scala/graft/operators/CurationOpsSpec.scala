@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Hand-computed examples + invariants for the corpus-curation tier
+  * added in round 7: repetition signals, BM25 search, contamination
+  * overlap, and token-budget packing. The DuckDB oracle covers the
+  * full-corpus outputs; these pin the per-row arithmetic on inputs
+  * small enough to verify by hand.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("repetitionStats computes hand-checked fractions") {
+    val df = Seq((1L, "x x y"), (2L, "x y x y x")).toDF("id", "text")
+    val r = TextAnalysisOps.repetitionStats(df, "text")
+      .select("id", "n_tokens", "dup_token_frac", "dup_bigram_frac",
+        "top_bigram_frac")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4))).sortBy(_._1)
+    // "x x y": 3 toks (2 distinct) -> dup 1/3; bigrams {"x x","x y"}
+    // all distinct -> dup 0, top 1/2
+    assert(r(0) == ((1L, 3, 1.0 / 3, 0.0, 0.5)))
+    // "x y x y x": 5 toks (2 distinct) -> dup 3/5; bigrams
+    // ["x y","y x","x y","y x"] -> dup 2/4, top 2/4
+    assert(r(1) == ((2L, 5, 3.0 / 5, 0.5, 0.5)))
+  }
+
+  test("bm25Search ranks by term evidence; absent terms score zero") {
+    val df = Seq(
+      (1L, "spark spark spark pad pad"),
+      (2L, "spark pad pad pad pad"),
+      (3L, "pad pad pad pad pad")).toDF("id", "text")
+    val r = TextAnalysisOps.bm25Search(df, "id", "text", Seq("spark"), topK = 3)
+      .select("id", "score", "rank")
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "more term occurrences must rank higher")
+    assert(r.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(r(2)._2 == 0.0, "doc without the term scores exactly 0")
+    assert(r(0)._2 > r(1)._2 && r(1)._2 > 0.0)
+  }
+
+  test("bm25Search tf saturation: doubling tf less than doubles the score") {
+    val df = Seq(
+      (1L, "q pad pad pad pad pad pad pad"),
+      (2L, "q q pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad pad pad")).toDF("id", "text")
+    val byId = TextAnalysisOps.bm25Search(df, "id", "text", Seq("q"), topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(2L) > byId(1L) && byId(2L) < 2.0 * byId(1L))
+  }
+
+  test("crossCorpusOverlap computes exact benchmark-side fractions") {
+    val corpus = Seq((10L, "a b c d"), (11L, "p q r s")).toDF("id", "text")
+    val bench = Seq((20L, "b c d e")).toDF("id", "text")
+    // bench shingles {"b c d","c d e"}; doc 10 shares {"b c d"} -> 1/2;
+    // doc 11 shares none
+    val r = TextDedupOps.crossCorpusOverlap(corpus, bench, "id", "id", "text",
+        minFrac = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((10L, 20L, 1L, 0.5)))
+  }
+
+  test("crossCorpusOverlap flags a benchmark doc present in the corpus at 1.0") {
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val hits = TextDedupOps.crossCorpusOverlap(docs, bench, "doc_id", "doc_id", "text")
+      .collect()
+    val self = hits.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == bench.count(),
+      "every leaked benchmark doc must self-match")
+    assert(self.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("packBins matches a sequential re-pack of each group") {
+    val budget = 512
+    val withTokens = docs.withColumn("n_tokens", size(split(col("text"), " ")))
+    val packed = CorpusOps.packBins(withTokens, "doc_id", "n_tokens", budget)
+      .select("doc_id", "grp", "pack_key", "bin", "cum_before", "n_tokens")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(packed.map(_._1).toSet.size > 1, "multiple hash groups expected")
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, id, bin, cumBefore, nTok) =>
+        assert(cumBefore == cum, s"doc $id cum_before")
+        assert(bin == cum / budget, s"doc $id bin")
+        cum += nTok
+      }
+    }
+    // deterministic: a re-run (different partitioning) gives identical bins
+    val again = CorpusOps.packBins(withTokens.repartition(7), "doc_id",
+        "n_tokens", budget)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.forall { case (_, _, id, bin, _, _) => again(id) == bin })
+  }
+}
