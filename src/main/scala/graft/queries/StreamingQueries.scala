@@ -15,7 +15,9 @@ object StreamingQueries {
 
   def queries: Map[String, Q] = Map(
     "stream_window_agg" -> ((s, d) => StreamingOps.windowedAggReplay(s, d)),
-    "stream_dedup_count" -> ((s, d) => StreamingOps.streamingDedupCounts(s, d))
+    "stream_dedup_count" -> ((s, d) => StreamingOps.streamingDedupCounts(s, d)),
+    "stream_session" -> ((s, d) => StreamingOps.sessionWindowReplay(s, d)),
+    "stream_join" -> ((s, d) => StreamingOps.streamIntervalJoinReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -27,6 +29,35 @@ object StreamingQueries {
 
     "stream_dedup_count" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // batch twin of session_window: gaps-and-islands with the same 6h
+    // gap; session end is last-event + gap, matching Spark's contract
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT user_id, MIN(epoch_us(ts)) AS w_start_us,
+        |  MAX(epoch_us(ts)) + 21600000000 AS w_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start_us""".stripMargin,
+
+    // batch twin of the stream-stream interval join (bounds on µs-
+    // truncated timestamps, matching the Spark side's `ts div 1000`)
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

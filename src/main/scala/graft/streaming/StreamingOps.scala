@@ -117,6 +117,85 @@ object StreamingOps {
     query.awaitTermination()
   }
 
+  /** Streaming sessionization: merge each user's events into activity
+    * sessions separated by more than `gap` of event-time silence —
+    * `session_window` keeps per-key open sessions in the state store and
+    * merges/extends them as events arrive, the genuinely-stateful
+    * streaming operator the batch gaps-and-islands window
+    * ([[graft.operators.TimeSeriesOps.sessionize]]) cannot express
+    * incrementally. Session end is last-event + gap (Spark's session
+    * contract), which the oracle reproduces as `max(ts) + gap`.
+    *
+    * Scale stance: state is one open session per (user, session) — the
+    * watermark closes sessions `gap` behind the max event time, so state
+    * is bounded by concurrently-active users, not history. Replay uses
+    * complete mode (memory sink at test scale); a production job would
+    * run append mode and emit sessions as the watermark finalizes them.
+    */
+  def sessionWindowReplay(spark: SparkSession, sfDir: String,
+      gap: String = "6 hours", statePartitions: Int = 4): DataFrame = {
+    ensureNanosAsLong(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "graft_session_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("w_start_us"),
+        unix_micros(col("session_window.end")).as("w_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "w_start_us")
+  }
+
+  /** Stream-stream interval join: for every click, the purchases by the
+    * same user within the following hour — the canonical funnel/
+    * attribution join. Both sides are unbounded streams; the watermarks
+    * plus the time-bound join condition let the engine expire join state
+    * (a click older than watermark + 1 hour can never match again), so
+    * state is bounded by the interval, not history. Inner-join matches
+    * emit as soon as both rows arrive (append mode — no
+    * watermark-withholding at end of replay).
+    */
+  def streamIntervalJoinReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    ensureNanosAsLong(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val sink = "graft_sjoin_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Streaming exact-dedup: drop duplicate event_ids within the
     * watermark horizon — the streaming face of the dedup tier. Returns
     * the deduplicated count per event_type after full replay.

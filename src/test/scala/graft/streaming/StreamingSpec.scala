@@ -42,6 +42,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streamed session windows equal batch session_window") {
+    val streamed = StreamingOps.sessionWindowReplay(spark, sfDir).collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("w_start_us"),
+        unix_micros(col("session_window.end")).as("w_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "w_start_us").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // session invariants: per user, sessions are disjoint and separated
+    // by more than the gap (else they'd have merged)
+    streamed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(1) > a.getLong(2),
+          "consecutive sessions must be separated by more than the gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("stream-stream interval join equals batch interval join") {
+    val streamed = StreamingOps.streamIntervalJoinReplay(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 3600000000L))
+  }
+
   test("repeated streaming calls stage exactly one temp dir per sfDir") {
     def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
