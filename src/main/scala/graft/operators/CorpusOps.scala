@@ -98,6 +98,49 @@ object CorpusOps {
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy("shuffle_key")
 
+  /** Temperature-flattened stratum mixing — the multi-source rebalance
+    * every LLM corpus assembly runs (sample sources ∝ n^(1/T) instead of
+    * raw size, so the dominant crawl doesn't drown the small curated
+    * sets). Keep rate r_i = (n_min / n_i)^(1 - 1/T): effective counts
+    * scale as n_i^(1/T) — T=1 is the natural distribution, T→∞
+    * approaches uniform — and the smallest stratum is kept wholesale
+    * (rates normalize to max 1; flattening never upsamples). The keep
+    * decision reuses [[hashSplit]]'s md5-threshold scheme, so membership
+    * is deterministic from the id given the stratum rate; unlike
+    * [[stratifiedSample]] the rates here DERIVE from stratum counts, so
+    * regrowing the corpus re-derives them (documented trade: adaptive
+    * rates vs growth-stable membership — pass fixed rates to
+    * stratifiedSample when the latter matters).
+    *
+    * T=2 (the common "square-root sampling") uses `sqrt`, which IEEE
+    * requires correctly rounded — thresholds are bit-identical across
+    * engines; other T go through `pow` (last-ulp divergence possible at
+    * a 1-in-2^32 threshold boundary).
+    *
+    * Scale shape: one tiny stratum-count aggregate (|strata| rows)
+    * broadcast back onto the corpus — the corpus itself is never
+    * shuffled; the filter is a codegen'd narrow map over the scan.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      temperature: Double = 2.0, salt: String = "mix"): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1 (downsample-only)")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+    val nMin = counts.agg(min(col("n_stratum")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_stratum").cast("double")
+    val rate =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, 1.0 - 1.0 / temperature)
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("keep_rate", rate)
+      .withColumn("__thr", format_string("%08x",
+        least(floor(col("keep_rate") * 4294967296.0), lit(4294967295L))
+          .cast("long")))
+      .select(col(strataCol), col("n_stratum"), col("keep_rate"), col("__thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(substring(hashKey(col(idCol), salt), 1, 8) <= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * bin of ~`budget` tokens. Documents are dealt into `16^groupChars`
     * independent groups by the leading hex of md5(id || salt), ordered

@@ -261,6 +261,14 @@ object PipelineQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // temperature-flattened language mixing at T=2 (square-root
+    // sampling): dominant langs downsampled toward uniform, smallest
+    // kept wholesale (CorpusOps.temperatureMix)
+    "pipe_mix" -> ((s, d) =>
+      CorpusOps.temperatureMix(docs(s, d), "doc_id", "lang", 2.0)
+        .select("doc_id", "lang", "n_stratum", "keep_rate")
+        .orderBy("doc_id")),
+
     // token-budget sequence packing: deal docs into 16 hash groups,
     // greedy 512-token bins within each (CorpusOps.packBins)
     "pipe_pack" -> ((s, d) => {
@@ -436,6 +444,20 @@ object PipelineQueries {
          |FROM sh c JOIN sh b ON b.doc_id % 37 = 0
          |WHERE len(list_intersect(c.s, b.s))::DOUBLE / len(b.s) >= ${dlit(0.8)}
          |ORDER BY c.doc_id, bench_id""".stripMargin,
+
+    "pipe_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_stratum) AS n_min FROM c),
+        |r AS (SELECT lang, n_stratum,
+        |    sqrt(n_min::DOUBLE / n_stratum::DOUBLE) AS keep_rate,
+        |    printf('%08x', CAST(least(
+        |      floor(sqrt(n_min::DOUBLE / n_stratum::DOUBLE) * 4294967296e0),
+        |      4294967295e0) AS BIGINT)) AS thr
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang, r.n_stratum, r.keep_rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) <= r.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     "pipe_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -168,7 +168,30 @@ object RelationalQueries {
         .filter(col("l_quantity") > 25 && col("l_returnflag") === "R" &&
           col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // pivot with EXPLICIT value list: no driver-side distinct scan to
+    // discover columns (the implicit form's hidden collect — a scale
+    // anti-pattern); one partial-agg shuffle, same plan as a groupBy
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")),
+
+    // bivariate aggregates: corr / sample covariance / sample stddev.
+    // Both engines use single-pass co-moment accumulation; results are
+    // rounded to pin the (tiny) last-bit divergence out of the hash
+    "q_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,6 +300,21 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 25 AND l_returnflag = 'R'
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -78,6 +78,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(self.forall(_.getDouble(3) == 1.0))
   }
 
+  test("temperatureMix flattens strata toward n^(1/T), keeps the smallest whole") {
+    val natural = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = natural.values.min
+    val mixed = CorpusOps.temperatureMix(docs, "doc_id", "lang", 2.0)
+    val kept = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum rate is exactly 1.0 -> kept wholesale
+    val smallest = natural.minBy(_._2)._1
+    assert(kept(smallest) == nMin)
+    natural.foreach { case (lang, n) =>
+      val expected = n * math.sqrt(nMin.toDouble / n) // = sqrt(nMin * n)
+      assert(math.abs(kept(lang) - expected) <= 3 * math.sqrt(expected),
+        s"$lang kept ${kept(lang)} vs expected ~$expected")
+    }
+    // exposed keep_rate matches the contract r = sqrt(n_min/n)
+    mixed.select("lang", "n_stratum", "keep_rate").distinct().collect()
+      .foreach { r =>
+        assert(r.getDouble(2) == math.sqrt(nMin.toDouble / r.getLong(1)))
+      }
+    // deterministic: membership is a function of the id, not partitioning
+    val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusOps.temperatureMix(docs.repartition(7), "doc_id", "lang", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("packBins matches a sequential re-pack of each group") {
     val budget = 512
     val withTokens = docs.withColumn("n_tokens", size(split(col("text"), " ")))
