@@ -180,6 +180,20 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .orderBy("o_orderpriority")),
 
+    // portable KMV bottom-k distinct sketch: estimates hash-match the
+    // DuckDB oracle running the same md5 arithmetic (SketchOps)
+    "q_kmv_distinct" -> ((s, d) =>
+      graft.operators.SketchOps.kmvDistinct(
+          Tables.lineitem(s, d), "l_returnflag", "l_partkey", 64)
+        .orderBy("l_returnflag")),
+
+    // native DataSketches HLL estimates (rows-only: engine-specific
+    // sketch; accuracy + mergeability pinned in SketchOpsSpec)
+    "q_hll_distinct" -> ((s, d) =>
+      graft.operators.SketchOps.hllDistinct(
+          Tables.lineitem(s, d), "l_returnflag", "l_partkey")
+        .orderBy("l_returnflag")),
+
     // bivariate aggregates: corr / sample covariance / sample stddev.
     // Both engines use single-pass co-moment accumulation; results are
     // rounded to pin the (tiny) last-bit divergence out of the hash
@@ -308,6 +322,19 @@ object RelationalQueries {
         |  count(*) FILTER (o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::UBIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, count(*) AS n_seen, CAST(max(h) AS BIGINT) AS kth,
+        |  CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |       ELSE 63e0 * 4294967296e0 / max(h)::DOUBLE END AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_corr" ->
       """SELECT l_returnflag,
