@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Distributed graph primitives for corpus curation. The one that
   * matters for training-data pipelines is connected components: near-dup
@@ -42,7 +43,7 @@ object GraphOps {
     * `checkpoint` against the cluster checkpoint dir — same call shape.)
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverUnionFindMax: Long = 1L << 20): DataFrame = {
     // canonical direction: every edge stored (hi > lo)
     var e = edges
       .select(greatest(col(srcCol), col(dstCol)).as("hi"),
@@ -51,7 +52,30 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
 
-    var converged = e.isEmpty
+    // Near-dup edge lists are orders of magnitude smaller than the
+    // corpus (pairs only), so even a 100 TB run usually lands here: at
+    // or under `driverUnionFindMax` edges (default 2^20 ≈ 16 MB of id
+    // pairs) a driver-side union-find labels the graph in one collect
+    // instead of ~10 tiny shuffle jobs per star round — the same
+    // bounded-model-artifact trade as `ivfTopK`'s centroid collect.
+    // Larger graphs take the shuffle-native star path below. Both paths
+    // produce identical labels (pinned in GraphOpsSpec); pass
+    // `driverUnionFindMax = 0` to force the distributed path.
+    val nEdges = e.count()
+    if (nEdges == 0) {
+      val schema = StructType(Seq(
+        StructField("id", e.schema("hi").dataType),
+        StructField("component", e.schema("lo").dataType)))
+      return e.sparkSession.createDataFrame(
+        e.sparkSession.sparkContext.emptyRDD[Row], schema)
+    }
+    if (nEdges <= driverUnionFindMax &&
+        classOf[Comparable[_]].isAssignableFrom(
+          e.head.get(0).getClass)) {
+      return driverUnionFind(e)
+    }
+
+    var converged = false
     var round = 0
     while (!converged && round < maxIter) {
       // large-star: every node u connects its LARGER neighbors to
@@ -79,8 +103,9 @@ object GraphOps {
       // converged iff the edge set is a star forest: no node is both a
       // pointer (hi) and a pointee (lo). Star ops preserve connectivity,
       // so height-1 everywhere == one star per original component.
+      // (left-semi, not intersect: one join instead of two distincts)
       converged = small.select(col("lo").as("id"))
-        .intersect(small.select(col("hi").as("id")))
+        .join(small.select(col("hi").as("id")), Seq("id"), "left_semi")
         .isEmpty
       e = small
       round += 1
@@ -92,5 +117,40 @@ object GraphOps {
     // stars: (member -> root) plus the roots themselves
     e.select(col("hi").as("id"), col("lo").as("component"))
       .union(e.select(col("lo").as("id"), col("lo").as("component")).distinct())
+  }
+
+  /** Small-graph fast path: classic union-find with path compression on
+    * the collected canonical edge list; the root is always the minimum
+    * id, so labels match the star algorithm's exactly. Ids arrive as
+    * boxed JVM values (Long/Int/String/…) whose natural `Comparable`
+    * order is the same order Catalyst's `least`/`min` used.
+    */
+  private def driverUnionFind(canonicalEdges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[AnyRef, AnyRef]()
+    @annotation.tailrec
+    def find(x: AnyRef): AnyRef = {
+      val p = parent.getOrDefault(x, x)
+      if (p.equals(x)) x
+      else { parent.put(x, parent.getOrDefault(p, p)); find(p) }
+    }
+    def lt(a: AnyRef, b: AnyRef): Boolean =
+      a.asInstanceOf[Comparable[AnyRef]].compareTo(b) < 0
+    val edges = canonicalEdges.collect()
+    edges.foreach { r =>
+      val (ra, rb) = (find(r.get(0).asInstanceOf[AnyRef]),
+        find(r.get(1).asInstanceOf[AnyRef]))
+      if (!ra.equals(rb)) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = edges.iterator
+      .flatMap(r => Iterator(r.get(0).asInstanceOf[AnyRef], r.get(1).asInstanceOf[AnyRef]))
+      .toSet
+    val out = nodes.iterator.map(n => Row(n, find(n))).toSeq
+    val schema = StructType(Seq(
+      StructField("id", canonicalEdges.schema("hi").dataType),
+      StructField("component", canonicalEdges.schema("lo").dataType)))
+    val spark = canonicalEdges.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 }

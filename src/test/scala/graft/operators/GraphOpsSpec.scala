@@ -30,8 +30,14 @@ class GraphOpsSpec extends SparkSpec {
     nodes.map(n => n -> find(n)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** `distributed = true` forces the shuffle-native star path
+    * (driverUnionFindMax = 0); default exercises whichever path the
+    * size heuristic picks (the driver fast path at these sizes).
+    */
+  private def ccOf(edges: Seq[(Long, Long)],
+      distributed: Boolean = false): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        driverUnionFindMax = if (distributed) 0L else 1L << 20)
       .as[(Long, Long)].collect().toMap
 
   test("single edge, duplicate and reversed edges, self-loops") {
@@ -45,10 +51,21 @@ class GraphOpsSpec extends SparkSpec {
 
   test("path graph (worst-case diameter) collapses to one component") {
     // a 64-node chain: diameter 63, converges only if the star rounds
-    // actually hop components together (not mere neighbor propagation)
+    // actually hop components together (not mere neighbor propagation).
+    // Forced through the DISTRIBUTED path — the convergence logic is
+    // what this worst case exists to stress.
     val chain = (0L until 63L).map(i => (i, i + 1))
-    val got = ccOf(chain)
+    val got = ccOf(chain, distributed = true)
     assert(got === (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("driver fast path and distributed star path produce identical labels") {
+    for (seed <- 4 to 6) {
+      val rnd = new Random(seed)
+      val edges = Seq.fill(80)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccOf(edges) === ccOf(edges, distributed = true), s"seed=$seed")
+    }
   }
 
   test("two separate cliques stay separate") {
