@@ -60,6 +60,20 @@ object Ast {
   /** Unary minus over a non-literal operand (literal negation folds at
     * parse time). */
   final case class ONeg(x: Operand) extends Operand
+  /** Scalar function call (`upper(click.user)`, `round(cpu / 7.0, 2)`).
+    * The reference has no function surface at all (whereparser.go:146-169
+    * accepts bare literal/field comparisons only); this is the dialect
+    * face of Spark's codegen'd built-ins — the allowlist lives in the
+    * compiler, which arity-checks and maps each name onto
+    * `org.apache.spark.sql.functions`.
+    */
+  final case class OFn(fn: String, args: Seq[Operand]) extends Operand
+  /** `CAST(x AS int|float|string|bool)` — conversion between the
+    * reference's exactly-four scalar types (common.go:4-23). int is
+    * 64-bit, float is double; float→int truncates toward zero (ANSI /
+    * Spark semantics).
+    */
+  final case class OCast(x: Operand, toType: String) extends Operand
 
   /** Comparison ops of the reference (logicalexpression.go:10-36), plus
     * NOT — absent from the reference's connective set (AND/OR only,

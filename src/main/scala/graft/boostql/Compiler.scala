@@ -87,6 +87,60 @@ object Compiler {
     case BNull     => lit(null)
   }
 
+  /** Scalar-function allowlist: dialect name → (arity range, builder over
+    * compiled argument columns). Every entry maps onto a codegen'd Spark
+    * built-in — no UDFs — so function calls stay inside WholeStageCodegen
+    * and never block predicate pushdown of sibling conjuncts.
+    */
+  private val scalarFns: Map[String, (Int, Int, Seq[Column] => Column)] = Map(
+    "upper"    -> ((1, 1, (a: Seq[Column]) => upper(a(0)))),
+    "lower"    -> ((1, 1, (a: Seq[Column]) => lower(a(0)))),
+    "length"   -> ((1, 1, (a: Seq[Column]) => length(a(0)).cast("long"))),
+    "trim"     -> ((1, 1, (a: Seq[Column]) => trim(a(0)))),
+    "ltrim"    -> ((1, 1, (a: Seq[Column]) => ltrim(a(0)))),
+    "rtrim"    -> ((1, 1, (a: Seq[Column]) => rtrim(a(0)))),
+    "reverse"  -> ((1, 1, (a: Seq[Column]) => reverse(a(0)))),
+    "concat"   -> ((1, Int.MaxValue, (a: Seq[Column]) => concat(a: _*))),
+    "replace"  -> ((3, 3, (a: Seq[Column]) => replace(a(0), a(1), a(2)))),
+    // substr(s, pos[, len]) — 1-based pos; without len, to end of string
+    "substr"   -> ((2, 3, (a: Seq[Column]) =>
+      if (a.length == 3) a(0).substr(a(1), a(2))
+      else a(0).substr(a(1), length(a(0))))),
+    "abs"      -> ((1, 1, (a: Seq[Column]) => abs(a(0)))),
+    "round"    -> ((1, 1, (a: Seq[Column]) => round(a(0)))),
+    "floor"    -> ((1, 1, (a: Seq[Column]) => floor(a(0)))),
+    "ceil"     -> ((1, 1, (a: Seq[Column]) => ceil(a(0)))),
+    "sqrt"     -> ((1, 1, (a: Seq[Column]) => sqrt(a(0)))),
+    "exp"      -> ((1, 1, (a: Seq[Column]) => exp(a(0)))),
+    "ln"       -> ((1, 1, (a: Seq[Column]) => log(a(0)))),
+    "log10"    -> ((1, 1, (a: Seq[Column]) => log10(a(0)))),
+    "pow"      -> ((2, 2, (a: Seq[Column]) => pow(a(0), a(1)))),
+    "mod"      -> ((2, 2, (a: Seq[Column]) => a(0) % a(1))),
+    "least"    -> ((2, Int.MaxValue, (a: Seq[Column]) => least(a: _*))),
+    "greatest" -> ((2, Int.MaxValue, (a: Seq[Column]) => greatest(a: _*))),
+    "coalesce" -> ((1, Int.MaxValue, (a: Seq[Column]) => coalesce(a: _*))),
+    "nullif"   -> ((2, 2, (a: Seq[Column]) => nullif(a(0), a(1))))
+  )
+
+  private def fnColumn(fn: String, args: Seq[Ast.Operand], cols: Seq[Column]): Column =
+    // round's 2-arg form needs its scale as a constant (Spark's
+    // round(col, scale) takes an Int, not a Column) — special-cased so
+    // a non-literal scale is a CompileException, not a MatchError
+    if (fn == "round" && args.length == 2) args(1) match {
+      case OLit(BInt(d)) => round(cols(0), d.toInt)
+      case _ => throw CompileException("round scale must be an integer literal")
+    } else scalarFns.get(fn) match {
+      case None =>
+        throw CompileException(
+          s"unknown function $fn (supported: ${scalarFns.keys.toSeq.sorted.mkString(", ")})")
+      case Some((lo, hi, build)) =>
+        if (cols.length < lo || cols.length > hi) {
+          val want = if (hi == Int.MaxValue) s"$lo+" else if (lo == hi) s"$lo" else s"$lo..$hi"
+          throw CompileException(s"$fn expects $want argument(s), got ${cols.length}")
+        }
+        build(cols)
+    }
+
   /** Compile a query; `families` resolves each (domain, family) source to
     * a series-family DataFrame (schema: series, ts, value, tags,
     * attributes).
@@ -130,6 +184,8 @@ object Compiler {
       case OAgg(_, arg)    => arg.map(ref).toSeq
       case OArith(_, l, r) => operandRefs(l) ++ operandRefs(r)
       case ONeg(x)         => operandRefs(x)
+      case OFn(_, args)    => args.flatMap(operandRefs)
+      case OCast(x, _)     => operandRefs(x)
       case OLit(_)         => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
@@ -253,6 +309,17 @@ object Compiler {
           case "/" => a / b
         }
       case ONeg(x) => -operandColumn(x, aggOk)
+      case OFn(fn, args) => fnColumn(fn, args, args.map(operandColumn(_, aggOk)))
+      case OCast(x, ty) =>
+        val sparkType = ty match {
+          case "int"    => "long"    // the dialect's int is 64-bit (common.go:8)
+          case "float"  => "double"
+          case "string" => "string"
+          case "bool"   => "boolean"
+          case other => throw CompileException(
+            s"CAST target must be int, float, string or bool (got $other)")
+        }
+        operandColumn(x, aggOk).cast(sparkType)
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
@@ -308,6 +375,8 @@ object Compiler {
       case OAgg(f, a)      => Seq((f, a.map(ref)))
       case OArith(_, l, r) => opAggs(l) ++ opAggs(r)
       case ONeg(x)         => opAggs(x)
+      case OFn(_, args)    => args.flatMap(opAggs)
+      case OCast(x, _)     => opAggs(x)
       case _               => Seq.empty
     }
     def itemAggs(i: SelectItem): Seq[(String, Option[SField])] = i match {
@@ -331,6 +400,8 @@ object Compiler {
         case ORef(n)         => Seq(ref(n))
         case OArith(_, l, r) => bareRefs(l) ++ bareRefs(r)
         case ONeg(x)         => bareRefs(x)
+        case OFn(_, args)    => args.flatMap(bareRefs)
+        case OCast(x, _)     => bareRefs(x)
         case _               => Seq.empty
       }
       spec.select.foreach {

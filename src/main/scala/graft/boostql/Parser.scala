@@ -23,7 +23,9 @@ import Ast._
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
-  * primary  := literal | NULL | agg '(' ('*' | name) ')' | name | '(' add ')'
+  * primary  := literal | NULL | agg '(' ('*' | name) ')'
+  *           | CAST '(' add AS ident ')' | ident '(' add (',' add)* ')'
+  *           | name | '(' add ')'
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
   *
@@ -377,6 +379,27 @@ object Parser {
         val arg = if (sym("*")) None else Some(rawName())
         expectSym(")")
         OAgg(id.toLowerCase, arg)
+      // CAST(expr AS type) — type validated by the compiler (int | float
+      // | string | bool, the dialect's four scalar types)
+      case TIdent(id) if id.equalsIgnoreCase("cast") &&
+          toks(pos + 1) == TSym("(") =>
+        pos += 2
+        val e = nested(addOperand())
+        expectKw("as")
+        val ty = ident().toLowerCase
+        expectSym(")")
+        OCast(e, ty)
+      // any other ident immediately followed by '(' is a scalar function
+      // call; the compiler owns the allowlist + arity check (an unknown
+      // name is a CompileException, not a parse error)
+      case TIdent(id) if !keywords.contains(id.toLowerCase) &&
+          toks(pos + 1) == TSym("(") =>
+        pos += 2
+        val b = Seq.newBuilder[Operand]
+        b += nested(addOperand())
+        while (sym(",")) b += nested(addOperand())
+        expectSym(")")
+        OFn(id.toLowerCase, b.result())
       case TIdent(_) => ORef(rawName())
       case TSym("(") =>
         pos += 1

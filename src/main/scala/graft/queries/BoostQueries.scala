@@ -131,6 +131,32 @@ object BoostQueries {
         "AND click.user NOT LIKE '1%' " +
         "ORDER BY click.event_id")),
 
+    // scalar function calls — the dialect face of Spark's codegen'd
+    // built-ins (extension: the reference has no function surface at
+    // all). String tier: case mapping, length, concat, substr, replace.
+    "boost_fn_str" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, upper(click.user) AS u, " +
+        "concat(click.user, '_', click.event_id) AS ck, " +
+        "substr(click.event_id, 1, 2) AS pre, " +
+        "replace(click.user, '1', 'X') AS rep, " +
+        "length(click.user) AS ulen " +
+        "FROM dom.events WHERE length(click.event_id) >= 3 " +
+        "ORDER BY click.event_id LIMIT 200")),
+
+    // math tier + CAST between the dialect's four scalar types.
+    // float→int CAST truncates toward zero (ANSI / Spark); the oracle
+    // spells the same via trunc() before its (round-half-even) cast.
+    "boost_fn_math" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, " +
+        "CAST(purchase AS int) AS pi, " +
+        "CAST(floor(purchase / 100.0) AS int) AS bucket, " +
+        "abs(purchase - 250.0) AS dist, " +
+        "sqrt(purchase) AS rt, " +
+        "least(purchase, 300.0) AS lo, " +
+        "greatest(mod(CAST(purchase AS int), 7), 2) AS g " +
+        "FROM dom.events WHERE purchase > 50.0 " +
+        "ORDER BY purchase.event_id LIMIT 200")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -258,6 +284,30 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_fn_str" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  upper(CAST(user_id AS VARCHAR)) AS u,
+        |  CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS ck,
+        |  substr(CAST(event_id AS VARCHAR), 1, 2) AS pre,
+        |  replace(CAST(user_id AS VARCHAR), '1', 'X') AS rep,
+        |  length(CAST(user_id AS VARCHAR)) AS ulen
+        |FROM events WHERE event_type = 'click'
+        |  AND length(CAST(event_id AS VARCHAR)) >= 3
+        |ORDER BY click_event_id LIMIT 200""".stripMargin,
+
+    // float→int is truncate-toward-zero in the dialect; DuckDB's cast
+    // rounds, so the oracle trunc()s first (values here are positive)
+    "boost_fn_math" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  CAST(trunc(value) AS BIGINT) AS pi,
+        |  CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+        |  abs(value - 250.0) AS dist,
+        |  sqrt(value) AS rt,
+        |  least(value, 300.0) AS lo,
+        |  greatest(CAST(trunc(value) AS BIGINT) % 7, 2) AS g
+        |FROM events WHERE event_type = 'purchase' AND value > 50.0
+        |ORDER BY purchase_event_id LIMIT 200""".stripMargin,
 
     "boost_roundtrip" ->
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view

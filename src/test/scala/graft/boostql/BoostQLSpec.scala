@@ -490,4 +490,91 @@ class BoostQLSpec extends SparkSpec {
         "SELECT cpu FROM dom.f1 AS a, dom.f2 AS b"), (_: (String, String)) => fam)
     }
   }
+
+  test("parser: scalar function calls and CAST forms") {
+    val q = Parser.parse("SELECT upper(click.user) AS u FROM dom.events")
+    assert(q.select.head ==
+      ExprItem(OFn("upper", Seq(ORef(RawName(Seq("click", "user"))))), "u"))
+    // nested calls + arithmetic arguments
+    val n = Parser.parse(
+      "SELECT concat(upper(click.user), '_x') FROM dom.events WHERE abs(click - 1.0) > 2.0")
+    assert(n.select.head match {
+      case ExprItem(OFn("concat", Seq(OFn("upper", _), OLit(BStr("_x")))), _) => true
+      case _ => false
+    })
+    // CAST with AS inside the parens; target validated at compile time
+    val c = Parser.parse("SELECT CAST(click AS int) AS ci FROM dom.events")
+    assert(c.select.head == ExprItem(OCast(ORef(RawName(Seq("click"))), "int"), "ci"))
+    // an ident followed by '(' is always a call — never a field ref
+    intercept[Parser.ParseException](Parser.parse("SELECT upper( FROM dom.events"))
+    // aggregate names keep their dedicated production (count(*) is OAgg)
+    assert(Parser.parse("SELECT count(*) FROM dom.events").select.head == AggItem("count", None))
+  }
+
+  test("compiler: scalar functions map to codegen'd built-ins") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.user, upper(click.user) AS u, length(click.user) AS n, " +
+        "concat(click.user, '!') AS bang, substr(click.user, 1, 1) AS h " +
+        "FROM dom.events WHERE length(click.user) >= 1 ORDER BY click.user LIMIT 10"), fam)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(r.getString(1) == u.toUpperCase)
+      assert(r.getLong(2) == u.length.toLong)
+      assert(r.getString(3) == u + "!")
+      assert(r.getString(4) == u.substring(0, 1))
+    }
+    // math tier: CAST truncates toward zero, floor/ceil/sqrt/abs/mod/least
+    val m = Compiler.compile(Parser.parse(
+      "SELECT click, CAST(click AS int) AS ci, sqrt(abs(click)) AS rt, " +
+        "least(click, 100.0) AS lo, mod(CAST(click AS int), 7) AS m7 " +
+        "FROM dom.events LIMIT 50"), fam)
+    m.collect().foreach { r =>
+      val v = r.getDouble(0)
+      assert(r.getLong(1) == v.toLong)
+      assert(math.abs(r.getDouble(2) - math.sqrt(math.abs(v))) == 0.0)
+      assert(r.getDouble(3) == math.min(v, 100.0))
+      assert(r.getLong(4) == v.toLong % 7)
+    }
+    // unknown function and bad arity are compile errors with the allowlist
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse("SELECT frobnicate(click) FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse("SELECT upper(click, click) FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse("SELECT CAST(click AS decimal) FROM dom.events"), fam)
+    }
+    // round's 2-arg scale must be a literal
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse("SELECT round(click, click) FROM dom.events"), fam)
+    }
+  }
+
+  test("functions compose with WHERE pushdown, grouping and aggregates") {
+    import org.apache.spark.sql.functions._
+    // function over an aggregate; function inside GROUP BY via alias
+    val g = Compiler.compile(Parser.parse(
+      "SELECT substr(click.user, 1, 1) AS pre, count(*) AS n, " +
+        "round(sum(click), 1) AS tot FROM dom.events " +
+        "GROUP BY pre ORDER BY pre"), fam)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    val manual = fam.filter(col("series") === "click")
+      .groupBy(element_at(col("attributes"), "user").substr(1, 1).as("pre"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 1).as("tot"))
+      .orderBy("pre").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      manual.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // WHERE with a function on one conjunct must not block pushdown of
+    // the sibling series predicate — the scan still prunes by series
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click FROM dom.events WHERE upper(click.user) = '3'"), fam)
+    assert(df.collect().length ==
+      Compiler.compile(Parser.parse(
+        "SELECT click FROM dom.events WHERE click.user = '3'"), fam).collect().length)
+  }
 }
