@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{CorpusOps, GraphOps, TextAnalysisOps, TextDedupOps,
-  VectorSearchOps}
+import graft.operators.{CorpusOps, GraphOps, SemanticDedupOps, TextAnalysisOps,
+  TextDedupOps, VectorSearchOps}
 import graft.tables.Tables
 
 /** LLM-training-data-pipeline tier: deduplication (exact, n-gram
@@ -147,6 +147,15 @@ object PipelineQueries {
 
     "dd_embed_cosine" -> ((s, d) =>
       TextDedupOps.embeddingDedupPairs(embs(s, d), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup cluster-blocked semantic dedup — the scale path for
+    // embedding near-dup (within-cluster exact pairs instead of n²).
+    // With 10 clusters x 3 probes on this corpus it recovers the exact
+    // pair set, so it shares dd_embed_cosine's DuckDB oracle shape.
+    "dd_semantic" -> ((s, d) =>
+      SemanticDedupOps.semanticDedupPairs(embs(s, d), "vec_id", "embedding", 0.45,
+          k = 10, probes = 3, iters = 6)
         .orderBy("id_a", "id_b")),
 
     "ann_topk" -> ((s, d) => {
@@ -320,6 +329,16 @@ object PipelineQueries {
          |WHERE rk = 1 ORDER BY component""".stripMargin,
 
     "dd_embed_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the cluster-blocked path recovers the full exact pair set on this
+    // corpus (recall contract pinned in SemanticDedupSpec), so its
+    // oracle is the same all-pairs SQL
+    "dd_semantic" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
