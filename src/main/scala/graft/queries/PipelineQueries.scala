@@ -61,6 +61,32 @@ object PipelineQueries {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
        |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB fragment: per-node degree + triangle counts over the exact
+    * near-dup pair graph — the oracle twin of [[GraphOps.triangleStats]].
+    * Triangles are enumerated once each as x < y < z via the canonical
+    * (id_a < id_b) pair list.
+    */
+  private val triangleCte =
+    s"""$shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardExpr >= 0.5),
+       |deg AS (
+       |  SELECT id, count(*) AS degree FROM (
+       |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+       |  GROUP BY id),
+       |tri AS (
+       |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+       |  JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+       |tcnt AS (
+       |  SELECT id, count(*) AS triangles FROM (
+       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY id)""".stripMargin
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** Render a Scala Double as a DuckDB DOUBLE literal. The e-notation
@@ -136,6 +162,16 @@ object PipelineQueries {
     // doc labeled; oracle recomputes the same labels via recursive CTE
     "dd_cluster" -> ((s, d) =>
       clusteredDocs(s, d).select("doc_id", "component").orderBy("doc_id")),
+
+    // graph shape of the near-dup pair set: degree, per-node triangle
+    // count (degree-ordered node-iterator) and clustering coefficient —
+    // template-family vs boilerplate-hub discrimination
+    "graph_triangles" -> ((s, d) =>
+      GraphOps.triangleStats(
+          TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text"),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
 
     // cluster resolution: keep each component's longest doc (tie -> min
     // id) — the survivor list a dedup pipeline actually emits
@@ -318,6 +354,16 @@ object PipelineQueries {
     "dd_cluster" ->
       s"""$componentCte
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "graph_triangles" ->
+      s"""$triangleCte
+         |SELECT d.id AS doc_id, d.degree,
+         |  coalesce(t.triangles, 0) AS triangles,
+         |  CASE WHEN d.degree >= 2
+         |       THEN 2.0e0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+         |       ELSE 0.0e0 END AS clustering
+         |FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_canonical" ->
       s"""$componentCte

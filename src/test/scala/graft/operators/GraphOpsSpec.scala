@@ -94,4 +94,55 @@ class GraphOpsSpec extends SparkSpec {
     val rows = got.as[(Long, Long)].collect().toMap
     assert(rows === Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
   }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    GraphOps.triangleStats(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangleStats: complete graph K5 — all clustering 1.0") {
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = triOf(k5)
+    assert(got.keySet === (0L to 4L).toSet)
+    // every node: degree 4, C(4,2)=6 triangles through it, coefficient 1
+    got.values.foreach { case (deg, tri, c) =>
+      assert(deg == 4L && tri == 6L && c == 1.0)
+    }
+  }
+
+  test("triangleStats: path graph has no triangles; leaf clustering is 0") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = triOf(path)
+    assert(got.values.forall { case (_, tri, c) => tri == 0L && c == 0.0 })
+    assert(got(1L)._1 == 2L && got(0L)._1 == 1L)
+  }
+
+  test("triangleStats: duplicate, reversed and self-loop edges are tolerated") {
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 2L))
+    val got = triOf(messy)
+    // one clean triangle {0,1,2}
+    got.values.foreach { case (deg, tri, c) =>
+      assert(deg == 2L && tri == 1L && c == 1.0)
+    }
+  }
+
+  test("triangleStats matches brute force on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(100 + seed)
+      val n = 40
+      val edges = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = adj.map { case (u, nbrs) =>
+        val deg = nbrs.size.toLong
+        val tri = nbrs.toSeq.combinations(2)
+          .count { case Seq(v, w) => adj(v).contains(w) }.toLong
+        val c = if (deg >= 2) 2.0 * tri / (deg * (deg - 1)) else 0.0
+        u -> ((deg, tri, c))
+      }
+      assert(triOf(edges) === expect, s"seed=$seed")
+    }
+  }
 }
