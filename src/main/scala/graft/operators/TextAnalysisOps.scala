@@ -56,6 +56,47 @@ object TextAnalysisOps {
       (col("n_distinct").cast("double") / col("n_tokens")) *
         (lit(1.0) - col("stopword_ratio")))
 
+  /** FastText-style linear quality-classifier scoring over hashed
+    * bag-of-words features — the standard model-based corpus filter
+    * (e.g. CCNet / GPT-3-style "looks like reference text" scoring),
+    * applied at scale as a pure map.
+    *
+    * Features use the hashing trick: token → one of 256 buckets keyed
+    * by the leading hex pair of md5(token); the document's feature
+    * vector is the mean of its token buckets; `logit = bias + w · x`,
+    * `score = sigmoid(logit)`, `keep = logit >= 0`.
+    *
+    * Determinism at scale: weights are quantized to micro-units and
+    * accumulated as an exact integer sum, so the score is bit-identical
+    * under any partitioning, token order or engine with md5 — floating
+    * summation order (which varies with partitioning) never leaks into
+    * the result. The weight table is a literal map inlined into the
+    * plan (a model artifact, like [[VectorSearchOps.ivfTopK]]'s
+    * centroids); scoring is narrow, codegen'd, zero-shuffle.
+    *
+    * Training is out of scope by design — weights come from the caller
+    * (export any logistic model into the 256-bucket space).
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double): DataFrame = {
+    require(weights.length == 256,
+      s"weights must have one entry per hex-pair bucket (256), got ${weights.length}")
+    val micro = weights.map(w => math.rint(w * 1e6).toLong)
+    val wmap = map(micro.zipWithIndex.toIndexedSeq.flatMap { case (w, i) =>
+      Seq(lit(f"$i%02x"), lit(w)) }: _*)
+    val t = toks(col(textCol))
+    // split("", " ") = [""] so n_tokens >= 1 — no division guard needed
+    val lin = aggregate(t, lit(0L),
+      (acc, tk) => acc + element_at(wmap, substring(md5(tk), 1, 2)))
+    df.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("logit", lit(bias) +
+        (lin.cast("double") / lit(1000000.0)) / col("n_tokens").cast("double"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("keep", col("logit") >= lit(0.0))
+      .drop(textCol)
+  }
+
   /** Corpus vocabulary by document frequency: one row per token that
     * appears in at least one document, with `df` = number of distinct
     * documents containing it, top `k` by (df DESC, token ASC) — the

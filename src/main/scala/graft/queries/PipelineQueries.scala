@@ -87,6 +87,35 @@ object PipelineQueries {
        |    UNION ALL SELECT z FROM tri)
        |  GROUP BY id)""".stripMargin
 
+  /** Demo classifier model for `txt_classify`: deterministic weights in
+    * [-1, 1] spread over the 256 hash buckets by a Knuth multiplicative
+    * hash, micro-unit quantized (the operator's exactness contract).
+    * The oracle VALUES table is generated from the same array, so both
+    * engines score with identical integers.
+    */
+  private val clfWeights: Array[Double] =
+    Array.tabulate(256)(i => (((i * 2654435761L + 99991) % 2000001) - 1000000) / 1e6)
+  private val clfBias = 0.05
+
+  private def clfOracleSql: String = {
+    val values = clfWeights.zipWithIndex
+      .map { case (w, i) => s"('${f"$i%02x"}', ${math.rint(w * 1e6).toLong})" }
+      .mkString(", ")
+    val logit = s"${dlit(clfBias)} + ((lin.s::DOUBLE / 1000000.0e0) / len(t.l)::DOUBLE)"
+    s"""WITH w(k, wt) AS (VALUES $values),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
+       |lin AS (
+       |  SELECT tok.doc_id, sum(w.wt) AS s
+       |  FROM tok JOIN w ON w.k = substr(md5(tok.tk), 1, 2)
+       |  GROUP BY tok.doc_id)
+       |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+       |  $logit AS logit,
+       |  ($logit) >= 0.0e0 AS keep
+       |FROM t JOIN lin ON lin.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** Render a Scala Double as a DuckDB DOUBLE literal. The e-notation
@@ -224,6 +253,17 @@ object PipelineQueries {
     "txt_quality" -> ((s, d) =>
       TextAnalysisOps.qualityScore(docs(s, d), "text")
         .select("doc_id", "quality").orderBy("doc_id")),
+
+    // model-based corpus filter: hashed-feature linear classifier, one
+    // narrow pass. The oracle compares the exact columns (logit is an
+    // integer-sum divided once — bit-identical cross-engine); the
+    // sigmoid `score` stays Spark-side (libm exp is not a cross-engine
+    // contract)
+    "txt_classify" -> ((s, d) =>
+      TextAnalysisOps.classifierScore(docs(s, d), "doc_id", "text",
+          clfWeights, clfBias)
+        .select("doc_id", "n_tokens", "logit", "keep")
+        .orderBy("doc_id")),
 
     "txt_langid" -> ((s, d) =>
       TextAnalysisOps.languageId(docs(s, d), "text")
@@ -418,6 +458,8 @@ object PipelineQueries {
         |  (1.0 - len([x for x in l if (x = 'the' OR x = 'a')])::DOUBLE / len(l)) AS quality
         |FROM (SELECT *, string_split(text, ' ') AS l FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "txt_classify" -> clfOracleSql,
 
     "txt_langid" ->
       """SELECT doc_id,

@@ -129,4 +129,44 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(packed.forall { case (_, _, id, bin, _, _) => again(id) == bin })
   }
+
+  test("classifierScore: hand-checked logit, sigmoid, keep flag") {
+    // single-bucket model: weight 1.0 on the bucket of token "x", 0
+    // elsewhere — a doc's logit is bias + (fraction of x tokens)
+    val xBucket = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("x".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString, 16)
+    val w = Array.tabulate(256)(i => if (i == xBucket) 1.0 else 0.0)
+    val df = Seq((1L, "x x y z"), (2L, "y z"), (3L, "x x x x")).toDF("doc_id", "text")
+    val got = TextAnalysisOps.classifierScore(df, "doc_id", "text", w, -0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0.25) // bias + 2/4 x-tokens
+    assert(got(2L)._2 == -0.25 && !got(2L)._4)
+    assert(got(3L)._2 == 0.75 && got(3L)._4)
+    got.values.foreach { case (_, logit, score, keep) =>
+      assert(math.abs(score - 1.0 / (1.0 + math.exp(-logit))) < 1e-15)
+      assert(keep == (logit >= 0.0))
+    }
+  }
+
+  test("classifierScore: partitioning-invariant (integer-sum exactness)") {
+    val w = Array.tabulate(256)(i => (i - 128) / 130.0)
+    val a = TextAnalysisOps.classifierScore(docs, "doc_id", "text", w, 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = TextAnalysisOps.classifierScore(docs.repartition(13), "doc_id", "text", w, 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty)
+    // weights are quantized: a sub-micro perturbation cannot change scores
+    val w2 = w.map(_ + 1e-9)
+    val c = TextAnalysisOps.classifierScore(docs, "doc_id", "text", w2, 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(c == a)
+  }
+
+  test("classifierScore rejects a wrong-sized weight vector") {
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.classifierScore(docs, "doc_id", "text", Array(1.0), 0.0)
+    }
+  }
 }
