@@ -150,8 +150,15 @@ object GraphOps {
     * counted exactly once, at its lowest-rank corner.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonical(edges, srcCol, dstCol)
-    val deg = degrees(edges, srcCol, dstCol)
+    // materialize the canonical edge list once: degrees, orientation and
+    // wedge closure all fan out from it, and without this the upstream
+    // edge plan — often an expensive dedup join — re-evaluates once per
+    // branch (measured 3x on the near-dup pair graph). Downstream joins
+    // still adapt to broadcast at runtime via AQE's post-shuffle stats.
+    val canon = canonical(edges, srcCol, dstCol).localCheckpoint()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // used by both orientation joins + the final join
     val e = canon
       .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
@@ -163,7 +170,7 @@ object GraphOps {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
-      .localCheckpoint() // reused three times below; cut the double-join lineage
+      .localCheckpoint() // reused by both wedge sides + closure
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.dd") < col("e2.dd") ||

@@ -220,7 +220,7 @@ object PipelineQueries {
     // pair set, so it shares dd_embed_cosine's DuckDB oracle shape.
     "dd_semantic" -> ((s, d) =>
       SemanticDedupOps.semanticDedupPairs(embs(s, d), "vec_id", "embedding", 0.45,
-          k = 10, probes = 3, iters = 6)
+          k = 10, probes = 3, iters = 4)
         .orderBy("id_a", "id_b")),
 
     "ann_topk" -> ((s, d) => {
