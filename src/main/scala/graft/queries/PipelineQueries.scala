@@ -362,6 +362,30 @@ object PipelineQueries {
       CorpusOps.packBins(doc, "doc_id", "n_tokens", 512)
         .select("doc_id", "grp", "bin", "cum_before", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // the whole curation chain composed end to end, as a user would run
+    // it: quality gate -> exact dedup (canonical copy + count) ->
+    // near-dup clustering among survivors -> one survivor per cluster
+    // (longest doc, tie to min id). Every stage is an operator from
+    // this library; the oracle replays the identical chain in SQL.
+    "pipe_e2e" -> ((s, d) => {
+      val kept = TextAnalysisOps.qualityScore(docs(s, d), "text")
+        .filter(col("quality") >= 0.4)
+        .select("doc_id", "text", "n_chars")
+      val uniq = kept.join(
+        TextDedupOps.exactDedup(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"), col("n_copies")),
+        Seq("doc_id"))
+      val cc = GraphOps.connectedComponents(
+          TextDedupOps.ngramJaccardPairs(uniq, "doc_id", "text"),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val comp = uniq.join(cc, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      CorpusOps.canonicalPerGroup(comp, "component", "n_chars", "doc_id")
+        .select("doc_id", "component", "n_copies", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -577,6 +601,44 @@ object PipelineQueries {
         |SELECT doc_id, grp,
         |  CAST(floor(cum_before::DOUBLE / 512e0) AS BIGINT) AS bin,
         |  cum_before, n_tokens
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same chain, replayed in SQL: quality >= 0.4 gate, md5 exact dedup
+    // keeping (min id, count), 3-gram Jaccard pairs among unique
+    // survivors, min-label components (recursive CTE), longest-doc
+    // survivor per component
+    "pipe_e2e" ->
+      s"""WITH RECURSIVE
+         |qd AS (SELECT doc_id, text, n_chars,
+         |  (len(list_distinct(l))::DOUBLE / len(l)) *
+         |  (1.0 - len([x for x in l if (x = 'the' OR x = 'a')])::DOUBLE / len(l)) AS quality
+         |  FROM (SELECT *, string_split(text, ' ') AS l FROM documents)),
+         |kept AS (SELECT doc_id, text, n_chars FROM qd WHERE quality >= 0.4e0),
+         |ex AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |       FROM kept GROUP BY md5(text)),
+         |uniq AS (SELECT k.doc_id, k.text, k.n_chars, ex.n_copies
+         |         FROM kept k JOIN ex ON ex.doc_id = k.doc_id),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM uniq),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(l[i:i+2], ' ')
+         |                 for i in generate_series(1, greatest(len(l)-2, 1))]) AS s
+         |  FROM t),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExpr >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM uniq
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id)
+         |SELECT doc_id, component, n_copies, n_chars FROM (
+         |  SELECT u.doc_id, c.component, u.n_copies, u.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY u.n_chars DESC, u.doc_id ASC) AS rk
+         |  FROM uniq u JOIN comp c ON c.doc_id = u.doc_id)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }
