@@ -69,6 +69,7 @@ object Compiler {
       case None => count(lit(1))
       case Some(r) => fn match {
         case "count" => count(col(r.inName))
+        case "count_distinct" => count_distinct(col(r.inName))
         case "sum"   => sum(col(r.inName))
         case "avg"   => avg(col(r.inName))
         case "min"   => min(col(r.inName))

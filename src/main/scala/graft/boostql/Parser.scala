@@ -23,7 +23,7 @@ import Ast._
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
-  * primary  := literal | NULL | agg '(' ('*' | name) ')'
+  * primary  := literal | NULL | agg '(' ('*' | DISTINCT? name) ')'
   *           | CAST '(' add AS ident ')' | ident '(' add (',' add)* ')'
   *           | name | '(' add ')'
   * op       := >= | <= | != | <> | == | = | < | >
@@ -376,9 +376,20 @@ object Parser {
       case TIdent(id) if aggFns.contains(id.toLowerCase) &&
           toks(pos + 1) == TSym("(") =>
         pos += 2
-        val arg = if (sym("*")) None else Some(rawName())
-        expectSym(")")
-        OAgg(id.toLowerCase, arg)
+        // COUNT(DISTINCT x) — distinct is count-only (the useful form;
+        // SUM/AVG DISTINCT are rejected as a parse error, not silently
+        // computed as their non-distinct cousins)
+        if (kw("distinct")) {
+          if (!id.equalsIgnoreCase("count"))
+            throw ParseException(s"DISTINCT is only supported in count(), not $id()")
+          val arg = rawName()
+          expectSym(")")
+          OAgg("count_distinct", Some(arg))
+        } else {
+          val arg = if (sym("*")) None else Some(rawName())
+          expectSym(")")
+          OAgg(id.toLowerCase, arg)
+        }
       // CAST(expr AS type) — type validated by the compiler (int | float
       // | string | bool, the dialect's four scalar types)
       case TIdent(id) if id.equalsIgnoreCase("cast") &&

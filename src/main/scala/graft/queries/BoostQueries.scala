@@ -131,6 +131,12 @@ object BoostQueries {
         "AND click.user NOT LIKE '1%' " +
         "ORDER BY click.event_id")),
 
+    // COUNT(DISTINCT x) — partial-agg'd distinct count per group
+    "boost_count_distinct" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, count(DISTINCT purchase.event_id) AS n, " +
+        "count(*) AS total FROM dom.events " +
+        "GROUP BY purchase.user ORDER BY purchase.user")),
+
     // scalar function calls — the dialect face of Spark's codegen'd
     // built-ins (extension: the reference has no function surface at
     // all). String tier: case mapping, length, concat, substr, replace.
@@ -284,6 +290,13 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_count_distinct" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  count(DISTINCT CAST(event_id AS VARCHAR)) AS n,
+        |  count(*) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 
     "boost_fn_str" ->
       """SELECT CAST(event_id AS VARCHAR) AS click_event_id,

@@ -491,6 +491,26 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(DISTINCT x): parses, executes, rejected for other aggregates") {
+    import org.apache.spark.sql.functions._
+    assert(Parser.parse("SELECT count(DISTINCT cpu.host) FROM dom.f").select.head ==
+      AggItem("count_distinct", Some(RawName(Seq("cpu", "host")))))
+    intercept[Parser.ParseException] {
+      Parser.parse("SELECT sum(DISTINCT cpu) FROM dom.f")
+    }
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(DISTINCT purchase.event_id) AS n " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(DISTINCT purchase.event_id) > 1 ORDER BY purchase.user"), fam)
+    val manual = fam.filter(col("series") === "purchase")
+      .groupBy(element_at(col("attributes"), "user").as("u"))
+      .agg(count_distinct(element_at(col("attributes"), "event_id")).as("n"))
+      .filter(col("n") > 1).orderBy("u")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == manual)
+    assert(manual.nonEmpty)
+  }
+
   test("parser: scalar function calls and CAST forms") {
     val q = Parser.parse("SELECT upper(click.user) AS u FROM dom.events")
     assert(q.select.head ==
