@@ -68,4 +68,45 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("TableCacheQueryStage"),
       s"signature exchange should be computed once and reused:\n$plan")
   }
+
+  test("classifier scoring is a pure map: no exchange, no UDF, codegen'd") {
+    import org.apache.spark.sql.functions.col
+    val scored = graft.operators.TextAnalysisOps.classifierScore(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      Array.tabulate(256)(i => (i - 128) / 130.0), 0.1)
+    // un-ordered scoring itself (the query entry adds a presentation
+    // sort; the OPERATOR must stay narrow)
+    val plan = planOf(scored.filter(col("keep")))
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"classifier scoring must not fall off codegen into UDFs:\n$plan")
+    // the scan/project stages stay codegen'd (printed as `*(n)`); the
+    // higher-order aggregate fold itself is CodegenFallback by Spark
+    // design — still a narrow map
+    assert(plan.contains("*("),
+      s"classifier scoring should keep codegen stages:\n$plan")
+  }
+
+  test("semantic dedup: corpus assignment is narrow; shuffles only for block pairing") {
+    // the full-corpus side of dd_semantic must contain exactly the
+    // block-grid aggregation exchanges (groupBy (cid, blk) + final
+    // distinct), never a corpus-wide repartition for assignment —
+    // centroids ride the plan as literals
+    // AQE's toString prints the initial plan after the final one —
+    // count exchanges only in the final section
+    val plan = planOf(SparkEntry.queries("dd_semantic")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty, "expected the block-grid exchanges")
+    // current budget: block-grid aggregations on the two join branches,
+    // the candidate-pair distinct, and the presentation sort (8 with
+    // AQE's per-stage accounting). A new corpus-wide shuffle sneaking
+    // into assignment pushes the count over and fails here.
+    assert(exchanges.length <= 8,
+      s"assignment should not add corpus shuffles (${exchanges.length} exchanges):\n$plan")
+    // the only range exchange is the presentation ORDER BY
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      s"corpus must never be range-partitioned during dedup:\n$plan")
+  }
 }
