@@ -36,6 +36,12 @@ import graft.functions.GraftFunctions
   *    keyed (cluster, block), fixed-width block pairs, no per-pair row
   *    materialization. Cluster size imbalance is absorbed by the block
   *    grid — a huge cluster becomes many block pairs, not one task.
+  *
+  * Candidate volume is Σ|cluster|² ≈ probes²·n²/k: at FIXED k this is a
+  * k-fold cut of all-pairs, not linear growth. The scale recipe is
+  * k ∝ n (bounded expected cluster size — SemDeDup's own regime: 50k
+  * clusters over web-scale corpora), under which candidate volume grows
+  * linearly; training cost stays bounded because the sample is capped.
   */
 object SemanticDedupOps {
 

@@ -79,4 +79,26 @@ object SketchOps {
     df.groupBy(col(groupCol))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("est_distinct"))
+
+  /** Approximate per-group quantiles via Spark's Greenwald–Khanna
+    * summary (`percentile_approx`) — the single-pass, partial-agg'd
+    * (map-side combined) quantile tier next to the exact interpolated
+    * `percentile` (which needs the whole group, `ts_window_stats`).
+    * Guarantees a RANK error ≤ 1/accuracy — each returned value is an
+    * actual element of the group whose rank is within n/accuracy of the
+    * target — and is deterministic (GK compaction has no randomness),
+    * unlike sampled sketches. One shuffle; state per group is
+    * O(accuracy · log n) regardless of group size, so a skewed 100 TB
+    * group never materializes.
+    */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probabilities must be in [0, 1]")
+    df.groupBy(col(groupCol))
+      .agg(
+        percentile_approx(col(valueCol),
+          array(probs.map(lit): _*), lit(accuracy)).as("quantiles"),
+        count(col(valueCol)).as("n"))
+  }
 }

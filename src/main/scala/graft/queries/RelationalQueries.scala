@@ -194,6 +194,18 @@ object RelationalQueries {
           Tables.lineitem(s, d), "l_returnflag", "l_partkey")
         .orderBy("l_returnflag")),
 
+    // Greenwald–Khanna approximate quantiles (rows-only: GK picks
+    // in-group elements within rank error, a Spark-side contract;
+    // rank-error bound + determinism pinned in SketchOpsSpec)
+    "q_quantile_sketch" -> ((s, d) =>
+      graft.operators.SketchOps.approxQuantiles(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("l_returnflag"), col("n"),
+          col("quantiles")(0).as("p25"), col("quantiles")(1).as("p50"),
+          col("quantiles")(2).as("p90"), col("quantiles")(3).as("p99"))
+        .orderBy("l_returnflag")),
+
     // bivariate aggregates: corr / sample covariance / sample stddev.
     // Both engines use single-pass co-moment accumulation; results are
     // rounded to pin the (tiny) last-bit divergence out of the hash

@@ -68,4 +68,43 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged == whole,
       "HLL union must equal the single-pass sketch estimate")
   }
+
+  test("approxQuantiles: rank error within 1/accuracy of exact, deterministic") {
+    val probs = Seq(0.25, 0.5, 0.9)
+    val accuracy = 200
+    def runOn(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.approxQuantiles(df, "l_returnflag", "l_extendedprice",
+          probs, accuracy)
+        .collect().map(r => r.getString(0) ->
+          ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    val got = runOn(li)
+    val sorted = li.select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (g, (qs, n)) =>
+      val vals = sorted(g)
+      assert(n == vals.length.toLong)
+      probs.zip(qs).foreach { case (p, q) =>
+        // the returned value must be an element whose RANK is within
+        // n/accuracy of the target rank (the GK contract)
+        val lo = vals.count(_ < q)      // lowest rank q could hold
+        val hi = vals.count(_ <= q) - 1 // highest rank q holds
+        val target = p * (vals.length - 1)
+        val slack = vals.length.toDouble / accuracy + 1
+        assert(target >= lo - slack && target <= hi + slack,
+          s"group $g p=$p: value $q rank [$lo,$hi] vs target $target ± $slack")
+        assert(vals.contains(q), s"$q must be an actual element of group $g")
+      }
+    }
+    // repeatable: no sampling, so the same input plan gives the same
+    // elements every run. (A DIFFERENT partitioning may merge summaries
+    // in another order and legally pick a different in-bound element —
+    // the rank contract above is the invariant, and it holds for any
+    // partitioning:)
+    assert(runOn(li) == got)
+    runOn(li.repartition(17)).foreach { case (g, (qs, n)) =>
+      assert(n == sorted(g).length.toLong)
+      assert(qs.forall(sorted(g).contains), s"group $g: in-group elements only")
+    }
+  }
 }
