@@ -141,5 +141,6 @@ object Ast {
       having: Option[BExpr],
       orderBy: Seq[OrderItem],
       limit: Option[Int],
-      distinct: Boolean = false)
+      distinct: Boolean = false,
+      offset: Option[Int] = None)
 }

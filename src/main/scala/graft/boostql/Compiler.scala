@@ -488,7 +488,9 @@ object Compiler {
           val c = distinctOrderCol(o.item)
           if (o.asc) c.asc else c.desc
         }: _*)
-      spec.limit.fold(ordered)(ordered.limit)
+      // OFFSET skips before LIMIT counts (ANSI paging order)
+      val paged = spec.offset.fold(ordered)(ordered.offset)
+      spec.limit.fold(paged)(paged.limit)
     } else {
       val ordered =
         if (orderItems.isEmpty) projected
@@ -496,7 +498,9 @@ object Compiler {
           val c = orderCol(o.item)
           if (o.asc) c.asc else c.desc
         }: _*)
-      val limited = spec.limit.fold(ordered)(ordered.limit)
+      // OFFSET skips before LIMIT counts (ANSI paging order)
+      val paged = spec.offset.fold(ordered)(ordered.offset)
+      val limited = spec.limit.fold(paged)(paged.limit)
       limited.select(spec.select.map(outputCol): _*)
     }
   }

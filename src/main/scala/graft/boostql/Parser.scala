@@ -10,7 +10,7 @@ import Ast._
   *
   * {{{
   * query    := SELECT DISTINCT? items FROM src (WHERE or)? (GROUP BY names)?
-  *             (HAVING or)? (ORDER BY orders)? (LIMIT int)?
+  *             (HAVING or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
   * items    := item (',' item)*
   * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
@@ -147,9 +147,12 @@ object Parser {
       val ord =
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
       val lim = if (kw("limit")) Some(intLit()) else None
+      // OFFSET only with LIMIT (an un-limited offset over an unordered
+      // engine is a paging bug, not a query)
+      val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       peek match {
         case TEnd =>
-          QuerySpec(items, src, joins, where, grp, having, ord, lim, dist)
+          QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off)
         case t => throw ParseException(s"trailing input: $t")
       }
     }

@@ -131,6 +131,12 @@ object BoostQueries {
         "AND click.user NOT LIKE '1%' " +
         "ORDER BY click.event_id")),
 
+    // LIMIT/OFFSET paging over a total order
+    "boost_offset" -> ((s, d) =>
+      run(s, d, "SELECT error.event_id, error FROM dom.events " +
+        "WHERE error > 150.0 ORDER BY error DESC, error.event_id " +
+        "LIMIT 15 OFFSET 10")),
+
     // COUNT(DISTINCT x) — partial-agg'd distinct count per group
     "boost_count_distinct" -> ((s, d) =>
       run(s, d, "SELECT purchase.user, count(DISTINCT purchase.event_id) AS n, " +
@@ -290,6 +296,11 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_offset" ->
+      """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
+        |FROM events WHERE event_type = 'error' AND value > 150.0
+        |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
 
     "boost_count_distinct" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

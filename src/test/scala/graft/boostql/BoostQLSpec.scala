@@ -491,6 +491,24 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("LIMIT OFFSET pages over the total order; OFFSET needs LIMIT") {
+    def ids(q: String): Seq[String] =
+      Compiler.compile(Parser.parse(q), fam).collect().map(_.getString(0)).toSeq
+    val all = ids("SELECT click.event_id FROM dom.events ORDER BY click.event_id LIMIT 30")
+    val page2 = ids("SELECT click.event_id FROM dom.events ORDER BY click.event_id " +
+      "LIMIT 10 OFFSET 10")
+    assert(page2 == all.slice(10, 20) && page2.length == 10)
+    // DISTINCT branch pages too
+    val du = ids("SELECT DISTINCT click.user FROM dom.events ORDER BY click.user " +
+      "LIMIT 3 OFFSET 2")
+    val duAll = ids("SELECT DISTINCT click.user FROM dom.events ORDER BY click.user LIMIT 5")
+    assert(du == duAll.drop(2))
+    // bare OFFSET (no LIMIT) is trailing input — rejected
+    intercept[Parser.ParseException] {
+      Parser.parse("SELECT click FROM dom.events OFFSET 5")
+    }
+  }
+
   test("COUNT(DISTINCT x): parses, executes, rejected for other aggregates") {
     import org.apache.spark.sql.functions._
     assert(Parser.parse("SELECT count(DISTINCT cpu.host) FROM dom.f").select.head ==
