@@ -18,12 +18,23 @@ object ParserProps extends Properties("graft.boostql.parser") {
   private case class Leaf(v: Long) extends T
   private case class Neg(x: T) extends T
   private case class Bin(op: String, l: T, r: T) extends T
+  /** Scalar call over long-exact functions — pins the function-call
+    * grammar inside arbitrary arithmetic nesting. */
+  private case class Fn(name: String, args: Seq[T]) extends T
+
+  private def fnGen(depth: Int): Gen[T] = Gen.oneOf(
+    Gen.lzy(tree(depth - 1)).map(x => Fn("abs", Seq(x))),
+    Gen.lzy(for { a <- tree(depth - 1); b <- tree(depth - 1) }
+      yield Fn("least", Seq(a, b))),
+    Gen.lzy(for { a <- tree(depth - 1); b <- tree(depth - 1) }
+      yield Fn("greatest", Seq(a, b))))
 
   private def tree(depth: Int): Gen[T] =
     if (depth <= 0) Gen.choose(0L, 9L).map(Leaf)
     else Gen.frequency(
       3 -> Gen.choose(0L, 9L).map(Leaf),
       1 -> Gen.lzy(tree(depth - 1).map(Neg)),
+      1 -> fnGen(depth),
       4 -> (for {
         op <- Gen.oneOf("+", "-", "*")
         l <- Gen.lzy(tree(depth - 1))
@@ -37,12 +48,17 @@ object ParserProps extends Properties("graft.boostql.parser") {
     case Bin("-", l, r) => eval(l) - eval(r)
     case Bin("*", l, r) => eval(l) * eval(r)
     case Bin(op, _, _)  => sys.error(op)
+    case Fn("abs", Seq(x))         => math.abs(eval(x))
+    case Fn("least", Seq(a, b))    => math.min(eval(a), eval(b))
+    case Fn("greatest", Seq(a, b)) => math.max(eval(a), eval(b))
+    case Fn(n, _)                  => sys.error(n)
   }
 
   private def full(t: T): String = t match {
     case Leaf(v)        => v.toString
     case Neg(x)         => s"(- ${full(x)})"
     case Bin(op, l, r)  => s"(${full(l)} $op ${full(r)})"
+    case Fn(n, args)    => s"$n(${args.map(full).mkString(", ")})"
   }
 
   /** Precedence-minimal rendering: * binds tighter than +/-; operators
@@ -56,6 +72,7 @@ object ParserProps extends Properties("graft.boostql.parser") {
   }
   private def minimal(t: T): String = t match {
     case Leaf(v) => v.toString
+    case Fn(n, args) => s"$n(${args.map(minimal).mkString(", ")})"
     case Neg(x)  => if (prec(x) < 3) s"- (${minimal(x)})" else s"- ${minimal(x)}"
     case b @ Bin(op, l, r) =>
       val ls = if (prec(l) < prec(b)) s"(${minimal(l)})" else minimal(l)
@@ -69,6 +86,9 @@ object ParserProps extends Properties("graft.boostql.parser") {
     case OArith("+", l, r) => evalOperand(l) + evalOperand(r)
     case OArith("-", l, r) => evalOperand(l) - evalOperand(r)
     case OArith("*", l, r) => evalOperand(l) * evalOperand(r)
+    case OFn("abs", Seq(x))         => math.abs(evalOperand(x))
+    case OFn("least", Seq(a, b))    => math.min(evalOperand(a), evalOperand(b))
+    case OFn("greatest", Seq(a, b)) => math.max(evalOperand(a), evalOperand(b))
     case other           => sys.error(s"unexpected operand $other")
   }
 
