@@ -88,13 +88,14 @@ object TextAnalysisOps {
     // split("", " ") = [""] so n_tokens >= 1 — no division guard needed
     val lin = aggregate(t, lit(0L),
       (acc, tk) => acc + element_at(wmap, substring(md5(tk), 1, 2)))
-    df.select(col(idCol), col(textCol))
-      .withColumn("n_tokens", size(t).cast("long"))
+    // column-preserving (like qualityScore): callers prune, and Catalyst
+    // drops unread input columns anyway — which also means the operator
+    // applies to a STREAMING DataFrame unchanged
+    df.withColumn("n_tokens", size(t).cast("long"))
       .withColumn("logit", lit(bias) +
         (lin.cast("double") / lit(1000000.0)) / col("n_tokens").cast("double"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("keep", col("logit") >= lit(0.0))
-      .drop(textCol)
   }
 
   /** Corpus vocabulary by document frequency: one row per token that

@@ -97,24 +97,44 @@ object PipelineQueries {
     Array.tabulate(256)(i => (((i * 2654435761L + 99991) % 2000001) - 1000000) / 1e6)
   private val clfBias = 0.05
 
-  private def clfOracleSql: String = {
+  private def clfLogitExpr =
+    s"${dlit(clfBias)} + ((lin.s::DOUBLE / 1000000.0e0) / len(t.l)::DOUBLE)"
+
+  /** Shared CTE prefix: weight table + per-doc integer weight sums. */
+  private def clfLinCte: String = {
     val values = clfWeights.zipWithIndex
       .map { case (w, i) => s"('${f"$i%02x"}', ${math.rint(w * 1e6).toLong})" }
       .mkString(", ")
-    val logit = s"${dlit(clfBias)} + ((lin.s::DOUBLE / 1000000.0e0) / len(t.l)::DOUBLE)"
     s"""WITH w(k, wt) AS (VALUES $values),
-       |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
        |tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
        |lin AS (
        |  SELECT tok.doc_id, sum(w.wt) AS s
        |  FROM tok JOIN w ON w.k = substr(md5(tok.tk), 1, 2)
-       |  GROUP BY tok.doc_id)
+       |  GROUP BY tok.doc_id)""".stripMargin
+  }
+
+  private def clfOracleSql: String =
+    s"""$clfLinCte
        |SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
-       |  $logit AS logit,
-       |  ($logit) >= 0.0e0 AS keep
+       |  $clfLogitExpr AS logit,
+       |  ($clfLogitExpr) >= 0.0e0 AS keep
        |FROM t JOIN lin ON lin.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
-  }
+
+  /** Batch twin of the streaming curation ledger: same scoring, grouped
+    * per (lang, keep) — the streaming replay must match it exactly
+    * because the scoring tier is stateless and the ledger agg is
+    * order-independent (integer sums).
+    */
+  private def clfLedgerOracleSql: String =
+    s"""$clfLinCte,
+       |sc AS (
+       |  SELECT t.doc_id, t.lang, len(t.l)::BIGINT AS n_tokens,
+       |    ($clfLogitExpr) >= 0.0e0 AS keep
+       |  FROM t JOIN lin ON lin.doc_id = t.doc_id)
+       |SELECT lang, keep, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+       |FROM sc GROUP BY lang, keep ORDER BY lang, keep""".stripMargin
 
   private val bm25Terms = Seq("spark", "window", "join")
 
@@ -264,6 +284,13 @@ object PipelineQueries {
           clfWeights, clfBias)
         .select("doc_id", "n_tokens", "logit", "keep")
         .orderBy("doc_id")),
+
+    // the same scoring tier applied to a DOCUMENT STREAM (AvailableNow
+    // replay): per-language keep/drop ledger, hash-matching the batch
+    // oracle — stateless maps are mode-agnostic by construction
+    "stream_classify" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamingCurationReplay(
+        s, d, clfWeights, clfBias)),
 
     "txt_langid" -> ((s, d) =>
       TextAnalysisOps.languageId(docs(s, d), "text")
@@ -484,6 +511,8 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "txt_classify" -> clfOracleSql,
+
+    "stream_classify" -> clfLedgerOracleSql,
 
     "txt_langid" ->
       """SELECT doc_id,

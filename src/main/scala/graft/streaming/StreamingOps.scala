@@ -28,12 +28,12 @@ object StreamingOps {
     * repeated calls must not leak a dir + symlink each.
     */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stageDir(sfDir: String): String =
-    staged.computeIfAbsent(sfDir, { sf =>
+  private def stageDir(sfDir: String, table: String = "events"): String =
+    staged.computeIfAbsent(s"$sfDir#$table", { _ =>
       val dir = Files.createTempDirectory("graft-stream")
       dir.toFile.deleteOnExit()
-      val link = dir.resolve("events.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$sf/events.parquet"))
+      val link = dir.resolve(s"$table.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$sfDir/$table.parquet"))
       link.toFile.deleteOnExit()
       dir.toString
     })
@@ -194,6 +194,36 @@ object StreamingOps {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("delay_us"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** Streaming corpus curation: run the (narrow) model-scoring tier
+    * over a DOCUMENT stream and keep a running per-language keep/drop
+    * ledger — the shape of a live ingest filter in front of a training
+    * pipeline. [[graft.operators.TextAnalysisOps.classifierScore]] is
+    * applied to the stream UNCHANGED: the whole curation map tier is
+    * partitioning- and mode-agnostic (no shuffle, no state), so batch
+    * and streaming replays are bit-identical — which is exactly what
+    * the batch DuckDB oracle checks. State is one ledger row per
+    * (lang, keep): O(languages), watermark-free.
+    */
+  def streamingCurationReplay(spark: SparkSession, sfDir: String,
+      weights: Array[Double], bias: Double,
+      statePartitions: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageDir(sfDir, "documents"))
+    val scored = graft.operators.TextAnalysisOps
+      .classifierScore(docs, "doc_id", "text", weights, bias)
+    val ledger = scored.groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val sink = "graft_curate_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = ledger.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).select("lang", "keep", "n_docs", "sum_tokens")
+      .orderBy("lang", "keep")
   }
 
   /** Streaming exact-dedup: drop duplicate event_ids within the

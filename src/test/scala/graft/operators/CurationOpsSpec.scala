@@ -139,8 +139,9 @@ class CurationOpsSpec extends SparkSpec {
     val w = Array.tabulate(256)(i => if (i == xBucket) 1.0 else 0.0)
     val df = Seq((1L, "x x y z"), (2L, "y z"), (3L, "x x x x")).toDF("doc_id", "text")
     val got = TextAnalysisOps.classifierScore(df, "doc_id", "text", w, -0.25)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("logit"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
     assert(got(1L)._1 == 4L && got(1L)._2 == 0.25) // bias + 2/4 x-tokens
     assert(got(2L)._2 == -0.25 && !got(2L)._4)
     assert(got(3L)._2 == 0.75 && got(3L)._4)
@@ -152,16 +153,14 @@ class CurationOpsSpec extends SparkSpec {
 
   test("classifierScore: partitioning-invariant (integer-sum exactness)") {
     val w = Array.tabulate(256)(i => (i - 128) / 130.0)
-    val a = TextAnalysisOps.classifierScore(docs, "doc_id", "text", w, 0.1)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    val b = TextAnalysisOps.classifierScore(docs.repartition(13), "doc_id", "text", w, 0.1)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    assert(a == b && a.nonEmpty)
+    def logits(df: org.apache.spark.sql.DataFrame, wt: Array[Double]) =
+      TextAnalysisOps.classifierScore(df, "doc_id", "text", wt, 0.1)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("logit"))).toSet
+    val a = logits(docs, w)
+    assert(a == logits(docs.repartition(13), w) && a.nonEmpty)
     // weights are quantized: a sub-micro perturbation cannot change scores
-    val w2 = w.map(_ + 1e-9)
-    val c = TextAnalysisOps.classifierScore(docs, "doc_id", "text", w2, 0.1)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    assert(c == a)
+    assert(logits(docs, w.map(_ + 1e-9)) == a)
   }
 
   test("classifierScore rejects a wrong-sized weight vector") {

@@ -86,6 +86,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 3600000000L))
   }
 
+  test("streaming curation ledger equals the batch ledger (stateless map tier)") {
+    val w = Array.tabulate(256)(i => (i - 100) / 200.0)
+    val streamed = StreamingOps.streamingCurationReplay(spark, sfDir, w, 0.02)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.operators.TextAnalysisOps
+      .classifierScore(Tables.documents(spark, sfDir), "doc_id", "text", w, 0.02)
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang", "keep")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // both keep and drop must actually occur for the parity to mean much
+    assert(streamed.map(_._2).distinct.length == 2)
+  }
+
   test("repeated streaming calls stage exactly one temp dir per sfDir") {
     def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
