@@ -102,6 +102,39 @@ object TimeSeriesOps {
     df.withColumn(out, when(sd > 0, round((col(valCol) - mu) / sd, 6)))
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-
+    * Oriented Time Series Data Aggregation"): per (key, time-bucket)
+    * keep at most the 4 points that determine an error-free min/max
+    * line rendering — first and last by time, minimum and maximum by
+    * value. The standard width-parameterized downsampler for charting
+    * a billion-point series at pixel resolution.
+    *
+    * All four ranks share the (key, bucket) partitioning, so Catalyst
+    * plans ONE exchange with per-ordering sorts; deterministic via the
+    * `tieBreak` columns (every rank is a total order). A point that is
+    * several extremes at once (e.g. first AND min) is emitted once.
+    */
+  def m4Downsample(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val d = df
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("bucket", expr(s"__ts_us div ${bucketSeconds * 1000000L}"))
+    val part = (by :+ "bucket").map(col)
+    val tie = tieBreak.map(col)
+    def rk(order: Column*) =
+      row_number().over(Window.partitionBy(part: _*).orderBy(order: _*))
+    val firstRk = rk((col("__ts_us").asc +: tie.map(_.asc)): _*)
+    val lastRk  = rk((col("__ts_us").desc +: tie.map(_.desc)): _*)
+    val minRk   = rk((col(valCol).asc +: (col("__ts_us").asc +: tie.map(_.asc))): _*)
+    val maxRk   = rk((col(valCol).desc +: (col("__ts_us").desc +: tie.map(_.desc))): _*)
+    d.withColumn("__keep",
+        firstRk === 1 || lastRk === 1 || minRk === 1 || maxRk === 1)
+      .filter(col("__keep"))
+      .select((by.map(col) :+ col("bucket") :+ col(tsCol) :+ col(valCol)): _*)
+      .distinct()
+  }
+
   /** Per-key rate of change per second between consecutive points. */
   def rate(df: DataFrame, by: Seq[String], tsCol: String, valCol: String,
       tieBreak: Seq[String], out: String = "rate"): DataFrame = {

@@ -112,6 +112,15 @@ object TimeSeriesQueries {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type", "day")),
 
+    // M4 downsampling: ≤4 points per (series, 6h bucket) — the
+    // error-free min/max-line chart reduction (TimeSeriesOps.m4Downsample)
+    "ts_m4_downsample" -> ((s, d) =>
+      TimeSeriesOps.m4Downsample(ev(s, d), Seq("event_type"), "ts", "value",
+          Seq("event_id"), bucketSeconds = 21600L)
+        .select(col("event_type"), col("bucket"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("event_type", "bucket", "ts_us", "value")),
+
     "ts_sessionize" -> ((s, d) =>
       TimeSeriesOps.sessionize(ev(s, d), by = Seq("user_id"), tsCol = "ts",
         tieBreak = Seq("event_id"), gapSeconds = 6 * 3600)
@@ -245,6 +254,26 @@ object TimeSeriesQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "ts_m4_downsample" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, value, event_id,
+        |    epoch_us(ts) // 21600000000 AS bucket
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_us ASC, event_id ASC) AS f_rk,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_us DESC, event_id DESC) AS l_rk,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY value ASC, ts_us ASC, event_id ASC) AS mn_rk,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY value DESC, ts_us DESC, event_id DESC) AS mx_rk
+        |  FROM b)
+        |SELECT DISTINCT event_type, bucket, ts_us, value
+        |FROM r WHERE f_rk = 1 OR l_rk = 1 OR mn_rk = 1 OR mx_rk = 1
+        |ORDER BY event_type, bucket, ts_us, value""".stripMargin,
 
     "ts_sessionize" ->
       """SELECT event_id,

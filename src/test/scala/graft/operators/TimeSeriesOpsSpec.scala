@@ -80,4 +80,37 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .orderBy("id").select("session_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(0L, 0L, 1L, 1L))
   }
+
+  test("m4Downsample keeps exactly first/last/min/max per bucket, merged") {
+    // one 1-hour bucket with distinct extremes -> 4 points; a second
+    // bucket where a single point is first+last+min+max -> 1 point
+    val rows = Seq(
+      ("cpu", ts("2024-01-01 00:05:00"), 5.0, 1L),  // first
+      ("cpu", ts("2024-01-01 00:20:00"), 1.0, 2L),  // min
+      ("cpu", ts("2024-01-01 00:30:00"), 9.0, 3L),  // max
+      ("cpu", ts("2024-01-01 00:40:00"), 4.0, 4L),  // interior — dropped
+      ("cpu", ts("2024-01-01 00:50:00"), 6.0, 5L),  // last
+      ("cpu", ts("2024-01-01 01:30:00"), 7.0, 6L)   // lone point, next bucket
+    ).toDF("k", "ts", "v", "id")
+    val got = TimeSeriesOps
+      .m4Downsample(rows, Seq("k"), "ts", "v", Seq("id"), bucketSeconds = 3600L)
+      .orderBy("bucket", "ts")
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("v")))
+    assert(got.length == 5)
+    assert(got.map(_._2).toSeq == Seq(5.0, 1.0, 9.0, 6.0, 7.0))
+    assert(got.map(_._1).distinct.length == 2)
+    // value ties break deterministically on (ts, tie): rerun equal
+    val tied = Seq(
+      ("cpu", ts("2024-01-01 00:01:00"), 3.0, 1L),
+      ("cpu", ts("2024-01-01 00:02:00"), 3.0, 2L),
+      ("cpu", ts("2024-01-01 00:03:00"), 3.0, 3L)
+    ).toDF("k", "ts", "v", "id")
+    def run() = TimeSeriesOps
+      .m4Downsample(tied, Seq("k"), "ts", "v", Seq("id"), 3600L)
+      .orderBy("ts").collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+    val first = run()
+    // first(=min) and last(=max) survive; the middle point is interior
+    assert(first == Seq(ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00")))
+    assert(run() == first)
+  }
 }
