@@ -356,15 +356,63 @@ object Compiler {
         }
     }
 
+    // ASOF JOIN: the ON clause must be a conjunction of '=' comparisons
+    // pairing the newly-joined source with an earlier one; time is
+    // implicit (series time axes, never spelled in ON)
+    def asofPairs(e: BExpr, rightIdx: Int): Seq[(SField, SField)] = e match {
+      case AndE(l, r) => asofPairs(l, rightIdx) ++ asofPairs(r, rightIdx)
+      case Cmp("=", ORef(a), ORef(b)) =>
+        val (fa, fb) = (ref(a), ref(b))
+        if (fa.isTs || fb.isTs)
+          throw CompileException(
+            "ASOF JOIN time matching is implicit; ts must not appear in ON")
+        if (fb.src == rightIdx && fa.src < rightIdx) Seq((fa, fb))
+        else if (fa.src == rightIdx && fb.src < rightIdx) Seq((fb, fa))
+        else throw CompileException(
+          "ASOF JOIN ON must pair the joined source with an earlier one")
+      case _ => throw CompileException(
+        "ASOF JOIN ON must be a conjunction of '=' comparisons between fields")
+    }
+
+    /** For each left row: the latest right row with right time <= left
+      * time within the equi-key group ([[graft.operators.TimeSeriesOps
+      * .asofJoin]]'s union-window formulation — no join node at all);
+      * unmatched left rows drop (inner semantics, DuckDB's default).
+      * The right source's event time stays addressable (`b.ts`) as the
+      * matched row's time.
+      */
+    def asofJoin(acc: DataFrame, right: DataFrame, cond: BExpr, i: Int): DataFrame = {
+      val pairs = asofPairs(cond, i + 1).distinct
+      if (pairs.isEmpty)
+        throw CompileException("ASOF JOIN needs at least one '=' key pair")
+      val rightTs = s"__ts_${i + 1}"
+      // right keys COPIED (not renamed) to the left key names: the by
+      // columns line up for the union while `b.key` stays selectable
+      val withKeys = pairs.foldLeft(right)((df, p) =>
+        df.withColumn(p._1.inName, col(p._2.inName)))
+      val r2 = withKeys
+        .withColumn(s"__asof$rightTs", col(rightTs))
+        .withColumnRenamed(rightTs, "__ts_0")
+      val by = pairs.map(_._1.inName)
+      val carried = r2.columns.toSeq.filterNot(c => by.contains(c) || c == "__ts_0")
+      val out = graft.operators.TimeSeriesOps.asofJoin(
+        acc, r2, by, "__ts_0", carried, prefix = "")
+      out.withColumnRenamed(s"__asof$rightTs", rightTs)
+        .filter(col(rightTs).isNotNull)
+    }
+
     // --- fold sources through joins ------------------------------------
     // joinType "left"/"right"/"full" null-extends the unmatched side(s),
     // exactly Spark's outer-join semantics
     val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
       case (acc, (JoinClause(_, on, joinType), i)) =>
         val right = sourceFrame(i + 1)
-        on match {
-          case Some(cond) => acc.join(right, exprColumn(cond, aggOk = false), joinType)
-          case None       => acc.crossJoin(right)
+        (joinType, on) match {
+          case ("asof", Some(cond)) => asofJoin(acc, right, cond, i)
+          case ("asof", None) =>
+            throw CompileException("ASOF JOIN requires an ON clause")
+          case (_, Some(cond)) => acc.join(right, exprColumn(cond, aggOk = false), joinType)
+          case (_, None)       => acc.crossJoin(right)
         }
     }
 

@@ -15,6 +15,8 @@ import Ast._
   * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
   * src      := ident '.' ident (AS? ident)?
+  * join     := (INNER? | CROSS | ASOF | (LEFT|RIGHT|FULL) OUTER?) JOIN src (ON and)?
+  *           | ',' src
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
   * cmp      := NOT cmp | '(' or ')'
@@ -51,7 +53,7 @@ object Parser {
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
-    "outer", "is", "null", "distinct", "in", "between", "like")
+    "outer", "is", "null", "distinct", "in", "between", "like", "asof")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -175,6 +177,15 @@ object Parser {
           else None
         if (sym(",")) b += JoinClause(source(), None)
         else if (kw("cross")) { expectKw("join"); b += JoinClause(source(), None) }
+        // ASOF JOIN: equi keys in ON, time matching implicit — for each
+        // left row, the latest right row at or before its time (the
+        // DuckDB/QuestDB time-series join; inner semantics)
+        else if (kw("asof")) {
+          expectKw("join")
+          val s = source()
+          expectKw("on")
+          b += JoinClause(s, Some(andExpr()), "asof")
+        }
         else outerJoin() match {
           case Some(jt) =>
             kw("outer") // optional

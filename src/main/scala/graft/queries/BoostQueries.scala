@@ -131,6 +131,16 @@ object BoostQueries {
         "AND click.user NOT LIKE '1%' " +
         "ORDER BY click.event_id")),
 
+    // ASOF JOIN — dialect face of the as-of operator (DuckDB/QuestDB
+    // time-series join): for each purchase, the same user's latest
+    // click at or before the purchase time; inner semantics
+    "boost_asof_join" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user " +
+        "WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id")),
+
     // LIMIT/OFFSET paging over a total order
     "boost_offset" -> ((s, d) =>
       run(s, d, "SELECT error.event_id, error FROM dom.events " +
@@ -296,6 +306,16 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_asof_join" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_click_event_id, b.value AS b_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  AND b.ts <= a.ts
+        |ORDER BY a_purchase_event_id""".stripMargin,
 
     "boost_offset" ->
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error

@@ -491,6 +491,45 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("ASOF JOIN: latest right row at or before each left row's time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // hand-built family: purchases at 10:00/11:00 for user 1, clicks at
+    // 09:30/10:30 (user 1) and 09:00 (user 2); purchase@10:00 -> click
+    // @09:30, purchase@11:00 -> click@10:30
+    val rows = Seq(
+      ("purchase", t("2024-01-01 10:00:00"), 10.0, "1", "p1"),
+      ("purchase", t("2024-01-01 11:00:00"), 20.0, "1", "p2"),
+      ("purchase", t("2024-01-01 08:00:00"), 30.0, "2", "p3"), // before any click
+      ("click",    t("2024-01-01 09:30:00"), 1.0, "1", "c1"),
+      ("click",    t("2024-01-01 10:30:00"), 2.0, "1", "c2"),
+      ("click",    t("2024-01-01 09:00:00"), 3.0, "2", "c3")
+    ).toDF("series", "ts", "value", "u", "eid")
+      .select(col("series"), col("ts"), col("value"),
+        map(lit("dc"), lit("dc0")).as("tags"),
+        map(lit("user"), col("u"), lit("event_id"), col("eid")).as("attributes"))
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user ORDER BY a.purchase.event_id"),
+      (_: (String, String)) => rows)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // p3 (08:00, user 2) precedes user 2's only click -> dropped (inner)
+    assert(got == Seq(("p1", "c1", 1.0), ("p2", "c2", 2.0)))
+    // ts in ON is rejected; non-equi ON is rejected
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
+          "ON a.ts = b.ts"), (_: (String, String)) => rows)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
+          "ON a.purchase.user != b.click.user"), (_: (String, String)) => rows)
+    }
+  }
+
   test("LIMIT OFFSET pages over the total order; OFFSET needs LIMIT") {
     def ids(q: String): Seq[String] =
       Compiler.compile(Parser.parse(q), fam).collect().map(_.getString(0)).toSeq
