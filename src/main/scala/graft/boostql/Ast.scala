@@ -74,6 +74,15 @@ object Ast {
     * Spark semantics).
     */
   final case class OCast(x: Operand, toType: String) extends Operand
+  /** Analytic/window call: `fn(args) OVER (PARTITION BY … ORDER BY …)`.
+    * fn ∈ {row_number, rank, dense_rank, count_star, count, sum, avg,
+    * min, max, lag, lead}; allowed in SELECT items and ORDER BY only,
+    * and not combinable with GROUP BY (v1 restriction — grouped-then-
+    * windowed queries belong to the DataFrame tier). Window ORDER BY
+    * keys are field refs with ASC/DESC.
+    */
+  final case class OWin(fn: String, args: Seq[Operand],
+      partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean)]) extends Operand
 
   /** Comparison ops of the reference (logicalexpression.go:10-36), plus
     * NOT — absent from the reference's connective set (AND/OR only,

@@ -187,6 +187,8 @@ object Compiler {
       case ONeg(x)         => operandRefs(x)
       case OFn(_, args)    => args.flatMap(operandRefs)
       case OCast(x, _)     => operandRefs(x)
+      case OWin(_, args, part, ord) =>
+        args.flatMap(operandRefs) ++ part.map(ref) ++ ord.map(o2 => ref(o2._1))
       case OLit(_)         => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
@@ -295,22 +297,22 @@ object Compiler {
     }
 
     // --- expression compilation ----------------------------------------
-    def operandColumn(o: Operand, aggOk: Boolean): Column = o match {
+    def operandColumn(o: Operand, aggOk: Boolean, winOk: Boolean = false): Column = o match {
       case OLit(l) => litColumn(l)
       case ORef(n) => col(ref(n).inName)
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
       case OArith(op, l, r) =>
-        val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
+        val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {
           case "+" => a + b
           case "-" => a - b
           case "*" => a * b
           case "/" => a / b
         }
-      case ONeg(x) => -operandColumn(x, aggOk)
-      case OFn(fn, args) => fnColumn(fn, args, args.map(operandColumn(_, aggOk)))
+      case ONeg(x) => -operandColumn(x, aggOk, winOk)
+      case OFn(fn, args) => fnColumn(fn, args, args.map(operandColumn(_, aggOk, winOk)))
       case OCast(x, ty) =>
         val sparkType = ty match {
           case "int"    => "long"    // the dialect's int is 64-bit (common.go:8)
@@ -320,7 +322,57 @@ object Compiler {
           case other => throw CompileException(
             s"CAST target must be int, float, string or bool (got $other)")
         }
-        operandColumn(x, aggOk).cast(sparkType)
+        operandColumn(x, aggOk, winOk).cast(sparkType)
+      case w: OWin =>
+        if (!winOk) throw CompileException(
+          "window functions are only allowed in SELECT items and ORDER BY")
+        winColumn(w, aggOk)
+    }
+
+    /** Compile an analytic call over its window spec. Ranking and
+      * lag/lead require a window ORDER BY (their result is undefined
+      * without one — a CompileException here, not whatever Spark does).
+      */
+    def winColumn(w: OWin, aggOk: Boolean): Column = {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val OWin(fn, args, part, ord) = w
+      def arg(i: Int): Column = {
+        if (args.length <= i)
+          throw CompileException(s"$fn needs ${i + 1} argument(s)")
+        operandColumn(args(i), aggOk)
+      }
+      val needsOrder = Set("row_number", "rank", "dense_rank", "lag", "lead")
+      if (needsOrder.contains(fn) && ord.isEmpty)
+        throw CompileException(s"$fn OVER requires a window ORDER BY")
+      def offsetOf(i: Int): Int = args.lift(i) match {
+        case None                => 1
+        case Some(OLit(BInt(v))) => v.toInt
+        case Some(other) =>
+          throw CompileException(s"$fn offset must be an integer literal, got $other")
+      }
+      val c = fn match {
+        case "row_number" => row_number()
+        case "rank"       => rank()
+        case "dense_rank" => dense_rank()
+        case "count_star" => count(lit(1))
+        case "count"      => count(arg(0))
+        case "sum"        => sum(arg(0))
+        case "avg"        => avg(arg(0))
+        case "min"        => min(arg(0))
+        case "max"        => max(arg(0))
+        case "lag"        => lag(arg(0), offsetOf(1))
+        case "lead"       => lead(arg(0), offsetOf(1))
+        case other => throw CompileException(
+          s"unknown window function $other (supported: row_number, rank, " +
+            "dense_rank, count, sum, avg, min, max, lag, lead)")
+      }
+      val w0 = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
+      val spec =
+        if (ord.isEmpty) w0
+        else w0.orderBy(ord.map { case (n, asc) =>
+          val cc = col(ref(n).inName); if (asc) cc.asc else cc.desc
+        }: _*)
+      c.over(spec)
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
@@ -436,6 +488,24 @@ object Compiler {
     val hasAgg = spec.select.exists(itemAggs(_).nonEmpty) ||
       spec.groupBy.nonEmpty || spec.having.nonEmpty
 
+    // windows + grouping in one query is DataFrame-tier territory —
+    // refuse rather than guess which happens first
+    def hasWinOp(o: Operand): Boolean = o match {
+      case _: OWin         => true
+      case OArith(_, l, r) => hasWinOp(l) || hasWinOp(r)
+      case ONeg(x)         => hasWinOp(x)
+      case OFn(_, args)    => args.exists(hasWinOp)
+      case OCast(x, _)     => hasWinOp(x)
+      case _               => false
+    }
+    val hasWin = (spec.select ++ orderItems.map(_.item)).exists {
+      case ExprItem(e, _) => hasWinOp(e)
+      case _              => false
+    }
+    if (hasWin && hasAgg)
+      throw CompileException(
+        "window functions cannot be combined with GROUP BY/HAVING/aggregates")
+
     val projected: DataFrame = if (hasAgg) {
       val groupCols = groupEntries.map {
         case Left(sf)               => col(sf.inName)
@@ -500,13 +570,13 @@ object Compiler {
       // a grouped-by expression already exists as the grouping column —
       // read it back (its base columns are gone post-aggregation)
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
-      case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg).as(nm)
+      case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg, winOk = true).as(nm)
     }
     // a computed ORDER BY key sorts on its compiled expression (an
     // arbitrary-expression sort, beyond select-shaped keys)
     def orderCol(i: SelectItem): Column = i match {
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
-      case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg)
+      case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg, winOk = true)
       case other          => col(itemColName(other))
     }
 
@@ -537,6 +607,36 @@ object Compiler {
           if (o.asc) c.asc else c.desc
         }: _*)
       // OFFSET skips before LIMIT counts (ANSI paging order)
+      val paged = spec.offset.fold(ordered)(ordered.offset)
+      spec.limit.fold(paged)(paged.limit)
+    } else if (hasWin) {
+      // SQL computes window functions BEFORE the final ORDER BY; if the
+      // windows were left to the post-sort projection, their own
+      // partition exchange would destroy the requested row order. So:
+      // project first (windows included), then sort the OUTPUT — which
+      // restricts ORDER BY keys to selected output columns, same rule
+      // as DISTINCT
+      val out = projected.select(spec.select.map(outputCol): _*)
+      val selectedNames = spec.select.map(itemOutName).toSet
+      def winOrderCol(i: SelectItem): Column = i match {
+        case ExprItem(e, _) =>
+          spec.select.collectFirst {
+            case ExprItem(e2, nm) if e2 == e => col(nm)
+          }.getOrElse(throw CompileException(
+            "ORDER BY with window functions must be a selected item"))
+        case other =>
+          val nm = itemOutName(other)
+          if (!selectedNames.contains(nm))
+            throw CompileException(
+              s"ORDER BY with window functions must be a selected item ($nm is not)")
+          col(nm)
+      }
+      val ordered =
+        if (orderItems.isEmpty) out
+        else out.orderBy(orderItems.map { o =>
+          val c = winOrderCol(o.item)
+          if (o.asc) c.asc else c.desc
+        }: _*)
       val paged = spec.offset.fold(ordered)(ordered.offset)
       spec.limit.fold(paged)(paged.limit)
     } else {

@@ -25,9 +25,12 @@ import Ast._
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
-  * primary  := literal | NULL | agg '(' ('*' | DISTINCT? name) ')'
-  *           | CAST '(' add AS ident ')' | ident '(' add (',' add)* ')'
+  * primary  := literal | NULL | agg '(' ('*' | DISTINCT? name) ')' over?
+  *           | CAST '(' add AS ident ')'
+  *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
+  * over     := OVER '(' (PARTITION BY names)?
+  *                      (ORDER BY name (ASC|DESC)? (',' …)*)? ')'
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
   *
@@ -53,7 +56,8 @@ object Parser {
   private val keywords = Set("select", "from", "where", "and", "or", "not",
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
-    "outer", "is", "null", "distinct", "in", "between", "like", "asof")
+    "outer", "is", "null", "distinct", "in", "between", "like", "asof",
+    "over", "partition")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -402,7 +406,11 @@ object Parser {
         } else {
           val arg = if (sym("*")) None else Some(rawName())
           expectSym(")")
-          OAgg(id.toLowerCase, arg)
+          // `agg(x) OVER (…)` is an analytic call, not a group aggregate
+          if (peekIsKw("over")) {
+            val fn = if (arg.isEmpty) s"${id.toLowerCase}_star" else id.toLowerCase
+            withOptionalOver(fn, arg.map(ORef(_)).toSeq)
+          } else OAgg(id.toLowerCase, arg)
         }
       // CAST(expr AS type) — type validated by the compiler (int | float
       // | string | bool, the dialect's four scalar types)
@@ -416,15 +424,18 @@ object Parser {
         OCast(e, ty)
       // any other ident immediately followed by '(' is a scalar function
       // call; the compiler owns the allowlist + arity check (an unknown
-      // name is a CompileException, not a parse error)
+      // name is a CompileException, not a parse error). A call followed
+      // by OVER is an analytic/window call instead.
       case TIdent(id) if !keywords.contains(id.toLowerCase) &&
           toks(pos + 1) == TSym("(") =>
         pos += 2
         val b = Seq.newBuilder[Operand]
-        b += nested(addOperand())
-        while (sym(",")) b += nested(addOperand())
+        if (peek != TSym(")")) { // zero-arg form for row_number() etc
+          b += nested(addOperand())
+          while (sym(",")) b += nested(addOperand())
+        }
         expectSym(")")
-        OFn(id.toLowerCase, b.result())
+        withOptionalOver(id.toLowerCase, b.result())
       case TIdent(_) => ORef(rawName())
       case TSym("(") =>
         pos += 1
@@ -433,6 +444,31 @@ object Parser {
         e
       case t => throw ParseException(s"expected operand, got $t")
     }
+
+    /** `OVER '(' (PARTITION BY names)? (ORDER BY name [ASC|DESC] …)? ')'`
+      * following a call makes it an analytic/window call; without OVER
+      * the call stays a scalar [[OFn]]. */
+    private def withOptionalOver(fn: String, args: Seq[Operand]): Operand =
+      if (!kw("over")) OFn(fn, args)
+      else {
+        expectSym("(")
+        val part = if (kw("partition")) { expectKw("by"); nameList() } else Seq.empty
+        val ord =
+          if (kw("order")) {
+            expectKw("by")
+            val b = Seq.newBuilder[(RawName, Boolean)]
+            def one(): (RawName, Boolean) = {
+              val n = rawName()
+              val asc = if (kw("desc")) false else { kw("asc"); true }
+              (n, asc)
+            }
+            b += one()
+            while (sym(",")) b += one()
+            b.result()
+          } else Seq.empty
+        expectSym(")")
+        OWin(fn, args, part, ord)
+      }
 
     private def intLit(): Int = next() match {
       case TNum(s) if !s.contains('.') => s.toInt

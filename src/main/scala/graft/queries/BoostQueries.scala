@@ -131,6 +131,19 @@ object BoostQueries {
         "AND click.user NOT LIKE '1%' " +
         "ORDER BY click.event_id")),
 
+    // analytic/window tier: ranking, partition aggregates and lag over
+    // OVER clauses (order-exact functions only in the oracle — windowed
+    // SUM of doubles is association-order-dependent)
+    "boost_window" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase, " +
+        "rank() OVER (PARTITION BY purchase.user ORDER BY purchase DESC, purchase.event_id) AS rk, " +
+        "row_number() OVER (PARTITION BY purchase.user ORDER BY purchase DESC, purchase.event_id) AS rn, " +
+        "max(purchase) OVER (PARTITION BY purchase.user) AS user_max, " +
+        "count(*) OVER (PARTITION BY purchase.user) AS user_n, " +
+        "lag(purchase, 1) OVER (PARTITION BY purchase.user ORDER BY purchase DESC, purchase.event_id) AS prev " +
+        "FROM dom.events WHERE purchase > 100.0 " +
+        "ORDER BY purchase.event_id")),
+
     // ASOF JOIN — dialect face of the as-of operator (DuckDB/QuestDB
     // time-series join): for each purchase, the same user's latest
     // click at or before the purchase time; inner semantics
@@ -306,6 +319,19 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_window" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id, value AS purchase,
+        |  rank() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rk,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rn,
+        |  max(value) OVER (PARTITION BY user_id) AS user_max,
+        |  count(*) OVER (PARTITION BY user_id) AS user_n,
+        |  lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS prev
+        |FROM events WHERE event_type = 'purchase' AND value > 100.0
+        |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_asof_join" ->
       """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,

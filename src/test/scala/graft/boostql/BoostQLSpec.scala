@@ -491,6 +491,50 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("window functions: OVER parses, executes, validates") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // parse shape
+    val q = Parser.parse("SELECT rank() OVER (PARTITION BY cpu.host ORDER BY cpu DESC) AS r " +
+      "FROM dom.f")
+    assert(q.select.head match {
+      case ExprItem(OWin("rank", Seq(), Seq(RawName(Seq("cpu", "host"))),
+        Seq((RawName(Seq("cpu")), false))), "r") => true
+      case _ => false
+    })
+    // execution vs a manual Window over the same frame
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, " +
+        "row_number() OVER (PARTITION BY click.user ORDER BY click DESC, click.event_id) AS rn, " +
+        "max(click) OVER (PARTITION BY click.user) AS mx " +
+        "FROM dom.events ORDER BY click.event_id"), fam)
+    val manual = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "event_id").as("eid"),
+        element_at(col("attributes"), "user").as("u"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("value").desc, col("eid").asc)))
+      .withColumn("mx", max("value").over(Window.partitionBy("u")))
+      .orderBy("eid")
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getDouble(4))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+      == manual && manual.nonEmpty)
+    // ranking without window ORDER BY, window in WHERE, window + GROUP BY
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT rank() OVER (PARTITION BY click.user) FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT click FROM dom.events " +
+          "WHERE row_number() OVER (ORDER BY click) = 1"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT click.user, count(*), rank() OVER (ORDER BY click.user) " +
+          "FROM dom.events GROUP BY click.user"), fam)
+    }
+  }
+
   test("ASOF JOIN: latest right row at or before each left row's time") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
