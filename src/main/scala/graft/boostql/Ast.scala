@@ -109,6 +109,20 @@ object Ast {
       negated: Boolean) extends BExpr
   /** `x [NOT] LIKE 'pat'` — SQL wildcards `%` / `_`, case-sensitive. */
   final case class LikeE(operand: Operand, pattern: String, negated: Boolean) extends BExpr
+  /** `x [NOT] IN (SELECT …)` — semi/anti-join predicate (extension: the
+    * reference has no subquery surface at all). The subquery must have
+    * exactly one select item; ANSI three-valued NOT IN semantics (a NULL
+    * produced by the subquery makes NOT IN match nothing). Correlation is
+    * supported as equality conjuncts in the subquery's WHERE that pair a
+    * subquery field with an alias-qualified outer field; compiles to a
+    * LEFT SEMI / LEFT ANTI join — never a per-row rescan.
+    */
+  final case class InSubE(operand: Operand, sub: QuerySpec, negated: Boolean) extends BExpr
+  /** `[NOT] EXISTS (SELECT …)` — same correlation rules and join-based
+    * compilation as [[InSubE]]; the subquery's select list is irrelevant
+    * to the semantics (only row existence matters).
+    */
+  final case class ExistsE(sub: QuerySpec, negated: Boolean) extends BExpr
 
   sealed trait SelectItem
   final case class FieldItem(name: RawName) extends SelectItem

@@ -201,6 +201,132 @@ object Compiler {
       case AndE(l, r)    => exprRefs(l) ++ exprRefs(r)
       case OrE(l, r)     => exprRefs(l) ++ exprRefs(r)
       case NotE(x)       => exprRefs(x)
+      // a subquery predicate touches the outer plan through its left
+      // operand and the outer half of each correlation pair — those must
+      // be fetched; everything else lives in the subquery's own compile
+      case InSubE(o, sub, _) => operandRefs(o) ++ analyzeSub(sub).pairs.map(_._1)
+      case ExistsE(sub, _)   => analyzeSub(sub).pairs.map(_._1)
+    }
+
+    // --- subquery predicates ---------------------------------------------
+    // `x [NOT] IN (SELECT …)` / `[NOT] EXISTS (SELECT …)` compile to LEFT
+    // SEMI / LEFT ANTI joins against the independently-compiled subquery
+    // frame — the distributed formulation (never a per-outer-row rescan;
+    // AQE broadcasts the sub side when it is small). Correlation is
+    // equality conjuncts in the sub's WHERE pairing a sub field with an
+    // alias-qualified OUTER field; they become join keys.
+    case class SubAnalysis(local: QuerySpec, pairs: Seq[(SField, RawName)])
+
+    def analyzeSub(sub: QuerySpec): SubAnalysis = {
+      val subAl: Set[String] =
+        (sub.source +: sub.joins.map(_.source)).flatMap(_.alias).toSet
+      // an alias-qualified name whose alias belongs to the OUTER query
+      // (and is not shadowed by a sub alias) is a correlated reference
+      def isOuter(n: RawName): Boolean = n.parts match {
+        case Seq(al, rest @ _*) if rest.nonEmpty =>
+          !subAl.contains(al) && aliasIdx.contains(al)
+        case _ => false
+      }
+      def rawRefs(o: Operand): Seq[RawName] = o match {
+        case ORef(n)         => Seq(n)
+        case OAgg(_, a)      => a.toSeq
+        case OArith(_, l, r) => rawRefs(l) ++ rawRefs(r)
+        case ONeg(x)         => rawRefs(x)
+        case OFn(_, as)      => as.flatMap(rawRefs)
+        case OCast(x, _)     => rawRefs(x)
+        case OWin(_, as, p, o2) => as.flatMap(rawRefs) ++ p ++ o2.map(_._1)
+        case OLit(_)         => Seq.empty
+      }
+      def exprRawRefs(e: BExpr): Seq[RawName] = e match {
+        case Cmp(_, l, r)  => rawRefs(l) ++ rawRefs(r)
+        case IsNullE(o, _) => rawRefs(o)
+        case InE(o, xs, _) => rawRefs(o) ++ xs.flatMap(rawRefs)
+        case BetweenE(o, lo, hi, _) => rawRefs(o) ++ rawRefs(lo) ++ rawRefs(hi)
+        case LikeE(o, _, _) => rawRefs(o)
+        case AndE(l, r)    => exprRawRefs(l) ++ exprRawRefs(r)
+        case OrE(l, r)     => exprRawRefs(l) ++ exprRawRefs(r)
+        case NotE(x)       => exprRawRefs(x)
+        // nested subquery: its references belong to ITS scope — the
+        // recursive compile resolves them (two-level correlation is out)
+        case _: InSubE | _: ExistsE => Seq.empty
+      }
+      // outer references are legal only in the sub's WHERE (as correlation)
+      val elsewhere = sub.select.flatMap {
+        case FieldItem(n)        => Seq(n)
+        case AggItem(_, a)       => a.toSeq
+        case ExprItem(e, _)      => rawRefs(e)
+      } ++ sub.groupBy ++ sub.having.toSeq.flatMap(exprRawRefs) ++
+        sub.orderBy.flatMap(o => o.item match {
+          case FieldItem(n)   => Seq(n)
+          case AggItem(_, a)  => a.toSeq
+          case ExprItem(e, _) => rawRefs(e)
+        })
+      elsewhere.find(isOuter).foreach(n => throw CompileException(
+        s"outer reference ${n.text} is only allowed in the subquery's WHERE"))
+
+      def conj(e: BExpr): Seq[BExpr] = e match {
+        case AndE(l, r) => conj(l) ++ conj(r)
+        case x          => Seq(x)
+      }
+      val (corr, local) = sub.where.toSeq.flatMap(conj)
+        .partition(c => exprRawRefs(c).exists(isOuter))
+      val pairs = corr.map {
+        case Cmp("=", ORef(a), ORef(b)) => (isOuter(a), isOuter(b)) match {
+          case (true, false) => (ref(a), b)
+          case (false, true) => (ref(b), a)
+          case _ => throw CompileException(
+            s"correlated predicate must pair an outer field with a subquery field")
+        }
+        case other => throw CompileException(
+          "only equality correlation (outer.field = sub.field) is supported " +
+            "in subqueries")
+      }
+      if (pairs.nonEmpty &&
+          (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.distinct ||
+            sub.limit.nonEmpty))
+        throw CompileException(
+          "correlated subqueries cannot use GROUP BY/HAVING/DISTINCT/LIMIT")
+      SubAnalysis(
+        sub.copy(where = local.reduceOption(AndE), orderBy = Seq.empty),
+        pairs)
+    }
+
+    /* applySubPred lives just above the WHERE section below — it needs
+     * operandColumn, which is defined after the reference-collection
+     * phase this block belongs to. */
+
+    // helpers for the fieldless-EXISTS check in applySubPred (an
+    // ExprItem select list "references a field" when any operand does)
+    def analyzeSubFieldless(o: Operand): Boolean = o match {
+      case ORef(_)         => true
+      case OAgg(_, a)      => a.isDefined
+      case OArith(_, l, r) => analyzeSubFieldless(l) || analyzeSubFieldless(r)
+      case ONeg(x)         => analyzeSubFieldless(x)
+      case OFn(_, as)      => as.exists(analyzeSubFieldless)
+      case OCast(x, _)     => analyzeSubFieldless(x)
+      case _: OWin         => true
+      case OLit(_)         => false
+    }
+    def exprRawRefsPublic(e: BExpr): Seq[RawName] = e match {
+      case Cmp(_, l, r)  => opRaw(l) ++ opRaw(r)
+      case IsNullE(o, _) => opRaw(o)
+      case InE(o, xs, _) => opRaw(o) ++ xs.flatMap(opRaw)
+      case BetweenE(o, lo, hi, _) => opRaw(o) ++ opRaw(lo) ++ opRaw(hi)
+      case LikeE(o, _, _) => opRaw(o)
+      case AndE(l, r)    => exprRawRefsPublic(l) ++ exprRawRefsPublic(r)
+      case OrE(l, r)     => exprRawRefsPublic(l) ++ exprRawRefsPublic(r)
+      case NotE(x)       => exprRawRefsPublic(x)
+      case _: InSubE | _: ExistsE => Seq.empty
+    }
+    def opRaw(o: Operand): Seq[RawName] = o match {
+      case ORef(n)         => Seq(n)
+      case OAgg(_, a)      => a.toSeq
+      case OArith(_, l, r) => opRaw(l) ++ opRaw(r)
+      case ONeg(x)         => opRaw(x)
+      case OFn(_, as)      => as.flatMap(opRaw)
+      case OCast(x, _)     => opRaw(x)
+      case OWin(_, as, p, o2) => as.flatMap(opRaw) ++ p ++ o2.map(_._1)
+      case OLit(_)         => Seq.empty
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
       case FieldItem(n)        => Seq(ref(n))
@@ -406,6 +532,12 @@ object Compiler {
           case "<=" => a <= b
           case ">=" => a >= b
         }
+      // semi/anti joins are plan surgery, not a Column — reachable only
+      // as top-level WHERE conjuncts, which compile() strips out before
+      // calling here
+      case _: InSubE | _: ExistsE => throw CompileException(
+        "subquery predicates are only supported as top-level WHERE " +
+          "conjuncts (optionally under NOT)")
     }
 
     // ASOF JOIN: the ON clause must be a conjunction of '=' comparisons
@@ -468,8 +600,95 @@ object Compiler {
         }
     }
 
+    /** Apply one subquery conjunct to the filtered outer frame as a
+      * semi/anti join. `j` uniquifies the renamed sub columns.
+      */
+    def applySubPred(df: DataFrame, pred: BExpr, j: Int): DataFrame = pred match {
+      case ExistsE(sub, neg) =>
+        val a = analyzeSub(sub)
+        val jt = if (neg) "left_anti" else "left_semi"
+        if (a.pairs.isEmpty) {
+          // uncorrelated: one surviving sub row decides every outer row.
+          // If the sub's select list references no fields (SELECT 1 …),
+          // substitute the first WHERE-referenced field — only row
+          // existence matters.
+          val spec2 =
+            if (a.local.select.exists {
+              case FieldItem(_) | AggItem(_, _) => true
+              case ExprItem(e, _) => analyzeSubFieldless(e)
+            }) a.local
+            else a.local.where.toSeq.flatMap(exprRawRefsPublic).headOption match {
+              case Some(n) => a.local.copy(select = Seq(FieldItem(n)))
+              case None => throw CompileException(
+                "EXISTS subquery must reference at least one field")
+            }
+          val subDf = compile(spec2, families).limit(1)
+            .select(lit(1).as(s"__sq${j}_e"))
+          df.join(subDf, lit(true), jt)
+        } else {
+          val spec2 = a.local.copy(select = a.pairs.map(p => FieldItem(p._2)),
+            limit = None, offset = None, distinct = false)
+          val named = compile(spec2, families)
+            .toDF(a.pairs.indices.map(i => s"__sq${j}_k$i"): _*)
+          val cond = a.pairs.zipWithIndex.map { case ((of, _), i) =>
+            col(of.inName) === col(s"__sq${j}_k$i")
+          }.reduce(_ && _)
+          df.join(named, cond, jt)
+        }
+      case InSubE(x, sub, neg) =>
+        val a = analyzeSub(sub)
+        if (a.local.select.length != 1)
+          throw CompileException("IN subquery must select exactly one item")
+        val spec2 = a.local.copy(
+          select = a.local.select ++ a.pairs.map(p => FieldItem(p._2)))
+        val named = compile(spec2, families)
+          .toDF(s"__sq${j}_v" +: a.pairs.indices.map(i => s"__sq${j}_k$i"): _*)
+        val xc = operandColumn(x, aggOk = false, winOk = false)
+        val vc = col(s"__sq${j}_v")
+        val keyCond = a.pairs.zipWithIndex.map { case ((of, _), i) =>
+          col(of.inName) === col(s"__sq${j}_k$i")
+        }
+        if (!neg)
+          df.join(named, (keyCond :+ (xc === vc)).reduce(_ && _), "left_semi")
+        else {
+          // ANSI three-valued NOT IN: a row qualifies iff NO (correlated)
+          // sub row matches it OR is NULL, and x itself is not NULL when
+          // the per-row list is non-empty — exactly the anti join over
+          // `match-or-either-side-null`
+          val cond = (keyCond :+ (xc === vc || xc.isNull || vc.isNull))
+            .reduce(_ && _)
+          df.join(named, cond, "left_anti")
+        }
+      case other => throw CompileException(s"not a subquery predicate: $other")
+    }
+
     // --- WHERE ----------------------------------------------------------
-    val filtered = spec.where.fold(joined)(w => joined.filter(exprColumn(w, aggOk = false)))
+    // split into top-level conjuncts: subquery predicates peel off into
+    // semi/anti joins (NOT folds into the predicate's negated flag, so
+    // `NOT EXISTS` / double negation normalize away); everything else
+    // folds back into one codegen'd filter
+    def normalizeConjunct(e: BExpr): BExpr = e match {
+      case NotE(x) => normalizeConjunct(x) match {
+        case InSubE(o, s, n) => InSubE(o, s, !n)
+        case ExistsE(s, n)   => ExistsE(s, !n)
+        case nx              => NotE(nx)
+      }
+      case x => x
+    }
+    def whereConjuncts(e: BExpr): Seq[BExpr] = e match {
+      case AndE(l, r) => whereConjuncts(l) ++ whereConjuncts(r)
+      case x          => Seq(normalizeConjunct(x))
+    }
+    val conjs = spec.where.toSeq.flatMap(whereConjuncts)
+    val (subPreds, plainPreds) = conjs.partition {
+      case _: InSubE | _: ExistsE => true
+      case _ => false
+    }
+    val filtered0 = plainPreds.reduceOption(AndE)
+      .fold(joined)(w => joined.filter(exprColumn(w, aggOk = false)))
+    val filtered = subPreds.zipWithIndex.foldLeft(filtered0) {
+      case (df, (p, j)) => applySubPred(df, p, j)
+    }
 
     // --- aggregation / projection ---------------------------------------
     def opAggs(o: Operand): Seq[(String, Option[SField])] = o match {

@@ -57,7 +57,7 @@ object Parser {
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
     "outer", "is", "null", "distinct", "in", "between", "like", "asof",
-    "over", "partition")
+    "over", "partition", "exists")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -140,6 +140,17 @@ object Parser {
     }
 
     def query(): QuerySpec = {
+      val spec = selectBody()
+      peek match {
+        case TEnd => spec
+        case t => throw ParseException(s"trailing input: $t")
+      }
+    }
+
+    /** One full SELECT…, stopping at the first token that can't continue
+      * the production (TEnd at top level, `)` when nested as a subquery).
+      */
+    private def selectBody(): QuerySpec = {
       expectKw("select")
       val dist = kw("distinct")
       val items = selectItems()
@@ -156,11 +167,7 @@ object Parser {
       // OFFSET only with LIMIT (an un-limited offset over an unordered
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
-      peek match {
-        case TEnd =>
-          QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off)
-        case t => throw ParseException(s"trailing input: $t")
-      }
+      QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]
@@ -295,6 +302,13 @@ object Parser {
       */
     private def cmpExpr(): BExpr =
       if (kw("not")) NotE(nested(cmpExpr()))
+      // EXISTS (SELECT …): a whole predicate on its own (no left operand)
+      else if (kw("exists")) {
+        expectSym("(")
+        val sub = nested(selectBody())
+        expectSym(")")
+        ExistsE(sub, negated = false)
+      }
       else {
         val save = pos
         try comparison()
@@ -324,11 +338,19 @@ object Parser {
         val neg = kw("not")
         if (kw("in")) {
           expectSym("(")
-          val b = Seq.newBuilder[Operand]
-          b += addOperand()
-          while (sym(",")) b += addOperand()
-          expectSym(")")
-          InE(l, b.result(), neg)
+          // `IN (SELECT …)` is the subquery form; `IN (e1, e2, …)` the
+          // value-list form — disambiguated by the first keyword
+          if (peekIsKw("select")) {
+            val sub = nested(selectBody())
+            expectSym(")")
+            InSubE(l, sub, neg)
+          } else {
+            val b = Seq.newBuilder[Operand]
+            b += addOperand()
+            while (sym(",")) b += addOperand()
+            expectSym(")")
+            InE(l, b.result(), neg)
+          }
         } else if (kw("between")) {
           // the BETWEEN…AND binds tighter than the boolean AND: the
           // bounds are arithmetic operands, which never consume AND

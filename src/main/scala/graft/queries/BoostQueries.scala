@@ -192,6 +192,23 @@ object BoostQueries {
         "FROM dom.events WHERE purchase > 50.0 " +
         "ORDER BY purchase.event_id LIMIT 200")),
 
+    // IN (SELECT …) — subquery predicate compiled to a LEFT SEMI join
+    // (extension: the reference has no subquery surface; its grammar
+    // stops at literal/field comparisons, whereparser.go:146-169)
+    "boost_in_subquery" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase.user, purchase " +
+        "FROM dom.events WHERE purchase.user IN " +
+        "(SELECT error.user FROM dom.events WHERE error > 150.0) " +
+        "ORDER BY purchase.event_id")),
+
+    // correlated NOT EXISTS — equality correlation pairs become LEFT
+    // ANTI join keys; never a per-outer-row rescan
+    "boost_not_exists" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase FROM dom.events AS a " +
+        "WHERE NOT EXISTS (SELECT b.error FROM dom.events AS b " +
+        "WHERE b.error.user = a.purchase.user AND b.error > 150.0) " +
+        "ORDER BY purchase.event_id")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -266,6 +283,24 @@ object BoostQueries {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_in_subquery" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  CAST(user_id AS VARCHAR) AS purchase_user, value AS purchase
+        |FROM events WHERE event_type = 'purchase'
+        |  AND CAST(user_id AS VARCHAR) IN
+        |    (SELECT CAST(user_id AS VARCHAR) FROM events
+        |     WHERE event_type = 'error' AND value > 150.0)
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_not_exists" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS purchase_event_id,
+        |  a.value AS purchase
+        |FROM events a WHERE a.event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events b
+        |    WHERE b.event_type = 'error' AND b.user_id = a.user_id
+        |      AND b.value > 150.0)
+        |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_left_join" ->
       """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,

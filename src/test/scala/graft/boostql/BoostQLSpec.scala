@@ -698,4 +698,120 @@ class BoostQLSpec extends SparkSpec {
       Compiler.compile(Parser.parse(
         "SELECT click FROM dom.events WHERE click.user = '3'"), fam).collect().length)
   }
+
+  test("subqueries: uncorrelated IN / NOT IN compile to semi/anti joins") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val hotUsers = ev.filter(col("event_type") === "error" && col("value") > 150.0)
+      .select(col("user_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val in = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, purchase.user FROM dom.events " +
+        "WHERE purchase.user IN " +
+        "(SELECT error.user FROM dom.events WHERE error > 150.0) " +
+        "ORDER BY purchase.event_id"), fam).collect()
+    assert(in.nonEmpty)
+    assert(in.forall(r => hotUsers.contains(r.getString(1))))
+
+    val notIn = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, purchase.user FROM dom.events " +
+        "WHERE purchase.user NOT IN " +
+        "(SELECT error.user FROM dom.events WHERE error > 150.0)"), fam).collect()
+    assert(notIn.forall(r => !hotUsers.contains(r.getString(1))))
+    // IN + NOT IN partition the purchases (no NULLs in this corpus)
+    val total = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id FROM dom.events"), fam).count()
+    assert(in.length + notIn.length == total)
+
+    // ANSI trap: one NULL in the subquery output annihilates NOT IN
+    val sombre = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id FROM dom.events WHERE purchase.user NOT IN " +
+        "(SELECT nullif(error.user, error.user) FROM dom.events)"), fam)
+    assert(sombre.count() == 0)
+  }
+
+  test("subqueries: correlated EXISTS / NOT EXISTS via equality pairs") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val hotUsers = ev.filter(col("event_type") === "error" && col("value") > 150.0)
+      .select(col("user_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val ex = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase.user FROM dom.events AS a " +
+        "WHERE EXISTS (SELECT b.error FROM dom.events AS b " +
+        "WHERE b.error.user = a.purchase.user AND b.error > 150.0) " +
+        "ORDER BY a.purchase.event_id"), fam).collect()
+    assert(ex.nonEmpty)
+    assert(ex.forall(r => hotUsers.contains(r.getString(1))))
+
+    val notEx = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase.user FROM dom.events AS a " +
+        "WHERE NOT EXISTS (SELECT b.error FROM dom.events AS b " +
+        "WHERE b.error.user = a.purchase.user AND b.error > 150.0)"), fam).collect()
+    assert(notEx.forall(r => !hotUsers.contains(r.getString(1))))
+    val total = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id FROM dom.events AS a"), fam).count()
+    assert(ex.length + notEx.length == total)
+
+    // correlated EXISTS agrees with the equivalent IN formulation
+    val in = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase.user FROM dom.events AS a " +
+        "WHERE a.purchase.user IN " +
+        "(SELECT error.user FROM dom.events WHERE error > 150.0) " +
+        "ORDER BY a.purchase.event_id"), fam).collect()
+    assert(ex.map(_.getString(0)).toSeq == in.map(_.getString(0)).toSeq)
+  }
+
+  test("subqueries: uncorrelated EXISTS gates the whole result") {
+    // a qualifying error exists → every purchase flows through
+    val all = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id FROM dom.events " +
+        "WHERE EXISTS (SELECT error FROM dom.events WHERE error > 150.0)"),
+      fam).count()
+    val total = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id FROM dom.events"), fam).count()
+    assert(all == total)
+    // no error above the max → nothing flows through
+    val none = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id FROM dom.events " +
+        "WHERE EXISTS (SELECT error FROM dom.events WHERE error > 99999.0)"),
+      fam).count()
+    assert(none == 0)
+  }
+
+  test("subqueries: validation errors") {
+    // not a top-level conjunct (under OR)
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase FROM dom.events WHERE purchase > 5.0 OR " +
+          "purchase.user IN (SELECT error.user FROM dom.events)"), fam)
+    }
+    // IN subquery must project exactly one item
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase FROM dom.events WHERE purchase.user IN " +
+          "(SELECT error.user, error FROM dom.events)"), fam)
+    }
+    // outer references allowed only in the sub's WHERE
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a WHERE EXISTS " +
+          "(SELECT a.purchase FROM dom.events AS b WHERE b.error > 1.0)"), fam)
+    }
+    // non-equality correlation is refused
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a WHERE EXISTS " +
+          "(SELECT b.error FROM dom.events AS b WHERE b.error.user != a.purchase.user)"), fam)
+    }
+    // correlated subs cannot aggregate (v1 restriction, loud not silent)
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a WHERE EXISTS " +
+          "(SELECT count(*) FROM dom.events AS b " +
+          "WHERE b.error.user = a.purchase.user GROUP BY b.error.user)"), fam)
+    }
+  }
 }
