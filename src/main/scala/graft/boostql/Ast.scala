@@ -155,6 +155,9 @@ object Ast {
 
   final case class OrderItem(item: SelectItem, asc: Boolean)
 
+  /** A statement: a single SELECT or a set-operation compound. */
+  sealed trait QueryStmt
+
   final case class QuerySpec(
       select: Seq[SelectItem],
       source: Source,
@@ -165,5 +168,21 @@ object Ast {
       orderBy: Seq[OrderItem],
       limit: Option[Int],
       distinct: Boolean = false,
-      offset: Option[Int] = None)
+      offset: Option[Int] = None) extends QueryStmt
+
+  /** `left UNION [ALL] | INTERSECT | EXCEPT right` — ANSI set operations
+    * over positionally-aligned branches (extension: absent from the
+    * reference's grammar). op ∈ {union, union_all, intersect, except};
+    * UNION/INTERSECT/EXCEPT dedup, UNION ALL keeps duplicates, INTERSECT
+    * binds tighter than UNION/EXCEPT (ANSI precedence). orderBy/limit/
+    * offset live only on the outermost node — they page the whole
+    * compound, and keys must name an output column or ordinal.
+    */
+  final case class SetOpSpec(
+      op: String,
+      left: QueryStmt,
+      right: QueryStmt,
+      orderBy: Seq[OrderItem] = Seq.empty,
+      limit: Option[Int] = None,
+      offset: Option[Int] = None) extends QueryStmt
 }

@@ -16,7 +16,7 @@ import graft.tables.Tables
 object BoostQL {
 
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
-    Compiler.compile(Parser.parse(query), families)
+    Compiler.compile(Parser.parseStmt(query), families)
 
   /** Time-scoped execution — the dialect face of the reference's
     * `[windowStart, windowEnd)` execution window (executor.go:239-252,
@@ -26,7 +26,7 @@ object BoostQL {
     */
   def sql(query: String, families: ((String, String)) => DataFrame,
       windowStart: java.sql.Timestamp, windowEnd: java.sql.Timestamp): DataFrame =
-    Compiler.compile(Parser.parse(query), key =>
+    Compiler.compile(Parser.parseStmt(query), key =>
       graft.sources.TimeSeriesTable.timeRange(families(key), windowStart, windowEnd))
 
   /** Convenience resolver for the driver testdata: any `domain.family`

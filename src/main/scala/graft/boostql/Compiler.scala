@@ -872,7 +872,62 @@ object Compiler {
     }
   }
 
+  /** Compile a statement: a single SELECT or a set-operation compound.
+    * Set operations are positional (ANSI): branch outputs align by
+    * position, the compound takes the left branch's column names, and
+    * UNION/INTERSECT/EXCEPT dedup while UNION ALL keeps duplicates —
+    * Spark's union/intersect/except carry exactly these semantics, and
+    * partial aggregation makes the dedup a map-side combine.
+    */
+  def compile(st: QueryStmt, families: ((String, String)) => DataFrame): DataFrame =
+    st match {
+      case q: QuerySpec => compile(q, families)
+      case SetOpSpec(op, l, r, ord, lim, off) =>
+        val lf = compile(l, families)
+        val rf = compile(r, families)
+        if (lf.columns.length != rf.columns.length)
+          throw CompileException(
+            s"set operation branches have ${lf.columns.length} vs " +
+              s"${rf.columns.length} columns")
+        val combined = op match {
+          case "union_all" => lf.union(rf)
+          case "union"     => lf.union(rf).distinct()
+          case "intersect" => lf.intersect(rf)
+          case "except"    => lf.except(rf)
+        }
+        // compound ORDER BY keys resolve against the OUTPUT schema only
+        // (branch-internal names are gone): an output column name — with
+        // the `a.b` → `a_b` sugar — or a select ordinal
+        val cols = combined.columns.toSeq
+        def key(i: SelectItem): Column = i match {
+          case ExprItem(OLit(BInt(p)), _) =>
+            if (p < 1 || p > cols.length)
+              throw CompileException(
+                s"ORDER BY position $p is out of range 1..${cols.length}")
+            col(cols(p.toInt - 1))
+          case FieldItem(n) =>
+            val nm = n.parts.mkString("_")
+            if (!cols.contains(nm))
+              throw CompileException(
+                s"ORDER BY $nm is not an output column of the compound")
+            col(nm)
+          case _ => throw CompileException(
+            "compound ORDER BY must name an output column or ordinal")
+        }
+        val ordered =
+          if (ord.isEmpty) combined
+          else combined.orderBy(ord.map { o =>
+            val c = key(o.item); if (o.asc) c.asc else c.desc
+          }: _*)
+        val paged = off.fold(ordered)(ordered.offset)
+        lim.fold(paged)(paged.limit)
+    }
+
   /** Single-family convenience (the pre-JOIN surface). */
   def compile(spec: QuerySpec, family: DataFrame): DataFrame =
     compile(spec, (_: (String, String)) => family)
+
+  /** Single-family convenience for statements (incl. compounds). */
+  def compile(st: QueryStmt, family: DataFrame): DataFrame =
+    compile(st, (_: (String, String)) => family)
 }

@@ -57,7 +57,7 @@ object Parser {
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
     "outer", "is", "null", "distinct", "in", "between", "like", "asof",
-    "over", "partition", "exists")
+    "over", "partition", "exists", "union", "intersect", "except", "all")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -94,7 +94,17 @@ object Parser {
     out.result()
   }
 
-  def parse(sql: String): QuerySpec = new P(tokenize(sql)).query()
+  /** Parse a single SELECT (the pre-set-operation API; throws on a
+    * compound — use [[parseStmt]] for those). */
+  def parse(sql: String): QuerySpec = parseStmt(sql) match {
+    case q: QuerySpec => q
+    case _: SetOpSpec => throw ParseException(
+      "set-operation compound; parse with parseStmt")
+  }
+
+  /** Parse a statement: a single SELECT or a UNION/INTERSECT/EXCEPT
+    * compound. */
+  def parseStmt(sql: String): QueryStmt = new P(tokenize(sql)).stmtTop()
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
@@ -139,12 +149,68 @@ object Parser {
       case t => throw ParseException(s"expected alias identifier, got $t")
     }
 
-    def query(): QuerySpec = {
-      val spec = selectBody()
+    def stmtTop(): QueryStmt = {
+      val st = stmt()
       peek match {
-        case TEnd => spec
+        case TEnd => st
         case t => throw ParseException(s"trailing input: $t")
       }
+    }
+
+    /** `stmt := term ((UNION ALL? | EXCEPT) term)*`,
+      * `term := selectBody (INTERSECT selectBody)*` — INTERSECT binds
+      * tighter (ANSI). A branch followed by a set-op keyword must not
+      * carry ORDER BY/LIMIT (they page the whole compound: only legal
+      * after the LAST select, from whose spec they are hoisted up).
+      */
+    private def stmt(): QueryStmt = {
+      def guard(st: QueryStmt, op: String): QueryStmt = {
+        val leaf = rightmostLeaf(st)
+        if (leaf.orderBy.nonEmpty || leaf.limit.nonEmpty)
+          throw ParseException(
+            s"ORDER BY/LIMIT must follow the last select of a $op compound")
+        st
+      }
+      def term(): QueryStmt = {
+        var left: QueryStmt = selectBody()
+        while (kw("intersect"))
+          left = SetOpSpec("intersect", guard(left, "INTERSECT"), selectBody())
+        left
+      }
+      var left: QueryStmt = term()
+      var go = true
+      while (go) {
+        if (kw("union")) {
+          val op = if (kw("all")) "union_all" else "union"
+          left = SetOpSpec(op, guard(left, "UNION"), term())
+        } else if (kw("except"))
+          left = SetOpSpec("except", guard(left, "EXCEPT"), term())
+        else go = false
+      }
+      left match {
+        case q: QuerySpec => q
+        case s: SetOpSpec =>
+          // the trailing ORDER BY/LIMIT/OFFSET were consumed by the last
+          // selectBody — they belong to the compound
+          val (stripped, ord, lim, off) = hoistPaging(s)
+          stripped.asInstanceOf[SetOpSpec]
+            .copy(orderBy = ord, limit = lim, offset = off)
+      }
+    }
+
+    private def rightmostLeaf(st: QueryStmt): QuerySpec = st match {
+      case q: QuerySpec => q
+      case s: SetOpSpec => rightmostLeaf(s.right)
+    }
+
+    private def hoistPaging(st: QueryStmt)
+        : (QueryStmt, Seq[OrderItem], Option[Int], Option[Int]) = st match {
+      case q: QuerySpec =>
+        (q.copy(orderBy = Seq.empty, limit = None, offset = None),
+          q.orderBy, q.limit, q.offset)
+      case s: SetOpSpec =>
+        val (r2, ord, lim, off) = hoistPaging(s.right)
+        (s.copy(right = r2), ord, lim, off)
     }
 
     /** One full SELECT…, stopping at the first token that can't continue

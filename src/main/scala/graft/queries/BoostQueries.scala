@@ -209,6 +209,19 @@ object BoostQueries {
         "WHERE b.error.user = a.purchase.user AND b.error > 150.0) " +
         "ORDER BY purchase.event_id")),
 
+    // UNION ALL compound with trailing ORDER BY/LIMIT paging the whole
+    // compound (ordinal keys; output names come from the left branch)
+    "boost_union" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click FROM dom.events WHERE click > 240.0 " +
+        "UNION ALL SELECT view.event_id, view FROM dom.events WHERE view > 240.0 " +
+        "ORDER BY 2 DESC, 1 LIMIT 50")),
+
+    // INTERSECT (dedup semantics, ANSI) between two series' user sets
+    "boost_intersect" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "INTERSECT SELECT error.user FROM dom.events WHERE error > 150.0 " +
+        "ORDER BY 1")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -301,6 +314,23 @@ object BoostQueries {
         |    WHERE b.event_type = 'error' AND b.user_id = a.user_id
         |      AND b.value > 150.0)
         |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_union" ->
+      """SELECT * FROM (
+        |  SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click
+        |  FROM events WHERE event_type = 'click' AND value > 240.0
+        |  UNION ALL
+        |  SELECT CAST(event_id AS VARCHAR), value
+        |  FROM events WHERE event_type = 'view' AND value > 240.0
+        |) ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+
+    "boost_intersect" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user
+        |FROM events WHERE event_type = 'purchase' AND value > 200.0
+        |INTERSECT
+        |SELECT CAST(user_id AS VARCHAR)
+        |FROM events WHERE event_type = 'error' AND value > 150.0
+        |ORDER BY 1""".stripMargin,
 
     "boost_left_join" ->
       """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,

@@ -781,6 +781,80 @@ class BoostQLSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("set operations: UNION ALL / UNION / INTERSECT / EXCEPT") {
+    // UNION ALL keeps duplicates; UNION dedups
+    val ua = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "UNION ALL SELECT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    val u = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "UNION SELECT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    val base = Compiler.compile(Parser.parse(
+      "SELECT DISTINCT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    val baseAll = Compiler.compile(Parser.parse(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    assert(ua == 2 * baseAll)
+    assert(u == base)
+
+    // INTERSECT/EXCEPT partition the left side's distinct values
+    val i = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "INTERSECT SELECT error.user FROM dom.events WHERE error > 150.0"),
+      fam).collect().map(_.getString(0)).toSet
+    val e = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "EXCEPT SELECT error.user FROM dom.events WHERE error > 150.0"),
+      fam).collect().map(_.getString(0)).toSet
+    assert((i & e).isEmpty && (i ++ e).size == base)
+
+    // trailing ORDER BY/LIMIT page the whole compound (ordinal keys);
+    // column names come from the LEFT branch
+    val paged = Compiler.compile(Parser.parseStmt(
+      "SELECT click.event_id, click FROM dom.events WHERE click > 240.0 " +
+        "UNION ALL SELECT view.event_id, view FROM dom.events WHERE view > 240.0 " +
+        "ORDER BY 2 DESC, 1 LIMIT 5"), fam)
+    assert(paged.columns.toSeq == Seq("click_event_id", "click"))
+    val vals = paged.collect().map(_.getDouble(1)).toSeq
+    assert(vals == vals.sorted.reverse && vals.length <= 5)
+
+    // INTERSECT binds tighter than UNION (ANSI precedence)
+    val prec = Parser.parseStmt(
+      "SELECT click FROM dom.events UNION SELECT view FROM dom.events " +
+        "INTERSECT SELECT error FROM dom.events")
+    prec match {
+      case SetOpSpec("union", _: QuerySpec, SetOpSpec("intersect", _, _, _, _, _), _, _, _) => ()
+      case other => fail(s"unexpected shape: $other")
+    }
+  }
+
+  test("set operations: validation") {
+    // ORDER BY on a non-last branch is refused
+    intercept[Parser.ParseException] {
+      Parser.parseStmt("SELECT click FROM dom.events ORDER BY click " +
+        "UNION SELECT view FROM dom.events")
+    }
+    // branch width mismatch is a compile error
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parseStmt(
+        "SELECT click, click.user FROM dom.events " +
+          "UNION SELECT view FROM dom.events"), fam)
+    }
+    // compound ORDER BY key must be an output column or ordinal
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parseStmt(
+        "SELECT click FROM dom.events UNION SELECT view FROM dom.events " +
+          "ORDER BY nope"), fam)
+    }
+    // parse() (single-select API) refuses compounds loudly
+    intercept[Parser.ParseException] {
+      Parser.parse("SELECT click FROM dom.events UNION SELECT view FROM dom.events")
+    }
+  }
+
   test("subqueries: validation errors") {
     // not a top-level conjunct (under OR)
     intercept[Compiler.CompileException] {
