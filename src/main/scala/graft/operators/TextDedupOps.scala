@@ -340,4 +340,60 @@ object TextDedupOps {
       .filter(col("frac") >= minFrac)
       .select(col("doc_id"), col("bench_id"), col("n_common"), col("frac"))
   }
+
+  /** Exact duplicated-passage statistics (substring-level dedup, the
+    * "train on each passage once" signal of Lee et al., *Deduplicating
+    * Training Data Makes Language Models Better*): for every doc, how
+    * much of it is covered by k-token passages that also occur in at
+    * least `minDocs - 1` OTHER documents. A passage repeated only
+    * within one document is NOT counted (self-repetition is
+    * [[graft.operators.TextAnalysisOps.repetitionStats]]'s job).
+    *
+    * Output (docs with ≥1 cross-doc duplicated k-gram only):
+    * `(idCol, n_tokens, dup_grams, covered_tokens, dup_fraction)` where
+    * `covered_tokens` is the union length of all duplicated [pos,
+    * pos+k) intervals — computed as Σ min(k, pos_i − pos_{i−1}) over
+    * sorted positions, a window recurrence rather than an interval
+    * merge, so it stays a codegen'd window + partial aggregate.
+    *
+    * Scale shape: positional k-grams are keyed by `unhex(md5(gram))`
+    * (16 uniform bytes — collision-free in practice at any corpus
+    * size, and the gram string never crosses the shuffle). Doc
+    * frequency is a distinct-pairs aggregate with map-side combine;
+    * the positions join back on the hash (shuffle-hash, no skew: a
+    * gram's row count is its df, and the df side was already capped to
+    * distinct docs). The per-doc window and final aggregate share one
+    * exchange on the doc id. The corpus is scanned twice (df branch +
+    * positions branch) — both narrow, nothing cached.
+    */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "passage length k must be >= 2 tokens")
+    require(minDocs >= 2, "minDocs must be >= 2 (cross-doc duplication)")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("__id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k), " +
+            s"i -> unhex(md5(concat_ws(' ', slice(t, i + 1, $k)))))"))
+          .as(Seq("pos", "h")))
+    val dup = sh.select("h", "__id").distinct()
+      .groupBy("h").count().where(col("count") >= minDocs)
+      .select("h")
+    val marked = sh.join(dup, Seq("h")).select("__id", "n_tokens", "pos")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    marked
+      .withColumn("gain",
+        coalesce(least(lit(k), col("pos") - lag("pos", 1).over(w)), lit(k)))
+      .groupBy("__id")
+      .agg(max("n_tokens").as("n_tokens"),
+        count(lit(1)).as("dup_grams"),
+        sum(col("gain").cast("long")).as("covered_tokens"))
+      .withColumn("dup_fraction",
+        col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("dup_grams"),
+        col("covered_tokens"), col("dup_fraction"))
+  }
 }

@@ -195,6 +195,12 @@ object PipelineQueries {
       TextDedupOps.exactDedup(docs(s, d), "doc_id", "text")
         .select("keep_id", "n_copies").orderBy("keep_id")),
 
+    // exact substring-level dedup: per-doc coverage by 8-token passages
+    // shared with at least one other document (Lee et al. 2022)
+    "dd_passages" -> ((s, d) =>
+      TextDedupOps.passageDupStats(docs(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     "dd_ngram_jaccard" -> ((s, d) =>
       TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -420,6 +426,24 @@ object PipelineQueries {
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dd_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, len(l) AS n_tokens,
+        |        unnest(generate_series(1, len(l) - 7)) AS pos
+        |      FROM t WHERE len(l) >= 8),
+        |sh AS (SELECT doc_id, n_tokens, pos,
+        |         md5(array_to_string(l[pos:pos+7], ' ')) AS h FROM p),
+        |dup AS (SELECT h FROM sh GROUP BY h
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT s.doc_id, s.n_tokens, s.pos FROM sh s JOIN dup USING (h)),
+        |w AS (SELECT doc_id, n_tokens,
+        |        COALESCE(LEAST(8, pos - LAG(pos) OVER
+        |          (PARTITION BY doc_id ORDER BY pos)), 8) AS gain FROM m)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS dup_grams, CAST(SUM(gain) AS BIGINT) AS covered_tokens,
+        |  CAST(SUM(gain) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
+        |FROM w GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""$shingleCte

@@ -269,4 +269,47 @@ class PipelineSpec extends SparkSpec {
     val ts = TextAnalysisOps.tokenStats(docs, "text")
     assert(ts.filter(col("n_distinct") > col("n_tokens")).count() == 0)
   }
+
+  test("passage dedup: cross-doc k-gram coverage with interval merge") {
+    import spark.implicits._
+    // shared = an 8-token passage planted in docs 1 and 2 at different
+    // offsets; doc 3 repeats ITS OWN passage twice (self-repetition:
+    // must not count); doc 4 is clean filler
+    val shared = "the quick brown fox jumps over the lazy"
+    val selfRep = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"$shared omega psi chi phi upsilon tau sigma rho"),
+      (3L, s"$selfRep junk1 junk2 $selfRep"),
+      (4L, "completely different words with no duplication at all here ok")
+    ).toDF("doc_id", "text")
+    val out = TextDedupOps.passageDupStats(corpus, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    // only docs 1 and 2 appear (doc 3's repetition is within one doc)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // exactly one shared 8-gram each, covering 8 tokens
+    out.foreach { r =>
+      assert(r.getLong(2) == 1L, "dup_grams")       // dup_grams
+      assert(r.getLong(3) == 8L, "covered_tokens")  // covered_tokens
+    }
+
+    // overlap merge: docs 5/6 share a 10-token run = three overlapping
+    // 8-grams; covered tokens must be 10 (union), not 24 (sum)
+    val run = "a b c d e f g h i j"
+    val corpus2 = Seq(
+      (5L, s"x1 x2 $run x3 x4"),
+      (6L, s"y1 $run y2 y3 y4 y5")
+    ).toDF("doc_id", "text")
+    val out2 = TextDedupOps.passageDupStats(corpus2, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out2.length == 2)
+    out2.foreach { r =>
+      assert(r.getLong(2) == 3L)   // 3 overlapping duplicated 8-grams
+      assert(r.getLong(3) == 10L)  // merged coverage = run length
+    }
+
+    // dup_fraction is coverage / doc length
+    val d5 = out2.find(_.getLong(0) == 5L).get
+    assert(d5.getLong(1) == 14L && math.abs(d5.getDouble(4) - 10.0 / 14) < 1e-12)
+  }
 }
