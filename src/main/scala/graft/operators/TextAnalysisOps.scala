@@ -232,4 +232,90 @@ object TextAnalysisOps {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
   }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * CCNet/KenLM-style "how surprising is this text" quality signal,
+    * self-trained on the corpus (no external model): add-one-smoothed
+    * bigram probabilities
+    * `P(w_i | w_{i-1}) = (C(w_{i-1} w_i) + 1) / (C(w_{i-1}) + V)`
+    * with counts from the WHOLE input and V = corpus vocabulary size.
+    * Output per doc (docs with ≥ 2 tokens): `n_bigrams`,
+    * `logprob_micro` (Σ of per-bigram ln P quantized to integer
+    * micro-nats — exact, associativity-free long arithmetic, the same
+    * cross-engine determinism trick as [[classifierScore]]) and
+    * `avg_logprob` (= logprob_micro / (1e6 · n_bigrams); higher = more
+    * typical of the corpus; perplexity is `exp(-avg_logprob)`).
+    *
+    * Scale shape: count tables come from one groupBy over exploded
+    * bigrams (map-side combined; c1 reuses c2 — no second pass); the
+    * scoring join keys positions by (w1, w2) then w1 — fact-to-dim
+    * joins where Zipf-head keys mean many FACT rows per key, which
+    * sort-merge + AQE skew-split handles (the dim side stays one row
+    * per key; broadcast when the vocab fits). V travels as a
+    * broadcast one-row frame, never a driver collect.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+    val bg = t.where(size(col("t")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("g"))
+      .select(col("__id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = t.select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log(
+        (col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")
+      ) * 1e6).cast("long"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("logprob_micro"))
+      .withColumn("avg_logprob", col("logprob_micro").cast("double") /
+        (col("n_bigrams").cast("double") * 1e6))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("logprob_micro"),
+        col("avg_logprob"))
+  }
+
+  /** Hashed TF-IDF document vectors (the hashing trick): every token
+    * lands in `pmod(md5-prefix, dim)`; bucket weight is
+    * `tf · (ln((N + 1) / (df + 1)) + 1)` (smoothed idf — never zero or
+    * negative), and the vector is L2-normalized `Array[Float]` — drop-in
+    * compatible with [[graft.operators.VectorSearchOps]], so the whole
+    * ANN / embedding-dedup tier runs on raw text with no external
+    * embedding model.
+    *
+    * Scale shape: tf is a (doc, token) aggregate, df reuses it with a
+    * second map-side-combined aggregate, N travels as one broadcast
+    * row. Vector assembly is a per-doc aggregate whose state is ≤ dim
+    * entries (bounded, no skew: docs hash uniformly). All exchanges key
+    * on doc id or token — never on the vector.
+    */
+  def tfidfVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 256): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val t = df.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+    val tf = t.select(col("__id"), explode(col("t")).as("tok"))
+      .groupBy("__id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = t.agg(count(lit(1)).as("n_docs"))
+    // conv() parses 8 hex chars (32 bits — sign-safe in a long)
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dim))
+    val byBucket = tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast("double") *
+        (log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1.0))
+      .groupBy(col("__id"), bucket.as("b")).agg(sum("w").as("w"))
+    byBucket.groupBy("__id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("w")))).as("m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, $dim - 1), " +
+          "i -> coalesce(element_at(m, cast(i AS bigint)), 0.0d))"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col("__id").as(idCol), expr(
+        "transform(v, x -> cast(x / norm AS float))").as("tfidf"))
+  }
 }

@@ -201,6 +201,22 @@ object PipelineQueries {
       TextDedupOps.passageDupStats(docs(s, d), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    // corpus-trained bigram LM score (CCNet-style quality signal);
+    // micro-nat integer quantization keeps the oracle hash exact
+    "txt_lm_score" -> ((s, d) =>
+      TextAnalysisOps.bigramLmScore(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // text → hashed-TF-IDF vectors → cosine top-k: the ANN tier running
+    // on raw text with no external embedding model (rows-only: the
+    // hashed feature space is graft's own; properties in PipelineSpec)
+    "ann_tfidf" -> ((s, d) => {
+      val v = TextAnalysisOps.tfidfVectors(docs(s, d), "doc_id", "text")
+      VectorSearchOps.bruteForceTopK(v, v.filter(col("doc_id") < 3),
+          "doc_id", "tfidf", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
     "dd_ngram_jaccard" -> ((s, d) =>
       TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -444,6 +460,24 @@ object PipelineQueries {
         |  COUNT(*) AS dup_grams, CAST(SUM(gain) AS BIGINT) AS covered_tokens,
         |  CAST(SUM(gain) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
         |FROM w GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    "txt_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |p AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |      FROM t WHERE len(l) >= 2),
+        |bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM p),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(l) AS tok FROM t)),
+        |scored AS (SELECT b.doc_id,
+        |    CAST(ROUND(LN(CAST(c2.c2 + 1 AS DOUBLE)
+        |      / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+        |  FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(lp) AS BIGINT) AS logprob_micro,
+        |  CAST(SUM(lp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""$shingleCte

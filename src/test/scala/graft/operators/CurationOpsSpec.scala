@@ -168,4 +168,27 @@ class CurationOpsSpec extends SparkSpec {
       TextAnalysisOps.classifierScore(docs, "doc_id", "text", Array(1.0), 0.0)
     }
   }
+
+  test("bigramLmScore: hand-checked add-one-smoothed bigram logprobs") {
+    import spark.implicits._
+    // one doc "a b a b": bigrams (a,b)x2 (b,a)x1; c1: a=2 b=1; V=2
+    val one = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.bigramLmScore(one, "doc_id", "text").collect()
+    assert(r.length == 1 && r.head.getLong(1) == 3) // n_bigrams
+    val lpAb = math.round(math.log(3.0 / 4.0) * 1e6) // (2+1)/(2+2)
+    val lpBa = math.round(math.log(2.0 / 3.0) * 1e6) // (1+1)/(1+2)
+    assert(r.head.getLong(2) == 2 * lpAb + lpBa)
+
+    // an out-of-distribution doc scores below in-distribution ones
+    val corpus = ((1 to 10).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran")) :+
+      (99L, "zxqv wyrk plmn qqtz bbnv")).toDF("doc_id", "text")
+    val scored = TextAnalysisOps.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy(col("avg_logprob").asc).collect()
+    assert(scored.head.getLong(0) == 99L,
+      "the gibberish doc must have the lowest avg_logprob")
+    // docs shorter than 2 tokens are excluded
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysisOps.bigramLmScore(tiny, "doc_id", "text").count() == 1)
+  }
 }

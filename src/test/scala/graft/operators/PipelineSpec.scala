@@ -312,4 +312,32 @@ class PipelineSpec extends SparkSpec {
     val d5 = out2.find(_.getLong(0) == 5L).get
     assert(d5.getLong(1) == 14L && math.abs(d5.getDouble(4) - 10.0 / 14) < 1e-12)
   }
+
+  test("tfidf vectors: unit norm, right dim, near-dups are nearest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apples and oranges grow on trees in the warm orchard"),
+      (2L, "apples and oranges grow on trees in the warm garden"),
+      (3L, "stochastic gradient descent optimizes deep neural network weights")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysisOps.tfidfVectors(corpus, "doc_id", "text", dim = 64)
+    val rows = v.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val arr = r.getSeq[Float](1)
+      assert(arr.length == 64)
+      val norm = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+    }
+    // doc 1's nearest neighbor is its near-duplicate doc 2, not doc 3
+    val top = VectorSearchOps.bruteForceTopK(
+      v, v.filter(col("doc_id") === 1), "doc_id", "tfidf", 2)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(top.head.fieldIndex("nbr_id")) == 2L)
+    // feeds the embedding-dedup kernel too: pair (1,2) crosses 0.8 cosine
+    val pairs = TextDedupOps.embeddingDedupPairs(v, "doc_id", "tfidf",
+      threshold = 0.8)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
 }
