@@ -74,6 +74,13 @@ object Ast {
     * Spark semantics).
     */
   final case class OCast(x: Operand, toType: String) extends Operand
+  /** `CASE WHEN cond THEN expr [WHEN …]* [ELSE expr] END` — searched
+    * CASE over full boolean conditions (subquery predicates excluded);
+    * without ELSE the fall-through value is NULL (ANSI). Extension: the
+    * reference has no conditional expressions.
+    */
+  final case class OCase(branches: Seq[(BExpr, Operand)],
+      otherwise: Option[Operand]) extends Operand
   /** Analytic/window call: `fn(args) OVER (PARTITION BY … ORDER BY …)`.
     * fn ∈ {row_number, rank, dense_rank, count_star, count, sum, avg,
     * min, max, lag, lead}; allowed in SELECT items and ORDER BY only,

@@ -189,6 +189,9 @@ object Compiler {
       case OCast(x, _)     => operandRefs(x)
       case OWin(_, args, part, ord) =>
         args.flatMap(operandRefs) ++ part.map(ref) ++ ord.map(o2 => ref(o2._1))
+      case OCase(bs, o2)   =>
+        bs.flatMap { case (c, v) => exprRefs(c) ++ operandRefs(v) } ++
+          o2.toSeq.flatMap(operandRefs)
       case OLit(_)         => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
@@ -235,6 +238,9 @@ object Compiler {
         case OFn(_, as)      => as.flatMap(rawRefs)
         case OCast(x, _)     => rawRefs(x)
         case OWin(_, as, p, o2) => as.flatMap(rawRefs) ++ p ++ o2.map(_._1)
+        case OCase(bs, o2)   =>
+          bs.flatMap { case (c, v) => exprRawRefs(c) ++ rawRefs(v) } ++
+            o2.toSeq.flatMap(rawRefs)
         case OLit(_)         => Seq.empty
       }
       def exprRawRefs(e: BExpr): Seq[RawName] = e match {
@@ -305,6 +311,10 @@ object Compiler {
       case OFn(_, as)      => as.exists(analyzeSubFieldless)
       case OCast(x, _)     => analyzeSubFieldless(x)
       case _: OWin         => true
+      case OCase(bs, o2)   =>
+        bs.exists { case (c, v) =>
+          exprRawRefsPublic(c).nonEmpty || analyzeSubFieldless(v) } ||
+          o2.exists(analyzeSubFieldless)
       case OLit(_)         => false
     }
     def exprRawRefsPublic(e: BExpr): Seq[RawName] = e match {
@@ -326,6 +336,9 @@ object Compiler {
       case OFn(_, as)      => as.flatMap(opRaw)
       case OCast(x, _)     => opRaw(x)
       case OWin(_, as, p, o2) => as.flatMap(opRaw) ++ p ++ o2.map(_._1)
+      case OCase(bs, o2)   =>
+        bs.flatMap { case (c, v) => exprRawRefsPublic(c) ++ opRaw(v) } ++
+          o2.toSeq.flatMap(opRaw)
       case OLit(_)         => Seq.empty
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
@@ -453,6 +466,13 @@ object Compiler {
         if (!winOk) throw CompileException(
           "window functions are only allowed in SELECT items and ORDER BY")
         winColumn(w, aggOk)
+      case OCase(bs, o2) =>
+        val first = when(exprColumn(bs.head._1, aggOk),
+          operandColumn(bs.head._2, aggOk, winOk))
+        val chained = bs.tail.foldLeft(first) { case (acc, (c, v)) =>
+          acc.when(exprColumn(c, aggOk), operandColumn(v, aggOk, winOk))
+        }
+        o2.fold(chained)(x => chained.otherwise(operandColumn(x, aggOk, winOk)))
     }
 
     /** Compile an analytic call over its window spec. Ranking and
@@ -697,7 +717,25 @@ object Compiler {
       case ONeg(x)         => opAggs(x)
       case OFn(_, args)    => args.flatMap(opAggs)
       case OCast(x, _)     => opAggs(x)
+      case OCase(bs, o2)   =>
+        bs.flatMap { case (c, v) => exprAggs(c) ++ opAggs(v) } ++
+          o2.toSeq.flatMap(opAggs)
       case _               => Seq.empty
+    }
+    // aggregate calls inside a boolean tree (HAVING conditions, CASE
+    // WHEN conditions) — the BExpr twin of opAggs
+    def exprAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
+      case Cmp(_, l, r)  => opAggs(l) ++ opAggs(r)
+      case IsNullE(o, _) => opAggs(o)
+      case InE(o, xs, _) => opAggs(o) ++ xs.flatMap(opAggs)
+      case BetweenE(o, lo, hi, _) => opAggs(o) ++ opAggs(lo) ++ opAggs(hi)
+      case LikeE(o, _, _) => opAggs(o)
+      case AndE(l, r)    => exprAggs(l) ++ exprAggs(r)
+      case OrE(l, r)     => exprAggs(l) ++ exprAggs(r)
+      case NotE(x)       => exprAggs(x)
+      // subquery predicates never nest aggregates into THIS query's agg
+      // list (exprColumn rejects them outside top-level WHERE anyway)
+      case _: InSubE | _: ExistsE => Seq.empty
     }
     def itemAggs(i: SelectItem): Seq[(String, Option[SField])] = i match {
       case AggItem(f, a)  => Seq((f, a.map(ref)))
@@ -715,7 +753,21 @@ object Compiler {
       case ONeg(x)         => hasWinOp(x)
       case OFn(_, args)    => args.exists(hasWinOp)
       case OCast(x, _)     => hasWinOp(x)
+      case OCase(bs, o2)   =>
+        bs.exists { case (c, v) => exprHasWin(c) || hasWinOp(v) } ||
+          o2.exists(hasWinOp)
       case _               => false
+    }
+    def exprHasWin(e: BExpr): Boolean = e match {
+      case Cmp(_, l, r)  => hasWinOp(l) || hasWinOp(r)
+      case IsNullE(o, _) => hasWinOp(o)
+      case InE(o, xs, _) => hasWinOp(o) || xs.exists(hasWinOp)
+      case BetweenE(o, lo, hi, _) => hasWinOp(o) || hasWinOp(lo) || hasWinOp(hi)
+      case LikeE(o, _, _) => hasWinOp(o)
+      case AndE(l, r)    => exprHasWin(l) || exprHasWin(r)
+      case OrE(l, r)     => exprHasWin(l) || exprHasWin(r)
+      case NotE(x)       => exprHasWin(x)
+      case _: InSubE | _: ExistsE => false
     }
     val hasWin = (spec.select ++ orderItems.map(_.item)).exists {
       case ExprItem(e, _) => hasWinOp(e)
@@ -740,7 +792,21 @@ object Compiler {
         case ONeg(x)         => bareRefs(x)
         case OFn(_, args)    => args.flatMap(bareRefs)
         case OCast(x, _)     => bareRefs(x)
+        case OCase(bs, o2)   =>
+          bs.flatMap { case (c, v) => exprBareRefs(c) ++ bareRefs(v) } ++
+            o2.toSeq.flatMap(bareRefs)
         case _               => Seq.empty
+      }
+      def exprBareRefs(e: BExpr): Seq[SField] = e match {
+        case Cmp(_, l, r)  => bareRefs(l) ++ bareRefs(r)
+        case IsNullE(o, _) => bareRefs(o)
+        case InE(o, xs, _) => bareRefs(o) ++ xs.flatMap(bareRefs)
+        case BetweenE(o, lo, hi, _) => bareRefs(o) ++ bareRefs(lo) ++ bareRefs(hi)
+        case LikeE(o, _, _) => bareRefs(o)
+        case AndE(l, r)    => exprBareRefs(l) ++ exprBareRefs(r)
+        case OrE(l, r)     => exprBareRefs(l) ++ exprBareRefs(r)
+        case NotE(x)       => exprBareRefs(x)
+        case _: InSubE | _: ExistsE => Seq.empty
       }
       spec.select.foreach {
         case FieldItem(n) if !groupNames.contains(ref(n).inName) =>
@@ -751,20 +817,11 @@ object Compiler {
             throw CompileException(s"$nm: ${r.outName} must appear in GROUP BY"))
         case _ => ()
       }
-      // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped later)
-      def havingAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
-        case Cmp(_, l, r)  => opAggs(l) ++ opAggs(r)
-        case IsNullE(o, _) => opAggs(o)
-        case InE(o, xs, _) => opAggs(o) ++ xs.flatMap(opAggs)
-        case BetweenE(o, lo, hi, _) => opAggs(o) ++ opAggs(lo) ++ opAggs(hi)
-        case LikeE(o, _, _) => opAggs(o)
-        case AndE(l, r)    => havingAggs(l) ++ havingAggs(r)
-        case OrE(l, r)     => havingAggs(l) ++ havingAggs(r)
-        case NotE(x)       => havingAggs(x)
-      }
+      // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped
+      // later); exprAggs is the BExpr walker shared with CASE conditions
       val selectAggs = spec.select.flatMap(itemAggs)
       val orderAggs = orderItems.map(_.item).flatMap(itemAggs)
-      val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(havingAggs) ++ orderAggs).distinct
+      val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(exprAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
       val aggCols = aggSpecs.map { case (f, a) => aggColumn(f, a) }

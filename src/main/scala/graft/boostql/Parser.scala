@@ -57,7 +57,8 @@ object Parser {
     "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
     "outer", "is", "null", "distinct", "in", "between", "like", "asof",
-    "over", "partition", "exists", "union", "intersect", "except", "all")
+    "over", "partition", "exists", "union", "intersect", "except", "all",
+    "case", "when", "then", "else", "end")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -500,6 +501,27 @@ object Parser {
             withOptionalOver(fn, arg.map(ORef(_)).toSeq)
           } else OAgg(id.toLowerCase, arg)
         }
+      // CASE: searched form (WHEN <cond> THEN <expr> …) or simple form
+      // (CASE <x> WHEN <v> THEN <expr> … — sugar for x = v conditions);
+      // ELSE optional (NULL fall-through, ANSI), END required
+      case TIdent(id) if id.equalsIgnoreCase("case") =>
+        pos += 1
+        val subject: Option[Operand] =
+          if (peekIsKw("when")) None else Some(nested(addOperand()))
+        val bs = Seq.newBuilder[(BExpr, Operand)]
+        if (!peekIsKw("when"))
+          throw ParseException(s"CASE requires at least one WHEN, got $peek")
+        while (kw("when")) {
+          val c = subject match {
+            case None    => nested(orExpr())
+            case Some(x) => Cmp("=", x, nested(addOperand()))
+          }
+          expectKw("then")
+          bs += ((c, nested(addOperand())))
+        }
+        val other = if (kw("else")) Some(nested(addOperand())) else None
+        expectKw("end")
+        OCase(bs.result(), other)
       // CAST(expr AS type) — type validated by the compiler (int | float
       // | string | bool, the dialect's four scalar types)
       case TIdent(id) if id.equalsIgnoreCase("cast") &&

@@ -207,6 +207,40 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
 }
 
+/** Sparse (bucket, weight) entry arrays → dense L2-normalized
+  * float[dim]. One imperative pass per row; replaces the
+  * map_from_entries + transform(sequence…) formulation whose per-index
+  * interpreted map lookups dominated TF-IDF assembly (20 s → sub-second
+  * at sf0.1).
+  */
+case class DenseNormalize(buckets: Expression, weights: Expression, dim: Int)
+    extends BinaryExpression {
+  require(dim >= 1 && dim <= (1 << 20), "dim must be in [1, 2^20]")
+  override def left: Expression = buckets
+  override def right: Expression = weights
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def elem(e: Expression): DataType = e.dataType match {
+      case ArrayType(t, _) => t
+      case _ => NullType
+    }
+    if (elem(buckets) == LongType && elem(weights) == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<double>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dense_normalize"
+  override protected def nullSafeEval(b: Any, w: Any): Any =
+    VectorImpl.denseNormalize(
+      b.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, w) => s"${GraftExpressions.V}.denseNormalize($b, $w, $dim)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DenseNormalize = copy(buckets = l, weights = r)
+}
+
 /** Random-hyperplane LSH bucket id (long with `numBits` sign bits) for a
   * dense vector; hyperplanes derived deterministically from `seed`.
   */

@@ -43,6 +43,12 @@ object GraftFunctions {
   def cosine(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(asDoubles(a)), toExpr(asDoubles(b))))
 
+  /** Sparse (bucket, weight) entry arrays → dense L2-normalized
+    * float[dim] (buckets as bigint, weights as double; order-aligned
+    * arrays, e.g. two collect_lists from one aggregate). */
+  def denseNormalize(buckets: Column, weights: Column, dim: Int): Column =
+    toCol(DenseNormalize(toExpr(buckets), toExpr(weights), dim))
+
   /** Random-hyperplane LSH bucket of a dense-vector column. */
   def lshBucket(vec: Column, numBits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneBucket(toExpr(asDoubles(vec)), numBits, seed))

@@ -140,4 +140,31 @@ object VectorImpl {
     }
     bucket
   }
+
+  /** Scatter sparse (bucket, weight) entries into a dense L2-normalized
+    * float[dim] — one imperative pass, no per-element lambda dispatch
+    * (the higher-order-function formulation interpreted ~dim map lookups
+    * per row and was the whole cost of TF-IDF vector assembly).
+    * Out-of-range buckets are ignored; a zero vector stays zero.
+    */
+  def denseNormalize(buckets: ArrayData, weights: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = math.min(buckets.numElements(), weights.numElements())
+    var i = 0
+    while (i < n) {
+      val b = buckets.getLong(i)
+      if (b >= 0 && b < dim) acc(b.toInt) += weights.getDouble(i)
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < dim) { s += acc(i) * acc(i); i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Float](dim)
+    if (norm > 0) {
+      i = 0
+      while (i < dim) { out(i) = (acc(i) / norm).toFloat; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
 }

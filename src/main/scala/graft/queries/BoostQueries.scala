@@ -209,6 +209,15 @@ object BoostQueries {
         "WHERE b.error.user = a.purchase.user AND b.error > 150.0) " +
         "ORDER BY purchase.event_id")),
 
+    // searched CASE WHEN (no reference analogue — it has no conditional
+    // expressions at all): tier bucketing with NULL fall-through spelled
+    // as ELSE, plus CASE in a sort key via its select alias
+    "boost_case" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase, " +
+        "CASE WHEN purchase > 200.0 THEN 'high' WHEN purchase > 100.0 THEN 'mid' " +
+        "ELSE 'low' END AS tier " +
+        "FROM dom.events ORDER BY tier, purchase.event_id")),
+
     // UNION ALL compound with trailing ORDER BY/LIMIT paging the whole
     // compound (ordinal keys; output names come from the left branch)
     "boost_union" -> ((s, d) =>
@@ -314,6 +323,14 @@ object BoostQueries {
         |    WHERE b.event_type = 'error' AND b.user_id = a.user_id
         |      AND b.value > 150.0)
         |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_case" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value AS purchase,
+        |  CASE WHEN value > 200.0 THEN 'high' WHEN value > 100.0 THEN 'mid'
+        |  ELSE 'low' END AS tier
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY tier, purchase_event_id""".stripMargin,
 
     "boost_union" ->
       """SELECT * FROM (

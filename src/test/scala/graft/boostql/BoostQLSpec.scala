@@ -831,6 +831,46 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("CASE WHEN: searched and simple forms, ELSE default, agg contexts") {
+    // searched CASE with arithmetic in branches; NULL fall-through
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, " +
+        "CASE WHEN purchase > 200.0 THEN 'high' WHEN purchase > 100.0 THEN 'mid' END AS tier " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam)
+    val rows = df.collect()
+    assert(rows.exists(_.getString(1) == "high"))
+    assert(rows.exists(_.isNullAt(1)), "no-ELSE fall-through must be NULL")
+
+    // simple form is sugar for equality conditions
+    val simple = Compiler.compile(Parser.parse(
+      "SELECT CASE purchase.user WHEN '7' THEN 1 ELSE 0 END AS is7, purchase.event_id " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam).collect()
+    val searched = Compiler.compile(Parser.parse(
+      "SELECT CASE WHEN purchase.user = '7' THEN 1 ELSE 0 END AS is7, purchase.event_id " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam).collect()
+    assert(simple.map(_.getLong(0)).toSeq == searched.map(_.getLong(0)).toSeq)
+
+    // CASE over aggregates in a grouped query (condition + value)
+    val agged = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, CASE WHEN count(*) > 2 THEN sum(purchase) ELSE -1.0 END AS s " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(agged.columns.toSeq == Seq("purchase_user", "s"))
+    assert(agged.count() > 0)
+
+    // GROUP BY validation reaches into CASE conditions: a bare field in
+    // a WHEN condition that is not a grouping key is refused
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase.user, CASE WHEN purchase > 1.0 THEN count(*) ELSE 0 END AS c " +
+          "FROM dom.events GROUP BY purchase.user"), fam)
+    }
+    // parse errors: CASE without WHEN / without END
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT CASE END FROM dom.events"))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT CASE WHEN click > 1.0 THEN 2 FROM dom.events"))
+  }
+
   test("set operations: validation") {
     // ORDER BY on a non-last branch is refused
     intercept[Parser.ParseException] {

@@ -93,6 +93,32 @@ class ExpressionsSpec extends SparkSpec {
       s"expected column-pruned scan in:\n$plan")
   }
 
+  test("denseNormalize via DataFrame equals the kernel, handles edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0L, 2L, 0L), Seq(3.0, 4.0, 1.0)),     // bucket 0 accumulates
+      (2L, Seq(5L, -1L, 99L), Seq(7.0, 9.0, 9.0)),   // out-of-range ignored
+      (3L, Seq.empty[Long], Seq.empty[Double])        // zero vector stays zero
+    ).toDF("id", "bs", "ws")
+    val rows = df.select(col("id"),
+      GraftFunctions.denseNormalize(col("bs"), col("ws"), 8).as("v"))
+      .orderBy("id").collect()
+    val v1 = rows(0).getSeq[Float](1)
+    assert(v1.length == 8)
+    // entries: bucket0 = 3+1 = 4, bucket2 = 4 → norm = sqrt(32)
+    assert(math.abs(v1(0) - (4.0 / math.sqrt(32))) < 1e-6)
+    assert(math.abs(v1(2) - (4.0 / math.sqrt(32))) < 1e-6)
+    assert(v1(1) == 0.0f)
+    val v2 = rows(1).getSeq[Float](1)
+    assert(math.abs(v2(5) - 1.0) < 1e-6 && v2.count(_ != 0f) == 1)
+    assert(rows(2).getSeq[Float](1).forall(_ == 0.0f))
+    // kernel parity
+    val direct = VectorImpl.denseNormalize(
+      ArrayData.toArrayData(Array(0L, 2L, 0L)),
+      ArrayData.toArrayData(Array(3.0, 4.0, 1.0)), 8)
+    assert((0 until 8).forall(i => direct.getFloat(i) == v1(i)))
+  }
+
   test("lshBucket via DataFrame equals the kernel") {
     val r = docs.filter(col("id") === 1).select(
       GraftFunctions.lshBucket(col("vec"), 12, 5L)).collect()
