@@ -51,6 +51,13 @@ object Ast {
   final case class ORef(name: RawName) extends Operand
   /** Aggregate call as a HAVING operand, e.g. `HAVING sum(cpu) > 5`. */
   final case class OAgg(fn: String, arg: Option[RawName]) extends Operand
+  /** Aggregate over an arbitrary expression — `sum(CASE WHEN … END)`,
+    * `avg(cpu - mem)` — the conditional-aggregation workhorse. Kept
+    * separate from [[OAgg]] so the bare-field form retains its legacy
+    * output-name conventions; nested aggregates inside the argument are
+    * a compile error.
+    */
+  final case class OAggX(fn: String, arg: Operand) extends Operand
   /** Arithmetic over operands (`+ - * /`, standard precedence) — absent
     * from the reference's grammar (whereparser.go:146-169 rejects
     * anything beyond literal/field comparisons) but the first everyday

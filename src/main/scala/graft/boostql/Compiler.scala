@@ -63,6 +63,19 @@ object Compiler {
   private def aggColName(fn: String, arg: Option[SField]): String =
     s"${fn}_${arg.fold("star")(_.outName)}"
 
+  /** Internal column name for an expression aggregate — structural, so
+    * identical `sum(CASE …)` occurrences in SELECT / HAVING / ORDER BY
+    * dedup to one computed column. Never user-visible (an expression
+    * aggregate always surfaces through its ExprItem alias).
+    */
+  private def aggXColName(fn: String, e: Ast.Operand): String =
+    s"__${fn}_x${Integer.toHexString(e.hashCode)}"
+
+  /** An aggregate to compute: Left = bare-field form (legacy naming),
+    * Right = expression-argument form. */
+  private type AggSpec =
+    Either[(String, Option[SField]), (String, Ast.Operand)]
+
   private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
@@ -183,6 +196,7 @@ object Compiler {
     def operandRefs(o: Operand): Seq[SField] = o match {
       case ORef(n)         => Seq(ref(n))
       case OAgg(_, arg)    => arg.map(ref).toSeq
+      case OAggX(_, e)     => operandRefs(e)
       case OArith(_, l, r) => operandRefs(l) ++ operandRefs(r)
       case ONeg(x)         => operandRefs(x)
       case OFn(_, args)    => args.flatMap(operandRefs)
@@ -233,6 +247,7 @@ object Compiler {
       def rawRefs(o: Operand): Seq[RawName] = o match {
         case ORef(n)         => Seq(n)
         case OAgg(_, a)      => a.toSeq
+        case OAggX(_, e)     => rawRefs(e)
         case OArith(_, l, r) => rawRefs(l) ++ rawRefs(r)
         case ONeg(x)         => rawRefs(x)
         case OFn(_, as)      => as.flatMap(rawRefs)
@@ -306,6 +321,7 @@ object Compiler {
     def analyzeSubFieldless(o: Operand): Boolean = o match {
       case ORef(_)         => true
       case OAgg(_, a)      => a.isDefined
+      case OAggX(_, e)     => analyzeSubFieldless(e)
       case OArith(_, l, r) => analyzeSubFieldless(l) || analyzeSubFieldless(r)
       case ONeg(x)         => analyzeSubFieldless(x)
       case OFn(_, as)      => as.exists(analyzeSubFieldless)
@@ -331,6 +347,7 @@ object Compiler {
     def opRaw(o: Operand): Seq[RawName] = o match {
       case ORef(n)         => Seq(n)
       case OAgg(_, a)      => a.toSeq
+      case OAggX(_, e)     => opRaw(e)
       case OArith(_, l, r) => opRaw(l) ++ opRaw(r)
       case ONeg(x)         => opRaw(x)
       case OFn(_, as)      => as.flatMap(opRaw)
@@ -442,6 +459,9 @@ object Compiler {
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
+      case OAggX(fn, e) =>
+        if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
+        col(aggXColName(fn, e))
       case OArith(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {
@@ -711,8 +731,12 @@ object Compiler {
     }
 
     // --- aggregation / projection ---------------------------------------
-    def opAggs(o: Operand): Seq[(String, Option[SField])] = o match {
-      case OAgg(f, a)      => Seq((f, a.map(ref)))
+    def opAggs(o: Operand): Seq[AggSpec] = o match {
+      case OAgg(f, a)      => Seq(Left((f, a.map(ref))))
+      case OAggX(f, e)     =>
+        if (opAggs(e).nonEmpty)
+          throw CompileException(s"nested aggregate inside $f(…)")
+        Seq(Right((f, e)))
       case OArith(_, l, r) => opAggs(l) ++ opAggs(r)
       case ONeg(x)         => opAggs(x)
       case OFn(_, args)    => args.flatMap(opAggs)
@@ -724,7 +748,7 @@ object Compiler {
     }
     // aggregate calls inside a boolean tree (HAVING conditions, CASE
     // WHEN conditions) — the BExpr twin of opAggs
-    def exprAggs(e: BExpr): Seq[(String, Option[SField])] = e match {
+    def exprAggs(e: BExpr): Seq[AggSpec] = e match {
       case Cmp(_, l, r)  => opAggs(l) ++ opAggs(r)
       case IsNullE(o, _) => opAggs(o)
       case InE(o, xs, _) => opAggs(o) ++ xs.flatMap(opAggs)
@@ -737,8 +761,8 @@ object Compiler {
       // list (exprColumn rejects them outside top-level WHERE anyway)
       case _: InSubE | _: ExistsE => Seq.empty
     }
-    def itemAggs(i: SelectItem): Seq[(String, Option[SField])] = i match {
-      case AggItem(f, a)  => Seq((f, a.map(ref)))
+    def itemAggs(i: SelectItem): Seq[AggSpec] = i match {
+      case AggItem(f, a)  => Seq(Left((f, a.map(ref))))
       case ExprItem(e, _) => opAggs(e)
       case _              => Seq.empty
     }
@@ -824,7 +848,21 @@ object Compiler {
       val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(exprAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
-      val aggCols = aggSpecs.map { case (f, a) => aggColumn(f, a) }
+      val aggCols = aggSpecs.map {
+        case Left((f, a)) => aggColumn(f, a)
+        case Right((f, e)) =>
+          val c = operandColumn(e, aggOk = false)
+          val agg = f match {
+            case "count" => count(c)
+            case "sum"   => sum(c)
+            case "avg"   => avg(c)
+            case "min"   => min(c)
+            case "max"   => max(c)
+            case other   => throw CompileException(
+              s"unknown expression aggregate $other")
+          }
+          agg.as(aggXColName(f, e))
+      }
       val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       spec.having.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
     } else filtered

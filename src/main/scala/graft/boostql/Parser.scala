@@ -493,13 +493,20 @@ object Parser {
           expectSym(")")
           OAgg("count_distinct", Some(arg))
         } else {
-          val arg = if (sym("*")) None else Some(rawName())
+          // the argument is a full expression; a bare field ref keeps the
+          // legacy OAgg form (and its output-name conventions), anything
+          // computed becomes an expression aggregate
+          val arg = if (sym("*")) None else Some(nested(addOperand()))
           expectSym(")")
           // `agg(x) OVER (…)` is an analytic call, not a group aggregate
           if (peekIsKw("over")) {
             val fn = if (arg.isEmpty) s"${id.toLowerCase}_star" else id.toLowerCase
-            withOptionalOver(fn, arg.map(ORef(_)).toSeq)
-          } else OAgg(id.toLowerCase, arg)
+            withOptionalOver(fn, arg.toSeq)
+          } else arg match {
+            case None          => OAgg(id.toLowerCase, None)
+            case Some(ORef(n)) => OAgg(id.toLowerCase, Some(n))
+            case Some(e)       => OAggX(id.toLowerCase, e)
+          }
         }
       // CASE: searched form (WHEN <cond> THEN <expr> …) or simple form
       // (CASE <x> WHEN <v> THEN <expr> … — sugar for x = v conditions);

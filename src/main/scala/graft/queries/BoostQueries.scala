@@ -218,6 +218,15 @@ object BoostQueries {
         "ELSE 'low' END AS tier " +
         "FROM dom.events ORDER BY tier, purchase.event_id")),
 
+    // conditional aggregation: sum/max over CASE expressions plus an
+    // exact integer-cents sum (CAST truncates toward zero, both engines)
+    "boost_cond_agg" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) AS n_high, " +
+        "max(CASE WHEN purchase > 200.0 THEN purchase ELSE 0.0 END) AS max_high, " +
+        "sum(CAST(purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // UNION ALL compound with trailing ORDER BY/LIMIT paging the whole
     // compound (ordinal keys; output names come from the left branch)
     "boost_union" -> ((s, d) =>
@@ -331,6 +340,14 @@ object BoostQueries {
         |  ELSE 'low' END AS tier
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY tier, purchase_event_id""".stripMargin,
+
+    "boost_cond_agg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  CAST(SUM(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  MAX(CASE WHEN value > 200.0 THEN value ELSE 0.0 END) AS max_high,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 
     "boost_union" ->
       """SELECT * FROM (

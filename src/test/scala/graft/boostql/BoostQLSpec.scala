@@ -871,6 +871,56 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT CASE WHEN click > 1.0 THEN 2 FROM dom.events"))
   }
 
+  test("expression aggregates: sum(CASE), avg(arith), HAVING, dedup") {
+    import org.apache.spark.sql.functions.{col => c, sum => ssum, when => swhen}
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) AS n_high, " +
+        "count(*) AS n " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(df.columns.toSeq == Seq("purchase_user", "n_high", "n"))
+    val manual = Tables.events(spark, sfDir)
+      .filter(c("event_type") === "purchase")
+      .groupBy(c("user_id").cast("string").as("u"))
+      .agg(ssum(swhen(c("value") > 200.0, 1L).otherwise(0L)).as("nh"))
+      .orderBy("u").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == manual)
+
+    // the same expression aggregate in SELECT, HAVING and ORDER BY
+    // compiles to ONE aggregate column (structural dedup)
+    val having = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) AS n_high " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) > 1 " +
+        "ORDER BY sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) DESC, " +
+        "purchase.user"), fam)
+    val rows = having.collect()
+    assert(rows.forall(_.getLong(1) > 1))
+    val vals = rows.map(_.getLong(1)).toSeq
+    assert(vals == vals.sorted.reverse)
+
+    // arithmetic aggregate: avg(a - b) styles
+    val arith = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, min(purchase * 2.0) AS m " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(arith.columns.toSeq == Seq("purchase_user", "m"))
+    assert(arith.count() > 0)
+
+    // nested aggregates are refused loudly
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase.user, sum(count(*) + 1) AS bad " +
+          "FROM dom.events GROUP BY purchase.user"), fam)
+    }
+    // expression aggregates in WHERE are refused like bare ones
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase FROM dom.events " +
+          "WHERE sum(CASE WHEN purchase > 1.0 THEN 1 ELSE 0 END) > 1"), fam)
+    }
+  }
+
   test("set operations: validation") {
     // ORDER BY on a non-last branch is refused
     intercept[Parser.ParseException] {
