@@ -207,6 +207,69 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
 }
 
+/** Product-quantization encode: vector → m codebook codes (array<bigint>).
+  * The codebook travels as a constructor constant (a model artifact,
+  * like [[graft.operators.VectorSearchOps.ivfTopK]]'s centroid literals)
+  * so encoding is a zero-shuffle narrow map. CodegenFallback: one
+  * virtual call per row into an imperative kernel — the per-element
+  * work is already loop-free of boxing.
+  */
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int, ksub: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(m >= 1 && ksub >= 1 && ksub <= 256, "need 1 <= ksub <= 256")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorImpl.pqEncode(v.asInstanceOf[ArrayData], codebook, m, ksub)
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Product-quantization query LUT: query vector → flat [m][ksub] table
+  * of subvector·centroid dot products (over the normalized query). */
+case class PqLut(child: Expression, codebook: Array[Double], m: Int, ksub: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorImpl.pqLut(v.asInstanceOf[ArrayData], codebook, m, ksub)
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance: Σ_j lut[j·ksub + code_j] ≈ cosine. */
+case class PqAdc(codes: Expression, lut: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<double>), got " +
+          s"${a.simpleString}, ${b.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    VectorImpl.pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"${GraftExpressions.V}.pqAdc($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdc = copy(codes = l, lut = r)
+}
+
 /** Sparse (bucket, weight) entry arrays → dense L2-normalized
   * float[dim]. One imperative pass per row; replaces the
   * map_from_entries + transform(sequence…) formulation whose per-index

@@ -49,6 +49,14 @@ object GraftFunctions {
   def denseNormalize(buckets: Column, weights: Column, dim: Int): Column =
     toCol(DenseNormalize(toExpr(buckets), toExpr(weights), dim))
 
+  /** Product-quantization kernels (codebook: flat [m][ksub][dim/m]). */
+  def pqEncode(v: Column, codebook: Array[Double], m: Int, ksub: Int): Column =
+    toCol(PqEncode(toExpr(asDoubles(v)), codebook, m, ksub))
+  def pqLut(q: Column, codebook: Array[Double], m: Int, ksub: Int): Column =
+    toCol(PqLut(toExpr(asDoubles(q)), codebook, m, ksub))
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    toCol(PqAdc(toExpr(codes), toExpr(lut), ksub))
+
   /** Random-hyperplane LSH bucket of a dense-vector column. */
   def lshBucket(vec: Column, numBits: Int, seed: Long = 42L): Column =
     toCol(HyperplaneBucket(toExpr(asDoubles(vec)), numBits, seed))

@@ -141,6 +141,83 @@ object VectorImpl {
     bucket
   }
 
+  /** Product-quantization kernels. The codebook is flat row-major
+    * `[m][ksub][sub]` (sub = dim / m) over L2-NORMALIZED training
+    * vectors; encode/lut normalize their input internally so the ADC
+    * sum approximates the true cosine directly.
+    */
+  def pqEncode(v: ArrayData, codebook: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dim = v.numElements()
+    val sub = dim / m
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    val codes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * sub
+        var d = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = v.getDouble(j * sub + t) * inv - codebook(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toLong
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Per-query lookup table: dot(q-normalized subvector j, centroid c)
+    * for all (j, c) — flat [m][ksub]. */
+  def pqLut(q: ArrayData, codebook: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dim = q.numElements()
+    val sub = dim / m
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = q.getDouble(i); s += x * x; i += 1 }
+    val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * sub
+        var acc = 0.0
+        var t = 0
+        while (t < sub) {
+          acc += q.getDouble(j * sub + t) * inv * codebook(base + t)
+          t += 1
+        }
+        lut(j * ksub + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** Asymmetric distance: Σ_j lut[j·ksub + codes(j)] ≈ cosine(q, x). */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + codes.getLong(j).toInt)
+      j += 1
+    }
+    acc
+  }
+
   /** Scatter sparse (bucket, weight) entries into a dense L2-normalized
     * float[dim] — one imperative pass, no per-element lambda dispatch
     * (the higher-order-function formulation interpreted ~dim map lookups

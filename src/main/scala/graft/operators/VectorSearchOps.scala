@@ -112,6 +112,68 @@ object VectorSearchOps {
     * θ≈25°: per-table 0.86^6≈0.40, 8 tables ≈ 0.98 recall) the same
     * defaults are near-exact while probing far less.
     */
+  /** Product-quantization ANN top-k (IVF-less ADC scan + exact refine).
+    *
+    * The corpus compresses to `m` byte-sized codes per vector against a
+    * per-subspace codebook of `ksub` centroids — at 100 TB the ADC scan
+    * touches `m` longs per row instead of `dim` doubles (32× less with
+    * the defaults on dim-64 vectors), and the full vectors are read
+    * again only for the `k·refine` candidates that survive per query.
+    *
+    * Codebook training mirrors [[ivfTopK]]'s determinism contract: the
+    * `ksub` corpus rows with smallest xxhash64(id), L2-normalized on
+    * the driver, contribute their j-th subvector to subspace j — a
+    * model artifact of ksub×dim doubles inlined into the plan, so both
+    * the encode pass and the ADC scan are ZERO-SHUFFLE narrow maps
+    * (kernels: [[graft.functions.GraftFunctions.pqEncode]]/pqLut/pqAdc).
+    * Candidates re-rank by exact cosine via a semi-join back to the
+    * corpus — never carrying full vectors through the scan.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val sample = c.withColumn("h", xxhash64(col("nbr_id"))).orderBy("h")
+      .limit(ksub).select("cv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "corpus is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    // flat [m][ksub][sub] over normalized samples; if the corpus has
+    // fewer than ksub rows, cycle the sample (duplicate centroids are
+    // harmless — argmin picks the first)
+    val codebook = new Array[Double](m * ksub * sub)
+    for (cIdx <- 0 until ksub) {
+      val v = sample(cIdx % sample.length)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val inv = if (norm > 0) 1.0 / norm else 0.0
+      for (j <- 0 until m; t <- 0 until sub)
+        codebook((j * ksub + cIdx) * sub + t) = v(j * sub + t) * inv
+    }
+    val encoded = c.select(col("nbr_id"),
+      GraftFunctions.pqEncode(col("cv"), codebook, m, ksub).as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("lut", GraftFunctions.pqLut(col("qv"), codebook, m, ksub))
+    // ADC scan over codes only; keep k·refine candidates per query
+    val cand = encoded.crossJoin(broadcast(q.select("q_id", "lut")))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), ksub).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("nbr_id").asc)))
+      .filter(col("rk") <= k.toLong * refine)
+      .select("q_id", "nbr_id")
+    // exact refine on the survivors only
+    cand.join(c, Seq("nbr_id")).join(broadcast(q.select("q_id", "qv")), Seq("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   def annLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numBits: Int = 6, tables: Int = 8,
       seed: Long = 42L): DataFrame = {

@@ -286,6 +286,14 @@ object PipelineQueries {
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
     }),
 
+    "ann_pq" -> ((s, d) => {
+      // product-quantization ADC scan + exact refine — approximate, no
+      // SQL oracle; recall floor + determinism in PipelineSpec
+      val e = embs(s, d)
+      VectorSearchOps.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
     "txt_stats" -> ((s, d) =>
       TextAnalysisOps.tokenStats(docs(s, d), "text")
         .select("doc_id", "n_tokens", "n_distinct", "n_words",

@@ -260,6 +260,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == ivf, "IVF must be deterministic")
   }
 
+  test("PQ ANN: deterministic, ADC approximates cosine, useful recall") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorSearchOps.pqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sample-trained codebooks on a structureless corpus: well above
+    // chance (10 of ~500), and exact-refined so survivors are true cosines
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.25, s"PQ recall $recall below floor")
+    val again = VectorSearchOps.pqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq, "PQ must be deterministic")
+    // the refine stage emits exact cosines: every (q, nbr) PQ returns
+    // scores identically to the brute-force scorer
+    val bruteCos = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    VectorSearchOps.pqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id", "cos").collect().foreach { r =>
+        bruteCos.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+          assert(r.getDouble(2) == exact, s"refined cosine must be exact")
+        }
+      }
+  }
+
   test("language-id + quality + token stats are sane") {
     val st = TextAnalysisOps.qualityScore(docs, "text")
     val bad = st.filter(col("quality") < 0 || col("quality") > 1).count()
