@@ -81,6 +81,13 @@ object Ast {
     * Spark semantics).
     */
   final case class OCast(x: Operand, toType: String) extends Operand
+  /** `(SELECT <one agg item> FROM …)` as a value — the threshold-filter
+    * workhorse (`WHERE cpu > (SELECT avg(cpu) FROM …)`). Uncorrelated,
+    * WHERE-only in v1; the sub must be provably single-row (an ungrouped
+    * aggregate, or LIMIT 1). Compiles to a broadcast one-row cross join,
+    * never a per-row execution.
+    */
+  final case class OScalarSub(sub: QuerySpec) extends Operand
   /** `CASE WHEN cond THEN expr [WHEN …]* [ELSE expr] END` — searched
     * CASE over full boolean conditions (subquery predicates excluded);
     * without ELSE the fall-through value is NULL (ANSI). Extension: the

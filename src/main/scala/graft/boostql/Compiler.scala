@@ -76,6 +76,11 @@ object Compiler {
   private type AggSpec =
     Either[(String, Option[SField]), (String, Ast.Operand)]
 
+  /** Internal column carrying a scalar subquery's one value — structural
+    * (identical subs share a column), never user-visible. */
+  private def scalarColName(s2: Ast.QuerySpec): String =
+    s"__ssq_${Integer.toHexString(s2.hashCode)}"
+
   private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
@@ -206,6 +211,7 @@ object Compiler {
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprRefs(c) ++ operandRefs(v) } ++
           o2.toSeq.flatMap(operandRefs)
+      case OScalarSub(_)   => Seq.empty // its refs live in its own scope
       case OLit(_)         => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
@@ -256,6 +262,7 @@ object Compiler {
         case OCase(bs, o2)   =>
           bs.flatMap { case (c, v) => exprRawRefs(c) ++ rawRefs(v) } ++
             o2.toSeq.flatMap(rawRefs)
+        case OScalarSub(_)   => Seq.empty
         case OLit(_)         => Seq.empty
       }
       def exprRawRefs(e: BExpr): Seq[RawName] = e match {
@@ -331,6 +338,7 @@ object Compiler {
         bs.exists { case (c, v) =>
           exprRawRefsPublic(c).nonEmpty || analyzeSubFieldless(v) } ||
           o2.exists(analyzeSubFieldless)
+      case OScalarSub(_)   => true
       case OLit(_)         => false
     }
     def exprRawRefsPublic(e: BExpr): Seq[RawName] = e match {
@@ -356,6 +364,7 @@ object Compiler {
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprRawRefsPublic(c) ++ opRaw(v) } ++
           o2.toSeq.flatMap(opRaw)
+      case OScalarSub(_)   => Seq.empty
       case OLit(_)         => Seq.empty
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
@@ -462,6 +471,7 @@ object Compiler {
       case OAggX(fn, e) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggXColName(fn, e))
+      case OScalarSub(s2) => col(scalarColName(s2))
       case OArith(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {
@@ -640,6 +650,79 @@ object Compiler {
         }
     }
 
+    // --- scalar subqueries (WHERE-only, uncorrelated, single-row) -------
+    // `WHERE cpu > (SELECT avg(cpu) FROM …)`: each distinct sub compiles
+    // once and broadcast-cross-joins its ONE row onto the outer frame, so
+    // the comparison is an ordinary codegen'd filter — never a per-row
+    // subquery execution.
+    def opScalarSubs(o: Operand): Seq[QuerySpec] = o match {
+      case OScalarSub(s2)  => Seq(s2)
+      case OArith(_, l, r) => opScalarSubs(l) ++ opScalarSubs(r)
+      case ONeg(x)         => opScalarSubs(x)
+      case OFn(_, as)      => as.flatMap(opScalarSubs)
+      case OCast(x, _)     => opScalarSubs(x)
+      case OAggX(_, e)     => opScalarSubs(e)
+      case OCase(bs, o2)   =>
+        bs.flatMap { case (c, v) => exprScalarSubs(c) ++ opScalarSubs(v) } ++
+          o2.toSeq.flatMap(opScalarSubs)
+      case _               => Seq.empty
+    }
+    def exprScalarSubs(e: BExpr): Seq[QuerySpec] = e match {
+      case Cmp(_, l, r)  => opScalarSubs(l) ++ opScalarSubs(r)
+      case IsNullE(o, _) => opScalarSubs(o)
+      case InE(o, xs, _) => opScalarSubs(o) ++ xs.flatMap(opScalarSubs)
+      case BetweenE(o, lo, hi, _) =>
+        opScalarSubs(o) ++ opScalarSubs(lo) ++ opScalarSubs(hi)
+      case LikeE(o, _, _) => opScalarSubs(o)
+      case AndE(l, r)    => exprScalarSubs(l) ++ exprScalarSubs(r)
+      case OrE(l, r)     => exprScalarSubs(l) ++ exprScalarSubs(r)
+      case NotE(x)       => exprScalarSubs(x)
+      case InSubE(o, _, _) => opScalarSubs(o) // left operand is THIS scope
+      case _: ExistsE    => Seq.empty
+    }
+    val scalarSubs: Seq[QuerySpec] =
+      spec.where.toSeq.flatMap(exprScalarSubs).distinct
+    locally {
+      val elsewhere =
+        spec.select.flatMap {
+          case ExprItem(e, _) => opScalarSubs(e); case _ => Seq.empty } ++
+        spec.having.toSeq.flatMap(exprScalarSubs) ++
+        spec.joins.flatMap(_.on.toSeq.flatMap(exprScalarSubs)) ++
+        spec.orderBy.flatMap(_.item match {
+          case ExprItem(e, _) => opScalarSubs(e); case _ => Seq.empty })
+      if (elsewhere.nonEmpty) throw CompileException(
+        "scalar subqueries are only supported in WHERE")
+    }
+    def attachScalarSubs(df: DataFrame): DataFrame =
+      scalarSubs.foldLeft(df) { (acc, s2) =>
+        if (s2.select.length != 1)
+          throw CompileException("scalar subquery must select exactly one item")
+        val a = analyzeSub(s2) // also rejects outer refs outside sub WHERE
+        if (a.pairs.nonEmpty)
+          throw CompileException("scalar subqueries must be uncorrelated")
+        def hasAggAst(o: Operand): Boolean = o match {
+          case _: OAgg | _: OAggX => true
+          case OArith(_, l, r) => hasAggAst(l) || hasAggAst(r)
+          case ONeg(x)         => hasAggAst(x)
+          case OFn(_, as)      => as.exists(hasAggAst)
+          case OCast(x, _)     => hasAggAst(x)
+          case OCase(bs, o2)   =>
+            bs.exists { case (_, v) => hasAggAst(v) } || o2.exists(hasAggAst)
+          case _               => false
+        }
+        val aggShaped = s2.select.head match {
+          case AggItem(_, _)  => true
+          case ExprItem(e, _) => hasAggAst(e)
+          case _              => false
+        }
+        if (!((aggShaped && s2.groupBy.isEmpty) || s2.limit.contains(1)))
+          throw CompileException(
+            "scalar subquery must be single-row: an ungrouped aggregate " +
+              "or LIMIT 1")
+        // compile the ORIGINAL spec (ORDER BY intact for the LIMIT 1 form)
+        acc.crossJoin(broadcast(compile(s2, families).toDF(scalarColName(s2))))
+      }
+
     /** Apply one subquery conjunct to the filtered outer frame as a
       * semi/anti join. `j` uniquifies the renamed sub columns.
       */
@@ -724,8 +807,9 @@ object Compiler {
       case _: InSubE | _: ExistsE => true
       case _ => false
     }
+    val withScalars = attachScalarSubs(joined)
     val filtered0 = plainPreds.reduceOption(AndE)
-      .fold(joined)(w => joined.filter(exprColumn(w, aggOk = false)))
+      .fold(withScalars)(w => withScalars.filter(exprColumn(w, aggOk = false)))
     val filtered = subPreds.zipWithIndex.foldLeft(filtered0) {
       case (df, (p, j)) => applySubPred(df, p, j)
     }

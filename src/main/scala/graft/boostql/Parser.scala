@@ -554,6 +554,15 @@ object Parser {
         expectSym(")")
         withOptionalOver(id.toLowerCase, b.result())
       case TIdent(_) => ORef(rawName())
+      // `( SELECT …` is a scalar subquery; any other `(` groups arithmetic
+      case TSym("(") if (toks(pos + 1) match {
+        case TIdent(id) => id.equalsIgnoreCase("select")
+        case _ => false
+      }) =>
+        pos += 1
+        val sub = nested(selectBody())
+        expectSym(")")
+        OScalarSub(sub)
       case TSym("(") =>
         pos += 1
         val e = nested(addOperand())

@@ -218,6 +218,13 @@ object BoostQueries {
         "ELSE 'low' END AS tier " +
         "FROM dom.events ORDER BY tier, purchase.event_id")),
 
+    // scalar subquery threshold (above-average filter — the canonical
+    // use): one broadcast row cross-joined, codegen'd comparison
+    "boost_scalar_sub" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase FROM dom.events " +
+        "WHERE purchase > (SELECT avg(purchase) FROM dom.events) " +
+        "ORDER BY purchase.event_id")),
+
     // conditional aggregation: sum/max over CASE expressions plus an
     // exact integer-cents sum (CAST truncates toward zero, both engines)
     "boost_cond_agg" -> ((s, d) =>
@@ -340,6 +347,17 @@ object BoostQueries {
         |  ELSE 'low' END AS tier
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY tier, purchase_event_id""".stripMargin,
+
+    // the mean is engine-computed on both sides; a purchase exactly at
+    // the (last-ulp-different) means would flip the filter, but the
+    // corpus values are 2-decimal and never land within ulps of a mean
+    "boost_scalar_sub" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value AS purchase
+        |FROM events WHERE event_type = 'purchase'
+        |  AND value > (SELECT AVG(value) FROM events
+        |               WHERE event_type = 'purchase')
+        |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_cond_agg" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

@@ -945,6 +945,48 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("scalar subqueries: threshold filters via broadcast one-row join") {
+    import org.apache.spark.sql.functions.{avg => savg, col => c}
+    val ev = Tables.events(spark, sfDir)
+    val meanPurchase = ev.filter(c("event_type") === "purchase")
+      .agg(savg("value")).collect()(0).getDouble(0)
+    val expected = ev.filter(c("event_type") === "purchase" &&
+      c("value") > meanPurchase).count()
+
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, purchase FROM dom.events " +
+        "WHERE purchase > (SELECT avg(purchase) FROM dom.events)"), fam)
+    assert(df.count() == expected)
+
+    // scalar sub inside arithmetic; LIMIT 1 form with ORDER BY
+    val arith = Compiler.compile(Parser.parse(
+      "SELECT purchase FROM dom.events " +
+        "WHERE purchase > (SELECT max(purchase) FROM dom.events) / 2.0"), fam)
+    assert(arith.count() > 0)
+    val lim1 = Compiler.compile(Parser.parse(
+      "SELECT purchase FROM dom.events WHERE purchase = " +
+        "(SELECT purchase FROM dom.events ORDER BY purchase DESC LIMIT 1)"), fam)
+    assert(lim1.count() >= 1)
+
+    // validation: multi-row sub, correlation, and non-WHERE positions
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase FROM dom.events " +
+          "WHERE purchase > (SELECT purchase FROM dom.events)"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT a.purchase FROM dom.events AS a WHERE a.purchase > " +
+          "(SELECT avg(b.error) FROM dom.events AS b " +
+          "WHERE b.error.user = a.purchase.user)"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT (SELECT avg(purchase) FROM dom.events) AS m " +
+          "FROM dom.events"), fam)
+    }
+  }
+
   test("subqueries: validation errors") {
     // not a top-level conjunct (under OR)
     intercept[Compiler.CompileException] {
