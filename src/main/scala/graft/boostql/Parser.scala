@@ -226,7 +226,7 @@ object Parser {
       val joins = joinClauses()
       val where = if (kw("where")) Some(orExpr()) else None
       val grp =
-        if (kw("group")) { expectKw("by"); nameList() } else Seq.empty
+        if (kw("group")) { expectKw("by"); groupList(items) } else Seq.empty
       val having = if (kw("having")) Some(orExpr()) else None
       val ord =
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
@@ -323,6 +323,33 @@ object Parser {
       val b = Seq.newBuilder[RawName]
       b += rawName()
       while (sym(",")) b += rawName()
+      b.result()
+    }
+
+    /** GROUP BY entries: a name, or an ordinal naming a select position
+      * (desugared here against the already-parsed select list — a
+      * FieldItem contributes its name, an ExprItem its output alias,
+      * an aggregate is an error).
+      */
+    private def groupList(items: Seq[SelectItem]): Seq[RawName] = {
+      def one(): RawName = peek match {
+        case TNum(s) if !s.contains('.') =>
+          pos += 1
+          val p = s.toInt
+          if (p < 1 || p > items.length)
+            throw ParseException(
+              s"GROUP BY position $p is out of range 1..${items.length}")
+          items(p - 1) match {
+            case FieldItem(n)    => n
+            case ExprItem(_, nm) => RawName(Seq(nm))
+            case _: AggItem => throw ParseException(
+              s"GROUP BY position $p names an aggregate")
+          }
+        case _ => rawName()
+      }
+      val b = Seq.newBuilder[RawName]
+      b += one()
+      while (sym(",")) b += one()
       b.result()
     }
 

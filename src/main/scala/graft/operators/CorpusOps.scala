@@ -171,4 +171,66 @@ object CorpusOps {
         coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("cum_before").cast("double") / budget))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, *Data Selection
+    * via Importance Resampling*): score every raw document by how much
+    * its hashed-unigram distribution looks like a TARGET corpus —
+    * `logw = Σ_tokens [ln p_target(b(tok)) − ln p_raw(b(tok))]` over the
+    * 256 hex-pair md5 buckets ([[TextAnalysisOps.classifierScore]]'s
+    * feature space), add-one smoothed — and keep the top `k`.
+    * Per-token log ratios quantize to integer micro-nats, so document
+    * sums are exact long arithmetic under any partitioning.
+    *
+    * With `gumbel = true` the rank key adds deterministic Gumbel noise
+    * `-ln(-ln(u))`, `u` from md5(id ‖ salt) — the paper's importance
+    * RESAMPLING (softmax sampling without replacement via Gumbel
+    * top-k) rather than hard top-k; same determinism contract as
+    * [[hashSplit]].
+    *
+    * Scale shape: the two 256-bucket histograms are driver-collected
+    * model artifacts (like [[VectorSearchOps.ivfTopK]]'s centroids) that
+    * compile into a literal lookup map, so scoring is a narrow,
+    * zero-shuffle map over the raw corpus; top-k is TakeOrdered
+    * (per-partition heaps), never a global sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, gumbel: Boolean = false,
+      salt: String = "dsir"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def hist(df: DataFrame): Map[String, Long] = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(substring(md5(col("tok")), 1, 2).as("b")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tHist = hist(target)
+    val rHist = hist(raw)
+    val tTot = (tHist.values.sum + 256).toDouble
+    val rTot = (rHist.values.sum + 256).toDouble
+    val buckets = (0 until 256).map(i => f"$i%02x")
+    val lrMicro: Seq[(String, Long)] = buckets.map { b =>
+      val lt = math.log((tHist.getOrElse(b, 0L) + 1).toDouble / tTot)
+      val lq = math.log((rHist.getOrElse(b, 0L) + 1).toDouble / rTot)
+      b -> math.rint((lt - lq) * 1e6).toLong
+    }
+    val lrMap = map(lrMicro.flatMap { case (b, v) =>
+      Seq(lit(b), lit(v)) }.toIndexedSeq: _*)
+    val toks = split(col(textCol), " ")
+    val logw = aggregate(toks, lit(0L),
+      (acc, tk) => acc + element_at(lrMap, substring(md5(tk), 1, 2)))
+    val scored = raw
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("logw_micro", logw)
+    val key =
+      if (!gumbel) col("logw_micro").cast("double")
+      else {
+        // uniform (0,1) from 52 md5 bits; u=0 has P=2^-52 and maps to
+        // -inf (never selected) — harmless
+        val u = conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(salt))), 1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+        col("logw_micro").cast("double") / 1e6 - log(-log(u))
+      }
+    scored.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_tokens"), col("logw_micro"))
+  }
 }

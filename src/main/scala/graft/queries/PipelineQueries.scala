@@ -207,6 +207,15 @@ object PipelineQueries {
       TextAnalysisOps.bigramLmScore(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // DSIR importance selection: keep the 100 raw docs whose hashed-
+    // unigram distribution best matches the English-doc target slice
+    "pipe_dsir" -> ((s, d) => {
+      val doc = docs(s, d)
+      CorpusOps.dsirSelect(doc, doc.filter(col("lang") === "en"),
+          "doc_id", "text", k = 100)
+        .orderBy("doc_id")
+    }),
+
     // text → hashed-TF-IDF vectors → cosine top-k: the ANN tier running
     // on raw text with no external embedding model (rows-only: the
     // hashed feature space is graft's own; properties in PipelineSpec)
@@ -468,6 +477,37 @@ object PipelineQueries {
         |  COUNT(*) AS dup_grams, CAST(SUM(gain) AS BIGINT) AS covered_tokens,
         |  CAST(SUM(gain) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
         |FROM w GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // add-one smoothing over the FULL 256-bucket space (matching the
+    // Spark side's driver-built literal map); buckets untouched by any
+    // raw token never score, so enumerating only raw buckets suffices
+    "pipe_dsir" ->
+      """WITH tt AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents WHERE lang = 'en'),
+        |th AS (SELECT substr(md5(tok), 1, 2) AS b, COUNT(*) AS c
+        |       FROM tt GROUP BY 1),
+        |rt AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |rh AS (SELECT substr(md5(tok), 1, 2) AS b, COUNT(*) AS c
+        |       FROM rt GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(c) FROM th) + 256 AS tsum,
+        |               (SELECT SUM(c) FROM rh) + 256 AS rsum),
+        |lr AS (SELECT rh.b,
+        |         CAST(ROUND((LN(CAST(COALESCE(th.c, 0) + 1 AS DOUBLE)
+        |                        / CAST(tsum AS DOUBLE))
+        |                   - LN(CAST(rh.c + 1 AS DOUBLE)
+        |                        / CAST(rsum AS DOUBLE))) * 1000000)
+        |              AS BIGINT) AS lrm
+        |       FROM rh LEFT JOIN th USING (b) CROSS JOIN tot),
+        |dt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dw AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CAST(SUM(lrm) AS BIGINT) AS logw_micro
+        |       FROM (SELECT doc_id, n_tokens, substr(md5(tok), 1, 2) AS b
+        |             FROM dt) x JOIN lr USING (b)
+        |       GROUP BY doc_id, n_tokens)
+        |SELECT doc_id, n_tokens, logw_micro FROM
+        |  (SELECT * FROM dw ORDER BY logw_micro DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "txt_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

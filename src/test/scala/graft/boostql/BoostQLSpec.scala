@@ -945,6 +945,27 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY ordinal names a select position") {
+    val byOrdinal = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) FROM dom.events " +
+        "GROUP BY 1 ORDER BY 1"), fam).collect()
+    val byName = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) FROM dom.events " +
+        "GROUP BY purchase.user ORDER BY purchase.user"), fam).collect()
+    assert(byOrdinal.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      byName.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // ordinal of an expression item groups by the aliased expression
+    val expr = Compiler.compile(Parser.parse(
+      "SELECT CAST(purchase / 100.0 AS int) AS bucket, count(*) " +
+        "FROM dom.events GROUP BY 1 ORDER BY 1"), fam)
+    assert(expr.columns.toSeq == Seq("bucket", "count_star"))
+    assert(expr.count() > 0)
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT purchase.user, count(*) FROM dom.events GROUP BY 3"))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT purchase.user, count(*) FROM dom.events GROUP BY 2"))
+  }
+
   test("scalar subqueries: threshold filters via broadcast one-row join") {
     import org.apache.spark.sql.functions.{avg => savg, col => c}
     val ev = Tables.events(spark, sfDir)

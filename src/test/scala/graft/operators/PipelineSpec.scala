@@ -343,6 +343,28 @@ class PipelineSpec extends SparkSpec {
     assert(d5.getLong(1) == 14L && math.abs(d5.getDouble(4) - 10.0 / 14) < 1e-12)
   }
 
+  test("DSIR selection prefers target-like docs; gumbel variant deterministic") {
+    import spark.implicits._
+    val aWords = "alpha beta gamma delta epsilon zeta eta theta"
+    val bWords = "zork quux blarg wibble flob grok snarf plugh"
+    val raw = ((1L to 10L).map(i => (i, aWords + s" extra$i")) ++
+      (11L to 20L).map(i => (i, bWords + s" extra$i"))).toDF("doc_id", "text")
+    val target = Seq((100L, aWords), (101L, aWords)).toDF("doc_id", "text")
+    val picked = CorpusOps.dsirSelect(raw, target, "doc_id", "text", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // the ten A-vocabulary docs outrank every B-vocabulary doc
+    assert(picked == (1L to 10L).toSet, s"got $picked")
+
+    // gumbel resampling is deterministic and biased toward the target
+    val g1 = CorpusOps.dsirSelect(raw, target, "doc_id", "text",
+      k = 10, gumbel = true).collect().map(_.getLong(0)).toSet
+    val g2 = CorpusOps.dsirSelect(raw, target, "doc_id", "text",
+      k = 10, gumbel = true).collect().map(_.getLong(0)).toSet
+    assert(g1 == g2, "gumbel top-k must be deterministic per salt")
+    assert((g1 & (1L to 10L).toSet).size >= 6,
+      "resampling must still prefer target-like docs")
+  }
+
   test("tfidf vectors: unit norm, right dim, near-dups are nearest") {
     import spark.implicits._
     val corpus = Seq(
