@@ -21,6 +21,10 @@ object ParserProps extends Properties("graft.boostql.parser") {
   /** Scalar call over long-exact functions — pins the function-call
     * grammar inside arbitrary arithmetic nesting. */
   private case class Fn(name: String, args: Seq[T]) extends T
+  /** Searched CASE with one comparison condition — pins the CASE
+    * grammar (a full boolean inside an operand position) and its
+    * interaction with arithmetic nesting. */
+  private case class CaseT(op: String, a: T, b: T, thenV: T, elseV: T) extends T
 
   private def fnGen(depth: Int): Gen[T] = Gen.oneOf(
     Gen.lzy(tree(depth - 1)).map(x => Fn("abs", Seq(x))),
@@ -29,12 +33,19 @@ object ParserProps extends Properties("graft.boostql.parser") {
     Gen.lzy(for { a <- tree(depth - 1); b <- tree(depth - 1) }
       yield Fn("greatest", Seq(a, b))))
 
+  private def caseGen(depth: Int): Gen[T] = Gen.lzy(for {
+    op <- Gen.oneOf("<", ">", "=")
+    a <- tree(depth - 1); b <- tree(depth - 1)
+    th <- tree(depth - 1); el <- tree(depth - 1)
+  } yield CaseT(op, a, b, th, el))
+
   private def tree(depth: Int): Gen[T] =
     if (depth <= 0) Gen.choose(0L, 9L).map(Leaf)
     else Gen.frequency(
       3 -> Gen.choose(0L, 9L).map(Leaf),
       1 -> Gen.lzy(tree(depth - 1).map(Neg)),
       1 -> fnGen(depth),
+      1 -> caseGen(depth),
       4 -> (for {
         op <- Gen.oneOf("+", "-", "*")
         l <- Gen.lzy(tree(depth - 1))
@@ -52,6 +63,13 @@ object ParserProps extends Properties("graft.boostql.parser") {
     case Fn("least", Seq(a, b))    => math.min(eval(a), eval(b))
     case Fn("greatest", Seq(a, b)) => math.max(eval(a), eval(b))
     case Fn(n, _)                  => sys.error(n)
+    case CaseT(op, a, b, th, el) =>
+      val hit = op match {
+        case "<" => eval(a) < eval(b)
+        case ">" => eval(a) > eval(b)
+        case "=" => eval(a) == eval(b)
+      }
+      if (hit) eval(th) else eval(el)
   }
 
   private def full(t: T): String = t match {
@@ -59,6 +77,8 @@ object ParserProps extends Properties("graft.boostql.parser") {
     case Neg(x)         => s"(- ${full(x)})"
     case Bin(op, l, r)  => s"(${full(l)} $op ${full(r)})"
     case Fn(n, args)    => s"$n(${args.map(full).mkString(", ")})"
+    case CaseT(op, a, b, th, el) =>
+      s"CASE WHEN ${full(a)} $op ${full(b)} THEN ${full(th)} ELSE ${full(el)} END"
   }
 
   /** Precedence-minimal rendering: * binds tighter than +/-; operators
@@ -73,6 +93,10 @@ object ParserProps extends Properties("graft.boostql.parser") {
   private def minimal(t: T): String = t match {
     case Leaf(v) => v.toString
     case Fn(n, args) => s"$n(${args.map(minimal).mkString(", ")})"
+    // CASE is self-delimiting (WHEN … END) — never needs parens
+    case CaseT(op, a, b, th, el) =>
+      s"CASE WHEN ${minimal(a)} $op ${minimal(b)} " +
+        s"THEN ${minimal(th)} ELSE ${minimal(el)} END"
     case Neg(x)  => if (prec(x) < 3) s"- (${minimal(x)})" else s"- ${minimal(x)}"
     case b @ Bin(op, l, r) =>
       val ls = if (prec(l) < prec(b)) s"(${minimal(l)})" else minimal(l)
@@ -89,6 +113,14 @@ object ParserProps extends Properties("graft.boostql.parser") {
     case OFn("abs", Seq(x))         => math.abs(evalOperand(x))
     case OFn("least", Seq(a, b))    => math.min(evalOperand(a), evalOperand(b))
     case OFn("greatest", Seq(a, b)) => math.max(evalOperand(a), evalOperand(b))
+    case OCase(Seq((Cmp(op, l, r), th)), Some(el)) =>
+      val hit = op match {
+        case "<" => evalOperand(l) < evalOperand(r)
+        case ">" => evalOperand(l) > evalOperand(r)
+        case "=" => evalOperand(l) == evalOperand(r)
+        case o   => sys.error(o)
+      }
+      if (hit) evalOperand(th) else evalOperand(el)
     case other           => sys.error(s"unexpected operand $other")
   }
 
@@ -115,7 +147,9 @@ object ParserProps extends Properties("graft.boostql.parser") {
 
   private val soupToken: Gen[String] = Gen.oneOf(
     Gen.oneOf("SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "(", ")", ",",
-      ".", "*", "+", "-", "/", "=", "<", ">=", "IS", "NULL", "AS", "JOIN"),
+      ".", "*", "+", "-", "/", "=", "<", ">=", "IS", "NULL", "AS", "JOIN",
+      "CASE", "WHEN", "THEN", "ELSE", "END", "UNION", "INTERSECT", "EXCEPT",
+      "ALL", "EXISTS", "IN", "LIMIT", "ORDER", "BY"),
     Gen.identifier.map(_.take(8)),
     Gen.choose(0, 999).map(_.toString),
     Gen.alphaStr.map(s => s"'${s.take(6)}'"))
@@ -137,5 +171,41 @@ object ParserProps extends Properties("graft.boostql.parser") {
         case _: Parser.ParseException => true
         case _: Throwable             => false
       }
+    }
+
+  // ---- set-operation chains: left associativity + INTERSECT precedence
+
+  private val setOpChain: Gen[List[String]] =
+    Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("union", "union all", "intersect", "except")))
+
+  property("set-op chains parse left-associative with INTERSECT tighter") =
+    forAll(setOpChain) { ops =>
+      val branches = (0 to ops.length).map(i =>
+        Parser.parse(s"SELECT s$i FROM d.f"))
+      val sql = branches.indices.map { i =>
+        (if (i == 0) "" else s" ${ops(i - 1).toUpperCase} ") + s"SELECT s$i FROM d.f"
+      }.mkString
+      // reference fold: INTERSECT extends the current term; UNION/EXCEPT
+      // flush the term into the left-associative union-level chain
+      var acc: Option[(QueryStmt, String)] = None
+      var term: QueryStmt = branches(0)
+      ops.zip(branches.tail).foreach { case (op, rhs) =>
+        op match {
+          case "intersect" => term = SetOpSpec("intersect", term, rhs)
+          case u =>
+            val left = acc match {
+              case None         => term
+              case Some((l, o)) => SetOpSpec(o, l, term)
+            }
+            acc = Some((left, if (u == "union all") "union_all" else u))
+            term = rhs
+        }
+      }
+      val expected = acc match {
+        case None         => term
+        case Some((l, o)) => SetOpSpec(o, l, term)
+      }
+      Parser.parseStmt(sql) == expected
     }
 }
