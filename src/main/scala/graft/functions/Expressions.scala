@@ -207,6 +207,27 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) — composes
+  * decomposed sequences (e + U+0301 → é) so byte-level hashing and
+  * dedup see one canonical form. CodegenFallback: the ICU-style
+  * normalization pass dominates; a virtual call per row is noise.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode: vector → m codebook codes (array<bigint>).
   * The codebook travels as a constructor constant (a model artifact,
   * like [[graft.operators.VectorSearchOps.ivfTopK]]'s centroid literals)

@@ -49,6 +49,9 @@ object GraftFunctions {
   def denseNormalize(buckets: Column, weights: Column, dim: Int): Column =
     toCol(DenseNormalize(toExpr(buckets), toExpr(weights), dim))
 
+  /** Unicode NFC normalization of a string column. */
+  def nfc(s: Column): Column = toCol(NfcNormalize(toExpr(s)))
+
   /** Product-quantization kernels (codebook: flat [m][ksub][dim/m]). */
   def pqEncode(v: Column, codebook: Array[Double], m: Int, ksub: Int): Column =
     toCol(PqEncode(toExpr(asDoubles(v)), codebook, m, ksub))

@@ -278,6 +278,27 @@ object TextAnalysisOps {
         col("avg_logprob"))
   }
 
+  /** Canonical text normalization — the first stage of any ingest
+    * pipeline, so exact/near dedup and hashing see one byte form:
+    * Unicode NFC composition (é as one codepoint, not e+combining
+    * accent), control characters stripped (C0 minus \t\n\r, plus DEL),
+    * whitespace runs collapsed to single spaces, ends trimmed. Adds
+    * `norm_text`; column-preserving (applies to a streaming frame
+    * unchanged). Narrow, zero-shuffle; the regexes are codegen'd
+    * built-ins and NFC is a native expression.
+    *
+    * The character classes are spelled as explicit ranges (never `\s` /
+    * POSIX classes) so any engine replaying this contract — e.g. the
+    * DuckDB oracle — agrees byte-for-byte.
+    */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(
+          graft.functions.GraftFunctions.nfc(col(textCol)),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[ \\t\\n\\r]+", " ")))
+
   /** Hashed TF-IDF document vectors (the hashing trick): every token
     * lands in `pmod(md5-prefix, dim)`; bucket weight is
     * `tf · (ln((N + 1) / (df + 1)) + 1)` (smoothed idf — never zero or

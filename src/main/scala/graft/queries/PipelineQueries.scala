@@ -207,6 +207,15 @@ object PipelineQueries {
       TextAnalysisOps.bigramLmScore(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // canonical text normalization (NFC + control strip + whitespace
+    // collapse): output hashed so the compare stays small; the oracle
+    // replays the identical regex chain in DuckDB
+    "txt_normalize" -> ((s, d) =>
+      TextAnalysisOps.normalizeText(docs(s, d), "text")
+        .select(col("doc_id"), md5(col("norm_text")).as("h"),
+          length(col("norm_text")).cast("long").as("n"))
+        .orderBy("doc_id")),
+
     // DSIR importance selection: keep the 100 raw docs whose hashed-
     // unigram distribution best matches the English-doc target slice
     "pipe_dsir" -> ((s, d) => {
@@ -477,6 +486,16 @@ object PipelineQueries {
         |  COUNT(*) AS dup_grams, CAST(SUM(gain) AS BIGINT) AS covered_tokens,
         |  CAST(SUM(gain) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
         |FROM w GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    "txt_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g'))) AS h,
+        |  CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // add-one smoothing over the FULL 256-bucket space (matching the
     // Spark side's driver-built literal map); buckets untouched by any

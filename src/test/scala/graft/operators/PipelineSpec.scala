@@ -343,6 +343,24 @@ class PipelineSpec extends SparkSpec {
     assert(d5.getLong(1) == 14L && math.abs(d5.getDouble(4) - 10.0 / 14) < 1e-12)
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"   // e + COMBINING ACUTE ACCENT
+    val composed = "café"      // precomposed é
+    val corpus = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "a\u0000 \u0007bcd\u007f"),          // NUL/BEL/DEL stripped
+      (4L, "  too \t many\n\n spaces \r ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.normalizeText(corpus, "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("norm_text"))
+    assert(out(0) == out(1), "NFC must unify composed and decomposed forms")
+    assert(out(0) == composed)
+    assert(out(2) == "a bcd")
+    assert(out(3) == "too many spaces")
+  }
+
   test("DSIR selection prefers target-like docs; gumbel variant deterministic") {
     import spark.implicits._
     val aWords = "alpha beta gamma delta epsilon zeta eta theta"
