@@ -937,12 +937,13 @@ object Compiler {
         case Right((f, e)) =>
           val c = operandColumn(e, aggOk = false)
           val agg = f match {
-            case "count" => count(c)
-            case "sum"   => sum(c)
-            case "avg"   => avg(c)
-            case "min"   => min(c)
-            case "max"   => max(c)
-            case other   => throw CompileException(
+            case "count"          => count(c)
+            case "count_distinct" => count_distinct(c)
+            case "sum"            => sum(c)
+            case "avg"            => avg(c)
+            case "min"            => min(c)
+            case "max"            => max(c)
+            case other            => throw CompileException(
               s"unknown expression aggregate $other")
           }
           agg.as(aggXColName(f, e))

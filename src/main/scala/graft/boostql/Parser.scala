@@ -516,9 +516,12 @@ object Parser {
         if (kw("distinct")) {
           if (!id.equalsIgnoreCase("count"))
             throw ParseException(s"DISTINCT is only supported in count(), not $id()")
-          val arg = rawName()
+          val arg = nested(addOperand())
           expectSym(")")
-          OAgg("count_distinct", Some(arg))
+          arg match {
+            case ORef(n) => OAgg("count_distinct", Some(n))
+            case e       => OAggX("count_distinct", e)
+          }
         } else {
           // the argument is a full expression; a bare field ref keeps the
           // legacy OAgg form (and its output-name conventions), anything

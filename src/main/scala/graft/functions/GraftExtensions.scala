@@ -77,5 +77,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_lsh_bucket expects 2-3 arguments, got ${args.length}")
     })
+    ext.injectFunction(fn("graft_nfc",
+      "graft_nfc(text) - Unicode NFC normalization") {
+      case Seq(t) => NfcNormalize(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_nfc expects 1 argument, got ${args.length}")
+    })
+    ext.injectFunction(fn("graft_dense_normalize",
+      "graft_dense_normalize(buckets, weights, dim) - sparse entries to " +
+        "dense L2-normalized float[dim]") {
+      case Seq(b, w, d) =>
+        DenseNormalize(b, Cast(w, ArrayType(DoubleType)),
+          intArg(d, "graft_dense_normalize"))
+      case args => throw new IllegalArgumentException(
+        s"graft_dense_normalize expects 3 arguments, got ${args.length}")
+    })
   }
 }

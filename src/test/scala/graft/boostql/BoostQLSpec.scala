@@ -945,6 +945,20 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(DISTINCT expr) over computed expressions") {
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "count(DISTINCT CAST(purchase / 100.0 AS int)) AS buckets " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(df.columns.toSeq == Seq("purchase_user", "buckets"))
+    // every bucket count is at most the plain distinct-value count
+    val plain = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(DISTINCT purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach(r => assert(r.getLong(1) <= plain(r.getString(0))))
+  }
+
   test("GROUP BY ordinal names a select position") {
     val byOrdinal = Compiler.compile(Parser.parse(
       "SELECT purchase.user, count(*) FROM dom.events " +
