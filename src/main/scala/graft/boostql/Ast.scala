@@ -95,15 +95,22 @@ object Ast {
     */
   final case class OCase(branches: Seq[(BExpr, Operand)],
       otherwise: Option[Operand]) extends Operand
-  /** Analytic/window call: `fn(args) OVER (PARTITION BY … ORDER BY …)`.
+  /** Analytic/window call: `fn(args) OVER (PARTITION BY … ORDER BY …
+    * [ROWS BETWEEN … AND …])`.
     * fn ∈ {row_number, rank, dense_rank, count_star, count, sum, avg,
     * min, max, lag, lead}; allowed in SELECT items and ORDER BY only,
     * and not combinable with GROUP BY (v1 restriction — grouped-then-
     * windowed queries belong to the DataFrame tier). Window ORDER BY
-    * keys are field refs with ASC/DESC.
+    * keys are field refs with ASC/DESC. `frame` is a ROWS frame as
+    * (lo, hi) row offsets relative to the current row (negative =
+    * preceding, Long.MinValue/MaxValue = unbounded); requires a window
+    * ORDER BY and only applies to the aggregate functions — the
+    * moving-average shape (`avg(cpu) OVER (… ROWS BETWEEN 6 PRECEDING
+    * AND CURRENT ROW)`).
     */
   final case class OWin(fn: String, args: Seq[Operand],
-      partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean)]) extends Operand
+      partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean)],
+      frame: Option[(Long, Long)] = None) extends Operand
 
   /** Comparison ops of the reference (logicalexpression.go:10-36), plus
     * NOT — absent from the reference's connective set (AND/OR only,

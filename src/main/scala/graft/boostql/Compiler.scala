@@ -206,7 +206,7 @@ object Compiler {
       case ONeg(x)         => operandRefs(x)
       case OFn(_, args)    => args.flatMap(operandRefs)
       case OCast(x, _)     => operandRefs(x)
-      case OWin(_, args, part, ord) =>
+      case OWin(_, args, part, ord, _) =>
         args.flatMap(operandRefs) ++ part.map(ref) ++ ord.map(o2 => ref(o2._1))
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprRefs(c) ++ operandRefs(v) } ++
@@ -258,7 +258,7 @@ object Compiler {
         case ONeg(x)         => rawRefs(x)
         case OFn(_, as)      => as.flatMap(rawRefs)
         case OCast(x, _)     => rawRefs(x)
-        case OWin(_, as, p, o2) => as.flatMap(rawRefs) ++ p ++ o2.map(_._1)
+        case OWin(_, as, p, o2, _) => as.flatMap(rawRefs) ++ p ++ o2.map(_._1)
         case OCase(bs, o2)   =>
           bs.flatMap { case (c, v) => exprRawRefs(c) ++ rawRefs(v) } ++
             o2.toSeq.flatMap(rawRefs)
@@ -360,7 +360,7 @@ object Compiler {
       case ONeg(x)         => opRaw(x)
       case OFn(_, as)      => as.flatMap(opRaw)
       case OCast(x, _)     => opRaw(x)
-      case OWin(_, as, p, o2) => as.flatMap(opRaw) ++ p ++ o2.map(_._1)
+      case OWin(_, as, p, o2, _) => as.flatMap(opRaw) ++ p ++ o2.map(_._1)
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprRawRefsPublic(c) ++ opRaw(v) } ++
           o2.toSeq.flatMap(opRaw)
@@ -511,7 +511,7 @@ object Compiler {
       */
     def winColumn(w: OWin, aggOk: Boolean): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
-      val OWin(fn, args, part, ord) = w
+      val OWin(fn, args, part, ord, frame) = w
       def arg(i: Int): Column = {
         if (args.length <= i)
           throw CompileException(s"$fn needs ${i + 1} argument(s)")
@@ -548,7 +548,22 @@ object Compiler {
         else w0.orderBy(ord.map { case (n, asc) =>
           val cc = col(ref(n).inName); if (asc) cc.asc else cc.desc
         }: _*)
-      c.over(spec)
+      // ROWS frame: aggregate window functions only (a framed rank is
+      // meaningless), and only over an ordered window; the parser's
+      // unbounded sentinels are exactly Window.unboundedPreceding/
+      // Following, so rowsBetween takes them verbatim
+      val framed = frame match {
+        case None => spec
+        case Some((lo, hi)) =>
+          if (ord.isEmpty)
+            throw CompileException("ROWS frame requires a window ORDER BY")
+          val frameable = Set("count_star", "count", "sum", "avg", "min", "max")
+          if (!frameable.contains(fn))
+            throw CompileException(
+              s"ROWS frame applies to aggregate window functions, not $fn")
+          spec.rowsBetween(lo, hi)
+      }
+      c.over(framed)
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)

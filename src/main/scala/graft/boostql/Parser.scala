@@ -58,7 +58,8 @@ object Parser {
     "false", "join", "inner", "cross", "on", "left", "right", "full",
     "outer", "is", "null", "distinct", "in", "between", "like", "asof",
     "over", "partition", "exists", "union", "intersect", "except", "all",
-    "case", "when", "then", "else", "end")
+    "case", "when", "then", "else", "end", "rows", "preceding", "following",
+    "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max")
 
   private def tokenize(sql: String): Vector[Tok] = {
@@ -622,8 +623,31 @@ object Parser {
             while (sym(",")) b += one()
             b.result()
           } else Seq.empty
+        // ROWS BETWEEN <bound> AND <bound>; bounds: UNBOUNDED PRECEDING/
+        // FOLLOWING, CURRENT ROW, <n> PRECEDING/FOLLOWING
+        val frame =
+          if (!kw("rows")) None
+          else {
+            expectKw("between")
+            def bound(): Long =
+              if (kw("unbounded")) {
+                if (kw("preceding")) Long.MinValue
+                else { expectKw("following"); Long.MaxValue }
+              } else if (kw("current")) { expectKw("row"); 0L }
+              else {
+                val n = intLit().toLong
+                if (kw("preceding")) -n
+                else { expectKw("following"); n }
+              }
+            val lo = bound()
+            expectKw("and")
+            val hi = bound()
+            if (lo > hi) throw ParseException(
+              s"ROWS frame lower bound must not exceed upper bound")
+            Some((lo, hi))
+          }
         expectSym(")")
-        OWin(fn, args, part, ord)
+        OWin(fn, args, part, ord, frame)
       }
 
     private def intLit(): Int = next() match {

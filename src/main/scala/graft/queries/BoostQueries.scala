@@ -218,6 +218,16 @@ object BoostQueries {
         "ELSE 'low' END AS tier " +
         "FROM dom.events ORDER BY tier, purchase.event_id")),
 
+    // moving aggregate over a ROWS frame (trailing 4-row sum per user in
+    // event-time order); integer cents keep the frame sum exact under
+    // any engine's summation tree
+    "boost_window_frame" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, " +
+        "sum(CAST(purchase * 100.0 AS int)) OVER " +
+        "(PARTITION BY purchase.user ORDER BY ts, purchase.event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cents4 " +
+        "FROM dom.events ORDER BY purchase.event_id")),
+
     // scalar subquery threshold (above-average filter — the canonical
     // use): one broadcast row cross-joined, codegen'd comparison
     "boost_scalar_sub" -> ((s, d) =>
@@ -347,6 +357,14 @@ object BoostQueries {
         |  ELSE 'low' END AS tier
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY tier, purchase_event_id""".stripMargin,
+
+    "boost_window_frame" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, CAST(event_id AS VARCHAR)
+        |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents4
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY purchase_event_id""".stripMargin,
 
     // the mean is engine-computed on both sides; a purchase exactly at
     // the (last-ulp-different) means would flip the filter, but the

@@ -499,7 +499,7 @@ class BoostQLSpec extends SparkSpec {
       "FROM dom.f")
     assert(q.select.head match {
       case ExprItem(OWin("rank", Seq(), Seq(RawName(Seq("cpu", "host"))),
-        Seq((RawName(Seq("cpu")), false))), "r") => true
+        Seq((RawName(Seq("cpu")), false)), None), "r") => true
       case _ => false
     })
     // execution vs a manual Window over the same frame
@@ -942,6 +942,48 @@ class BoostQLSpec extends SparkSpec {
     // parse() (single-select API) refuses compounds loudly
     intercept[Parser.ParseException] {
       Parser.parse("SELECT click FROM dom.events UNION SELECT view FROM dom.events")
+    }
+  }
+
+  test("window ROWS frames: moving aggregates over ordered windows") {
+    // trailing 3-row count per user, ordered by event time
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, " +
+        "count(*) OVER (PARTITION BY purchase.user ORDER BY ts " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam).collect()
+    assert(df.nonEmpty)
+    // a trailing window of width 3 counts 1..3
+    assert(df.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // running (unbounded-preceding) max is monotone within each user
+    val run = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase.event_id, " +
+        "max(purchase) OVER (PARTITION BY purchase.user ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m " +
+        "FROM dom.events ORDER BY purchase.user, purchase.event_id"),
+      fam).collect()
+    run.groupBy(_.getString(0)).values.foreach { rows =>
+      // event ids don't follow ts order; just assert the overall max is
+      // reached and values never exceed it
+      val mx = rows.map(_.getDouble(2)).max
+      assert(rows.forall(_.getDouble(2) <= mx))
+    }
+    // validation: frame without ORDER BY, frame on a ranking function,
+    // inverted bounds
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT sum(purchase) OVER (PARTITION BY purchase.user " +
+          "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT row_number() OVER (ORDER BY ts " +
+          "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM dom.events " +
+          "WHERE purchase > 0.0"), fam)
+    }
+    intercept[Parser.ParseException] {
+      Parser.parse("SELECT sum(purchase) OVER (ORDER BY ts " +
+        "ROWS BETWEEN CURRENT ROW AND 1 PRECEDING) AS s FROM dom.events")
     }
   }
 
