@@ -417,6 +417,42 @@ object Compiler {
     val groupedExprNames: Set[String] =
       groupEntries.collect { case Right(ExprItem(_, nm)) => nm }.toSet
 
+    // HAVING sees select-item output aliases (the MySQL/DuckDB
+    // convenience): a bare name matching an ExprItem alias or an
+    // AggItem's output name rewrites to that item's expression. Without
+    // this the name would fabricate a phantom series — the same silent
+    // empty-join hazard ORDER BY aliases had.
+    val havingAliasMap: Map[String, Operand] = spec.select.collect {
+      case ExprItem(e2, nm) => nm -> e2
+      case AggItem(f, a)    => aggColName(f, a.map(ref)) -> OAgg(f, a)
+    }.toMap
+    def rwHavOp(o: Operand): Operand = o match {
+      case ORef(RawName(Seq(n))) if havingAliasMap.contains(n) =>
+        havingAliasMap(n)
+      case OArith(op, l, r) => OArith(op, rwHavOp(l), rwHavOp(r))
+      case ONeg(x)          => ONeg(rwHavOp(x))
+      case OFn(f, as)       => OFn(f, as.map(rwHavOp))
+      case OCast(x, t)      => OCast(rwHavOp(x), t)
+      case OCase(bs, el)    => OCase(bs.map { case (c, v) =>
+        (rwHavExpr(c), rwHavOp(v)) }, el.map(rwHavOp))
+      // aggregate arguments are pre-aggregation scope — aliases of the
+      // OUTPUT don't reach inside them
+      case other            => other
+    }
+    def rwHavExpr(e: BExpr): BExpr = e match {
+      case Cmp(op, l, r) => Cmp(op, rwHavOp(l), rwHavOp(r))
+      case IsNullE(x, n) => IsNullE(rwHavOp(x), n)
+      case InE(x, xs, n) => InE(rwHavOp(x), xs.map(rwHavOp), n)
+      case BetweenE(x, lo, hi, n) =>
+        BetweenE(rwHavOp(x), rwHavOp(lo), rwHavOp(hi), n)
+      case LikeE(x, p, n) => LikeE(rwHavOp(x), p, n)
+      case AndE(l, r)    => AndE(rwHavExpr(l), rwHavExpr(r))
+      case OrE(l, r)     => OrE(rwHavExpr(l), rwHavExpr(r))
+      case NotE(x)       => NotE(rwHavExpr(x))
+      case other         => other // subquery predicates: rejected later
+    }
+    val having2: Option[BExpr] = spec.having.map(rwHavExpr)
+
     val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
         spec.where.toSeq.flatMap(exprRefs) ++
@@ -425,7 +461,7 @@ object Compiler {
           case Left(sf) => Seq(sf)
           case Right(ExprItem(e, _)) => operandRefs(e)
         } ++
-        spec.having.toSeq.flatMap(exprRefs) ++
+        having2.toSeq.flatMap(exprRefs) ++
         orderItems.flatMap(o => itemRefs(o.item))).distinct
     if (allRefs.isEmpty) throw CompileException("query references no fields")
 
@@ -944,7 +980,7 @@ object Compiler {
       // later); exprAggs is the BExpr walker shared with CASE conditions
       val selectAggs = spec.select.flatMap(itemAggs)
       val orderAggs = orderItems.map(_.item).flatMap(itemAggs)
-      val aggSpecs = (selectAggs ++ spec.having.toSeq.flatMap(exprAggs) ++ orderAggs).distinct
+      val aggSpecs = (selectAggs ++ having2.toSeq.flatMap(exprAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
       val aggCols = aggSpecs.map {
@@ -964,7 +1000,7 @@ object Compiler {
           agg.as(aggXColName(f, e))
       }
       val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      spec.having.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
+      having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
     } else filtered
 
     // --- ORDER BY / DISTINCT / LIMIT / final projection ------------------

@@ -945,6 +945,38 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("HAVING resolves select aliases (agg-expression and agg-name forms)") {
+    // alias of an expression aggregate
+    val viaAlias = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user HAVING cnt > 2 ORDER BY purchase.user"), fam)
+      .collect().map(_.getString(0)).toSeq
+    val direct = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user HAVING count(*) > 2 ORDER BY purchase.user"), fam)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaAlias.nonEmpty && viaAlias == direct)
+    // an AggItem's conventional output name also resolves
+    val viaName = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) FROM dom.events " +
+        "GROUP BY purchase.user HAVING count_star > 2 ORDER BY purchase.user"), fam)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaName == direct)
+    // aliases participate in HAVING arithmetic, same rows as the
+    // spelled-out aggregates
+    val arithAlias = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(purchase) AS s, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING s / cnt > 50.0 ORDER BY purchase.user"), fam)
+      .collect().map(_.getString(0)).toSeq
+    val arithDirect = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(purchase) AS s, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING sum(purchase) / count(*) > 50.0 ORDER BY purchase.user"), fam)
+      .collect().map(_.getString(0)).toSeq
+    assert(arithAlias.nonEmpty && arithAlias == arithDirect)
+  }
+
   test("window ROWS frames: moving aggregates over ordered windows") {
     // trailing 3-row count per user, ordered by event time
     val df = Compiler.compile(Parser.parse(
