@@ -553,7 +553,8 @@ object Compiler {
           throw CompileException(s"$fn needs ${i + 1} argument(s)")
         operandColumn(args(i), aggOk)
       }
-      val needsOrder = Set("row_number", "rank", "dense_rank", "lag", "lead")
+      val needsOrder = Set("row_number", "rank", "dense_rank", "lag", "lead",
+        "ntile", "first_value", "last_value")
       if (needsOrder.contains(fn) && ord.isEmpty)
         throw CompileException(s"$fn OVER requires a window ORDER BY")
       def offsetOf(i: Int): Int = args.lift(i) match {
@@ -574,9 +575,17 @@ object Compiler {
         case "max"        => max(arg(0))
         case "lag"        => lag(arg(0), offsetOf(1))
         case "lead"       => lead(arg(0), offsetOf(1))
+        case "ntile" => args.headOption match {
+          case Some(OLit(BInt(n))) if n >= 1 => ntile(n.toInt)
+          case _ => throw CompileException(
+            "ntile needs a positive integer literal argument")
+        }
+        case "first_value" => first(arg(0))
+        case "last_value"  => last(arg(0))
         case other => throw CompileException(
           s"unknown window function $other (supported: row_number, rank, " +
-            "dense_rank, count, sum, avg, min, max, lag, lead)")
+            "dense_rank, count, sum, avg, min, max, lag, lead, ntile, " +
+            "first_value, last_value)")
       }
       val w0 = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
       val spec =
@@ -593,7 +602,8 @@ object Compiler {
         case Some((lo, hi)) =>
           if (ord.isEmpty)
             throw CompileException("ROWS frame requires a window ORDER BY")
-          val frameable = Set("count_star", "count", "sum", "avg", "min", "max")
+          val frameable = Set("count_star", "count", "sum", "avg", "min",
+            "max", "first_value", "last_value")
           if (!frameable.contains(fn))
             throw CompileException(
               s"ROWS frame applies to aggregate window functions, not $fn")

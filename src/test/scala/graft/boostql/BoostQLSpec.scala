@@ -945,6 +945,27 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("window ntile / first_value / last_value") {
+    val nt = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, ntile(4) OVER (ORDER BY purchase) AS q " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam).collect()
+    assert(nt.map(_.getInt(1)).toSet == Set(1, 2, 3, 4))
+    // first_value over an unbounded frame = the partition minimum's value
+    val fv = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "first_value(purchase) OVER (PARTITION BY purchase.user ORDER BY purchase " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lo, " +
+        "last_value(purchase) OVER (PARTITION BY purchase.user ORDER BY purchase " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hi " +
+        "FROM dom.events ORDER BY purchase.user"), fam).collect()
+    assert(fv.forall(r => r.getDouble(1) <= r.getDouble(2)))
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT ntile(0) OVER (ORDER BY purchase) AS q FROM dom.events " +
+          "WHERE purchase > 0.0"), fam)
+    }
+  }
+
   test("HAVING resolves select aliases (agg-expression and agg-name forms)") {
     // alias of an expression aggregate
     val viaAlias = Compiler.compile(Parser.parse(
