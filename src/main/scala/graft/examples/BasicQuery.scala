@@ -49,6 +49,31 @@ object BasicQuery {
       "JOIN dom.events AS b ON a.click.user = b.view.user " +
       "GROUP BY a.click.user ORDER BY count(*) DESC LIMIT 5").show()
 
+    println("== conditional aggregation over CASE + HAVING alias")
+    run("SELECT purchase.user, " +
+      "sum(CASE WHEN purchase > 200.0 THEN 1 ELSE 0 END) AS n_high " +
+      "FROM dom.events GROUP BY purchase.user HAVING n_high > 0 " +
+      "ORDER BY n_high DESC, purchase.user LIMIT 5").show()
+
+    println("== correlated NOT EXISTS (semi/anti-join compilation)")
+    run("SELECT purchase.event_id, purchase FROM dom.events AS a " +
+      "WHERE NOT EXISTS (SELECT b.error FROM dom.events AS b " +
+      "WHERE b.error.user = a.purchase.user AND b.error > 150.0) " +
+      "ORDER BY purchase DESC LIMIT 5").show()
+
+    println("== scalar subquery threshold + moving window frame")
+    run("SELECT purchase.event_id, purchase, " +
+      "avg(purchase) OVER (PARTITION BY purchase.user ORDER BY ts " +
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4 " +
+      "FROM dom.events " +
+      "WHERE purchase > (SELECT avg(purchase) FROM dom.events) " +
+      "ORDER BY purchase DESC LIMIT 5").show()
+
+    println("== set operations with compound paging")
+    run("SELECT click.event_id, click FROM dom.events WHERE click > 240.0 " +
+      "UNION ALL SELECT view.event_id, view FROM dom.events WHERE view > 240.0 " +
+      "ORDER BY 2 DESC LIMIT 5").show()
+
     spark.stop()
   }
 }
