@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.impl.{HashImpl, VectorImpl}
+import graft.functions.impl.{BpeImpl, HashImpl, VectorImpl}
 
 /** Native Catalyst expressions for the LLM-data-pipeline tier — text
   * hashing (MinHash / SimHash / winnowing fingerprint) and dense-vector
@@ -205,6 +205,30 @@ case class CosineSim(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"${GraftExpressions.V}.cosine($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+}
+
+/** BPE token count of a whitespace-tokenized text under a trained merge
+  * table ([[graft.operators.TextAnalysisOps.trainBpe]]) — tokenizer-aware
+  * corpus accounting ("how many tokens is this, under OUR tokenizer")
+  * rather than whitespace word counts. The merge table (rank-ordered
+  * NUL-separated pair strings) is a constructor constant, so counting is a
+  * zero-shuffle narrow map; CodegenFallback (one virtual call per row
+  * into the imperative merge loop).
+  */
+case class BpeTokenCount(child: Expression, merges: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+  @transient private lazy val rank = BpeImpl.buildRank(merges)
+  override protected def nullSafeEval(s: Any): Any =
+    BpeImpl.tokenCount(s.asInstanceOf[UTF8String], rank)
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
 }
 
 /** Unicode NFC normalization (java.text.Normalizer) — composes

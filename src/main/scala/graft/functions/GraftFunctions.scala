@@ -52,6 +52,11 @@ object GraftFunctions {
   /** Unicode NFC normalization of a string column. */
   def nfc(s: Column): Column = toCol(NfcNormalize(toExpr(s)))
 
+  /** BPE token count under a trained merge table (rank-ordered
+    * space-separated pairs from TextAnalysisOps.trainBpe). */
+  def bpeTokenCount(text: Column, merges: Array[String]): Column =
+    toCol(BpeTokenCount(toExpr(text), merges))
+
   /** Product-quantization kernels (codebook: flat [m][ksub][dim/m]). */
   def pqEncode(v: Column, codebook: Array[Double], m: Int, ksub: Int): Column =
     toCol(PqEncode(toExpr(asDoubles(v)), codebook, m, ksub))

@@ -278,6 +278,81 @@ object TextAnalysisOps {
         col("avg_logprob"))
   }
 
+  /** Train a byte-pair-encoding merge table on a deterministic corpus
+    * sample — classic BPE (Sennrich et al. 2016): start from characters,
+    * repeatedly merge the most frequent adjacent symbol pair (ties break
+    * lexicographically, so training is fully deterministic). The sample
+    * is the `sampleDocs` rows with smallest xxhash64(text) — the same
+    * bounded driver-side model-artifact contract as
+    * [[VectorSearchOps.ivfTopK]]'s centroids: tokenizers are trained on
+    * samples even at 100 TB; APPLICATION is the distributed part.
+    *
+    * Returns rank-ordered space-separated symbol pairs ("a b"), ready
+    * for [[bpeTokenStats]].
+    */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int = 200,
+      sampleDocs: Int = 1000): Array[String] = {
+    require(numMerges >= 1 && sampleDocs >= 1)
+    val sample = df.select(col(textCol).as("t"))
+      .withColumn("h", xxhash64(col("t"))).orderBy("h").limit(sampleDocs)
+      .select("t").collect().map(_.getString(0))
+    val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    sample.foreach(_.split(" ").foreach(w =>
+      if (w.nonEmpty) wordFreq.update(w, wordFreq.getOrElse(w, 0L) + 1)))
+    // words as symbol sequences
+    var words: Array[(Array[String], Long)] =
+      wordFreq.toArray.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = Array.newBuilder[String]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCount.update(k, pairCount.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairCount.isEmpty) exhausted = true
+      else {
+        val (a, b) = pairCount.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += s"$a $b"
+        words = words.map { case (syms, f) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Tokenizer-aware corpus accounting: BPE token count per document
+    * under a trained merge table (plus the whitespace word count and the
+    * compression ratio). Column-preserving; the merge table is a plan
+    * constant, so this is a zero-shuffle narrow map — the real "how many
+    * tokens will training see" number that whitespace counts only
+    * approximate.
+    */
+  def bpeTokenStats(df: DataFrame, textCol: String,
+      merges: Array[String]): DataFrame = {
+    val t = toks(col(textCol))
+    df.withColumn("n_words", size(t).cast("long"))
+      .withColumn("n_bpe_tokens", graft.functions.GraftFunctions
+        .bpeTokenCount(col(textCol), merges))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Canonical text normalization — the first stage of any ingest
     * pipeline, so exact/near dedup and hashing see one byte form:
     * Unicode NFC composition (é as one codepoint, not e+combining

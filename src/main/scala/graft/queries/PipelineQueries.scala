@@ -207,6 +207,21 @@ object PipelineQueries {
       TextAnalysisOps.bigramLmScore(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // tokenizer-aware corpus accounting: train BPE on the corpus sample,
+    // count real subword tokens per doc (rows-only: SQL cannot replay
+    // the merge loop; training determinism + hand-checked merges in
+    // CurationOpsSpec)
+    "txt_bpe" -> ((s, d) => {
+      val doc = docs(s, d)
+      // the synthetic corpus has a tiny vocabulary — a 200-merge table
+      // would absorb every word whole (ratio 1.0 everywhere); 30 merges
+      // keep rarer words multi-token so the stat discriminates
+      val merges = TextAnalysisOps.trainBpe(doc, "text", numMerges = 30)
+      TextAnalysisOps.bpeTokenStats(doc, "text", merges)
+        .select("doc_id", "n_words", "n_bpe_tokens", "bpe_per_word")
+        .orderBy("doc_id")
+    }),
+
     // canonical text normalization (NFC + control strip + whitespace
     // collapse): output hashed so the compare stays small; the oracle
     // replays the identical regex chain in DuckDB

@@ -169,6 +169,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE: classic merge training and token counting") {
+    import spark.implicits._
+    // word freqs: hug x3, pug x2, pun x1, bun x1 → pair counts
+    // (u,g)=5 > (h,u)=3 = (p,u)=3 > (u,n)=2 > (b,u)=1
+    val corpus = Seq((1L, "hug pug pun bun hug hug pug")).toDF("doc_id", "text")
+    val merges = TextAnalysisOps.trainBpe(corpus, "text", numMerges = 3)
+    // merge 1: ug; merge 2: h+ug; merge 3: tie (p,ug)=2 vs (u,n)=2 →
+    // lexicographic tie-break picks (p, ug)
+    assert(merges.toSeq == Seq("u g", "h ug", "p ug"))
+
+    // counting under the trained table: hug→1, pug→1, pun→3 tokens
+    val st = TextAnalysisOps.bpeTokenStats(
+      Seq((1L, "hug pug pun")).toDF("doc_id", "text"), "text", merges)
+      .select("n_words", "n_bpe_tokens").head()
+    assert(st.getLong(0) == 3 && st.getLong(1) == 5)
+
+    // training is deterministic (hash-sampled, lexicographic ties)
+    val again = TextAnalysisOps.trainBpe(corpus, "text", numMerges = 3)
+    assert(again.toSeq == merges.toSeq)
+
+    // exhaustion: more merges requested than pairs exist is fine
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m2 = TextAnalysisOps.trainBpe(tiny, "text", numMerges = 50)
+    assert(m2.toSeq == Seq("a b"))
+    val st2 = TextAnalysisOps.bpeTokenStats(tiny, "text", m2)
+      .select("n_bpe_tokens").head()
+    assert(st2.getLong(0) == 2)
+  }
+
   test("bigramLmScore: hand-checked add-one-smoothed bigram logprobs") {
     import spark.implicits._
     // one doc "a b a b": bigrams (a,b)x2 (b,a)x1; c1: a=2 b=1; V=2
