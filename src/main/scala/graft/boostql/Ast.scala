@@ -95,6 +95,15 @@ object Ast {
     */
   final case class OCase(branches: Seq[(BExpr, Operand)],
       otherwise: Option[Operand]) extends Operand
+  /** Internal (never parsed): a reference to a grouping output column by
+    * its select alias. The HAVING alias rewrite emits this when the alias
+    * names a GROUP BY expression entry — post-aggregation the expression
+    * exists only as its grouping column and its base columns are gone, so
+    * re-expanding the alias to the expression would fail to resolve.
+    * Compiles to `col(name)`; contributes no field references (the
+    * grouping entry already fetched everything it needs).
+    */
+  final case class OGroupKey(name: String) extends Operand
   /** Analytic/window call: `fn(args) OVER (PARTITION BY … ORDER BY …
     * [ROWS BETWEEN … AND …])`.
     * fn ∈ {row_number, rank, dense_rank, count_star, count, sum, avg,

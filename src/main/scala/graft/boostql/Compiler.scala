@@ -212,6 +212,7 @@ object Compiler {
         bs.flatMap { case (c, v) => exprRefs(c) ++ operandRefs(v) } ++
           o2.toSeq.flatMap(operandRefs)
       case OScalarSub(_)   => Seq.empty // its refs live in its own scope
+      case OGroupKey(_)    => Seq.empty // reads a grouping output column
       case OLit(_)         => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
@@ -263,6 +264,7 @@ object Compiler {
           bs.flatMap { case (c, v) => exprRawRefs(c) ++ rawRefs(v) } ++
             o2.toSeq.flatMap(rawRefs)
         case OScalarSub(_)   => Seq.empty
+        case OGroupKey(_)    => Seq.empty
         case OLit(_)         => Seq.empty
       }
       def exprRawRefs(e: BExpr): Seq[RawName] = e match {
@@ -314,8 +316,13 @@ object Compiler {
             sub.limit.nonEmpty))
         throw CompileException(
           "correlated subqueries cannot use GROUP BY/HAVING/DISTINCT/LIMIT")
+      // the sub's ORDER BY is semantically dead for membership/existence
+      // — UNLESS a LIMIT rides on it, where it decides WHICH rows
+      // survive (`IN (SELECT v … ORDER BY s DESC LIMIT 5)` means the
+      // top 5, not an arbitrary 5). Keep it exactly then.
       SubAnalysis(
-        sub.copy(where = local.reduceOption(AndE), orderBy = Seq.empty),
+        sub.copy(where = local.reduceOption(AndE),
+          orderBy = if (sub.limit.isDefined) sub.orderBy else Seq.empty),
         pairs)
     }
 
@@ -339,6 +346,7 @@ object Compiler {
           exprRawRefsPublic(c).nonEmpty || analyzeSubFieldless(v) } ||
           o2.exists(analyzeSubFieldless)
       case OScalarSub(_)   => true
+      case OGroupKey(_)    => true
       case OLit(_)         => false
     }
     def exprRawRefsPublic(e: BExpr): Seq[RawName] = e match {
@@ -365,6 +373,7 @@ object Compiler {
         bs.flatMap { case (c, v) => exprRawRefsPublic(c) ++ opRaw(v) } ++
           o2.toSeq.flatMap(opRaw)
       case OScalarSub(_)   => Seq.empty
+      case OGroupKey(_)    => Seq.empty
       case OLit(_)         => Seq.empty
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
@@ -427,6 +436,12 @@ object Compiler {
       case AggItem(f, a)    => aggColName(f, a.map(ref)) -> OAgg(f, a)
     }.toMap
     def rwHavOp(o: Operand): Operand = o match {
+      // an alias that IS a GROUP BY expression entry reads back its
+      // grouping output column (its base columns are gone after
+      // groupBy().agg()) — mirrors the groupedExprNames special case in
+      // outputCol/orderCol
+      case ORef(RawName(Seq(n))) if groupedExprNames.contains(n) =>
+        OGroupKey(n)
       case ORef(RawName(Seq(n))) if havingAliasMap.contains(n) =>
         havingAliasMap(n)
       case OArith(op, l, r) => OArith(op, rwHavOp(l), rwHavOp(r))
@@ -508,6 +523,7 @@ object Compiler {
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggXColName(fn, e))
       case OScalarSub(s2) => col(scalarColName(s2))
+      case OGroupKey(nm)  => col(nm)
       case OArith(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {

@@ -34,6 +34,11 @@ import Ast._
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
   *
+  * Identifiers may be backtick-quoted (`` `current` ``) anywhere an
+  * ident is accepted: a quoted identifier is never a keyword and never a
+  * function name — the escape hatch for series/attribute names that
+  * collide with reserved words.
+  *
   * `( …` is ambiguous between a parenthesized boolean group and a
   * parenthesized arithmetic operand; `cmp` resolves it by first trying
   * the comparison production and backtracking to the boolean group when
@@ -48,6 +53,12 @@ object Parser {
 
   private sealed trait Tok
   private case class TIdent(s: String) extends Tok
+  /** Backtick-quoted identifier: never a keyword, never a function name —
+    * the escape hatch for series/attributes whose names collide with the
+    * dialect's reserved words (`` events.`current` ``, an attribute named
+    * `` `all` ``). MySQL-style, matching the reference's TiDB-parser
+    * heritage (query/parser/parser.go:25-52). */
+  private case class TQuoted(s: String) extends Tok
   private case class TNum(s: String) extends Tok
   private case class TStr(s: String) extends Tok
   private case class TSym(s: String) extends Tok
@@ -85,6 +96,13 @@ object Parser {
         if (i >= n) throw ParseException(s"unterminated string at offset $i")
         i += 1
         out += TStr(sb.toString)
+      } else if (c == '`') {
+        val sb = new StringBuilder; i += 1
+        while (i < n && sql(i) != '`') { sb += sql(i); i += 1 }
+        if (i >= n) throw ParseException(s"unterminated quoted identifier at offset $i")
+        i += 1
+        if (sb.isEmpty) throw ParseException(s"empty quoted identifier at offset $i")
+        out += TQuoted(sb.toString)
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (Set(">=", "<=", "!=", "<>", "==").contains(two)) { out += TSym(two); i += 2 }
@@ -138,16 +156,21 @@ object Parser {
     private def expectSym(s: String): Unit =
       if (!sym(s)) throw ParseException(s"expected '$s', got $peek")
     private def ident(): String = next() match {
-      case TIdent(s) => s
+      case TIdent(s)  => s
+      case TQuoted(s) => s
       case t => throw ParseException(s"expected identifier, got $t")
     }
     /** An alias must not be a keyword — `SELECT cpu AS from` would mint
       * an output column that can never be referenced again (mirrors the
-      * bare-alias path's keyword exclusion in source()).
+      * bare-alias path's keyword exclusion in source()). A backtick-quoted
+      * alias escapes the restriction (it can be referenced back the same
+      * quoted way).
       */
     private def aliasIdent(): String = next() match {
       case TIdent(s) if !keywords.contains(s.toLowerCase) => s
-      case TIdent(s) => throw ParseException(s"keyword '$s' cannot be an alias")
+      case TQuoted(s) => s
+      case TIdent(s) => throw ParseException(
+        s"keyword '$s' cannot be an alias (backtick-quote it to force)")
       case t => throw ParseException(s"expected alias identifier, got $t")
     }
 
@@ -374,6 +397,7 @@ object Parser {
       val alias = peek match {
         case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(aliasIdent())
         case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
+        case TQuoted(id) => pos += 1; Some(id)
         case _ => None
       }
       Source(domain, family, alias)
@@ -584,7 +608,7 @@ object Parser {
         }
         expectSym(")")
         withOptionalOver(id.toLowerCase, b.result())
-      case TIdent(_) => ORef(rawName())
+      case TIdent(_) | TQuoted(_) => ORef(rawName())
       // `( SELECT …` is a scalar subquery; any other `(` groups arithmetic
       case TSym("(") if (toks(pos + 1) match {
         case TIdent(id) => id.equalsIgnoreCase("select")

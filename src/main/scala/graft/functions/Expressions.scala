@@ -211,7 +211,8 @@ case class CosineSim(left: Expression, right: Expression)
   * table ([[graft.operators.TextAnalysisOps.trainBpe]]) — tokenizer-aware
   * corpus accounting ("how many tokens is this, under OUR tokenizer")
   * rather than whitespace word counts. The merge table (rank-ordered
-  * NUL-separated pair strings) is a constructor constant, so counting is a
+  * space-separated `"a b"` pair strings, exactly trainBpe's output and
+  * BpeImpl.buildRank's key format) is a constructor constant, so counting is a
   * zero-shuffle narrow map; CodegenFallback (one virtual call per row
   * into the imperative merge loop).
   */

@@ -1150,4 +1150,49 @@ class BoostQLSpec extends SparkSpec {
           "WHERE b.error.user = a.purchase.user GROUP BY b.error.user)"), fam)
     }
   }
+
+  test("IN subquery honors ORDER BY + LIMIT (top-N membership, not arbitrary)") {
+    import org.apache.spark.sql.functions.{col => c, element_at}
+    // the top-3 errors by value define the membership set — before the
+    // round-8 fix the sub's ORDER BY was stripped while its LIMIT was
+    // kept, testing against an arbitrary 3 rows
+    val top3 = fam.filter(c("series") === "error")
+      .select(element_at(c("attributes"), "event_id").as("eid"), c("value"))
+      .orderBy(c("value").desc, c("eid")).limit(3)
+      .collect().map(_.getString(0)).toSet
+    val df = Compiler.compile(Parser.parse(
+      "SELECT error.event_id FROM dom.events WHERE error.event_id IN " +
+        "(SELECT error.event_id FROM dom.events ORDER BY error DESC, error.event_id LIMIT 3)"), fam)
+    assert(df.collect().map(_.getString(0)).toSet == top3)
+  }
+
+  test("HAVING can reference a GROUP BY expression alias") {
+    // the alias names a grouping entry: HAVING must read the grouping
+    // output column back, not re-expand the expression whose base
+    // columns are gone post-aggregation (round-8 ADVICE fix)
+    val df = Compiler.compile(Parser.parse(
+      "SELECT CAST(click / 100.0 AS int) AS b, count(*) AS n " +
+        "FROM dom.events GROUP BY b HAVING b > 1 ORDER BY b"), fam)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) > 1))
+  }
+
+  test("backtick-quoted identifiers escape reserved words") {
+    // parse tier: quoted keywords are plain identifiers
+    val q = Parser.parse("SELECT `rows`, `current`.`all` FROM dom.f")
+    assert(q.select == Seq(FieldItem(RawName(Seq("rows"))),
+      FieldItem(RawName(Seq("current", "all")))))
+    // quoted alias can even be a keyword
+    val a = Parser.parse("SELECT cpu AS `from` FROM dom.f")
+    assert(a.select == Seq(ExprItem(ORef(RawName(Seq("cpu"))), "from")))
+    // compile tier: quoting is transparent for ordinary names
+    val df = Compiler.compile(Parser.parse(
+      "SELECT `purchase`.`user`, count(*) AS n FROM dom.events " +
+        "GROUP BY `purchase`.`user` ORDER BY `purchase`.`user` LIMIT 5"), fam)
+    assert(df.columns.toSeq == Seq("purchase_user", "n") && df.count() == 5)
+    // unterminated / empty quotes are loud
+    intercept[Parser.ParseException](Parser.parse("SELECT `oops FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse("SELECT `` FROM dom.f"))
+  }
 }
