@@ -141,6 +141,26 @@ object Compiler {
     "nullif"   -> ((2, 2, (a: Seq[Column]) => nullif(a(0), a(1))))
   )
 
+  /** Time-series functions with an implicit window over the source's
+    * time axis — the dialect face of the reference's stated north star
+    * ("a rich set of time-series functions on a SQL-like language
+    * front", README.md:8; the windowed executor loop executor.go:239-252).
+    * They order by `ts` (unique per the engine's datapoint model), so no
+    * tie-break is needed; placement follows OWin's rules (SELECT items /
+    * ORDER BY only, no GROUP BY combination).
+    */
+  private val tsWinFns = Set("rate", "delta", "locf")
+
+  /** `bucket(ts, '<n> <unit>')` bucket width in microseconds. Units:
+    * second/minute/hour/day (epoch-aligned — 1970-01-01 floor; larger
+    * calendar units like week/month are not fixed-width and are
+    * rejected rather than approximated).
+    */
+  private val bucketUnitUs: Map[String, Long] = Map(
+    "second" -> 1000000L, "minute" -> 60000000L,
+    "hour" -> 3600000000L, "day" -> 86400000000L)
+  private val bucketDurationRe = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
+
   private def fnColumn(fn: String, args: Seq[Ast.Operand], cols: Seq[Column]): Column =
     // round's 2-arg form needs its scale as a constant (Spark's
     // round(col, scale) takes an Int, not a Column) — special-cased so
@@ -533,6 +553,15 @@ object Compiler {
           case "/" => a / b
         }
       case ONeg(x) => -operandColumn(x, aggOk, winOk)
+      // time-series functions: bucket() is a plain scalar (usable in
+      // WHERE / GROUP BY); rate/delta/locf carry an implicit window over
+      // the source's time axis, so they follow OWin's placement rules
+      case OFn("bucket", args) => bucketColumn(args)
+      case OFn(fn, args) if tsWinFns.contains(fn) =>
+        if (!winOk) throw CompileException(
+          s"$fn() is a time-series window function — allowed in SELECT " +
+            "items and ORDER BY only")
+        tsWinColumn(fn, args, aggOk)
       case OFn(fn, args) => fnColumn(fn, args, args.map(operandColumn(_, aggOk, winOk)))
       case OCast(x, ty) =>
         val sparkType = ty match {
@@ -626,6 +655,69 @@ object Compiler {
           spec.rowsBetween(lo, hi)
       }
       c.over(framed)
+    }
+
+    /** `bucket(ts, '<n> <unit>')` — epoch-aligned tumbling time bucket,
+      * compiled to pure integer arithmetic on micros (codegen'd, never a
+      * UDF): `timestamp_micros(us - pmod(us, width))`. The first
+      * argument must be the reserved time axis (optionally
+      * alias-qualified), pinning the function to the engine's iteration
+      * axis rather than arbitrary columns.
+      */
+    def bucketColumn(args: Seq[Operand]): Column = {
+      if (args.length != 2)
+        throw CompileException("bucket(ts, '<n> <unit>') expects 2 arguments")
+      val axis = args.head match {
+        case ORef(n) if ref(n).isTs => ref(n).inName
+        case _ => throw CompileException(
+          "bucket() first argument must be the time axis ts")
+      }
+      val widthUs = args(1) match {
+        case OLit(BStr(bucketDurationRe(n, unit))) =>
+          n.toLong * bucketUnitUs(unit.toLowerCase)
+        case OLit(BStr(other)) => throw CompileException(
+          s"bucket() width '$other' must be '<n> <unit>' with unit " +
+            "second|minute|hour|day")
+        case _ => throw CompileException(
+          "bucket() width must be a string literal like '5 minutes'")
+      }
+      if (widthUs <= 0) throw CompileException("bucket() width must be positive")
+      val us = unix_micros(col(axis))
+      timestamp_micros(us - pmod(us, lit(widthUs)))
+    }
+
+    /** rate/delta/locf — consecutive-point functions over the implicit
+      * per-source time-axis order (`ts` is unique per datapoint, so the
+      * order is total without a tie-break). The window is intentionally
+      * unpartitioned: a compiled frame is ONE series' aligned axis — the
+      * sequential scan is the operator's contract (the reference's
+      * pull-based series iterator); at scale the parallel unit is the
+      * series/family, not intra-series row order.
+      */
+    def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean): Column = {
+      import org.apache.spark.sql.expressions.{Window => W}
+      if (args.length != 1)
+        throw CompileException(s"$fn() expects exactly 1 argument")
+      val axis =
+        if (!multi) "__ts_0"
+        else operandRefs(args.head).map(_.src).distinct match {
+          case Seq(s) => s"__ts_$s"
+          case _ => throw CompileException(
+            s"$fn() argument must reference exactly one source in a " +
+              "multi-source query")
+        }
+      val c = operandColumn(args.head, aggOk)
+      val w = W.orderBy(col(axis).asc)
+      fn match {
+        case "delta" => c - lag(c, 1).over(w)
+        case "rate" =>
+          val dv = c - lag(c, 1).over(w)
+          val dtUs = unix_micros(col(axis)) - lag(unix_micros(col(axis)), 1).over(w)
+          when(dtUs > 0, dv / (dtUs.cast("double") / 1e6))
+        case "locf" =>
+          last(c, ignoreNulls = true)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+      }
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
       case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
@@ -934,6 +1026,7 @@ object Compiler {
     // refuse rather than guess which happens first
     def hasWinOp(o: Operand): Boolean = o match {
       case _: OWin         => true
+      case OFn(f, _) if tsWinFns.contains(f) => true
       case OArith(_, l, r) => hasWinOp(l) || hasWinOp(r)
       case ONeg(x)         => hasWinOp(x)
       case OFn(_, args)    => args.exists(hasWinOp)

@@ -350,26 +350,34 @@ object Parser {
       b.result()
     }
 
-    /** GROUP BY entries: a name, or an ordinal naming a select position
-      * (desugared here against the already-parsed select list — a
-      * FieldItem contributes its name, an ExprItem its output alias,
-      * an aggregate is an error).
+    /** GROUP BY entries: a name, an ordinal naming a select position, or
+      * a full expression structurally matching a select item's expression
+      * (`GROUP BY bucket(ts, '1 hour')` with
+      * `SELECT bucket(ts, '1 hour') AS h`) — all desugared here against
+      * the already-parsed select list to the item's name/alias; an
+      * aggregate is an error.
       */
     private def groupList(items: Seq[SelectItem]): Seq[RawName] = {
-      def one(): RawName = peek match {
-        case TNum(s) if !s.contains('.') =>
-          pos += 1
-          val p = s.toInt
+      def one(): RawName = nested(addOperand()) match {
+        case OLit(BInt(p)) =>
           if (p < 1 || p > items.length)
             throw ParseException(
               s"GROUP BY position $p is out of range 1..${items.length}")
-          items(p - 1) match {
+          items(p.toInt - 1) match {
             case FieldItem(n)    => n
             case ExprItem(_, nm) => RawName(Seq(nm))
             case _: AggItem => throw ParseException(
               s"GROUP BY position $p names an aggregate")
           }
-        case _ => rawName()
+        case ORef(n) => n
+        case _: OAgg | _: OAggX =>
+          throw ParseException("GROUP BY cannot name an aggregate")
+        case e =>
+          items.collectFirst {
+            case ExprItem(e2, nm) if e2 == e => RawName(Seq(nm))
+          }.getOrElse(throw ParseException(
+            "GROUP BY expression must match a select item " +
+              "(or alias the item and group by the alias)"))
       }
       val b = Seq.newBuilder[RawName]
       b += one()

@@ -257,6 +257,37 @@ object BoostQueries {
         "INTERSECT SELECT error.user FROM dom.events WHERE error > 150.0 " +
         "ORDER BY 1")),
 
+    // time bucketing on the SQL front (the reference's stated north
+    // star, README.md:8): bucket(ts, '1 hour') is an epoch-aligned
+    // tumbling bucket, GROUP BY accepts the full expression (structural
+    // match to the select item), and the bucket CASTs to epoch seconds
+    // for the cross-engine compare. Exact integer-cents sum.
+    "boost_ts_bucket" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n, " +
+        "sum(CAST(click * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h")),
+
+    // delta(x): consecutive-point difference over the implicit series
+    // time axis (ts is unique per datapoint — total order, no tie-break)
+    "boost_ts_delta" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click, delta(click) AS d " +
+        "FROM dom.events ORDER BY click.event_id")),
+
+    // rate(x): per-second rate of change between consecutive points —
+    // dv / (dt_us / 1e6), null on the first point (identical IEEE ops
+    // on both engines)
+    "boost_ts_rate" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, rate(click) AS r " +
+        "FROM dom.events ORDER BY click.event_id")),
+
+    // locf(x): last-observation-carried-forward over the time axis; the
+    // CASE synthesizes the nulls to fill (values <= 100 carry the last
+    // larger observation forward)
+    "boost_ts_locf" -> ((s, d) =>
+      run(s, d, "SELECT view.event_id, " +
+        "locf(CASE WHEN view > 100.0 THEN view END) AS filled " +
+        "FROM dom.events ORDER BY view.event_id")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -517,6 +548,40 @@ object BoostQueries {
     "boost_roundtrip" ->
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
+        |ORDER BY view_event_id""".stripMargin,
+
+    // DuckDB time_bucket's origin (2000-01-03) is a whole multiple of
+    // every fixed-width unit the dialect allows, so it coincides with
+    // the dialect's epoch alignment for second/minute/hour/day buckets
+    "boost_ts_bucket" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "boost_ts_delta" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click,
+        |  value - LAG(value) OVER (ORDER BY ts) AS d
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY click_event_id""".stripMargin,
+
+    "boost_ts_rate" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  CASE WHEN dt_us > 0 THEN dv / (CAST(dt_us AS DOUBLE) / 1e6) END AS r
+        |FROM (
+        |  SELECT event_id,
+        |    value - LAG(value) OVER w AS dv,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events WHERE event_type = 'click' WINDOW w AS (ORDER BY ts))
+        |ORDER BY click_event_id""".stripMargin,
+
+    "boost_ts_locf" ->
+      """SELECT CAST(event_id AS VARCHAR) AS view_event_id,
+        |  last_value(CASE WHEN value > 100.0 THEN value END IGNORE NULLS)
+        |    OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled
+        |FROM events WHERE event_type = 'view'
         |ORDER BY view_event_id""".stripMargin
   )
 }

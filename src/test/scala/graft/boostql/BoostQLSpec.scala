@@ -1178,6 +1178,65 @@ class BoostQLSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) > 1))
   }
 
+  test("time-series functions: bucket/delta/rate/locf on the SQL front") {
+    import org.apache.spark.sql.functions.{col => c, element_at, lag => slag, unix_micros}
+    import org.apache.spark.sql.expressions.Window
+    // bucket(): epoch-aligned hourly floor, GROUP BY the full expression
+    // (the count(click) argument pins the frame to the click series)
+    val bucketed = Compiler.compile(Parser.parse(
+      "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(click) AS n " +
+        "FROM dom.events GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h"), fam)
+    val expected = fam.filter(c("series") === "click")
+      .groupBy(((unix_micros(c("ts")) - unix_micros(c("ts")) % 3600000000L)
+        / 1000000L).cast("long").as("h"))
+      .count().orderBy("h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed.columns.toSeq == Seq("h", "n"))
+    assert(bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    // delta(): matches a manual lag over the ts order
+    val d = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click, delta(click) AS d FROM dom.events " +
+        "ORDER BY click.event_id"), fam)
+    val manual = fam.filter(c("series") === "click")
+      .select(element_at(c("attributes"), "event_id").as("eid"),
+        c("value"), (c("value") - slag(c("value"), 1).over(Window.orderBy("ts"))).as("d"))
+      .orderBy("eid")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    val got = d.collect().map(r => (r.getString(0), r.getDouble(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == manual)
+    // locf carries the last non-null forward: never null after the first
+    // qualifying row per the axis
+    val l = Compiler.compile(Parser.parse(
+      "SELECT view.event_id, locf(CASE WHEN view > 100.0 THEN view END) AS f " +
+        "FROM dom.events ORDER BY view.event_id"), fam)
+    assert(l.filter(c("f").isNotNull).count() > 0)
+
+    // misuse pins
+    intercept[Compiler.CompileException] { // first arg must be the ts axis
+      Compiler.compile(Parser.parse(
+        "SELECT bucket(click, '5 minutes') AS b FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // weeks are not fixed-width
+      Compiler.compile(Parser.parse(
+        "SELECT CAST(bucket(ts, '2 weeks') AS int) AS b, count(*) AS n " +
+          "FROM dom.events GROUP BY b"), fam)
+    }
+    intercept[Compiler.CompileException] { // rate is a window fn: no WHERE
+      Compiler.compile(Parser.parse(
+        "SELECT click FROM dom.events WHERE rate(click) > 0.0"), fam)
+    }
+    intercept[Compiler.CompileException] { // window fns don't mix with GROUP BY
+      Compiler.compile(Parser.parse(
+        "SELECT click.user, delta(click) AS d FROM dom.events " +
+          "GROUP BY click.user"), fam)
+    }
+    intercept[Parser.ParseException] { // GROUP BY expr must match a select item
+      Parser.parse("SELECT click.user FROM dom.events GROUP BY bucket(ts, '1 hour')")
+    }
+  }
+
   test("backtick-quoted identifiers escape reserved words") {
     // parse tier: quoted keywords are plain identifiers
     val q = Parser.parse("SELECT `rows`, `current`.`all` FROM dom.f")
