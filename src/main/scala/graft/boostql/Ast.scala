@@ -110,16 +110,24 @@ object Ast {
     * min, max, lag, lead}; allowed in SELECT items and ORDER BY only,
     * and not combinable with GROUP BY (v1 restriction — grouped-then-
     * windowed queries belong to the DataFrame tier). Window ORDER BY
-    * keys are field refs with ASC/DESC. `frame` is a ROWS frame as
-    * (lo, hi) row offsets relative to the current row (negative =
-    * preceding, Long.MinValue/MaxValue = unbounded); requires a window
-    * ORDER BY and only applies to the aggregate functions — the
-    * moving-average shape (`avg(cpu) OVER (… ROWS BETWEEN 6 PRECEDING
-    * AND CURRENT ROW)`).
+    * keys are field refs with ASC/DESC. `frame` is a ROWS or RANGE
+    * frame ([[WFrame]]); requires a window ORDER BY and only applies to
+    * the aggregate functions — the moving-average shape (`avg(cpu)
+    * OVER (… ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)` / `… RANGE
+    * BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW)`).
     */
   final case class OWin(fn: String, args: Seq[Operand],
       partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean)],
-      frame: Option[(Long, Long)] = None) extends Operand
+      frame: Option[WFrame] = None) extends Operand
+
+  /** Window frame: kind "rows" carries (lo, hi) row offsets relative to
+    * the current row; kind "range_us" carries time offsets in
+    * MICROSECONDS over the window's ORDER BY ts axis (`RANGE BETWEEN
+    * INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW` → lo = -300e6,
+    * hi = 0). Negative = preceding; Long.MinValue/MaxValue = unbounded
+    * — exactly Spark's Window.unboundedPreceding/Following sentinels.
+    */
+  final case class WFrame(kind: String, lo: Long, hi: Long)
 
   /** Comparison ops of the reference (logicalexpression.go:10-36), plus
     * NOT — absent from the reference's connective set (AND/OR only,

@@ -638,21 +638,35 @@ object Compiler {
         else w0.orderBy(ord.map { case (n, asc) =>
           val cc = col(ref(n).inName); if (asc) cc.asc else cc.desc
         }: _*)
-      // ROWS frame: aggregate window functions only (a framed rank is
-      // meaningless), and only over an ordered window; the parser's
-      // unbounded sentinels are exactly Window.unboundedPreceding/
-      // Following, so rowsBetween takes them verbatim
+      // ROWS/RANGE frames: aggregate window functions only (a framed
+      // rank is meaningless), and only over an ordered window; the
+      // parser's unbounded sentinels are exactly
+      // Window.unboundedPreceding/Following, so rowsBetween/rangeBetween
+      // take them verbatim. A RANGE interval frame requires the order
+      // key to be exactly the ascending time axis — it compiles to
+      // rangeBetween over epoch micros (the natural time-series moving
+      // aggregate: "sum over the trailing 5 minutes").
       val framed = frame match {
         case None => spec
-        case Some((lo, hi)) =>
+        case Some(WFrame(kind, lo, hi)) =>
           if (ord.isEmpty)
-            throw CompileException("ROWS frame requires a window ORDER BY")
+            throw CompileException("a window frame requires a window ORDER BY")
           val frameable = Set("count_star", "count", "sum", "avg", "min",
             "max", "first_value", "last_value")
           if (!frameable.contains(fn))
             throw CompileException(
-              s"ROWS frame applies to aggregate window functions, not $fn")
-          spec.rowsBetween(lo, hi)
+              s"a window frame applies to aggregate window functions, not $fn")
+          kind match {
+            case "rows" => spec.rowsBetween(lo, hi)
+            case "range_us" => ord match {
+              case Seq((n, true)) if ref(n).isTs =>
+                w0.orderBy(unix_micros(col(ref(n).inName)))
+                  .rangeBetween(lo, hi)
+              case _ => throw CompileException(
+                "RANGE interval frame requires ORDER BY on exactly the " +
+                  "ascending time axis ts")
+            }
+          }
       }
       c.over(framed)
     }

@@ -30,7 +30,11 @@ import Ast._
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
   * over     := OVER '(' (PARTITION BY names)?
-  *                      (ORDER BY name (ASC|DESC)? (',' …)*)? ')'
+  *                      (ORDER BY name (ASC|DESC)? (',' …)*)?
+  *                      ((ROWS|RANGE) BETWEEN bound AND bound)? ')'
+  * bound    := UNBOUNDED (PRECEDING|FOLLOWING) | CURRENT ROW
+  *           | int (PRECEDING|FOLLOWING)                      -- ROWS
+  *           | INTERVAL '<int>' unit (PRECEDING|FOLLOWING)    -- RANGE
   * op       := >= | <= | != | <> | == | = | < | >
   * }}}
   *
@@ -655,29 +659,55 @@ object Parser {
             while (sym(",")) b += one()
             b.result()
           } else Seq.empty
-        // ROWS BETWEEN <bound> AND <bound>; bounds: UNBOUNDED PRECEDING/
-        // FOLLOWING, CURRENT ROW, <n> PRECEDING/FOLLOWING
-        val frame =
-          if (!kw("rows")) None
-          else {
+        // ROWS BETWEEN <bound> AND <bound> (row-offset bounds) or
+        // RANGE BETWEEN <ibound> AND <ibound> (interval bounds over the
+        // ts order axis); bounds: UNBOUNDED PRECEDING/FOLLOWING,
+        // CURRENT ROW, <n> PRECEDING/FOLLOWING (ROWS),
+        // INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY PRECEDING/FOLLOWING
+        // (RANGE). `range`/`interval` match contextually and stay
+        // usable as ordinary identifiers elsewhere.
+        val frame = {
+          val kind =
+            if (kw("rows")) Some("rows")
+            else if (kw("range")) Some("range_us")
+            else None
+          kind.map { k =>
             expectKw("between")
             def bound(): Long =
               if (kw("unbounded")) {
                 if (kw("preceding")) Long.MinValue
                 else { expectKw("following"); Long.MaxValue }
               } else if (kw("current")) { expectKw("row"); 0L }
-              else {
+              else if (k == "rows") {
                 val n = intLit().toLong
                 if (kw("preceding")) -n
                 else { expectKw("following"); n }
+              } else {
+                expectKw("interval")
+                val n = next() match {
+                  case TStr(s) if s.trim.matches("\\d+") => s.trim.toLong
+                  case t => throw ParseException(
+                    s"INTERVAL bound must be a quoted integer like '5', got $t")
+                }
+                val us = ident().toLowerCase match {
+                  case "second" | "seconds" => n * 1000000L
+                  case "minute" | "minutes" => n * 60000000L
+                  case "hour" | "hours"     => n * 3600000000L
+                  case "day" | "days"       => n * 86400000000L
+                  case u => throw ParseException(
+                    s"INTERVAL unit must be SECOND|MINUTE|HOUR|DAY, got $u")
+                }
+                if (kw("preceding")) -us
+                else { expectKw("following"); us }
               }
             val lo = bound()
             expectKw("and")
             val hi = bound()
             if (lo > hi) throw ParseException(
-              s"ROWS frame lower bound must not exceed upper bound")
-            Some((lo, hi))
+              "frame lower bound must not exceed upper bound")
+            WFrame(k, lo, hi)
           }
+        }
         expectSym(")")
         OWin(fn, args, part, ord, frame)
       }

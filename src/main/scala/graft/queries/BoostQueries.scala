@@ -228,6 +228,20 @@ object BoostQueries {
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cents4 " +
         "FROM dom.events ORDER BY purchase.event_id")),
 
+    // RANGE interval frame: the trailing-2-day moving aggregate per
+    // user in event time — rangeBetween over epoch micros (peers by
+    // time distance, not row count, so tie handling is value-exact on
+    // any engine); integer cents keep the sum exact
+    "boost_window_range" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, " +
+        "sum(CAST(purchase * 100.0 AS int)) OVER " +
+        "(PARTITION BY purchase.user ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW) AS cents_2d, " +
+        "count(purchase) OVER " +
+        "(PARTITION BY purchase.user ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW) AS n_2d " +
+        "FROM dom.events ORDER BY purchase.event_id")),
+
     // scalar subquery threshold (above-average filter — the canonical
     // use): one broadcast row cross-joined, codegen'd comparison
     "boost_scalar_sub" -> ((s, d) =>
@@ -575,6 +589,15 @@ object BoostQueries {
         |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
         |  FROM events WHERE event_type = 'click' WINDOW w AS (ORDER BY ts))
         |ORDER BY click_event_id""".stripMargin,
+
+    "boost_window_range" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS cents_2d,
+        |  COUNT(value) OVER w AS n_2d
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_ts_locf" ->
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id,

@@ -1237,6 +1237,65 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("RANGE interval window frames over the time axis") {
+    import org.apache.spark.sql.functions.{col => c, element_at, sum => ssum, unix_micros}
+    import org.apache.spark.sql.expressions.Window
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, " +
+        "sum(CAST(purchase * 100.0 AS int)) OVER " +
+        "(PARTITION BY purchase.user ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW) AS cents " +
+        "FROM dom.events ORDER BY purchase.event_id"), fam)
+    val manual = fam.filter(c("series") === "purchase")
+      .select(element_at(c("attributes"), "event_id").as("eid"),
+        element_at(c("attributes"), "user").as("u"),
+        (c("value") * 100.0).cast("long").as("cents0"),
+        unix_micros(c("ts")).as("us"))
+      .withColumn("cents", ssum(c("cents0")).over(
+        Window.partitionBy("u").orderBy("us")
+          .rangeBetween(-2L * 86400000000L, 0L)))
+      .orderBy("eid")
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == manual && got.nonEmpty)
+
+    // validation pins: RANGE requires the ascending ts order key, an
+    // aggregate function, and ordered windows; bounds must be sane
+    intercept[Compiler.CompileException] { // non-ts order key
+      Compiler.compile(Parser.parse(
+        "SELECT sum(purchase) OVER (ORDER BY purchase.event_id " +
+          "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS x " +
+          "FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // DESC time axis
+      Compiler.compile(Parser.parse(
+        "SELECT sum(purchase) OVER (ORDER BY ts DESC " +
+          "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS x " +
+          "FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // framed rank is meaningless
+      Compiler.compile(Parser.parse(
+        "SELECT rank() OVER (ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS x " +
+          "FROM dom.events WHERE purchase > 0.0"), fam)
+    }
+    intercept[Parser.ParseException] { // lower bound above upper
+      Parser.parse("SELECT sum(purchase) OVER (ORDER BY ts " +
+        "RANGE BETWEEN CURRENT ROW AND INTERVAL '1' HOUR PRECEDING) AS x " +
+        "FROM dom.events")
+    }
+    intercept[Parser.ParseException] { // non-integer interval
+      Parser.parse("SELECT sum(purchase) OVER (ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '1.5' HOUR PRECEDING AND CURRENT ROW) AS x " +
+        "FROM dom.events")
+    }
+    intercept[Parser.ParseException] { // week is not a fixed-width unit
+      Parser.parse("SELECT sum(purchase) OVER (ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '1' WEEK PRECEDING AND CURRENT ROW) AS x " +
+        "FROM dom.events")
+    }
+  }
+
   test("backtick-quoted identifiers escape reserved words") {
     // parse tier: quoted keywords are plain identifiers
     val q = Parser.parse("SELECT `rows`, `current`.`all` FROM dom.f")
