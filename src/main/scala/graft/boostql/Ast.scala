@@ -82,10 +82,14 @@ object Ast {
     */
   final case class OCast(x: Operand, toType: String) extends Operand
   /** `(SELECT <one agg item> FROM …)` as a value — the threshold-filter
-    * workhorse (`WHERE cpu > (SELECT avg(cpu) FROM …)`). Uncorrelated,
-    * WHERE-only in v1; the sub must be provably single-row (an ungrouped
-    * aggregate, or LIMIT 1). Compiles to a broadcast one-row cross join,
-    * never a per-row execution.
+    * workhorse (`WHERE cpu > (SELECT avg(cpu) FROM …)`). Allowed in
+    * WHERE and SELECT items; the sub must be provably single-row.
+    * Uncorrelated: an ungrouped aggregate or LIMIT 1 → broadcast
+    * one-row cross join. Correlated (equality conjuncts in the sub's
+    * WHERE pairing a sub field with an outer field, the IN/EXISTS
+    * machinery): a single bare aggregate → groupBy on the key pairs +
+    * LEFT join, NULL on empty groups (COUNT → 0). Never a per-row
+    * execution.
     */
   final case class OScalarSub(sub: QuerySpec) extends Operand
   /** `CASE WHEN cond THEN expr [WHEN …]* [ELSE expr] END` — searched

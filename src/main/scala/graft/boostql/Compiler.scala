@@ -231,7 +231,10 @@ object Compiler {
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprRefs(c) ++ operandRefs(v) } ++
           o2.toSeq.flatMap(operandRefs)
-      case OScalarSub(_)   => Seq.empty // its refs live in its own scope
+      // a correlated scalar sub touches the outer plan through the outer
+      // half of each correlation pair (the join keys); everything else
+      // lives in its own compile
+      case OScalarSub(s2)  => analyzeSub(s2).pairs.map(_._1)
       case OGroupKey(_)    => Seq.empty // reads a grouping output column
       case OLit(_)         => Seq.empty
     }
@@ -833,11 +836,15 @@ object Compiler {
         }
     }
 
-    // --- scalar subqueries (WHERE-only, uncorrelated, single-row) -------
-    // `WHERE cpu > (SELECT avg(cpu) FROM …)`: each distinct sub compiles
-    // once and broadcast-cross-joins its ONE row onto the outer frame, so
-    // the comparison is an ordinary codegen'd filter — never a per-row
-    // subquery execution.
+    // --- scalar subqueries (WHERE + SELECT; correlated via equality) ----
+    // `WHERE cpu > (SELECT avg(cpu) FROM …)`: each distinct uncorrelated
+    // sub compiles once and broadcast-cross-joins its ONE row onto the
+    // outer frame, so the comparison is an ordinary codegen'd filter —
+    // never a per-row subquery execution. A CORRELATED sub (equality
+    // conjuncts pairing a sub field with an outer field, same machinery
+    // as IN/EXISTS) decorrelates to a groupBy on the key pairs + LEFT
+    // join: one aggregate row per key group, NULL where the group is
+    // empty (COUNT coalesces to 0 — the ANSI empty-group count).
     def opScalarSubs(o: Operand): Seq[QuerySpec] = o match {
       case OScalarSub(s2)  => Seq(s2)
       case OArith(_, l, r) => opScalarSubs(l) ++ opScalarSubs(r)
@@ -863,47 +870,98 @@ object Compiler {
       case InSubE(o, _, _) => opScalarSubs(o) // left operand is THIS scope
       case _: ExistsE    => Seq.empty
     }
-    val scalarSubs: Seq[QuerySpec] =
+    val whereScalarSubs: Seq[QuerySpec] =
       spec.where.toSeq.flatMap(exprScalarSubs).distinct
+    val selectScalarSubs: Seq[QuerySpec] =
+      spec.select.flatMap {
+        case ExprItem(e, _) => opScalarSubs(e); case _ => Seq.empty }.distinct
     locally {
       val elsewhere =
-        spec.select.flatMap {
-          case ExprItem(e, _) => opScalarSubs(e); case _ => Seq.empty } ++
         spec.having.toSeq.flatMap(exprScalarSubs) ++
         spec.joins.flatMap(_.on.toSeq.flatMap(exprScalarSubs)) ++
         spec.orderBy.flatMap(_.item match {
           case ExprItem(e, _) => opScalarSubs(e); case _ => Seq.empty })
       if (elsewhere.nonEmpty) throw CompileException(
-        "scalar subqueries are only supported in WHERE")
+        "scalar subqueries are only supported in WHERE and SELECT items")
     }
-    def attachScalarSubs(df: DataFrame): DataFrame =
-      scalarSubs.foldLeft(df) { (acc, s2) =>
+    def hasAggAst(o: Operand): Boolean = o match {
+      case _: OAgg | _: OAggX => true
+      case OArith(_, l, r) => hasAggAst(l) || hasAggAst(r)
+      case ONeg(x)         => hasAggAst(x)
+      case OFn(_, as)      => as.exists(hasAggAst)
+      case OCast(x, _)     => hasAggAst(x)
+      case OCase(bs, o2)   =>
+        bs.exists { case (_, v) => hasAggAst(v) } || o2.exists(hasAggAst)
+      case _               => false
+    }
+    // outer aggregation shape, needed before the aggregation section:
+    // SELECT-item subs attach post-agg there (their column must survive
+    // the groupBy), and correlated ones cannot (their join keys are
+    // pre-aggregation columns)
+    val outerHasAgg = spec.groupBy.nonEmpty || spec.having.nonEmpty ||
+      spec.select.exists {
+        case _: AggItem     => true
+        case ExprItem(e, _) => hasAggAst(e)
+        case _              => false
+      }
+    if (outerHasAgg)
+      selectScalarSubs.find(s => analyzeSub(s).pairs.nonEmpty).foreach(_ =>
+        throw CompileException(
+          "correlated scalar subqueries in SELECT require an ungrouped query"))
+    val preScalarSubs =
+      (whereScalarSubs ++ (if (outerHasAgg) Seq.empty else selectScalarSubs))
+        .distinct
+    val postScalarSubs =
+      if (outerHasAgg) selectScalarSubs else Seq.empty
+    def attachScalarSubs(df: DataFrame, subs: Seq[QuerySpec]): DataFrame =
+      subs.foldLeft(df) { (acc, s2) =>
         if (s2.select.length != 1)
           throw CompileException("scalar subquery must select exactly one item")
         val a = analyzeSub(s2) // also rejects outer refs outside sub WHERE
-        if (a.pairs.nonEmpty)
-          throw CompileException("scalar subqueries must be uncorrelated")
-        def hasAggAst(o: Operand): Boolean = o match {
-          case _: OAgg | _: OAggX => true
-          case OArith(_, l, r) => hasAggAst(l) || hasAggAst(r)
-          case ONeg(x)         => hasAggAst(x)
-          case OFn(_, as)      => as.exists(hasAggAst)
-          case OCast(x, _)     => hasAggAst(x)
-          case OCase(bs, o2)   =>
-            bs.exists { case (_, v) => hasAggAst(v) } || o2.exists(hasAggAst)
-          case _               => false
+        if (a.pairs.isEmpty) {
+          val aggShaped = s2.select.head match {
+            case AggItem(_, _)  => true
+            case ExprItem(e, _) => hasAggAst(e)
+            case _              => false
+          }
+          if (!((aggShaped && s2.groupBy.isEmpty) || s2.limit.contains(1)))
+            throw CompileException(
+              "scalar subquery must be single-row: an ungrouped aggregate " +
+                "or LIMIT 1")
+          // compile the ORIGINAL spec (ORDER BY intact for the LIMIT 1 form)
+          acc.crossJoin(broadcast(compile(s2, families).toDF(scalarColName(s2))))
+        } else {
+          // correlated: the single item must be a BARE aggregate call so
+          // the empty-group value is known exactly (NULL for sum/avg/
+          // min/max, 0 for the counts — an expression AROUND the
+          // aggregate would need evaluation over the empty group, which
+          // a join cannot express)
+          val isCount = s2.select.head match {
+            case AggItem(f, _)           => f.startsWith("count")
+            case ExprItem(OAgg(f, _), _)  => f.startsWith("count")
+            case ExprItem(OAggX(f, _), _) => f.startsWith("count")
+            case _ => throw CompileException(
+              "correlated scalar subquery must select a single bare " +
+                "aggregate (count/sum/avg/min/max over a field or expression)")
+          }
+          // analyzeSub rejected GROUP BY/HAVING/DISTINCT/LIMIT already;
+          // grouping by the correlation keys makes it one row per key —
+          // the single-row proof per outer row
+          val keyCols = a.pairs.indices.map(i => s"${scalarColName(s2)}_k$i")
+          val spec2 = a.local.copy(
+            select = a.local.select ++ a.pairs.map(p => FieldItem(p._2)),
+            groupBy = a.pairs.map(_._2))
+          val named = compile(spec2, families)
+            .toDF(scalarColName(s2) +: keyCols: _*)
+          val cond = a.pairs.zip(keyCols).map { case ((of, _), kn) =>
+            col(of.inName) === col(kn)
+          }.reduce(_ && _)
+          val joined2 = acc.join(named, cond, "left").drop(keyCols: _*)
+          if (isCount)
+            joined2.withColumn(scalarColName(s2),
+              coalesce(col(scalarColName(s2)), lit(0L)))
+          else joined2
         }
-        val aggShaped = s2.select.head match {
-          case AggItem(_, _)  => true
-          case ExprItem(e, _) => hasAggAst(e)
-          case _              => false
-        }
-        if (!((aggShaped && s2.groupBy.isEmpty) || s2.limit.contains(1)))
-          throw CompileException(
-            "scalar subquery must be single-row: an ungrouped aggregate " +
-              "or LIMIT 1")
-        // compile the ORIGINAL spec (ORDER BY intact for the LIMIT 1 form)
-        acc.crossJoin(broadcast(compile(s2, families).toDF(scalarColName(s2))))
       }
 
     /** Apply one subquery conjunct to the filtered outer frame as a
@@ -990,7 +1048,7 @@ object Compiler {
       case _: InSubE | _: ExistsE => true
       case _ => false
     }
-    val withScalars = attachScalarSubs(joined)
+    val withScalars = attachScalarSubs(joined, preScalarSubs)
     val filtered0 = plainPreds.reduceOption(AndE)
       .fold(withScalars)(w => withScalars.filter(exprColumn(w, aggOk = false)))
     val filtered = subPreds.zipWithIndex.foldLeft(filtered0) {
@@ -1133,7 +1191,11 @@ object Compiler {
           agg.as(aggXColName(f, e))
       }
       val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
+      val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
+      // SELECT-item scalar subs attach AFTER the aggregation (one
+      // broadcast row onto the grouped output; pre-agg they'd be
+      // swallowed by the groupBy)
+      attachScalarSubs(havd, postScalarSubs)
     } else filtered
 
     // --- ORDER BY / DISTINCT / LIMIT / final projection ------------------

@@ -249,6 +249,29 @@ object BoostQueries {
         "WHERE purchase > (SELECT avg(purchase) FROM dom.events) " +
         "ORDER BY purchase.event_id")),
 
+    // scalar subqueries as SELECT items: each distinct uncorrelated sub
+    // is one broadcast row cross-joined onto the outer frame (max/count
+    // are order-exact aggregates, safe for the cross-engine compare)
+    "boost_scalar_select" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase, " +
+        "(SELECT max(click) FROM dom.events) AS mxc, " +
+        "(SELECT count(*) FROM dom.events WHERE error > 250.0) AS nerr " +
+        "FROM dom.events WHERE purchase > 300.0 ORDER BY purchase.event_id")),
+
+    // correlated scalar subqueries (equality correlation, the IN/EXISTS
+    // machinery): decorrelate to groupBy-on-keys + LEFT join — the WHERE
+    // one as a per-user threshold (NULL comparison drops matchless
+    // rows), the SELECT one a per-user COUNT (empty groups coalesce to
+    // 0, the ANSI empty-group count)
+    "boost_scalar_corr" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, " +
+        "(SELECT count(b.click) FROM dom.events AS b " +
+        "WHERE b.click.user = a.purchase.user) AS nclicks " +
+        "FROM dom.events AS a " +
+        "WHERE a.purchase < (SELECT max(c.error) FROM dom.events AS c " +
+        "WHERE c.error.user = a.purchase.user) " +
+        "ORDER BY a.purchase.event_id")),
+
     // conditional aggregation: sum/max over CASE expressions plus an
     // exact integer-cents sum (CAST truncates toward zero, both engines)
     "boost_cond_agg" -> ((s, d) =>
@@ -420,6 +443,28 @@ object BoostQueries {
         |FROM events WHERE event_type = 'purchase'
         |  AND value > (SELECT AVG(value) FROM events
         |               WHERE event_type = 'purchase')
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_scalar_select" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value AS purchase,
+        |  (SELECT MAX(value) FROM events WHERE event_type = 'click') AS mxc,
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE event_type = 'error' AND value > 250.0) AS nerr
+        |FROM events WHERE event_type = 'purchase' AND value > 300.0
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_scalar_corr" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS purchase_event_id,
+        |  a.value AS purchase,
+        |  (SELECT COUNT(b.value) FROM events b
+        |   WHERE b.event_type = 'click'
+        |     AND CAST(b.user_id AS VARCHAR) = CAST(a.user_id AS VARCHAR)) AS nclicks
+        |FROM events a
+        |WHERE a.event_type = 'purchase'
+        |  AND a.value < (SELECT MAX(c.value) FROM events c
+        |                 WHERE c.event_type = 'error'
+        |                   AND CAST(c.user_id AS VARCHAR) = CAST(a.user_id AS VARCHAR))
         |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_cond_agg" ->

@@ -1098,22 +1098,75 @@ class BoostQLSpec extends SparkSpec {
         "(SELECT purchase FROM dom.events ORDER BY purchase DESC LIMIT 1)"), fam)
     assert(lim1.count() >= 1)
 
-    // validation: multi-row sub, correlation, and non-WHERE positions
+    // validation: multi-row sub, and positions beyond WHERE/SELECT
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
         "SELECT purchase FROM dom.events " +
           "WHERE purchase > (SELECT purchase FROM dom.events)"), fam)
     }
+    intercept[Compiler.CompileException] { // ORDER BY position rejected
+      Compiler.compile(Parser.parse(
+        "SELECT purchase FROM dom.events " +
+          "ORDER BY (SELECT max(purchase) FROM dom.events)"), fam)
+    }
+  }
+
+  test("scalar subqueries in SELECT and correlated forms") {
+    import org.apache.spark.sql.functions.{col => c, element_at, max => smax}
+    // uncorrelated in SELECT: one broadcast value on every row
+    val mx = fam.filter(c("series") === "click")
+      .agg(smax("value")).collect()(0).getDouble(0)
+    val sel = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, (SELECT max(click) FROM dom.events) AS mx " +
+        "FROM dom.events ORDER BY purchase.event_id LIMIT 5"), fam)
+    val rows = sel.collect()
+    assert(rows.length == 5 && rows.forall(_.getDouble(1) == mx))
+    // uncorrelated in SELECT of a GROUPED query: attaches post-agg
+    val selAgg = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, count(*) AS n, " +
+        "(SELECT max(click) FROM dom.events) AS mx " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(selAgg.collect().forall(_.getDouble(2) == mx))
+
+    // correlated max in WHERE: per-user threshold via groupBy + left join
+    val perUserMaxErr = fam.filter(c("series") === "error")
+      .select(element_at(c("attributes"), "user").as("u"), c("value"))
+      .groupBy("u").agg(smax("value").as("m"))
+    val expected = fam.filter(c("series") === "purchase")
+      .select(element_at(c("attributes"), "user").as("u"), c("value"))
+      .join(perUserMaxErr, Seq("u"), "left")
+      .filter(c("value") < c("m")).count()
+    val corr = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase FROM dom.events AS a " +
+        "WHERE a.purchase < (SELECT max(b.error) FROM dom.events AS b " +
+        "WHERE b.error.user = a.purchase.user)"), fam)
+    assert(corr.count() == expected && expected > 0)
+
+    // correlated COUNT in SELECT: empty groups coalesce to 0, not NULL
+    val nclicks = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, " +
+        "(SELECT count(b.click) FROM dom.events AS b " +
+        "WHERE b.click.user = a.purchase.user AND b.click > 290.0) AS nc " +
+        "FROM dom.events AS a ORDER BY a.purchase.event_id"), fam)
+    val ncRows = nclicks.collect()
+    assert(ncRows.forall(!_.isNullAt(1)), "COUNT must never be NULL")
+    assert(ncRows.exists(_.getLong(1) == 0L), "some user has no click > 290")
+    assert(ncRows.exists(_.getLong(1) > 0L), "some user has clicks > 290")
+
+    // validation: a correlated sub must be a single bare aggregate, and
+    // correlated SELECT subs need an ungrouped outer query
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
-        "SELECT a.purchase FROM dom.events AS a WHERE a.purchase > " +
-          "(SELECT avg(b.error) FROM dom.events AS b " +
+        "SELECT a.purchase FROM dom.events AS a " +
+          "WHERE a.purchase < (SELECT max(b.error) + 1.0 FROM dom.events AS b " +
           "WHERE b.error.user = a.purchase.user)"), fam)
     }
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
-        "SELECT (SELECT avg(purchase) FROM dom.events) AS m " +
-          "FROM dom.events"), fam)
+        "SELECT a.purchase.user, count(*) AS n, " +
+          "(SELECT max(b.error) FROM dom.events AS b " +
+          "WHERE b.error.user = a.purchase.user) AS m " +
+          "FROM dom.events AS a GROUP BY a.purchase.user"), fam)
     }
   }
 
