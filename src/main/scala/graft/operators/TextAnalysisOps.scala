@@ -415,4 +415,57 @@ object TextAnalysisOps {
         graft.functions.GraftFunctions.denseNormalize(
           col("bs"), col("ws"), dim).as("tfidf"))
   }
+
+  /** Exact-arithmetic sparse TF-IDF cosine top-k — the oracle-able twin
+    * of the float-kernel ANN path ([[tfidfVectors]] +
+    * [[VectorSearchOps.bruteForceTopK]]): idf quantizes to integer
+    * 1e-4-nat units (the [[bigramLmScore]] trick), so bucket weights,
+    * norms and dot products are associativity-free long arithmetic and
+    * the final cosine is the same IEEE division on any engine —
+    * hash-comparable against a SQL replay, not just rows-counted.
+    *
+    * Scale shape: tf/df are map-side-combined aggregates keyed on
+    * (doc, token) / token; the query side (ids < `queryMaxId`) is a
+    * broadcast sparse matrix of ≤ `dim` entries per query, so the
+    * corpus never shuffles for the dot products — one narrow join on
+    * the bucket id then a (q_id, doc) partial aggregate. Top-k is a
+    * per-query WindowGroupLimit.
+    *
+    * Bound check for the longs: with quantized idf ≤ ~8e4·(1+ln N) and
+    * per-doc token counts in the thousands, weights stay ≤ ~1e8,
+    * squares ≤ ~1e16, and 256-bucket sums ≤ ~2.6e18 < 2^63.
+    */
+  def tfidfCosineTopK(df: DataFrame, idCol: String, textCol: String,
+      queryMaxId: Long, k: Int, dim: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = 10000.0
+    val t = df.select(col(idCol).as("__id"), toks(col(textCol)).as("t"))
+    val tf = t.select(col("__id"), explode(col("t")).as("tok"))
+      .groupBy("__id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = t.agg(count(lit(1)).as("n_docs"))
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dim))
+    val sparse = tf.join(dfc, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("wq", col("tf") *
+        round((log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1.0) * quant).cast("long"))
+      .groupBy(col("__id"), bucket.as("b"))
+      .agg(sum("wq").cast("long").as("w"))
+    val norms = sparse.groupBy("__id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("long").cast("double")).as("nrm"))
+    val qs = sparse.filter(col("__id") < queryMaxId)
+      .select(col("__id").as("q_id"), col("b"), col("w").as("qw"))
+    val qn = norms.filter(col("__id") < queryMaxId)
+      .select(col("__id").as("q_id"), col("nrm").as("qn"))
+    val dots = sparse.join(broadcast(qs), Seq("b"))
+      .groupBy("q_id", "__id")
+      .agg(sum(col("w") * col("qw")).cast("long").as("dot"))
+    val scored = dots.join(norms, Seq("__id")).join(broadcast(qn), Seq("q_id"))
+      .withColumn("cos", col("dot").cast("double") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("__id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("__id").as("nbr_id"), col("cos"))
+  }
 }

@@ -240,15 +240,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // text → hashed-TF-IDF vectors → cosine top-k: the ANN tier running
-    // on raw text with no external embedding model (rows-only: the
-    // hashed feature space is graft's own; properties in PipelineSpec)
-    "ann_tfidf" -> ((s, d) => {
-      val v = TextAnalysisOps.tfidfVectors(docs(s, d), "doc_id", "text")
-      VectorSearchOps.bruteForceTopK(v, v.filter(col("doc_id") < 3),
-          "doc_id", "tfidf", 10)
-        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
-    }),
+    // text → hashed-TF-IDF → cosine top-k: the ANN tier running on raw
+    // text with no external embedding model. The exact-integer sparse
+    // formulation (idf in 1e-4-nat units) makes every weight, norm and
+    // dot product associativity-free long arithmetic, so the cosine —
+    // and with it the ranking — hash-matches the DuckDB SQL replay; the
+    // float-kernel path (tfidfVectors + bruteForceTopK) stays covered
+    // by PipelineSpec parity tests.
+    "ann_tfidf" -> ((s, d) =>
+      TextAnalysisOps.tfidfCosineTopK(docs(s, d), "doc_id", "text",
+          queryMaxId = 3L, k = 10)
+        .orderBy("q_id", "rank")),
 
     "dd_ngram_jaccard" -> ((s, d) =>
       TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text")
@@ -542,6 +544,39 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, logw_micro FROM
         |  (SELECT * FROM dw ORDER BY logw_micro DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // the exact-integer sparse TF-IDF replay: same tokenizer (single-
+    // space split), same md5-prefix bucket, same 1e-4-nat idf
+    // quantization → identical longs, identical IEEE cosine division
+    "ann_tfidf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM t),
+        |sparse AS (
+        |  SELECT doc_id,
+        |    CAST(from_hex(substr(md5(tok), 1, 8))::BIT::UINTEGER AS BIGINT) % 256 AS b,
+        |    CAST(SUM(tf * CAST(ROUND((LN(CAST(n_docs + 1 AS DOUBLE)
+        |      / CAST(df + 1 AS DOUBLE)) + 1) * 10000) AS BIGINT)) AS BIGINT) AS w
+        |  FROM tf JOIN dfc USING (tok) CROSS JOIN n
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sqrt(CAST(CAST(SUM(w * w) AS BIGINT) AS DOUBLE)) AS nrm
+        |          FROM sparse GROUP BY doc_id),
+        |dots AS (SELECT q.doc_id AS q_id, c.doc_id AS nbr_id,
+        |    CAST(SUM(c.w * q.w) AS BIGINT) AS dot
+        |  FROM sparse c JOIN (SELECT * FROM sparse WHERE doc_id < 3) q USING (b)
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT q_id, nbr_id,
+        |    CAST(dot AS DOUBLE) / (qn.nrm * cn.nrm) AS cos
+        |  FROM dots JOIN norms qn ON qn.doc_id = q_id
+        |            JOIN norms cn ON cn.doc_id = nbr_id)
+        |SELECT q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nbr_id)
+        |    AS BIGINT) AS rank,
+        |  nbr_id, cos
+        |FROM scored QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     "txt_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
