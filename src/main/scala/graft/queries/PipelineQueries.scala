@@ -413,6 +413,29 @@ object PipelineQueries {
           sha2(col("payload"), 256).as("sha_hex"))
         .orderBy("doc_id")),
 
+    // audio metadata e2e through REAL payloads: per doc, a genuine PCM
+    // WAV (RIFF header + samples, written by javax.sound.sampled with
+    // doc_id-derived rate/channels/frames) is decoded back by the same
+    // pure-JVM parser — the oracle recomputes the expected header
+    // fields analytically from the derivation. Closes the audio half of
+    // the multimodal stub; compressed formats remain the declared stub.
+    "mm_audio" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val rate = 8000 + (id % 4).toInt * 4000
+        val ch = 1 + (id % 2).toInt
+        val frames = 400 + (id % 100).toInt
+        graft.multimodal.MediaRow(id, "wav",
+          graft.multimodal.MultimodalOps.AudioCodec.syntheticWav(rate, ch, frames))
+      }
+      graft.multimodal.MultimodalOps.extractAudioMeta(media)
+        .filter(col("real_decode"))
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"), col("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: dup-token / dup-bigram /
     // top-bigram fractions per document (TextAnalysisOps.repetitionStats)
     "txt_repetition" -> ((s, d) =>
@@ -711,6 +734,19 @@ object PipelineQueries {
     "mm_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the WAV payloads are constructed with doc_id-derived parameters,
+    // so the decoded header fields are analytically known; a row only
+    // matches if the real RIFF parse round-tripped every field
+    "mm_audio" ->
+      """SELECT doc_id,
+        |  8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |  1 + doc_id % 2 AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  400 + doc_id % 100 AS n_frames,
+        |  CAST(FLOOR(CAST((400 + doc_id % 100) * 1000 AS DOUBLE)
+        |    / (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // 0.9 * 2^32 = 3865470566 = 0xe6666666; fixed-width lowercase hex

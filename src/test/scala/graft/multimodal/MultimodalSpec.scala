@@ -41,6 +41,33 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.StubCodec.decodeDims(junk))
   }
 
+  test("real WAV payloads round-trip header metadata via javax.sound.sampled") {
+    // construct a genuine PCM WAV and parse it back: every header field
+    // must survive (this is the audio half of the former stub, now real)
+    val wav = MultimodalOps.AudioCodec.syntheticWav(
+      sampleRate = 16000, channels = 2, nFrames = 480)
+    assert(wav.length > 44, "RIFF header + samples")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(MultimodalOps.AudioCodec.decodeMeta(wav) ==
+      Some((16000, 2, 16, 480L)))
+    // and through the Spark plumbing end to end
+    val session = spark
+    import session.implicits._
+    val ds = Seq(
+      MediaRow(1L, "wav", wav),
+      MediaRow(2L, "mp3", "not audio at all".getBytes("UTF-8"))).toDS()
+    val metas = MultimodalOps.extractAudioMeta(ds)
+      .collect().sortBy(_.media_id)
+    assert(metas(0).real_decode &&
+      metas(0).sample_rate == 16000 && metas(0).channels == 2 &&
+      metas(0).bits == 16 && metas(0).n_frames == 480 &&
+      metas(0).duration_ms == 30)
+    // unrecognized payloads take the deterministic stub, flagged as such
+    assert(!metas(1).real_decode)
+    assert(MultimodalOps.extractAudioMeta(ds).collect().sortBy(_.media_id)
+      .toSeq == metas.toSeq, "stub + real decode are deterministic")
+  }
+
   test("asMedia produces the opaque-payload schema") {
     val sch = media.schema
     assert(sch.fieldNames.toSeq == Seq("media_id", "format", "payload"))
