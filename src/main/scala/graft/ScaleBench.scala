@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-linearity proof for the dedup/ANN/pipeline tier: generate a
-  * deterministic 10x corpus from the base scale factor, bench the tier
-  * at both scales with the same median-of-N harness, and emit
-  * BENCH_scale.json with per-query growth ratios.
+/** Scale-linearity proof: generate a deterministic Nx corpus from the
+  * base scale factor, bench a query tier at both scales with the same
+  * median-of-N harness, and emit a JSON artifact with per-query growth
+  * ratios. Two tiers (SPARK_GRAFT_SCALE_TIER):
+  *
+  *  - `curation` (default): documents/embeddings replicas feeding the
+  *    dd_/ann_/graph_/pipe_/txt_ queries;
+  *  - `relational`: events + TPC-H replicas feeding the boost_/ts_/q_
+  *    queries (the dialect, time-series and relational tiers).
   *
   * Corpus construction (no RNG — byte-identical across runs):
   *  - ids offset by replica * 100M (keeps them integral and disjoint);
@@ -20,7 +25,13 @@ import org.apache.spark.sql.functions._
   *    into 10x-size blobs (which would make pair output quadratic by
   *    construction and prove nothing about the operators);
   *  - embedding components get a tiny per-replica additive offset
-  *    (cosine-visible; a multiplicative one would be cosine-invariant).
+  *    (cosine-visible; a multiplicative one would be cosine-invariant);
+  *  - events replicas offset event_id/user_id (joins stay within a
+  *    replica: per-user cardinalities constant, so join output grows
+  *    reps×, never reps²×) and shift ts by 35 days per replica (the
+  *    time axis grows reps× at constant per-window density);
+  *  - TPC-H fact replicas offset every join key the same way;
+  *    nation/region are shared dimensions, copied unchanged.
   *
   * dd_embed_cosine is excluded: exact all-pairs at a threshold is
   * quadratic by contract (documented; scale-safe lshCandidates route
@@ -57,10 +68,54 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** events + TPC-H replicas for the relational/ts tier. `ts` is read
+    * as raw nanos longs (the same legacy conf `Tables.events` uses on
+    * the TIMESTAMP(NANOS) base file) and written back as a plain long
+    * column — `Tables.events`' `ts div 1000` conversion handles both.
+    */
+  def generateRelational(spark: SparkSession, baseDir: String, outDir: String,
+      reps: Int): Unit = {
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dayNanos = 86400L * 1000000000L
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until reps).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * IdOffset)).as("event_id"),
+        (col("ts") + lit(k * 35L * dayNanos)).as("ts"),
+        (col("user_id") + lit(k * IdOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    def rep(table: String, keys: Set[String]): Unit = {
+      val df = spark.read.parquet(s"$baseDir/$table.parquet")
+      val cols = df.columns.toSeq
+      (0 until reps).map { k =>
+        df.select(cols.map(c =>
+          if (keys(c)) (col(c) + lit(k * IdOffset)).as(c) else col(c)): _*)
+      }.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    rep("customer", Set("c_custkey"))
+    rep("orders",   Set("o_orderkey", "o_custkey"))
+    rep("lineitem", Set("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("supplier", Set("s_suppkey"))
+    rep("part",     Set("p_partkey"))
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outJson = args.headOption.getOrElse("BENCH_scale.json")
-    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val tierName = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "curation")
+    val relational = tierName == "relational"
+    val outJson = args.headOption.getOrElse(
+      if (relational) "BENCH_scale_rel.json" else "BENCH_scale.json")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      if (relational) "/tmp/graft_scale_rel10" else "/tmp/graft_scale10")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,10 +126,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(s"$scaleDir/documents.parquet")) ||
+    val marker = if (relational) "events.parquet" else "documents.parquet"
+    if (!Files.exists(Paths.get(s"$scaleDir/$marker")) ||
         sys.env.contains("SPARK_GRAFT_REGEN")) {
-      System.err.println(s"[scale] generating ${reps}x corpus under $scaleDir")
-      generate(spark, baseDir, scaleDir, reps)
+      System.err.println(s"[scale] generating ${reps}x $tierName corpus under $scaleDir")
+      if (relational) generateRelational(spark, baseDir, scaleDir, reps)
+      else generate(spark, baseDir, scaleDir, reps)
     }
 
     // dd_embed_cosine: exact all-pairs, quadratic by contract.
@@ -84,13 +141,24 @@ object ScaleBench {
     // can't express honestly. Both documented at the operator.
     val excluded = Set("dd_embed_cosine", "dd_semantic")
     val tier = SparkEntry.queries.filter { case (n, _) =>
-      (n.startsWith("dd_") || n.startsWith("ann_") || n.startsWith("graph_") ||
-        n.startsWith("pipe_") || n.startsWith("txt_")) && !excluded.contains(n)
+      if (relational)
+        // the stream_ tier replays state-store micro-batches whose
+        // startup floor dominates at these scales — measured in the
+        // main bench, excluded from the growth-ratio harness
+        n.startsWith("boost_") || n.startsWith("ts_") || n.startsWith("q")
+      else
+        (n.startsWith("dd_") || n.startsWith("ann_") || n.startsWith("graph_") ||
+          n.startsWith("pipe_") || n.startsWith("txt_")) && !excluded.contains(n)
     }
     // warm both corpora (footers, page cache, codegen)
+    val warmTables =
+      if (relational) Seq("events", "lineitem", "orders", "customer",
+        "supplier", "part", "nation", "region")
+      else Seq("documents", "embeddings")
     Seq(baseDir, scaleDir).foreach { d =>
-      Seq("documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$d/$t.parquet").count()
+      warmTables.foreach { t =>
+        try spark.read.parquet(s"$d/$t.parquet").count()
+        catch { case _: Throwable => () }
       }
     }
     System.err.println(s"[scale] benching ${tier.size} queries at base scale")

@@ -74,6 +74,34 @@ object BasicQuery {
       "UNION ALL SELECT view.event_id, view FROM dom.events WHERE view > 240.0 " +
       "ORDER BY 2 DESC LIMIT 5").show()
 
+    println("== time-series SQL front: bucket / delta / rate / locf")
+    run("SELECT CAST(bucket(ts, '1 day') AS int) AS day, count(click) AS n, " +
+      "min(click) AS lo, max(click) AS hi FROM dom.events " +
+      "GROUP BY CAST(bucket(ts, '1 day') AS int) ORDER BY day LIMIT 5").show()
+    run("SELECT click.event_id, click, delta(click) AS d, rate(click) AS r, " +
+      "locf(CASE WHEN click > 100.0 THEN click END) AS filled " +
+      "FROM dom.events ORDER BY click.event_id LIMIT 5").show()
+
+    println("== RANGE interval frame: trailing-2-day moving sum per user")
+    run("SELECT purchase.event_id, purchase, " +
+      "sum(purchase) OVER (PARTITION BY purchase.user ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND CURRENT ROW) AS sum_2d " +
+      "FROM dom.events ORDER BY purchase.event_id LIMIT 5").show()
+
+    println("== correlated scalar subqueries (decorrelated to groupBy + left join)")
+    run("SELECT a.purchase.event_id, a.purchase, " +
+      "(SELECT count(b.click) FROM dom.events AS b " +
+      "WHERE b.click.user = a.purchase.user) AS user_clicks " +
+      "FROM dom.events AS a " +
+      "WHERE a.purchase < (SELECT max(c.error) FROM dom.events AS c " +
+      "WHERE c.error.user = a.purchase.user) " +
+      "ORDER BY a.purchase DESC LIMIT 5").show()
+
+    println("== backtick-quoted identifiers escape reserved words")
+    run("SELECT `purchase`.`user` AS `current`, count(*) AS n " +
+      "FROM dom.events GROUP BY `purchase`.`user` " +
+      "ORDER BY n DESC LIMIT 5").show()
+
     spark.stop()
   }
 }

@@ -62,6 +62,29 @@ class PlanShapeSpec extends SparkSpec {
       s"cartesian product planned in: ${offenders.mkString(", ")}")
   }
 
+  test("correlated scalar subqueries plan keyed joins, never per-row rescans") {
+    // decorrelation must produce a keyed LEFT join against the grouped
+    // sub (plus the one-row broadcast for any uncorrelated sibling) —
+    // no cartesian product, no nested-loop over a multi-row side
+    val plan = planOf(SparkEntry.queries("boost_scalar_corr")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"correlated scalar sub must not plan a cartesian product:\n$plan")
+    assert(plan.contains("LeftOuter"),
+      s"decorrelation should plan LEFT joins on the correlation keys:\n$plan")
+  }
+
+  test("dialect time bucketing stays a codegen'd projection (no UDF, no extra shuffle)") {
+    // bucket() is micros arithmetic: the only exchanges are the
+    // aggregation's partial/final pair and the presentation sort
+    val plan = planOf(SparkEntry.queries("boost_ts_bucket")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bucket() must compile to built-in arithmetic:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"bucketed aggregation should plan at most agg + sort exchanges ($exchanges):\n$plan")
+  }
+
   test("dd_minhash_lsh computes the signature pipeline once (exchange reuse)") {
     val plan = planOf(SparkEntry.queries("dd_minhash_lsh")(spark, sfDir))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
