@@ -596,6 +596,18 @@ object Compiler {
     def winColumn(w: OWin, aggOk: Boolean): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
       val OWin(fn, args, part, ord, frame) = w
+      // the time-series functions accept OVER for PARTITION BY only
+      // (`rate(cpu) OVER (PARTITION BY cpu.host)` — per-key series);
+      // their ORDER BY is the time axis by definition, and frames make
+      // no sense over consecutive-point semantics
+      if (tsWinFns.contains(fn)) {
+        if (ord.nonEmpty) throw CompileException(
+          s"$fn() orders by the time axis implicitly — OVER may only " +
+            "carry PARTITION BY")
+        if (frame.isDefined)
+          throw CompileException(s"$fn() does not take a window frame")
+        return tsWinColumn(fn, args, aggOk, part)
+      }
       def arg(i: Int): Column = {
         if (args.length <= i)
           throw CompileException(s"$fn needs ${i + 1} argument(s)")
@@ -711,7 +723,8 @@ object Compiler {
       * pull-based series iterator); at scale the parallel unit is the
       * series/family, not intra-series row order.
       */
-    def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean): Column = {
+    def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean,
+        part: Seq[RawName] = Seq.empty): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
       if (args.length != 1)
         throw CompileException(s"$fn() expects exactly 1 argument")
@@ -724,7 +737,8 @@ object Compiler {
               "multi-source query")
         }
       val c = operandColumn(args.head, aggOk)
-      val w = W.orderBy(col(axis).asc)
+      val w = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
+        .orderBy(col(axis).asc)
       fn match {
         case "delta" => c - lag(c, 1).over(w)
         case "rate" =>

@@ -317,6 +317,13 @@ object BoostQueries {
       run(s, d, "SELECT click.event_id, rate(click) AS r " +
         "FROM dom.events ORDER BY click.event_id")),
 
+    // partitioned time-series function: rate per user — OVER carries
+    // PARTITION BY only, the time order stays implicit
+    "boost_ts_rate_user" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "rate(click) OVER (PARTITION BY click.user) AS r " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // locf(x): last-observation-carried-forward over the time axis; the
     // CASE synthesizes the nulls to fill (values <= 100 carry the last
     // larger observation forward)
@@ -633,6 +640,17 @@ object BoostQueries {
         |    value - LAG(value) OVER w AS dv,
         |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
         |  FROM events WHERE event_type = 'click' WINDOW w AS (ORDER BY ts))
+        |ORDER BY click_event_id""".stripMargin,
+
+    "boost_ts_rate_user" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  CASE WHEN dt_us > 0 THEN dv / (CAST(dt_us AS DOUBLE) / 1e6) END AS r
+        |FROM (
+        |  SELECT event_id,
+        |    value - LAG(value) OVER w AS dv,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |ORDER BY click_event_id""".stripMargin,
 
     "boost_window_range" ->

@@ -1288,6 +1288,23 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException] { // GROUP BY expr must match a select item
       Parser.parse("SELECT click.user FROM dom.events GROUP BY bucket(ts, '1 hour')")
     }
+
+    // partitioned form: OVER carries PARTITION BY only; time order is
+    // implicit, so a window ORDER BY or frame is a loud error
+    val perUser = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, delta(click) OVER (PARTITION BY click.user) AS d " +
+        "FROM dom.events ORDER BY click.event_id"), fam)
+    assert(perUser.count() > 0)
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT delta(click) OVER (PARTITION BY click.user ORDER BY click) AS d " +
+          "FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT delta(click) OVER (PARTITION BY click.user " +
+          "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS d FROM dom.events"), fam)
+    }
   }
 
   test("RANGE interval window frames over the time axis") {
