@@ -163,6 +163,15 @@ object ScaleBench {
     }
     System.err.println(s"[scale] benching ${tier.size} queries at base scale")
     val (baseT, baseF) = Bench.run(spark, baseDir, tier, iters)
+    // Symmetry between the two timed phases: the base phase starts with
+    // a cold cache, so the scaled phase must too. Holding the base
+    // corpus's persisted family frames through the scaled run inflates
+    // GC debt one-sidedly — measured to distort scaled medians up to
+    // ~3x (q4_having read 9.1x at 10x data in the shared heap, 2.1x in
+    // a clean one).
+    graft.boostql.BoostQL.evictTestdataCache(Some(spark))
+    spark.catalog.clearCache()
+    System.gc()
     System.err.println(s"[scale] benching at ${reps}x")
     val (scaleT, scaleF) = Bench.run(spark, scaleDir, tier, iters)
 
