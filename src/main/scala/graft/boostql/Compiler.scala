@@ -2,6 +2,7 @@ package graft.boostql
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import Ast._
 
@@ -149,7 +150,14 @@ object Compiler {
     * tie-break is needed; placement follows OWin's rules (SELECT items /
     * ORDER BY only, no GROUP BY combination).
     */
-  private val tsWinFns = Set("rate", "delta", "locf")
+  private val tsWinFns = Set("rate", "delta", "locf", "ewma")
+
+  /** Whole-partition series statistics (`zscore`): no time order — the
+    * statistic is over the entire series (or each OVER partition), so
+    * OVER may carry PARTITION BY only, same placement rules as the
+    * ordered time-series functions.
+    */
+  private val tsPartFns = Set("zscore")
 
   /** `bucket(ts, '<n> <unit>')` bucket width in microseconds. Units:
     * second/minute/hour/day (epoch-aligned — 1970-01-01 floor; larger
@@ -560,7 +568,7 @@ object Compiler {
       // WHERE / GROUP BY); rate/delta/locf carry an implicit window over
       // the source's time axis, so they follow OWin's placement rules
       case OFn("bucket", args) => bucketColumn(args)
-      case OFn(fn, args) if tsWinFns.contains(fn) =>
+      case OFn(fn, args) if tsWinFns.contains(fn) || tsPartFns.contains(fn) =>
         if (!winOk) throw CompileException(
           s"$fn() is a time-series window function — allowed in SELECT " +
             "items and ORDER BY only")
@@ -600,7 +608,7 @@ object Compiler {
       // (`rate(cpu) OVER (PARTITION BY cpu.host)` — per-key series);
       // their ORDER BY is the time axis by definition, and frames make
       // no sense over consecutive-point semantics
-      if (tsWinFns.contains(fn)) {
+      if (tsWinFns.contains(fn) || tsPartFns.contains(fn)) {
         if (ord.nonEmpty) throw CompileException(
           s"$fn() orders by the time axis implicitly — OVER may only " +
             "carry PARTITION BY")
@@ -726,8 +734,9 @@ object Compiler {
     def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean,
         part: Seq[RawName] = Seq.empty): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
-      if (args.length != 1)
-        throw CompileException(s"$fn() expects exactly 1 argument")
+      val arity = if (fn == "ewma") 2 else 1
+      if (args.length != arity)
+        throw CompileException(s"$fn() expects exactly $arity argument(s)")
       val axis =
         if (!multi) "__ts_0"
         else operandRefs(args.head).map(_.src).distinct match {
@@ -737,6 +746,21 @@ object Compiler {
               "multi-source query")
         }
       val c = operandColumn(args.head, aggOk)
+      if (fn == "zscore") {
+        // Whole-partition statistic: (x - mean) / sample-stddev, spelled
+        // as explicit sums so an integral input keeps S = Σx and
+        // Q = Σx² exact (order-independent long sums) and every
+        // remaining double op is a fixed IEEE sequence — bit-identical
+        // on any engine evaluating the same formula. (The builtin
+        // stddev_samp is a streaming central-moment update — summation-
+        // order-dependent in doubles, so NOT cross-engine stable.)
+        val pw = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
+        val n = count(c).over(pw).cast("double")
+        val s = sum(c).over(pw).cast("double")
+        val q = sum(c * c).over(pw).cast("double")
+        val cd = c.cast("double")
+        return (cd - s / n) / sqrt((q - s * s / n) / (n - lit(1.0)))
+      }
       val w = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
         .orderBy(col(axis).asc)
       fn match {
@@ -748,6 +772,32 @@ object Compiler {
         case "locf" =>
           last(c, ignoreNulls = true)
             .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        case "ewma" =>
+          // y_i = a*x_i + (1-a)*y_(i-1): a running-frame
+          // AggregateWindowFunction — Spark's executor applies one
+          // declarative update per row (O(n) per series, no frame
+          // rescan). Alpha must be a number the plan can pin at compile
+          // time; (0, 1] is the only range where the recurrence is a
+          // convex smoothing. The WindowExpression is built directly
+          // (not via Column.over): the ColumnNode bridge rewraps any
+          // AggregateFunction in an AggregateExpression, which would
+          // strip the function's pinned running ROWS frame.
+          val alpha = args(1) match {
+            case OLit(BFloat(a)) if a > 0.0 && a <= 1.0 => a
+            case OLit(BInt(1))                          => 1.0
+            case _ => throw CompileException(
+              "ewma() alpha must be a numeric literal in (0, 1]")
+          }
+          import org.apache.spark.sql.catalyst.expressions.{
+            Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+            WindowSpecDefinition}
+          ColumnBridge.column(WindowExpression(
+            graft.functions.Ewma(
+              ColumnBridge.expression(c.cast("double")), alpha),
+            WindowSpecDefinition(
+              part.map(p => ColumnBridge.expression(col(ref(p).inName))),
+              Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),
+              UnspecifiedFrame)))
       }
     }
     def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {

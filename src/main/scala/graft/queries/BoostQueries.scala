@@ -332,6 +332,26 @@ object BoostQueries {
         "locf(CASE WHEN view > 100.0 THEN view END) AS filled " +
         "FROM dom.events ORDER BY view.event_id")),
 
+    // ewma(x, a): exponential smoothing y_i = a*x_i + (1-a)*y_(i-1)
+    // over the implicit time axis, seeded y_1 = x_1. A running-frame
+    // native window aggregate — one declarative update per row, O(n)
+    // per series. The oracle replays the identical IEEE recurrence with
+    // a recursive CTE, so the hashes match bit for bit.
+    "boost_ts_ewma" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm " +
+        "FROM dom.events ORDER BY click.event_id")),
+
+    // zscore(x): whole-partition standardization spelled as explicit
+    // S/Q/n sums — an integral input keeps the sums exact (order-
+    // independent), so the remaining double ops are a fixed IEEE
+    // sequence and the result is cross-engine stable (the builtin
+    // stddev's streaming update is not).
+    "boost_ts_zscore" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "zscore(CAST(click * 100.0 AS int)) OVER (PARTITION BY click.user) AS z " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // S5 write path, oracle-checked end to end: append the events
     // family to a fresh warehouse root (date-partitioned, series-sorted
     // — TimeSeriesTable.append, the WriteTagged analogue), reopen it,
@@ -668,6 +688,41 @@ object BoostQueries {
         |    OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled
         |FROM events WHERE event_type = 'view'
-        |ORDER BY view_event_id""".stripMargin
+        |ORDER BY view_event_id""".stripMargin,
+
+    // the recursive CTE replays ewma's exact IEEE recurrence
+    // (0.5*x + 0.5*y, seed y = first x in ts order) one row per
+    // iteration per partition — bit-identical to the running-frame
+    // window aggregate
+    "boost_ts_ewma" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), s AS (
+        |  SELECT event_id, user_id, rn, x, x AS y FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.rn, p.x, 0.5 * p.x + 0.5 * s.y
+        |  FROM pts p JOIN s ON p.user_id = s.user_id AND p.rn = s.rn + 1
+        |)
+        |SELECT CAST(event_id AS VARCHAR) AS click_event_id, y AS sm
+        |FROM s ORDER BY click_event_id""".stripMargin,
+
+    // exact integer S/Q/n per partition, then the same fixed IEEE
+    // formula both sides: (x - S/n) / sqrt((Q - S*S/n) / (n - 1))
+    "boost_ts_zscore" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT event_id, x,
+        |    CAST(COUNT(x) OVER win AS DOUBLE) AS n,
+        |    CAST(SUM(x) OVER win AS DOUBLE) AS s,
+        |    CAST(SUM(x * x) OVER win AS DOUBLE) AS q
+        |  FROM t WINDOW win AS (PARTITION BY user_id)
+        |)
+        |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  (CAST(x AS DOUBLE) - s / n) / sqrt((q - s * s / n) / (n - 1.0)) AS z
+        |FROM w ORDER BY click_event_id""".stripMargin
   )
 }

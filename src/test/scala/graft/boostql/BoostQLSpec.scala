@@ -1307,6 +1307,73 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("ewma and zscore series functions") {
+    import org.apache.spark.sql.functions.{col => c}
+    // ewma: replay the recurrence on the driver over the per-user
+    // ts-ordered series and demand bit-identical doubles
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click, " +
+        "ewma(click, 0.25) OVER (PARTITION BY click.user) AS sm " +
+        "FROM dom.events ORDER BY click.event_id"), fam)
+    val rows = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click, click.user FROM dom.events"), fam)
+      .join(fam.filter(c("series") === "click")
+        .select(org.apache.spark.sql.functions.element_at(
+          c("attributes"), "event_id").as("click_event_id"), c("ts")),
+        "click_event_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val expect = rows.groupBy(_._3).iterator.flatMap { case (_, g) =>
+      var y = Option.empty[Double]
+      g.sortBy(_._4).map { case (id, x, _, _) =>
+        y = Some(y.fold(x)(p => 0.25 * x + 0.75 * p)); (id, y.get)
+      }
+    }.toMap
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got.nonEmpty && got.size == expect.size)
+    assert(got.forall { case (id, v) => expect(id) == v })
+
+    // zscore over a partition standardizes: per-user mean ~ 0
+    val z = Compiler.compile(Parser.parse(
+      "SELECT click.user, zscore(CAST(click * 100.0 AS int)) " +
+        "OVER (PARTITION BY click.user) AS z FROM dom.events"), fam)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val perUser = z.groupBy(_._1).map { case (_, g) => g.map(_._2).sum / g.size }
+    assert(perUser.forall(m => math.abs(m) < 1e-9))
+
+    // validation pins
+    intercept[Compiler.CompileException] { // alpha out of range
+      Compiler.compile(Parser.parse(
+        "SELECT ewma(click, 1.5) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // alpha must be a literal
+      Compiler.compile(Parser.parse(
+        "SELECT ewma(click, click) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // arity
+      Compiler.compile(Parser.parse(
+        "SELECT ewma(click) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // zscore takes one arg
+      Compiler.compile(Parser.parse(
+        "SELECT zscore(click, 2) AS z FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // no window ORDER BY
+      Compiler.compile(Parser.parse(
+        "SELECT zscore(click) OVER (PARTITION BY click.user ORDER BY click) " +
+          "AS z FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // no frames
+      Compiler.compile(Parser.parse(
+        "SELECT ewma(click, 0.5) OVER (PARTITION BY click.user " +
+          "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // not a predicate
+      Compiler.compile(Parser.parse(
+        "SELECT click FROM dom.events WHERE zscore(click) > 1.0"), fam)
+    }
+  }
+
   test("RANGE interval window frames over the time axis") {
     import org.apache.spark.sql.functions.{col => c, element_at, sum => ssum, unix_micros}
     import org.apache.spark.sql.expressions.Window
