@@ -436,6 +436,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // video metadata e2e through REAL containers: per doc, a genuine
+    // minimal MP4 (ftyp + moov/mvhd/trak/tkhd/stts boxes with
+    // doc_id-derived timescale/dims/frame-count) is parsed back by the
+    // pure-JVM ISO-BMFF walker — the oracle recomputes every header
+    // field analytically from the derivation. Container metadata is a
+    // real parse; frame-pixel decode remains the declared stub.
+    "mm_video" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val timescale = Array(600L, 1000L, 90000L)((id % 3).toInt)
+        val nFrames = 24 + id % 72
+        val delta = timescale / 24
+        graft.multimodal.MediaRow(id, "mp4",
+          graft.multimodal.MultimodalOps.VideoCodec.syntheticMp4(
+            timescale, nFrames * delta, 320 + (id % 8).toInt * 160,
+            240 + (id % 6).toInt * 120, nFrames, delta))
+      }
+      graft.multimodal.MultimodalOps.extractVideoMeta(media)
+        .filter(col("real_decode"))
+        .select(col("media_id").as("doc_id"), col("timescale"),
+          col("duration_ms"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: dup-token / dup-bigram /
     // top-bigram fractions per document (TextAnalysisOps.repetitionStats)
     "txt_repetition" -> ((s, d) =>
@@ -748,6 +773,24 @@ object PipelineQueries {
         |  CAST(FLOOR(CAST((400 + doc_id % 100) * 1000 AS DOUBLE)
         |    / (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the MP4 payloads are constructed with doc_id-derived parameters,
+    // so every container field is analytically known; a row only
+    // matches if the ISO-BMFF box walk round-tripped all of them
+    "mm_video" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      ELSE 90000 END AS ts,
+        |    24 + doc_id % 72 AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(ts AS BIGINT) AS timescale,
+        |  CAST(FLOOR(CAST(nf * (ts // 24) * 1000 AS DOUBLE) / ts)
+        |    AS BIGINT) AS duration_ms,
+        |  320 + (doc_id % 8) * 160 AS width,
+        |  240 + (doc_id % 6) * 120 AS height,
+        |  nf AS n_frames
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // 0.9 * 2^32 = 3865470566 = 0xe6666666; fixed-width lowercase hex
     // compares identically as string and as number

@@ -68,6 +68,37 @@ class MultimodalSpec extends SparkSpec {
       .toSeq == metas.toSeq, "stub + real decode are deterministic")
   }
 
+  test("real MP4 payloads round-trip container metadata via box parse") {
+    // construct a genuine ISO-BMFF container and walk it back: movie
+    // timescale/duration, video-track dims (16.16 fixed) and the stts
+    // sample count must all survive
+    val mp4 = MultimodalOps.VideoCodec.syntheticMp4(
+      timescale = 90000L, durationTicks = 90000L * 4, width = 1280,
+      height = 720, nFrames = 96, frameDelta = 3750L)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(MultimodalOps.VideoCodec.decodeMeta(mp4) ==
+      Some((90000L, 360000L, 1280L, 720L, 96L)))
+    // truncated/corrupted payloads are rejected, not mis-parsed
+    assert(MultimodalOps.VideoCodec.decodeMeta(mp4.take(40)) == None)
+    assert(MultimodalOps.VideoCodec.decodeMeta(
+      "mdat garbage not a container".getBytes("UTF-8")) == None)
+    // and through the Spark plumbing end to end
+    val session = spark
+    import session.implicits._
+    val ds = Seq(
+      MediaRow(1L, "mp4", mp4),
+      MediaRow(2L, "avi", "not video at all".getBytes("UTF-8"))).toDS()
+    val metas = MultimodalOps.extractVideoMeta(ds)
+      .collect().sortBy(_.media_id)
+    assert(metas(0).real_decode &&
+      metas(0).timescale == 90000L && metas(0).duration_ms == 4000L &&
+      metas(0).width == 1280L && metas(0).height == 720L &&
+      metas(0).n_frames == 96L)
+    assert(!metas(1).real_decode)
+    assert(MultimodalOps.extractVideoMeta(ds).collect().sortBy(_.media_id)
+      .toSeq == metas.toSeq, "stub + real decode are deterministic")
+  }
+
   test("asMedia produces the opaque-payload schema") {
     val sch = media.schema
     assert(sch.fieldNames.toSeq == Seq("media_id", "format", "payload"))
