@@ -112,10 +112,15 @@ object ScaleBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tierName = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "curation")
     val relational = tierName == "relational"
+    // the streaming tier reuses the relational corpus (it reads only
+    // `events`), so generation and disk are shared with that tier
+    val streaming = tierName == "streaming"
     val outJson = args.headOption.getOrElse(
-      if (relational) "BENCH_scale_rel.json" else "BENCH_scale.json")
+      if (streaming) "BENCH_scale_stream.json"
+      else if (relational) "BENCH_scale_rel.json" else "BENCH_scale.json")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      if (relational) "/tmp/graft_scale_rel10" else "/tmp/graft_scale10")
+      if (relational || streaming) "/tmp/graft_scale_rel10"
+      else "/tmp/graft_scale10")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,11 +131,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val marker = if (relational) "events.parquet" else "documents.parquet"
+    val marker =
+      if (relational || streaming) "events.parquet" else "documents.parquet"
     if (!Files.exists(Paths.get(s"$scaleDir/$marker")) ||
         sys.env.contains("SPARK_GRAFT_REGEN")) {
       System.err.println(s"[scale] generating ${reps}x $tierName corpus under $scaleDir")
-      if (relational) generateRelational(spark, baseDir, scaleDir, reps)
+      if (relational || streaming) generateRelational(spark, baseDir, scaleDir, reps)
       else generate(spark, baseDir, scaleDir, reps)
     }
 
@@ -140,11 +146,16 @@ object ScaleBench {
     // k ∝ n so clusters stay bounded, which this fixed-param harness
     // can't express honestly. Both documented at the operator.
     val excluded = Set("dd_embed_cosine", "dd_semantic")
+    // the events-sourced AvailableNow replays; stream_classify reads
+    // `documents` and belongs to the curation corpus, not this one
+    val streamTier = Set("stream_window_agg", "stream_dedup_count",
+      "stream_session", "stream_join")
     val tier = SparkEntry.queries.filter { case (n, _) =>
-      if (relational)
+      if (streaming) streamTier.contains(n)
+      else if (relational)
         // the stream_ tier replays state-store micro-batches whose
-        // startup floor dominates at these scales — measured in the
-        // main bench, excluded from the growth-ratio harness
+        // startup floor dominates at these scales — measured separately
+        // with a floor/marginal decomposition (tier `streaming`)
         n.startsWith("boost_") || n.startsWith("ts_") || n.startsWith("q")
       else
         (n.startsWith("dd_") || n.startsWith("ann_") || n.startsWith("graph_") ||
@@ -152,7 +163,8 @@ object ScaleBench {
     }
     // warm both corpora (footers, page cache, codegen)
     val warmTables =
-      if (relational) Seq("events", "lineitem", "orders", "customer",
+      if (streaming) Seq("events")
+      else if (relational) Seq("events", "lineitem", "orders", "customer",
         "supplier", "part", "nation", "region")
       else Seq("documents", "embeddings")
     Seq(baseDir, scaleDir).foreach { d =>
@@ -160,6 +172,16 @@ object ScaleBench {
         try spark.read.parquet(s"$d/$t.parquet").count()
         catch { case _: Throwable => () }
       }
+    }
+    // Empty-input guard: a misconfigured source that reads zero files
+    // "scales" perfectly (measured: a symlinked directory source once
+    // streamed nothing and the 10x phase finished in 0.3 s). Demand
+    // rows from one tier query on BOTH corpora before timing anything.
+    val (probeName, probeFn) = tier.toSeq.minBy(_._1)
+    Seq(baseDir, scaleDir).foreach { d =>
+      val n = probeFn(spark, d).count()
+      require(n > 0, s"$probeName returned 0 rows on $d — empty source?")
+      System.err.println(s"[scale] probe $probeName on $d: $n rows")
     }
     System.err.println(s"[scale] benching ${tier.size} queries at base scale")
     val (baseT, baseF) = Bench.run(spark, baseDir, tier, iters)
@@ -185,12 +207,30 @@ object ScaleBench {
       m.map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString("{", ",", "}")
     val totalBase = baseT.map(_._2).sum
     val totalScale = scaleT.map(_._2).sum
+    // Streaming replays pay a per-query micro-batch startup floor that
+    // dwarfs the data cost at these scales, so the raw ratio flatters
+    // them. Decompose T = floor + c*scale from the two measured points:
+    // c = (T_s - T_b) / (reps - 1) is the marginal cost of one more 1x
+    // of data, floor = T_b - c the data-independent replay overhead.
+    // At 100 TB the floor amortizes to nothing and c*scale is the real
+    // bill — c is the number to judge.
+    val decomp =
+      if (!streaming) ""
+      else {
+        val marg = scaleT.flatMap { case (n, t) =>
+          baseMap.get(n).map(b => n -> math.max(t - b, 0.0) / (reps - 1))
+        }
+        val floor = marg.map { case (n, c) =>
+          n -> math.max(baseMap(n) - c, 0.0)
+        }
+        s""""marginal_sec_per_1x":${jmap(marg)},"startup_floor_sec":${jmap(floor)},"""
+      }
     val json =
       s"""{"base_sf":"$baseDir","scale_dir":"$scaleDir","scale_factor":$reps,""" +
       s""""iters":$iters,"excluded":["dd_embed_cosine (quadratic by exact-all-pairs contract)",""" +
       s""""dd_semantic (n^2/k at fixed k; scale recipe is k ~ n, outside a fixed-param harness)"],""" +
       f""""total_base_sec":$totalBase%.3f,"total_scaled_sec":$totalScale%.3f,""" +
-      f""""total_ratio":${totalScale / totalBase}%.2f,""" +
+      f""""total_ratio":${totalScale / totalBase}%.2f,""" + decomp +
       s""""base":${jmap(baseT)},"scaled":${jmap(scaleT)},"ratio":${jmap(ratios)},""" +
       s""""failed_base":${jfail(baseF)},"failed_scaled":${jfail(scaleF)}}"""
     Files.writeString(Paths.get(outJson), json + "\n")

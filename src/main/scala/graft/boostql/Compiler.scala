@@ -150,7 +150,7 @@ object Compiler {
     * tie-break is needed; placement follows OWin's rules (SELECT items /
     * ORDER BY only, no GROUP BY combination).
     */
-  private val tsWinFns = Set("rate", "delta", "locf", "ewma")
+  private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp")
 
   /** Whole-partition series statistics (`zscore`): no time order — the
     * statistic is over the entire series (or each OVER partition), so
@@ -772,6 +772,21 @@ object Compiler {
         case "locf" =>
           last(c, ignoreNulls = true)
             .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        case "interp" =>
+          // linear gap-fill: nulls between two observations take
+          // prev + (next - prev) * dt-fraction on the epoch-micros
+          // axis; leading/trailing nulls stay null (no extrapolation).
+          // Four bounded-frame window lookups + one fixed IEEE formula
+          // per row — no self-join, no state beyond the frames.
+          val tsUs = unix_micros(col(axis)).cast("double")
+          val runF = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+          val futF = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+          val pv = last(c, ignoreNulls = true).over(runF)
+          val pt = last(when(c.isNotNull, tsUs), ignoreNulls = true).over(runF)
+          val nv = first(c, ignoreNulls = true).over(futF)
+          val nt = first(when(c.isNotNull, tsUs), ignoreNulls = true).over(futF)
+          when(c.isNotNull, c.cast("double"))
+            .otherwise(pv + (nv - pv) * (tsUs - pt) / (nt - pt))
         case "ewma" =>
           // y_i = a*x_i + (1-a)*y_(i-1): a running-frame
           // AggregateWindowFunction — Spark's executor applies one

@@ -332,6 +332,15 @@ object BoostQueries {
         "locf(CASE WHEN view > 100.0 THEN view END) AS filled " +
         "FROM dom.events ORDER BY view.event_id")),
 
+    // interp(x): linear interpolation of nulls between neighboring
+    // observations on the epoch-micros axis; edges stay null. The CASE
+    // synthesizes the gaps to fill (values <= 100 become null). Both
+    // engines evaluate the identical IEEE formula per row.
+    "boost_ts_interp" -> ((s, d) =>
+      run(s, d, "SELECT view.event_id, " +
+        "interp(CASE WHEN view > 100.0 THEN view END) AS f " +
+        "FROM dom.events ORDER BY view.event_id")),
+
     // ewma(x, a): exponential smoothing y_i = a*x_i + (1-a)*y_(i-1)
     // over the implicit time axis, seeded y_1 = x_1. A running-frame
     // native window aggregate — one declarative update per row, O(n)
@@ -689,6 +698,30 @@ object BoostQueries {
         |    AS filled
         |FROM events WHERE event_type = 'view'
         |ORDER BY view_event_id""".stripMargin,
+
+    // the same four frame lookups and the same IEEE interpolation
+    // formula, spelled identically: pv + (nv - pv) * (t - pt) / (nt - pt)
+    "boost_ts_interp" ->
+      """WITH t AS (
+        |  SELECT event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN value > 100.0 THEN value END AS x
+        |  FROM events WHERE event_type = 'view'
+        |), w AS (
+        |  SELECT event_id, tu, x,
+        |    last_value(x IGNORE NULLS) OVER pre AS pv,
+        |    last_value(CASE WHEN x IS NOT NULL THEN CAST(tu AS DOUBLE) END
+        |      IGNORE NULLS) OVER pre AS pt,
+        |    first_value(x IGNORE NULLS) OVER post AS nv,
+        |    first_value(CASE WHEN x IS NOT NULL THEN CAST(tu AS DOUBLE) END
+        |      IGNORE NULLS) OVER post AS nt
+        |  FROM t WINDOW
+        |    pre AS (ORDER BY tu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    post AS (ORDER BY tu ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT CAST(event_id AS VARCHAR) AS view_event_id,
+        |  CASE WHEN x IS NOT NULL THEN x
+        |       ELSE pv + (nv - pv) * (CAST(tu AS DOUBLE) - pt) / (nt - pt)
+        |  END AS f
+        |FROM w ORDER BY view_event_id""".stripMargin,
 
     // the recursive CTE replays ewma's exact IEEE recurrence
     // (0.5*x + 0.5*y, seed y = first x in ts order) one row per

@@ -21,9 +21,14 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
-  /** The file stream source requires a *directory*; the testdata is a
-    * single parquet file. Stage a temp dir holding a symlink to it —
-    * in production the source is the table's partition directory.
+  /** The file stream source requires a *directory* of plain files; the
+    * testdata is a single parquet file, and generated scale corpora are
+    * parquet DIRECTORIES of part files (the production layout). Stage a
+    * temp dir of symlinks: one link for a file source, one link per
+    * part file for a directory source — the file stream source does
+    * not recurse into subdirectories, so a symlink to a directory
+    * would silently stream ZERO files (measured: the 10x streaming
+    * scale run completed in 0.3 s on an empty stream).
     * One staged dir per sfDir for the JVM's lifetime (cleaned on exit);
     * repeated calls must not leak a dir + symlink each.
     */
@@ -32,9 +37,21 @@ object StreamingOps {
     staged.computeIfAbsent(s"$sfDir#$table", { _ =>
       val dir = Files.createTempDirectory("graft-stream")
       dir.toFile.deleteOnExit()
-      val link = dir.resolve(s"$table.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$sfDir/$table.parquet"))
-      link.toFile.deleteOnExit()
+      val src = Paths.get(s"$sfDir/$table.parquet")
+      val parts: Seq[(String, java.nio.file.Path)] =
+        if (Files.isDirectory(src)) {
+          import scala.jdk.CollectionConverters._
+          Files.list(src).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .zipWithIndex
+            .map { case (p, i) => (f"part-$i%05d.parquet", p) }
+        } else Seq((s"$table.parquet", src))
+      parts.foreach { case (name, target) =>
+        val link = dir.resolve(name)
+        Files.createSymbolicLink(link, target)
+        link.toFile.deleteOnExit()
+      }
       dir.toString
     })
 

@@ -1266,6 +1266,22 @@ class BoostQLSpec extends SparkSpec {
         "FROM dom.events ORDER BY view.event_id"), fam)
     assert(l.filter(c("f").isNotNull).count() > 0)
 
+    // interp(): gap rows land strictly between their neighboring
+    // observations (linear fill, no extrapolation past the edges)
+    val ip = Compiler.compile(Parser.parse(
+      "SELECT view.event_id, view, " +
+        "interp(CASE WHEN view > 100.0 THEN view END) AS f " +
+        "FROM dom.events ORDER BY view.event_id"), fam)
+      .collect().map(r => (r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // observed rows pass through untouched
+    assert(ip.collect { case (v, Some(f)) if v > 100.0 => v == f }.forall(identity))
+    // at least one gap was filled, and fills stay within the series range
+    val fills = ip.collect { case (v, Some(f)) if v <= 100.0 => f }
+    assert(fills.nonEmpty)
+    val obs = ip.collect { case (v, _) if v > 100.0 => v }
+    assert(fills.forall(f => f >= obs.min && f <= obs.max))
+
     // misuse pins
     intercept[Compiler.CompileException] { // first arg must be the ts axis
       Compiler.compile(Parser.parse(
