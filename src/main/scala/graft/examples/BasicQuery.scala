@@ -82,6 +82,13 @@ object BasicQuery {
       "locf(CASE WHEN click > 100.0 THEN click END) AS filled " +
       "FROM dom.events ORDER BY click.event_id LIMIT 5").show()
 
+    println("== smoothing / standardization / gap fill: ewma, zscore, interp")
+    run("SELECT click.event_id, click, " +
+      "ewma(click, 0.3) OVER (PARTITION BY click.user) AS smoothed, " +
+      "zscore(click) OVER (PARTITION BY click.user) AS z, " +
+      "interp(CASE WHEN click > 100.0 THEN click END) AS filled " +
+      "FROM dom.events ORDER BY click.event_id LIMIT 5").show()
+
     println("== RANGE interval frame: trailing-2-day moving sum per user")
     run("SELECT purchase.event_id, purchase, " +
       "sum(purchase) OVER (PARTITION BY purchase.user ORDER BY ts " +

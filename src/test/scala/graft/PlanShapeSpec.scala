@@ -85,6 +85,35 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed aggregation should plan at most agg + sort exchanges ($exchanges):\n$plan")
   }
 
+  test("interp plans ONE window over one series exchange") {
+    // four frame lookups (prev/next value + timestamp) must merge into
+    // a single Window operator — same partition/order, two frames —
+    // over the single series exchange plus the presentation sort
+    val plan = planOf(SparkEntry.queries("boost_ts_interp")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"interp should plan exactly one Window ($windows):\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"interp should plan series exchange + sort only ($exchanges):\n$plan")
+  }
+
+  test("ewma + zscore share the per-key exchange (no shuffle between windows)") {
+    val df = BoostQL.onTestdata(spark, sfDir)(
+      "SELECT click.event_id, ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm, " +
+        "zscore(click) OVER (PARTITION BY click.user) AS z " +
+        "FROM dom.events ORDER BY click.event_id")
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // ewma's ordered running frame and zscore's whole-partition spec
+    // cannot share one Window operator, but both hash on the same key:
+    // one data exchange, one presentation sort exchange, nothing else
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"stacked series windows must reuse the key partitioning ($exchanges):\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"ewma must stay a native window aggregate:\n$plan")
+  }
+
   test("dd_minhash_lsh computes the signature pipeline once (exchange reuse)") {
     val plan = planOf(SparkEntry.queries("dd_minhash_lsh")(spark, sfDir))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
