@@ -82,19 +82,36 @@ object Compiler {
   private def scalarColName(s2: Ast.QuerySpec): String =
     s"__ssq_${Integer.toHexString(s2.hashCode)}"
 
+  /** Sample variance spelled as explicit S/Q/n sums (the zscore trick):
+    * an integral input keeps the sums exact and order-independent, so
+    * the double tail is a fixed IEEE sequence — cross-engine stable,
+    * where the builtin var_samp/stddev_samp streaming central-moment
+    * update is summation-order-dependent in doubles.
+    */
+  private def varianceColumn(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = sum(c).cast("double")
+    val q = sum(c * c).cast("double")
+    (q - s * s / n) / (n - lit(1.0))
+  }
+
+  private def aggFnColumn(fn: String, c: => Column): Column = fn match {
+    case "count"          => count(c)
+    case "count_distinct" => count_distinct(c)
+    case "sum"            => sum(c)
+    case "avg"            => avg(c)
+    case "min"            => min(c)
+    case "max"            => max(c)
+    case "variance"       => varianceColumn(c)
+    case "stddev"         => sqrt(varianceColumn(c))
+    case other            => throw CompileException(s"unknown aggregate $other")
+  }
+
   private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
-      case None => count(lit(1))
-      case Some(r) => fn match {
-        case "count" => count(col(r.inName))
-        case "count_distinct" => count_distinct(col(r.inName))
-        case "sum"   => sum(col(r.inName))
-        case "avg"   => avg(col(r.inName))
-        case "min"   => min(col(r.inName))
-        case "max"   => max(col(r.inName))
-        case other   => throw CompileException(s"unknown aggregate $other")
-      }
+      case None    => count(lit(1))
+      case Some(r) => aggFnColumn(fn, col(r.inName))
     }
     c.as(name)
   }
@@ -1257,17 +1274,7 @@ object Compiler {
         case Left((f, a)) => aggColumn(f, a)
         case Right((f, e)) =>
           val c = operandColumn(e, aggOk = false)
-          val agg = f match {
-            case "count"          => count(c)
-            case "count_distinct" => count_distinct(c)
-            case "sum"            => sum(c)
-            case "avg"            => avg(c)
-            case "min"            => min(c)
-            case "max"            => max(c)
-            case other            => throw CompileException(
-              s"unknown expression aggregate $other")
-          }
-          agg.as(aggXColName(f, e))
+          aggFnColumn(f, c).as(aggXColName(f, e))
       }
       val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))

@@ -75,7 +75,8 @@ object Parser {
     "over", "partition", "exists", "union", "intersect", "except", "all",
     "case", "when", "then", "else", "end", "rows", "preceding", "following",
     "unbounded", "current", "row")
-  private val aggFns = Set("count", "sum", "avg", "min", "max")
+  private val aggFns = Set("count", "sum", "avg", "min", "max",
+    "stddev", "variance")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

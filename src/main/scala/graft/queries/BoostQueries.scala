@@ -332,6 +332,18 @@ object BoostQueries {
         "locf(CASE WHEN view > 100.0 THEN view END) AS filled " +
         "FROM dom.events ORDER BY view.event_id")),
 
+    // stddev/variance aggregates: explicit S/Q/n sums over integer
+    // cents, so both engines run the identical IEEE tail over exact
+    // sums (the builtin streaming central moments are summation-order-
+    // dependent and would not hash-match). HAVING n > 1 keeps the
+    // n = 1 NaN edge out of the compare.
+    "boost_stddev" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "stddev(CAST(purchase * 100.0 AS int)) AS sd, " +
+        "variance(CAST(purchase * 100.0 AS int)) AS v " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user")),
+
     // interp(x): linear interpolation of nulls between neighboring
     // observations on the epoch-micros axis; edges stay null. The CASE
     // synthesizes the gaps to fill (values <= 100 become null). Both
@@ -698,6 +710,23 @@ object BoostQueries {
         |    AS filled
         |FROM events WHERE event_type = 'view'
         |ORDER BY view_event_id""".stripMargin,
+
+    // exact BIGINT S/Q/n per group, then the identical IEEE tail:
+    // (Q - S*S/n) / (n - 1), sqrt for stddev
+    "boost_stddev" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(x) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s,
+        |    CAST(SUM(x * x) AS DOUBLE) AS q
+        |  FROM t GROUP BY user_id HAVING COUNT(x) > 1)
+        |SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  sqrt((q - s * s / n) / (n - 1.0)) AS sd,
+        |  (q - s * s / n) / (n - 1.0) AS v
+        |FROM g ORDER BY purchase_user""".stripMargin,
 
     // the same four frame lookups and the same IEEE interpolation
     // formula, spelled identically: pv + (nv - pv) * (t - pt) / (nt - pt)

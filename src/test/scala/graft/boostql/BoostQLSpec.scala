@@ -921,6 +921,46 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("stddev and variance aggregates") {
+    import org.apache.spark.sql.functions.{col => c, var_samp}
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, stddev(purchase) AS sd, variance(purchase) AS v " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user"), fam)
+    assert(df.columns.toSeq == Seq("purchase_user", "sd", "v"))
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // sd is the square root of v (one extra correctly-rounded op)
+    got.foreach { case (_, sd, v) =>
+      assert(math.abs(sd - math.sqrt(v)) <= math.ulp(sd))
+    }
+    // the explicit-sums formula agrees with Spark's var_samp to
+    // floating-point noise (they differ only in summation strategy)
+    val expect = Tables.events(spark, sfDir)
+      .filter(c("event_type") === "purchase")
+      .groupBy(c("user_id").cast("string").as("u"))
+      .agg(var_samp(c("value")).as("v"), org.apache.spark.sql.functions
+        .count(c("value")).as("n"))
+      .filter(c("n") > 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (u, _, v) =>
+      val e = expect(u)
+      assert(math.abs(v - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"user $u: $v vs $e")
+    }
+    // DISTINCT stays count-only
+    intercept[Parser.ParseException] {
+      Parser.parse("SELECT stddev(DISTINCT purchase) AS sd " +
+        "FROM dom.events GROUP BY purchase.user")
+    }
+    // not a window function
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT stddev(purchase) OVER (PARTITION BY purchase.user) AS sd " +
+          "FROM dom.events"), fam)
+    }
+  }
+
   test("set operations: validation") {
     // ORDER BY on a non-last branch is refused
     intercept[Parser.ParseException] {
