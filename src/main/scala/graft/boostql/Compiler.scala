@@ -104,6 +104,11 @@ object Compiler {
     case "max"            => max(c)
     case "variance"       => varianceColumn(c)
     case "stddev"         => sqrt(varianceColumn(c))
+    // exact sort-based median (Spark's Median aggregate buffers the
+    // group — O(group) memory, the exactness contract; the sketch tier
+    // has the bounded-state alternative). Even-count midpoints over
+    // integral inputs are exact halves, so cross-engine stable.
+    case "median"         => median(c)
     case other            => throw CompileException(s"unknown aggregate $other")
   }
 

@@ -76,7 +76,7 @@ object Parser {
     "case", "when", "then", "else", "end", "rows", "preceding", "following",
     "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max",
-    "stddev", "variance")
+    "stddev", "variance", "median")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

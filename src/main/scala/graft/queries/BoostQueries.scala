@@ -344,6 +344,14 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 1 ORDER BY purchase.user")),
 
+    // exact median over integer cents: odd groups pick an element,
+    // even groups take the midpoint — exact halves of integers, so both
+    // engines produce identical doubles
+    "boost_median" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "median(CAST(purchase * 100.0 AS int)) AS med, count(*) AS n " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // interp(x): linear interpolation of nulls between neighboring
     // observations on the epoch-micros axis; edges stay null. The CASE
     // synthesizes the gaps to fill (values <= 100 become null). Both
@@ -710,6 +718,13 @@ object BoostQueries {
         |    AS filled
         |FROM events WHERE event_type = 'view'
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_median" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  CAST(median(CAST(TRUNC(value * 100.0) AS BIGINT)) AS DOUBLE) AS med,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY purchase_user""".stripMargin,
 
     // exact BIGINT S/Q/n per group, then the identical IEEE tail:
     // (Q - S*S/n) / (n - 1), sqrt for stddev

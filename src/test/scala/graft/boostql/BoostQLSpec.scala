@@ -959,6 +959,25 @@ class BoostQLSpec extends SparkSpec {
         "SELECT stddev(purchase) OVER (PARTITION BY purchase.user) AS sd " +
           "FROM dom.events"), fam)
     }
+
+    // median: exact sort-based, agrees with a driver-side sort
+    val med = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, median(purchase) AS m " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val vals = Tables.events(spark, sfDir)
+      .filter(c("event_type") === "purchase")
+      .select(c("user_id").cast("string"), c("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    vals.foreach { case (u, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length
+      val exact =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      assert(med(u) == exact, s"user $u: ${med(u)} vs $exact")
+    }
   }
 
   test("set operations: validation") {
