@@ -172,7 +172,8 @@ object Compiler {
     * tie-break is needed; placement follows OWin's rules (SELECT items /
     * ORDER BY only, no GROUP BY combination).
     */
-  private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp")
+  private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp",
+    "session")
 
   /** Whole-partition series statistics (`zscore`): no time order — the
     * statistic is over the entire series (or each OVER partition), so
@@ -756,9 +757,39 @@ object Compiler {
     def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean,
         part: Seq[RawName] = Seq.empty): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
-      val arity = if (fn == "ewma") 2 else 1
+      val arity = if (fn == "ewma" || fn == "session") 2 else 1
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
+      if (fn == "session") {
+        // sessionize the time axis itself: session(ts, '<gap>') assigns
+        // 0-based ids per partition — a break wherever the gap to the
+        // previous point exceeds the threshold, then a running count of
+        // breaks. Pure integer arithmetic: exact on any engine.
+        args.head match {
+          case ORef(n) if ref(n).isTs => ()
+          case _ => throw CompileException(
+            "session() first argument must be the time axis ts")
+        }
+        val gapUs = args(1) match {
+          case OLit(BStr(bucketDurationRe(n, unit))) =>
+            n.toLong * bucketUnitUs(unit.toLowerCase)
+          case _ => throw CompileException(
+            "session() gap must be a string literal like '30 minutes' " +
+              "with unit second|minute|hour|day")
+        }
+        if (gapUs <= 0) throw CompileException("session() gap must be positive")
+        val axis0 = if (!multi) "__ts_0" else args.head match {
+          case ORef(n) => s"__ts_${ref(n).src}"
+          case _       => "__ts_0"
+        }
+        val w = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
+          .orderBy(col(axis0).asc)
+        val tsU = unix_micros(col(axis0))
+        val gap = tsU - lag(tsU, 1).over(w)
+        val brk = when(gap.isNull, lit(0L))
+          .when(gap > gapUs, lit(1L)).otherwise(lit(0L))
+        return sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+      }
       val axis =
         if (!multi) "__ts_0"
         else operandRefs(args.head).map(_.src).distinct match {

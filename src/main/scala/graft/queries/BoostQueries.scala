@@ -352,6 +352,14 @@ object BoostQueries {
         "median(CAST(purchase * 100.0 AS int)) AS med, count(*) AS n " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // session(ts, gap): 0-based per-partition session ids — a break
+    // wherever the gap to the previous point exceeds the threshold,
+    // then a running count of breaks. Pure integer arithmetic.
+    "boost_ts_session" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "session(ts, '6 hours') OVER (PARTITION BY click.user) AS sid " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // interp(x): linear interpolation of nulls between neighboring
     // observations on the epoch-micros axis; edges stay null. The CASE
     // synthesizes the gaps to fill (values <= 100 become null). Both
@@ -742,6 +750,22 @@ object BoostQueries {
         |  sqrt((q - s * s / n) / (n - 1.0)) AS sd,
         |  (q - s * s / n) / (n - 1.0) AS v
         |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // identical break-then-running-count formulation; LAG null at the
+    // partition head compares false, matching the dialect's 0 seed
+    "boost_ts_session" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tu
+        |  FROM events WHERE event_type = 'click'
+        |), s AS (
+        |  SELECT event_id, user_id, tu,
+        |    CASE WHEN tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu)
+        |              > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM t)
+        |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |FROM s ORDER BY click_event_id""".stripMargin,
 
     // the same four frame lookups and the same IEEE interpolation
     // formula, spelled identically: pv + (nv - pv) * (t - pt) / (nt - pt)

@@ -1449,6 +1449,37 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("session() assigns monotone per-partition session ids") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click.user, " +
+        "session(ts, '12 hours') OVER (PARTITION BY click.user) AS sid " +
+        "FROM dom.events ORDER BY click.event_id"), fam)
+    assert(df.columns.toSeq == Seq("click_event_id", "click_user", "sid"))
+    // ids agree with the DataFrame-tier sessionize on the same key/gap
+    val viaOps = graft.operators.TimeSeriesOps.sessionize(
+      Tables.events(spark, sfDir).filter(c("event_type") === "click"),
+      Seq("user_id"), "ts", Seq.empty, 12L * 3600)
+      .select(c("event_id").cast("string"), c("session_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got == viaOps)
+
+    // validation pins
+    intercept[Compiler.CompileException] { // first arg must be ts
+      Compiler.compile(Parser.parse(
+        "SELECT session(click, '1 hour') AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // gap must be a duration literal
+      Compiler.compile(Parser.parse(
+        "SELECT session(ts, click) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // weeks are not fixed-width
+      Compiler.compile(Parser.parse(
+        "SELECT session(ts, '2 weeks') AS s FROM dom.events"), fam)
+    }
+  }
+
   test("RANGE interval window frames over the time axis") {
     import org.apache.spark.sql.functions.{col => c, element_at, sum => ssum, unix_micros}
     import org.apache.spark.sql.expressions.Window
