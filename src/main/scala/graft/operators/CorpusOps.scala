@@ -233,4 +233,43 @@ object CorpusOps {
       .limit(k)
       .select(col(idCol), col("n_tokens"), col("logw_micro"))
   }
+
+  /** Precision/recall sweep for choosing a quality-gate threshold:
+    * bucket scores into `bins` equal-width bins over [lo, hi] (outliers
+    * clamp to the edge bins), then treat each bin's lower edge as a
+    * candidate threshold t and report, for the "keep everything with
+    * score >= t" policy: kept count, true positives, precision and
+    * recall against a boolean label.
+    *
+    * One corpus aggregation (per-bin integer counts, map-side combined)
+    * plus running sums over the bins-row result — no per-threshold
+    * corpus rescan. All counts are exact integers; precision/recall are
+    * single divisions of those integers, so the output is engine- and
+    * partitioning-invariant for any deterministic score.
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "need hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col(scoreCol) - lit(lo)) / lit(width)).cast("long")))
+    val perBin = df
+      .select(bin.as("bin"), col(labelCol).cast("boolean")
+        .cast("int").cast("long").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val fromTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin
+      .withColumn("threshold", lit(lo) + col("bin").cast("double") * lit(width))
+      .withColumn("kept", sum(col("n")).over(fromTop))
+      .withColumn("tp", sum(col("n_pos")).over(fromTop))
+      .withColumn("total_pos", sum(col("n_pos")).over(whole))
+      .withColumn("precision", col("tp").cast("double") / col("kept").cast("double"))
+      .withColumn("recall", col("tp").cast("double") / col("total_pos").cast("double"))
+      .select("bin", "threshold", "kept", "tp", "total_pos", "precision", "recall")
+  }
 }

@@ -136,6 +136,44 @@ object PipelineQueries {
        |SELECT lang, keep, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
        |FROM sc GROUP BY lang, keep ORDER BY lang, keep""".stripMargin
 
+  /** Calibration sweep parameters (pipe_calibrate): 20 bins over the
+    * demo classifier's logit range. */
+  private val calBins = 20
+  private val calLo = -0.45
+  private val calHi = 0.55
+
+  /** DuckDB twin of the calibration sweep: the proven classifier-logit
+    * CTE, then the identical bin clamp and running sums. Width/lo
+    * literals render through [[dlit]] so both engines bin on identical
+    * doubles.
+    */
+  private def calibrateOracleSql: String = {
+    val width = (calHi - calLo) / calBins
+    s"""$clfLinCte,
+       |sc AS (
+       |  SELECT t.doc_id, $clfLogitExpr AS score, d2.n_chars > 250 AS pos
+       |  FROM t JOIN lin ON lin.doc_id = t.doc_id
+       |  JOIN documents d2 ON d2.doc_id = t.doc_id),
+       |pb AS (
+       |  SELECT LEAST(${calBins - 1}, GREATEST(0,
+       |      CAST(FLOOR((score - ${dlit(calLo)}) / ${dlit(width)}) AS BIGINT))) AS bin,
+       |    CAST(pos AS BIGINT) AS p
+       |  FROM sc),
+       |g AS (SELECT bin, COUNT(*) AS n, SUM(p) AS np FROM pb GROUP BY bin),
+       |cum AS (
+       |  SELECT bin,
+       |    ${dlit(calLo)} + CAST(bin AS DOUBLE) * ${dlit(width)} AS threshold,
+       |    CAST(SUM(n) OVER wt AS BIGINT) AS kept,
+       |    CAST(SUM(np) OVER wt AS BIGINT) AS tp,
+       |    CAST(SUM(np) OVER () AS BIGINT) AS total_pos
+       |  FROM g WINDOW wt AS (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT bin, threshold, kept, tp, total_pos,
+       |  CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) AS "precision",
+       |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall
+       |FROM cum ORDER BY bin""".stripMargin
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** Render a Scala Double as a DuckDB DOUBLE literal. The e-notation
@@ -356,6 +394,21 @@ object PipelineQueries {
     "stream_classify" -> ((s, d) =>
       graft.streaming.StreamingOps.streamingCurationReplay(
         s, d, clfWeights, clfBias)),
+
+    // threshold calibration for the quality gate: PR sweep of the
+    // classifier logit against a deterministic relevance label — one
+    // corpus aggregation into integer bin counts, running sums over
+    // the 20-row bin table, exact-integer precision/recall
+    "pipe_calibrate" -> ((s, d) => {
+      val scored = TextAnalysisOps.classifierScore(docs(s, d), "doc_id",
+        "text", clfWeights, clfBias)
+      val labeled = scored.join(
+        docs(s, d).select(col("doc_id"), (col("n_chars") > 250).as("pos")),
+        "doc_id")
+      CorpusOps.thresholdSweep(labeled, "logit", "pos",
+          calBins, calLo, calHi)
+        .orderBy("bin")
+    }),
 
     "txt_langid" -> ((s, d) =>
       TextAnalysisOps.languageId(docs(s, d), "text")
@@ -734,6 +787,7 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "txt_classify" -> clfOracleSql,
+    "pipe_calibrate" -> calibrateOracleSql,
 
     "stream_classify" -> clfLedgerOracleSql,
 

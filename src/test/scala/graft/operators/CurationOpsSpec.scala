@@ -130,6 +130,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(packed.forall { case (_, _, id, bin, _, _) => again(id) == bin })
   }
 
+  test("thresholdSweep: hand-checked PR curve, clamped outliers") {
+    val session = spark
+    import session.implicits._
+    // scores 0.05/0.15/0.25/0.35 land in bins 0..3; the 9.0 outlier
+    // clamps to the top bin; labels T,F,T,T,F
+    val df = Seq((0.05, true), (0.15, false), (0.25, true), (0.35, true),
+      (9.0, false)).toDF("score", "pos")
+    val got = CorpusOps.thresholdSweep(df, "score", "pos", 4, 0.0, 0.4)
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // kept counts from the top: bin3 holds 0.35 + clamped 9.0
+    assert(got.map(x => (x._1, x._3, x._4)).toSeq ==
+      Seq((0L, 5L, 3L), (1L, 4L, 2L), (2L, 3L, 2L), (3L, 2L, 1L)))
+    got.foreach { case (_, thr, kept, tp, totalPos, prec, rec) =>
+      assert(totalPos == 3L)
+      assert(prec == tp.toDouble / kept)
+      assert(rec == tp.toDouble / 3.0)
+      assert(thr >= 0.0 && thr <= 0.4)
+    }
+    // partitioning-invariant (integer counts)
+    val again = CorpusOps.thresholdSweep(df.repartition(5), "score", "pos",
+        4, 0.0, 0.4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.map(x => (x._1, x._3, x._4)).toSeq)
+    intercept[IllegalArgumentException] {
+      CorpusOps.thresholdSweep(df, "score", "pos", 0, 0.0, 0.4)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.thresholdSweep(df, "score", "pos", 4, 0.4, 0.0)
+    }
+  }
+
   test("classifierScore: hand-checked logit, sigmoid, keep flag") {
     // single-bucket model: weight 1.0 on the bucket of token "x", 0
     // elsewhere — a doc's logit is bias + (fraction of x tokens)
