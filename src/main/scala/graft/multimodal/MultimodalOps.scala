@@ -80,6 +80,53 @@ object MultimodalOps {
     * environment genuinely lacks.
     */
   object ImageCodec {
+    /** Real pixel resize: ImageIO decode → bilinear scale → PNG encode.
+      * None when no JDK reader recognizes the payload (the stub
+      * boundary). Unlike [[decodeDims]] this reads the pixels — use on
+      * the resize path only, where full decode is the point.
+      */
+    def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        import java.awt.image.BufferedImage
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+
+    /** Build a real PNG with deterministic pixel content — the
+      * ingest-side twin of [[resizePng]]/[[decodeDims]] for exercising
+      * the decode/resize paths without external media files. */
+    def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (((x * 31 + y * 17 + seed) * 2654435761L) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -380,22 +427,28 @@ object MultimodalOps {
       sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_ids"))
 
   /** Resize pass: decode → scale to (targetW, targetH) → re-encode.
-    * STUB codec: the "resized payload" is a deterministic byte
-    * downsample (every ceil(len/target)-th byte) — a real impl swaps in
-    * an image scaler. Plumbing (narrow map, payload in/payload out,
-    * metadata updated alongside) is the production shape.
+    * REAL for the formats the JDK decodes (PNG/BMP/GIF/JPEG):
+    * full-pixel `ImageIO` decode, bilinear `Graphics2D` scale, PNG
+    * re-encode — no external media library. Payloads no reader
+    * recognizes keep the deterministic stub byte-downsample (the
+    * declared boundary). Plumbing is the production shape either way:
+    * narrow map, payload in / payload out, one decoder pass per row.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     val targetBytes = math.max(targetW * targetH / 1024, 16)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val n = r.payload.length
-        val out =
+        val real = ImageCodec.resizePng(r.payload, targetW, targetH)
+        val out = real.getOrElse {
+          val n = r.payload.length
           if (n <= targetBytes) r.payload
-          else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
-        MediaRow(r.media_id, r.format, out)
+          else Array.tabulate(targetBytes)(i =>
+            r.payload((i.toLong * n / targetBytes).toInt))
+        }
+        MediaRow(r.media_id, if (real.isDefined) "png" else r.format, out)
       }
     }
   }

@@ -514,6 +514,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // image resize e2e through REAL pixels: per doc, a genuine PNG
+    // (doc_id-derived dims, deterministic pixel fill) goes through the
+    // full ImageIO decode -> bilinear scale -> PNG re-encode path, and
+    // the output dims are decoded BACK from the re-encoded payload — a
+    // row only matches if the whole pixel pipeline ran for real
+    "mm_resize" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        graft.multimodal.MediaRow(id, "png",
+          graft.multimodal.MultimodalOps.ImageCodec.syntheticPng(
+            16 + (id % 5).toInt * 8, 12 + (id % 3).toInt * 6, id))
+      }
+      val resized = graft.multimodal.MultimodalOps.resize(media, 24, 18)
+      graft.multimodal.MultimodalOps.extractFeatures(resized).toDF()
+        .select(col("media_id").as("doc_id"), col("format"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: dup-token / dup-bigram /
     // top-bigram fractions per document (TextAnalysisOps.repetitionStats)
     "txt_repetition" -> ((s, d) =>
@@ -788,6 +808,13 @@ object PipelineQueries {
 
     "txt_classify" -> clfOracleSql,
     "pipe_calibrate" -> calibrateOracleSql,
+
+    // the resized dims are the fixed target by construction — but the
+    // Spark side only produces them by decoding the RE-ENCODED pixels
+    "mm_resize" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(24 AS INT) AS width, CAST(18 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "stream_classify" -> clfLedgerOracleSql,
 

@@ -126,11 +126,34 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize bounds payloads and is deterministic") {
+    // the fixture payloads are not images: they take the stub byte
+    // downsample, which must bound and reproduce exactly
     val small = MultimodalOps.resize(media, 128, 128).collect()
     assert(small.forall(_.payload.length <= math.max(128 * 128 / 1024, 16)))
     val again = MultimodalOps.resize(media, 128, 128).collect()
     assert(small.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
+  test("real PNG payloads resize through actual pixels") {
+    val session = spark
+    import session.implicits._
+    val png = MultimodalOps.ImageCodec.syntheticPng(40, 30, seed = 7L)
+    val ds = Seq(
+      MediaRow(1L, "png", png),
+      MediaRow(2L, "txt", "not an image".getBytes("UTF-8"))).toDS()
+    val out = MultimodalOps.resize(ds, 20, 15).collect().sortBy(_.media_id)
+    // the PNG went through decode -> scale -> re-encode: the output is
+    // itself a valid PNG with exactly the target dimensions
+    assert(out(0).format == "png")
+    assert(MultimodalOps.ImageCodec.decodeDims(out(0).payload) == ((20, 15, 1)))
+    assert(new String(out(0).payload.slice(1, 4), "US-ASCII") == "PNG")
+    // non-images keep the stub downsample and their original format tag
+    assert(out(1).format == "txt")
+    assert(out(1).payload.length <= math.max(20 * 15 / 1024, 16))
+    // deterministic: same input -> byte-identical resized PNG
+    val again = MultimodalOps.resize(ds, 20, 15).collect().sortBy(_.media_id)
+    assert(out(0).payload.sameElements(again(0).payload))
   }
 
   test("sampleFrames yields stride-spaced frame ids within bounds") {
