@@ -146,8 +146,9 @@ object ScaleBench {
     // k ∝ n so clusters stay bounded, which this fixed-param harness
     // can't express honestly. Both documented at the operator.
     val excluded = Set("dd_embed_cosine", "dd_semantic")
-    // the events-sourced AvailableNow replays; stream_classify reads
-    // `documents` and belongs to the curation corpus, not this one
+    // the events-sourced AvailableNow replays; stream_classify and
+    // stream_neardup read `documents` and belong to the curation
+    // corpus, not this one
     val streamTier = Set("stream_window_agg", "stream_dedup_count",
       "stream_session", "stream_join")
     val tier = SparkEntry.queries.filter { case (n, _) =>

@@ -17,7 +17,9 @@ object StreamingQueries {
     "stream_window_agg" -> ((s, d) => StreamingOps.windowedAggReplay(s, d)),
     "stream_dedup_count" -> ((s, d) => StreamingOps.streamingDedupCounts(s, d)),
     "stream_session" -> ((s, d) => StreamingOps.sessionWindowReplay(s, d)),
-    "stream_join" -> ((s, d) => StreamingOps.streamIntervalJoinReplay(s, d))
+    "stream_join" -> ((s, d) => StreamingOps.streamIntervalJoinReplay(s, d)),
+    "stream_neardup" -> ((s, d) =>
+      StreamingOps.streamingShingleCandidates(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,6 +60,22 @@ object StreamingQueries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // batch twin of the streaming shingle-candidate rollup: identical
+    // word-3-gram extraction (1-based inclusive slices, per-doc
+    // distinct), then pure integer counts
+    "stream_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(l[i:i+2], ' ')
+        |                 for i in generate_series(1, greatest(len(l)-2, 1))]) AS s
+        |FROM t),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |gc AS (SELECT g, COUNT(*) AS n FROM ex GROUP BY g)
+        |SELECT COUNT(*) AS n_shingles,
+        |  CAST(COUNT(*) FILTER (n >= 2) AS BIGINT) AS cand_shingles,
+        |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM gc""".stripMargin
   )
 }

@@ -265,4 +265,42 @@ object StreamingOps {
     spark.table(sink).select(col("event_type"), col("n"))
       .orderBy("event_type")
   }
+
+  /** Near-dup candidate detection over a DOCUMENT STREAM: word-3-gram
+    * shingles per document (distinct within a doc), one stateful
+    * aggregation keyed by shingle counting the docs that carry it, then
+    * a batch summary over the sink — shingles shared by >= 2 docs are
+    * the near-dup candidate generators, Σ n(n-1)/2 the candidate-pair
+    * volume. (Chained streaming aggregations are unsupported by the
+    * engine, so the 3-number rollup is batch over the materialized
+    * per-shingle counts — the stateful heavy lifting IS the stream.)
+    *
+    * Shingles here are plain strings (SQL-replicable, hence the DuckDB
+    * oracle); the batch tier's hashed-shingle kernels are the scale
+    * path, and at 100 TB the streaming state would key on LSH band
+    * buckets rather than raw shingles — same topology, bounded keys.
+    */
+  def streamingShingleCandidates(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageDir(sfDir, "documents"))
+    val words = split(col("text"), " ")
+    val n = greatest(size(words) - lit(2), lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), n),
+      i => concat_ws(" ", slice(words, i, lit(3)))))
+    val perShingle = docs.select(explode(shingles).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    val sink = "graft_shingle_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = perShingle.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("n") >= 2, 1L).otherwise(0L)).as("cand_shingles"),
+      sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+        .as("cand_pairs"))
+  }
 }

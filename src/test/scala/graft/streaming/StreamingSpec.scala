@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.length == 2)
   }
 
+  test("streaming shingle candidates equal the batch rollup") {
+    val streamed = StreamingOps.streamingShingleCandidates(spark, sfDir)
+      .collect().head
+    // batch twin with the same shingle expressions
+    val words = split(col("text"), " ")
+    val n = greatest(size(words) - lit(2), lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), n),
+      i => concat_ws(" ", slice(words, i, lit(3)))))
+    val batch = Tables.documents(spark, sfDir)
+      .select(explode(shingles).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("cand_shingles"),
+        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
+          .as("cand_pairs"))
+      .collect().head
+    assert(streamed == batch)
+    assert(streamed.getLong(0) > 0 && streamed.getLong(2) >= streamed.getLong(1))
+  }
+
   test("repeated streaming calls stage exactly one temp dir per sfDir") {
     def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
