@@ -217,7 +217,14 @@ object Ast {
       orderBy: Seq[OrderItem],
       limit: Option[Int],
       distinct: Boolean = false,
-      offset: Option[Int] = None) extends QueryStmt
+      offset: Option[Int] = None,
+      /** Grouping-set mode: "plain" | "rollup" | "cube" — `GROUP BY
+        * ROLLUP(a, b)` adds the hierarchy of super-aggregate rows
+        * (a-subtotals + grand total), CUBE every key subset, with NULL
+        * marking the rolled-up key (ANSI; executed by Spark's native
+        * Expand-based rollup/cube, one shuffle either way).
+        */
+      groupMode: String = "plain") extends QueryStmt
 
   /** `left UNION [ALL] | INTERSECT | EXCEPT right` — ANSI set operations
     * over positionally-aligned branches (extension: absent from the

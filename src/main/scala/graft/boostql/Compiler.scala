@@ -1312,7 +1312,14 @@ object Compiler {
           val c = operandColumn(e, aggOk = false)
           aggFnColumn(f, c).as(aggXColName(f, e))
       }
-      val agged = filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // ROLLUP/CUBE plan through Spark's native Expand (one shuffle, the
+      // grouping-set rows generated map-side) — no extra pass per subset
+      val grouped = spec.groupMode match {
+        case "rollup" => filtered.rollup(groupCols: _*)
+        case "cube"   => filtered.cube(groupCols: _*)
+        case _        => filtered.groupBy(groupCols: _*)
+      }
+      val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
       // SELECT-item scalar subs attach AFTER the aggregation (one
       // broadcast row onto the grouped output; pre-agg they'd be

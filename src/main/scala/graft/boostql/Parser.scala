@@ -9,8 +9,9 @@ import Ast._
   * the dialect is tiny):
   *
   * {{{
-  * query    := SELECT DISTINCT? items FROM src (WHERE or)? (GROUP BY names)?
+  * query    := SELECT DISTINCT? items FROM src (WHERE or)? (GROUP BY grp)?
   *             (HAVING or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
+  * grp      := (ROLLUP|CUBE) '(' names ')' | names
   * items    := item (',' item)*
   * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
@@ -254,8 +255,21 @@ object Parser {
       val src = source()
       val joins = joinClauses()
       val where = if (kw("where")) Some(orExpr()) else None
-      val grp =
-        if (kw("group")) { expectKw("by"); groupList(items) } else Seq.empty
+      // ROLLUP/CUBE are contextual (not reserved): only the exact shape
+      // `GROUP BY rollup (` is grouping-set syntax, so a series named
+      // `rollup` still groups as a plain key — no dialect-compat break.
+      val (grp, gmode) =
+        if (kw("group")) {
+          expectKw("by")
+          val mode =
+            if ((peekIsKw("rollup") || peekIsKw("cube")) &&
+                toks(pos + 1) == TSym("(")) {
+              val m = ident().toLowerCase; expectSym("("); m
+            } else "plain"
+          val g = groupList(items)
+          if (mode != "plain") expectSym(")")
+          (g, mode)
+        } else (Seq.empty[RawName], "plain")
       val having = if (kw("having")) Some(orExpr()) else None
       val ord =
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
@@ -263,7 +277,8 @@ object Parser {
       // OFFSET only with LIMIT (an un-limited offset over an unordered
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
-      QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off)
+      QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
+        gmode)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]

@@ -281,6 +281,25 @@ object BoostQueries {
         "sum(CAST(purchase * 100.0 AS int)) AS cents " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // GROUP BY ROLLUP: the (user, k) subtotal hierarchy + grand total,
+    // NULL marking the rolled-up key; exact integer-cents sum keeps the
+    // double aggregation hash-comparable. ASC sort is NULLS FIRST here
+    // (Spark default), spelled explicitly on the DuckDB side.
+    "boost_rollup" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, purchase.k, count(*), " +
+        "sum(CAST(purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events WHERE purchase > 150.0 " +
+        "GROUP BY ROLLUP(purchase.user, purchase.k) " +
+        "ORDER BY purchase.user, purchase.k")),
+
+    // GROUP BY CUBE: every key subset, including the (NULL, k) slice
+    // ROLLUP omits
+    "boost_cube" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, purchase.k, count(*) " +
+        "FROM dom.events WHERE purchase > 150.0 " +
+        "GROUP BY CUBE(purchase.user, purchase.k) " +
+        "ORDER BY purchase.user, purchase.k")),
+
     // UNION ALL compound with trailing ORDER BY/LIMIT paging the whole
     // compound (ordinal keys; output names come from the left branch)
     "boost_union" -> ((s, d) =>
@@ -538,6 +557,23 @@ object BoostQueries {
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
+
+    "boost_rollup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  props->>'k' AS purchase_k,
+        |  COUNT(*) AS count_star,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |GROUP BY ROLLUP(CAST(user_id AS VARCHAR), props->>'k')
+        |ORDER BY purchase_user NULLS FIRST, purchase_k NULLS FIRST""".stripMargin,
+
+    "boost_cube" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  props->>'k' AS purchase_k,
+        |  COUNT(*) AS count_star
+        |FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |GROUP BY CUBE(CAST(user_id AS VARCHAR), props->>'k')
+        |ORDER BY purchase_user NULLS FIRST, purchase_k NULLS FIRST""".stripMargin,
 
     "boost_union" ->
       """SELECT * FROM (

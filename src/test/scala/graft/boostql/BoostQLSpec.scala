@@ -1556,4 +1556,34 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException](Parser.parse("SELECT `oops FROM dom.f"))
     intercept[Parser.ParseException](Parser.parse("SELECT `` FROM dom.f"))
   }
+
+  test("GROUP BY ROLLUP / CUBE grouping sets") {
+    // rollup = leaf groups + per-user subtotals + one grand total;
+    // cube adds the (NULL, k) slice
+    def rows(mode: String): Array[org.apache.spark.sql.Row] =
+      Compiler.compile(Parser.parse(
+        "SELECT purchase.user, purchase.k, count(*) AS n FROM dom.events " +
+          s"WHERE purchase > 150.0 GROUP BY $mode(purchase.user, purchase.k) " +
+          "ORDER BY purchase.user, purchase.k"), fam).collect()
+    val plain = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase.k, count(*) AS n FROM dom.events " +
+        "WHERE purchase > 150.0 GROUP BY purchase.user, purchase.k"), fam)
+      .collect()
+    val ru = rows("ROLLUP")
+    val cu = rows("CUBE")
+    val users = plain.map(_.getString(0)).distinct.length
+    val ks = plain.map(_.getString(1)).distinct.length
+    assert(ru.length == plain.length + users + 1)
+    assert(cu.length == plain.length + users + ks + 1)
+    // the grand total sorts first (NULLS FIRST) and sums every leaf
+    assert(ru.head.isNullAt(0) && ru.head.isNullAt(1) &&
+      ru.head.getLong(2) == plain.map(_.getLong(2)).sum)
+    // ROLLUP/CUBE are contextual, not reserved: without parens they are
+    // ordinary identifiers (a series named rollup still groups plainly)
+    val q = Parser.parse("SELECT rollup, count(*) FROM dom.f GROUP BY rollup")
+    assert(q.groupMode == "plain" && q.groupBy == Seq(RawName(Seq("rollup"))))
+    // unclosed grouping-set list is loud
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT a, count(*) FROM dom.f GROUP BY ROLLUP(a"))
+  }
 }
