@@ -26,13 +26,15 @@ import Ast._
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
-  * primary  := literal | NULL | agg '(' ('*' | DISTINCT? name) ')' over?
+  * primary  := literal | NULL
+  *           | agg '(' ('*' | DISTINCT? name) ')' (over | filterc)?
   *           | CAST '(' add AS ident ')'
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
   * over     := OVER '(' (PARTITION BY names)?
   *                      (ORDER BY name (ASC|DESC)? (',' …)*)?
   *                      ((ROWS|RANGE) BETWEEN bound AND bound)? ')'
+  * filterc  := FILTER '(' WHERE or ')'
   * bound    := UNBOUNDED (PRECEDING|FOLLOWING) | CURRENT ROW
   *           | int (PRECEDING|FOLLOWING)                      -- ROWS
   *           | INTERVAL '<int>' unit (PRECEDING|FOLLOWING)    -- RANGE
@@ -332,6 +334,18 @@ object Parser {
       case _ => false
     }
 
+    /** Optional `FILTER (WHERE cond)` after an aggregate call. FILTER is
+      * contextual (not reserved): only the exact `FILTER (` shape engages,
+      * so a series named `filter` keeps working.
+      */
+    private def filterClause(): Option[BExpr] =
+      if (peekIsKw("filter") && toks(pos + 1) == TSym("(")) {
+        pos += 1; expectSym("("); expectKw("where")
+        val c = nested(orExpr())
+        expectSym(")")
+        Some(c)
+      } else None
+
     private def selectItems(): Seq[SelectItem] = {
       val b = Seq.newBuilder[SelectItem]
       var i = 0
@@ -571,6 +585,9 @@ object Parser {
             throw ParseException(s"DISTINCT is only supported in count(), not $id()")
           val arg = nested(addOperand())
           expectSym(")")
+          if (peekIsKw("filter") && toks(pos + 1) == TSym("("))
+            throw ParseException(
+              "FILTER is not supported with DISTINCT aggregates")
           arg match {
             case ORef(n) => OAgg("count_distinct", Some(n))
             case e       => OAggX("count_distinct", e)
@@ -584,11 +601,22 @@ object Parser {
           // `agg(x) OVER (…)` is an analytic call, not a group aggregate
           if (peekIsKw("over")) {
             val fn = if (arg.isEmpty) s"${id.toLowerCase}_star" else id.toLowerCase
-            withOptionalOver(fn, arg.toSeq)
-          } else arg match {
-            case None          => OAgg(id.toLowerCase, None)
-            case Some(ORef(n)) => OAgg(id.toLowerCase, Some(n))
-            case Some(e)       => OAggX(id.toLowerCase, e)
+            val w = withOptionalOver(fn, arg.toSeq)
+            if (peekIsKw("filter") && toks(pos + 1) == TSym("("))
+              throw ParseException("FILTER is not supported on window aggregates")
+            w
+          } else filterClause() match {
+            // ANSI filtered aggregation desugars to the CASE aggregate
+            // (`agg(CASE WHEN c THEN x END)`): aggregates skip NULLs, so
+            // the semantics coincide exactly; count(*) filters via THEN 1
+            case Some(c) =>
+              OAggX(id.toLowerCase,
+                OCase(Seq((c, arg.getOrElse(OLit(BInt(1))))), None))
+            case None => arg match {
+              case None          => OAgg(id.toLowerCase, None)
+              case Some(ORef(n)) => OAgg(id.toLowerCase, Some(n))
+              case Some(e)       => OAggX(id.toLowerCase, e)
+            }
           }
         }
       // CASE: searched form (WHEN <cond> THEN <expr> …) or simple form

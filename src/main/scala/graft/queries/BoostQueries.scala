@@ -281,6 +281,17 @@ object BoostQueries {
         "sum(CAST(purchase * 100.0 AS int)) AS cents " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // ANSI filtered aggregation — `agg(x) FILTER (WHERE c)` (desugars to
+    // the CASE aggregate at parse time; exact integer sums keep the
+    // double tier hash-comparable, and an all-filtered group yields NULL
+    // sum on both engines)
+    "boost_filter_agg" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "count(*) FILTER (WHERE purchase > 200.0) AS n_high, " +
+        "sum(CAST(purchase * 100.0 AS int)) FILTER (WHERE purchase <= 200.0) AS low_cents, " +
+        "count(*) " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // GROUP BY ROLLUP: the (user, k) subtotal hierarchy + grand total,
     // NULL marking the rolled-up key; exact integer-cents sum keeps the
     // double aggregation hash-comparable. ASC sort is NULLS FIRST here
@@ -555,6 +566,15 @@ object BoostQueries {
         |  CAST(SUM(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  MAX(CASE WHEN value > 200.0 THEN value ELSE 0.0 END) AS max_high,
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
+
+    "boost_filter_agg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  CAST(COUNT(*) FILTER (value > 200.0) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT))
+        |       FILTER (value <= 200.0) AS BIGINT) AS low_cents,
+        |  COUNT(*) AS count_star
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 

@@ -1586,4 +1586,28 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException](Parser.parse(
       "SELECT a, count(*) FROM dom.f GROUP BY ROLLUP(a"))
   }
+
+  test("agg FILTER (WHERE …) desugars to the CASE aggregate") {
+    val q = Parser.parse(
+      "SELECT count(*) FILTER (WHERE cpu > 1.0) AS n FROM dom.f")
+    assert(q.select == Seq(ExprItem(OAggX("count",
+      OCase(Seq((Cmp(">", ORef(RawName(Seq("cpu"))), OLit(BFloat(1.0))),
+        OLit(BInt(1)))), None)), "n")))
+    // execution parity against the spelled-out CASE form
+    val filtered = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(purchase) FILTER (WHERE purchase > 200.0) AS hi " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    val cased = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(CASE WHEN purchase > 200.0 THEN purchase END) AS hi " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    assert(filtered.collect().toSeq == cased.collect().toSeq)
+    // contextual: a field named filter still parses as a plain ref
+    val f = Parser.parse("SELECT filter FROM dom.f WHERE filter > 1.0")
+    assert(f.select == Seq(FieldItem(RawName(Seq("filter")))))
+    // FILTER on window aggregates / DISTINCT aggregates is refused
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT sum(cpu) OVER (PARTITION BY host) FILTER (WHERE cpu > 1.0) FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT count(DISTINCT cpu) FILTER (WHERE cpu > 1.0) FROM dom.f"))
+  }
 }
