@@ -85,6 +85,21 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed aggregation should plan at most agg + sort exchanges ($exchanges):\n$plan")
   }
 
+  test("dialect ROLLUP plans one Expand and one aggregation exchange") {
+    // grouping sets must ride Spark's native Expand (grouping-set rows
+    // generated map-side, partial-aggregated before the shuffle) — NOT
+    // one pass per subset unioned together
+    val plan = planOf(SparkEntry.queries("boost_rollup")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert("\\bExpand\\b".r.findAllIn(plan).length == 1,
+      s"rollup should plan exactly one Expand:\n$plan")
+    assert(!plan.contains("Union"),
+      s"rollup must not union per-subset passes:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"rollup should plan agg exchange + sort only ($exchanges):\n$plan")
+  }
+
   test("interp plans ONE window over one series exchange") {
     // four frame lookups (prev/next value + timestamp) must merge into
     // a single Window operator — same partition/order, two frames —
