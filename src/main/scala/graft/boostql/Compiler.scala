@@ -109,12 +109,19 @@ object Compiler {
     // has the bounded-state alternative). Even-count midpoints over
     // integral inputs are exact halves, so cross-engine stable.
     case "median"         => median(c)
+    // grouping-set marker: 1 when the key is rolled up in this output
+    // row, 0 when it groups — the ANSI disambiguator between a rollup
+    // super-row and a genuine NULL key (validated against ROLLUP/CUBE
+    // mode and key membership at the call site)
+    case "grouping"       => grouping(c)
     case other            => throw CompileException(s"unknown aggregate $other")
   }
 
   private def aggColumn(fn: String, arg: Option[SField]): Column = {
     val name = aggColName(fn, arg)
     val c = arg match {
+      case None if fn == "grouping" =>
+        throw CompileException("grouping() requires a grouping-key argument")
       case None    => count(lit(1))
       case Some(r) => aggFnColumn(fn, col(r.inName))
     }
@@ -1306,6 +1313,21 @@ object Compiler {
       val aggSpecs = (selectAggs ++ having2.toSeq.flatMap(exprAggs) ++ orderAggs).distinct
       if (aggSpecs.isEmpty)
         throw CompileException("GROUP BY/HAVING query needs at least one aggregate")
+      // grouping() is only meaningful over grouping sets, and only over
+      // an actual grouping key (Spark would raise a runtime
+      // AnalysisException; the dialect refuses at compile time)
+      aggSpecs.foreach {
+        case Left(("grouping", a)) =>
+          if (spec.groupMode == "plain")
+            throw CompileException("grouping() requires GROUP BY ROLLUP/CUBE")
+          if (!a.map(_.inName).exists(groupNames.contains))
+            throw CompileException(
+              s"grouping() argument ${a.map(_.outName).getOrElse("*")} " +
+                "must be a grouping key")
+        case Right(("grouping", _)) =>
+          throw CompileException("grouping() takes a single grouping-key field")
+        case _ => ()
+      }
       val aggCols = aggSpecs.map {
         case Left((f, a)) => aggColumn(f, a)
         case Right((f, e)) =>

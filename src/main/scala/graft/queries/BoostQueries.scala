@@ -303,6 +303,15 @@ object BoostQueries {
         "GROUP BY ROLLUP(purchase.user, purchase.k) " +
         "ORDER BY purchase.user, purchase.k")),
 
+    // grouping() markers distinguish rollup super-rows from genuine
+    // NULL keys (the ANSI disambiguator; 1 = key rolled up in this row)
+    "boost_grouping" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, purchase.k, " +
+        "grouping(purchase.user) AS gu, grouping(purchase.k) AS gk, count(*) " +
+        "FROM dom.events WHERE purchase > 150.0 " +
+        "GROUP BY ROLLUP(purchase.user, purchase.k) " +
+        "ORDER BY purchase.user, purchase.k")),
+
     // GROUP BY CUBE: every key subset, including the (NULL, k) slice
     // ROLLUP omits
     "boost_cube" -> ((s, d) =>
@@ -583,6 +592,16 @@ object BoostQueries {
         |  props->>'k' AS purchase_k,
         |  COUNT(*) AS count_star,
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |GROUP BY ROLLUP(CAST(user_id AS VARCHAR), props->>'k')
+        |ORDER BY purchase_user NULLS FIRST, purchase_k NULLS FIRST""".stripMargin,
+
+    "boost_grouping" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  props->>'k' AS purchase_k,
+        |  CAST(GROUPING(CAST(user_id AS VARCHAR)) AS TINYINT) AS gu,
+        |  CAST(GROUPING(props->>'k') AS TINYINT) AS gk,
+        |  COUNT(*) AS count_star
         |FROM events WHERE event_type = 'purchase' AND value > 150.0
         |GROUP BY ROLLUP(CAST(user_id AS VARCHAR), props->>'k')
         |ORDER BY purchase_user NULLS FIRST, purchase_k NULLS FIRST""".stripMargin,

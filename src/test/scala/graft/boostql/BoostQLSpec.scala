@@ -1585,6 +1585,24 @@ class BoostQLSpec extends SparkSpec {
     // unclosed grouping-set list is loud
     intercept[Parser.ParseException](Parser.parse(
       "SELECT a, count(*) FROM dom.f GROUP BY ROLLUP(a"))
+    // grouping() marks super-rows (1 = rolled up), and is refused
+    // outside grouping sets / off grouping keys / argumentless
+    val g = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, grouping(purchase.user) AS gu, count(*) " +
+        "FROM dom.events WHERE purchase > 150.0 " +
+        "GROUP BY ROLLUP(purchase.user) ORDER BY purchase.user"), fam)
+      .collect()
+    assert(g.head.isNullAt(0) && g.head.getByte(1) == 1.toByte &&
+      g.tail.forall(_.getByte(1) == 0.toByte))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT purchase.user, grouping(purchase.user) AS gu, count(*) " +
+        "FROM dom.events GROUP BY purchase.user"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT purchase.user, grouping(purchase.k) AS gk, count(*) " +
+        "FROM dom.events GROUP BY ROLLUP(purchase.user)"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT purchase.user, grouping(*) AS gx, count(*) " +
+        "FROM dom.events GROUP BY ROLLUP(purchase.user)"), fam))
   }
 
   test("agg FILTER (WHERE …) desugars to the CASE aggregate") {
