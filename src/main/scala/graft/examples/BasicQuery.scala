@@ -109,6 +109,18 @@ object BasicQuery {
       "FROM dom.events GROUP BY `purchase`.`user` " +
       "ORDER BY n DESC LIMIT 5").show()
 
+    println("== grouping sets: ROLLUP subtotals + grouping() super-row marker")
+    run("SELECT purchase.user, purchase.k, grouping(purchase.k) AS gk, " +
+      "count(*) AS n FROM dom.events WHERE purchase > 200.0 " +
+      "GROUP BY ROLLUP(purchase.user, purchase.k) " +
+      "ORDER BY purchase.user, purchase.k LIMIT 8").show()
+
+    println("== filtered aggregation: agg(x) FILTER (WHERE c)")
+    run("SELECT purchase.user, count(*) AS n, " +
+      "count(*) FILTER (WHERE purchase > 200.0) AS n_high " +
+      "FROM dom.events GROUP BY purchase.user " +
+      "ORDER BY n_high DESC, purchase.user LIMIT 5").show()
+
     spark.stop()
   }
 }
