@@ -228,8 +228,11 @@ object Ast {
 
   /** `left UNION [ALL] | INTERSECT | EXCEPT right` — ANSI set operations
     * over positionally-aligned branches (extension: absent from the
-    * reference's grammar). op ∈ {union, union_all, intersect, except};
-    * UNION/INTERSECT/EXCEPT dedup, UNION ALL keeps duplicates, INTERSECT
+    * reference's grammar). op ∈ {union, union_all, intersect,
+    * intersect_all, except, except_all};
+    * UNION/INTERSECT/EXCEPT dedup, the ALL forms keep bag
+    * multiplicities (min() for INTERSECT ALL, subtraction for EXCEPT
+    * ALL — ANSI), INTERSECT
     * binds tighter than UNION/EXCEPT (ANSI precedence). orderBy/limit/
     * offset live only on the outermost node — they page the whole
     * compound, and keys must name an output column or ordinal.

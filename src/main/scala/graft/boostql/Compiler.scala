@@ -1467,10 +1467,14 @@ object Compiler {
             s"set operation branches have ${lf.columns.length} vs " +
               s"${rf.columns.length} columns")
         val combined = op match {
-          case "union_all" => lf.union(rf)
-          case "union"     => lf.union(rf).distinct()
-          case "intersect" => lf.intersect(rf)
-          case "except"    => lf.except(rf)
+          case "union_all"     => lf.union(rf)
+          case "union"         => lf.union(rf).distinct()
+          case "intersect"     => lf.intersect(rf)
+          case "except"        => lf.except(rf)
+          // bag semantics (ANSI ALL): multiplicities min() / subtract —
+          // Spark's native replicated-row joins, still one shuffle
+          case "intersect_all" => lf.intersectAll(rf)
+          case "except_all"    => lf.exceptAll(rf)
         }
         // compound ORDER BY keys resolve against the OUTPUT schema only
         // (branch-internal names are gone): an output column name — with

@@ -206,8 +206,10 @@ object Parser {
       }
       def term(): QueryStmt = {
         var left: QueryStmt = selectBody()
-        while (kw("intersect"))
-          left = SetOpSpec("intersect", guard(left, "INTERSECT"), selectBody())
+        while (kw("intersect")) {
+          val op = if (kw("all")) "intersect_all" else "intersect"
+          left = SetOpSpec(op, guard(left, "INTERSECT"), selectBody())
+        }
         left
       }
       var left: QueryStmt = term()
@@ -216,8 +218,10 @@ object Parser {
         if (kw("union")) {
           val op = if (kw("all")) "union_all" else "union"
           left = SetOpSpec(op, guard(left, "UNION"), term())
-        } else if (kw("except"))
-          left = SetOpSpec("except", guard(left, "EXCEPT"), term())
+        } else if (kw("except")) {
+          val op = if (kw("all")) "except_all" else "except"
+          left = SetOpSpec(op, guard(left, "EXCEPT"), term())
+        }
         else go = false
       }
       left match {

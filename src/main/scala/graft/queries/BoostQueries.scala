@@ -327,6 +327,14 @@ object BoostQueries {
         "UNION ALL SELECT view.event_id, view FROM dom.events WHERE view > 240.0 " +
         "ORDER BY 2 DESC, 1 LIMIT 50")),
 
+    // EXCEPT ALL — bag semantics: multiplicity subtraction, not dedup
+    // (each >250 occurrence cancels exactly one >150 occurrence of the
+    // same k)
+    "boost_except_all" -> ((s, d) =>
+      run(s, d, "SELECT purchase.k FROM dom.events WHERE purchase > 150.0 " +
+        "EXCEPT ALL SELECT purchase.k FROM dom.events WHERE purchase > 250.0 " +
+        "ORDER BY 1")),
+
     // INTERSECT (dedup semantics, ANSI) between two series' user sets
     "boost_intersect" -> ((s, d) =>
       run(s, d, "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
@@ -622,6 +630,15 @@ object BoostQueries {
         |  SELECT CAST(event_id AS VARCHAR), value
         |  FROM events WHERE event_type = 'view' AND value > 240.0
         |) ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+
+    "boost_except_all" ->
+      """SELECT * FROM (
+        |  SELECT props->>'k' AS purchase_k
+        |  FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |  EXCEPT ALL
+        |  SELECT props->>'k'
+        |  FROM events WHERE event_type = 'purchase' AND value > 250.0
+        |) ORDER BY purchase_k""".stripMargin,
 
     "boost_intersect" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user

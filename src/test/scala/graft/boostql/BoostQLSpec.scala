@@ -829,6 +829,18 @@ class BoostQLSpec extends SparkSpec {
       case SetOpSpec("union", _: QuerySpec, SetOpSpec("intersect", _, _, _, _, _), _, _, _) => ()
       case other => fail(s"unexpected shape: $other")
     }
+
+    // the ALL variants keep bag multiplicities: self EXCEPT ALL self is
+    // empty, self INTERSECT ALL self keeps every duplicate (min = count)
+    val ea = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "EXCEPT ALL SELECT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    val ia = Compiler.compile(Parser.parseStmt(
+      "SELECT purchase.user FROM dom.events WHERE purchase > 200.0 " +
+        "INTERSECT ALL SELECT purchase.user FROM dom.events WHERE purchase > 200.0"),
+      fam).count()
+    assert(ea == 0 && ia == baseAll)
   }
 
   test("CASE WHEN: searched and simple forms, ELSE default, agg contexts") {
