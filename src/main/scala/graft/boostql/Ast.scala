@@ -186,7 +186,28 @@ object Ast {
     */
   final case class ExprItem(expr: Operand, name: String) extends SelectItem
 
-  final case class Source(domain: String, family: String, alias: Option[String])
+  /** A FROM relation: a series family (`dom.family [AS al]`) or a
+    * parenthesized derived table (`(SELECT …) AS al`).
+    */
+  sealed trait FromRel { def alias: Option[String] }
+
+  final case class Source(domain: String, family: String,
+      alias: Option[String]) extends FromRel
+
+  /** Derived table: `FROM (SELECT …) AS t` / `JOIN (SELECT …) AS t ON …`
+    * — the subquery (a single SELECT or a set-op compound) compiles to
+    * its own frame and its OUTPUT columns are the relation's fields,
+    * referenced `t.col` (or bare `col` when it is the only source).
+    * ANSI requires the alias; derived columns are flat — they carry no
+    * per-point attributes and no reserved time axis, so the ts-pinned
+    * functions (bucket/rate/…/ASOF JOIN) require a family source.
+    * Extension: the reference's FROM accepts only family names
+    * (query/parser/joinparser.go:84-201).
+    */
+  final case class SubSource(stmt: QueryStmt, aliasName: String)
+      extends FromRel {
+    def alias: Option[String] = Some(aliasName)
+  }
 
   /** An additional FROM source: `[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN
     * src ON a.x = b.y` (on = the AND-chain of equality comparisons) or
@@ -199,7 +220,7 @@ object Ast {
     * string: "inner" | "left" | "right" | "full"; cross is encoded as
     * on = None.
     */
-  final case class JoinClause(source: Source, on: Option[BExpr],
+  final case class JoinClause(source: FromRel, on: Option[BExpr],
       joinType: String = "inner")
 
   final case class OrderItem(item: SelectItem, asc: Boolean)
@@ -209,7 +230,7 @@ object Ast {
 
   final case class QuerySpec(
       select: Seq[SelectItem],
-      source: Source,
+      source: FromRel,
       joins: Seq[JoinClause],
       where: Option[BExpr],
       groupBy: Seq[RawName],
