@@ -223,30 +223,53 @@ object Compiler {
     * attributes).
     */
   def compile(spec: QuerySpec, families: ((String, String)) => DataFrame): DataFrame = {
-    val sources: Seq[Source] = spec.source +: spec.joins.map(_.source)
+    val sources: Seq[FromRel] = spec.source +: spec.joins.map(_.source)
     val multi = sources.length > 1
+    // a family source carries the reserved time axis and attribute map;
+    // a derived table (SubSource) is flat — its subquery's OUTPUT columns
+    // are its only fields
+    def isFam(i: Int): Boolean = sources(i).isInstanceOf[Source]
     val aliasIdx: Map[String, Int] =
       sources.zipWithIndex.flatMap { case (s, i) => s.alias.map(_ -> i) }.toMap
     if (multi && aliasIdx.size < sources.length)
       throw CompileException("multi-source queries require an alias on every source")
 
+    // Derived-table field resolution: `col` / `al.col` only — no
+    // attribute access (flat columns), and `ts` is an ordinary column
+    // name (present iff the subquery outputs one), never the reserved
+    // axis.
+    def subRef(n: RawName, si: Int, pre: Option[String]): SField = n.parts match {
+      case Seq(c) => SField(si, pre, FieldRef(c, None))
+      case Seq(a, c) if sources(si).alias.contains(a) =>
+        SField(si, pre, FieldRef(c, None))
+      case _ => throw CompileException(
+        s"${n.text}: derived-table columns are flat — reference them as " +
+          "<col> or <alias>.<col>")
+    }
+
     // `ts` / `al.ts` names the reserved time axis (a series cannot be
     // called ts) — the dialect face of the reference's executor window
     // (executor.go:239-252)
     def ref(n: RawName): SField =
-      if (!multi) n.parts match {
-        case Seq(t) if t.equalsIgnoreCase("ts") =>
-          SField(0, None, FieldRef("ts", None), isTs = true)
-        case Seq(a, t) if sources.head.alias.contains(a) && t.equalsIgnoreCase("ts") =>
-          SField(0, None, FieldRef("ts", None), isTs = true)
-        case _ => SField(0, None, resolve(n, sources.head.alias))
+      if (!multi) sources.head match {
+        case _: SubSource => subRef(n, 0, None)
+        case _ => n.parts match {
+          case Seq(t) if t.equalsIgnoreCase("ts") =>
+            SField(0, None, FieldRef("ts", None), isTs = true)
+          case Seq(a, t) if sources.head.alias.contains(a) && t.equalsIgnoreCase("ts") =>
+            SField(0, None, FieldRef("ts", None), isTs = true)
+          case _ => SField(0, None, resolve(n, sources.head.alias))
+        }
       }
       else n.parts match {
-        case Seq(al, t) if aliasIdx.contains(al) && t.equalsIgnoreCase("ts") =>
+        case Seq(al, t) if aliasIdx.contains(al) && t.equalsIgnoreCase("ts") &&
+            isFam(aliasIdx(al)) =>
           SField(aliasIdx(al), Some(al), FieldRef("ts", None), isTs = true)
         case Seq(al, s) if aliasIdx.contains(al) =>
           SField(aliasIdx(al), Some(al), FieldRef(s, None))
         case Seq(al, s, a) if aliasIdx.contains(al) =>
+          if (!isFam(aliasIdx(al))) throw CompileException(
+            s"${n.text}: derived table '$al' has flat columns (no attributes)")
           SField(aliasIdx(al), Some(al), FieldRef(s, Some(a)))
         case _ => throw CompileException(
           s"${n.text}: field references must be alias-qualified in multi-source queries")
@@ -546,17 +569,42 @@ object Compiler {
     // attribute columns. Catalyst dedups the shared scan (the reference
     // does this by vertex reuse, planner.go:265-290) and pushes
     // `series = 'x'` into parquet.
-    def sourceFrame(srcIdx: Int): DataFrame = {
-      val family = families((sources(srcIdx).domain, sources(srcIdx).family))
+    def sourceFrame(srcIdx: Int): DataFrame = sources(srcIdx) match {
+      case sub: SubSource =>
+        // Derived table: compile the inner statement to its own frame
+        // (full recursion — set-op compounds, nested derived tables, its
+        // own aggregation all included), then project the referenced
+        // output columns under this scope's internal names. Catalyst
+        // flattens the nesting into ONE plan, so pushdown/pruning cross
+        // the derived-table boundary (an outer WHERE on a sub column
+        // reaches the inner scan unless an agg/limit blocks it).
+        val inner = compile(sub.stmt, families)
+        val refs = allRefs.filter(_.src == srcIdx)
+        if (refs.isEmpty)
+          throw CompileException(
+            s"derived table ${sub.aliasName} is never referenced")
+        val have = inner.columns.toSet
+        val missing = refs.map(_.f.colName).distinct.filterNot(have)
+        if (missing.nonEmpty)
+          throw CompileException(
+            s"derived table ${sub.aliasName} has no column(s) " +
+              s"${missing.mkString(", ")} (outputs: ${inner.columns.mkString(", ")})")
+        inner.select(refs.distinctBy(_.f.colName)
+          .map(r => col(r.f.colName).as(r.inName)): _*)
+      case famSrc: Source => famSourceFrame(srcIdx, famSrc)
+    }
+
+    def famSourceFrame(srcIdx: Int, famSrc: Source): DataFrame = {
+      val family = families((famSrc.domain, famSrc.family))
       val refs = allRefs.filter(r => r.src == srcIdx && !r.isTs)
       val seriesNames = refs.map(_.f.series).distinct
       if (seriesNames.isEmpty)
         throw CompileException(
-          s"source ${sources(srcIdx).domain}.${sources(srcIdx).family} is never referenced")
+          s"source ${famSrc.domain}.${famSrc.family} is never referenced")
       def seriesDf(s: String): DataFrame = {
         val valName = refs.find(r => r.f.series == s && r.f.attr.isEmpty)
           .map(_.inName).getOrElse(
-            if (multi) s"${sources(srcIdx).alias.get}_$s" else s)
+            if (multi) s"${famSrc.alias.get}_$s" else s)
         val attrs = refs.filter(r => r.f.series == s && r.f.attr.isDefined)
         // `s.k` reads per-point attribute k, falling back to the series-
         // level tag k (reference: tags are series metadata, seriesfamily
@@ -797,10 +845,16 @@ object Compiler {
           .when(gap > gapUs, lit(1L)).otherwise(lit(0L))
         return sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
       }
+      def tsAxis(s: Int): String = {
+        if (!isFam(s)) throw CompileException(
+          s"$fn() needs a series-family time axis — derived tables have " +
+            s"none; apply $fn inside the subquery instead")
+        s"__ts_$s"
+      }
       val axis =
-        if (!multi) "__ts_0"
+        if (!multi) tsAxis(0)
         else operandRefs(args.head).map(_.src).distinct match {
-          case Seq(s) => s"__ts_$s"
+          case Seq(s) => tsAxis(s)
           case _ => throw CompileException(
             s"$fn() argument must reference exactly one source in a " +
               "multi-source query")
@@ -967,7 +1021,14 @@ object Compiler {
       case (acc, (JoinClause(_, on, joinType), i)) =>
         val right = sourceFrame(i + 1)
         (joinType, on) match {
-          case ("asof", Some(cond)) => asofJoin(acc, right, cond, i)
+          case ("asof", Some(cond)) =>
+            // time matching is implicit on the series time axes — both
+            // the anchor (source 0) and the joined source must be
+            // families (derived tables have no time axis)
+            if (!isFam(0) || !isFam(i + 1)) throw CompileException(
+              "ASOF JOIN requires series-family sources (derived tables " +
+                "have no time axis)")
+            asofJoin(acc, right, cond, i)
           case ("asof", None) =>
             throw CompileException("ASOF JOIN requires an ON clause")
           case (_, Some(cond)) => acc.join(right, exprColumn(cond, aggOk = false), joinType)

@@ -436,17 +436,33 @@ object Parser {
       b.result()
     }
 
-    private def source(): Source = {
-      val domain = ident()
-      expectSym(".")
-      val family = ident()
-      val alias = peek match {
-        case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(aliasIdent())
-        case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
-        case TQuoted(id) => pos += 1; Some(id)
-        case _ => None
+    /** `src := dom.family [AS al] | ( stmt ) AS al` — a derived table
+      * (`FROM (SELECT …) AS t`, also usable as a JOIN operand) wraps a
+      * full statement, set-op compounds included; ANSI requires its
+      * alias.
+      */
+    private def source(): FromRel = {
+      if (sym("(")) {
+        val st = stmt()
+        expectSym(")")
+        sourceAlias() match {
+          case Some(a) => SubSource(st, a)
+          case None => throw ParseException(
+            "derived table requires an alias: (SELECT …) AS name")
+        }
+      } else {
+        val domain = ident()
+        expectSym(".")
+        val family = ident()
+        Source(domain, family, sourceAlias())
       }
-      Source(domain, family, alias)
+    }
+
+    private def sourceAlias(): Option[String] = peek match {
+      case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(aliasIdent())
+      case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
+      case TQuoted(id) => pos += 1; Some(id)
+      case _ => None
     }
 
     private def orExpr(): BExpr = {

@@ -164,8 +164,16 @@ object MultimodalOps {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(payload))
         val f = aff.getFormat
+        // javax.sound reports AudioSystem.NOT_SPECIFIED (-1) when the
+        // header carries no frame count; estimate from the payload size
+        // (an upper bound including the header — close for WAV's 44-byte
+        // header) rather than emitting a negative count/duration
+        val frames: Long =
+          if (aff.getFrameLength >= 0) aff.getFrameLength.toLong
+          else if (f.getFrameSize > 0) payload.length.toLong / f.getFrameSize
+          else 0L
         Some((math.round(f.getSampleRate), f.getChannels,
-          f.getSampleSizeInBits, aff.getFrameLength.toLong))
+          f.getSampleSizeInBits, frames))
       } catch { case _: Exception => None }
 
     /** Build a real PCM WAV payload (RIFF header + silent 16-bit

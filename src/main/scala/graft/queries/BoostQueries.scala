@@ -449,7 +449,26 @@ object BoostQueries {
       BoostQL.sql("SELECT view.event_id, view FROM dom.events WHERE view >= 200.0",
           _ => reread)
         .orderBy("view_event_id")
-    })
+    }),
+
+    // Derived tables (`FROM (SELECT …) AS t`, ANSI): the subquery
+    // compiles to its own frame, and Catalyst flattens the nesting so
+    // outer predicates still push into the inner scan where legal —
+    // an extension beyond the reference's family-name-only FROM
+    // (joinparser.go:84-201)
+    "boost_from_subquery" -> ((s, d) =>
+      run(s, d, "SELECT t.u, t.cnt FROM " +
+        "(SELECT purchase.user AS u, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user) AS t WHERE t.cnt > 2 ORDER BY t.u")),
+
+    // derived table as a JOIN operand: per-user aggregate joined back
+    // to the row level (the "filter facts by a grouped dimension" shape)
+    "boost_join_subquery" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, t.cnt " +
+        "FROM dom.events AS a JOIN " +
+        "(SELECT purchase.user AS u, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user) AS t ON a.purchase.user = t.u " +
+        "WHERE t.cnt > 2 ORDER BY a.purchase.event_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -764,6 +783,21 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_from_subquery" ->
+      """SELECT u, cnt FROM
+        |  (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1) t
+        |WHERE cnt > 2 ORDER BY u""".stripMargin,
+
+    "boost_join_subquery" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase, t.cnt AS t_cnt
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1) t
+        |  ON CAST(a.user_id AS VARCHAR) = t.u
+        |WHERE t.cnt > 2 ORDER BY a_purchase_event_id""".stripMargin,
 
     // DuckDB time_bucket's origin (2000-01-03) is a whole multiple of
     // every fixed-width unit the dialect allows, so it coincides with

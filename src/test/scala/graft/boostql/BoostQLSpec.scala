@@ -1640,4 +1640,89 @@ class BoostQLSpec extends SparkSpec {
     intercept[Parser.ParseException](Parser.parse(
       "SELECT count(DISTINCT cpu) FILTER (WHERE cpu > 1.0) FROM dom.f"))
   }
+
+  test("parser: derived table sources (FROM and JOIN operands)") {
+    val q = Parser.parse("SELECT t.c FROM (SELECT cpu AS c FROM dom.f) AS t")
+    q.source match {
+      case SubSource(inner: QuerySpec, a) =>
+        assert(a == "t" && inner.select.length == 1)
+      case other => fail(s"expected SubSource, got $other")
+    }
+    // ANSI: the alias is mandatory
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT c FROM (SELECT cpu AS c FROM dom.f)"))
+    // JOIN operand form, bare-alias spelling
+    val j = Parser.parse(
+      "SELECT a.cpu, t.c FROM dom.f AS a JOIN " +
+        "(SELECT cpu AS c, cpu.host AS h FROM dom.f) t ON a.cpu.host = t.h")
+    assert(j.joins.head.source.isInstanceOf[SubSource])
+    // a set-op compound is a legal derived-table body
+    val u = Parser.parse(
+      "SELECT t.c FROM (SELECT cpu AS c FROM dom.f UNION SELECT mem AS c FROM dom.f) AS t")
+    assert(u.source.asInstanceOf[SubSource].stmt.isInstanceOf[SetOpSpec])
+  }
+
+  test("compiler: derived table — outer WHERE over an inner aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT t.u, t.cnt FROM (SELECT purchase.user AS u, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user) AS t " +
+        "WHERE t.cnt > 2 ORDER BY t.u"), fam)
+    assert(df.columns.toSeq == Seq("u", "cnt"))
+    val exp = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 2).orderBy("u")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+  }
+
+  test("compiler: family JOIN derived table on an aggregated key") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase, t.cnt FROM dom.events AS a " +
+        "JOIN (SELECT purchase.user AS u, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user) AS t ON a.purchase.user = t.u " +
+        "WHERE t.cnt > 2 ORDER BY a.purchase.event_id"), fam)
+    assert(df.columns.toSeq == Seq("a_purchase_event_id", "a_purchase", "t_cnt"))
+    val p = fam.filter(col("series") === "purchase").select(
+      element_at(col("attributes"), "event_id").as("eid"),
+      col("value").as("v"),
+      element_at(col("attributes"), "user").as("u"))
+    val cnt = p.groupBy("u").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 2)
+    val exp = p.join(cnt, Seq("u")).select(col("eid"), col("v"), col("cnt"))
+      .orderBy("eid")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+  }
+
+  test("compiler: derived-table scope rules") {
+    // referencing a column the subquery does not output
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT t.nope FROM (SELECT cpu AS c FROM dom.events) AS t"), fam))
+    // attribute access on a derived alias (flat columns)
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT a.cpu, t.c.host FROM dom.events AS a JOIN " +
+        "(SELECT cpu AS c FROM dom.events) AS t ON a.cpu.host = t.c"), fam))
+    // ts-pinned window functions need a family time axis
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT rate(t.c) FROM (SELECT click AS c FROM dom.events) AS t"), fam))
+    // ASOF JOIN cannot anchor on a derived table
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT a.click, t.c FROM dom.events AS a ASOF JOIN " +
+        "(SELECT click AS c, click.user AS u FROM dom.events) AS t " +
+        "ON a.click.user = t.u"), fam))
+  }
+
+  test("compiler: nested derived tables collapse into one plan") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT t2.u, t2.cnt FROM (SELECT t1.u AS u, t1.cnt AS cnt FROM " +
+        "(SELECT purchase.user AS u, count(*) AS cnt FROM dom.events " +
+        "GROUP BY purchase.user) AS t1 WHERE t1.cnt > 1) AS t2 " +
+        "WHERE t2.cnt > 2 ORDER BY t2.u"), fam)
+    val exp = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 2).orderBy("u")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+  }
 }
