@@ -239,13 +239,19 @@ object Ast {
       limit: Option[Int],
       distinct: Boolean = false,
       offset: Option[Int] = None,
-      /** Grouping-set mode: "plain" | "rollup" | "cube" — `GROUP BY
-        * ROLLUP(a, b)` adds the hierarchy of super-aggregate rows
-        * (a-subtotals + grand total), CUBE every key subset, with NULL
-        * marking the rolled-up key (ANSI; executed by Spark's native
-        * Expand-based rollup/cube, one shuffle either way).
+      /** Grouping-set mode: "plain" | "rollup" | "cube" | "sets" —
+        * `GROUP BY ROLLUP(a, b)` adds the hierarchy of super-aggregate
+        * rows (a-subtotals + grand total), CUBE every key subset, and
+        * `GROUPING SETS ((…), …)` the explicit ANSI list, with NULL
+        * marking the rolled-up key (all executed by Spark's native
+        * Expand, one shuffle regardless of set count).
         */
-      groupMode: String = "plain") extends QueryStmt
+      groupMode: String = "plain",
+      /** The explicit sets for groupMode "sets" (each a key list; the
+        * empty set is the grand total). `groupBy` then holds the
+        * first-appearance-ordered union of all set keys.
+        */
+      groupSets: Seq[Seq[RawName]] = Seq.empty) extends QueryStmt
 
   /** `left UNION [ALL] | INTERSECT | EXCEPT right` — ANSI set operations
     * over positionally-aligned branches (extension: absent from the

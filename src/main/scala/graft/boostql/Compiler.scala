@@ -1380,7 +1380,8 @@ object Compiler {
       aggSpecs.foreach {
         case Left(("grouping", a)) =>
           if (spec.groupMode == "plain")
-            throw CompileException("grouping() requires GROUP BY ROLLUP/CUBE")
+            throw CompileException(
+              "grouping() requires GROUP BY ROLLUP/CUBE/GROUPING SETS")
           if (!a.map(_.inName).exists(groupNames.contains))
             throw CompileException(
               s"grouping() argument ${a.map(_.outName).getOrElse("*")} " +
@@ -1395,12 +1396,28 @@ object Compiler {
           val c = operandColumn(e, aggOk = false)
           aggFnColumn(f, c).as(aggXColName(f, e))
       }
-      // ROLLUP/CUBE plan through Spark's native Expand (one shuffle, the
-      // grouping-set rows generated map-side) — no extra pass per subset
+      // ROLLUP/CUBE/GROUPING SETS plan through Spark's native Expand
+      // (one shuffle, the grouping-set rows generated map-side) — no
+      // extra pass per subset
       val grouped = spec.groupMode match {
         case "rollup" => filtered.rollup(groupCols: _*)
         case "cube"   => filtered.cube(groupCols: _*)
-        case _        => filtered.groupBy(groupCols: _*)
+        case "sets" =>
+          // pre-project expression keys so each grouping column is a
+          // stable attribute the set lists can name by column
+          val pre = groupEntries.foldLeft(filtered) {
+            case (df, Right(ExprItem(e, nm))) =>
+              df.withColumn(nm, operandColumn(e, aggOk = false))
+            case (df, _) => df
+          }
+          def keyCol(n: RawName): Column =
+            groupEntries(spec.groupBy.indexOf(n)) match {
+              case Left(sf)               => col(sf.inName)
+              case Right(ExprItem(_, nm)) => col(nm)
+            }
+          pre.groupingSets(
+            spec.groupSets.map(_.map(keyCol)), spec.groupBy.map(keyCol): _*)
+        case _ => filtered.groupBy(groupCols: _*)
       }
       val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))

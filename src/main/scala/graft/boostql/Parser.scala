@@ -264,18 +264,34 @@ object Parser {
       // ROLLUP/CUBE are contextual (not reserved): only the exact shape
       // `GROUP BY rollup (` is grouping-set syntax, so a series named
       // `rollup` still groups as a plain key — no dialect-compat break.
-      val (grp, gmode) =
+      val (grp, gmode, gsets) =
         if (kw("group")) {
           expectKw("by")
-          val mode =
-            if ((peekIsKw("rollup") || peekIsKw("cube")) &&
-                toks(pos + 1) == TSym("(")) {
-              val m = ident().toLowerCase; expectSym("("); m
-            } else "plain"
-          val g = groupList(items)
-          if (mode != "plain") expectSym(")")
-          (g, mode)
-        } else (Seq.empty[RawName], "plain")
+          // `GROUP BY GROUPING SETS (` — contextual like ROLLUP/CUBE: a
+          // series named `grouping` still groups as a plain key
+          if (peekIsKw("grouping") && (pos + 1) < toks.length &&
+              (toks(pos + 1) match {
+                case TIdent(id) => id.equalsIgnoreCase("sets")
+                case _ => false
+              }) && toks(pos + 2) == TSym("(")) {
+            pos += 2; expectSym("(")
+            val sets = groupingSetList(items)
+            expectSym(")")
+            // groupBy = first-appearance-ordered union of all set keys
+            val union = sets.flatten.foldLeft(Vector.empty[RawName])(
+              (acc, n) => if (acc.contains(n)) acc else acc :+ n)
+            (union: Seq[RawName], "sets", sets)
+          } else {
+            val mode =
+              if ((peekIsKw("rollup") || peekIsKw("cube")) &&
+                  toks(pos + 1) == TSym("(")) {
+                val m = ident().toLowerCase; expectSym("("); m
+              } else "plain"
+            val g = groupList(items)
+            if (mode != "plain") expectSym(")")
+            (g, mode, Seq.empty[Seq[RawName]])
+          }
+        } else (Seq.empty[RawName], "plain", Seq.empty[Seq[RawName]])
       val having = if (kw("having")) Some(orExpr()) else None
       val ord =
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
@@ -284,7 +300,7 @@ object Parser {
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode)
+        gmode, gsets)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]
@@ -395,8 +411,8 @@ object Parser {
       * the already-parsed select list to the item's name/alias; an
       * aggregate is an error.
       */
-    private def groupList(items: Seq[SelectItem]): Seq[RawName] = {
-      def one(): RawName = nested(addOperand()) match {
+    private def groupKey(items: Seq[SelectItem]): RawName =
+      nested(addOperand()) match {
         case OLit(BInt(p)) =>
           if (p < 1 || p > items.length)
             throw ParseException(
@@ -417,7 +433,24 @@ object Parser {
             "GROUP BY expression must match a select item " +
               "(or alias the item and group by the alias)"))
       }
+
+    private def groupList(items: Seq[SelectItem]): Seq[RawName] = {
       val b = Seq.newBuilder[RawName]
+      b += groupKey(items)
+      while (sym(",")) b += groupKey(items)
+      b.result()
+    }
+
+    /** `GROUPING SETS ( set (, set)* )` where `set := ( keys? ) | key` —
+      * a bare key is its singleton set, `()` the grand total (ANSI).
+      */
+    private def groupingSetList(items: Seq[SelectItem]): Seq[Seq[RawName]] = {
+      def one(): Seq[RawName] =
+        if (sym("(")) {
+          if (sym(")")) Seq.empty
+          else { val ks = groupList(items); expectSym(")"); ks }
+        } else Seq(groupKey(items))
+      val b = Seq.newBuilder[Seq[RawName]]
       b += one()
       while (sym(",")) b += one()
       b.result()

@@ -451,6 +451,17 @@ object BoostQueries {
         .orderBy("view_event_id")
     }),
 
+    // explicit ANSI GROUPING SETS — the general form behind ROLLUP/CUBE
+    // (one native Expand, one shuffle regardless of set count); gu/gk
+    // disambiguate super-rows from genuine NULL keys and totally order
+    // the output across sets
+    "boost_grouping_sets" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, purchase.k, " +
+        "grouping(purchase.user) AS gu, grouping(purchase.k) AS gk, count(*) " +
+        "FROM dom.events WHERE purchase > 150.0 " +
+        "GROUP BY GROUPING SETS ((purchase.user, purchase.k), (purchase.k), ()) " +
+        "ORDER BY gu, gk, purchase.user, purchase.k")),
+
     // Derived tables (`FROM (SELECT …) AS t`, ANSI): the subquery
     // compiles to its own frame, and Catalyst flattens the nesting so
     // outer predicates still push into the inner scan where legal —
@@ -783,6 +794,18 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_grouping_sets" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  props->>'k' AS purchase_k,
+        |  CAST(GROUPING(CAST(user_id AS VARCHAR)) AS TINYINT) AS gu,
+        |  CAST(GROUPING(props->>'k') AS TINYINT) AS gk,
+        |  COUNT(*) AS count_star
+        |FROM events WHERE event_type = 'purchase' AND value > 150.0
+        |GROUP BY GROUPING SETS ((CAST(user_id AS VARCHAR), props->>'k'),
+        |  (props->>'k'), ())
+        |ORDER BY gu, gk, purchase_user NULLS FIRST,
+        |  purchase_k NULLS FIRST""".stripMargin,
 
     "boost_from_subquery" ->
       """SELECT u, cnt FROM

@@ -100,6 +100,18 @@ class PlanShapeSpec extends SparkSpec {
       s"rollup should plan agg exchange + sort only ($exchanges):\n$plan")
   }
 
+  test("explicit GROUPING SETS plans one Expand like ROLLUP/CUBE") {
+    val plan = planOf(SparkEntry.queries("boost_grouping_sets")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert("\\bExpand\\b".r.findAllIn(plan).length == 1,
+      s"grouping sets should plan exactly one Expand:\n$plan")
+    assert(!plan.contains("Union"),
+      s"grouping sets must not union per-set passes:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"grouping sets should plan agg exchange + sort only ($exchanges):\n$plan")
+  }
+
   test("interp plans ONE window over one series exchange") {
     // four frame lookups (prev/next value + timestamp) must merge into
     // a single Window operator — same partition/order, two frames —

@@ -1641,6 +1641,40 @@ class BoostQLSpec extends SparkSpec {
       "SELECT count(DISTINCT cpu) FILTER (WHERE cpu > 1.0) FROM dom.f"))
   }
 
+  test("GROUP BY GROUPING SETS: explicit ANSI form") {
+    // the rollup hierarchy spelled explicitly is row-identical to ROLLUP
+    val sets = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase.k, count(*) FROM dom.events " +
+        "WHERE purchase > 150.0 " +
+        "GROUP BY GROUPING SETS ((purchase.user, purchase.k), (purchase.user), ()) " +
+        "ORDER BY purchase.user, purchase.k"), fam)
+    val roll = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase.k, count(*) FROM dom.events " +
+        "WHERE purchase > 150.0 " +
+        "GROUP BY ROLLUP(purchase.user, purchase.k) " +
+        "ORDER BY purchase.user, purchase.k"), fam)
+    assert(sets.collect().toSeq == roll.collect().toSeq)
+    // a bare key is its singleton set; grouping() disambiguates, and an
+    // expression alias is a legal set key
+    val g = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, CAST(purchase / 100.0 AS int) AS bucket, " +
+        "grouping(purchase.user) AS gu, count(*) FROM dom.events " +
+        "GROUP BY GROUPING SETS (purchase.user, (bucket), ()) " +
+        "ORDER BY gu, purchase.user, bucket"), fam)
+    val rows = g.collect()
+    // one grand-total row (gu=1, user null, bucket null covers it twice:
+    // once from (bucket) per bucket, once from ())
+    assert(rows.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+    assert(rows.filter(_.isNullAt(0)).map(_.getByte(2)).forall(_ == 1))
+    // a series named grouping still parses as a plain GROUP BY key
+    val plain = Parser.parse("SELECT grouping, count(*) FROM dom.f GROUP BY grouping")
+    assert(plain.groupMode == "plain" && plain.groupBy == Seq(RawName(Seq("grouping"))))
+    // grouping() still refused in plain mode
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT purchase.user, grouping(purchase.user) AS gu, count(*) " +
+        "FROM dom.events GROUP BY purchase.user"), fam))
+  }
+
   test("parser: derived table sources (FROM and JOIN operands)") {
     val q = Parser.parse("SELECT t.c FROM (SELECT cpu AS c FROM dom.f) AS t")
     q.source match {
