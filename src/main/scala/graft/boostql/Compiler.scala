@@ -1104,10 +1104,21 @@ object Compiler {
         case ExprItem(e, _) => hasAggAst(e)
         case _              => false
       }
-    if (outerHasAgg)
-      selectScalarSubs.find(s => analyzeSub(s).pairs.nonEmpty).foreach(_ =>
-        throw CompileException(
-          "correlated scalar subqueries in SELECT require an ungrouped query"))
+    // A correlated SELECT sub in a GROUPED outer query is legal when it
+    // correlates on grouping keys only (ANSI: any outer column the sub
+    // reads must be single-valued per group). The grouping output column
+    // keeps its pre-agg inName, so the same keyed left join attaches
+    // post-aggregation — still one aggregate pass per sub, never a
+    // per-group rescan.
+    if (outerHasAgg) {
+      val groupKeyInNames: Set[String] =
+        groupEntries.collect { case Left(sf) => sf.inName }.toSet
+      for (s <- selectScalarSubs; of <- analyzeSub(s).pairs.map(_._1))
+        if (!groupKeyInNames.contains(of.inName))
+          throw CompileException(
+            "correlated scalar subquery in the SELECT of a grouped query " +
+              s"must correlate on grouping keys (${of.outName} is not one)")
+    }
     val preScalarSubs =
       (whereScalarSubs ++ (if (outerHasAgg) Seq.empty else selectScalarSubs))
         .distinct

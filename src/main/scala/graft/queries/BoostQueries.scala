@@ -451,6 +451,33 @@ object BoostQueries {
         .orderBy("view_event_id")
     }),
 
+    // a set-op compound as the derived-table body: branches union inside
+    // the FROM, the outer aggregates over the combined rows
+    "boost_from_union" -> ((s, d) =>
+      run(s, d, "SELECT t.u, count(*) AS n FROM " +
+        "(SELECT click.user AS u FROM dom.events WHERE click > 200.0 " +
+        "UNION ALL SELECT view.user AS u FROM dom.events WHERE view > 200.0) AS t " +
+        "GROUP BY t.u ORDER BY t.u")),
+
+    // a derived table inside an IN-subquery FROM position: membership
+    // against a pre-aggregated-then-filtered key set
+    "boost_in_derived" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase FROM dom.events " +
+        "WHERE purchase.user IN (SELECT t.u FROM " +
+        "(SELECT click.user AS u, count(*) AS c FROM dom.events " +
+        "GROUP BY click.user) AS t WHERE t.c > 15) " +
+        "ORDER BY purchase.event_id")),
+
+    // correlated scalar sub in the SELECT of a GROUPED query: legal when
+    // the correlation rides the grouping key; attaches as one aggregate
+    // pass + keyed left join after the outer aggregation
+    "boost_scalar_corr_grouped" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.user, count(*) AS n, " +
+        "(SELECT max(b.click) FROM dom.events AS b " +
+        "WHERE b.click.user = a.purchase.user) AS mx " +
+        "FROM dom.events AS a GROUP BY a.purchase.user " +
+        "ORDER BY a.purchase.user")),
+
     // explicit ANSI GROUPING SETS — the general form behind ROLLUP/CUBE
     // (one native Expand, one shuffle regardless of set count); gu/gk
     // disambiguate super-rows from genuine NULL keys and totally order
@@ -794,6 +821,34 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_from_union" ->
+      """SELECT u, COUNT(*) AS n FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS u FROM events
+        |    WHERE event_type = 'click' AND value > 200.0
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR) AS u FROM events
+        |    WHERE event_type = 'view' AND value > 200.0) t
+        |GROUP BY 1 ORDER BY u""".stripMargin,
+
+    "boost_in_derived" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value AS purchase
+        |FROM events WHERE event_type = 'purchase'
+        |  AND CAST(user_id AS VARCHAR) IN
+        |    (SELECT u FROM (SELECT CAST(user_id AS VARCHAR) AS u,
+        |       COUNT(*) AS c FROM events WHERE event_type = 'click'
+        |       GROUP BY 1) t WHERE c > 15)
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_scalar_corr_grouped" ->
+      """SELECT CAST(a.user_id AS VARCHAR) AS purchase_user,
+        |  COUNT(*) AS n,
+        |  (SELECT MAX(b.value) FROM events b
+        |   WHERE b.event_type = 'click'
+        |     AND CAST(b.user_id AS VARCHAR) = CAST(a.user_id AS VARCHAR)) AS mx
+        |FROM events a WHERE a.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 
     "boost_grouping_sets" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

@@ -1225,7 +1225,8 @@ class BoostQLSpec extends SparkSpec {
     assert(ncRows.exists(_.getLong(1) > 0L), "some user has clicks > 290")
 
     // validation: a correlated sub must be a single bare aggregate, and
-    // correlated SELECT subs need an ungrouped outer query
+    // in a GROUPED outer query the correlation must ride a grouping key
+    // (the grouped-on-key form itself is legal — covered in its own test)
     intercept[Compiler.CompileException] {
       Compiler.compile(Parser.parse(
         "SELECT a.purchase FROM dom.events AS a " +
@@ -1236,7 +1237,7 @@ class BoostQLSpec extends SparkSpec {
       Compiler.compile(Parser.parse(
         "SELECT a.purchase.user, count(*) AS n, " +
           "(SELECT max(b.error) FROM dom.events AS b " +
-          "WHERE b.error.user = a.purchase.user) AS m " +
+          "WHERE b.error.event_id = a.purchase.event_id) AS m " +
           "FROM dom.events AS a GROUP BY a.purchase.user"), fam)
     }
   }
@@ -1673,6 +1674,30 @@ class BoostQLSpec extends SparkSpec {
     intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
       "SELECT purchase.user, grouping(purchase.user) AS gu, count(*) " +
         "FROM dom.events GROUP BY purchase.user"), fam))
+  }
+
+  test("correlated scalar subquery in the SELECT of a grouped query") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.user, count(*) AS n, " +
+        "(SELECT max(b.click) FROM dom.events AS b " +
+        "WHERE b.click.user = a.purchase.user) AS mx " +
+        "FROM dom.events AS a GROUP BY a.purchase.user " +
+        "ORDER BY a.purchase.user"), fam)
+    val p = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n"))
+    val c = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "user").as("u"), col("value").as("v"))
+      .groupBy("u").agg(max(col("v")).as("mx"))
+    val exp = p.join(c, Seq("u"), "left").orderBy("u")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+    // correlation on a non-grouping key is still refused
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT a.purchase.user, count(*) AS n, " +
+        "(SELECT max(b.click) FROM dom.events AS b " +
+        "WHERE b.click.event_id = a.purchase.event_id) AS mx " +
+        "FROM dom.events AS a GROUP BY a.purchase.user"), fam))
   }
 
   test("parser: derived table sources (FROM and JOIN operands)") {
