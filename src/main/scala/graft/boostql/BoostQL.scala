@@ -15,8 +15,28 @@ import graft.tables.Tables
   */
 object BoostQL {
 
+  /** `EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST|SIMPLE] <stmt>` — the
+    * dialect face of Spark's explain modes (default FORMATTED): the
+    * statement is compiled but not executed, and the result is a
+    * one-row, one-column (`plan`) frame holding the plan text. Makes
+    * plan regressions (lost pushdown, surprise shuffles) visible to any
+    * harness that can run a query, not only to PlanShapeSpec.
+    */
+  private val explainRe =
+    """(?is)^\s*explain(?:\s+(formatted|extended|codegen|cost|simple))?\s+(select\b.*)$""".r
+
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
-    Compiler.compile(Parser.parseStmt(query), families)
+    query match {
+      case explainRe(mode, rest) =>
+        val df = Compiler.compile(Parser.parseStmt(rest), families)
+        val m = Option(mode).map(_.toLowerCase).getOrElse("formatted")
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString(m))
+        val spark = df.sparkSession
+        import spark.implicits._
+        Seq(plan).toDF("plan")
+      case _ => Compiler.compile(Parser.parseStmt(query), families)
+    }
 
   /** Time-scoped execution — the dialect face of the reference's
     * `[windowStart, windowEnd)` execution window (executor.go:239-252,

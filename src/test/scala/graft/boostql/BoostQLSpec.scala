@@ -1700,6 +1700,28 @@ class BoostQLSpec extends SparkSpec {
         "FROM dom.events AS a GROUP BY a.purchase.user"), fam))
   }
 
+  test("EXPLAIN returns the plan text with the pushed-down filter visible") {
+    val rows = BoostQL.sql(
+      "EXPLAIN SELECT click.user, click FROM dom.events WHERE click < 100.0",
+      (_: ((String, String))) => fam).collect()
+    assert(rows.length == 1)
+    val plan = rows(0).getString(0)
+    // formatted mode, physical plan present, and the series predicate
+    // reached the scan as a pushed/codegen'd filter
+    assert(plan.contains("== Physical Plan =="))
+    assert(plan.contains("Filter"), s"no filter in plan:\n$plan")
+    assert("(?i)100\\.0".r.findFirstIn(plan).isDefined,
+      s"value predicate missing from plan:\n$plan")
+    // EXTENDED mode carries the analyzed/optimized sections too
+    val ext = BoostQL.sql(
+      "EXPLAIN EXTENDED SELECT click FROM dom.events WHERE click < 100.0",
+      (_: ((String, String))) => fam).collect()(0).getString(0)
+    assert(ext.contains("== Optimized Logical Plan =="))
+    // a series named explain still parses as a field, not the keyword
+    val q = Parser.parse("SELECT explain FROM dom.f WHERE explain > 1.0")
+    assert(q.select == Seq(FieldItem(RawName(Seq("explain")))))
+  }
+
   test("parser: derived table sources (FROM and JOIN operands)") {
     val q = Parser.parse("SELECT t.c FROM (SELECT cpu AS c FROM dom.f) AS t")
     q.source match {
