@@ -198,35 +198,32 @@ object TimeSeriesOps {
   }
 
   /** Exponentially-weighted moving average per key:
-    * `y_i = alpha*x_i + (1-alpha)*y_{i-1}` — a sequential recurrence no
-    * window function expresses. Scale-correct pattern: repartition by
-    * key, sort within partitions by (key, ts, tieBreak), then a single
-    * mapPartitions pass streams each key's run without buffering a
-    * series in memory. One shuffle, O(1) state per key.
+    * `y_i = alpha*x_i + (1-alpha)*y_{i-1}`, seeded with the first value.
+    * Runs through the native [[graft.functions.Ewma]]
+    * AggregateWindowFunction (the same expression the dialect's `ewma()`
+    * uses): Spark's window executor evaluates the running frame
+    * incrementally — one shuffle on the key, O(1) state per key, no row
+    * buffering, and the recurrence stays inside the declarative plan
+    * (AQE-visible) instead of an opaque mapPartitions.
     */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
       tieBreak: Seq[String], alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val cols = df.columns
-    val keyIdx = cols.indexOf(keyCol)
-    val valIdx = cols.indexOf(valCol)
-    val sorted = df.repartition(col(keyCol))
-      .sortWithinPartitions((col(keyCol) +: col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("ewma", org.apache.spark.sql.types.DoubleType))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    sorted.mapPartitions { rows =>
-      var curKey: Any = null
-      var y = 0.0
-      var seen = false
-      rows.map { r =>
-        val k = r.get(keyIdx)
-        if (!seen || k != curKey) { curKey = k; y = r.getDouble(valIdx); seen = true }
-        else y = alpha * r.getDouble(valIdx) + (1 - alpha) * y
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ y)
-      }
-    }(enc)
+    // WindowExpression built directly with UnspecifiedFrame: the public
+    // .over(WindowSpec) would impose the RANGE default frame, but an
+    // AggregateWindowFunction pins its own running ROWS frame
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.withColumn("ewma", ColumnBridge.column(WindowExpression(
+      graft.functions.Ewma(
+        ColumnBridge.expression(col(valCol).cast("double")), alpha),
+      WindowSpecDefinition(
+        Seq(ColumnBridge.expression(col(keyCol))),
+        (col(tsCol) +: tieBreak.map(col)).map(c =>
+          SortOrder(ColumnBridge.expression(c), Ascending)),
+        UnspecifiedFrame))))
   }
 
   /** Resample each key onto a dense daily grid over [gridStart, gridEnd]
