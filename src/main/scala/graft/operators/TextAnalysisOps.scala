@@ -293,8 +293,12 @@ object TextAnalysisOps {
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int = 200,
       sampleDocs: Int = 1000): Array[String] = {
     require(numMerges >= 1 && sampleDocs >= 1)
+    // md5 (not xxhash64) orders the sample: both Spark and DuckDB hash
+    // UTF-8 bytes to the same hex string, so the oracle replays the
+    // sample selection exactly; ties are identical texts, so the sampled
+    // multiset is deterministic either way
     val sample = df.select(col(textCol).as("t"))
-      .withColumn("h", xxhash64(col("t"))).orderBy("h").limit(sampleDocs)
+      .withColumn("h", md5(col("t"))).orderBy("h").limit(sampleDocs)
       .select("t").collect().map(_.getString(0))
     val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
     sample.foreach(_.split(" ").foreach(w =>

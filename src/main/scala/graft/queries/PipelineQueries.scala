@@ -246,9 +246,10 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // tokenizer-aware corpus accounting: train BPE on the corpus sample,
-    // count real subword tokens per doc (rows-only: SQL cannot replay
-    // the merge loop; training determinism + hand-checked merges in
-    // CurationOpsSpec)
+    // count real subword tokens per doc. Fully oracled: the DuckDB SQL
+    // replays BOTH the training loop (recursive CTE, weighted pair
+    // histogram, same tie-break) and the merge application — see the
+    // txt_bpe entry in oracleSql below
     "txt_bpe" -> ((s, d) => {
       val doc = docs(s, d)
       // the synthetic corpus has a tiny vocabulary — a 200-merge table
@@ -603,6 +604,99 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Full BPE replay in pure SQL — training AND application. The merge
+    // loop replays as a recursive CTE over a single-row state (distinct
+    // words + frequencies as a struct list): each step computes the
+    // weighted pair histogram via a correlated unnest/GROUP BY, picks
+    // argmax with the (-count, pair) tie-break, and applies the merge
+    // with a list_reduce that mirrors the left-to-right single-pass
+    // semantics of trainBpe/BpeImpl (merge-with-last when the pair
+    // matches). The sample is replayable because trainBpe orders by
+    // md5(text). Application (greedy lowest-rank = rank-order sweep,
+    // provable from the merge table's closure property) recurses each
+    // distinct corpus word through the merge list. '|' never occurs in
+    // the corpus, so it is a safe symbol delimiter.
+    "txt_bpe" ->
+      """WITH RECURSIVE
+        |sample AS (
+        |  SELECT text FROM (
+        |    SELECT text, md5(text) AS h FROM documents ORDER BY h LIMIT 1000)
+        |),
+        |w0 AS (
+        |  SELECT list({s: sym, f: f}) AS words FROM (
+        |    SELECT list_reduce(string_split(w, ''), (a, x) -> a || '|' || x) AS sym,
+        |      COUNT(*)::BIGINT AS f
+        |    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |          FROM sample)
+        |    GROUP BY 1)
+        |),
+        |train AS (
+        |  SELECT 0 AS r, words, []::VARCHAR[] AS merges FROM w0
+        |  UNION ALL
+        |  SELECT r + 1,
+        |    list_transform(words, e -> {
+        |      s: list_reduce(string_split(e.s, '|'), (acc, x) ->
+        |        CASE WHEN regexp_extract(acc, '[^|]*$') = split_part(best, ' ', 1)
+        |               AND x = split_part(best, ' ', 2)
+        |             THEN substr(acc, 1, len(acc) - len(regexp_extract(acc, '[^|]*$')))
+        |                  || split_part(best, ' ', 1) || split_part(best, ' ', 2)
+        |             ELSE acc || '|' || x END),
+        |      f: e.f}),
+        |    list_append(merges, best)
+        |  FROM (
+        |    SELECT r, words, merges,
+        |      (SELECT pr FROM (
+        |         SELECT pr, SUM(pf) AS c FROM (
+        |           SELECT unnest(list_transform(
+        |               list_zip(string_split(e.s,'|')[:-2], string_split(e.s,'|')[2:]),
+        |               q -> q[1] || ' ' || q[2])) AS pr,
+        |             e.f AS pf
+        |           FROM unnest(words) AS t(e))
+        |         GROUP BY pr)
+        |       ORDER BY c DESC, pr ASC LIMIT 1) AS best
+        |    FROM train WHERE r < 30)
+        |  WHERE best IS NOT NULL
+        |),
+        |mergetab AS MATERIALIZED (
+        |  SELECT m.merges[i] AS mg, i AS rk
+        |  FROM (SELECT merges FROM train ORDER BY r DESC LIMIT 1) m,
+        |       LATERAL (SELECT unnest(range(1, len(m.merges) + 1)) AS i)
+        |),
+        |corpus_words AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents
+        |),
+        |bpe AS (
+        |  SELECT w, list_reduce(string_split(w, ''), (a, x) -> a || '|' || x) AS sym,
+        |    0 AS r
+        |  FROM (SELECT DISTINCT w FROM corpus_words)
+        |  UNION ALL
+        |  SELECT w,
+        |    list_reduce(string_split(sym, '|'), (acc, x) ->
+        |      CASE WHEN regexp_extract(acc, '[^|]*$') = split_part(mg, ' ', 1)
+        |             AND x = split_part(mg, ' ', 2)
+        |           THEN substr(acc, 1, len(acc) - len(regexp_extract(acc, '[^|]*$')))
+        |                || split_part(mg, ' ', 1) || split_part(mg, ' ', 2)
+        |           ELSE acc || '|' || x END),
+        |    r + 1
+        |  FROM bpe JOIN mergetab ON mergetab.rk = bpe.r + 1
+        |),
+        |tok AS (
+        |  SELECT w, len(string_split(sym, '|'))::BIGINT AS ntok FROM bpe
+        |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY r DESC) = 1
+        |),
+        |agg AS (
+        |  SELECT cw.doc_id, SUM(tok.ntok)::BIGINT AS n_bpe
+        |  FROM corpus_words cw JOIN tok ON tok.w = cw.w
+        |  GROUP BY cw.doc_id
+        |)
+        |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_words,
+        |  COALESCE(a.n_bpe, 0) AS n_bpe_tokens,
+        |  COALESCE(a.n_bpe, 0)::DOUBLE / len(string_split(d.text, ' '))::DOUBLE
+        |    AS bpe_per_word
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
