@@ -23,7 +23,7 @@ object BoostQL {
     * harness that can run a query, not only to PlanShapeSpec.
     */
   private val explainRe =
-    """(?is)^\s*explain(?:\s+(formatted|extended|codegen|cost|simple))?\s+(select\b.*)$""".r
+    """(?is)^\s*explain(?:\s+(formatted|extended|codegen|cost|simple))?\s+((?:select|with)\b.*)$""".r
 
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
     query match {

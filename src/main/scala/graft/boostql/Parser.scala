@@ -182,7 +182,34 @@ object Parser {
       case t => throw ParseException(s"expected alias identifier, got $t")
     }
 
+    /** Common table expressions, resolved by substitution: each use of a
+      * WITH-defined name becomes a derived table ([[SubSource]]) holding
+      * the binding's statement, so the compiler needs no new machinery.
+      * A CTE body sees the bindings defined BEFORE it (ANSI forward
+      * order); self/forward references are unknown names. Multiple uses
+      * duplicate the sub-plan in the AST — which lets Catalyst SPECIALIZE
+      * each use (outer predicates and pruning push into each copy
+      * independently); uses that stay identical after optimization are
+      * deduped by ReuseExchange. WITH is contextual: a series named
+      * `with` is unaffected (statements begin with SELECT).
+      */
+    private var cteEnv: Map[String, QueryStmt] = Map.empty
+
     def stmtTop(): QueryStmt = {
+      if (kw("with")) {
+        var more = true
+        while (more) {
+          val name = aliasIdent()
+          if (cteEnv.contains(name))
+            throw ParseException(s"duplicate WITH name '$name'")
+          expectKw("as")
+          expectSym("(")
+          val body = stmt()
+          expectSym(")")
+          cteEnv += name -> body
+          more = sym(",")
+        }
+      }
       val st = stmt()
       peek match {
         case TEnd => st
@@ -484,10 +511,17 @@ object Parser {
             "derived table requires an alias: (SELECT …) AS name")
         }
       } else {
-        val domain = ident()
-        expectSym(".")
-        val family = ident()
-        Source(domain, family, sourceAlias())
+        val first = ident()
+        if (sym(".")) {
+          val family = ident()
+          Source(first, family, sourceAlias())
+        } else cteEnv.get(first) match {
+          // a bare name is a CTE reference; it substitutes as a derived
+          // table aliased by the CTE name unless re-aliased at the use
+          case Some(body) => SubSource(body, sourceAlias().getOrElse(first))
+          case None => throw ParseException(
+            s"source '$first' must be domain.family or a WITH-defined name")
+        }
       }
     }
 

@@ -451,6 +451,15 @@ object BoostQueries {
         .orderBy("view_event_id")
     }),
 
+    // WITH common table expressions (substitution into derived tables;
+    // each use optimizes independently — here the cnt > 2 filter pushes
+    // into only the b copy, shrinking the broadcast side)
+    "boost_with" -> ((s, d) =>
+      run(s, d, "WITH pu AS (SELECT purchase.user AS u, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user) " +
+        "SELECT a.u, a.cnt FROM pu AS a JOIN pu AS b ON a.u = b.u " +
+        "WHERE b.cnt > 2 ORDER BY a.u")),
+
     // a set-op compound as the derived-table body: branches union inside
     // the FROM, the outer aggregates over the combined rows
     "boost_from_union" -> ((s, d) =>
@@ -821,6 +830,12 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_with" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a.u AS a_u, a.cnt AS a_cnt FROM pu a JOIN pu b ON a.u = b.u
+        |WHERE b.cnt > 2 ORDER BY a_u""".stripMargin,
 
     "boost_from_union" ->
       """SELECT u, COUNT(*) AS n FROM (

@@ -1793,6 +1793,39 @@ class BoostQLSpec extends SparkSpec {
         "ON a.click.user = t.u"), fam))
   }
 
+  test("WITH common table expressions substitute as derived tables") {
+    import org.apache.spark.sql.functions._
+    // single CTE, referenced in FROM under its own name
+    val df = Compiler.compile(Parser.parseStmt(
+      "WITH pu AS (SELECT purchase.user AS u, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user) " +
+        "SELECT pu.u, pu.cnt FROM pu WHERE pu.cnt > 2 ORDER BY pu.u"), fam)
+    val exp = fam.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 2).orderBy("u")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+    // a later CTE sees earlier ones; use-site re-alias; JOIN position
+    val chained = Compiler.compile(Parser.parseStmt(
+      "WITH pu AS (SELECT purchase.user AS u, count(*) AS cnt " +
+        "FROM dom.events GROUP BY purchase.user), " +
+        "big AS (SELECT pu.u AS u FROM pu WHERE pu.cnt > 2) " +
+        "SELECT a.purchase.event_id, a.purchase FROM dom.events AS a " +
+        "JOIN big AS b ON a.purchase.user = b.u ORDER BY a.purchase.event_id"), fam)
+    assert(chained.count() > 0)
+    // errors: duplicate name, unknown bare source, self-reference
+    intercept[Parser.ParseException](Parser.parseStmt(
+      "WITH t AS (SELECT cpu FROM dom.f), t AS (SELECT mem FROM dom.f) " +
+        "SELECT t.cpu FROM t"))
+    intercept[Parser.ParseException](Parser.parseStmt(
+      "SELECT t.cpu FROM t"))
+    intercept[Parser.ParseException](Parser.parseStmt(
+      "WITH t AS (SELECT t.c AS c FROM t) SELECT t.c FROM t"))
+    // a series named `with` still selects (contextual keyword)
+    val q = Parser.parse("SELECT with FROM dom.f WHERE with > 1.0")
+    assert(q.select == Seq(FieldItem(RawName(Seq("with")))))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
