@@ -503,7 +503,11 @@ object Parser {
       */
     private def source(): FromRel = {
       if (sym("(")) {
-        val st = stmt()
+        // nested(): derived tables recurse stmt() → selectBody() →
+        // source(), so adversarially deep FROM nesting must hit the
+        // same bounded ParseException as deep expressions, not a
+        // StackOverflowError
+        val st = nested(stmt())
         expectSym(")")
         sourceAlias() match {
           case Some(a) => SubSource(st, a)

@@ -208,4 +208,40 @@ object ParserProps extends Properties("graft.boostql.parser") {
       }
       Parser.parseStmt(sql) == expected
     }
+
+  /** Depth of the SubSource chain hanging off a statement's FROM. */
+  private def fromDepth(st: QueryStmt): Int = st match {
+    case q: QuerySpec => q.source match {
+      case SubSource(inner, _) => 1 + fromDepth(inner)
+      case _ => 0
+    }
+    case s: SetOpSpec => math.max(fromDepth(s.left), fromDepth(s.right))
+  }
+
+  // derived-table nesting round-trips to exactly its rendered depth
+  property("derivedTableNesting") = forAll(Gen.choose(1, 30)) { n =>
+    def rel(d: Int): String =
+      if (d == 0) "dom.fam"
+      else if (d == 1) s"(SELECT cpu AS c FROM ${rel(0)}) AS t1"
+      else s"(SELECT c AS c FROM ${rel(d - 1)}) AS t$d"
+    fromDepth(Parser.parseStmt(s"SELECT c FROM ${rel(n)}")) == n
+  }
+
+  // a CTE chain (each binding reading the previous) substitutes to a
+  // SubSource chain of the same length
+  property("cteChainSubstitution") = forAll(Gen.choose(1, 20)) { k =>
+    val binds = (1 to k).map { i =>
+      if (i == 1) "t1 AS (SELECT cpu AS c FROM dom.fam)"
+      else s"t$i AS (SELECT c AS c FROM t${i - 1})"
+    }.mkString(", ")
+    fromDepth(Parser.parseStmt(s"WITH $binds SELECT c FROM t$k")) == k
+  }
+
+  // pathological FROM nesting dies as a bounded ParseException, never a
+  // StackOverflowError
+  property("deepFromNestingBounded") = {
+    val deep = "(SELECT c FROM " * 600 + "dom.fam" + ") AS t" * 600
+    try { Parser.parseStmt(s"SELECT c FROM $deep AS x"); false }
+    catch { case _: Parser.ParseException => true }
+  }
 }
