@@ -45,6 +45,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC is part of the testdata contract: events.ts may arrive as
+      // TIMESTAMP_NTZ, whose reinterpretation as an instant
+      // (Tables.normalizeEventsTs) is only lossless under a UTC session
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -68,21 +68,21 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  /** events + TPC-H replicas for the relational/ts tier. `ts` is read
-    * as raw nanos longs (the same legacy conf `Tables.events` uses on
-    * the TIMESTAMP(NANOS) base file) and written back as a plain long
-    * column — `Tables.events`' `ts div 1000` conversion handles both.
+  /** events + TPC-H replicas for the relational/ts tier. `ts` is
+    * normalized to a micros TimestampType on read (whatever unit the
+    * base parquet carries — [[graft.tables.Tables.normalizeEventsTs]])
+    * and each replica is shifted 35 days, so the written scale corpus
+    * always carries a plain adjusted-UTC TIMESTAMP column that
+    * `Tables.events` passes through unchanged.
     */
   def generateRelational(spark: SparkSession, baseDir: String, outDir: String,
       reps: Int): Unit = {
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dayNanos = 86400L * 1000000000L
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val ev = graft.tables.Tables.events(spark, baseDir)
     (0 until reps).map { k =>
       ev.select(
         (col("event_id") + lit(k * IdOffset)).as("event_id"),
-        (col("ts") + lit(k * 35L * dayNanos)).as("ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          lit(k * 35L * 86400L * 1000000L)).as("ts"),
         (col("user_id") + lit(k * IdOffset)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionAll _).repartition(32)
@@ -127,6 +127,9 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC contract as Bench/Verify — NTZ→instant reinterpretation
+      // in Tables.normalizeEventsTs depends on the session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

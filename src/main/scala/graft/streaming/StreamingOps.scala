@@ -55,9 +55,11 @@ object StreamingOps {
       dir.toString
     })
 
-  /** The NANOS-unit testdata requires this conf to be true; set it only
-    * when the effective value differs, so repeated calls don't keep
-    * rewriting a long-lived session's conf.
+  /** A TIMESTAMP(NANOS) testdata generation requires this conf to load
+    * at all (as raw longs — [[graft.tables.Tables.normalizeEventsTs]]
+    * converts downstream); on MICROS-unit testdata it is inert. Set it
+    * only when the effective value differs, so repeated calls don't
+    * keep rewriting a long-lived session's conf.
     */
   private def ensureNanosAsLong(spark: SparkSession): Unit =
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
@@ -92,7 +94,7 @@ object StreamingOps {
     // file streams need an explicit schema; take it from the batch reader
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.tables.Tables.normalizeEventsTs)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -121,7 +123,7 @@ object StreamingOps {
     ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val fam = spark.readStream.schema(schema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.tables.Tables.normalizeEventsTs)
       .transform(graft.sources.TimeSeriesTable.fromEvents)
       .withColumn("dt", to_date(col("ts")))
     val query = fam.writeStream
@@ -154,7 +156,7 @@ object StreamingOps {
     ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.tables.Tables.normalizeEventsTs)
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -187,7 +189,7 @@ object StreamingOps {
     ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = spark.readStream.schema(schema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.tables.Tables.normalizeEventsTs)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -252,7 +254,7 @@ object StreamingOps {
     ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val deduped = spark.readStream.schema(schema).parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.tables.Tables.normalizeEventsTs)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

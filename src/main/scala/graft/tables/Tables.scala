@@ -2,7 +2,8 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{LongType, MapType, StringType,
+  TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet testdata (TESTDATA.md).
   *
@@ -21,10 +22,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long (legacy conf) and convert to a micros
-    * TimestampType — the data is micro-precision, so this is lossless and
-    * matches what DuckDB sees.
+  /** Normalize an events-shaped frame so `ts` is always a micros
+    * `TimestampType`, whatever physical unit the parquet carried. The
+    * testdata's `ts` unit has drifted across harness generations
+    * (TIMESTAMP(NANOS) → TIMESTAMP(MICROS) without UTC adjustment), so
+    * the contract is dispatched on the LOADED schema, not assumed:
+    *
+    *  - `LongType` — raw nanos (read under
+    *    `spark.sql.legacy.parquet.nanosAsLong`, or a scale corpus that
+    *    round-tripped the longs): truncate to micros. Lossless — the
+    *    data is micro-precision.
+    *  - `TimestampNTZType` — parquet micros with isAdjustedToUTC=false:
+    *    reinterpret as an instant via the SESSION timezone. Lossless
+    *    only under a UTC session (the harness contract; every
+    *    entrypoint pins `spark.sql.session.timeZone=UTC`).
+    *  - `TimestampType` — already an instant: passthrough.
+    *
+    * Column order is preserved. All loaders and streams that touch
+    * `events` MUST route through here — six hand-copied `ts div 1000`
+    * sites drifting independently is how round 9 lost 77 queries.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    val normalized = df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+    normalized.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** `events.ts` arrives in whatever unit the harness last generated
+    * (see [[normalizeEventsTs]]). The legacy nanos conf is set so a
+    * TIMESTAMP(NANOS) file loads as longs instead of throwing; on
+    * MICROS/adjusted files it is inert.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // set-if-needed: repeated calls must not keep rewriting shared
@@ -32,9 +64,7 @@ object Tables {
     // cached session state on some conf paths)
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(raw.columns.map(col).toIndexedSeq: _*)
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
