@@ -234,10 +234,26 @@ object Compiler {
     if (multi && aliasIdx.size < sources.length)
       throw CompileException("multi-source queries require an alias on every source")
 
+    // Derived tables compile upfront (plan construction only — nothing
+    // executes) so the scope can ask whether a subquery's OUTPUT carries
+    // the reserved time axis: a column literally named `ts` of timestamp
+    // type means the axis survived the subquery (propagated, not
+    // aggregated away or retyped), and the ts-pinned functions/ASOF may
+    // bind to it — the executor window is source-agnostic in the
+    // reference too (executor.go:239-252). The frames are reused by
+    // sourceFrame, so each derived table still compiles exactly once.
+    val innerFrames: Map[Int, DataFrame] = sources.zipWithIndex.collect {
+      case (sub: SubSource, i) => i -> compile(sub.stmt, families)
+    }.toMap
+    def subHasTs(i: Int): Boolean = innerFrames.get(i).exists(df =>
+      df.columns.contains("ts") &&
+        df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType)
+
     // Derived-table field resolution: `col` / `al.col` only — no
-    // attribute access (flat columns), and `ts` is an ordinary column
-    // name (present iff the subquery outputs one), never the reserved
-    // axis.
+    // attribute access (flat columns). `ts` is the reserved axis when
+    // the subquery propagated it (subHasTs), otherwise an ordinary
+    // column name.
     def subRef(n: RawName, si: Int, pre: Option[String]): SField = n.parts match {
       case Seq(c) => SField(si, pre, FieldRef(c, None))
       case Seq(a, c) if sources(si).alias.contains(a) =>
@@ -252,7 +268,14 @@ object Compiler {
     // (executor.go:239-252)
     def ref(n: RawName): SField =
       if (!multi) sources.head match {
-        case _: SubSource => subRef(n, 0, None)
+        case _: SubSource => n.parts match {
+          case Seq(t) if t.equalsIgnoreCase("ts") && subHasTs(0) =>
+            SField(0, None, FieldRef("ts", None), isTs = true)
+          case Seq(a, t) if sources.head.alias.contains(a) &&
+              t.equalsIgnoreCase("ts") && subHasTs(0) =>
+            SField(0, None, FieldRef("ts", None), isTs = true)
+          case _ => subRef(n, 0, None)
+        }
         case _ => n.parts match {
           case Seq(t) if t.equalsIgnoreCase("ts") =>
             SField(0, None, FieldRef("ts", None), isTs = true)
@@ -263,7 +286,7 @@ object Compiler {
       }
       else n.parts match {
         case Seq(al, t) if aliasIdx.contains(al) && t.equalsIgnoreCase("ts") &&
-            isFam(aliasIdx(al)) =>
+            (isFam(aliasIdx(al)) || subHasTs(aliasIdx(al))) =>
           SField(aliasIdx(al), Some(al), FieldRef("ts", None), isTs = true)
         case Seq(al, s) if aliasIdx.contains(al) =>
           SField(aliasIdx(al), Some(al), FieldRef(s, None))
@@ -578,7 +601,7 @@ object Compiler {
         // flattens the nesting into ONE plan, so pushdown/pruning cross
         // the derived-table boundary (an outer WHERE on a sub column
         // reaches the inner scan unless an agg/limit blocks it).
-        val inner = compile(sub.stmt, families)
+        val inner = innerFrames(srcIdx)
         val refs = allRefs.filter(_.src == srcIdx)
         if (refs.isEmpty)
           throw CompileException(
@@ -589,8 +612,16 @@ object Compiler {
           throw CompileException(
             s"derived table ${sub.aliasName} has no column(s) " +
               s"${missing.mkString(", ")} (outputs: ${inner.columns.mkString(", ")})")
-        inner.select(refs.distinctBy(_.f.colName)
-          .map(r => col(r.f.colName).as(r.inName)): _*)
+        val projected = refs.distinctBy(_.f.colName)
+          .map(r => col(r.f.colName).as(r.inName))
+        // a surviving axis rides along under its internal name even when
+        // no field spells `ts` — implicit-window functions (rate/locf/…)
+        // and ASOF time matching order by it without referencing it
+        val withAxis =
+          if (subHasTs(srcIdx) && !refs.exists(_.isTs))
+            projected :+ col("ts").as(s"__ts_$srcIdx")
+          else projected
+        inner.select(withAxis: _*)
       case famSrc: Source => famSourceFrame(srcIdx, famSrc)
     }
 
@@ -846,9 +877,10 @@ object Compiler {
         return sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
       }
       def tsAxis(s: Int): String = {
-        if (!isFam(s)) throw CompileException(
-          s"$fn() needs a series-family time axis — derived tables have " +
-            s"none; apply $fn inside the subquery instead")
+        if (!isFam(s) && !subHasTs(s)) throw CompileException(
+          s"$fn() needs a time axis — this derived table does not " +
+            s"output a timestamp column named ts; propagate ts through " +
+            s"the subquery or apply $fn inside it")
         s"__ts_$s"
       }
       val axis =
@@ -1022,12 +1054,15 @@ object Compiler {
         val right = sourceFrame(i + 1)
         (joinType, on) match {
           case ("asof", Some(cond)) =>
-            // time matching is implicit on the series time axes — both
-            // the anchor (source 0) and the joined source must be
-            // families (derived tables have no time axis)
-            if (!isFam(0) || !isFam(i + 1)) throw CompileException(
-              "ASOF JOIN requires series-family sources (derived tables " +
-                "have no time axis)")
+            // time matching is implicit on the time axes — the anchor
+            // (source 0) and the joined source each need one: a series
+            // family always has it; a derived table only when its
+            // subquery propagated a timestamp `ts` output column
+            if ((!isFam(0) && !subHasTs(0)) ||
+                (!isFam(i + 1) && !subHasTs(i + 1))) throw CompileException(
+              "ASOF JOIN requires a time axis on both sides (a series " +
+                "family, or a derived table whose subquery outputs a " +
+                "timestamp column named ts)")
             asofJoin(acc, right, cond, i)
           case ("asof", None) =>
             throw CompileException("ASOF JOIN requires an ON clause")

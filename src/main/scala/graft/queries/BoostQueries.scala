@@ -515,7 +515,35 @@ object BoostQueries {
         "FROM dom.events AS a JOIN " +
         "(SELECT purchase.user AS u, count(*) AS cnt FROM dom.events " +
         "GROUP BY purchase.user) AS t ON a.purchase.user = t.u " +
-        "WHERE t.cnt > 2 ORDER BY a.purchase.event_id"))
+        "WHERE t.cnt > 2 ORDER BY a.purchase.event_id")),
+
+    // ts functions over a derived table whose subquery PROPAGATES the
+    // reserved axis (a timestamp output column named ts): bucket() binds
+    // to the surviving axis — pre-filter-then-bucket, the shape a v1
+    // "no time axis" refusal hit immediately. The executor window is
+    // source-agnostic in the reference too (executor.go:239-252).
+    "boost_ts_derived" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n, " +
+        "sum(CAST(v * 100.0 AS int)) AS cents " +
+        "FROM (SELECT ts, click AS v FROM dom.events WHERE click < 200.0) AS t " +
+        "GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h")),
+
+    // implicit-window ts function (rate) over a derived table: the axis
+    // is never spelled in the outer query — it rides along internally
+    // because the subquery output carries it
+    "boost_ts_derived_rate" -> ((s, d) =>
+      run(s, d, "SELECT eid, rate(v) AS r FROM " +
+        "(SELECT ts, click.event_id AS eid, click AS v FROM dom.events) AS t " +
+        "ORDER BY eid")),
+
+    // ASOF JOIN against a derived table: time matching stays implicit,
+    // binding to the subquery's propagated ts axis on the right side
+    "boost_asof_derived" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.c " +
+        "FROM dom.events AS a ASOF JOIN " +
+        "(SELECT ts, click.user AS u, click AS c FROM dom.events) AS b " +
+        "ON a.purchase.user = b.u WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1043,6 +1071,32 @@ object BoostQueries {
         |)
         |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
         |  (CAST(x AS DOUBLE) - s / n) / sqrt((q - s * s / n) / (n - 1.0)) AS z
-        |FROM w ORDER BY click_event_id""".stripMargin
+        |FROM w ORDER BY click_event_id""".stripMargin,
+
+    "boost_ts_derived" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click' AND value < 200.0
+        |GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "boost_ts_derived_rate" ->
+      """SELECT CAST(event_id AS VARCHAR) AS eid,
+        |  CASE WHEN dt_us > 0 THEN dv / (CAST(dt_us AS DOUBLE) / 1e6) END AS r
+        |FROM (
+        |  SELECT event_id,
+        |    value - LAG(value) OVER w AS dv,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events WHERE event_type = 'click' WINDOW w AS (ORDER BY ts))
+        |ORDER BY eid""".stripMargin,
+
+    "boost_asof_derived" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase, b.value AS b_c
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  AND b.ts <= a.ts
+        |ORDER BY a_purchase_event_id""".stripMargin
   )
 }

@@ -43,6 +43,25 @@ class PlanShapeSpec extends SparkSpec {
       s"value predicate must push into the scan:\n$plan")
   }
 
+  test("EXPLAIN through the dialect front door shows the pushed series predicate") {
+    // same claim as the test above, but checked the way a dialect USER
+    // would: `EXPLAIN SELECT …` returns the formatted plan as a one-row
+    // frame, and the series/value predicates must appear as PushedFilters
+    val root = java.nio.file.Files.createTempDirectory("graft-explain").toString
+    TimeSeriesTable.append(
+      TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)), root, "dom", "events")
+    val stored = TimeSeriesTable.open(spark, root, "dom", "events")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val planText = BoostQL.sql(
+      "EXPLAIN SELECT click, ts FROM dom.events WHERE click > 50.0",
+      _ => stored).collect()(0).getString(0)
+    assert(planText.contains("PushedFilters:"), s"no pushed filters in:\n$planText")
+    assert(planText.contains("EqualTo(series,click)"),
+      s"series = 'click' must push into the scan:\n$planText")
+    assert(planText.contains("GreaterThan(value,50.0)"),
+      s"value predicate must push into the scan:\n$planText")
+  }
+
   test("no cartesian product outside the deliberately-quadratic kernels") {
     // ann_topk (brute-force verify baseline) and dd_embed_cosine (exact
     // all-pairs by contract) are the two sanctioned quadratic paths;

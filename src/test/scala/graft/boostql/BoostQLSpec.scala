@@ -1826,6 +1826,61 @@ class BoostQLSpec extends SparkSpec {
     assert(q.select == Seq(FieldItem(RawName(Seq("with")))))
   }
 
+  test("compiler: ts functions bind to a derived table's propagated axis") {
+    import org.apache.spark.sql.functions._
+    // bucket() over a subquery that outputs the reserved axis: identical
+    // to bucketing the family directly with the filter inline
+    val bucketed = Compiler.compile(Parser.parse(
+      "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n " +
+        "FROM (SELECT ts, click AS v FROM dom.events WHERE click < 200.0) AS t " +
+        "GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h"), fam)
+    val direct = Compiler.compile(Parser.parse(
+      "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n " +
+        "FROM dom.events WHERE click < 200.0 " +
+        "GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h"), fam)
+    assert(bucketed.columns.toSeq == Seq("h", "n"))
+    assert(bucketed.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+    // implicit-window fn (rate) without ts spelled anywhere in the outer
+    // query: the axis rides along internally
+    val rated = Compiler.compile(Parser.parse(
+      "SELECT eid, rate(v) AS r FROM " +
+        "(SELECT ts, click.event_id AS eid, click AS v FROM dom.events) AS t " +
+        "ORDER BY eid"), fam)
+    val ratedDirect = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, rate(click) AS r FROM dom.events " +
+        "ORDER BY click.event_id"), fam)
+    assert(rated.collect().map(_.toSeq).toSeq ==
+      ratedDirect.collect().map(_.toSeq).toSeq)
+    // ASOF JOIN with a derived right side whose subquery propagates ts
+    val asof = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase, b.c FROM dom.events AS a " +
+        "ASOF JOIN (SELECT ts, click.user AS u, click AS c FROM dom.events) AS b " +
+        "ON a.purchase.user = b.u WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id"), fam)
+    val asofDirect = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase, b.click FROM dom.events AS a " +
+        "ASOF JOIN dom.events AS b ON a.purchase.user = b.click.user " +
+        "WHERE a.purchase > 300.0 ORDER BY a.purchase.event_id"), fam)
+    assert(asof.collect().map(_.toSeq).toSeq ==
+      asofDirect.collect().map(_.toSeq).toSeq)
+    // CTEs inherit the propagation (they substitute as derived tables)
+    val cte = Compiler.compile(Parser.parseStmt(
+      "WITH t AS (SELECT ts, click AS v FROM dom.events WHERE click < 200.0) " +
+        "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n FROM t " +
+        "GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h"), fam)
+    assert(cte.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+    // axis-destroying subqueries still refuse: ts aggregated away…
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT rate(t.c) FROM (SELECT max(click) AS c FROM dom.events) AS t"), fam))
+    // …or a non-timestamp column merely NAMED ts is not an axis
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 hour') AS h FROM " +
+        "(SELECT click AS ts FROM dom.events) AS t GROUP BY bucket(ts, '1 hour')"),
+      fam))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
