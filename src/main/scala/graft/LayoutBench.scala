@@ -42,6 +42,9 @@ object LayoutBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC contract: Tables.events' NTZ→instant reinterpretation
+      // (normalizeEventsTs) depends on the session timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$root/warehouse")
       .getOrCreate()

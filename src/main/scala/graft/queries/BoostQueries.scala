@@ -543,7 +543,16 @@ object BoostQueries {
         "FROM dom.events AS a ASOF JOIN " +
         "(SELECT ts, click.user AS u, click AS c FROM dom.events) AS b " +
         "ON a.purchase.user = b.u WHERE a.purchase > 300.0 " +
-        "ORDER BY a.purchase.event_id"))
+        "ORDER BY a.purchase.event_id")),
+
+    // EXPLAIN through the dialect front door: compiles (never executes)
+    // the statement and returns the formatted Spark plan as one row.
+    // Engine-specific text — no DuckDB twin, so the driver records the
+    // rows-only contract check; the PushedFilters claim itself is
+    // asserted in PlanShapeSpec against a graft-written store.
+    "boost_explain" -> ((s, d) =>
+      run(s, d, "EXPLAIN SELECT click.user, click FROM dom.events " +
+        "WHERE click < 100.0"))
   )
 
   def oracleSql: Map[String, String] = Map(
