@@ -21,6 +21,13 @@ object GraftFunctions {
   def fingerprint(text: Column, k: Int = 16): Column =
     toCol(DocFingerprint(toExpr(text), k))
 
+  /** Mergeable KMV bottom-k distinct sketch AGGREGATE over a long
+    * (hash) column: evaluates to the k smallest distinct values,
+    * ascending. Partial state is k-capped, so the shuffle carries
+    * sketches, not distinct values. */
+  def kmvSketch(hashes: Column, k: Int): Column =
+    toCol(KmvSketchAgg(toExpr(hashes), k).toAggregateExpression())
+
   /** Distinct fnv64 hashes of word-`k`-gram shingles of a string column,
     * computed in one byte-level pass. Feed the result to [[minhash]] /
     * [[simhash]] for bit-identical, string-free signatures. */

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distinct-count sketches for cardinality estimation at corpus scale —
@@ -29,34 +28,60 @@ object SketchOps {
   private def h32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** KMV distinct-count estimate per group: keep the `k` smallest
-    * distinct hash values; with u_k = kth-smallest / 2^32 the estimate
-    * is (k-1) / u_k (the classic bottom-k estimator, relative error
-    * ~ 1/sqrt(k-2)); groups with fewer than k distinct hashes report
-    * the exact count. Output: group, n_seen (min(k, distinct)), kth
-    * (the kth hash), est_distinct.
+  /** Derive (n_seen, kth, est_distinct) from a `__sk` sketch column:
+    * with u_k = kth-smallest / 2^32 the estimate is (k-1) / u_k (the
+    * classic bottom-k estimator, relative error ~ 1/sqrt(k-2)); a
+    * sketch holding fewer than k hashes IS the exact distinct set, so
+    * its size is the exact count. IEEE *,/ on exact integers —
+    * cross-engine deterministic, unlike engine-native HLLs.
+    */
+  private def sketchStats(k: Int): Seq[Column] = {
+    val sk = col("__sk")
+    Seq(
+      size(sk).cast("long").as("n_seen"),
+      when(size(sk) > 0, element_at(sk, -1)).as("kth"),
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          element_at(sk, -1).cast("double")).as("est_distinct"))
+  }
+
+  /** KMV distinct-count estimate per group via the native mergeable
+    * bottom-k aggregate ([[graft.functions.KmvSketchAgg]]). Output:
+    * group, n_seen (min(k, distinct)), kth (the kth-smallest hash),
+    * est_distinct.
     *
-    * Scale shape: the per-group distinct dedups map-side (partial
-    * aggregate), then one shuffle on the group key; the rank<=k filter
-    * is a WindowGroupLimit in the physical plan — per-partition top-k
-    * heaps, never a full per-group sort/materialization. Estimation
-    * arithmetic is IEEE *,/ on exact integers — cross-engine
-    * deterministic, unlike engine-native HLLs.
+    * Scale shape: the aggregation state is a k-capped ordered set, so
+    * the PARTIAL aggregate bounds every task's output to k longs per
+    * group and the single shuffle carries kilobyte sketches — never the
+    * distinct values themselves. (The previous formulation dedup'd
+    * (group, hash) globally first: one extra shuffle moving EVERY
+    * distinct hash, the exact cost sketches exist to avoid.)
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "k must be >= 2")
-    val hashes = df.select(col(groupCol), h32(col(valueCol)).as("__h")).distinct()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"))
-    hashes.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_seen"), max(col("__h")).as("kth"))
-      .withColumn("est_distinct",
-        when(col("n_seen") < k, col("n_seen").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
-            col("kth").cast("double")))
-      .select(col(groupCol), col("n_seen"), col("kth"), col("est_distinct"))
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions
+        .kmvSketch(h32(col(valueCol)), k).as("__sk"))
+      .select(col(groupCol) +: sketchStats(k): _*)
+  }
+
+  /** Merge per-group KMV sketches into one global estimate — bottom-k
+    * of the union = bottom-k of the bottom-ks, so unioning per-group
+    * (or per-day / per-partition) sketches is LOSSLESS: the merged
+    * estimate equals the single-pass sketch of the whole column, the
+    * same mergeability law [[hllUnionAll]] provides for HLL.
+    */
+  def kmvUnionAll(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions
+        .kmvSketch(h32(col(valueCol)), k).as("__g"))
+      .select(explode(col("__g")).as("__h"))
+      .agg(graft.functions.GraftFunctions
+        .kmvSketch(col("__h"), k).as("__sk"))
+      .select(sketchStats(k): _*)
   }
 
   /** Native DataSketches HLL estimate per group — the mergeable

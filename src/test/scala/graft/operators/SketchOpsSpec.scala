@@ -45,6 +45,44 @@ class SketchOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("KMV sketches merge losslessly: union of per-group sketches = whole-column sketch") {
+    val merged = SketchOps.kmvUnionAll(li, "l_returnflag", "l_partkey")
+      .collect()(0)
+    // bottom-k of the union is exactly the bottom-k of the bottom-ks,
+    // so the merged estimate must EQUAL the single-pass global sketch
+    // (constant group), not just approximate it
+    val whole = SketchOps.kmvDistinct(
+        li.withColumn("__all", lit(1)), "__all", "l_partkey")
+      .collect()(0)
+    assert(merged.getLong(0) == whole.getLong(1))
+    assert(merged.getLong(1) == whole.getLong(2))
+    assert(merged.getDouble(2) == whole.getDouble(3))
+    // and it lands within KMV error of the exact global count
+    val global = li.agg(countDistinct("l_partkey")).collect()(0).getLong(0)
+    assert(math.abs(merged.getDouble(2) - global) / global <
+      5.0 / math.sqrt(62.0), s"merged ${merged.getDouble(2)} vs exact $global")
+  }
+
+  test("KMV partial aggregation is k-capped: the plan shuffles sketches, not distinct values") {
+    val df = SketchOps.kmvDistinct(li, "l_returnflag", "l_partkey")
+    df.collect()
+    // the AQE plan string prints the initial plan after the final one —
+    // assert on the final plan only (an Exchange appears in both)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the native TypedImperativeAggregate plans as ObjectHashAggregate
+    // with a partial pass BELOW the exchange (k-capped task output) and
+    // NO separate distinct/expand pass shuffling raw hash values
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      s"partial (map-side) sketch pass missing — the shuffle would carry raw values:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"),
+      "old window formulation resurfaced")
+    assert(
+      "Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one exchange expected (group-key shuffle of sketches):\n$plan")
+  }
+
   test("hllDistinct estimates within DataSketches error bounds") {
     val est = SketchOps.hllDistinct(li, "l_returnflag", "l_partkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
