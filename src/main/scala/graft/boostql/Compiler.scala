@@ -109,6 +109,21 @@ object Compiler {
     // has the bounded-state alternative). Even-count midpoints over
     // integral inputs are exact halves, so cross-engine stable.
     case "median"         => median(c)
+    // bounded-state distinct estimate: the portable KMV bottom-k sketch
+    // ([[graft.functions.KmvSketchAgg]], k = 64, ~13% rel. error) —
+    // per-group state is 64 longs however large the group, vs
+    // count(DISTINCT x)'s shuffle of every distinct value. Below k the
+    // sketch IS the distinct set, so the estimate is exact. md5-derived
+    // hashes make it engine-portable (full DuckDB oracle), unlike
+    // native HLLs. The two sketch references dedup to ONE aggregate in
+    // the physical plan (semantically-equal aggregate dedup).
+    case "approx_distinct" =>
+      val k = 64
+      val sk = graft.functions.GraftFunctions.kmvSketch(
+        graft.operators.SketchOps.portableHash32(c), k)
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          element_at(sk, -1).cast("double"))
     // grouping-set marker: 1 when the key is rolled up in this output
     // row, 0 when it groups — the ANSI disambiguator between a rollup
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE
@@ -122,6 +137,10 @@ object Compiler {
     val c = arg match {
       case None if fn == "grouping" =>
         throw CompileException("grouping() requires a grouping-key argument")
+      // star is count-only: silently computing count(*) for sum(*) /
+      // approx_distinct(*) would be a wrong answer, not sugar
+      case None if fn != "count" =>
+        throw CompileException(s"$fn(*) is not valid — $fn() needs an argument")
       case None    => count(lit(1))
       case Some(r) => aggFnColumn(fn, col(r.inName))
     }

@@ -79,7 +79,7 @@ object Parser {
     "case", "when", "then", "else", "end", "rows", "preceding", "following",
     "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max",
-    "stddev", "variance", "median", "grouping")
+    "stddev", "variance", "median", "grouping", "approx_distinct")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

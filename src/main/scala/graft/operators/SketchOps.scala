@@ -25,8 +25,9 @@ object SketchOps {
   /** Portable uniform 32-bit hash: first 8 hex digits of md5, read as an
     * unsigned 32-bit value. Identical in Spark, DuckDB, Postgres.
     */
-  private def h32(c: Column): Column =
+  def portableHash32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  private def h32(c: Column): Column = portableHash32(c)
 
   /** Derive (n_seen, kth, est_distinct) from a `__sk` sketch column:
     * with u_k = kth-smallest / 2^32 the estimate is (k-1) / u_k (the

@@ -545,6 +545,18 @@ object BoostQueries {
         "ON a.purchase.user = b.u WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id")),
 
+    // approx_distinct(x): the portable KMV bottom-k sketch as a dialect
+    // aggregate (k = 64, bounded per-group state — count(DISTINCT x)
+    // shuffles every distinct value, the sketch shuffles 64 longs).
+    // Grouping by event_type exercises BOTH branches: small groups hit
+    // the exact below-k path, click/view-sized groups the estimator.
+    // The DuckDB oracle replays the identical md5 bottom-64 arithmetic.
+    "boost_approx_distinct" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, approx_distinct(purchase.k) AS adk, " +
+        "count(DISTINCT purchase.k) AS exk, " +
+        "approx_distinct(purchase.event_id) AS ade " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
     // Engine-specific text — no DuckDB twin, so the driver records the
@@ -1106,6 +1118,32 @@ object BoostQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
         |  AND b.ts <= a.ts
-        |ORDER BY a_purchase_event_id""".stripMargin
+        |ORDER BY a_purchase_event_id""".stripMargin,
+
+    // the KMV bottom-64 estimator replayed in SQL: distinct md5-derived
+    // 32-bit hashes per group, rank, keep 64, (k-1)*2^32/kth. NULL
+    // attribute values are excluded (the sketch skips nulls, matching
+    // count(DISTINCT)'s null semantics).
+    "boost_approx_distinct" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    props->>'k' AS kv, CAST(event_id AS VARCHAR) AS eid
+        |  FROM events WHERE event_type = 'purchase'),
+        |hk AS (SELECT DISTINCT u, ('0x' || substr(md5(kv), 1, 8))::UBIGINT AS h
+        |  FROM p WHERE kv IS NOT NULL),
+        |rk AS (SELECT u, h, row_number() OVER (PARTITION BY u ORDER BY h) AS rn FROM hk),
+        |bk AS (SELECT u, count(*) AS ns, max(h) AS kth FROM rk WHERE rn <= 64 GROUP BY u),
+        |he AS (SELECT DISTINCT u, ('0x' || substr(md5(eid), 1, 8))::UBIGINT AS h
+        |  FROM p WHERE eid IS NOT NULL),
+        |re AS (SELECT u, h, row_number() OVER (PARTITION BY u ORDER BY h) AS rn FROM he),
+        |be AS (SELECT u, count(*) AS ns, max(h) AS kth FROM re WHERE rn <= 64 GROUP BY u),
+        |ex AS (SELECT u, count(DISTINCT kv) AS exk FROM p GROUP BY u)
+        |SELECT ex.u AS purchase_user,
+        |  CASE WHEN bk.ns IS NULL THEN 0e0 WHEN bk.ns < 64 THEN bk.ns::DOUBLE
+        |       ELSE 63e0 * 4294967296e0 / bk.kth::DOUBLE END AS adk,
+        |  ex.exk AS exk,
+        |  CASE WHEN be.ns IS NULL THEN 0e0 WHEN be.ns < 64 THEN be.ns::DOUBLE
+        |       ELSE 63e0 * 4294967296e0 / be.kth::DOUBLE END AS ade
+        |FROM ex LEFT JOIN bk ON ex.u = bk.u LEFT JOIN be ON ex.u = be.u
+        |ORDER BY purchase_user""".stripMargin
   )
 }

@@ -1881,6 +1881,43 @@ class BoostQLSpec extends SparkSpec {
       fam))
   }
 
+  test("approx_distinct: exact below k, within KMV error above, star rejected") {
+    import org.apache.spark.sql.functions._
+    // per-user groups at sf0.001 are far below k=64 → the estimate IS
+    // the exact distinct count (as a double)
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, approx_distinct(purchase.event_id) AS ad, " +
+        "count(DISTINCT purchase.event_id) AS ex " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == r.getLong(2).toDouble,
+      s"below k must be exact: ${r.toSeq}"))
+    // one global group over all click event_ids exceeds k → estimator
+    // branch; KMV rel. error ~ 1/sqrt(k-2), allow 5 sigma
+    val est = Compiler.compile(Parser.parse(
+      "SELECT approx_distinct(click.event_id) AS ad FROM dom.events"), fam)
+      .collect()(0).getDouble(0)
+    val exact = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "event_id")).distinct().count()
+    assert(exact > 64, "fixture must exceed k for the estimator branch")
+    assert(math.abs(est - exact) / exact < 5.0 / math.sqrt(62.0),
+      s"est $est vs exact $exact")
+    // FILTER desugar rides the expression-aggregate path
+    val filtered = Compiler.compile(Parser.parse(
+      "SELECT approx_distinct(purchase.event_id) FILTER (WHERE purchase > 100.0) AS ad " +
+        "FROM dom.events"), fam).collect()(0).getDouble(0)
+    val filteredExact = fam.filter(col("series") === "purchase" && col("value") > 100.0)
+      .select(element_at(col("attributes"), "event_id")).distinct().count()
+    if (filteredExact <= 64) assert(filtered == filteredExact.toDouble)
+    // star is count-only sugar — sum(*) / approx_distinct(*) must refuse,
+    // not silently compute count(*)
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT approx_distinct(*) FROM dom.events GROUP BY purchase.user"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT purchase.user, sum(*) FROM dom.events GROUP BY purchase.user"), fam))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
