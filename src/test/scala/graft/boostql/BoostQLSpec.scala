@@ -1864,6 +1864,14 @@ class BoostQLSpec extends SparkSpec {
         "WHERE a.purchase > 300.0 ORDER BY a.purchase.event_id"), fam)
     assert(asof.collect().map(_.toSeq).toSeq ==
       asofDirect.collect().map(_.toSeq).toSeq)
+    // multi-source: an alias-qualified derived axis (t.ts) binds too
+    val multiBucket = Compiler.compile(Parser.parse(
+      "SELECT CAST(bucket(t.ts, '1 day') AS int) AS d, count(*) AS n " +
+        "FROM dom.events AS a JOIN " +
+        "(SELECT ts, click.user AS u, click AS c FROM dom.events) AS t " +
+        "ON a.click.user = t.u " +
+        "GROUP BY CAST(bucket(t.ts, '1 day') AS int) ORDER BY d"), fam)
+    assert(multiBucket.count() > 0)
     // CTEs inherit the propagation (they substitute as derived tables)
     val cte = Compiler.compile(Parser.parseStmt(
       "WITH t AS (SELECT ts, click AS v FROM dom.events WHERE click < 200.0) " +

@@ -83,6 +83,31 @@ class SketchOpsSpec extends SparkSpec {
       s"exactly one exchange expected (group-key shuffle of sketches):\n$plan")
   }
 
+  test("KmvSketchAgg equals brute-force bottom-k distinct for random data") {
+    import graft.functions.GraftFunctions
+    val rnd = new scala.util.Random(42)
+    // duplicates, negatives-free 32-bit-range values, group skew
+    val rows = Seq.tabulate(5000) { i =>
+      (s"g${i % 3}", rnd.nextInt(500).toLong)
+    }
+    val df = rows.toDF("g", "h")
+    for (k <- Seq(2, 16, 64)) {
+      val got = df.groupBy("g").agg(GraftFunctions.kmvSketch(col("h"), k).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.take(k)).toMap
+      assert(got == want, s"k=$k")
+    }
+    // repartitioning (different partial/merge orders) changes nothing
+    val a = df.repartition(17).groupBy("g")
+      .agg(GraftFunctions.kmvSketch(col("h"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val b = df.coalesce(1).groupBy("g")
+      .agg(GraftFunctions.kmvSketch(col("h"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(a == b)
+  }
+
   test("hllDistinct estimates within DataSketches error bounds") {
     val est = SketchOps.hllDistinct(li, "l_returnflag", "l_partkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
