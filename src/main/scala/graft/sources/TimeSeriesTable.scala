@@ -72,6 +72,24 @@ object TimeSeriesTable {
       format: String = "parquet"): DataFrame =
     spark.read.schema(schema).format(format).load(s"$root/$domain/$family")
 
+  /** Open a family as a STREAMING source — the read half of the ingest
+    * topology whose write half is
+    * [[graft.streaming.StreamingOps.streamIntoFamily]]: a downstream job
+    * tails the warehouse path and processes files as they land in the
+    * date partitions. The file stream source discovers new files
+    * incrementally (state = seen-file log in the checkpoint);
+    * `maxFilesPerTrigger` bounds per-micro-batch work so one giant
+    * backfill day cannot monopolize a trigger. The partition column `dt`
+    * is part of the streamed schema — partition pruning applies to the
+    * discovery listing exactly as it does to batch scans.
+    */
+  def openStream(spark: SparkSession, root: String, domain: String,
+      family: String, maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField("dt", DateType, nullable = true)))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$root/$domain/$family")
+
   /** Append rows (any DataFrame with the family schema), partitioned by
     * event date — the write path analogue of SeriesFamily.WriteTagged
     * (m3dbseriesfamily.go:147-185). `sortWithinPartitions` gives parquet

@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("openStream tails a written family: streamed replay equals batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    val counts = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+      .groupBy("series").agg(count(lit(1)).as("n"))
+    val sink = "graft_openstream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(sink).orderBy("series").collect().toSeq
+    val batch = graft.sources.TimeSeriesTable.open(spark, root, "dom", "events")
+      .groupBy("series").agg(count(lit(1)).as("n"))
+      .orderBy("series").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // the partition column streams too (pruning-relevant at scale)
+    assert(graft.sources.TimeSeriesTable.openStream(spark, root, "dom", "events")
+      .schema.fieldNames.contains("dt"))
+  }
+
   test("streaming dedup count equals batch distinct count") {
     val streamed = StreamingOps.streamingDedupCounts(spark, sfDir).collect()
     val batch = Tables.events(spark, sfDir)
