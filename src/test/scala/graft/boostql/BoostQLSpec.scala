@@ -1872,6 +1872,13 @@ class BoostQLSpec extends SparkSpec {
         "ON a.click.user = t.u " +
         "GROUP BY CAST(bucket(t.ts, '1 day') AS int) ORDER BY d"), fam)
     assert(multiBucket.count() > 0)
+    // a set-op compound body propagates the axis when every branch does
+    val unionBucket = Compiler.compile(Parser.parse(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n FROM " +
+        "(SELECT ts, click AS v FROM dom.events " +
+        "UNION ALL SELECT ts, view AS v FROM dom.events) AS t " +
+        "GROUP BY CAST(bucket(ts, '1 day') AS int) ORDER BY d"), fam)
+    assert(unionBucket.count() > 0)
     // CTEs inherit the propagation (they substitute as derived tables)
     val cte = Compiler.compile(Parser.parseStmt(
       "WITH t AS (SELECT ts, click AS v FROM dom.events WHERE click < 200.0) " +
@@ -1918,6 +1925,14 @@ class BoostQLSpec extends SparkSpec {
     val filteredExact = fam.filter(col("series") === "purchase" && col("value") > 100.0)
       .select(element_at(col("attributes"), "event_id")).distinct().count()
     if (filteredExact <= 64) assert(filtered == filteredExact.toDouble)
+    // HAVING/ORDER BY resolve the same structural aggregate (no
+    // double-compute, no unknown-column error)
+    val having = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, approx_distinct(purchase.event_id) AS ad " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING approx_distinct(purchase.event_id) > 5 " +
+        "ORDER BY approx_distinct(purchase.event_id) DESC, purchase.user"), fam)
+    assert(having.collect().forall(_.getDouble(1) > 5))
     // star is count-only sugar — sum(*) / approx_distinct(*) must refuse,
     // not silently compute count(*)
     intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
