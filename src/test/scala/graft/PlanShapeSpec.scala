@@ -81,6 +81,19 @@ class PlanShapeSpec extends SparkSpec {
       s"cartesian product planned in: ${offenders.mkString(", ")}")
   }
 
+  test("TPC-H multijoins broadcast their small dimension sides") {
+    // region/nation/supplier are broadcast-sized at any SF (fixed or
+    // near-fixed cardinality); AQE must turn those joins into
+    // BroadcastHashJoin — a multijoin that sort-merges a 25-row nation
+    // table at 100 TB is paying two avoidable shuffles
+    for (q <- Seq("q5_multijoin", "q2_join_agg")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q plans no broadcast join:\n$plan")
+    }
+  }
+
   test("correlated scalar subqueries plan keyed joins, never per-row rescans") {
     // decorrelation must produce a keyed LEFT join against the grouped
     // sub (plus the one-row broadcast for any uncorrelated sibling) —
