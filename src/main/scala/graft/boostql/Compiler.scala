@@ -117,6 +117,18 @@ object Compiler {
     // hashes make it engine-portable (full DuckDB oracle), unlike
     // native HLLs. The two sketch references dedup to ONE aggregate in
     // the physical plan (semantically-equal aggregate dedup).
+    // exact interpolated percentile (the PERCENTILE_CONT analogue):
+    // rank p*(n-1), linear interpolation between the bracketing group
+    // elements — median is the p = 0.5 special case. Sort-based exact
+    // like median (O(group) memory, the exactness contract; the GK
+    // sketch tier is the bounded-state alternative). Over integral
+    // inputs with a binary-fraction p the interpolation arithmetic is
+    // exact in doubles, so DuckDB's quantile_cont reproduces it
+    // bit-for-bit. The fraction arrives mangled in the fn name
+    // (Parser: "percentile$0_25" for percentile(x, 0.25)).
+    case p if p.startsWith("percentile$") =>
+      val frac = p.stripPrefix("percentile$").replace('_', '.').toDouble
+      percentile(c, lit(frac))
     case "approx_distinct" =>
       val k = 64
       val sk = graft.functions.GraftFunctions.kmvSketch(

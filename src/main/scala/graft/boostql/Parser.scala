@@ -79,7 +79,8 @@ object Parser {
     "case", "when", "then", "else", "end", "rows", "preceding", "following",
     "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max",
-    "stddev", "variance", "median", "grouping", "approx_distinct")
+    "stddev", "variance", "median", "grouping", "approx_distinct",
+    "percentile")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -682,6 +683,27 @@ object Parser {
           arg match {
             case ORef(n) => OAgg("count_distinct", Some(n))
             case e       => OAggX("count_distinct", e)
+          }
+        } else if (id.equalsIgnoreCase("percentile")) {
+          // percentile(x, p): exact interpolated percentile
+          // (PERCENTILE_CONT); p must be a numeric literal in [0, 1].
+          // The fraction rides in the fn name (dots mangled to '_' —
+          // internal column names cannot hold '.'), so the whole OAggX
+          // machinery (structural dedup across SELECT/HAVING/ORDER BY,
+          // FILTER desugar) applies unchanged.
+          val parg = nested(addOperand())
+          expectSym(",")
+          val p = peek match {
+            case TNum(s) if s.toDouble >= 0.0 && s.toDouble <= 1.0 =>
+              pos += 1; s
+            case t => throw ParseException(
+              s"percentile() fraction must be a numeric literal in [0, 1], got $t")
+          }
+          expectSym(")")
+          val fn = s"percentile$$${p.replace('.', '_')}"
+          filterClause() match {
+            case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None))
+            case None    => OAggX(fn, parg)
           }
         } else {
           // the argument is a full expression; a bare field ref keeps the

@@ -557,6 +557,17 @@ object BoostQueries {
         "approx_distinct(purchase.event_id) AS ade " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // percentile(x, p): exact interpolated percentile over integer
+    // cents — rank p*(n-1) + linear interpolation, exact in doubles for
+    // binary-fraction p over integral inputs, so DuckDB's quantile_cont
+    // replays it bit-for-bit (median is the p=0.5 case, already pinned)
+    "boost_percentile" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "percentile(CAST(purchase * 100.0 AS int), 0.25) AS p25, " +
+        "percentile(CAST(purchase * 100.0 AS int), 0.75) AS p75, " +
+        "count(*) AS n FROM dom.events GROUP BY purchase.user " +
+        "ORDER BY purchase.user")),
+
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
     // Engine-specific text — no DuckDB twin, so the driver records the
@@ -1144,6 +1155,14 @@ object BoostQueries {
         |  CASE WHEN be.ns IS NULL THEN 0e0 WHEN be.ns < 64 THEN be.ns::DOUBLE
         |       ELSE 63e0 * 4294967296e0 / be.kth::DOUBLE END AS ade
         |FROM ex LEFT JOIN bk ON ex.u = bk.u LEFT JOIN be ON ex.u = be.u
-        |ORDER BY purchase_user""".stripMargin
+        |ORDER BY purchase_user""".stripMargin,
+
+    "boost_percentile" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  quantile_cont(CAST(TRUNC(value * 100.0) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(TRUNC(value * 100.0) AS BIGINT), 0.75) AS p75,
+        |  count(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin
   )
 }

@@ -1941,6 +1941,37 @@ class BoostQLSpec extends SparkSpec {
       "SELECT purchase.user, sum(*) FROM dom.events GROUP BY purchase.user"), fam))
   }
 
+  test("percentile(x, p): median equivalence, HAVING dedup, bad fractions refuse") {
+    // p = 0.5 must equal median() exactly (same interpolation)
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, percentile(purchase, 0.5) AS p50, " +
+        "median(purchase) AS med FROM dom.events GROUP BY purchase.user " +
+        "ORDER BY purchase.user"), fam)
+    df.collect().foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.toSeq))
+    // quartile ordering invariant + HAVING resolves the same aggregate
+    val q = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, percentile(purchase, 0.25) AS p25, " +
+        "percentile(purchase, 0.75) AS p75 FROM dom.events " +
+        "GROUP BY purchase.user HAVING percentile(purchase, 0.75) > 100.0 " +
+        "ORDER BY purchase.user"), fam).collect()
+    assert(q.nonEmpty)
+    q.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) > 100.0))
+    // FILTER desugars onto the percentile argument
+    val f = Compiler.compile(Parser.parse(
+      "SELECT percentile(purchase, 0.5) FILTER (WHERE purchase > 100.0) AS p " +
+        "FROM dom.events"), fam).collect()(0).getDouble(0)
+    assert(f > 100.0)
+    // fraction must be a literal in [0, 1]; DISTINCT is count-only
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT percentile(purchase, 1.5) FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT percentile(purchase, purchase.k) FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT percentile(purchase) FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT percentile(DISTINCT purchase, 0.5) FROM dom.events"))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
