@@ -121,6 +121,22 @@ object BasicQuery {
       "FROM dom.events GROUP BY purchase.user " +
       "ORDER BY n_high DESC, purchase.user LIMIT 5").show()
 
+    println("== derived table propagating the time axis: pre-filter, then bucket")
+    run("SELECT CAST(bucket(ts, '1 day') AS int) AS day, count(*) AS n, " +
+      "avg(v) AS mean FROM " +
+      "(SELECT ts, click AS v FROM dom.events WHERE click < 200.0) AS t " +
+      "GROUP BY CAST(bucket(ts, '1 day') AS int) ORDER BY day LIMIT 5").show()
+
+    println("== sketch + order-statistic aggregates: approx_distinct / percentile")
+    run("SELECT purchase.user, approx_distinct(purchase.event_id) AS uniq, " +
+      "percentile(purchase, 0.25) AS p25, percentile(purchase, 0.75) AS p75 " +
+      "FROM dom.events GROUP BY purchase.user " +
+      "ORDER BY purchase.user LIMIT 5").show()
+
+    println("== EXPLAIN: the compiled Spark plan through the dialect front door")
+    run("EXPLAIN SIMPLE SELECT click.user, click FROM dom.events " +
+      "WHERE click < 100.0").collect().foreach(r => println(r.getString(0)))
+
     spark.stop()
   }
 }
