@@ -49,6 +49,10 @@ object Bench {
       // TIMESTAMP_NTZ, whose reinterpretation as an instant
       // (Tables.normalizeEventsTs) is only lossless under a UTC session
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet loads as raw longs instead of throwing
+      // (session-level config, set beside the UTC pin; Tables loaders are
+      // conf-write free — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,6 +45,10 @@ object LayoutBench {
       // UTC contract: Tables.events' NTZ→instant reinterpretation
       // (normalizeEventsTs) depends on the session timezone
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet loads as raw longs instead of throwing
+      // (session-level config, set beside the UTC pin; Tables loaders are
+      // conf-write free — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$root/warehouse")
       .getOrCreate()

@@ -130,6 +130,10 @@ object ScaleBench {
       // same UTC contract as Bench/Verify — NTZ→instant reinterpretation
       // in Tables.normalizeEventsTs depends on the session timezone
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet loads as raw longs instead of throwing
+      // (session-level config, set beside the UTC pin; Tables loaders are
+      // conf-write free — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,8 +56,15 @@ object Ast {
     * separate from [[OAgg]] so the bare-field form retains its legacy
     * output-name conventions; nested aggregates inside the argument are
     * a compile error.
+    *
+    * `params` carries literal non-column arguments (today: percentile's
+    * fraction, parsed to its numeric value so `0.5`, `0.50` and `.5`
+    * are one node). Part of the case-class identity, so the structural
+    * dedup of identical aggregate calls across SELECT / HAVING /
+    * ORDER BY extends to the parameters — no name-mangling side-channel.
     */
-  final case class OAggX(fn: String, arg: Operand) extends Operand
+  final case class OAggX(fn: String, arg: Operand,
+      params: Seq[Double] = Nil) extends Operand
   /** Arithmetic over operands (`+ - * /`, standard precedence) — absent
     * from the reference's grammar (whereparser.go:146-169 rejects
     * anything beyond literal/field comparisons) but the first everyday

@@ -69,13 +69,14 @@ object Compiler {
     * dedup to one computed column. Never user-visible (an expression
     * aggregate always surfaces through its ExprItem alias).
     */
-  private def aggXColName(fn: String, e: Ast.Operand): String =
-    s"__${fn}_x${Integer.toHexString(e.hashCode)}"
+  private def aggXColName(fn: String, e: Ast.Operand,
+      params: Seq[Double]): String =
+    s"__${fn}_x${Integer.toHexString((e, params).hashCode)}"
 
   /** An aggregate to compute: Left = bare-field form (legacy naming),
-    * Right = expression-argument form. */
+    * Right = expression-argument form (argument + literal params). */
   private type AggSpec =
-    Either[(String, Option[SField]), (String, Ast.Operand)]
+    Either[(String, Option[SField]), (String, Ast.Operand, Seq[Double])]
 
   /** Internal column carrying a scalar subquery's one value — structural
     * (identical subs share a column), never user-visible. */
@@ -95,7 +96,8 @@ object Compiler {
     (q - s * s / n) / (n - lit(1.0))
   }
 
-  private def aggFnColumn(fn: String, c: => Column): Column = fn match {
+  private def aggFnColumn(fn: String, c: => Column,
+      params: Seq[Double] = Nil): Column = fn match {
     case "count"          => count(c)
     case "count_distinct" => count_distinct(c)
     case "sum"            => sum(c)
@@ -109,6 +111,18 @@ object Compiler {
     // has the bounded-state alternative). Even-count midpoints over
     // integral inputs are exact halves, so cross-engine stable.
     case "median"         => median(c)
+    // exact interpolated percentile (the PERCENTILE_CONT analogue):
+    // rank p*(n-1), linear interpolation between the bracketing group
+    // elements — median is the p = 0.5 special case. Sort-based exact
+    // like median (O(group) memory, the exactness contract; the GK
+    // sketch tier is the bounded-state alternative). Over integral
+    // inputs with a binary-fraction p the interpolation arithmetic is
+    // exact in doubles, so DuckDB's quantile_cont reproduces it
+    // bit-for-bit. The fraction arrives as OAggX.params.head.
+    case "percentile" =>
+      val frac = params.headOption.getOrElse(throw CompileException(
+        "percentile() requires a fraction argument"))
+      percentile(c, lit(frac))
     // bounded-state distinct estimate: the portable KMV bottom-k sketch
     // ([[graft.functions.KmvSketchAgg]], k = 64, ~13% rel. error) —
     // per-group state is 64 longs however large the group, vs
@@ -117,18 +131,6 @@ object Compiler {
     // hashes make it engine-portable (full DuckDB oracle), unlike
     // native HLLs. The two sketch references dedup to ONE aggregate in
     // the physical plan (semantically-equal aggregate dedup).
-    // exact interpolated percentile (the PERCENTILE_CONT analogue):
-    // rank p*(n-1), linear interpolation between the bracketing group
-    // elements — median is the p = 0.5 special case. Sort-based exact
-    // like median (O(group) memory, the exactness contract; the GK
-    // sketch tier is the bounded-state alternative). Over integral
-    // inputs with a binary-fraction p the interpolation arithmetic is
-    // exact in doubles, so DuckDB's quantile_cont reproduces it
-    // bit-for-bit. The fraction arrives mangled in the fn name
-    // (Parser: "percentile$0_25" for percentile(x, 0.25)).
-    case p if p.startsWith("percentile$") =>
-      val frac = p.stripPrefix("percentile$").replace('_', '.').toDouble
-      percentile(c, lit(frac))
     case "approx_distinct" =>
       val k = 64
       val sk = graft.functions.GraftFunctions.kmvSketch(
@@ -336,7 +338,7 @@ object Compiler {
     def operandRefs(o: Operand): Seq[SField] = o match {
       case ORef(n)         => Seq(ref(n))
       case OAgg(_, arg)    => arg.map(ref).toSeq
-      case OAggX(_, e)     => operandRefs(e)
+      case OAggX(_, e, _)  => operandRefs(e)
       case OArith(_, l, r) => operandRefs(l) ++ operandRefs(r)
       case ONeg(x)         => operandRefs(x)
       case OFn(_, args)    => args.flatMap(operandRefs)
@@ -392,7 +394,7 @@ object Compiler {
       def rawRefs(o: Operand): Seq[RawName] = o match {
         case ORef(n)         => Seq(n)
         case OAgg(_, a)      => a.toSeq
-        case OAggX(_, e)     => rawRefs(e)
+        case OAggX(_, e, _)  => rawRefs(e)
         case OArith(_, l, r) => rawRefs(l) ++ rawRefs(r)
         case ONeg(x)         => rawRefs(x)
         case OFn(_, as)      => as.flatMap(rawRefs)
@@ -473,7 +475,7 @@ object Compiler {
     def analyzeSubFieldless(o: Operand): Boolean = o match {
       case ORef(_)         => true
       case OAgg(_, a)      => a.isDefined
-      case OAggX(_, e)     => analyzeSubFieldless(e)
+      case OAggX(_, e, _)  => analyzeSubFieldless(e)
       case OArith(_, l, r) => analyzeSubFieldless(l) || analyzeSubFieldless(r)
       case ONeg(x)         => analyzeSubFieldless(x)
       case OFn(_, as)      => as.exists(analyzeSubFieldless)
@@ -501,7 +503,7 @@ object Compiler {
     def opRaw(o: Operand): Seq[RawName] = o match {
       case ORef(n)         => Seq(n)
       case OAgg(_, a)      => a.toSeq
-      case OAggX(_, e)     => opRaw(e)
+      case OAggX(_, e, _)  => opRaw(e)
       case OArith(_, l, r) => opRaw(l) ++ opRaw(r)
       case ONeg(x)         => opRaw(x)
       case OFn(_, as)      => as.flatMap(opRaw)
@@ -690,9 +692,9 @@ object Compiler {
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
-      case OAggX(fn, e) =>
+      case OAggX(fn, e, ps) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
-        col(aggXColName(fn, e))
+        col(aggXColName(fn, e, ps))
       case OScalarSub(s2) => col(scalarColName(s2))
       case OGroupKey(nm)  => col(nm)
       case OArith(op, l, r) =>
@@ -1117,7 +1119,7 @@ object Compiler {
       case ONeg(x)         => opScalarSubs(x)
       case OFn(_, as)      => as.flatMap(opScalarSubs)
       case OCast(x, _)     => opScalarSubs(x)
-      case OAggX(_, e)     => opScalarSubs(e)
+      case OAggX(_, e, _)  => opScalarSubs(e)
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprScalarSubs(c) ++ opScalarSubs(v) } ++
           o2.toSeq.flatMap(opScalarSubs)
@@ -1216,7 +1218,7 @@ object Compiler {
           val isCount = s2.select.head match {
             case AggItem(f, _)           => f.startsWith("count")
             case ExprItem(OAgg(f, _), _)  => f.startsWith("count")
-            case ExprItem(OAggX(f, _), _) => f.startsWith("count")
+            case ExprItem(OAggX(f, _, _), _) => f.startsWith("count")
             case _ => throw CompileException(
               "correlated scalar subquery must select a single bare " +
                 "aggregate (count/sum/avg/min/max over a field or expression)")
@@ -1335,10 +1337,10 @@ object Compiler {
     // --- aggregation / projection ---------------------------------------
     def opAggs(o: Operand): Seq[AggSpec] = o match {
       case OAgg(f, a)      => Seq(Left((f, a.map(ref))))
-      case OAggX(f, e)     =>
+      case OAggX(f, e, ps) =>
         if (opAggs(e).nonEmpty)
           throw CompileException(s"nested aggregate inside $f(…)")
-        Seq(Right((f, e)))
+        Seq(Right((f, e, ps)))
       case OArith(_, l, r) => opAggs(l) ++ opAggs(r)
       case ONeg(x)         => opAggs(x)
       case OFn(_, args)    => args.flatMap(opAggs)
@@ -1463,15 +1465,15 @@ object Compiler {
             throw CompileException(
               s"grouping() argument ${a.map(_.outName).getOrElse("*")} " +
                 "must be a grouping key")
-        case Right(("grouping", _)) =>
+        case Right(("grouping", _, _)) =>
           throw CompileException("grouping() takes a single grouping-key field")
         case _ => ()
       }
       val aggCols = aggSpecs.map {
         case Left((f, a)) => aggColumn(f, a)
-        case Right((f, e)) =>
+        case Right((f, e, ps)) =>
           val c = operandColumn(e, aggOk = false)
-          aggFnColumn(f, c).as(aggXColName(f, e))
+          aggFnColumn(f, c, ps).as(aggXColName(f, e, ps))
       }
       // ROLLUP/CUBE/GROUPING SETS plan through Spark's native Expand
       // (one shuffle, the grouping-set rows generated map-side) — no

@@ -687,23 +687,22 @@ object Parser {
         } else if (id.equalsIgnoreCase("percentile")) {
           // percentile(x, p): exact interpolated percentile
           // (PERCENTILE_CONT); p must be a numeric literal in [0, 1].
-          // The fraction rides in the fn name (dots mangled to '_' —
-          // internal column names cannot hold '.'), so the whole OAggX
-          // machinery (structural dedup across SELECT/HAVING/ORDER BY,
-          // FILTER desugar) applies unchanged.
+          // The fraction rides in OAggX.params as its parsed Double, so
+          // the whole OAggX machinery (structural dedup across
+          // SELECT/HAVING/ORDER BY, FILTER desugar) applies unchanged
+          // and textual variants of one fraction are one aggregate.
           val parg = nested(addOperand())
           expectSym(",")
           val p = peek match {
             case TNum(s) if s.toDouble >= 0.0 && s.toDouble <= 1.0 =>
-              pos += 1; s
+              pos += 1; s.toDouble
             case t => throw ParseException(
               s"percentile() fraction must be a numeric literal in [0, 1], got $t")
           }
           expectSym(")")
-          val fn = s"percentile$$${p.replace('.', '_')}"
           filterClause() match {
-            case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None))
-            case None    => OAggX(fn, parg)
+            case Some(c) => OAggX("percentile", OCase(Seq((c, parg)), None), Seq(p))
+            case None    => OAggX("percentile", parg, Seq(p))
           }
         } else {
           // the argument is a full expression; a bare field ref keeps the

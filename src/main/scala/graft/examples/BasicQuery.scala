@@ -17,6 +17,10 @@ object BasicQuery {
       .appName("graft-basic-query")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet loads as raw longs instead of throwing
+      // (session-level config, set beside the UTC pin; Tables loaders are
+      // conf-write free — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

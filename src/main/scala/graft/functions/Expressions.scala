@@ -174,6 +174,49 @@ case class DocFingerprint(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Aggregation state for [[KmvSketchAgg]]: the k smallest DISTINCT
+  * longs as a sorted-ascending primitive array — no per-row boxing or
+  * node allocation on the update path (a TreeSet[java.lang.Long] boxes
+  * every insert; at k <= 64 a memmove over <=512 bytes is cheaper than
+  * tree rebalancing and allocation-free).
+  */
+final class KmvBuffer(k: Int) {
+  private val arr = new Array[Long](k)
+  private var n = 0
+
+  def size: Int = n
+  def get(i: Int): Long = arr(i)
+  def toArray: Array[Long] = java.util.Arrays.copyOf(arr, n)
+
+  /** Insert one candidate, keeping the array sorted-distinct and capped
+    * at k (a full buffer drops its max to admit a smaller value). */
+  def insert(h: Long): Unit = {
+    if (n == k && h >= arr(n - 1)) return
+    val idx = java.util.Arrays.binarySearch(arr, 0, n, h)
+    if (idx >= 0) return // duplicate
+    val at = -idx - 1
+    val last = if (n < k) n else n - 1 // full: max falls off
+    System.arraycopy(arr, at, arr, at + 1, last - at)
+    arr(at) = h
+    if (n < k) n += 1
+  }
+
+  /** Append a value known to be > every current element (deserialize
+    * fast path over the sorted-distinct wire form). */
+  def appendSorted(h: Long): Unit = { arr(n) = h; n += 1 }
+
+  /** Merge another buffer in: its values iterate ascending, so once this
+    * buffer is full and the next candidate is >= the max, no later
+    * candidate can enter either. */
+  def mergeFrom(other: KmvBuffer): Unit = {
+    var i = 0
+    while (i < other.n && !(n == k && other.arr(i) >= arr(n - 1))) {
+      insert(other.arr(i))
+      i += 1
+    }
+  }
+}
+
 /** Mergeable KMV (bottom-k) distinct-hash sketch aggregate: keeps the
   * `k` smallest DISTINCT values of a long column and evaluates to them
   * as a sorted-ascending array<long> — the classic distributed
@@ -189,7 +232,7 @@ case class DocFingerprint(child: Expression, k: Int)
   */
 case class KmvSketchAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    extends TypedImperativeAggregate[KmvBuffer]
     with UnaryLike[Expression] {
   require(k >= 2, "k must be >= 2")
 
@@ -201,53 +244,33 @@ case class KmvSketchAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kmv_sketch"
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last) { if (buf.add(h)) { buf.pollLast(); () } }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) buf.insert(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    // b2 iterates ascending: once b1 is full and the next candidate is
-    // >= b1's max, no later candidate can enter either
-    val it = b2.iterator()
-    var open = true
-    while (open && it.hasNext) {
-      val h = it.next().longValue()
-      if (b1.size >= k && h >= b1.last) open = false
-      else insert(b1, h)
-    }
-    b1
+  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
+    b1.mergeFrom(b2); b1
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val arr = new Array[Long](buf.size)
-    val it = buf.iterator()
-    var i = 0
-    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(arr)
-  }
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(buf.toArray)
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next().longValue())
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.get(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val buf = createAggregationBuffer()
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    while (bb.remaining() >= 8) buf.add(bb.getLong)
+    // serialized form is sorted-distinct ascending: append directly
+    while (bb.remaining() >= 8) buf.appendSorted(bb.getLong)
     buf
   }
 

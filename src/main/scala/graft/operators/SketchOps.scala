@@ -51,6 +51,12 @@ object SketchOps {
     * group, n_seen (min(k, distinct)), kth (the kth-smallest hash),
     * est_distinct.
     *
+    * Null handling (changed when the native aggregate replaced the old
+    * window formulation): NULL values are skipped, so a group whose
+    * values are all NULL reports n_seen = 0 / est_distinct = 0.0 with a
+    * NULL `kth` (the old form counted the null hash as n_seen = 1).
+    * `kth` is nullable — NULL exactly when the sketch is empty.
+    *
     * Scale shape: the aggregation state is a k-capped ordered set, so
     * the PARTIAL aggregate bounds every task's output to k longs per
     * group and the single shuffle carries kilobyte sketches — never the

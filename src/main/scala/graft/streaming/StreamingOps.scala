@@ -55,16 +55,6 @@ object StreamingOps {
       dir.toString
     })
 
-  /** A TIMESTAMP(NANOS) testdata generation requires this conf to load
-    * at all (as raw longs — [[graft.tables.Tables.normalizeEventsTs]]
-    * converts downstream); on MICROS-unit testdata it is inert. Set it
-    * only when the effective value differs, so repeated calls don't
-    * keep rewriting a long-lived session's conf.
-    */
-  private def ensureNanosAsLong(spark: SparkSession): Unit =
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
   /** Run `body` (which must start AND await a streaming query) with
     * `spark.sql.shuffle.partitions` = n, restoring the old value after.
     * A stateful streaming query creates one state-store instance per
@@ -90,7 +80,6 @@ object StreamingOps {
     */
   def windowedAggReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    ensureNanosAsLong(spark)
     // file streams need an explicit schema; take it from the batch reader
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
@@ -120,7 +109,6 @@ object StreamingOps {
     */
   def streamIntoFamily(spark: SparkSession, sfDir: String, root: String,
       domain: String, family: String): Unit = {
-    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val fam = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .transform(graft.tables.Tables.normalizeEventsTs)
@@ -153,7 +141,6 @@ object StreamingOps {
     */
   def sessionWindowReplay(spark: SparkSession, sfDir: String,
       gap: String = "6 hours", statePartitions: Int = 4): DataFrame = {
-    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .transform(graft.tables.Tables.normalizeEventsTs)
@@ -186,7 +173,6 @@ object StreamingOps {
     */
   def streamIntervalJoinReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .transform(graft.tables.Tables.normalizeEventsTs)
@@ -251,7 +237,6 @@ object StreamingOps {
     */
   def streamingDedupCounts(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val deduped = spark.readStream.schema(schema).parquet(stageDir(sfDir))
       .transform(graft.tables.Tables.normalizeEventsTs)

@@ -54,18 +54,15 @@ object Tables {
   }
 
   /** `events.ts` arrives in whatever unit the harness last generated
-    * (see [[normalizeEventsTs]]). The legacy nanos conf is set so a
-    * TIMESTAMP(NANOS) file loads as longs instead of throwing; on
-    * MICROS/adjusted files it is inert.
+    * (see [[normalizeEventsTs]]). Loading a TIMESTAMP(NANOS) file
+    * requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
+    * SESSION (set beside the UTC pin in every entrypoint builder —
+    * session-level config is the entrypoint's job, so this loader
+    * stays free of conf writes); on MICROS/adjusted files the conf is
+    * inert.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // set-if-needed: repeated calls must not keep rewriting shared
-    // session conf (surprising in a shared session, and it invalidates
-    // cached session state on some conf paths)
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(load(s, d, "events"))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -29,7 +29,6 @@ class PlanShapeSpec extends SparkSpec {
     TimeSeriesTable.append(
       TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)), root, "dom", "events")
     val stored = TimeSeriesTable.open(spark, root, "dom", "events")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val df = Compiler.compile(Parser.parse(
       "SELECT click, ts FROM dom.events " +
         "WHERE click > 50.0 AND ts >= '2024-01-10 00:00:00'"), stored)
@@ -51,7 +50,6 @@ class PlanShapeSpec extends SparkSpec {
     TimeSeriesTable.append(
       TimeSeriesTable.fromEvents(Tables.events(spark, sfDir)), root, "dom", "events")
     val stored = TimeSeriesTable.open(spark, root, "dom", "events")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     val planText = BoostQL.sql(
       "EXPLAIN SELECT click, ts FROM dom.events WHERE click > 50.0",
       _ => stored).collect()(0).getString(0)

@@ -14,6 +14,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // plan-shape specs read PushedFilters out of plan strings; the
+    // 100-char default truncates them mid-token (set ONCE here — a
+    // per-test conf.set would leak into suites sharing this session)
+    .config("spark.sql.maxMetadataStringLength", "4000")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 

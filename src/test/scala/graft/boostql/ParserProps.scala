@@ -244,4 +244,21 @@ object ParserProps extends Properties("graft.boostql.parser") {
     try { Parser.parseStmt(s"SELECT c FROM $deep AS x"); false }
     catch { case _: Parser.ParseException => true }
   }
+
+  // percentile's fraction rides the AST as its parsed Double — the node
+  // round-trips the numeric value, and textual variants of one fraction
+  // (0.5 / 0.50 / 0.500…) are ONE structural node, so the cross-clause
+  // aggregate dedup extends over them
+  property("percentileFractionRoundTrip") =
+    forAll(Gen.choose(0, 1000)) { millis =>
+      val p = millis / 1000.0
+      parseExpr(s"percentile(cpu, $p)") == OAggX("percentile",
+        ORef(RawName(Seq("cpu"))), Seq(p))
+    }
+
+  property("percentileTextualVariantsCanonicalize") =
+    forAll(Gen.oneOf("0.125" -> "0.1250", "0.5" -> "0.50",
+      "0" -> "0.0", "1" -> "1.00")) { case (a, b) =>
+      parseExpr(s"percentile(cpu, $a)") == parseExpr(s"percentile(cpu, $b)")
+    }
 }
