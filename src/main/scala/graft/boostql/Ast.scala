@@ -227,8 +227,18 @@ object Ast {
     * string: "inner" | "left" | "right" | "full"; cross is encoded as
     * on = None.
     */
+  /** ASOF-only options: `within` is the raw tolerance interval text
+    * (`'5 minutes'` — validated and converted by the Compiler, so a
+    * malformed interval is a CompileException with the full text in
+    * hand), `forward` flips the match direction to earliest-at-or-after
+    * (the reference's merge iterator is backward-implicit,
+    * boostseriesiterator.go:300-342; backward stays the default).
+    */
+  final case class AsofOpts(within: Option[String] = None,
+      forward: Boolean = false)
+
   final case class JoinClause(source: FromRel, on: Option[BExpr],
-      joinType: String = "inner")
+      joinType: String = "inner", asof: Option[AsofOpts] = None)
 
   final case class OrderItem(item: SelectItem, asc: Boolean)
 

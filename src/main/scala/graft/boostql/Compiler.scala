@@ -1052,14 +1052,40 @@ object Compiler {
         "ASOF JOIN ON must be a conjunction of '=' comparisons between fields")
     }
 
+    /** Tolerance interval text → microseconds. Validated HERE (not the
+      * parser) so the malformed-interval failure is a CompileException
+      * carrying the full interval text.
+      */
+    def asofToleranceMicros(iv: String): Long = {
+      val shape = """\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
+      iv.toLowerCase match {
+        case shape(n, unit) =>
+          val mult = unit match {
+            case "microsecond" => 1L
+            case "millisecond" => 1000L
+            case "second"      => 1000000L
+            case "minute"      => 60L * 1000000L
+            case "hour"        => 3600L * 1000000L
+            case "day"         => 86400L * 1000000L
+          }
+          n.toLong * mult
+        case _ => throw CompileException(
+          s"malformed ASOF WITHIN interval '$iv' — expected '<n> " +
+            "<microsecond|millisecond|second|minute|hour|day>[s]'")
+      }
+    }
+
     /** For each left row: the latest right row with right time <= left
       * time within the equi-key group ([[graft.operators.TimeSeriesOps
       * .asofJoin]]'s union-window formulation — no join node at all);
       * unmatched left rows drop (inner semantics, DuckDB's default).
       * The right source's event time stays addressable (`b.ts`) as the
-      * matched row's time.
+      * matched row's time. Options: FORWARD flips to earliest-at-or-
+      * after; WITHIN bounds |left.ts - matched.ts| — beyond-tolerance
+      * matches null out and drop with the unmatched rows.
       */
-    def asofJoin(acc: DataFrame, right: DataFrame, cond: BExpr, i: Int): DataFrame = {
+    def asofJoin(acc: DataFrame, right: DataFrame, cond: BExpr, i: Int,
+        opts: AsofOpts): DataFrame = {
       val pairs = asofPairs(cond, i + 1).distinct
       if (pairs.isEmpty)
         throw CompileException("ASOF JOIN needs at least one '=' key pair")
@@ -1074,7 +1100,9 @@ object Compiler {
       val by = pairs.map(_._1.inName)
       val carried = r2.columns.toSeq.filterNot(c => by.contains(c) || c == "__ts_0")
       val out = graft.operators.TimeSeriesOps.asofJoin(
-        acc, r2, by, "__ts_0", carried, prefix = "")
+        acc, r2, by, "__ts_0", carried, prefix = "",
+        toleranceMicros = opts.within.map(asofToleranceMicros),
+        direction = if (opts.forward) "forward" else "backward")
       out.withColumnRenamed(s"__asof$rightTs", rightTs)
         .filter(col(rightTs).isNotNull)
     }
@@ -1083,7 +1111,7 @@ object Compiler {
     // joinType "left"/"right"/"full" null-extends the unmatched side(s),
     // exactly Spark's outer-join semantics
     val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
-      case (acc, (JoinClause(_, on, joinType), i)) =>
+      case (acc, (JoinClause(_, on, joinType, asofOpts), i)) =>
         val right = sourceFrame(i + 1)
         (joinType, on) match {
           case ("asof", Some(cond)) =>
@@ -1096,7 +1124,7 @@ object Compiler {
               "ASOF JOIN requires a time axis on both sides (a series " +
                 "family, or a derived table whose subquery outputs a " +
                 "timestamp column named ts)")
-            asofJoin(acc, right, cond, i)
+            asofJoin(acc, right, cond, i, asofOpts.getOrElse(AsofOpts()))
           case ("asof", None) =>
             throw CompileException("ASOF JOIN requires an ON clause")
           case (_, Some(cond)) => acc.join(right, exprColumn(cond, aggOk = false), joinType)

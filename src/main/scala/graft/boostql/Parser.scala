@@ -16,7 +16,8 @@ import Ast._
   * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
   * src      := ident '.' ident (AS? ident)?
-  * join     := (INNER? | CROSS | ASOF | (LEFT|RIGHT|FULL) OUTER?) JOIN src (ON and)?
+  * join     := (INNER? | CROSS | ASOF (FORWARD|BACKWARD)? | (LEFT|RIGHT|FULL) OUTER?)
+  *             JOIN src (ON and)? (WITHIN string)?
   *           | ',' src
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
@@ -351,12 +352,25 @@ object Parser {
         else if (kw("cross")) { expectKw("join"); b += JoinClause(source(), None) }
         // ASOF JOIN: equi keys in ON, time matching implicit — for each
         // left row, the latest right row at or before its time (the
-        // DuckDB/QuestDB time-series join; inner semantics)
+        // DuckDB/QuestDB time-series join; inner semantics). Options:
+        // `ASOF FORWARD JOIN` flips to earliest-at-or-after;
+        // `… ON cond WITHIN '5 minutes'` bounds how far the match may
+        // sit from the left row's time (beyond-tolerance rows drop).
         else if (kw("asof")) {
+          val forward =
+            if (kw("forward")) true
+            else { kw("backward"); false } // backward is the default
           expectKw("join")
           val s = source()
           expectKw("on")
-          b += JoinClause(s, Some(andExpr()), "asof")
+          val cond = andExpr()
+          val within = if (kw("within")) peek match {
+            case TStr(iv) => pos += 1; Some(iv)
+            case t => throw ParseException(
+              s"WITHIN expects a quoted interval like '5 minutes', got $t")
+          } else None
+          b += JoinClause(s, Some(cond), "asof",
+            Some(AsofOpts(within, forward)))
         }
         else outerJoin() match {
           case Some(jt) =>

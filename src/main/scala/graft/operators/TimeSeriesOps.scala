@@ -34,8 +34,14 @@ object TimeSeriesOps {
     *
     * @param rightCols right columns to carry; they appear as
     *                  `{prefix}{col}` on the output
-    * @param toleranceMicros if set, matches older than this many
-    *                  microseconds before left.ts are nulled out
+    * @param toleranceMicros if set, matches farther than this many
+    *                  microseconds from left.ts are nulled out
+    * @param direction "backward" (default): latest right row at or
+    *                  before left.ts — the reference's merge-iterator
+    *                  implicit (boostseriesiterator.go:300-342);
+    *                  "forward": earliest right row at or after left.ts.
+    *                  Same one-shuffle union-window plan either way —
+    *                  forward just mirrors the window's time order.
     */
   def asofJoin(
       left: DataFrame,
@@ -44,7 +50,10 @@ object TimeSeriesOps {
       tsCol: String,
       rightCols: Seq[String],
       prefix: String = "asof_",
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val side = "__graft_side"
     val rts = s"${prefix}ts"
     val r = right.select(
@@ -54,8 +63,13 @@ object TimeSeriesOps {
     val l = left.withColumn(side, lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // backward scans time ascending so `last` carries the latest right
+    // row <= left.ts; forward scans descending so it carries the
+    // earliest right row >= left.ts. Right rows (side 0) sort before
+    // left rows at equal ts in both orders — at-or-before/at-or-after.
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc)
+      .orderBy(tsOrder, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (rightCols.map(c => s"$prefix$c") :+ rts)
       .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
@@ -64,7 +78,11 @@ object TimeSeriesOps {
     val bounded = toleranceMicros match {
       case None => joined
       case Some(tol) =>
-        val inTol = unix_micros(col(tsCol)) - unix_micros(col(rts)) <= lit(tol)
+        val gap =
+          if (direction == "backward")
+            unix_micros(col(tsCol)) - unix_micros(col(rts))
+          else unix_micros(col(rts)) - unix_micros(col(tsCol))
+        val inTol = gap <= lit(tol)
         rightCols.map(c => s"$prefix$c").foldLeft(joined)((df, c) =>
           df.withColumn(c, when(inTol, col(c))))
           .withColumn(rts, when(inTol, col(rts)))

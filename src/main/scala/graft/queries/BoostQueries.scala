@@ -154,6 +154,26 @@ object BoostQueries {
         "WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id")),
 
+    // ASOF tolerance: matches farther than WITHIN from the anchor's
+    // time drop (2 of the 4 backward matches at sf0.01 sit beyond 2
+    // days — the bound is discriminating, not decorative)
+    "boost_asof_within" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '2 days' " +
+        "WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id")),
+
+    // ASOF direction: FORWARD matches the earliest click at or after
+    // each purchase (backward-implicit is the reference's merge
+    // iterator, boostseriesiterator.go:300-342), bounded to 1 day
+    "boost_asof_forward" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF FORWARD JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '1 day' " +
+        "WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id")),
+
     // LIMIT/OFFSET paging over a total order
     "boost_offset" -> ((s, d) =>
       run(s, d, "SELECT error.event_id, error FROM dom.events " +
@@ -848,6 +868,30 @@ object BoostQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
         |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
         |  AND b.ts <= a.ts
+        |ORDER BY a_purchase_event_id""".stripMargin,
+
+    // tolerance replay: DuckDB's ASOF picks the same latest-at-or-
+    // before row, then the WITHIN bound drops beyond-tolerance matches
+    "boost_asof_within" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_click_event_id, b.value AS b_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  AND b.ts <= a.ts
+        |WHERE a.ts - b.ts <= INTERVAL 2 DAY
+        |ORDER BY a_purchase_event_id""".stripMargin,
+
+    "boost_asof_forward" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_click_event_id, b.value AS b_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  AND b.ts >= a.ts
+        |WHERE b.ts - a.ts <= INTERVAL 1 DAY
         |ORDER BY a_purchase_event_id""".stripMargin,
 
     "boost_offset" ->

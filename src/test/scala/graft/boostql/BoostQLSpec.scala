@@ -572,6 +572,54 @@ class BoostQLSpec extends SparkSpec {
         "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
           "ON a.purchase.user != b.click.user"), (_: (String, String)) => rows)
     }
+
+    def asofVariant(q: String): Seq[(String, String, Double)] =
+      Compiler.compile(Parser.parse(q), (_: (String, String)) => rows)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+
+    // WITHIN drops matches farther than the tolerance from the anchor:
+    // p1 -> c1 sits 30 min back (kept at 30+ min, dropped at <30);
+    // BACKWARD spells the default explicitly
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF BACKWARD JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '30 minutes' " +
+        "ORDER BY a.purchase.event_id") ==
+      Seq(("p1", "c1", 1.0), ("p2", "c2", 2.0)))
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '29 minutes' " +
+        "ORDER BY a.purchase.event_id") == Seq.empty)
+
+    // FORWARD matches the earliest right row at or after the anchor:
+    // p1@10:00 -> c2@10:30; p2@11:00 has no later click -> dropped;
+    // p3@08:00 (user 2) -> c3@09:00
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF FORWARD JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user " +
+        "ORDER BY a.purchase.event_id") ==
+      Seq(("p1", "c2", 2.0), ("p3", "c3", 3.0)))
+    // forward + tolerance: p3's next click is 60 min out — beyond 45
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF FORWARD JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '45 minutes' " +
+        "ORDER BY a.purchase.event_id") == Seq(("p1", "c2", 2.0)))
+
+    // malformed WITHIN intervals are CompileExceptions (interval text
+    // validated in the compiler), non-string WITHIN a parse error
+    for (bad <- Seq("'banana'", "'5 fortnights'", "'-3 minutes'", "''"))
+      intercept[Compiler.CompileException] {
+        Compiler.compile(Parser.parse(
+          "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
+            s"ON a.purchase.user = b.click.user WITHIN $bad"),
+          (_: (String, String)) => rows)
+      }
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN 5"))
   }
 
   test("LIMIT OFFSET pages over the total order; OFFSET needs LIMIT") {
