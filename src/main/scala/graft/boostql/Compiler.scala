@@ -138,6 +138,23 @@ object Compiler {
       when(size(sk) < k, size(sk).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
           element_at(sk, -1).cast("double"))
+    // the sketch itself (array<bigint>, bottom-64 md5-derived hashes) —
+    // materialize per-day/per-key sketches in an inner query, then
+    // merge them with approx_distinct_merge in an outer one: the
+    // two-level GROUP BY that answers distinct-count rollups at 100 TB
+    // from kilobyte sketches, never re-scanning raw values
+    case "approx_distinct_sketch" =>
+      graft.functions.GraftFunctions.kmvSketch(
+        graft.operators.SketchOps.portableHash32(c), 64)
+    // union of sketch columns -> estimate; by the KMV merge law the
+    // result hash-matches approx_distinct run directly on the raw
+    // values (pinned by boost_sketch_merge's oracle)
+    case "approx_distinct_merge" =>
+      val k = 64
+      val sk = graft.functions.GraftFunctions.kmvMerge(c, k)
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          element_at(sk, -1).cast("double"))
     // grouping-set marker: 1 when the key is rolled up in this output
     // row, 0 when it groups — the ANSI disambiguator between a rollup
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE

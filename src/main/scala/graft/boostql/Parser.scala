@@ -81,7 +81,7 @@ object Parser {
     "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max",
     "stddev", "variance", "median", "grouping", "approx_distinct",
-    "percentile")
+    "approx_distinct_sketch", "approx_distinct_merge", "percentile")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

@@ -282,6 +282,77 @@ case class KmvSketchAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** Union of KMV sketches: aggregates a COLUMN OF SKETCHES (array<long>,
+  * sorted-distinct ascending — [[KmvSketchAgg]]'s output) into the
+  * bottom-k of their union, which by the KMV merge law equals the
+  * single-pass sketch of the union of the underlying values. This is
+  * the 100 TB pattern: per-day/per-partition sketches union in
+  * kilobytes with NO re-scan of raw values. Nulls (and null elements)
+  * are skipped; state and wire format are identical to KmvSketchAgg, so
+  * the two compose freely across aggregation levels.
+  */
+case class KmvMergeAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer]
+    with UnaryLike[Expression] {
+  require(k >= 2, "k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> (a KMV sketch), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_merge"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      // no sortedness assumed of the input array (a KmvSketchAgg output
+      // ascends, but any array<long> is accepted) — insert is O(log k)
+      // + a <=512-byte memmove at k <= 64, cheap enough per element
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) buf.insert(arr.getLong(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.get(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.appendSorted(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<double> columns (float arrays implicitly
   * cast). Sequential index-order accumulation — deterministic.
   */

@@ -28,6 +28,14 @@ object GraftFunctions {
   def kmvSketch(hashes: Column, k: Int): Column =
     toCol(KmvSketchAgg(toExpr(hashes), k).toAggregateExpression())
 
+  /** Union AGGREGATE over a column of KMV sketches (array<bigint>):
+    * bottom-k of the union — losslessly equal to the single-pass sketch
+    * of the underlying values (the merge law that makes per-day/
+    * per-partition sketches the 100 TB answer: union in kilobytes, no
+    * re-scan). Composes with [[kmvSketch]] across aggregation levels. */
+  def kmvMerge(sketches: Column, k: Int): Column =
+    toCol(KmvMergeAgg(toExpr(sketches), k).toAggregateExpression())
+
   /** Distinct fnv64 hashes of word-`k`-gram shingles of a string column,
     * computed in one byte-level pass. Feed the result to [[minhash]] /
     * [[simhash]] for bit-identical, string-free signatures. */

@@ -85,9 +85,8 @@ object SketchOps {
     df.groupBy(col(groupCol))
       .agg(graft.functions.GraftFunctions
         .kmvSketch(h32(col(valueCol)), k).as("__g"))
-      .select(explode(col("__g")).as("__h"))
       .agg(graft.functions.GraftFunctions
-        .kmvSketch(col("__h"), k).as("__sk"))
+        .kmvMerge(col("__g"), k).as("__sk"))
       .select(sketchStats(k): _*)
   }
 

@@ -581,6 +581,19 @@ object BoostQueries {
     // cents — rank p*(n-1) + linear interpolation, exact in doubles for
     // binary-fraction p over integral inputs, so DuckDB's quantile_cont
     // replays it bit-for-bit (median is the p=0.5 case, already pinned)
+    // two-level sketch rollup: per-day KMV sketches in the derived
+    // table, merged to ONE global estimate in the outer query — the
+    // 100 TB distinct-count pattern (per-day sketches union in
+    // kilobytes, raw values scanned once). The KMV merge law makes the
+    // result hash-equal to approx_distinct on the raw column, which is
+    // exactly what the DuckDB oracle replays.
+    "boost_sketch_merge" -> ((s, d) =>
+      run(s, d, "SELECT approx_distinct_merge(t.sk) AS merged, " +
+        "count(*) AS n_days FROM " +
+        "(SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
+        "approx_distinct_sketch(purchase.event_id) AS sk " +
+        "FROM dom.events GROUP BY CAST(bucket(ts, '1 day') AS int)) AS t")),
+
     "boost_percentile" -> ((s, d) =>
       run(s, d, "SELECT purchase.user, " +
         "percentile(CAST(purchase * 100.0 AS int), 0.25) AS p25, " +
@@ -1200,6 +1213,22 @@ object BoostQueries {
         |       ELSE 63e0 * 4294967296e0 / be.kth::DOUBLE END AS ade
         |FROM ex LEFT JOIN bk ON ex.u = bk.u LEFT JOIN be ON ex.u = be.u
         |ORDER BY purchase_user""".stripMargin,
+
+    // merge-law replay: bottom-64 of the union of per-day bottom-64s
+    // IS the global bottom-64, so the oracle sketches the whole column
+    // once; n_days counts the day buckets the inner query grouped by
+    "boost_sketch_merge" ->
+      """WITH p AS (SELECT CAST(event_id AS VARCHAR) AS eid, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT DISTINCT ('0x' || substr(md5(eid), 1, 8))::UBIGINT AS h
+        |  FROM p WHERE eid IS NOT NULL),
+        |rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+        |bk AS (SELECT count(*) AS ns, max(h) AS kth FROM rk WHERE rn <= 64),
+        |d AS (SELECT count(DISTINCT time_bucket(INTERVAL '1 day', ts)) AS n_days FROM p)
+        |SELECT CASE WHEN bk.ns < 64 THEN bk.ns::DOUBLE
+        |            ELSE 63e0 * 4294967296e0 / bk.kth::DOUBLE END AS merged,
+        |  d.n_days AS n_days
+        |FROM bk, d""".stripMargin,
 
     "boost_percentile" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

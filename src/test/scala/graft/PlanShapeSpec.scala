@@ -171,6 +171,53 @@ class PlanShapeSpec extends SparkSpec {
       s"ewma must stay a native window aggregate:\n$plan")
   }
 
+  test("dialect approx_distinct plans partial+final KMV object aggregates, one exchange") {
+    // the "shuffle carries sketches" claim as a plan shape: the map-side
+    // pass must be partial_graft_kmv_sketch under ObjectHashAggregate
+    // (k-capped task output), the final pass its merge — degrading to a
+    // SortAggregate over raw values, or sprouting a distinct/expand
+    // pre-shuffle, fails here before it surfaces as a bench mystery
+    val df = SparkEntry.queries("boost_approx_distinct")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      s"partial (map-side) sketch pass missing:\n$plan")
+    assert("graft_kmv_sketch".r.findAllIn(plan).size >= 2,
+      s"final sketch merge pass missing:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"KMV aggregate degraded to SortAggregate:\n$plan")
+    // boost_approx_distinct carries a count(DISTINCT) alongside (its
+    // two-phase expansion owns a third exchange) — pin the sketch-only
+    // exchange budget on a pure approx_distinct query: agg exchange +
+    // presentation sort, nothing shuffling raw values
+    val pure = planOf(BoostQL.onTestdata(spark, sfDir)(
+      "SELECT purchase.user, approx_distinct(purchase.event_id) AS ad " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(pure).length
+    assert(exchanges <= 2,
+      s"approx_distinct alone should plan agg exchange + sort only ($exchanges):\n$pure")
+    assert(pure.contains("partial_graft_kmv_sketch"),
+      s"partial sketch pass missing in pure form:\n$pure")
+  }
+
+  test("dialect two-level sketch rollup: partial sketches below, merge above, no explode") {
+    // boost_sketch_merge: inner GROUP BY materializes per-day sketches
+    // (partial graft_kmv_sketch), outer aggregate unions the sketch
+    // column (graft_kmv_merge) — the 100 TB per-day-rollup pattern
+    // through the dialect front door
+    val df = SparkEntry.queries("boost_sketch_merge")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      s"inner per-day sketch pass missing:\n$plan")
+    assert(plan.contains("graft_kmv_merge"),
+      s"outer sketch union missing:\n$plan")
+    assert(!plan.contains("Explode") && !plan.contains("Generate"),
+      s"sketch merge must not explode sketches into rows:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"sketch aggregates degraded to SortAggregate:\n$plan")
+  }
+
   test("dd_minhash_lsh computes the signature pipeline once (exchange reuse)") {
     val plan = planOf(SparkEntry.queries("dd_minhash_lsh")(spark, sfDir))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||

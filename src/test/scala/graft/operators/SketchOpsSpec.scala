@@ -108,6 +108,47 @@ class SketchOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("KmvMergeAgg unions arbitrary sketch arrays: unsorted input, nulls, k-cap") {
+    import graft.functions.GraftFunctions
+    // deliberately UNSORTED arrays with duplicates across rows and a
+    // null element/row — the aggregate promises bottom-k of the union
+    // for any array<long> input, not just KmvSketchAgg outputs
+    val df = Seq(
+      Seq(50L, 10L, 30L),
+      Seq(20L, 10L, 60L),
+      Seq(5L, 70L, 20L)
+    ).toDF("sk").union(Seq.empty[Seq[Long]].toDF("sk"))
+      .union(Seq(null.asInstanceOf[Seq[Long]]).toDF("sk"))
+    for (k <- Seq(2, 4, 64)) {
+      val got = df.agg(GraftFunctions.kmvMerge(col("sk"), k).as("m"))
+        .collect()(0).getSeq[Long](0).toSeq
+      val want = Seq(50L, 10L, 30L, 20L, 60L, 5L, 70L).distinct.sorted.take(k)
+      assert(got == want, s"k=$k")
+    }
+    // partitioning invariance (different merge orders)
+    val a = df.repartition(7).agg(GraftFunctions.kmvMerge(col("sk"), 4))
+      .collect()(0).getSeq[Long](0).toSeq
+    assert(a == Seq(5L, 10L, 20L, 30L))
+  }
+
+  test("two-level sketch rollup plans partial+final object aggregates, no raw-value shuffle") {
+    // the kmvUnionAll plan: level 1 groups raw values into per-group
+    // sketches (partial graft_kmv_sketch below the exchange), level 2
+    // unions the sketch COLUMN (graft_kmv_merge) — at no point does an
+    // exchange carry raw hash values or an explode resurface
+    val df = SketchOps.kmvUnionAll(li, "l_returnflag", "l_partkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      s"level-1 map-side sketch pass missing:\n$plan")
+    assert(plan.contains("graft_kmv_merge"),
+      s"level-2 sketch union missing:\n$plan")
+    assert(!plan.contains("Explode") && !plan.contains("Generate"),
+      s"sketch union must not explode sketches back into rows:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+  }
+
   test("hllDistinct estimates within DataSketches error bounds") {
     val est = SketchOps.hllDistinct(li, "l_returnflag", "l_partkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
