@@ -19,7 +19,11 @@ object StreamingQueries {
     "stream_session" -> ((s, d) => StreamingOps.sessionWindowReplay(s, d)),
     "stream_join" -> ((s, d) => StreamingOps.streamIntervalJoinReplay(s, d)),
     "stream_neardup" -> ((s, d) =>
-      StreamingOps.streamingShingleCandidates(s, d))
+      StreamingOps.streamingShingleCandidates(s, d)),
+    // write half (streamIntoFamily) + read half (openStream tail) +
+    // windowed agg, end to end — the streaming twin of boost_roundtrip
+    "stream_family_roundtrip" -> ((s, d) =>
+      StreamingOps.streamFamilyRoundtrip(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -32,6 +36,14 @@ object StreamingQueries {
     "stream_dedup_count" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the family roundtrip must reproduce the plain batch aggregate —
+    // the parquet write/stream-read hop adds no rows, loses no rows
+    "stream_family_roundtrip" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS w_start_us,
+        |  event_type AS series, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_us, series""".stripMargin,
 
     // batch twin of session_window: gaps-and-islands with the same 6h
     // gap; session end is last-event + gap, matching Spark's contract

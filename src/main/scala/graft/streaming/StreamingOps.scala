@@ -124,6 +124,50 @@ object StreamingOps {
     query.awaitTermination()
   }
 
+  /** The full streaming family topology end to end: [[streamIntoFamily]]
+    * ingests the events table into a date-partitioned family (the write
+    * half), [[graft.sources.TimeSeriesTable.openStream]] TAILS that same
+    * warehouse path as a file-stream source (the read half), and a
+    * watermarked daily tumbling aggregate materializes into a memory
+    * sink — ingest job and downstream consumer, exactly the production
+    * topology, collapsed into one AvailableNow replay. The result is
+    * semantically the batch GROUP BY over the same rows, which is what
+    * the DuckDB oracle checks (the `boost_roundtrip` pattern, one layer
+    * up the stack).
+    *
+    * Returns (result, per-micro-batch progress of the TAIL query) — the
+    * progress trail lets specs pin that `maxFilesPerTrigger` actually
+    * bounds per-batch work instead of one batch swallowing the backlog.
+    */
+  def familyRoundtripWithProgress(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4, maxFilesPerTrigger: Int = 8)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val root = Files.createTempDirectory("graft-famstream").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val agg = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events", maxFilesPerTrigger)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
+    val progress = withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      query.recentProgress.toSeq
+    }
+    val out = spark.table(sink)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("series"), col("n"), col("sum_value"))
+      .orderBy("w_start_us", "series")
+    (out, progress)
+  }
+
+  /** Driver-contract face of [[familyRoundtripWithProgress]]. */
+  def streamFamilyRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    familyRoundtripWithProgress(spark, sfDir)._1
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -55,6 +55,44 @@ class StreamingSpec extends SparkSpec {
       .schema.fieldNames.contains("dt"))
   }
 
+  test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
+    // end-to-end topology: streamIntoFamily write half -> openStream
+    // read half -> watermarked daily agg. Result must equal the plain
+    // batch aggregate over the same events
+    val (df, progress) = StreamingOps.familyRoundtripWithProgress(
+      spark, sfDir, maxFilesPerTrigger = 2)
+    val got = df.collect().toSeq
+    val want = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type").as("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("series"), col("n"), col("sum_value"))
+      .orderBy("w_start_us", "series").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // maxFilesPerTrigger = 2 must split the tail into ceil(F/2) data
+    // batches, F = part files the ingest landed — one batch swallowing
+    // the whole backlog is exactly what the option exists to prevent
+    // the tail's source description names the family path:
+    // FileStreamSource[file:/tmp/graft-famstreamXXX/dom/events]
+    val famPath = progress.head.sources.head.description match {
+      case d if d.contains("[file:") =>
+        d.substring(d.indexOf("[file:") + 6, d.lastIndexOf("]"))
+      case d => fail(s"unexpected source description: $d")
+    }
+    val files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(famPath))
+        .iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+    }
+    val dataBatches = progress.count(_.numInputRows > 0)
+    assert(files > 2, s"expected a multi-file family, got $files files")
+    assert(dataBatches == (files + 1) / 2,
+      s"maxFilesPerTrigger=2 over $files files should take ${(files + 1) / 2} " +
+        s"data batches, took $dataBatches")
+  }
+
   test("streaming dedup count equals batch distinct count") {
     val streamed = StreamingOps.streamingDedupCounts(spark, sfDir).collect()
     val batch = Tables.events(spark, sfDir)
