@@ -59,19 +59,22 @@ object VectorSearchOps {
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path.
     *
     * Centroids are a deterministic sample of the corpus (the `nlist`
-    * smallest xxhash64(id) rows) collected to the driver: a model
-    * artifact of nlist×dim doubles, legitimately driver-sized, inlined
-    * into the plan as a literal array. That makes list assignment a
-    * ZERO-SHUFFLE narrow map (an `aggregate` argmax over the literal
-    * centroids per row) — at 100 TB the corpus is scanned once, never
-    * re-partitioned; queries probe their `nprobe` closest lists and only
-    * candidate (query × list-member) pairs are scored exactly.
+    * rows with lexicographically smallest `md5(id)` hex digest — the
+    * repo's PORTABLE-hash convention, so a SQL oracle replays the exact
+    * sample) collected to the driver: a model artifact of nlist×dim
+    * doubles, legitimately driver-sized, inlined into the plan as a
+    * literal array. That makes list assignment a ZERO-SHUFFLE narrow map
+    * (an `aggregate` argmax over the literal centroids per row) — at
+    * 100 TB the corpus is scanned once, never re-partitioned; queries
+    * probe their `nprobe` closest lists and only candidate
+    * (query × list-member) pairs are scored exactly.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val cents = c.withColumn("h", xxhash64(col("nbr_id"))).orderBy("h").limit(nlist)
+    val cents = c.withColumn("h", md5(col("nbr_id").cast("string")))
+      .orderBy("h").limit(nlist)
       .select("nbr_id", "cv").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
@@ -121,8 +124,9 @@ object VectorSearchOps {
     * again only for the `k·refine` candidates that survive per query.
     *
     * Codebook training mirrors [[ivfTopK]]'s determinism contract: the
-    * `ksub` corpus rows with smallest xxhash64(id), L2-normalized on
-    * the driver, contribute their j-th subvector to subspace j — a
+    * `ksub` corpus rows with lexicographically smallest md5(id) hex
+    * digest (the portable-hash convention), L2-normalized on the
+    * driver, contribute their j-th subvector to subspace j — a
     * model artifact of ksub×dim doubles inlined into the plan, so both
     * the encode pass and the ADC scan are ZERO-SHUFFLE narrow maps
     * (kernels: [[graft.functions.GraftFunctions.pqEncode]]/pqLut/pqAdc).
@@ -134,7 +138,8 @@ object VectorSearchOps {
       refine: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val sample = c.withColumn("h", xxhash64(col("nbr_id"))).orderBy("h")
+    val sample = c.withColumn("h", md5(col("nbr_id").cast("string")))
+      .orderBy("h")
       .limit(ksub).select("cv").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "corpus is empty")
     val dim = sample.head.length

@@ -19,9 +19,13 @@ import graft.tables.Tables
   * pairs < 0.1 Jaccard, planted near-dups > 0.9 — measured at sf0.01
   * and sf0.001), so candidate-generation recall is 1 - 1e-15 and the
   * verified output equals the exact-Jaccard pair set the DuckDB oracle
-  * computes. `ann_lsh` and `txt_fingerprint` outputs depend on graft's
-  * own hash kernels, which SQL cannot reproduce — those two get
-  * rows-only checks here and recall/property assertions in PipelineSpec.
+  * computes. `txt_fingerprint` and `ann_ivf` replay graft's hash and
+  * quantizer arithmetic exactly in SQL ([[fingerprintOracleSql]] /
+  * the md5-sampled IVF oracle); `ann_lsh`/`ann_pq` remain rows-only —
+  * their kernels fold FULL 64-bit hash/float state per dimension
+  * (HyperplaneBucket / PqEncode) where a SQL replay would re-implement
+  * the entire kernel rather than check it, so they get recall-floor and
+  * determinism assertions in PipelineSpec instead.
   */
 object PipelineQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -172,6 +176,113 @@ object PipelineQueries {
        |  CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) AS "precision",
        |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall
        |FROM cum ORDER BY bin""".stripMargin
+  }
+
+  /** Unsigned-64-bit arithmetic SQL fragments for the `txt_fingerprint`
+    * oracle: DuckDB has no u64 type, so hash values live as HUGEINT in
+    * [0, 2^64) with the wrap-around spelled out. `xor` exists only on
+    * BIGINT, hence the signed round-trips.
+    */
+  private object U64Sql {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def u2s(v: String): String =
+      s"(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN ($v - $M)::BIGINT ELSE $v::BIGINT END)"
+    def s2u(x: String): String =
+      s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $M ELSE $x::HUGEINT END)"
+    def uxor(a: String, b: String): String = s2u(s"xor(${u2s(a)}, ${u2s(b)})")
+    def ushr(v: String, n: Int): String = s"($v // ${1L << n}::HUGEINT)"
+    /** `a * b mod 2^64` for a < 2^64 and a CONSTANT b, split into 32-bit
+      * halves so no intermediate product overflows INT128. */
+    def umul(a: String, b: BigInt): String = {
+      val bh = b >> 32
+      val bl = b & 0xFFFFFFFFL
+      s"((($a * $bl::HUGEINT) % $M + (($a * $bh::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M)"
+    }
+    /** splitmix64 finalizer ([[graft.functions.impl.HashImpl.mix64]]) as
+      * a 4-step CTE chain over column `z` of `rel`, keyed by `keys`. */
+    def mixCtes(rel: String, keys: Seq[String], prefix: String): String = {
+      val k = keys.mkString(", ")
+      Seq(
+        s"${prefix}1 AS (SELECT $k, (z + 11400714819323198485::HUGEINT) % $M AS z FROM $rel)",
+        s"${prefix}2 AS (SELECT $k, ${umul(uxor("z", ushr("z", 30)), BigInt("13787848793156543929"))} AS z FROM ${prefix}1)",
+        s"${prefix}3 AS (SELECT $k, ${umul(uxor("z", ushr("z", 27)), BigInt("10723151780598845931"))} AS z FROM ${prefix}2)",
+        s"${prefix}4 AS (SELECT $k, ${uxor("z", ushr("z", 31))} AS z FROM ${prefix}3)"
+      ).mkString(",\n")
+    }
+  }
+
+  /** DuckDB replay of `txt_fingerprint` — both graft hash kernels run
+    * as exact u64 arithmetic ([[U64Sql]]):
+    *
+    *  - `fp` ([[graft.functions.impl.HashImpl.rollingFingerprint]],
+    *    k = 16): per char-16-gram, the polynomial hash is the power sum
+    *    `Σ c_j · P^(15-j) mod 2^64` (what the rolling recurrence
+    *    computes), splitmix64-mixed, signed-min per doc.
+    *  - `sim` ([[HashImpl.simhashFromHashes]] over
+    *    [[HashImpl.shingleHashes]] k = 3): FNV-1a folded per distinct
+    *    word-3-gram shingle in a recursive CTE (one char per iteration —
+    *    the xor operand is one byte, so it touches only the low 7 bits),
+    *    splitmix64-mixed, per-bit majority vote.
+    *
+    * PRECONDITION: ASCII corpus. The kernels hash UTF-16 units (fp) /
+    * UTF-8 bytes (sim); `unicode()` here yields code points, and the
+    * three agree exactly on ASCII (pinned in TestdataContractSpec — a
+    * corpus drift fails that spec, not this hash compare).
+    */
+  private def fingerprintOracleSql: String = {
+    import U64Sql._
+    val M64 = BigInt(1) << 64
+    val pows = Iterator.iterate(BigInt(1))(p => (p * 1000003) % M64).take(16).toSeq
+    val powsList = pows.map(p => s"$p::HUGEINT").mkString("[", ", ", "]")
+    val bitPows = (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT")
+      .mkString("[", ", ", "]")
+    val fnvStep = "((h // 128::HUGEINT) * 128::HUGEINT + " +
+      "xor((h % 128::HUGEINT)::BIGINT, unicode(substring(s, pos + 1, 1))::BIGINT)::HUGEINT)"
+    s"""WITH RECURSIVE
+       |cpos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+       |  FROM documents),
+       |chars AS (
+       |  SELECT doc_id, i, unicode(substring(text, i, 1))::HUGEINT AS c FROM cpos),
+       |wpos AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    unnest(generate_series(0, greatest(length(text) - 16, 0))) AS w
+       |  FROM documents),
+       |wins AS (SELECT doc_id, w, least(n, 16) AS l FROM wpos),
+       |grams AS (
+       |  SELECT ch.doc_id, wn.w,
+       |    sum(ch.c * $powsList[wn.l + wn.w - ch.i + 1])::HUGEINT % $M AS z
+       |  FROM chars ch JOIN wins wn
+       |    ON wn.doc_id = ch.doc_id AND ch.i BETWEEN wn.w + 1 AND wn.w + wn.l
+       |  GROUP BY ch.doc_id, wn.w),
+       |${mixCtes("grams", Seq("doc_id", "w"), "gm")},
+       |fp AS (SELECT doc_id, min(${u2s("z")}) AS fp FROM gm4 GROUP BY doc_id),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |shing AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(l[i:i+2], ' ')
+       |     for i in generate_series(1, greatest(len(l)-2, 1))])) AS s
+       |  FROM toks),
+       |sh AS (SELECT doc_id, s, row_number() OVER () AS sid FROM shing),
+       |fnv(doc_id, sid, s, pos, h) AS (
+       |  SELECT doc_id, sid, s, 0, 14695981039346656037::HUGEINT FROM sh
+       |  UNION ALL
+       |  SELECT doc_id, sid, s, pos + 1, ${umul(fnvStep, BigInt("1099511628211"))}
+       |  FROM fnv WHERE pos < length(s)),
+       |shash AS (SELECT doc_id, sid, h AS z FROM fnv WHERE pos = length(s)),
+       |${mixCtes("shash", Seq("doc_id", "sid"), "sm")},
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (z // $bitPows[b + 1]) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM sm4, (SELECT unnest(generate_series(0, 63)) AS b) AS bt
+       |  GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id,
+       |    ${u2s(s"(sum(CASE WHEN vote > 0 THEN $bitPows[b + 1] ELSE 0::HUGEINT END) % $M)")} AS sim
+       |  FROM bits GROUP BY doc_id)
+       |SELECT f.doc_id, f.fp, s.sim
+       |FROM fp f JOIN sim s ON s.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
   }
 
   private val bm25Terms = Seq("spark", "window", "join")
@@ -353,8 +464,11 @@ object PipelineQueries {
     }),
 
     "ann_ivf" -> ((s, d) => {
-      // IVF coarse quantizer — approximate, no SQL oracle; recall floor
-      // asserted in PipelineSpec
+      // IVF coarse quantizer — approximate vs brute force but fully
+      // deterministic arithmetic over a portable md5-sampled centroid
+      // set, so the DuckDB oracle replays it exactly (sample → assign →
+      // probe → score); recall floor additionally asserted in
+      // PipelineSpec
       val e = embs(s, d)
       VectorSearchOps.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
@@ -416,8 +530,9 @@ object PipelineQueries {
         .select("doc_id", "pred_lang", "lang_hits").orderBy("doc_id")),
 
     "txt_fingerprint" -> ((s, d) =>
-      // graft-native rolling-hash fingerprint — rows-only check;
-      // determinism + collision properties pinned in PipelineSpec
+      // graft-native rolling-hash fingerprint + simhash — full DuckDB
+      // oracle (exact u64 replay of both kernels, fingerprintOracleSql);
+      // determinism + collision properties additionally in PipelineSpec
       docs(s, d).select(col("doc_id"),
         GraftFunctions.fingerprint(col("text"), 16).as("fp"),
         GraftFunctions.simhash(TextDedupOps.hashedShingles(col("text"))).as("sim"))
@@ -883,6 +998,42 @@ object PipelineQueries {
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    // full IVF replay: same portable md5-ordered centroid sample as
+    // VectorSearchOps.ivfTopK (nlist=32), argmax-cosine list assignment
+    // (tie -> first centroid in sample order), nprobe=4 probes per query
+    // (tie -> lowest centroid id, matching the Spark window), exact
+    // rounded-cosine top-10 over probed lists
+    "ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) AS ord
+        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC LIMIT 32),
+        |assigned AS (
+        |  SELECT nbr_id, cv, ccid AS cid FROM (
+        |    SELECT c.vec_id AS nbr_id, c.embedding::DOUBLE[] AS cv, ce.ccid,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], ce.ccv) DESC,
+        |                 ce.ord ASC) AS rk
+        |    FROM embeddings c CROSS JOIN cents ce)
+        |  WHERE rk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, ccid AS cid FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding::DOUBLE[] AS qv, ce.ccid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], ce.ccv) DESC,
+        |                 ce.ccid ASC) AS rk
+        |    FROM embeddings q CROSS JOIN cents ce WHERE q.vec_id < 5)
+        |  WHERE rk <= 4)
+        |SELECT q_id, rank, nbr_id, cos FROM (
+        |  SELECT p.q_id, a.nbr_id,
+        |    round(list_cosine_similarity(p.qv, a.cv), 6) AS cos,
+        |    row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+        |               a.nbr_id ASC) AS rank
+        |  FROM assigned a JOIN probes p ON a.cid = p.cid
+        |  WHERE a.nbr_id <> p.q_id)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     "txt_stats" ->
       """SELECT doc_id,
         |  len(l) AS n_tokens,
@@ -930,6 +1081,8 @@ object PipelineQueries {
         |      len([x for x in l if (x='de' OR x='le' OR x='he' OR x='shi')]) AS h_zh
         |    FROM (SELECT *, string_split(text, ' ') AS l FROM documents)))
         |ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" -> fingerprintOracleSql,
 
     "mm_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,

@@ -78,4 +78,18 @@ class TestdataContractSpec extends SparkSpec {
       case other => fail(s"embeddings.embedding must be array<float|double>, got $other")
     }
   }
+
+  test("documents corpus is pure ASCII (txt_fingerprint oracle precondition)") {
+    // the fingerprint/simhash DuckDB oracle equates UTF-16 units (fp
+    // kernel), UTF-8 bytes (fnv64 kernel), and SQL code points — an
+    // identity that holds exactly on ASCII. If the generator ever emits
+    // non-ASCII text (e.g. CJK zh docs), this names the break instead of
+    // an opaque hash mismatch in CORRECTNESS_r{N}.json.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text; the txt_fingerprint " +
+        "oracle's char=byte=codepoint identity no longer holds")
+  }
 }
