@@ -19,13 +19,13 @@ import graft.tables.Tables
   * pairs < 0.1 Jaccard, planted near-dups > 0.9 — measured at sf0.01
   * and sf0.001), so candidate-generation recall is 1 - 1e-15 and the
   * verified output equals the exact-Jaccard pair set the DuckDB oracle
-  * computes. `txt_fingerprint` and `ann_ivf` replay graft's hash and
-  * quantizer arithmetic exactly in SQL ([[fingerprintOracleSql]] /
-  * the md5-sampled IVF oracle); `ann_lsh`/`ann_pq` remain rows-only —
-  * their kernels fold FULL 64-bit hash/float state per dimension
-  * (HyperplaneBucket / PqEncode) where a SQL replay would re-implement
-  * the entire kernel rather than check it, so they get recall-floor and
-  * determinism assertions in PipelineSpec instead.
+  * computes. The approximate kernels are nevertheless DETERMINISTIC
+  * arithmetic, so every ANN variant carries a full oracle:
+  * `txt_fingerprint` and `ann_lsh` replay the u64 hash chains
+  * ([[U64Sql]]), `ann_ivf`/`ann_pq` replay the md5-sampled quantizers,
+  * and all float accumulations are explicit left folds (`list_reduce`)
+  * matching the kernels' loop order. Recall floors are additionally
+  * asserted in PipelineSpec.
   */
 object PipelineQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -285,6 +285,128 @@ object PipelineQueries {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** Left-fold sum of a DOUBLE list expression — DuckDB's `list_reduce`
+    * folds left-to-right, reproducing the kernels' sequential
+    * accumulation order (a GROUP BY `sum()` has no order contract, and
+    * double addition is not associative). */
+  private def lsum(l: String): String =
+    s"list_reduce($l, (acc, x) -> acc + x)"
+
+  /** DuckDB replay of `ann_pq` ([[VectorSearchOps.pqTopK]], m=8,
+    * ksub=16, k=10, refine=4 over dim-64 vectors): the md5-ordered
+    * codebook sample, L2 normalization as `x * (1/sqrt(Σx²))` with the
+    * kernel's exact op order, per-subspace argmin-L2 encode (tie →
+    * lowest centroid index), query LUT, ADC left-fold, and exact
+    * rounded-cosine refine. Every float fold is [[lsum]]-ordered, so
+    * the doubles match [[graft.functions.impl.VectorImpl.pqEncode]]/
+    * pqLut/pqAdc bit-for-bit.
+    */
+  private def pqOracleSql: String = {
+    val norm = lsum("list_transform(embedding::DOUBLE[], y -> y * y)")
+    s"""WITH
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) AS cix,
+       |         embedding::DOUBLE[] AS v
+       |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC LIMIT 16),
+       |cb AS (
+       |  SELECT cix,
+       |    list_transform(v, x -> x * (1.0 / sqrt(${lsum("list_transform(v, y -> y * y)")}))) AS cv
+       |  FROM samp),
+       |corp AS (
+       |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS rv,
+       |    list_transform(embedding::DOUBLE[], x -> x * (1.0 / sqrt($norm))) AS nv
+       |  FROM embeddings),
+       |enc1 AS (
+       |  SELECT c.nbr_id, j.j, b.cix,
+       |    ${lsum("list_transform(generate_series(1, 8), t -> (c.nv[(j.j - 1) * 8 + t] - b.cv[(j.j - 1) * 8 + t]) * (c.nv[(j.j - 1) * 8 + t] - b.cv[(j.j - 1) * 8 + t]))")} AS dist
+       |  FROM corp c, (SELECT unnest(generate_series(1, 8)) AS j) j, cb b),
+       |codes AS (
+       |  SELECT nbr_id, list(cix - 1 ORDER BY j) AS code FROM (
+       |    SELECT nbr_id, j, cix,
+       |      row_number() OVER (PARTITION BY nbr_id, j ORDER BY dist ASC, cix ASC) AS rk
+       |    FROM enc1)
+       |  WHERE rk = 1 GROUP BY nbr_id),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+       |    list_transform(embedding::DOUBLE[], x -> x * (1.0 / sqrt($norm))) AS nq
+       |  FROM embeddings WHERE vec_id < 5),
+       |lut1 AS (
+       |  SELECT q.q_id, j.j, b.cix,
+       |    ${lsum("list_transform(generate_series(1, 8), t -> q.nq[(j.j - 1) * 8 + t] * b.cv[(j.j - 1) * 8 + t])")} AS lv
+       |  FROM qn q, (SELECT unnest(generate_series(1, 8)) AS j) j, cb b),
+       |lut AS (SELECT q_id, list(lv ORDER BY j, cix) AS lut FROM lut1 GROUP BY q_id),
+       |adc AS (
+       |  SELECT l.q_id, c.nbr_id,
+       |    ${lsum("list_transform(generate_series(1, 8), j -> l.lut[(j - 1) * 16 + c.code[j] + 1])")} AS adc
+       |  FROM codes c CROSS JOIN lut l
+       |  WHERE c.nbr_id <> l.q_id),
+       |cand AS (
+       |  SELECT q_id, nbr_id FROM (
+       |    SELECT q_id, nbr_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nbr_id ASC) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 40)
+       |SELECT q_id, rank, nbr_id, cos FROM (
+       |  SELECT ca.q_id, ca.nbr_id,
+       |    round(list_cosine_similarity(q.qv, c.rv), 6) AS cos,
+       |    row_number() OVER (PARTITION BY ca.q_id
+       |      ORDER BY round(list_cosine_similarity(q.qv, c.rv), 6) DESC,
+       |               ca.nbr_id ASC) AS rank
+       |  FROM cand ca JOIN corp c ON c.nbr_id = ca.nbr_id
+       |  JOIN qn q ON q.q_id = ca.q_id)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of `ann_lsh` ([[VectorSearchOps.annLshTopK]],
+    * numBits=6, tables=8, seed=42, k=10): the hyperplane matrix is
+    * derived, not stored — component (t, b, i) is
+    * `mix64(42 + 1000t + 1000003b + i)` mapped to (-1, 1) with the
+    * kernel's exact op order ([[VectorImpl.hyperplaneBucket]]), so the
+    * 3072-row matrix regenerates bit-identically via the [[U64Sql]]
+    * mix chain. Buckets = sign bits of [[lsum]]-ordered dots; a corpus
+    * row is a candidate on any shared (table, bucket); candidates
+    * rerank by exact rounded cosine.
+    */
+  private def lshOracleSql: String = {
+    import U64Sql._
+    s"""WITH
+       |hpseed AS (
+       |  SELECT t.t, b.b, i.i,
+       |    (42 + 1000 * t.t + b.b * 1000003 + i.i)::HUGEINT AS z
+       |  FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+       |       (SELECT unnest(generate_series(0, 5)) AS b) b,
+       |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+       |${mixCtes("hpseed", Seq("t", "b", "i"), "hm")},
+       |hp AS (
+       |  SELECT t, b, i,
+       |    ((z // 2048::HUGEINT)::DOUBLE * (1.0 / 9007199254740992.0)) * 2.0 - 1.0 AS u
+       |  FROM hm4),
+       |hpl AS (SELECT t, b, list(u ORDER BY i) AS ul FROM hp GROUP BY t, b),
+       |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (
+       |  SELECT c.vec_id, h.t, h.b,
+       |    ${lsum("list_transform(generate_series(1, 64), i -> h.ul[i] * c.v[i])")} AS acc
+       |  FROM corp c CROSS JOIN hpl h),
+       |buck AS (
+       |  SELECT vec_id, t, sum(CASE WHEN acc > 0 THEN (1 << b) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nbr_id
+       |  FROM buck c JOIN buck q ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, nbr_id, cos FROM (
+       |  SELECT ca.q_id, ca.nbr_id,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+       |    row_number() OVER (PARTITION BY ca.q_id
+       |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |               ca.nbr_id ASC) AS rank
+       |  FROM cand ca JOIN corp c ON c.vec_id = ca.nbr_id
+       |  JOIN corp q ON q.vec_id = ca.q_id)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   private val bm25Terms = Seq("spark", "window", "join")
 
   /** Render a Scala Double as a DuckDB DOUBLE literal. The e-notation
@@ -457,7 +579,9 @@ object PipelineQueries {
     }),
 
     "ann_lsh" -> ((s, d) => {
-      // approximate — no SQL oracle; recall floor asserted in PipelineSpec
+      // approximate vs brute force, but deterministic: the DuckDB oracle
+      // regenerates the derived hyperplane matrix and replays bucketing
+      // + rerank exactly (lshOracleSql); recall floor in PipelineSpec
       val e = embs(s, d)
       VectorSearchOps.annLshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
@@ -475,8 +599,10 @@ object PipelineQueries {
     }),
 
     "ann_pq" -> ((s, d) => {
-      // product-quantization ADC scan + exact refine — approximate, no
-      // SQL oracle; recall floor + determinism in PipelineSpec
+      // product-quantization ADC scan + exact refine — approximate vs
+      // brute force, but deterministic: the DuckDB oracle replays the
+      // md5-sampled codebook, encode, LUT, ADC, and refine exactly
+      // (pqOracleSql); recall floor + determinism in PipelineSpec
       val e = embs(s, d)
       VectorSearchOps.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
@@ -997,6 +1123,9 @@ object PipelineQueries {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh" -> lshOracleSql,
+    "ann_pq" -> pqOracleSql,
 
     // full IVF replay: same portable md5-ordered centroid sample as
     // VectorSearchOps.ivfTopK (nlist=32), argmax-cosine list assignment
