@@ -111,15 +111,20 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tierName = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "curation")
+    // `boost` isolates the dialect face (compiler-generated plans) on
+    // the same replicated corpus the relational tier uses — the
+    // sub-linear evidence for BoostQL output specifically
+    val boost = tierName == "boost"
     val relational = tierName == "relational"
     // the streaming tier reuses the relational corpus (it reads only
     // `events`), so generation and disk are shared with that tier
     val streaming = tierName == "streaming"
     val outJson = args.headOption.getOrElse(
       if (streaming) "BENCH_scale_stream.json"
+      else if (boost) "BENCH_scale_boost.json"
       else if (relational) "BENCH_scale_rel.json" else "BENCH_scale.json")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      if (relational || streaming) "/tmp/graft_scale_rel10"
+      if (relational || streaming || boost) "/tmp/graft_scale_rel10"
       else "/tmp/graft_scale10")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
@@ -139,11 +144,13 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val marker =
-      if (relational || streaming) "events.parquet" else "documents.parquet"
+      if (relational || streaming || boost) "events.parquet"
+      else "documents.parquet"
     if (!Files.exists(Paths.get(s"$scaleDir/$marker")) ||
         sys.env.contains("SPARK_GRAFT_REGEN")) {
       System.err.println(s"[scale] generating ${reps}x $tierName corpus under $scaleDir")
-      if (relational || streaming) generateRelational(spark, baseDir, scaleDir, reps)
+      if (relational || streaming || boost)
+        generateRelational(spark, baseDir, scaleDir, reps)
       else generate(spark, baseDir, scaleDir, reps)
     }
 
@@ -160,6 +167,10 @@ object ScaleBench {
       "stream_session", "stream_join")
     val tier = SparkEntry.queries.filter { case (n, _) =>
       if (streaming) streamTier.contains(n)
+      else if (boost)
+        // dialect face only: every compiler-generated plan — includes
+        // boost_explain, whose cost IS the compile+explain path
+        n.startsWith("boost_")
       else if (relational)
         // the stream_ tier replays state-store micro-batches whose
         // startup floor dominates at these scales — measured separately
@@ -172,8 +183,8 @@ object ScaleBench {
     // warm both corpora (footers, page cache, codegen)
     val warmTables =
       if (streaming) Seq("events")
-      else if (relational) Seq("events", "lineitem", "orders", "customer",
-        "supplier", "part", "nation", "region")
+      else if (relational || boost) Seq("events", "lineitem", "orders",
+        "customer", "supplier", "part", "nation", "region")
       else Seq("documents", "embeddings")
     Seq(baseDir, scaleDir).foreach { d =>
       warmTables.foreach { t =>
