@@ -230,12 +230,14 @@ object Ast {
   /** ASOF-only options: `within` is the raw tolerance interval text
     * (`'5 minutes'` — validated and converted by the Compiler, so a
     * malformed interval is a CompileException with the full text in
-    * hand), `forward` flips the match direction to earliest-at-or-after
-    * (the reference's merge iterator is backward-implicit,
-    * boostseriesiterator.go:300-342; backward stays the default).
+    * hand); `direction` is "backward" (latest-at-or-before — the
+    * reference's merge iterator is backward-implicit,
+    * boostseriesiterator.go:300-342, and stays the default),
+    * "forward" (earliest-at-or-after), or "nearest" (whichever of the
+    * two sits closer in time; ties prefer backward).
     */
   final case class AsofOpts(within: Option[String] = None,
-      forward: Boolean = false)
+      direction: String = "backward")
 
   final case class JoinClause(source: FromRel, on: Option[BExpr],
       joinType: String = "inner", asof: Option[AsofOpts] = None)

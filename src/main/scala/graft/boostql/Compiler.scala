@@ -1098,8 +1098,10 @@ object Compiler {
       * unmatched left rows drop (inner semantics, DuckDB's default).
       * The right source's event time stays addressable (`b.ts`) as the
       * matched row's time. Options: FORWARD flips to earliest-at-or-
-      * after; WITHIN bounds |left.ts - matched.ts| — beyond-tolerance
-      * matches null out and drop with the unmatched rows.
+      * after; NEAREST takes whichever direction sits closer (ties
+      * prefer backward); WITHIN bounds |left.ts - matched.ts| —
+      * beyond-tolerance matches null out and drop with the unmatched
+      * rows.
       */
     def asofJoin(acc: DataFrame, right: DataFrame, cond: BExpr, i: Int,
         opts: AsofOpts): DataFrame = {
@@ -1119,7 +1121,7 @@ object Compiler {
       val out = graft.operators.TimeSeriesOps.asofJoin(
         acc, r2, by, "__ts_0", carried, prefix = "",
         toleranceMicros = opts.within.map(asofToleranceMicros),
-        direction = if (opts.forward) "forward" else "backward")
+        direction = opts.direction)
       out.withColumnRenamed(s"__asof$rightTs", rightTs)
         .filter(col(rightTs).isNotNull)
     }

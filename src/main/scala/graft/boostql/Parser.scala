@@ -16,7 +16,7 @@ import Ast._
   * item     := add (AS ident)?
   * name     := ident ('.' ident ('.' ident)?)?
   * src      := ident '.' ident (AS? ident)?
-  * join     := (INNER? | CROSS | ASOF (FORWARD|BACKWARD)? | (LEFT|RIGHT|FULL) OUTER?)
+  * join     := (INNER? | CROSS | ASOF (FORWARD|BACKWARD|NEAREST)? | (LEFT|RIGHT|FULL) OUTER?)
   *             JOIN src (ON and)? (WITHIN string)?
   *           | ',' src
   * or       := and (OR and)*
@@ -354,12 +354,15 @@ object Parser {
         // left row, the latest right row at or before its time (the
         // DuckDB/QuestDB time-series join; inner semantics). Options:
         // `ASOF FORWARD JOIN` flips to earliest-at-or-after;
+        // `ASOF NEAREST JOIN` takes whichever direction sits closer
+        // (ties prefer backward);
         // `… ON cond WITHIN '5 minutes'` bounds how far the match may
         // sit from the left row's time (beyond-tolerance rows drop).
         else if (kw("asof")) {
-          val forward =
-            if (kw("forward")) true
-            else { kw("backward"); false } // backward is the default
+          val direction =
+            if (kw("forward")) "forward"
+            else if (kw("nearest")) "nearest"
+            else { kw("backward"); "backward" } // backward is the default
           expectKw("join")
           val s = source()
           expectKw("on")
@@ -370,7 +373,7 @@ object Parser {
               s"WITHIN expects a quoted interval like '5 minutes', got $t")
           } else None
           b += JoinClause(s, Some(cond), "asof",
-            Some(AsofOpts(within, forward)))
+            Some(AsofOpts(within, direction)))
         }
         else outerJoin() match {
           case Some(jt) =>

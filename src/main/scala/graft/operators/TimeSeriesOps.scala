@@ -39,9 +39,14 @@ object TimeSeriesOps {
     * @param direction "backward" (default): latest right row at or
     *                  before left.ts — the reference's merge-iterator
     *                  implicit (boostseriesiterator.go:300-342);
-    *                  "forward": earliest right row at or after left.ts.
-    *                  Same one-shuffle union-window plan either way —
-    *                  forward just mirrors the window's time order.
+    *                  "forward": earliest right row at or after left.ts;
+    *                  "nearest": whichever of the two candidates sits
+    *                  closer in time (ties prefer backward). Backward
+    *                  and forward are one-window one-shuffle plans;
+    *                  nearest runs BOTH window passes over the same
+    *                  hash partitioning (one exchange, two sorts) and
+    *                  picks per row — still no join node, no broadcast
+    *                  requirement.
     */
   def asofJoin(
       left: DataFrame,
@@ -52,8 +57,8 @@ object TimeSeriesOps {
       prefix: String = "asof_",
       toleranceMicros: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward, forward or nearest, got $direction")
     val side = "__graft_side"
     val rts = s"${prefix}ts"
     val r = right.select(
@@ -67,27 +72,56 @@ object TimeSeriesOps {
     // row <= left.ts; forward scans descending so it carries the
     // earliest right row >= left.ts. Right rows (side 0) sort before
     // left rows at equal ts in both orders — at-or-before/at-or-after.
-    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(tsOrder, col(side).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightCols.map(c => s"$prefix$c") :+ rts)
-      .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-
-    val joined = carried.filter(col(side) === 1).drop(side)
-    val bounded = toleranceMicros match {
-      case None => joined
-      case Some(tol) =>
-        val gap =
-          if (direction == "backward")
-            unix_micros(col(tsCol)) - unix_micros(col(rts))
-          else unix_micros(col(rts)) - unix_micros(col(tsCol))
-        val inTol = gap <= lit(tol)
-        rightCols.map(c => s"$prefix$c").foldLeft(joined)((df, c) =>
-          df.withColumn(c, when(inTol, col(c))))
-          .withColumn(rts, when(inTol, col(rts)))
+    def winFor(dir: String) = {
+      val tsOrder = if (dir == "backward") col(tsCol).asc else col(tsCol).desc
+      Window.partitionBy(by.map(col): _*)
+        .orderBy(tsOrder, col(side).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
-    bounded.drop(rts)
+    val carryCols = rightCols.map(c => s"$prefix$c") :+ rts
+
+    if (direction != "nearest") {
+      val w = winFor(direction)
+      val carried = carryCols
+        .foldLeft(unioned)((df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      val joined = carried.filter(col(side) === 1).drop(side)
+      val bounded = toleranceMicros match {
+        case None => joined
+        case Some(tol) =>
+          val gap =
+            if (direction == "backward")
+              unix_micros(col(tsCol)) - unix_micros(col(rts))
+            else unix_micros(col(rts)) - unix_micros(col(tsCol))
+          val inTol = gap <= lit(tol)
+          rightCols.map(c => s"$prefix$c").foldLeft(joined)((df, c) =>
+            df.withColumn(c, when(inTol, col(c))))
+            .withColumn(rts, when(inTol, col(rts)))
+      }
+      bounded.drop(rts)
+    } else {
+      // nearest: carry both directional candidates, then choose the
+      // closer one per row. Tolerance disqualifies a direction before
+      // the choice, so a too-far backward match loses to an in-range
+      // forward one (and vice versa); neither in range → null → the
+      // caller's inner filter drops the row.
+      val (wB, wF) = (winFor("backward"), winFor("forward"))
+      val both = carryCols.foldLeft(unioned)((df, c) =>
+        df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB))
+          .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF)))
+      val joined = both.filter(col(side) === 1).drop(side)
+      val (bts, fts) = (col(s"__b_$rts"), col(s"__f_$rts"))
+      val gapB = unix_micros(col(tsCol)) - unix_micros(bts)
+      val gapF = unix_micros(fts) - unix_micros(col(tsCol))
+      def inTol(gap: Column): Column =
+        toleranceMicros.map(t => gap <= lit(t)).getOrElse(lit(true))
+      val bOk = bts.isNotNull && inTol(gapB)
+      val fOk = fts.isNotNull && inTol(gapF)
+      val useB = bOk && (!fOk || gapB <= gapF) // tie prefers backward
+      val chosen = carryCols.foldLeft(joined)((df, c) =>
+        df.withColumn(c, when(useB, col(s"__b_$c")).when(fOk, col(s"__f_$c"))))
+      chosen.drop(carryCols.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+        .drop(rts)
+    }
   }
 
   /** Per-key difference between consecutive points:

@@ -174,6 +174,18 @@ object BoostQueries {
         "WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id")),
 
+    // ASOF direction: NEAREST takes whichever of the backward/forward
+    // candidates sits closer to the anchor (ties prefer backward). At
+    // 5 days the sf0.01 matches split 4 forward / 1 backward — the
+    // output differs from BOTH single-direction variants, so the
+    // chooser is exercised, not decorative
+    "boost_asof_nearest" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF NEAREST JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '5 days' " +
+        "WHERE a.purchase > 300.0 " +
+        "ORDER BY a.purchase.event_id")),
+
     // LIMIT/OFFSET paging over a total order
     "boost_offset" -> ((s, d) =>
       run(s, d, "SELECT error.event_id, error FROM dom.events " +
@@ -906,6 +918,22 @@ object BoostQueries {
         |  AND b.ts >= a.ts
         |WHERE b.ts - a.ts <= INTERVAL 1 DAY
         |ORDER BY a_purchase_event_id""".stripMargin,
+
+    // nearest replay: DuckDB's ASOF is single-direction, so rank ALL
+    // in-tolerance pairs by absolute gap (ties -> earlier right ts =
+    // the backward preference) and keep the closest per anchor
+    "boost_asof_nearest" ->
+      """SELECT a_purchase_event_id, a_purchase, b_click_event_id, b_click FROM (
+        |  SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |    a.value AS a_purchase,
+        |    CAST(b.event_id AS VARCHAR) AS b_click_event_id, b.value AS b_click,
+        |    row_number() OVER (PARTITION BY a.event_id
+        |      ORDER BY abs(epoch_us(a.ts) - epoch_us(b.ts)) ASC, b.ts ASC) AS rk
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase' AND value > 300.0) a
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |    ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |  WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 432000000000)
+        |WHERE rk = 1 ORDER BY a_purchase_event_id""".stripMargin,
 
     "boost_offset" ->
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error

@@ -608,6 +608,23 @@ class BoostQLSpec extends SparkSpec {
         "ON a.purchase.user = b.click.user WITHIN '45 minutes' " +
         "ORDER BY a.purchase.event_id") == Seq(("p1", "c2", 2.0)))
 
+    // NEAREST picks the closer direction per anchor: p1@10:00 sits
+    // EXACTLY 30 min from both c1@09:30 and c2@10:30 — the tie prefers
+    // backward (c1); p2 has only a backward candidate, p3 only forward
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF NEAREST JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user " +
+        "ORDER BY a.purchase.event_id") ==
+      Seq(("p1", "c1", 1.0), ("p2", "c2", 2.0), ("p3", "c3", 3.0)))
+    // nearest + tolerance: p3's only candidate is 60 min out — beyond 45
+    assert(asofVariant(
+      "SELECT a.purchase.event_id, b.click.event_id, b.click " +
+        "FROM dom.events AS a ASOF NEAREST JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '45 minutes' " +
+        "ORDER BY a.purchase.event_id") ==
+      Seq(("p1", "c1", 1.0), ("p2", "c2", 2.0)))
+
     // malformed WITHIN intervals are CompileExceptions (interval text
     // validated in the compiler), non-string WITHIN a parse error
     for (bad <- Seq("'banana'", "'5 fortnights'", "'-3 minutes'", "''"))

@@ -33,6 +33,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(tol.toSeq == Seq(Some(100.0), None))
   }
 
+  test("asofJoin nearest picks the closer direction, ties prefer backward") {
+    val left = Seq(
+      ("k", ts("2024-01-01 00:01:00"), 1), // bwd 60s away, fwd 30s → fwd
+      ("k", ts("2024-01-01 00:02:00"), 2), // bwd 30s away, fwd 90s → bwd
+      ("k", ts("2024-01-01 00:05:30"), 3), // bwd 120s = fwd 120s → tie: bwd
+      ("k", ts("2024-01-01 01:00:00"), 4)  // both beyond 10 min tol → null
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 10.0),
+      ("k", ts("2024-01-01 00:01:30"), 20.0),
+      ("k", ts("2024-01-01 00:03:30"), 30.0),
+      ("k", ts("2024-01-01 00:07:30"), 40.0)
+    ).toDF("k", "ts", "rv")
+    val got = TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", Seq("rv"),
+      toleranceMicros = Some(10L * 60 * 1000000), direction = "nearest")
+      .orderBy("lv").select("asof_rv").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(Some(20.0), Some(20.0), Some(30.0), None))
+    // no tolerance: the 01:00 row has no forward candidate at all, so
+    // nearest degrades to the backward match (00:07:30 → 40.0)
+    val noTol = TimeSeriesOps.asofJoin(left, right, Seq("k"), "ts", Seq("rv"),
+      direction = "nearest")
+      .orderBy("lv").select("asof_rv").collect().map(r => Option(r.get(0)))
+    assert(noTol.toSeq == Seq(Some(20.0), Some(20.0), Some(30.0), Some(40.0)))
+  }
+
   test("ewma recurrence matches a hand-rolled fold") {
     val xs = Seq(10.0, 20.0, 30.0, 40.0)
     val df = xs.zipWithIndex.map { case (v, i) =>
