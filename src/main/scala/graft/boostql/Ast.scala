@@ -270,7 +270,17 @@ object Ast {
         * empty set is the grand total). `groupBy` then holds the
         * first-appearance-ordered union of all set keys.
         */
-      groupSets: Seq[Seq[RawName]] = Seq.empty) extends QueryStmt
+      groupSets: Seq[Seq[RawName]] = Seq.empty,
+      /** `SELECT /*+ name(arg, …) … */` optimizer hints. Parsed
+        * generically; the Compiler validates names (today: BROADCAST,
+        * whose args are FROM-source aliases to pin as the build side of
+        * their joins) and throws on unknown ones — a typo'd hint that
+        * silently no-ops would defeat its purpose.
+        */
+      hints: Seq[Hint] = Seq.empty) extends QueryStmt
+
+  /** One optimizer hint: `name(args…)` inside `SELECT /*+ … */`. */
+  final case class Hint(name: String, args: Seq[String])
 
   /** `left UNION [ALL] | INTERSECT | EXCEPT right` — ANSI set operations
     * over positionally-aligned branches (extension: absent from the

@@ -284,6 +284,38 @@ object Compiler {
     if (multi && aliasIdx.size < sources.length)
       throw CompileException("multi-source queries require an alias on every source")
 
+    // --- optimizer hints ------------------------------------------------
+    // `/*+ BROADCAST(a, …) */` pins the named sources as broadcast build
+    // sides — the 100 TB lever when a dimension side sits just over
+    // spark.sql.autoBroadcastJoinThreshold and the planner would
+    // otherwise shuffle both sides. Validated strictly: unknown hint
+    // names and unresolvable aliases throw (a typo'd hint that silently
+    // no-ops would defeat its purpose).
+    val broadcastIdx: Set[Int] = spec.hints.flatMap { h =>
+      h.name match {
+        case "broadcast" =>
+          if (h.args.isEmpty)
+            throw CompileException("BROADCAST hint needs at least one source alias")
+          h.args.map { a =>
+            aliasIdx.collectFirst { case (k, i) if k.equalsIgnoreCase(a) => i }
+              .orElse(sources.zipWithIndex.collectFirst {
+                case (s: Source, i)
+                  if s.alias.isEmpty && s.family.equalsIgnoreCase(a) => i
+              })
+              .getOrElse(throw CompileException(
+                s"BROADCAST hint references unknown source '$a'"))
+          }
+        case other => throw CompileException(
+          s"unknown hint '$other' (supported: BROADCAST)")
+      }
+    }.toSet
+    if (broadcastIdx.nonEmpty && sources.length == 1)
+      throw CompileException("BROADCAST hint requires a join")
+    if (broadcastIdx.nonEmpty && spec.joins.exists(_.joinType == "asof"))
+      throw CompileException(
+        "BROADCAST cannot combine with ASOF JOIN — the as-of operator " +
+          "compiles to a union-window plan with no join node to build")
+
     // Derived tables compile upfront (plan construction only — nothing
     // executes) so the scope can ask whether a subquery's OUTPUT carries
     // the reserved time axis: a column literally named `ts` of timestamp
@@ -1129,9 +1161,11 @@ object Compiler {
     // --- fold sources through joins ------------------------------------
     // joinType "left"/"right"/"full" null-extends the unmatched side(s),
     // exactly Spark's outer-join semantics
-    val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(sourceFrame(0)) {
+    def hinted(df: DataFrame, i: Int): DataFrame =
+      if (broadcastIdx(i)) broadcast(df) else df
+    val joined: DataFrame = spec.joins.zipWithIndex.foldLeft(hinted(sourceFrame(0), 0)) {
       case (acc, (JoinClause(_, on, joinType, asofOpts), i)) =>
-        val right = sourceFrame(i + 1)
+        val right = hinted(sourceFrame(i + 1), i + 1)
         (joinType, on) match {
           case ("asof", Some(cond)) =>
             // time matching is implicit on the time axes — the anchor

@@ -9,8 +9,12 @@ import Ast._
   * the dialect is tiny):
   *
   * {{{
-  * query    := SELECT DISTINCT? items FROM src (WHERE or)? (GROUP BY grp)?
+  * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)? (GROUP BY grp)?
   *             (HAVING or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
+  * hints    := hintOpen (ident '(' idents? ')' ','?)+ hintClose
+  *             -- hintOpen/hintClose are the slash-star-plus / star-slash
+  *             -- comment-hint delimiters; `-- line` and standalone
+  *             -- block comments lex as whitespace
   * grp      := (ROLLUP|CUBE) '(' names ')' | names
   * items    := item (',' item)*
   * item     := add (AS ident)?
@@ -87,6 +91,10 @@ object Parser {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = sql.length
+    // inside a `/*+ … */` hint block: `*/` closes the hint there and
+    // ONLY there (outside one, `*` before `/* comment */` is the
+    // multiplication operator, not a stray terminator)
+    var inHint = false
     while (i < n) {
       val c = sql(i)
       if (c.isWhitespace) i += 1
@@ -113,6 +121,23 @@ object Parser {
         i += 1
         if (sb.isEmpty) throw ParseException(s"empty quoted identifier at offset $i")
         out += TQuoted(sb.toString)
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        // `-- …` line comment
+        while (i < n && sql(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        if (i + 2 < n && sql(i + 2) == '+') {
+          // `/*+ … */` optimizer hint: contents lex as normal tokens
+          // between the hint delimiters (the parser consumes them)
+          out += TSym("/*+"); i += 3; inHint = true
+        } else {
+          // `/* … */` block comment
+          i += 2
+          while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) i += 1
+          if (i + 1 >= n) throw ParseException(s"unterminated comment at offset $i")
+          i += 2
+        }
+      } else if (inHint && c == '*' && i + 1 < n && sql(i + 1) == '/') {
+        out += TSym("*/"); i += 2; inHint = false
       } else {
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (Set(">=", "<=", "!=", "<>", "==").contains(two)) { out += TSym(two); i += 2 }
@@ -284,6 +309,28 @@ object Parser {
       */
     private def selectBody(): QuerySpec = {
       expectKw("select")
+      // optional `/*+ name(arg, …) [,] name(arg, …) */` hint block —
+      // Spark's hint-comment placement (right after SELECT)
+      val hints: Seq[Hint] =
+        if (sym("/*+")) {
+          val b = Seq.newBuilder[Hint]
+          var more = true
+          while (more) {
+            val name = ident()
+            expectSym("(")
+            val args = Seq.newBuilder[String]
+            if (peek != TSym(")")) {
+              args += ident()
+              while (sym(",")) args += ident()
+            }
+            expectSym(")")
+            b += Hint(name.toLowerCase, args.result())
+            sym(",") // optional separator between hints
+            if (sym("*/")) more = false
+            else if (peek == TEnd) throw ParseException("unterminated hint block")
+          }
+          b.result()
+        } else Seq.empty
       val dist = kw("distinct")
       val items = selectItems()
       expectKw("from")
@@ -329,7 +376,7 @@ object Parser {
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode, gsets)
+        gmode, gsets, hints)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]

@@ -43,6 +43,17 @@ object BoostQueries {
         "JOIN dom.events AS b ON a.click.user = b.view.user " +
         "WHERE a.click < 100.0 GROUP BY a.click.user ORDER BY a.click.user")),
 
+    // `/*+ BROADCAST(b) */` pins b as the build side — same answer as
+    // boost_join's shape (hints never change semantics; the
+    // BroadcastHashJoin plan pin lives in PlanShapeSpec, asserted with
+    // the auto-broadcast threshold disabled so the hint is what forces
+    // the plan, not the planner's size estimate)
+    "boost_broadcast_join" -> ((s, d) =>
+      run(s, d, "SELECT /*+ BROADCAST(b) */ a.click.user, count(*) " +
+        "FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user " +
+        "WHERE a.click < 100.0 GROUP BY a.click.user ORDER BY a.click.user")),
+
     // J2+J3: comma cross join with the join condition in WHERE — Catalyst
     // extracts it into an equi-join (SURVEY.md §2.3 J3)
     "boost_cross_where" -> ((s, d) =>
@@ -648,6 +659,14 @@ object BoostQueries {
         |ORDER BY error DESC, error_event_id LIMIT 20""".stripMargin,
 
     "boost_join" ->
+      """SELECT CAST(a.user_id AS VARCHAR) AS a_click_user, COUNT(*) AS count_star
+        |FROM (SELECT * FROM events WHERE event_type = 'click' AND value < 100.0) a
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR)
+        |GROUP BY 1 ORDER BY a_click_user""".stripMargin,
+
+    // hints don't change results: same oracle shape as boost_join
+    "boost_broadcast_join" ->
       """SELECT CAST(a.user_id AS VARCHAR) AS a_click_user, COUNT(*) AS count_star
         |FROM (SELECT * FROM events WHERE event_type = 'click' AND value < 100.0) a
         |JOIN (SELECT * FROM events WHERE event_type = 'view') b

@@ -60,6 +60,36 @@ class PlanShapeSpec extends SparkSpec {
       s"value predicate must push into the scan:\n$planText")
   }
 
+  test("BROADCAST hint forces the build side with auto-broadcast disabled") {
+    // the hint's whole value is overriding the planner's size estimate,
+    // so the pin runs with the threshold off: hinted → BroadcastHashJoin
+    // even though nothing auto-qualifies; unhinted → SortMergeJoin
+    // (proves the hint — not the estimate — forced the plan)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val q = (hint: String) =>
+        s"SELECT $hint a.click.user, count(*) FROM dom.events AS a " +
+          "JOIN dom.events AS b ON a.click.user = b.view.user " +
+          "WHERE a.click < 100.0 GROUP BY a.click.user"
+      val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+      val hintedPlan = planOf(Compiler.compile(
+        Parser.parse(q("/*+ BROADCAST(b) */")), _ => fam))
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"hinted join must broadcast:\n$hintedPlan")
+      val plainPlan = planOf(Compiler.compile(Parser.parse(q("")), _ => fam))
+      assert(!plainPlan.contains("BroadcastHashJoin") &&
+        plainPlan.contains("SortMergeJoin"),
+        s"with the threshold off the unhinted join must sort-merge:\n$plainPlan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("no cartesian product outside the deliberately-quadratic kernels") {
     // ann_topk (brute-force verify baseline) and dd_embed_cosine (exact
     // all-pairs by contract) are the two sanctioned quadratic paths;

@@ -59,6 +59,45 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT a.cpu FROM dom.f1 AS a LEFT dom.f2 AS b ON a.cpu = b.cpu"))
   }
 
+  test("comments lex as whitespace; BROADCAST hints validate strictly") {
+    // `--` line and `/* … */` block comments disappear; `*` before a
+    // block comment stays the multiplication operator
+    val plain = Compiler.compile(Parser.parse(
+      "SELECT cpu FROM dom.events WHERE cpu < 100.0"), (_: (String, String)) => fam)
+    val commented = Compiler.compile(Parser.parse(
+      "SELECT cpu -- trailing note\nFROM dom.events /* block */ " +
+        "WHERE cpu < 50.0 * /* inline */ 2.0"), (_: (String, String)) => fam)
+    assert(commented.collect().map(_.getDouble(0)).sorted.toSeq ==
+      plain.collect().map(_.getDouble(0)).sorted.toSeq)
+
+    // the hint parses (same rows as unhinted — plan-only effect; the
+    // BroadcastHashJoin pin is PlanShapeSpec's)
+    val hinted = Compiler.compile(Parser.parse(
+      "SELECT /*+ BROADCAST(b) */ a.purchase.user, b.click " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user"), (_: (String, String)) => fam)
+    assert(hinted.collect().nonEmpty)
+
+    // strict validation: typo'd hint names, unknown aliases, a hint
+    // with nothing to build, and the no-join-node ASOF combination all
+    // refuse at compile time instead of silently no-opping
+    def bad(q: String): Unit =
+      intercept[Compiler.CompileException](
+        Compiler.compile(Parser.parse(q), (_: (String, String)) => fam))
+    bad("SELECT /*+ BROADCST(b) */ a.cpu FROM dom.events AS a " +
+      "JOIN dom.events AS b ON a.cpu.host = b.cpu.host")
+    bad("SELECT /*+ BROADCAST(zzz) */ a.cpu FROM dom.events AS a " +
+      "JOIN dom.events AS b ON a.cpu.host = b.cpu.host")
+    bad("SELECT /*+ BROADCAST(a) */ a.cpu FROM dom.events AS a")
+    bad("SELECT /*+ BROADCAST(b) */ a.purchase FROM dom.events AS a " +
+      "ASOF JOIN dom.events AS b ON a.purchase.user = b.click.user")
+    // unterminated constructs are parse errors
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT /*+ BROADCAST(b) a.cpu FROM dom.events AS a"))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT cpu /* never closed FROM dom.events"))
+  }
+
   test("compiler: LEFT OUTER JOIN null-extends unmatched rows") {
     import org.apache.spark.sql.functions._
     // the >150 ON condition keeps some users matchless so the null
