@@ -218,7 +218,16 @@ object Compiler {
     "least"    -> ((2, Int.MaxValue, (a: Seq[Column]) => least(a: _*))),
     "greatest" -> ((2, Int.MaxValue, (a: Seq[Column]) => greatest(a: _*))),
     "coalesce" -> ((1, Int.MaxValue, (a: Seq[Column]) => coalesce(a: _*))),
-    "nullif"   -> ((2, 2, (a: Seq[Column]) => nullif(a(0), a(1))))
+    "nullif"   -> ((2, 2, (a: Seq[Column]) => nullif(a(0), a(1)))),
+    // deterministic md5-keyed sampling: uniform double in [0, 1) from
+    // the top 32 md5 bits ([[graft.operators.SketchOps.portableHash32]]
+    // — n / 2^32 is exact, engine-portable arithmetic). `WHERE
+    // sample_hash(k) < 0.1` is a reproducible 10% sample at any scale,
+    // any partitioning, any run — and keying related queries on the
+    // SAME k co-samples them, so sampled joins stay consistent (the
+    // 100 TB subsetting pattern; rand()-based sampling gives neither)
+    "sample_hash" -> ((1, 1, (a: Seq[Column]) =>
+      graft.operators.SketchOps.portableHash32(a(0)) / lit(4294967296.0)))
   )
 
   /** Time-series functions with an implicit window over the source's

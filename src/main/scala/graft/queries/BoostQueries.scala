@@ -222,6 +222,17 @@ object BoostQueries {
         "ORDER BY click.event_id LIMIT 200")),
 
     // math tier + CAST between the dialect's four scalar types.
+    // deterministic md5-keyed sampling through the SQL front: a
+    // reproducible ~25% subset of purchases by event_id — same subset
+    // at any scale/partitioning/run, and the same predicate keyed on a
+    // join key co-samples both sides (the 100 TB subsetting pattern)
+    "boost_sample" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, count(*) AS n, " +
+        "min(purchase) AS lo, max(purchase) AS hi " +
+        "FROM dom.events " +
+        "WHERE sample_hash(purchase.event_id) < 0.25 " +
+        "GROUP BY purchase.user ORDER BY purchase.user")),
+
     // float→int CAST truncates toward zero (ANSI / Spark); the oracle
     // spells the same via trunc() before its (round-half-even) cast.
     "boost_fn_math" -> ((s, d) =>
@@ -645,6 +656,16 @@ object BoostQueries {
         |FROM events WHERE event_type = 'signup'
         |  AND ((value >= 50.0 AND value <= 200.0) OR CAST(user_id AS VARCHAR) = '7')
         |ORDER BY signup_event_id""".stripMargin,
+
+    // the sampling predicate replays as the same md5 arithmetic
+    // (n / 2^32 exact in both engines)
+    "boost_sample" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM events WHERE event_type = 'purchase'
+        |  AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+        |      / 4294967296.0 < 0.25
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 
     "boost_groupby_having" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user, COUNT(*) AS count_star,
