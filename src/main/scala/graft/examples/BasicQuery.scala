@@ -141,6 +141,26 @@ object BasicQuery {
     run("EXPLAIN SIMPLE SELECT click.user, click FROM dom.events " +
       "WHERE click < 100.0").collect().foreach(r => println(r.getString(0)))
 
+    println("== ASOF NEAREST: closer of the two directional matches, 5-day bound")
+    run("SELECT a.purchase.event_id, a.purchase, b.click.event_id, b.click " +
+      "FROM dom.events AS a ASOF NEAREST JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user WITHIN '5 days' " +
+      "WHERE a.purchase > 100.0 ORDER BY a.purchase.event_id LIMIT 5").show()
+
+    println("== comments + BROADCAST hint + deterministic sampling")
+    run("SELECT /*+ BROADCAST(b) */ -- hint pins b as the build side\n" +
+      "a.click.user, count(*) AS n /* same answer, broadcast plan */ " +
+      "FROM dom.events AS a JOIN dom.events AS b " +
+      "ON a.click.user = b.view.user " +
+      "WHERE sample_hash(a.click.event_id) < 0.5 " +
+      "GROUP BY a.click.user ORDER BY n DESC LIMIT 5").show()
+
+    println("== two-level sketch rollup: per-day sketches unioned, no re-scan")
+    run("SELECT approx_distinct_merge(sk) AS uniq_total FROM " +
+      "(SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
+      "approx_distinct_sketch(click.user) AS sk FROM dom.events " +
+      "GROUP BY CAST(bucket(ts, '1 day') AS int)) AS t").show()
+
     spark.stop()
   }
 }
