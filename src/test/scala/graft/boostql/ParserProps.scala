@@ -138,6 +138,22 @@ object ParserProps extends Properties("graft.boostql.parser") {
   property("precedence-minimal rendering parses to the same value") =
     forAll(trees) { t => evalOperand(parseExpr(minimal(t))) == eval(t) }
 
+  property("comments between tokens never change the parse") =
+    forAll(trees) { t =>
+      // the minimal rendering separates every token with one space;
+      // replacing each separator with a comment must parse identically
+      // (comments lex as whitespace — including block comments right
+      // after `*`, the hint-delimiter ambiguity corner)
+      val commented = minimal(t).replace(" ", " /* c */ ")
+      // and with NO surrounding spaces: `a * b` becomes `a/*c*/*/*c*/b`,
+      // where a comment closes right before the `*` operator and another
+      // opens right after it — the exact star/slash adjacency the
+      // hint-aware lexer must not mis-read as a hint terminator
+      val tight = minimal(t).replace(" ", "/*c*/")
+      evalOperand(parseExpr(commented)) == eval(t) &&
+        evalOperand(parseExpr(tight)) == eval(t)
+    }
+
   property("literal negation folds at parse time (no ONeg over literals)") =
     forAll(Gen.choose(0L, 99L)) { v =>
       parseExpr(s"- $v") == OLit(BInt(-v))
