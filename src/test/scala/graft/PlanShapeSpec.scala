@@ -145,6 +145,29 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed aggregation should plan at most agg + sort exchanges ($exchanges):\n$plan")
   }
 
+  test("ASOF NEAREST plans both window passes on ONE exchange") {
+    // nearest = backward + forward window carries over the same
+    // partitioning keys: the plan must hash-partition once and re-sort
+    // twice, never shuffle twice (the claim in TimeSeriesOps.asofJoin's
+    // scaladoc; the presentation ORDER BY adds its own range exchange).
+    // Compiled directly with a row-producing filter — the SparkEntry
+    // query is empty at this spec's sf0.001, and AQE would collapse an
+    // empty frame to EmptyRelation, leaving nothing to pin
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    val df = Compiler.compile(Parser.parse(
+      "SELECT a.purchase.event_id, a.purchase, b.click " +
+        "FROM dom.events AS a ASOF NEAREST JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user WITHIN '5 days' " +
+        "WHERE a.purchase > 100.0 ORDER BY a.purchase.event_id"), _ => fam)
+    assert(df.count() > 0, "pin needs a non-empty frame")
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"nearest ASOF must shuffle once, found $hashEx hash exchanges:\n$plan")
+    assert(!plan.contains("Join"),
+      s"ASOF compiles to the union-window formulation, no join node:\n$plan")
+  }
+
   test("dialect ROLLUP plans one Expand and one aggregation exchange") {
     // grouping sets must ride Spark's native Expand (grouping-set rows
     // generated map-side, partial-aggregated before the shuffle) — NOT
