@@ -25,8 +25,42 @@ object BoostQL {
   private val explainRe =
     """(?is)^\s*explain(?:\s+(formatted|extended|codegen|cost|simple))?\s+((?:select|with)\b.*)$""".r
 
+  /** `DESCRIBE domain.family` — series-catalog discovery over a family:
+    * one row per series with point count, time extent (epoch micros —
+    * the repo's engine-portable timestamp convention), and the sorted
+    * attribute/tag key inventories (comma-joined — scalar output keeps
+    * the row hash-comparable across engines). The reference holds this
+    * in the m3 namespace/symtable metadata; here it is one scan-shaped
+    * aggregation: count/extent in one pass, key inventories via
+    * explode + collect_set (distinct KEYS only — never a collect of
+    * values), joined on the series name. Row count = series
+    * cardinality, so every aggregate output is metadata-sized at any
+    * corpus scale.
+    */
+  private val describeRe = """(?is)^\s*describe\s+(\w+)\s*\.\s*(\w+)\s*$""".r
+
+  private def describe(fam: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def keysOf(mapCol: String, out: String) =
+      fam.select(col("series"), explode(map_keys(col(mapCol))).as("k"))
+        .groupBy("series")
+        .agg(array_join(sort_array(collect_set(col("k"))), ",").as(out))
+    val stats = fam.groupBy("series").agg(
+      count(lit(1)).as("n_points"),
+      unix_micros(min(col("ts"))).as("first_us"),
+      unix_micros(max(col("ts"))).as("last_us"))
+    stats
+      .join(keysOf("attributes", "attr_keys"), Seq("series"), "left")
+      .join(keysOf("tags", "tag_keys"), Seq("series"), "left")
+      .select(col("series"), col("n_points"), col("first_us"), col("last_us"),
+        coalesce(col("attr_keys"), lit("")).as("attr_keys"),
+        coalesce(col("tag_keys"), lit("")).as("tag_keys"))
+      .orderBy("series")
+  }
+
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
     query match {
+      case describeRe(dom, f) => describe(families((dom, f)))
       case explainRe(mode, rest) =>
         val df = Compiler.compile(Parser.parseStmt(rest), families)
         val m = Option(mode).map(_.toLowerCase).getOrElse("formatted")

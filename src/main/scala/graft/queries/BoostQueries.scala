@@ -222,6 +222,13 @@ object BoostQueries {
         "ORDER BY click.event_id LIMIT 200")),
 
     // math tier + CAST between the dialect's four scalar types.
+    // series-catalog discovery: one row per series with point count,
+    // time extent, and the attribute/tag key inventories — the
+    // dialect's metadata face (the reference holds this in namespace/
+    // symtable metadata; here it is a metadata-sized aggregation)
+    "boost_describe" -> ((s, d) =>
+      run(s, d, "DESCRIBE dom.events")),
+
     // deterministic md5-keyed sampling through the SQL front: a
     // reproducible ~25% subset of purchases by event_id — same subset
     // at any scale/partitioning/run, and the same predicate keyed on a
@@ -656,6 +663,21 @@ object BoostQueries {
         |FROM events WHERE event_type = 'signup'
         |  AND ((value >= 50.0 AND value <= 200.0) OR CAST(user_id AS VARCHAR) = '7')
         |ORDER BY signup_event_id""".stripMargin,
+
+    // catalog replay: attribute keys = props JSON keys plus the two
+    // hoisted columns; tags are the adapter's constant dc/env pair
+    "boost_describe" ->
+      """WITH ak AS (
+        |  SELECT event_type AS series,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_concat(flatten(list(json_keys(props))),
+        |                  ['event_id', 'user']))), ',') AS attr_keys
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type AS series, count(*) AS n_points,
+        |  min(epoch_us(e.ts)) AS first_us, max(epoch_us(e.ts)) AS last_us,
+        |  ak.attr_keys, 'dc,env' AS tag_keys
+        |FROM events e JOIN ak ON ak.series = e.event_type
+        |GROUP BY 1, ak.attr_keys ORDER BY series""".stripMargin,
 
     // the sampling predicate replays as the same md5 arithmetic
     // (n / 2^32 exact in both engines)

@@ -59,6 +59,30 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT a.cpu FROM dom.f1 AS a LEFT dom.f2 AS b ON a.cpu = b.cpu"))
   }
 
+  test("DESCRIBE returns the per-series catalog row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      ("cpu", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("cpu", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 2.0),
+      ("mem", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 3.0)
+    ).toDF("series", "ts", "value")
+      .select(col("series"), col("ts"), col("value"),
+        map(lit("dc"), lit("dc0")).as("tags"),
+        when(col("series") === "cpu",
+          map(lit("host"), lit("h1"), lit("core"), lit("0")))
+          .otherwise(map(lit("host"), lit("h1"))).as("attributes"))
+    val got = BoostQL.sql("DESCRIBE dom.f", (_: (String, String)) => rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("cpu", 2L, "core,host", "dc"),
+      ("mem", 1L, "host", "dc")))
+    // extent is epoch micros of the min/max ts
+    val cpu = BoostQL.sql("DESCRIBE dom.f", (_: (String, String)) => rows)
+      .filter(col("series") === "cpu").collect()(0)
+    assert(cpu.getLong(3) - cpu.getLong(2) == 2L * 86400L * 1000000L)
+  }
+
   test("comments lex as whitespace; BROADCAST hints validate strictly") {
     // `--` line and `/* … */` block comments disappear; `*` before a
     // block comment stays the multiplication operator
