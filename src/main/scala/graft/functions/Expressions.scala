@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{
   CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -351,6 +351,120 @@ case class KmvMergeAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
     copy(child = newChild)
+}
+
+/** Aggregation state for [[KmvSampleAgg]]: the pairs with the k
+  * smallest DISTINCT hashes, parallel primitive arrays sorted by hash
+  * ascending — same allocation-free shape as [[KmvBuffer]], carrying a
+  * double payload per hash.
+  */
+final class KmvPairBuffer(k: Int) {
+  private val hs = new Array[Long](k)
+  private val vs = new Array[Double](k)
+  private var n = 0
+
+  def size: Int = n
+  def hash(i: Int): Long = hs(i)
+  def value(i: Int): Double = vs(i)
+
+  def insert(h: Long, v: Double): Unit = {
+    if (n == k && h >= hs(n - 1)) return
+    val idx = java.util.Arrays.binarySearch(hs, 0, n, h)
+    if (idx >= 0) return // duplicate hash: first occurrence stays
+    val at = -idx - 1
+    val last = if (n < k) n else n - 1
+    System.arraycopy(hs, at, hs, at + 1, last - at)
+    System.arraycopy(vs, at, vs, at + 1, last - at)
+    hs(at) = h
+    vs(at) = v
+    if (n < k) n += 1
+  }
+
+  def appendSorted(h: Long, v: Double): Unit = { hs(n) = h; vs(n) = v; n += 1 }
+
+  def mergeFrom(other: KmvPairBuffer): Unit = {
+    var i = 0
+    while (i < other.n && !(n == k && other.hs(i) >= hs(n - 1))) {
+      insert(other.hs(i), other.vs(i))
+      i += 1
+    }
+  }
+}
+
+/** Bottom-k-by-hash UNIFORM ROW SAMPLE sketch (min-wise sampling): keeps
+  * the (hash, value) pairs with the `k` smallest distinct hashes of a
+  * unique row key and evaluates to array<struct<h:bigint, v:double>>
+  * sorted by hash. With a uniform key hash the survivors are a uniform
+  * k-sample of the rows — order statistics over the sampled values
+  * estimate any quantile with bounded state, and the sketch is
+  * MERGEABLE (bottom-k of a union = bottom-k of the bottom-ks), so the
+  * partial aggregate ships k pairs per group however large the group:
+  * the portable, deterministic counterpart of an engine-native quantile
+  * sketch (Greenwald–Khanna here, t-digest elsewhere), reproducible in
+  * any engine with md5. Null hashes or values are skipped.
+  */
+case class KmvSampleAgg(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvPairBuffer]
+    with BinaryLike[Expression] {
+  require(k >= 2, "k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint hash, double value), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_sample"
+
+  override def createAggregationBuffer(): KmvPairBuffer = new KmvPairBuffer(k)
+
+  override def update(buf: KmvPairBuffer, input: InternalRow): KmvPairBuffer = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      buf.insert(h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: KmvPairBuffer, b2: KmvPairBuffer): KmvPairBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: KmvPairBuffer): Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      rows(i) = InternalRow(buf.hash(i), buf.value(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: KmvPairBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.hash(i)); bb.putDouble(buf.value(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvPairBuffer = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 16) buf.appendSorted(bb.getLong, bb.getDouble)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSampleAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSampleAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KmvSampleAgg = copy(left = newLeft, right = newRight)
 }
 
 /** Dot product of two array<double> columns (float arrays implicitly

@@ -36,6 +36,13 @@ object GraftFunctions {
   def kmvMerge(sketches: Column, k: Int): Column =
     toCol(KmvMergeAgg(toExpr(sketches), k).toAggregateExpression())
 
+  /** Bottom-k-by-hash uniform row-sample AGGREGATE: the (hash, value)
+    * pairs with the k smallest distinct hashes, sorted by hash — a
+    * deterministic mergeable k-sample for quantile estimation with
+    * k-bounded partial state. See [[KmvSampleAgg]]. */
+  def kmvSample(hashes: Column, values: Column, k: Int): Column =
+    toCol(KmvSampleAgg(toExpr(hashes), toExpr(values), k).toAggregateExpression())
+
   /** Distinct fnv64 hashes of word-`k`-gram shingles of a string column,
     * computed in one byte-level pass. Feed the result to [[minhash]] /
     * [[simhash]] for bit-identical, string-free signatures. */

@@ -111,6 +111,51 @@ object SketchOps {
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("est_distinct"))
 
+  /** Portable 60-bit uniform hash: first 15 hex digits of md5 as a
+    * (always positive) signed long — identical in any md5-bearing
+    * engine. 60 bits push hash-collision odds below 1e-9 even at
+    * million-row groups, where the 32-bit tier's birthday bound would
+    * bite. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Approximate per-group percentile from a PORTABLE bottom-k-by-hash
+    * uniform row sample ([[graft.functions.KmvSampleAgg]] keyed on
+    * [[portableHash60]] of a unique row id): the k rows with the
+    * smallest key hashes are a deterministic uniform sample, and the
+    * exact interpolated percentile of the sampled values estimates the
+    * true one with standard error ~ sqrt(p(1-p)/k) in rank. Everything
+    * is engine-replayable arithmetic — rank the rows by md5, keep k,
+    * interpolate — so unlike [[approxQuantiles]] (GK, Spark-native
+    * compaction) this sketch carries a full cross-engine oracle, and
+    * unlike it the SAMPLE is reusable for any p after the fact.
+    * Scale shape: k-bounded partial state, one shuffle of k pairs per
+    * group; groups below k hold every row, making the estimate exact.
+    * Output: group, n_sample, p{…} (interpolated estimate, rounded to
+    * 6 decimals for cross-engine float stability; null on empty
+    * groups).
+    */
+  def sampledPercentile(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, p: Double, k: Int = 256): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
+    require(k >= 2, "k must be >= 2")
+    val sk = col("__sk")
+    val vals = array_sort(transform(sk, x => x.getField("v")))
+    val n = size(sk)
+    val rank = lit(p) * (n - 1).cast("double")
+    val lo = floor(rank)
+    val loIdx = lo.cast("int") + 1
+    val hiIdx = least(loIdx + 1, n)
+    val est = element_at(vals, loIdx) +
+      (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
+    val pName = "p" + math.round(p * 100)
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions.kmvSample(
+        portableHash60(col(idCol)), col(valueCol).cast("double"), k).as("__sk"))
+      .select(col(groupCol), n.cast("long").as("n_sample"),
+        when(n > 0, round(est, 6)).as(pName))
+  }
+
   /** Approximate per-group quantiles via Spark's Greenwald–Khanna
     * summary (`percentile_approx`) — the single-pass, partial-agg'd
     * (map-side combined) quantile tier next to the exact interpolated

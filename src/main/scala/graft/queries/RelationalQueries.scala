@@ -187,6 +187,15 @@ object RelationalQueries {
           Tables.lineitem(s, d), "l_returnflag", "l_partkey", 64)
         .orderBy("l_returnflag")),
 
+    // portable sampled-quantile sketch: the k rows with smallest
+    // md5(id) hashes are a deterministic uniform sample; the exact
+    // interpolated median of the sample replays in DuckDB — the
+    // cross-engine-checkable counterpart of the GK tier below
+    "q_sampled_quantile" -> ((s, d) =>
+      graft.operators.SketchOps.sampledPercentile(
+          Tables.events(s, d), "event_type", "value", "event_id", 0.5, 256)
+        .orderBy("event_type")),
+
     // native DataSketches HLL estimates (rows-only: engine-specific
     // sketch; accuracy + mergeability pinned in SketchOpsSpec)
     "q_hll_distinct" -> ((s, d) =>
@@ -347,6 +356,24 @@ object RelationalQueries {
         |       ELSE 63e0 * 4294967296e0 / max(h)::DOUBLE END AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // sampled-quantile replay: same md5 ranking, same k, same
+    // interpolation op order, rounded to 6 decimals
+    "q_sampled_quantile" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT ASC) AS rk
+        |  FROM events WHERE value IS NOT NULL),
+        |arr AS (
+        |  SELECT event_type, list_sort(list(value)) AS vals, count(*) AS n
+        |  FROM ranked WHERE rk <= 256 GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n_sample,
+        |  round(vals[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1] +
+        |    (vals[least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)] -
+        |     vals[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]) *
+        |    (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS p50
+        |FROM arr ORDER BY event_type""".stripMargin,
 
     "q_corr" ->
       """SELECT l_returnflag,

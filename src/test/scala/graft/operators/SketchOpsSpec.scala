@@ -211,4 +211,42 @@ class SketchOpsSpec extends SparkSpec {
       assert(qs.forall(sorted(g).contains), s"group $g: in-group elements only")
     }
   }
+
+  test("sampledPercentile: partitioning-invariant, exact below k, rank-bounded above") {
+    val ev = Tables.events(spark, sfDir)
+    def runOn(df: org.apache.spark.sql.DataFrame, k: Int) =
+      SketchOps.sampledPercentile(df, "event_type", "value", "event_id",
+          0.5, k)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // the bottom-k-by-hash sample is a DETERMINISTIC set, so unlike GK
+    // the estimate itself (not just its rank bound) is invariant under
+    // any partitioning — the property that makes it oracle-checkable
+    val got = runOn(ev, 256)
+    assert(runOn(ev.repartition(17), 256) == got)
+    assert(runOn(ev.repartition(1), 256) == got)
+    val sorted = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // k >= group size: the sample IS the group, estimate = exact median
+    val kBig = sorted.values.map(_.length).max + 1
+    runOn(ev, kBig).foreach { case (g, (n, est)) =>
+      val vals = sorted(g)
+      assert(n == vals.length.toLong)
+      val r = 0.5 * (vals.length - 1)
+      val exactMedian = vals(r.toInt) +
+        (vals(math.min(r.toInt + 1, vals.length - 1)) - vals(r.toInt)) * (r - r.toInt)
+      assert(math.abs(est.get - exactMedian) < 1e-6,
+        s"$g: full sample must reproduce the exact median")
+    }
+    // k < group size: estimate's RANK in the true distribution within
+    // ~4 standard errors of the median (se = sqrt(p(1-p)/k))
+    got.foreach { case (g, (n, est)) =>
+      assert(n == math.min(256, sorted(g).length).toLong)
+      val vals = sorted(g)
+      val rankFrac = vals.count(_ <= est.get).toDouble / vals.length
+      assert(math.abs(rankFrac - 0.5) < 4 * math.sqrt(0.25 / 256),
+        s"$g: sampled median at rank $rankFrac")
+    }
+  }
 }
