@@ -277,7 +277,15 @@ object Ast {
         * their joins) and throws on unknown ones — a typo'd hint that
         * silently no-ops would defeat its purpose.
         */
-      hints: Seq[Hint] = Seq.empty) extends QueryStmt
+      hints: Seq[Hint] = Seq.empty,
+      /** `QUALIFY <cond>` — the post-window filter (DuckDB/Snowflake/
+        * BigQuery idiom): filters AFTER window functions compute, so a
+        * top-k-per-group needs no derived-table wrapping. May reference
+        * window expressions inline or by select alias. Window+aggregate
+        * combination stays refused, so QUALIFY is non-aggregate-query
+        * territory here.
+        */
+      qualify: Option[BExpr] = None) extends QueryStmt
 
   /** One optimizer hint: `name(args…)` inside `SELECT /*+ … */`. */
   final case class Hint(name: String, args: Seq[String])

@@ -666,6 +666,37 @@ object Compiler {
     }
     val having2: Option[BExpr] = spec.having.map(rwHavExpr)
 
+    // QUALIFY alias substitution: a single-part name matching a select
+    // alias means that aliased EXPRESSION (typically the window call —
+    // `… row_number() OVER (…) AS rk … QUALIFY rk <= 3`), compiled
+    // fresh in the filter; remaining names resolve as ordinary fields.
+    val qualAliasMap: Map[String, Operand] = spec.select.collect {
+      case ExprItem(e, nm) => nm -> e
+    }.toMap
+    def rwQualOp(o: Operand): Operand = o match {
+      case ORef(RawName(Seq(n))) if qualAliasMap.contains(n) => qualAliasMap(n)
+      case OArith(op, l, r) => OArith(op, rwQualOp(l), rwQualOp(r))
+      case ONeg(x)          => ONeg(rwQualOp(x))
+      case OFn(f, as)       => OFn(f, as.map(rwQualOp))
+      case OCast(x, t)      => OCast(rwQualOp(x), t)
+      case OCase(bs, el)    => OCase(bs.map { case (c, v) =>
+        (rwQualExpr(c), rwQualOp(v)) }, el.map(rwQualOp))
+      case other            => other
+    }
+    def rwQualExpr(e: BExpr): BExpr = e match {
+      case Cmp(op, l, r) => Cmp(op, rwQualOp(l), rwQualOp(r))
+      case IsNullE(x, n) => IsNullE(rwQualOp(x), n)
+      case InE(x, xs, n) => InE(rwQualOp(x), xs.map(rwQualOp), n)
+      case BetweenE(x, lo, hi, n) =>
+        BetweenE(rwQualOp(x), rwQualOp(lo), rwQualOp(hi), n)
+      case LikeE(x, p, n) => LikeE(rwQualOp(x), p, n)
+      case AndE(l, r)    => AndE(rwQualExpr(l), rwQualExpr(r))
+      case OrE(l, r)     => OrE(rwQualExpr(l), rwQualExpr(r))
+      case NotE(x)       => NotE(rwQualExpr(x))
+      case other         => other
+    }
+    val qualify2: Option[BExpr] = spec.qualify.map(rwQualExpr)
+
     val allRefs: Seq[SField] =
       (spec.select.flatMap(itemRefs) ++
         spec.where.toSeq.flatMap(exprRefs) ++
@@ -675,6 +706,7 @@ object Compiler {
           case Right(ExprItem(e, _)) => operandRefs(e)
         } ++
         having2.toSeq.flatMap(exprRefs) ++
+        qualify2.toSeq.flatMap(exprRefs) ++
         orderItems.flatMap(o => itemRefs(o.item))).distinct
     if (allRefs.isEmpty) throw CompileException("query references no fields")
 
@@ -1052,30 +1084,30 @@ object Compiler {
               UnspecifiedFrame)))
       }
     }
-    def exprColumn(e: BExpr, aggOk: Boolean): Column = e match {
-      case AndE(l, r) => exprColumn(l, aggOk) && exprColumn(r, aggOk)
-      case OrE(l, r)  => exprColumn(l, aggOk) || exprColumn(r, aggOk)
-      case NotE(x)    => !exprColumn(x, aggOk)
+    def exprColumn(e: BExpr, aggOk: Boolean, winOk: Boolean = false): Column = e match {
+      case AndE(l, r) => exprColumn(l, aggOk, winOk) && exprColumn(r, aggOk, winOk)
+      case OrE(l, r)  => exprColumn(l, aggOk, winOk) || exprColumn(r, aggOk, winOk)
+      case NotE(x)    => !exprColumn(x, aggOk, winOk)
       case IsNullE(o, neg) =>
-        val c = operandColumn(o, aggOk)
+        val c = operandColumn(o, aggOk, winOk)
         if (neg) c.isNotNull else c.isNull
       // IN folds to OR-of-equalities: arbitrary operand elements work and
       // the ANSI three-valued NULL behavior (incl. the NOT IN + NULL
       // trap) falls out of the fold — matches what Catalyst's In rewrites
       // to, so codegen and pushdown are unaffected
       case InE(o, xs, neg) =>
-        val c = operandColumn(o, aggOk)
-        val folded = xs.map(x => c === operandColumn(x, aggOk)).reduce(_ || _)
+        val c = operandColumn(o, aggOk, winOk)
+        val folded = xs.map(x => c === operandColumn(x, aggOk, winOk)).reduce(_ || _)
         if (neg) !folded else folded
       case BetweenE(o, lo, hi, neg) =>
-        val c = operandColumn(o, aggOk)
-        val b = c >= operandColumn(lo, aggOk) && c <= operandColumn(hi, aggOk)
+        val c = operandColumn(o, aggOk, winOk)
+        val b = c >= operandColumn(lo, aggOk, winOk) && c <= operandColumn(hi, aggOk, winOk)
         if (neg) !b else b
       case LikeE(o, p, neg) =>
-        val c = operandColumn(o, aggOk).like(p)
+        val c = operandColumn(o, aggOk, winOk).like(p)
         if (neg) !c else c
       case Cmp(op, l, r) =>
-        val (a, b) = (operandColumn(l, aggOk), operandColumn(r, aggOk))
+        val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {
           case "="  => a === b
           case "!=" => a =!= b
@@ -1594,7 +1626,21 @@ object Compiler {
       // broadcast row onto the grouped output; pre-agg they'd be
       // swallowed by the groupBy)
       attachScalarSubs(havd, postScalarSubs)
-    } else filtered
+    } else {
+      // --- QUALIFY: filter AFTER windows compute ----------------------
+      // Spark's analyzer rejects window expressions inside Filter, so
+      // the predicate materializes as a projected boolean first
+      // (Window → Project → Filter) and the helper column drops —
+      // top-k-per-group without a derived table. Grouped queries are
+      // already window-free (the win+agg refusal above), so QUALIFY
+      // there has nothing to filter on and refuses explicitly.
+      qualify2.fold(filtered)(q =>
+        filtered.withColumn("__qualify", exprColumn(q, aggOk = false, winOk = true))
+          .filter(col("__qualify")).drop("__qualify"))
+    }
+    if (hasAgg && spec.qualify.isDefined)
+      throw CompileException(
+        "QUALIFY requires a window-function query; aggregates filter with HAVING")
 
     // --- ORDER BY / DISTINCT / LIMIT / final projection ------------------
     def itemColName(i: SelectItem): String = i match {

@@ -10,7 +10,7 @@ import Ast._
   *
   * {{{
   * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)? (GROUP BY grp)?
-  *             (HAVING or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
+  *             (HAVING or)? (QUALIFY or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
   * hints    := hintOpen (ident '(' idents? ')' ','?)+ hintClose
   *             -- hintOpen/hintClose are the slash-star-plus / star-slash
   *             -- comment-hint delimiters; `-- line` and standalone
@@ -77,7 +77,7 @@ object Parser {
   private case object TEnd extends Tok
 
   private val keywords = Set("select", "from", "where", "and", "or", "not",
-    "group", "by", "having", "order", "limit", "as", "asc", "desc", "true",
+    "group", "by", "having", "qualify", "order", "limit", "as", "asc", "desc", "true",
     "false", "join", "inner", "cross", "on", "left", "right", "full",
     "outer", "is", "null", "distinct", "in", "between", "like", "asof",
     "over", "partition", "exists", "union", "intersect", "except", "all",
@@ -369,6 +369,9 @@ object Parser {
           }
         } else (Seq.empty[RawName], "plain", Seq.empty[Seq[RawName]])
       val having = if (kw("having")) Some(orExpr()) else None
+      // QUALIFY is reserved (like HAVING — it must not parse as a source
+      // alias); a series named `qualify` needs backticks
+      val qual = if (kw("qualify")) Some(orExpr()) else None
       val ord =
         if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
       val lim = if (kw("limit")) Some(intLit()) else None
@@ -376,7 +379,7 @@ object Parser {
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode, gsets, hints)
+        gmode, gsets, hints, qual)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]

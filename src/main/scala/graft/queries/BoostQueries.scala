@@ -222,6 +222,16 @@ object BoostQueries {
         "ORDER BY click.event_id LIMIT 200")),
 
     // math tier + CAST between the dialect's four scalar types.
+    // QUALIFY — post-window filter (top-2 purchases per user without a
+    // derived table); the predicate references the window by its select
+    // alias, the DuckDB/Snowflake idiom
+    "boost_qualify" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, purchase.event_id, purchase, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+        "FROM dom.events QUALIFY rk <= 2 " +
+        "ORDER BY purchase.user, rk")),
+
     // series-catalog discovery: one row per series with point count,
     // time extent, and the attribute/tag key inventories — the
     // dialect's metadata face (the reference holds this in namespace/
@@ -663,6 +673,16 @@ object BoostQueries {
         |FROM events WHERE event_type = 'signup'
         |  AND ((value >= 50.0 AND value <= 200.0) OR CAST(user_id AS VARCHAR) = '7')
         |ORDER BY signup_event_id""".stripMargin,
+
+    // DuckDB has native QUALIFY with alias references — a direct replay
+    "boost_qualify" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user,
+        |  CAST(event_id AS VARCHAR) AS purchase_event_id, value AS purchase,
+        |  row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR)
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rk
+        |FROM events WHERE event_type = 'purchase'
+        |QUALIFY rk <= 2
+        |ORDER BY purchase_user, rk""".stripMargin,
 
     // catalog replay: attribute keys = props JSON keys plus the two
     // hoisted columns; tags are the adapter's constant dc/env pair

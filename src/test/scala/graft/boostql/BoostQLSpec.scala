@@ -59,6 +59,42 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT a.cpu FROM dom.f1 AS a LEFT dom.f2 AS b ON a.cpu = b.cpu"))
   }
 
+  test("QUALIFY filters after windows; refuses under GROUP BY") {
+    import org.apache.spark.sql.functions._
+    // alias form and inline-window form agree: top-1 purchase per user
+    val byAlias = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+        "FROM dom.events QUALIFY rk = 1 ORDER BY purchase.user"),
+      (_: (String, String)) => fam)
+    val inline = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+        "FROM dom.events " +
+        "QUALIFY row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) = 1 " +
+        "ORDER BY purchase.user"),
+      (_: (String, String)) => fam)
+    val a = byAlias.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a.nonEmpty && a == inline.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    // every kept row IS its user's max — the filter ran post-window
+    val maxes = fam.filter(col("series") === "purchase")
+      .groupBy(element_at(col("attributes"), "user").as("u"))
+      .agg(max("value").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.foreach { case (u, v) => assert(v == maxes(u), s"user $u") }
+    // aggregates filter with HAVING, not QUALIFY
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase.user, count(*) AS n FROM dom.events " +
+          "GROUP BY purchase.user QUALIFY n > 1"),
+        (_: (String, String)) => fam)
+    }
+  }
+
   test("DESCRIBE returns the per-series catalog row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
