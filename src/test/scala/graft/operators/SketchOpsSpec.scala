@@ -83,6 +83,20 @@ class SketchOpsSpec extends SparkSpec {
       s"exactly one exchange expected (group-key shuffle of sketches):\n$plan")
   }
 
+  test("sampledPercentile partial aggregation ships k pairs, not rows") {
+    val ev = Tables.events(spark, sfDir)
+    val df = SketchOps.sampledPercentile(ev, "event_type", "value", "event_id", 0.5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // same contract as the KMV distinct sketch: partial object-hash
+    // pass below the one exchange, k-capped task output
+    assert(plan.contains("partial_graft_kmv_sample"),
+      s"partial (map-side) sample pass missing — the shuffle would carry raw rows:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"exactly one exchange expected (group-key shuffle of k-pair sketches):\n$plan")
+  }
+
   test("KmvSketchAgg equals brute-force bottom-k distinct for random data") {
     import graft.functions.GraftFunctions
     val rnd = new scala.util.Random(42)
