@@ -155,6 +155,16 @@ object BasicQuery {
       "WHERE sample_hash(a.click.event_id) < 0.5 " +
       "GROUP BY a.click.user ORDER BY n DESC LIMIT 5").show()
 
+    println("== QUALIFY: top-2 purchases per user, no derived table")
+    run("SELECT purchase.user, purchase, " +
+      "row_number() OVER (PARTITION BY purchase.user " +
+      "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+      "FROM dom.events QUALIFY rk <= 2 " +
+      "ORDER BY purchase.user, rk LIMIT 6").show()
+
+    println("== DESCRIBE: the series catalog (count, extent, key inventories)")
+    run("DESCRIBE dom.events").show(truncate = false)
+
     println("== two-level sketch rollup: per-day sketches unioned, no re-scan")
     run("SELECT approx_distinct_merge(sk) AS uniq_total FROM " +
       "(SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
