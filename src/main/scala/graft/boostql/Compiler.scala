@@ -230,6 +230,29 @@ object Compiler {
       graft.operators.SketchOps.portableHash32(a(0)) / lit(4294967296.0)))
   )
 
+  /** Fixed-width interval text → microseconds (micro…day units; larger
+    * calendar units are not fixed-width and don't parse — the same
+    * stance as `bucket()`). Shared by ASOF WITHIN and INTERVAL
+    * arithmetic; each caller raises its own CompileException so the
+    * message names the construct.
+    */
+  private val intervalShape =
+    """\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
+  private def parseIntervalMicros(iv: String): Option[Long] =
+    iv.toLowerCase match {
+      case intervalShape(n, unit) =>
+        val mult = unit match {
+          case "microsecond" => 1L
+          case "millisecond" => 1000L
+          case "second"      => 1000000L
+          case "minute"      => 60L * 1000000L
+          case "hour"        => 3600L * 1000000L
+          case "day"         => 86400L * 1000000L
+        }
+        Some(n.toLong * mult)
+      case _ => None
+    }
+
   /** Time-series functions with an implicit window over the source's
     * time axis — the dialect face of the reference's stated north star
     * ("a rich set of time-series functions on a SQL-like language
@@ -411,7 +434,7 @@ object Compiler {
       // lives in its own compile
       case OScalarSub(s2)  => analyzeSub(s2).pairs.map(_._1)
       case OGroupKey(_)    => Seq.empty // reads a grouping output column
-      case OLit(_)         => Seq.empty
+      case OLit(_) | OInterval(_) => Seq.empty
     }
     def exprRefs(e: BExpr): Seq[SField] = e match {
       case Cmp(_, l, r)  => operandRefs(l) ++ operandRefs(r)
@@ -463,7 +486,7 @@ object Compiler {
             o2.toSeq.flatMap(rawRefs)
         case OScalarSub(_)   => Seq.empty
         case OGroupKey(_)    => Seq.empty
-        case OLit(_)         => Seq.empty
+        case OLit(_) | OInterval(_) => Seq.empty
       }
       def exprRawRefs(e: BExpr): Seq[RawName] = e match {
         case Cmp(_, l, r)  => rawRefs(l) ++ rawRefs(r)
@@ -545,7 +568,7 @@ object Compiler {
           o2.exists(analyzeSubFieldless)
       case OScalarSub(_)   => true
       case OGroupKey(_)    => true
-      case OLit(_)         => false
+      case OLit(_) | OInterval(_) => false
     }
     def exprRawRefsPublic(e: BExpr): Seq[RawName] = e match {
       case Cmp(_, l, r)  => opRaw(l) ++ opRaw(r)
@@ -572,7 +595,7 @@ object Compiler {
           o2.toSeq.flatMap(opRaw)
       case OScalarSub(_)   => Seq.empty
       case OGroupKey(_)    => Seq.empty
-      case OLit(_)         => Seq.empty
+      case OLit(_) | OInterval(_) => Seq.empty
     }
     def itemRefs(i: SelectItem): Seq[SField] = i match {
       case FieldItem(n)        => Seq(ref(n))
@@ -787,6 +810,22 @@ object Compiler {
         col(aggXColName(fn, e, ps))
       case OScalarSub(s2) => col(scalarColName(s2))
       case OGroupKey(nm)  => col(nm)
+      // timestamp ± INTERVAL: fixed-width micros shift. On a literal
+      // bound (`ts >= '2024-01-12 …' - INTERVAL '2 days'`) Catalyst
+      // constant-folds the whole right side, so the comparison still
+      // pushes into the parquet scan as a plain ts filter.
+      case OArith(op, l, r: OInterval) =>
+        if (op != "+" && op != "-") throw CompileException(
+          s"INTERVAL supports only + and -, not $op")
+        val us = parseIntervalMicros(r.text).getOrElse(throw CompileException(
+          s"malformed INTERVAL '${r.text}' — expected '<n> " +
+            "<microsecond|millisecond|second|minute|hour|day>[s]'"))
+        val base = unix_micros(operandColumn(l, aggOk, winOk).cast("timestamp"))
+        timestamp_micros(if (op == "+") base + lit(us) else base - lit(us))
+      case OArith("+", l: OInterval, r) =>
+        operandColumn(OArith("+", r, l), aggOk, winOk)
+      case OArith("-", _: OInterval, _) => throw CompileException(
+        "INTERVAL - timestamp is not valid; write ts - INTERVAL '…'")
       case OArith(op, l, r) =>
         val (a, b) = (operandColumn(l, aggOk, winOk), operandColumn(r, aggOk, winOk))
         op match {
@@ -796,6 +835,8 @@ object Compiler {
           case "/" => a / b
         }
       case ONeg(x) => -operandColumn(x, aggOk, winOk)
+      case OInterval(t) => throw CompileException(
+        s"INTERVAL '$t' is only valid in + / - with a timestamp")
       // time-series functions: bucket() is a plain scalar (usable in
       // WHERE / GROUP BY); rate/delta/locf carry an implicit window over
       // the source's time axis, so they follow OWin's placement rules
@@ -1146,24 +1187,10 @@ object Compiler {
       * parser) so the malformed-interval failure is a CompileException
       * carrying the full interval text.
       */
-    def asofToleranceMicros(iv: String): Long = {
-      val shape = """\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
-      iv.toLowerCase match {
-        case shape(n, unit) =>
-          val mult = unit match {
-            case "microsecond" => 1L
-            case "millisecond" => 1000L
-            case "second"      => 1000000L
-            case "minute"      => 60L * 1000000L
-            case "hour"        => 3600L * 1000000L
-            case "day"         => 86400L * 1000000L
-          }
-          n.toLong * mult
-        case _ => throw CompileException(
-          s"malformed ASOF WITHIN interval '$iv' — expected '<n> " +
-            "<microsecond|millisecond|second|minute|hour|day>[s]'")
-      }
-    }
+    def asofToleranceMicros(iv: String): Long =
+      parseIntervalMicros(iv).getOrElse(throw CompileException(
+        s"malformed ASOF WITHIN interval '$iv' — expected '<n> " +
+          "<microsecond|millisecond|second|minute|hour|day>[s]'"))
 
     /** For each left row: the latest right row with right time <= left
       * time within the equi-key group ([[graft.operators.TimeSeriesOps

@@ -730,6 +730,14 @@ object Parser {
         pos += 1
         if (s.contains('.')) OLit(BFloat(s.toDouble)) else OLit(BInt(s.toLong))
       case TStr(s) => pos += 1; OLit(BStr(s))
+      // contextual: only the exact `INTERVAL '<text>'` shape engages, so
+      // a series named `interval` still resolves as an identifier
+      case TIdent(id) if id.equalsIgnoreCase("interval") &&
+          (toks(pos + 1) match { case TStr(_) => true; case _ => false }) =>
+        pos += 1
+        val TStr(iv) = toks(pos): @unchecked
+        pos += 1
+        OInterval(iv)
       case TIdent(id) if id.equalsIgnoreCase("true") => pos += 1; OLit(BBool(true))
       case TIdent(id) if id.equalsIgnoreCase("false") => pos += 1; OLit(BBool(false))
       case TIdent(id) if id.equalsIgnoreCase("null") => pos += 1; OLit(BNull)

@@ -83,6 +83,16 @@ object BoostQueries {
         "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00' " +
         "ORDER BY click.event_id")),
 
+    // INTERVAL arithmetic on the time axis: both bounds computed by
+    // fixed-width shifts resolve to the same [01-10, 01-12) window as
+    // boost_time_scope — and being literal-side arithmetic they
+    // constant-fold, so the filter still pushes into the scan
+    "boost_interval" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click FROM dom.events " +
+        "WHERE ts >= '2024-01-12 00:00:00' - INTERVAL '2 days' " +
+        "AND ts < '2024-01-10 00:00:00' + INTERVAL '2 days' " +
+        "ORDER BY click.event_id")),
+
     // LEFT OUTER JOIN — dialect extension beyond the reference's
     // inner/cross-only join grammar (joinparser.go:84-201): unmatched
     // purchases keep null error columns (Spark asc sorts nulls first;
@@ -756,6 +766,13 @@ object BoostQueries {
         |  'test' AS purchase_env, 'dc2' AS purchase_dc, value AS purchase
         |FROM events WHERE event_type = 'purchase' AND value > 100.0
         |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_interval" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click
+        |FROM events WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-12 00:00:00' - INTERVAL 2 DAY
+        |  AND ts < TIMESTAMP '2024-01-10 00:00:00' + INTERVAL 2 DAY
+        |ORDER BY click_event_id""".stripMargin,
 
     "boost_time_scope" ->
       """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click

@@ -40,6 +40,14 @@ class PlanShapeSpec extends SparkSpec {
       s"ts bound must push into the scan:\n$plan")
     assert(plan.contains("GreaterThan(value,50.0)"),
       s"value predicate must push into the scan:\n$plan")
+    // INTERVAL arithmetic on a literal bound constant-folds, so the
+    // shifted comparison pushes exactly like the explicit one
+    val shifted = Compiler.compile(Parser.parse(
+      "SELECT click, ts FROM dom.events " +
+        "WHERE ts >= '2024-01-11 00:00:00' - INTERVAL '1 day'"), stored)
+    val shiftedPlan = planOf(shifted)
+    assert(shiftedPlan.contains("GreaterThanOrEqual(ts"),
+      s"interval-shifted ts bound must still push into the scan:\n$shiftedPlan")
   }
 
   test("EXPLAIN through the dialect front door shows the pushed series predicate") {

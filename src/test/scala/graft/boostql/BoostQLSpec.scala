@@ -59,6 +59,32 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT a.cpu FROM dom.f1 AS a LEFT dom.f2 AS b ON a.cpu = b.cpu"))
   }
 
+  test("INTERVAL arithmetic shifts timestamps; misuse refuses") {
+    // literal-side arithmetic equals the explicit bound
+    def rows(q: String) = Compiler.compile(Parser.parse(q),
+      (_: (String, String)) => fam).collect().map(_.getDouble(0)).sorted.toSeq
+    val explicit = rows("SELECT click FROM dom.events " +
+      "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00'")
+    val shifted = rows("SELECT click FROM dom.events " +
+      "WHERE ts >= '2024-01-12 00:00:00' - INTERVAL '2 days' " +
+      "AND ts < '2024-01-10 00:00:00' + INTERVAL '48 hours'")
+    assert(shifted == explicit && explicit.nonEmpty)
+    def bad(q: String): Unit =
+      intercept[Compiler.CompileException](
+        Compiler.compile(Parser.parse(q), (_: (String, String)) => fam))
+    // interval alone, interval-minus-timestamp, *, and malformed units
+    bad("SELECT click FROM dom.events WHERE ts >= INTERVAL '1 day'")
+    bad("SELECT click FROM dom.events " +
+      "WHERE ts >= INTERVAL '1 day' - '2024-01-10 00:00:00'")
+    bad("SELECT click FROM dom.events " +
+      "WHERE ts >= '2024-01-10 00:00:00' * INTERVAL '1 day'")
+    bad("SELECT click FROM dom.events " +
+      "WHERE ts >= '2024-01-10 00:00:00' - INTERVAL '1 month'")
+    // a series named `interval` still parses (contextual keyword)
+    assert(Parser.parse("SELECT interval FROM dom.events")
+      .select.nonEmpty)
+  }
+
   test("QUALIFY filters after windows; refuses under GROUP BY") {
     import org.apache.spark.sql.functions._
     // alias form and inline-window form agree: top-1 purchase per user
