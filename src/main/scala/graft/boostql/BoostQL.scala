@@ -72,6 +72,54 @@ object BoostQL {
       case _ => Compiler.compile(Parser.parseStmt(query), families)
     }
 
+  /** The SQL front over a STREAM: compile a dialect query against
+    * streaming family frames ([[TimeSeriesTable.openStream]]) — the
+    * continuous-query face of the reference's north star. The supported
+    * subset is the STATELESS tier: projection, scalar expressions, and
+    * WHERE over a single series — exactly what runs incrementally with
+    * no state store and no output-mode caveats; everything stateful
+    * (aggregation, windows, multi-series alignment joins, ordering)
+    * refuses at compile time with a pointer to the watermarked
+    * StreamingOps tier, rather than failing at stream start.
+    * Validation is two-layer: clause shapes on the AST, then a logical-
+    * plan sweep (Join/Aggregate/Window/Sort) that also catches plans
+    * reached indirectly — the multi-series exact-ts align, subquery
+    * broadcasts.
+    */
+  def sqlStream(query: String,
+      families: ((String, String)) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val spec = Parser.parseStmt(query) match {
+      case q: graft.boostql.Ast.QuerySpec => q
+      case _ => throw Compiler.CompileException(
+        "streaming queries do not support set operations")
+    }
+    def refuse(cond: Boolean, what: String): Unit =
+      if (cond) throw Compiler.CompileException(
+        s"streaming queries support stateless projection + WHERE only; " +
+          s"$what is not supported (use the watermarked StreamingOps " +
+          "tier for stateful streams)")
+    refuse(spec.joins.nonEmpty, "JOIN")
+    refuse(spec.groupBy.nonEmpty || spec.having.nonEmpty, "GROUP BY/HAVING")
+    refuse(spec.orderBy.nonEmpty, "ORDER BY")
+    refuse(spec.limit.isDefined, "LIMIT")
+    refuse(spec.distinct, "DISTINCT")
+    refuse(spec.qualify.isDefined, "QUALIFY")
+    val df = Compiler.compile(spec, families)
+    // the ANALYZED plan: window expressions only become logical.Window
+    // nodes at analysis (pre-analysis they hide inside a Project)
+    val plan = df.queryExecution.analyzed
+    refuse(plan.collectFirst { case j: logical.Join => j }.nonEmpty,
+      "multi-series alignment (a stream-stream join)")
+    refuse(plan.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
+      "aggregation")
+    refuse(plan.collectFirst { case w: logical.Window => w }.nonEmpty,
+      "window functions")
+    refuse(plan.collectFirst { case s: logical.Sort => s }.nonEmpty,
+      "sorting")
+    df
+  }
+
   /** Time-scoped execution — the dialect face of the reference's
     * `[windowStart, windowEnd)` execution window (executor.go:239-252,
     * an Executor parameter there, not SQL). Every family frame is

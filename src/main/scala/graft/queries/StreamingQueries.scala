@@ -23,7 +23,12 @@ object StreamingQueries {
     // write half (streamIntoFamily) + read half (openStream tail) +
     // windowed agg, end to end — the streaming twin of boost_roundtrip
     "stream_family_roundtrip" -> ((s, d) =>
-      StreamingOps.streamFamilyRoundtrip(s, d))
+      StreamingOps.streamFamilyRoundtrip(s, d)),
+    // the DIALECT over a stream: BoostQL.sqlStream compiles the same
+    // grammar against an openStream tail (stateless subset), appended
+    // through AvailableNow — must equal the batch run of the same query
+    "stream_sql_filter" -> ((s, d) =>
+      StreamingOps.streamSqlFilterReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -44,6 +49,14 @@ object StreamingQueries {
         |  event_type AS series, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, series""".stripMargin,
+
+    // the streamed dialect filter must equal the batch filter — the
+    // parquet hop and micro-batch replay add and lose nothing
+    "stream_sql_filter" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  CAST(user_id AS VARCHAR) AS purchase_user, value AS purchase
+        |FROM events WHERE event_type = 'purchase' AND value > 250.0
+        |ORDER BY purchase_event_id""".stripMargin,
 
     // batch twin of session_window: gaps-and-islands with the same 6h
     // gap; session end is last-event + gap, matching Spark's contract

@@ -168,6 +168,31 @@ object StreamingOps {
   def streamFamilyRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     familyRoundtripWithProgress(spark, sfDir)._1
 
+  /** The SQL front driving a STREAM end to end: ingest the events into
+    * a family store, tail it with [[graft.sources.TimeSeriesTable
+    * .openStream]], and run a DIALECT query over the stream via
+    * [[graft.boostql.BoostQL.sqlStream]] — stateless
+    * projection+filter, so the replay appends with no state store and
+    * the result must equal the same dialect query run in batch
+    * (the oracle's batch SQL). The reference's north star reaching a
+    * continuous query.
+    */
+  def streamSqlFilterReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlstream").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT purchase.event_id, purchase.user, purchase " +
+        "FROM dom.events WHERE purchase > 250.0",
+      _ => stream)
+    val sink = "graft_sqlstream_" + UUID.randomUUID.toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(sink).orderBy("purchase_event_id")
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -55,6 +55,42 @@ class StreamingSpec extends SparkSpec {
       .schema.fieldNames.contains("dt"))
   }
 
+  test("sqlStream runs the stateless dialect subset; stateful shapes refuse") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlstream-spec").toString
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable.openStream(spark, root, "dom", "events")
+    // projection + WHERE streams and equals the batch run of the SAME query
+    val q = "SELECT click.event_id, click FROM dom.events WHERE click > 100.0"
+    val out = graft.boostql.BoostQL.sqlStream(q, _ => stream)
+    assert(out.isStreaming)
+    val sink = "graft_sqlstream_spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val streamed = spark.table(sink).orderBy("click_event_id").collect().toSeq
+    val batch = graft.boostql.BoostQL.sql(q,
+        _ => graft.sources.TimeSeriesTable.open(spark, root, "dom", "events"))
+      .orderBy("click_event_id").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // every stateful shape refuses at COMPILE time, before stream start
+    def refuses(sql: String): Unit =
+      intercept[graft.boostql.Compiler.CompileException](
+        graft.boostql.BoostQL.sqlStream(sql, _ => stream))
+    refuses("SELECT click.user, count(*) FROM dom.events GROUP BY click.user")
+    refuses("SELECT click FROM dom.events ORDER BY click")
+    refuses("SELECT click FROM dom.events LIMIT 5")
+    refuses("SELECT DISTINCT click FROM dom.events")
+    // multi-series alignment is a stream-stream join — caught by the
+    // logical-plan sweep, not the clause checks
+    refuses("SELECT click, view FROM dom.events")
+    refuses("SELECT a.click FROM dom.events AS a JOIN dom.events AS b " +
+      "ON a.click.user = b.view.user")
+    refuses("SELECT click, row_number() OVER (PARTITION BY click.user " +
+      "ORDER BY click) AS rk FROM dom.events")
+  }
+
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
     // end-to-end topology: streamIntoFamily write half -> openStream
     // read half -> watermarked daily agg. Result must equal the plain
