@@ -249,7 +249,11 @@ object Compiler {
           case "hour"        => 3600L * 1000000L
           case "day"         => 86400L * 1000000L
         }
-        Some(n.toLong * mult)
+        // exact arithmetic: a count too long for Long (NumberFormat)
+        // or a product past Long.MaxValue must surface as the caller's
+        // CompileException, never an escape or a silent negative wrap
+        val total = BigInt(n) * mult
+        if (total <= Long.MaxValue) Some(total.toLong) else None
       case _ => None
     }
 
@@ -271,15 +275,12 @@ object Compiler {
     */
   private val tsPartFns = Set("zscore")
 
-  /** `bucket(ts, '<n> <unit>')` bucket width in microseconds. Units:
-    * second/minute/hour/day (epoch-aligned — 1970-01-01 floor; larger
-    * calendar units like week/month are not fixed-width and are
-    * rejected rather than approximated).
-    */
-  private val bucketUnitUs: Map[String, Long] = Map(
-    "second" -> 1000000L, "minute" -> 60000000L,
-    "hour" -> 3600000000L, "day" -> 86400000000L)
-  private val bucketDurationRe = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
+  // bucket()/session() widths parse through the same
+  // [[parseIntervalMicros]] grammar as INTERVAL/WITHIN (one duration
+  // parser in the dialect — a unit or bound fixed once reaches all
+  // four constructs); micro…day, epoch-aligned — larger calendar units
+  // like week/month are not fixed-width and are rejected rather than
+  // approximated.
 
   private def fnColumn(fn: String, args: Seq[Ast.Operand], cols: Seq[Column]): Column =
     // round's 2-arg form needs its scale as a constant (Spark's
@@ -343,10 +344,19 @@ object Compiler {
     }.toSet
     if (broadcastIdx.nonEmpty && sources.length == 1)
       throw CompileException("BROADCAST hint requires a join")
-    if (broadcastIdx.nonEmpty && spec.joins.exists(_.joinType == "asof"))
+    // only the sources an ASOF actually consumes refuse the hint (the
+    // right side of an asof, or the anchor when the FIRST join is asof
+    // — both feed the union-window plan, which has no join node to
+    // build); a different source joining normally in the same query
+    // still broadcasts
+    def feedsAsof(i: Int): Boolean =
+      (i > 0 && spec.joins(i - 1).joinType == "asof") ||
+        (i == 0 && spec.joins.headOption.exists(_.joinType == "asof"))
+    broadcastIdx.find(feedsAsof).foreach(_ =>
       throw CompileException(
-        "BROADCAST cannot combine with ASOF JOIN — the as-of operator " +
-          "compiles to a union-window plan with no join node to build")
+        "BROADCAST cannot target an ASOF-joined source — the as-of " +
+          "operator compiles to a union-window plan with no join node " +
+          "to build"))
 
     // Derived tables compile upfront (plan construction only — nothing
     // executes) so the scope can ask whether a subquery's OUTPUT carries
@@ -983,11 +993,10 @@ object Compiler {
           "bucket() first argument must be the time axis ts")
       }
       val widthUs = args(1) match {
-        case OLit(BStr(bucketDurationRe(n, unit))) =>
-          n.toLong * bucketUnitUs(unit.toLowerCase)
-        case OLit(BStr(other)) => throw CompileException(
-          s"bucket() width '$other' must be '<n> <unit>' with unit " +
-            "second|minute|hour|day")
+        case OLit(BStr(w)) => parseIntervalMicros(w).getOrElse(
+          throw CompileException(
+            s"bucket() width '$w' must be '<n> <unit>' with unit " +
+              "microsecond|millisecond|second|minute|hour|day"))
         case _ => throw CompileException(
           "bucket() width must be a string literal like '5 minutes'")
       }
@@ -1021,11 +1030,12 @@ object Compiler {
             "session() first argument must be the time axis ts")
         }
         val gapUs = args(1) match {
-          case OLit(BStr(bucketDurationRe(n, unit))) =>
-            n.toLong * bucketUnitUs(unit.toLowerCase)
+          case OLit(BStr(g)) => parseIntervalMicros(g).getOrElse(
+            throw CompileException(
+              s"session() gap '$g' must be '<n> <unit>' with unit " +
+                "microsecond|millisecond|second|minute|hour|day"))
           case _ => throw CompileException(
-            "session() gap must be a string literal like '30 minutes' " +
-              "with unit second|minute|hour|day")
+            "session() gap must be a string literal like '30 minutes'")
         }
         if (gapUs <= 0) throw CompileException("session() gap must be positive")
         val axis0 = if (!multi) "__ts_0" else args.head match {
@@ -1554,6 +1564,18 @@ object Compiler {
     if (hasWin && hasAgg)
       throw CompileException(
         "window functions cannot be combined with GROUP BY/HAVING/aggregates")
+    // under QUALIFY a window value must come from the pre-filter
+    // partitions; only SELECTED window items are materialized there, so
+    // an ORDER BY window that is not a selected item would silently
+    // re-rank the filtered rows — refuse instead
+    if (qualify2.isDefined)
+      orderItems.map(_.item).foreach {
+        case it @ ExprItem(e, _) if hasWinOp(e) && !spec.select.contains(it) =>
+          throw CompileException(
+            "under QUALIFY, ORDER BY may use window expressions only " +
+              "through selected items (their pre-filter values)")
+        case _ => ()
+      }
 
     val projected: DataFrame = if (hasAgg) {
       val groupCols = groupEntries.map {
@@ -1658,12 +1680,23 @@ object Compiler {
       // Spark's analyzer rejects window expressions inside Filter, so
       // the predicate materializes as a projected boolean first
       // (Window → Project → Filter) and the helper column drops —
-      // top-k-per-group without a derived table. Grouped queries are
-      // already window-free (the win+agg refusal above), so QUALIFY
+      // top-k-per-group without a derived table. Every WINDOWED select
+      // item materializes in the same pre-filter projection: displayed
+      // window values must come from the UNFILTERED partitions
+      // (`… AS rk … QUALIFY rk = 2` shows rk = 2, not a post-filter
+      // re-rank — the DuckDB/Snowflake contract), and outputCol/orderCol
+      // read these columns back instead of recomputing. Grouped queries
+      // are already window-free (the win+agg refusal above), so QUALIFY
       // there has nothing to filter on and refuses explicitly.
-      qualify2.fold(filtered)(q =>
-        filtered.withColumn("__qualify", exprColumn(q, aggOk = false, winOk = true))
-          .filter(col("__qualify")).drop("__qualify"))
+      qualify2.fold(filtered) { q =>
+        val withWins = spec.select.foldLeft(filtered) {
+          case (df, ExprItem(e, nm)) if hasWinOp(e) =>
+            df.withColumn(nm, operandColumn(e, aggOk = false, winOk = true))
+          case (df, _) => df
+        }
+        withWins.withColumn("__qualify", exprColumn(q, aggOk = false, winOk = true))
+          .filter(col("__qualify")).drop("__qualify")
+      }
     }
     if (hasAgg && spec.qualify.isDefined)
       throw CompileException(
@@ -1686,12 +1719,16 @@ object Compiler {
       // a grouped-by expression already exists as the grouping column —
       // read it back (its base columns are gone post-aggregation)
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
+      // under QUALIFY, windowed items were materialized PRE-filter —
+      // recomputing here would re-rank the filtered partitions
+      case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) => col(nm)
       case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg, winOk = true).as(nm)
     }
     // a computed ORDER BY key sorts on its compiled expression (an
     // arbitrary-expression sort, beyond select-shaped keys)
     def orderCol(i: SelectItem): Column = i match {
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
+      case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) => col(nm)
       case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg, winOk = true)
       case other          => col(itemColName(other))
     }

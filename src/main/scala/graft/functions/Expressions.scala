@@ -217,40 +217,19 @@ final class KmvBuffer(k: Int) {
   }
 }
 
-/** Mergeable KMV (bottom-k) distinct-hash sketch aggregate: keeps the
-  * `k` smallest DISTINCT values of a long column and evaluates to them
-  * as a sorted-ascending array<long> — the classic distributed
-  * distinct-count sketch. The aggregation state is a k-capped ordered
-  * set, so the PARTIAL aggregate bounds what each task emits to k longs
-  * per group: the shuffle carries kilobyte sketches, never the distinct
-  * values themselves (the property that makes KMV the 100 TB answer;
-  * a groupBy-distinct formulation shuffles every distinct value).
-  * Mergeable by construction — the bottom-k of a union is the bottom-k
-  * of the bottom-ks — so per-partition, per-day, or per-group sketches
-  * union losslessly. Nulls are skipped. Deterministic for any input
-  * partitioning and merge order.
+/** Shared TypedImperativeAggregate plumbing over [[KmvBuffer]] state:
+  * the merge law, the array<long> result, and the sorted-distinct-
+  * ascending wire format are identical for the sketch and union
+  * aggregates — one copy here so the format cannot diverge between
+  * them.
   */
-case class KmvSketchAgg(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuffer]
-    with UnaryLike[Expression] {
-  require(k >= 2, "k must be >= 2")
+sealed trait KmvBufferAgg extends TypedImperativeAggregate[KmvBuffer] {
+  def k: Int
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects bigint, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_kmv_sketch"
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-
-  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
-    val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Long])
-    buf
-  }
 
   override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
     b1.mergeFrom(b2); b1
@@ -273,6 +252,38 @@ case class KmvSketchAgg(child: Expression, k: Int,
     while (bb.remaining() >= 8) buf.appendSorted(bb.getLong)
     buf
   }
+}
+
+/** Mergeable KMV (bottom-k) distinct-hash sketch aggregate: keeps the
+  * `k` smallest DISTINCT values of a long column and evaluates to them
+  * as a sorted-ascending array<long> — the classic distributed
+  * distinct-count sketch. The aggregation state is a k-capped ordered
+  * set, so the PARTIAL aggregate bounds what each task emits to k longs
+  * per group: the shuffle carries kilobyte sketches, never the distinct
+  * values themselves (the property that makes KMV the 100 TB answer;
+  * a groupBy-distinct formulation shuffles every distinct value).
+  * Mergeable by construction — the bottom-k of a union is the bottom-k
+  * of the bottom-ks — so per-partition, per-day, or per-group sketches
+  * union losslessly. Nulls are skipped. Deterministic for any input
+  * partitioning and merge order.
+  */
+case class KmvSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KmvBufferAgg
+    with UnaryLike[Expression] {
+  require(k >= 2, "k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${child.dataType.simpleString}")
+  override def prettyName: String = "graft_kmv_sketch"
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -293,7 +304,7 @@ case class KmvSketchAgg(child: Expression, k: Int,
   */
 case class KmvMergeAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvBuffer]
+    extends KmvBufferAgg
     with UnaryLike[Expression] {
   require(k >= 2, "k must be >= 2")
 
@@ -302,11 +313,7 @@ case class KmvMergeAgg(child: Expression, k: Int,
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<bigint> (a KMV sketch), got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "graft_kmv_merge"
-
-  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
@@ -321,27 +328,6 @@ case class KmvMergeAgg(child: Expression, k: Int,
         i += 1
       }
     }
-    buf
-  }
-
-  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
-    b1.mergeFrom(b2); b1
-  }
-
-  override def eval(buf: KmvBuffer): Any =
-    new GenericArrayData(buf.toArray)
-
-  override def serialize(buf: KmvBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
-    var i = 0
-    while (i < buf.size) { bb.putLong(buf.get(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val buf = createAggregationBuffer()
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    while (bb.remaining() >= 8) buf.appendSorted(bb.getLong)
     buf
   }
 

@@ -119,6 +119,26 @@ class BoostQLSpec extends SparkSpec {
           "GROUP BY purchase.user QUALIFY n > 1"),
         (_: (String, String)) => fam)
     }
+    // NON-prefix predicate: displayed window values come from the
+    // PRE-filter partitions — `rk = 2` shows rank 2, never a re-ranked
+    // 1 over the surviving rows (the DuckDB/Snowflake contract)
+    val second = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+        "FROM dom.events QUALIFY rk = 2 ORDER BY purchase.user"),
+      (_: (String, String)) => fam).collect()
+    assert(second.nonEmpty && second.forall(_.getInt(2) == 2),
+      "QUALIFY rk = 2 must display the pre-filter rank 2")
+    // an ORDER BY window under QUALIFY must go through a selected item
+    intercept[Compiler.CompileException] {
+      Compiler.compile(Parser.parse(
+        "SELECT purchase.user, purchase FROM dom.events " +
+          "QUALIFY purchase > 100.0 " +
+          "ORDER BY row_number() OVER (PARTITION BY purchase.user " +
+          "ORDER BY purchase)"),
+        (_: (String, String)) => fam)
+    }
   }
 
   test("DESCRIBE returns the per-series catalog row") {
@@ -177,6 +197,15 @@ class BoostQLSpec extends SparkSpec {
     bad("SELECT /*+ BROADCAST(a) */ a.cpu FROM dom.events AS a")
     bad("SELECT /*+ BROADCAST(b) */ a.purchase FROM dom.events AS a " +
       "ASOF JOIN dom.events AS b ON a.purchase.user = b.click.user")
+    // …but only sources the ASOF consumes refuse: hinting the ordinary
+    // join's side in a mixed asof+equi query compiles
+    val mixed = Compiler.compile(Parser.parse(
+      "SELECT /*+ BROADCAST(c) */ a.purchase, b.click, c.view " +
+        "FROM dom.events AS a " +
+        "ASOF JOIN dom.events AS b ON a.purchase.user = b.click.user " +
+        "JOIN dom.events AS c ON a.purchase.user = c.view.user"),
+      (_: (String, String)) => fam)
+    assert(mixed.columns.length == 3)
     // unterminated constructs are parse errors
     intercept[Parser.ParseException](
       Parser.parse("SELECT /*+ BROADCAST(b) a.cpu FROM dom.events AS a"))
@@ -751,8 +780,11 @@ class BoostQLSpec extends SparkSpec {
       Seq(("p1", "c1", 1.0), ("p2", "c2", 2.0)))
 
     // malformed WITHIN intervals are CompileExceptions (interval text
-    // validated in the compiler), non-string WITHIN a parse error
-    for (bad <- Seq("'banana'", "'5 fortnights'", "'-3 minutes'", "''"))
+    // validated in the compiler), non-string WITHIN a parse error —
+    // including counts too long for a Long and products that would
+    // overflow into a negative tolerance (silently matching nothing)
+    for (bad <- Seq("'banana'", "'5 fortnights'", "'-3 minutes'", "''",
+        "'99999999999999999999 days'", "'200000000000000 days'"))
       intercept[Compiler.CompileException] {
         Compiler.compile(Parser.parse(
           "SELECT a.purchase FROM dom.events AS a ASOF JOIN dom.events AS b " +
