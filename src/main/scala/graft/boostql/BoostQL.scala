@@ -107,16 +107,21 @@ object BoostQL {
     refuse(spec.qualify.isDefined, "QUALIFY")
     val df = Compiler.compile(spec, families)
     // the ANALYZED plan: window expressions only become logical.Window
-    // nodes at analysis (pre-analysis they hide inside a Project)
-    val plan = df.queryExecution.analyzed
-    refuse(plan.collectFirst { case j: logical.Join => j }.nonEmpty,
-      "multi-series alignment (a stream-stream join)")
-    refuse(plan.collectFirst { case a: logical.Aggregate => a }.nonEmpty,
-      "aggregation")
-    refuse(plan.collectFirst { case w: logical.Window => w }.nonEmpty,
-      "window functions")
-    refuse(plan.collectFirst { case s: logical.Sort => s }.nonEmpty,
-      "sorting")
+    // nodes at analysis (pre-analysis they hide inside a Project).
+    // WHITELIST sweep — only Project/Filter over leaf relations (plus
+    // the aliasing wrappers analysis leaves in place) are stateless; a
+    // blacklist would miss shapes reachable through derived tables
+    // (inner DISTINCT → Deduplicate, inner LIMIT → GlobalLimit, inner
+    // set ops → Except/Intersect, …), which would then fail at stream
+    // start or silently grow unbounded state
+    df.queryExecution.analyzed.foreach {
+      case _: logical.Project | _: logical.Filter |
+           _: logical.SubqueryAlias | _: logical.LeafNode => ()
+      case j: logical.Join =>
+        refuse(cond = true,
+          s"multi-series alignment (a stream-stream ${j.nodeName})")
+      case other => refuse(cond = true, s"the ${other.nodeName} operator")
+    }
     df
   }
 

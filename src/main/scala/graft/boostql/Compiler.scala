@@ -237,9 +237,11 @@ object Compiler {
     * message names the construct.
     */
   private val intervalShape =
-    """\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
+    """\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
   private def parseIntervalMicros(iv: String): Option[Long] =
-    iv.toLowerCase match {
+    // Locale.ROOT: the default-locale lowercase mangles 'MINUTE' under
+    // Turkish-family locales (dotless i), failing the match
+    iv.toLowerCase(java.util.Locale.ROOT) match {
       case intervalShape(n, unit) =>
         val mult = unit match {
           case "microsecond" => 1L
@@ -1565,12 +1567,16 @@ object Compiler {
       throw CompileException(
         "window functions cannot be combined with GROUP BY/HAVING/aggregates")
     // under QUALIFY a window value must come from the pre-filter
-    // partitions; only SELECTED window items are materialized there, so
-    // an ORDER BY window that is not a selected item would silently
-    // re-rank the filtered rows — refuse instead
+    // partitions; only SELECTED window expressions are materialized
+    // there, so an ORDER BY window with no structurally-equal select
+    // item would silently re-rank the filtered rows — refuse instead
+    // (matching by EXPRESSION, not item: an unaliased ORDER BY copy of
+    // a selected window is the same pre-filter value and is fine)
+    def selectedWinExpr(e: Operand): Option[String] =
+      spec.select.collectFirst { case ExprItem(e2, nm2) if e2 == e => nm2 }
     if (qualify2.isDefined)
       orderItems.map(_.item).foreach {
-        case it @ ExprItem(e, _) if hasWinOp(e) && !spec.select.contains(it) =>
+        case ExprItem(e, _) if hasWinOp(e) && selectedWinExpr(e).isEmpty =>
           throw CompileException(
             "under QUALIFY, ORDER BY may use window expressions only " +
               "through selected items (their pre-filter values)")
@@ -1689,9 +1695,14 @@ object Compiler {
       // are already window-free (the win+agg refusal above), so QUALIFY
       // there has nothing to filter on and refuses explicitly.
       qualify2.fold(filtered) { q =>
+        // materialized under reserved __q_ names, NOT the select
+        // aliases: an alias that collides with a source column (a
+        // series named like the alias) would otherwise be clobbered
+        // mid-fold and later window expressions would read the window
+        // value instead of the series
         val withWins = spec.select.foldLeft(filtered) {
           case (df, ExprItem(e, nm)) if hasWinOp(e) =>
-            df.withColumn(nm, operandColumn(e, aggOk = false, winOk = true))
+            df.withColumn(s"__q_$nm", operandColumn(e, aggOk = false, winOk = true))
           case (df, _) => df
         }
         withWins.withColumn("__qualify", exprColumn(q, aggOk = false, winOk = true))
@@ -1721,14 +1732,17 @@ object Compiler {
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
       // under QUALIFY, windowed items were materialized PRE-filter —
       // recomputing here would re-rank the filtered partitions
-      case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) => col(nm)
+      case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) =>
+        col(s"__q_$nm").as(nm)
       case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg, winOk = true).as(nm)
     }
     // a computed ORDER BY key sorts on its compiled expression (an
     // arbitrary-expression sort, beyond select-shaped keys)
+    // (an ORDER BY window under QUALIFY never reaches here: it makes
+    // hasWin true, and that branch sorts on selected OUTPUT columns —
+    // the already-materialized pre-filter values)
     def orderCol(i: SelectItem): Column = i match {
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
-      case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) => col(nm)
       case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg, winOk = true)
       case other          => col(itemColName(other))
     }

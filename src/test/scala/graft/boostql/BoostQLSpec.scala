@@ -83,6 +83,15 @@ class BoostQLSpec extends SparkSpec {
     // a series named `interval` still parses (contextual keyword)
     assert(Parser.parse("SELECT interval FROM dom.events")
       .select.nonEmpty)
+    // the shared duration grammar keeps bucket()'s historical no-space
+    // and uppercase spellings, and WITHIN-style sub-second units now
+    // reach bucket too
+    def bucketed(w: String) = Compiler.compile(Parser.parse(
+      s"SELECT CAST(bucket(ts, '$w') AS int) AS d, count(click) AS n " +
+        s"FROM dom.events GROUP BY CAST(bucket(ts, '$w') AS int) ORDER BY d"),
+      (_: (String, String)) => fam).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bucketed("1day") == bucketed("1 day") && bucketed("1 DAY") == bucketed("1 day"))
+    assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
   test("QUALIFY filters after windows; refuses under GROUP BY") {
@@ -139,6 +148,28 @@ class BoostQLSpec extends SparkSpec {
           "ORDER BY purchase)"),
         (_: (String, String)) => fam)
     }
+    // …matched by EXPRESSION: an unaliased ORDER BY copy of a selected
+    // window is that item's pre-filter value, not a false refusal
+    val unaliased = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, purchase, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id) AS rk " +
+        "FROM dom.events QUALIFY rk <= 2 " +
+        "ORDER BY row_number() OVER (PARTITION BY purchase.user " +
+        "ORDER BY purchase DESC, purchase.event_id)"),
+      (_: (String, String)) => fam).collect()
+    assert(unaliased.nonEmpty)
+    // a window alias that shadows a SERIES name must not clobber the
+    // series column other windows read: both windows here see the
+    // original frame, so the query equals its differently-aliased twin
+    def winPair(alias: String) = Compiler.compile(Parser.parse(
+      s"SELECT purchase.event_id, rank() OVER (ORDER BY purchase.event_id) AS $alias, " +
+        "row_number() OVER (PARTITION BY purchase.user " +
+        s"ORDER BY purchase DESC, purchase.event_id) AS rn " +
+        "FROM dom.events QUALIFY rn <= 2 ORDER BY purchase.event_id"),
+      (_: (String, String)) => fam)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(winPair("purchase") == winPair("zz") && winPair("zz").nonEmpty)
   }
 
   test("DESCRIBE returns the per-series catalog row") {

@@ -89,6 +89,10 @@ class StreamingSpec extends SparkSpec {
       "ON a.click.user = b.view.user")
     refuses("SELECT click, row_number() OVER (PARTITION BY click.user " +
       "ORDER BY click) AS rk FROM dom.events")
+    // stateful shapes INSIDE derived tables are caught by the plan
+    // whitelist (a blacklist would miss Deduplicate/GlobalLimit nodes)
+    refuses("SELECT x FROM (SELECT DISTINCT click AS x FROM dom.events) AS t")
+    refuses("SELECT x FROM (SELECT click AS x FROM dom.events LIMIT 5) AS t")
   }
 
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
