@@ -238,7 +238,7 @@ object Compiler {
     */
   private val intervalShape =
     """\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
-  private def parseIntervalMicros(iv: String): Option[Long] =
+  private[boostql] def parseIntervalMicros(iv: String): Option[Long] =
     // Locale.ROOT: the default-locale lowercase mangles 'MINUTE' under
     // Turkish-family locales (dotless i), failing the match
     iv.toLowerCase(java.util.Locale.ROOT) match {

@@ -277,4 +277,27 @@ object ParserProps extends Properties("graft.boostql.parser") {
       "0" -> "0.0", "1" -> "1.00")) { case (a, b) =>
       parseExpr(s"percentile(cpu, $a)") == parseExpr(s"percentile(cpu, $b)")
     }
+
+  // the ONE duration grammar (bucket/session/WITHIN/INTERVAL): any
+  // count/unit/spacing/case/plural spelling parses to count*unit micros
+  // exactly; products past Long.MaxValue and junk reject as None
+  private val durationUnits = Seq(
+    "microsecond" -> 1L, "millisecond" -> 1000L, "second" -> 1000000L,
+    "minute" -> 60000000L, "hour" -> 3600000000L, "day" -> 86400000000L)
+
+  property("durationGrammarRoundTrip") = forAll(
+    Gen.choose(0L, 1000000L), Gen.oneOf(durationUnits),
+    Gen.oneOf("", " ", "  "), Gen.oneOf(false, true), Gen.oneOf("", "s")
+  ) { (n, unitMult, sep, upper, plural) =>
+    val (unit, mult) = unitMult
+    val text = s"$n$sep${if (upper) unit.toUpperCase else unit}$plural"
+    val expected = BigInt(n) * mult
+    Compiler.parseIntervalMicros(text) ==
+      (if (expected <= Long.MaxValue) Some(expected.toLong) else None)
+  }
+
+  property("durationGrammarRejectsOverflowAndJunk") = forAll(
+    Gen.oneOf("99999999999999999999 days", "200000000000000 days",
+      "5 fortnights", "banana", "", "-3 minutes", "1 month", "2 weeks")
+  ) { bad => Compiler.parseIntervalMicros(bad).isEmpty }
 }
