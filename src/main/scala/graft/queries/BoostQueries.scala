@@ -242,6 +242,23 @@ object BoostQueries {
         "FROM dom.events QUALIFY rk <= 2 " +
         "ORDER BY purchase.user, rk")),
 
+    // composition: QUALIFY over a DERIVED table's flat columns — the
+    // post-window filter binds to subquery outputs like any other field
+    "boost_qualify_derived" -> ((s, d) =>
+      run(s, d, "SELECT t.u, t.v, " +
+        "row_number() OVER (PARTITION BY t.u ORDER BY t.v DESC, t.eid) AS rk " +
+        "FROM (SELECT purchase.user AS u, purchase AS v, " +
+        "purchase.event_id AS eid FROM dom.events " +
+        "WHERE purchase > 200.0) AS t " +
+        "QUALIFY rk = 1 ORDER BY t.u")),
+
+    // INTERVAL arithmetic as a computed SELECT item (column side, not
+    // constant-folded): per-row deadline columns
+    "boost_interval_select" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, ts + INTERVAL '1 hour' AS t1, " +
+        "ts - INTERVAL '30 minutes' AS t0 " +
+        "FROM dom.events WHERE click > 290.0 ORDER BY click.event_id")),
+
     // series-catalog discovery: one row per series with point count,
     // time extent, and the attribute/tag key inventories — the
     // dialect's metadata face (the reference holds this in namespace/
@@ -693,6 +710,19 @@ object BoostQueries {
         |FROM events WHERE event_type = 'purchase'
         |QUALIFY rk <= 2
         |ORDER BY purchase_user, rk""".stripMargin,
+
+    "boost_qualify_derived" ->
+      """SELECT CAST(user_id AS VARCHAR) AS u, value AS v,
+        |  row_number() OVER (PARTITION BY CAST(user_id AS VARCHAR)
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)) AS rk
+        |FROM events WHERE event_type = 'purchase' AND value > 200.0
+        |QUALIFY rk = 1 ORDER BY u""".stripMargin,
+
+    "boost_interval_select" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  ts + INTERVAL 1 HOUR AS t1, ts - INTERVAL 30 MINUTE AS t0
+        |FROM events WHERE event_type = 'click' AND value > 290.0
+        |ORDER BY click_event_id""".stripMargin,
 
     // catalog replay: attribute keys = props JSON keys plus the two
     // hoisted columns; tags are the adapter's constant dc/env pair
