@@ -41,20 +41,22 @@ object BoostQL {
 
   private def describe(fam: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // ONE aggregation pass over the scan: key inventories via
+    // collect_set of each row's key ARRAY (state is bounded by the
+    // distinct key-SHAPES per series — typically a handful — never by
+    // rows; collect_list of per-row arrays would be O(rows) state),
+    // then flatten → distinct → sort post-aggregation. A null map
+    // yields a null key array, which collect_set skips — same "" as
+    // the old explode + left-join form.
     def keysOf(mapCol: String, out: String) =
-      fam.select(col("series"), explode(map_keys(col(mapCol))).as("k"))
-        .groupBy("series")
-        .agg(array_join(sort_array(collect_set(col("k"))), ",").as(out))
-    val stats = fam.groupBy("series").agg(
-      count(lit(1)).as("n_points"),
-      unix_micros(min(col("ts"))).as("first_us"),
-      unix_micros(max(col("ts"))).as("last_us"))
-    stats
-      .join(keysOf("attributes", "attr_keys"), Seq("series"), "left")
-      .join(keysOf("tags", "tag_keys"), Seq("series"), "left")
-      .select(col("series"), col("n_points"), col("first_us"), col("last_us"),
-        coalesce(col("attr_keys"), lit("")).as("attr_keys"),
-        coalesce(col("tag_keys"), lit("")).as("tag_keys"))
+      array_join(array_sort(array_distinct(flatten(
+        collect_set(map_keys(col(mapCol)))))), ",").as(out)
+    fam.groupBy("series").agg(
+        count(lit(1)).as("n_points"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"),
+        keysOf("attributes", "attr_keys"),
+        keysOf("tags", "tag_keys"))
       .orderBy("series")
   }
 
@@ -148,27 +150,48 @@ object BoostQL {
     * occurrence. With the cache the map is materialized once and every
     * boost query reads it back. This is a test-adapter concern only:
     * the production path ([[TimeSeriesTable.open]]) stores `attributes`
-    * as a real parquet map column and never parses JSON.
+    * as a real parquet map column and never parses JSON. The cache is
+    * LRU-bounded at [[TestdataCacheMax]] entries (evicted frames
+    * unpersist), so a long-lived host iterating many dirs cannot
+    * accumulate persisted frames; [[evictTestdataCache]] drops eagerly.
     */
   def onTestdata(spark: SparkSession, sfDir: String)(query: String): DataFrame = {
-    val fam = testdataCache.getOrElseUpdate((spark, sfDir), {
-      val f = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
-      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    val fam = testdataCache.synchronized {
+      Option(testdataCache.get((spark, sfDir))).getOrElse {
+        val f = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        testdataCache.put((spark, sfDir), f)
+        f
+      }
+    }
     sql(query, _ => fam)
   }
 
+  /** How many (session, dir) family frames stay persisted at once; a
+    * long-lived host iterating many dirs evicts (and unpersists) least-
+    * recently-used entries past this instead of accumulating them. */
+  private val TestdataCacheMax = 8
+
   private val testdataCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > TestdataCacheMax) { e.getValue.unpersist(blocking = false); true }
+        else false
+    }
 
   /** Unpersist and drop cached testdata frames — for `spark` only, or
     * all sessions when omitted. The harness never needs this (one
     * session, two dirs); a long-lived host embedding the facade does.
     */
-  def evictTestdataCache(spark: Option[SparkSession] = None): Unit = {
-    val keys = testdataCache.keys.filter(k => spark.forall(_ eq k._1)).toSeq
-    keys.foreach { k =>
-      testdataCache.remove(k).foreach(_.unpersist(blocking = false))
+  def evictTestdataCache(spark: Option[SparkSession] = None): Unit =
+    testdataCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      val keys = testdataCache.keySet.asScala
+        .filter(k => spark.forall(_ eq k._1)).toSeq
+      keys.foreach { k =>
+        Option(testdataCache.remove(k)).foreach(_.unpersist(blocking = false))
+      }
     }
-  }
 }

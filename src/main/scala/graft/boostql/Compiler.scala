@@ -359,6 +359,29 @@ object Compiler {
         "BROADCAST cannot target an ASOF-joined source — the as-of " +
           "operator compiles to a union-window plan with no join node " +
           "to build"))
+    // the PRESERVED side of an outer join cannot be the broadcast build
+    // side (a broadcast hash join must build the side whose unmatched
+    // rows may be dropped); Spark drops such a hint with only a log
+    // warning, which would break the strict no-silent-no-op contract —
+    // refuse instead. The hint on source b binds to the one join where
+    // b participates directly: join b-1 (b as its right side), or
+    // join 0 when b is the anchor (hints do not propagate up through
+    // Join nodes).
+    broadcastIdx.foreach { b =>
+      val (jt, side) =
+        if (b == 0) (spec.joins.head.joinType, "left")
+        else (spec.joins(b - 1).joinType, "right")
+      val preserved = jt match {
+        case "full"           => true
+        case "left"           => side == "left"
+        case "right"          => side == "right"
+        case _                => false
+      }
+      if (preserved) throw CompileException(
+        s"BROADCAST cannot target the preserved side of a ${jt.toUpperCase} " +
+          "OUTER join — Spark cannot build that side and would silently " +
+          "drop the pin")
+    }
 
     // Derived tables compile upfront (plan construction only — nothing
     // executes) so the scope can ask whether a subquery's OUTPUT carries
@@ -856,7 +879,7 @@ object Compiler {
       case OFn(fn, args) if tsWinFns.contains(fn) || tsPartFns.contains(fn) =>
         if (!winOk) throw CompileException(
           s"$fn() is a time-series window function — allowed in SELECT " +
-            "items and ORDER BY only")
+            "items, QUALIFY and ORDER BY only")
         tsWinColumn(fn, args, aggOk)
       case OFn(fn, args) => fnColumn(fn, args, args.map(operandColumn(_, aggOk, winOk)))
       case OCast(x, ty) =>
@@ -871,7 +894,8 @@ object Compiler {
         operandColumn(x, aggOk, winOk).cast(sparkType)
       case w: OWin =>
         if (!winOk) throw CompileException(
-          "window functions are only allowed in SELECT items and ORDER BY")
+          "window functions are only allowed in SELECT items, QUALIFY " +
+            "and ORDER BY")
         winColumn(w, aggOk)
       case OCase(bs, o2) =>
         val first = when(exprColumn(bs.head._1, aggOk),
@@ -1538,7 +1562,10 @@ object Compiler {
     // refuse rather than guess which happens first
     def hasWinOp(o: Operand): Boolean = o match {
       case _: OWin         => true
-      case OFn(f, _) if tsWinFns.contains(f) => true
+      // tsPartFns (zscore) are windows too: under QUALIFY they must
+      // materialize pre-filter like every other window, or the final
+      // projection would recompute them over the FILTERED partitions
+      case OFn(f, _) if tsWinFns.contains(f) || tsPartFns.contains(f) => true
       case OArith(_, l, r) => hasWinOp(l) || hasWinOp(r)
       case ONeg(x)         => hasWinOp(x)
       case OFn(_, args)    => args.exists(hasWinOp)

@@ -149,7 +149,11 @@ object SketchOps {
     val est = element_at(vals, loIdx) +
       (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
     val pName = "p" + math.round(p * 100)
-    df.groupBy(col(groupCol))
+    // drop null values BEFORE grouping: a group whose values are all
+    // NULL is omitted entirely (matching `WHERE value IS NOT NULL`
+    // oracle semantics), never emitted as (group, 0, null)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(graft.functions.GraftFunctions.kmvSample(
         portableHash60(col(idCol)), col(valueCol).cast("double"), k).as("__sk"))
       .select(col(groupCol), n.cast("long").as("n_sample"),

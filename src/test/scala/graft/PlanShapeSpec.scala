@@ -203,6 +203,18 @@ class PlanShapeSpec extends SparkSpec {
       s"grouping sets should plan agg exchange + sort only ($exchanges):\n$plan")
   }
 
+  test("DESCRIBE plans one aggregation pass — no joins, one agg exchange") {
+    // the series-catalog face must be a single scan + single aggregate
+    // (count/extent/key inventories in one pass), never the old
+    // three-aggregation + two-join shape
+    val plan = planOf(SparkEntry.queries("boost_describe")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"DESCRIBE must not plan joins:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"DESCRIBE should plan agg exchange + sort only ($exchanges):\n$plan")
+  }
+
   test("interp plans ONE window over one series exchange") {
     // four frame lookups (prev/next value + timestamp) must merge into
     // a single Window operator — same partition/order, two frames —

@@ -172,6 +172,34 @@ class BoostQLSpec extends SparkSpec {
     assert(winPair("purchase") == winPair("zz") && winPair("zz").nonEmpty)
   }
 
+  test("QUALIFY over zscore materializes the pre-filter statistic") {
+    import org.apache.spark.sql.functions._
+    // zscore is a tsPartFns window: under QUALIFY its displayed value
+    // must be the PRE-filter whole-series statistic, not a recompute
+    // over the surviving rows (which would shift mean/stddev and
+    // disagree with what the predicate filtered on)
+    val got = Compiler.compile(Parser.parse(
+      "SELECT purchase.event_id, purchase, zscore(purchase) AS z " +
+        "FROM dom.events QUALIFY z > 1.0 ORDER BY purchase.event_id"),
+      (_: (String, String)) => fam)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // expected: zscore over the FULL series, then filter
+    val p = fam.filter(col("series") === "purchase")
+    val stats = p.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("value")).cast("double").as("s"),
+      sum(col("value") * col("value")).cast("double").as("q")).collect()(0)
+    val (n, s, q) = (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2))
+    val mean = s / n
+    val sd = math.sqrt((q - s * s / n) / (n - 1.0))
+    val expected = p.select(element_at(col("attributes"), "event_id"),
+      col("value")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) - mean) / sd)
+      .filter(_._2 > 1.0).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, z) => assert(math.abs(z - expected(k)) < 1e-9) }
+  }
+
   test("DESCRIBE returns the per-series catalog row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -237,6 +265,32 @@ class BoostQLSpec extends SparkSpec {
         "JOIN dom.events AS c ON a.purchase.user = c.view.user"),
       (_: (String, String)) => fam)
     assert(mixed.columns.length == 3)
+    // the PRESERVED side of an outer join refuses: Spark cannot build
+    // that side of a broadcast hash join and would drop the pin with
+    // only a log warning — the strict contract refuses instead
+    bad("SELECT /*+ BROADCAST(a) */ a.purchase, b.click " +
+      "FROM dom.events AS a LEFT JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user")
+    bad("SELECT /*+ BROADCAST(b) */ a.purchase, b.click " +
+      "FROM dom.events AS a RIGHT JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user")
+    bad("SELECT /*+ BROADCAST(a) */ a.purchase, b.click " +
+      "FROM dom.events AS a FULL JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user")
+    bad("SELECT /*+ BROADCAST(b) */ a.purchase, b.click " +
+      "FROM dom.events AS a FULL JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user")
+    // …the BUILDABLE side still compiles: right of LEFT, left of RIGHT
+    assert(Compiler.compile(Parser.parse(
+      "SELECT /*+ BROADCAST(b) */ a.purchase, b.click " +
+        "FROM dom.events AS a LEFT JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user"),
+      (_: (String, String)) => fam).columns.length == 2)
+    assert(Compiler.compile(Parser.parse(
+      "SELECT /*+ BROADCAST(a) */ a.purchase, b.click " +
+        "FROM dom.events AS a RIGHT JOIN dom.events AS b " +
+        "ON a.purchase.user = b.click.user"),
+      (_: (String, String)) => fam).columns.length == 2)
     // unterminated constructs are parse errors
     intercept[Parser.ParseException](
       Parser.parse("SELECT /*+ BROADCAST(b) a.cpu FROM dom.events AS a"))
