@@ -48,10 +48,11 @@ object Ast {
 
   sealed trait Operand
   final case class OLit(lit: BLit) extends Operand
-  /** `INTERVAL '<n> <unit>'` — a fixed-width duration literal, valid
-    * only as the right operand of `+`/`-` with a timestamp (micro…day
-    * units; calendar months/years are not fixed-width and refuse, same
-    * stance as bucket()). Text validated by the Compiler. */
+  /** `INTERVAL '<n> <unit>'` — a duration literal, valid only as the
+    * right operand of `+`/`-` with a timestamp. Fixed-width units
+    * (micro…day) shift by exact micros; calendar units (month/year)
+    * compile to ANSI year-month interval addition with day-of-month
+    * clamping. Text validated by the Compiler. */
   final case class OInterval(text: String) extends Operand
   final case class ORef(name: RawName) extends Operand
   /** Aggregate call as a HAVING operand, e.g. `HAVING sum(cpu) > 5`. */

@@ -231,10 +231,12 @@ object Compiler {
   )
 
   /** Fixed-width interval text → microseconds (micro…day units; larger
-    * calendar units are not fixed-width and don't parse — the same
-    * stance as `bucket()`). Shared by ASOF WITHIN and INTERVAL
-    * arithmetic; each caller raises its own CompileException so the
-    * message names the construct.
+    * calendar units are not fixed-width — INTERVAL arithmetic routes
+    * them through [[parseIntervalMonths]]'s calendar path instead, and
+    * the width-style consumers (ASOF WITHIN, session(), fixed bucket())
+    * refuse them). Shared by ASOF WITHIN and INTERVAL arithmetic; each
+    * caller raises its own CompileException so the message names the
+    * construct.
     */
   private val intervalShape =
     """\s*(\d+)\s*(microsecond|millisecond|second|minute|hour|day)s?\s*""".r
@@ -259,6 +261,23 @@ object Compiler {
       case _ => None
     }
 
+  /** Calendar interval text → months (`<n> month[s]` / `<n> year[s]`,
+    * years = 12n). Calendar units are NOT fixed-width, so they cannot
+    * fold to a micros shift: INTERVAL arithmetic compiles them to ANSI
+    * year-month interval addition (month shift with day-of-month
+    * clamping — Jan 31 + 1 month = Feb 29/28, the DuckDB/ANSI
+    * contract, still constant-folded by Catalyst on literal bounds).
+    */
+  private val calendarShape = """\s*(\d+)\s*(month|year)s?\s*""".r
+  private[boostql] def parseIntervalMonths(iv: String): Option[Int] =
+    iv.toLowerCase(java.util.Locale.ROOT) match {
+      case calendarShape(n, unit) =>
+        val mult = if (unit == "year") 12L else 1L
+        val total = BigInt(n) * mult
+        if (total <= Int.MaxValue) Some(total.toInt) else None
+      case _ => None
+    }
+
   /** Time-series functions with an implicit window over the source's
     * time axis — the dialect face of the reference's stated north star
     * ("a rich set of time-series functions on a SQL-like language
@@ -280,9 +299,10 @@ object Compiler {
   // bucket()/session() widths parse through the same
   // [[parseIntervalMicros]] grammar as INTERVAL/WITHIN (one duration
   // parser in the dialect — a unit or bound fixed once reaches all
-  // four constructs); micro…day, epoch-aligned — larger calendar units
-  // like week/month are not fixed-width and are rejected rather than
-  // approximated.
+  // four constructs); micro…day, epoch-aligned. bucket() additionally
+  // accepts the calendar units '1 week|month|quarter|year' via
+  // date_trunc; session()/WITHIN stay fixed-width only (a calendar
+  // tolerance has no single duration).
 
   private def fnColumn(fn: String, args: Seq[Ast.Operand], cols: Seq[Column]): Column =
     // round's 2-arg form needs its scale as a constant (Spark's
@@ -845,18 +865,29 @@ object Compiler {
         col(aggXColName(fn, e, ps))
       case OScalarSub(s2) => col(scalarColName(s2))
       case OGroupKey(nm)  => col(nm)
-      // timestamp ± INTERVAL: fixed-width micros shift. On a literal
-      // bound (`ts >= '2024-01-12 …' - INTERVAL '2 days'`) Catalyst
+      // timestamp ± INTERVAL: fixed-width units (micro…day) compile to
+      // a micros shift; calendar units (month/year) to ANSI year-month
+      // interval addition (day-of-month clamping — Jan 31 + 1 month =
+      // Feb 29/28, the DuckDB contract; a fixed-width fold would be
+      // wrong by up to 3 days). Either way, on a literal bound
+      // (`ts >= '2024-01-12 …' - INTERVAL '2 days'`) Catalyst
       // constant-folds the whole right side, so the comparison still
       // pushes into the parquet scan as a plain ts filter.
       case OArith(op, l, r: OInterval) =>
         if (op != "+" && op != "-") throw CompileException(
           s"INTERVAL supports only + and -, not $op")
-        val us = parseIntervalMicros(r.text).getOrElse(throw CompileException(
-          s"malformed INTERVAL '${r.text}' — expected '<n> " +
-            "<microsecond|millisecond|second|minute|hour|day>[s]'"))
-        val base = unix_micros(operandColumn(l, aggOk, winOk).cast("timestamp"))
-        timestamp_micros(if (op == "+") base + lit(us) else base - lit(us))
+        parseIntervalMicros(r.text) match {
+          case Some(us) =>
+            val base = unix_micros(operandColumn(l, aggOk, winOk).cast("timestamp"))
+            timestamp_micros(if (op == "+") base + lit(us) else base - lit(us))
+          case None =>
+            val m = parseIntervalMonths(r.text).getOrElse(throw CompileException(
+              s"malformed INTERVAL '${r.text}' — expected '<n> " +
+                "<microsecond|millisecond|second|minute|hour|day|month|year>[s]'"))
+            val base = operandColumn(l, aggOk, winOk).cast("timestamp")
+            val shift = make_ym_interval(lit(0), lit(if (op == "+") m else -m))
+            base + shift
+        }
       case OArith("+", l: OInterval, r) =>
         operandColumn(OArith("+", r, l), aggOk, winOk)
       case OArith("-", _: OInterval, _) => throw CompileException(
@@ -1003,12 +1034,17 @@ object Compiler {
       c.over(framed)
     }
 
-    /** `bucket(ts, '<n> <unit>')` — epoch-aligned tumbling time bucket,
-      * compiled to pure integer arithmetic on micros (codegen'd, never a
-      * UDF): `timestamp_micros(us - pmod(us, width))`. The first
-      * argument must be the reserved time axis (optionally
-      * alias-qualified), pinning the function to the engine's iteration
-      * axis rather than arbitrary columns.
+    /** `bucket(ts, '<n> <unit>')` — tumbling time bucket over the
+      * reserved time axis. Fixed-width units (micro…day) compile to
+      * epoch-aligned pure integer arithmetic on micros (codegen'd,
+      * never a UDF): `timestamp_micros(us - pmod(us, width))`.
+      * Calendar units compile to `date_trunc` — `'1 week'` (ISO Monday
+      * start), `'1 month'`, `'1 quarter'`, `'1 year'` — the rollup a
+      * real TSDB user reaches for right after daily buckets; calendar
+      * buckets are not fixed-width, so only count 1 is expressible and
+      * larger counts refuse. The first argument must be the time axis
+      * (optionally alias-qualified), pinning the function to the
+      * engine's iteration axis rather than arbitrary columns.
       */
     def bucketColumn(args: Seq[Operand]): Column = {
       if (args.length != 2)
@@ -1018,17 +1054,29 @@ object Compiler {
         case _ => throw CompileException(
           "bucket() first argument must be the time axis ts")
       }
-      val widthUs = args(1) match {
-        case OLit(BStr(w)) => parseIntervalMicros(w).getOrElse(
-          throw CompileException(
-            s"bucket() width '$w' must be '<n> <unit>' with unit " +
-              "microsecond|millisecond|second|minute|hour|day"))
+      val calendarBucket = """\s*(\d+)\s*(week|month|quarter|year)s?\s*""".r
+      args(1) match {
+        case OLit(BStr(w)) =>
+          w.toLowerCase(java.util.Locale.ROOT) match {
+            case calendarBucket(n, unit) =>
+              if (n.toLong != 1L) throw CompileException(
+                s"bucket() calendar width must be exactly '1 $unit' — " +
+                  s"multi-$unit buckets are not fixed-width")
+              date_trunc(unit, col(axis))
+            case _ =>
+              val widthUs = parseIntervalMicros(w).getOrElse(
+                throw CompileException(
+                  s"bucket() width '$w' must be '<n> <unit>' with unit " +
+                    "microsecond|millisecond|second|minute|hour|day, or " +
+                    "'1 week|month|quarter|year'"))
+              if (widthUs <= 0)
+                throw CompileException("bucket() width must be positive")
+              val us = unix_micros(col(axis))
+              timestamp_micros(us - pmod(us, lit(widthUs)))
+          }
         case _ => throw CompileException(
           "bucket() width must be a string literal like '5 minutes'")
       }
-      if (widthUs <= 0) throw CompileException("bucket() width must be positive")
-      val us = unix_micros(col(axis))
-      timestamp_micros(us - pmod(us, lit(widthUs)))
     }
 
     /** rate/delta/locf — consecutive-point functions over the implicit

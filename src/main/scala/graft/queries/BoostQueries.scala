@@ -259,6 +259,20 @@ object BoostQueries {
         "ts - INTERVAL '30 minutes' AS t0 " +
         "FROM dom.events WHERE click > 290.0 ORDER BY click.event_id")),
 
+    // CALENDAR interval arithmetic: month/year shifts are ANSI
+    // year-month addition with day-of-month clamping (Jan 30 + 1 month
+    // = Feb 29 in a leap year — t1 exercises the clamp on the
+    // month-end rows this window keeps), never a fixed-width fold.
+    // Literal-side bounds still constant-fold: the WHERE resolves to
+    // [01-28, 01-31) and pushes into the scan.
+    "boost_interval_month" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, ts + INTERVAL '1 month' AS t1, " +
+        "ts - INTERVAL '1 year' AS t0 " +
+        "FROM dom.events " +
+        "WHERE ts >= '2024-02-28 00:00:00' - INTERVAL '1 month' " +
+        "AND ts < '2023-01-31 00:00:00' + INTERVAL '1 year' " +
+        "ORDER BY click.event_id")),
+
     // series-catalog discovery: one row per series with point count,
     // time extent, and the attribute/tag key inventories — the
     // dialect's metadata face (the reference holds this in namespace/
@@ -448,6 +462,16 @@ object BoostQueries {
       run(s, d, "SELECT CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n, " +
         "sum(CAST(click * 100.0 AS int)) AS cents " +
         "FROM dom.events GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h")),
+
+    // CALENDAR buckets: '1 week'/'1 month' compile to date_trunc (ISO
+    // Monday weeks — the corpus starts Monday 2024-01-01, so five week
+    // rows), the monthly/weekly rollup right after daily buckets; both
+    // keys grouped by alias
+    "boost_ts_bucket_month" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 week') AS int) AS w, " +
+        "CAST(bucket(ts, '1 month') AS int) AS m, count(*) AS n, " +
+        "sum(CAST(click * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY w, m ORDER BY w")),
 
     // delta(x): consecutive-point difference over the implicit series
     // time axis (ts is unique per datapoint — total order, no tie-break)
@@ -722,6 +746,17 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
         |  ts + INTERVAL 1 HOUR AS t1, ts - INTERVAL 30 MINUTE AS t0
         |FROM events WHERE event_type = 'click' AND value > 290.0
+        |ORDER BY click_event_id""".stripMargin,
+
+    // DuckDB's month/year INTERVAL arithmetic clamps day-of-month the
+    // same way ANSI year-month addition does — t1 hash-matches the
+    // Feb-29 clamp on the month-end rows
+    "boost_interval_month" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  ts + INTERVAL 1 MONTH AS t1, ts - INTERVAL 1 YEAR AS t0
+        |FROM events WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-02-28 00:00:00' - INTERVAL 1 MONTH
+        |  AND ts < TIMESTAMP '2023-01-31 00:00:00' + INTERVAL 1 YEAR
         |ORDER BY click_event_id""".stripMargin,
 
     // catalog replay: attribute keys = props JSON keys plus the two
@@ -1175,6 +1210,16 @@ object BoostQueries {
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // both engines' date_trunc('week') is the ISO Monday week start and
+    // date_trunc('month') the month start — the calendar-bucket twin
+    "boost_ts_bucket_month" ->
+      """SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS w,
+        |  CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS m,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY w""".stripMargin,
 
     "boost_ts_delta" ->
       """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click,

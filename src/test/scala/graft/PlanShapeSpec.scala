@@ -48,6 +48,14 @@ class PlanShapeSpec extends SparkSpec {
     val shiftedPlan = planOf(shifted)
     assert(shiftedPlan.contains("GreaterThanOrEqual(ts"),
       s"interval-shifted ts bound must still push into the scan:\n$shiftedPlan")
+    // calendar-unit arithmetic on a literal bound constant-folds too —
+    // ANSI year-month addition over a literal is still foldable
+    val monthShifted = Compiler.compile(Parser.parse(
+      "SELECT click, ts FROM dom.events " +
+        "WHERE ts >= '2024-02-11 00:00:00' - INTERVAL '1 month'"), stored)
+    val monthPlan = planOf(monthShifted)
+    assert(monthPlan.contains("GreaterThanOrEqual(ts"),
+      s"calendar-shifted ts bound must still push into the scan:\n$monthPlan")
   }
 
   test("EXPLAIN through the dialect front door shows the pushed series predicate") {

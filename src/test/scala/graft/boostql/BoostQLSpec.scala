@@ -94,6 +94,43 @@ class BoostQLSpec extends SparkSpec {
     assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
+  test("calendar INTERVAL clamps day-of-month; calendar buckets date_trunc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one month-end point: Jan 31 2024 (leap year)
+    val one = Seq(("cpu", java.sql.Timestamp.valueOf("2024-01-31 10:30:00"), 7.0))
+      .toDF("series", "ts", "value")
+      .select(col("series"), col("ts"), col("value"),
+        map().cast("map<string,string>").as("tags"),
+        map().cast("map<string,string>").as("attributes"))
+    def row(q: String) = Compiler.compile(Parser.parse(q),
+      (_: (String, String)) => one).collect()(0)
+    // the fixed-vs-calendar divergence: + '1 month' clamps to Feb 29,
+    // + '30 days' lands on Mar 1 — a fixed-width fold of the calendar
+    // unit would be wrong by days
+    val r = row("SELECT cpu, ts + INTERVAL '1 month' AS cal, " +
+      "ts + INTERVAL '30 days' AS fix, ts - INTERVAL '1 year' AS yr " +
+      "FROM dom.f")
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-02-29 10:30:00"))
+    assert(r.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-03-01 10:30:00"))
+    assert(r.getTimestamp(3) == java.sql.Timestamp.valueOf("2023-01-31 10:30:00"))
+    // calendar buckets: month start, ISO Monday week start
+    val b = row("SELECT cpu, bucket(ts, '1 month') AS m, " +
+      "bucket(ts, '1 week') AS w, bucket(ts, '1 year') AS y FROM dom.f")
+    assert(b.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(b.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-01-29 00:00:00"))
+    assert(b.getTimestamp(3) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    def bad(q: String): Unit =
+      intercept[Compiler.CompileException](
+        Compiler.compile(Parser.parse(q), (_: (String, String)) => one))
+    // multi-count calendar buckets are not fixed-width → refuse
+    bad("SELECT cpu, bucket(ts, '2 months') AS m FROM dom.f")
+    // calendar units stay refused where only a fixed width makes sense
+    bad("SELECT cpu, session(ts, '1 month') AS s FROM dom.f")
+    bad("SELECT a.cpu, b.cpu FROM dom.f AS a " +
+      "ASOF JOIN dom.f AS b ON a.cpu.h = b.cpu.h WITHIN '1 month'")
+  }
+
   test("QUALIFY filters after windows; refuses under GROUP BY") {
     import org.apache.spark.sql.functions._
     // alias form and inline-window form agree: top-1 purchase per user
