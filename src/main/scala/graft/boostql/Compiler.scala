@@ -1721,8 +1721,49 @@ object Compiler {
           throw CompileException("grouping() takes a single grouping-key field")
         case _ => ()
       }
+      /** approx_percentile(x, p): interpolated percentile of a
+        * k-bounded deterministic uniform row sample
+        * ([[graft.functions.KmvSampleAgg]], k = 256) keyed on the md5
+        * of the source's epoch-micros time axis — the engine's unique
+        * row key — so the estimate is partitioning-invariant and
+        * engine-replayable (rank by md5, keep k, interpolate: a full
+        * DuckDB oracle, unlike engine-native GK/t-digest sketches).
+        * Groups below k hold every row, making the estimate exact.
+        * Needs compile context (the axis), so it lives here rather
+        * than in aggFnColumn. Single-source only: a joined frame can
+        * repeat the sampling axis, which the distinct-hash buffer
+        * would silently dedup.
+        */
+      def approxPercentileColumn(e: Ast.Operand, ps: Seq[Double]): Column = {
+        val p = ps.headOption.getOrElse(throw CompileException(
+          "approx_percentile() requires a fraction argument"))
+        if (multi) throw CompileException(
+          "approx_percentile() is single-source only — joined frames " +
+            "can repeat the sampling time axis")
+        if (!isFam(0) && !subHasTs(0)) throw CompileException(
+          "approx_percentile() samples on the time axis — this derived " +
+            "table does not output a timestamp column named ts")
+        val k = 256
+        val key = graft.operators.SketchOps
+          .portableHash60(unix_micros(col("__ts_0")))
+        val sk = graft.functions.GraftFunctions.kmvSample(
+          key, operandColumn(e, aggOk = false).cast("double"), k)
+        val vals = array_sort(transform(sk, x => x.getField("v")))
+        val n = size(sk)
+        val rank = lit(p) * (n - 1).cast("double")
+        val lo = floor(rank)
+        val loIdx = lo.cast("int") + 1
+        val hiIdx = least(loIdx + 1, n)
+        val est = element_at(vals, loIdx) +
+          (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
+        when(n > 0, round(est, 6))
+      }
       val aggCols = aggSpecs.map {
+        case Left(("approx_percentile", _)) => throw CompileException(
+          "approx_percentile() requires (field, fraction) arguments")
         case Left((f, a)) => aggColumn(f, a)
+        case Right(("approx_percentile", e, ps)) =>
+          approxPercentileColumn(e, ps).as(aggXColName("approx_percentile", e, ps))
         case Right((f, e, ps)) =>
           val c = operandColumn(e, aggOk = false)
           aggFnColumn(f, c, ps).as(aggXColName(f, e, ps))

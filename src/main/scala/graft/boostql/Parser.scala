@@ -85,7 +85,8 @@ object Parser {
     "unbounded", "current", "row")
   private val aggFns = Set("count", "sum", "avg", "min", "max",
     "stddev", "variance", "median", "grouping", "approx_distinct",
-    "approx_distinct_sketch", "approx_distinct_merge", "percentile")
+    "approx_distinct_sketch", "approx_distinct_merge", "percentile",
+    "approx_percentile")
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -759,25 +760,30 @@ object Parser {
             case ORef(n) => OAgg("count_distinct", Some(n))
             case e       => OAggX("count_distinct", e)
           }
-        } else if (id.equalsIgnoreCase("percentile")) {
+        } else if (id.equalsIgnoreCase("percentile") ||
+            id.equalsIgnoreCase("approx_percentile")) {
           // percentile(x, p): exact interpolated percentile
-          // (PERCENTILE_CONT); p must be a numeric literal in [0, 1].
-          // The fraction rides in OAggX.params as its parsed Double, so
-          // the whole OAggX machinery (structural dedup across
-          // SELECT/HAVING/ORDER BY, FILTER desugar) applies unchanged
-          // and textual variants of one fraction are one aggregate.
+          // (PERCENTILE_CONT); approx_percentile(x, p): the same
+          // estimate over a k-bounded deterministic row sample
+          // (KmvSampleAgg — mergeable partial state, the 100 TB tier).
+          // p must be a numeric literal in [0, 1]. The fraction rides
+          // in OAggX.params as its parsed Double, so the whole OAggX
+          // machinery (structural dedup across SELECT/HAVING/ORDER BY,
+          // FILTER desugar) applies unchanged and textual variants of
+          // one fraction are one aggregate.
+          val fn = id.toLowerCase
           val parg = nested(addOperand())
           expectSym(",")
           val p = peek match {
             case TNum(s) if s.toDouble >= 0.0 && s.toDouble <= 1.0 =>
               pos += 1; s.toDouble
             case t => throw ParseException(
-              s"percentile() fraction must be a numeric literal in [0, 1], got $t")
+              s"$fn() fraction must be a numeric literal in [0, 1], got $t")
           }
           expectSym(")")
           filterClause() match {
-            case Some(c) => OAggX("percentile", OCase(Seq((c, parg)), None), Seq(p))
-            case None    => OAggX("percentile", parg, Seq(p))
+            case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
+            case None    => OAggX(fn, parg, Seq(p))
           }
         } else {
           // the argument is a full expression; a bare field ref keeps the

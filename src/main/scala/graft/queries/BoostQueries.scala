@@ -703,6 +703,20 @@ object BoostQueries {
         "count(*) AS n FROM dom.events GROUP BY purchase.user " +
         "ORDER BY purchase.user")),
 
+    // approx_percentile(x, p): the sampled quantile sketch
+    // (KmvSampleAgg, k = 256) on the SQL front — per-day groups hold
+    // ~10x k purchase rows, so every group exercises the k-capped
+    // estimator path (never the exact below-k fallback), next to the
+    // exact percentile for comparison. The sample keys on md5 of the
+    // epoch-micros time axis (ts is unique per series by the datapoint
+    // model), so the DuckDB oracle replays it exactly: rank by md5,
+    // keep 256, interpolate.
+    "boost_approx_percentile" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+        "approx_percentile(CAST(purchase * 100.0 AS int), 0.5) AS ap50, " +
+        "percentile(CAST(purchase * 100.0 AS int), 0.5) AS p50, " +
+        "count(*) AS n FROM dom.events GROUP BY d ORDER BY d")),
+
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
     // Engine-specific text — no DuckDB twin, so the driver records the
@@ -1438,6 +1452,31 @@ object BoostQueries {
         |  quantile_cont(CAST(TRUNC(value * 100.0) AS BIGINT), 0.75) AS p75,
         |  count(*) AS n
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY purchase_user""".stripMargin
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
+
+    // the KmvSampleAgg replay: bottom-256 rows per day by md5 of the
+    // epoch-micros ts, exact interpolated percentile of the sampled
+    // cents — identical arithmetic to the engine
+    "boost_approx_percentile" ->
+      """WITH p AS (SELECT
+        |    CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS eus
+        |  FROM events WHERE event_type = 'purchase'),
+        |ranked AS (SELECT d, cents, row_number() OVER (PARTITION BY d
+        |    ORDER BY ('0x' || substr(md5(CAST(eus AS VARCHAR)), 1, 15))::UBIGINT
+        |      ASC) AS rk
+        |  FROM p),
+        |arr AS (SELECT d, list_sort(list(cents)) AS vals, count(*) AS ns
+        |  FROM ranked WHERE rk <= 256 GROUP BY 1),
+        |ex AS (SELECT d, quantile_cont(cents, 0.5) AS p50, count(*) AS n
+        |  FROM p GROUP BY 1)
+        |SELECT ex.d AS d,
+        |  round(arr.vals[CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 1] +
+        |    (arr.vals[least(CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 2, arr.ns)] -
+        |     arr.vals[CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 1]) *
+        |    (0.5 * (arr.ns - 1) - floor(0.5 * (arr.ns - 1))), 6) AS ap50,
+        |  ex.p50 AS p50, ex.n AS n
+        |FROM ex JOIN arr ON ex.d = arr.d ORDER BY d""".stripMargin
   )
 }

@@ -282,6 +282,28 @@ class PlanShapeSpec extends SparkSpec {
       s"partial sketch pass missing in pure form:\n$pure")
   }
 
+  test("dialect approx_percentile plans partial+final sample aggregates, one exchange") {
+    // the sampled-quantile sketch through the SQL front: map-side pass
+    // must be partial_graft_kmv_sample (k-capped pair buffers — the
+    // shuffle carries 256 pairs per group, never the group's rows),
+    // final pass its merge; one agg exchange + the presentation sort
+    val pure = planOf(BoostQL.onTestdata(spark, sfDir)(
+      "SELECT purchase.user, " +
+        "approx_percentile(CAST(purchase * 100.0 AS int), 0.5) AS ap " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"))
+      .split("== Initial Plan ==")(0)
+    assert(pure.contains("ObjectHashAggregate"), s"no object agg in:\n$pure")
+    assert(pure.contains("partial_graft_kmv_sample"),
+      s"partial (map-side) sample pass missing:\n$pure")
+    assert("graft_kmv_sample".r.findAllIn(pure).size >= 2,
+      s"final sample merge pass missing:\n$pure")
+    assert(!pure.contains("SortAggregate"),
+      s"sample aggregate degraded to SortAggregate:\n$pure")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(pure).length
+    assert(exchanges <= 2,
+      s"approx_percentile should plan agg exchange + sort only ($exchanges):\n$pure")
+  }
+
   test("dialect two-level sketch rollup: partial sketches below, merge above, no explode") {
     // boost_sketch_merge: inner GROUP BY materializes per-day sketches
     // (partial graft_kmv_sketch), outer aggregate unions the sketch

@@ -94,6 +94,56 @@ class BoostQLSpec extends SparkSpec {
     assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
+  test("approx_percentile: exact below k, HAVING reuse, refusals") {
+    // per-user purchase groups sit far below k = 256, so the sample
+    // holds every row and the estimate equals the exact interpolated
+    // percentile (mod the 6-decimal rounding)
+    val rows = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "approx_percentile(CAST(purchase * 100.0 AS int), 0.5) AS ap, " +
+        "percentile(CAST(purchase * 100.0 AS int), 0.5) AS ex " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"),
+      (_: (String, String)) => fam).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - BigDecimal(ex).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"below-k sample must be exact: $ap vs $ex")
+    }
+    // the same call in HAVING dedups structurally to one aggregate;
+    // threshold = the observed median ap so the filter discriminates
+    val aps = rows.map(_.getDouble(1)).sorted
+    val thr = aps(aps.length / 2)
+    val hav = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "approx_percentile(CAST(purchase * 100.0 AS int), 0.5) AS ap " +
+        "FROM dom.events GROUP BY purchase.user " +
+        s"HAVING approx_percentile(CAST(purchase * 100.0 AS int), 0.5) > $thr " +
+        "ORDER BY purchase.user"),
+      (_: (String, String)) => fam).collect()
+    val expected = rows.filter(_.getDouble(1) > thr).map(_.getString(0)).toSeq
+    assert(hav.map(_.getString(0)).toSeq == expected && expected.nonEmpty)
+    def bad(q: String): Unit =
+      intercept[Compiler.CompileException](
+        Compiler.compile(Parser.parse(q), (_: (String, String)) => fam))
+    // multi-source frames can repeat the sampling axis — refuse
+    bad("SELECT a.purchase.user, approx_percentile(a.purchase, 0.5) AS p " +
+      "FROM dom.events AS a JOIN dom.events AS b " +
+      "ON a.purchase.user = b.click.user GROUP BY a.purchase.user")
+    // a derived table without a propagated ts has no sampling axis
+    bad("SELECT t.u, approx_percentile(t.v, 0.5) AS p " +
+      "FROM (SELECT purchase.user AS u, purchase AS v FROM dom.events) AS t " +
+      "GROUP BY t.u")
+    // …but one that propagates ts samples on it
+    val derived = Compiler.compile(Parser.parse(
+      "SELECT t.u, approx_percentile(t.v, 0.5) AS p " +
+        "FROM (SELECT purchase.user AS u, purchase AS v, ts " +
+        "FROM dom.events) AS t GROUP BY t.u ORDER BY t.u"),
+      (_: (String, String)) => fam).collect()
+    assert(derived.nonEmpty)
+  }
+
   test("calendar INTERVAL clamps day-of-month; calendar buckets date_trunc") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
