@@ -90,7 +90,6 @@ object BoostQL {
     */
   def sqlStream(query: String,
       families: ((String, String)) => DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical
     val spec = Parser.parseStmt(query) match {
       case q: graft.boostql.Ast.QuerySpec => q
       case _ => throw Compiler.CompileException(
@@ -99,8 +98,9 @@ object BoostQL {
     def refuse(cond: Boolean, what: String): Unit =
       if (cond) throw Compiler.CompileException(
         s"streaming queries support stateless projection + WHERE only; " +
-          s"$what is not supported (use the watermarked StreamingOps " +
-          "tier for stateful streams)")
+          s"$what is not supported (use sqlStream(query, families, " +
+          "watermark) for the bucket()-keyed aggregate form, or the " +
+          "watermarked StreamingOps tier for other stateful streams)")
     refuse(spec.joins.nonEmpty, "JOIN")
     refuse(spec.groupBy.nonEmpty || spec.having.nonEmpty, "GROUP BY/HAVING")
     refuse(spec.orderBy.nonEmpty, "ORDER BY")
@@ -108,23 +108,223 @@ object BoostQL {
     refuse(spec.distinct, "DISTINCT")
     refuse(spec.qualify.isDefined, "QUALIFY")
     val df = Compiler.compile(spec, families)
-    // the ANALYZED plan: window expressions only become logical.Window
-    // nodes at analysis (pre-analysis they hide inside a Project).
-    // WHITELIST sweep — only Project/Filter over leaf relations (plus
-    // the aliasing wrappers analysis leaves in place) are stateless; a
-    // blacklist would miss shapes reachable through derived tables
-    // (inner DISTINCT → Deduplicate, inner LIMIT → GlobalLimit, inner
-    // set ops → Except/Intersect, …), which would then fail at stream
-    // start or silently grow unbounded state
+    statelessSweep(df, refuse)
+    df
+  }
+
+  /** WHITELIST sweep over the ANALYZED plan (window expressions only
+    * become logical.Window nodes at analysis — pre-analysis they hide
+    * inside a Project): only Project/Filter over leaf relations (plus
+    * the aliasing wrappers analysis leaves in place) are stateless; a
+    * blacklist would miss shapes reachable through derived tables
+    * (inner DISTINCT → Deduplicate, inner LIMIT → GlobalLimit, inner
+    * set ops → Except/Intersect, …), which would then fail at stream
+    * start or silently grow unbounded state.
+    */
+  private def statelessSweep(df: DataFrame,
+      refuse: (Boolean, String) => Unit): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical
     df.queryExecution.analyzed.foreach {
       case _: logical.Project | _: logical.Filter |
            _: logical.SubqueryAlias | _: logical.LeafNode => ()
       case j: logical.Join =>
-        refuse(cond = true,
-          s"multi-series alignment (a stream-stream ${j.nodeName})")
-      case other => refuse(cond = true, s"the ${other.nodeName} operator")
+        refuse(true, s"multi-series alignment (a stream-stream ${j.nodeName})")
+      case other => refuse(true, s"the ${other.nodeName} operator")
     }
-    df
+  }
+
+  /** The STATEFUL streaming subset: a watermarked, bucket()-keyed
+    * continuous aggregate — `SELECT bucket(ts, '5 minutes') AS b[,
+    * key…], agg(x) AS a… FROM dom.family [WHERE …] GROUP BY b[, key…]`
+    * — the reference's north star (time-series functions on the SQL
+    * front, README.md:8) reaching live data. Everything else stateful
+    * keeps refusing with a pointer at the right tier.
+    *
+    * Compilation is two-layer, so the event-time machinery is REAL:
+    * the projection/filter half compiles through the ordinary dialect
+    * compiler (same pushed-filter scan as batch, stateless-swept), and
+    * the aggregation is assembled as `withWatermark(ts, delay) →
+    * groupBy(window(ts, width), keys…) → agg` — the engine-recognized
+    * tumbling event-time window (identical epoch alignment to
+    * `bucket()`), NOT a groupBy over opaque timestamp arithmetic. That
+    * distinction is what makes the watermark actually bound state: the
+    * state store evicts windows older than the watermark, and append
+    * output mode works (emit-on-finalize); opaque arithmetic keys
+    * would aggregate but never evict.
+    *
+    * Accepted shape — single family source; exactly one
+    * `bucket(ts, '<fixed width>')` group key (optionally wrapped
+    * `CAST(… AS int)` for epoch seconds), selected under an alias;
+    * further plain-field group keys allowed (bounded dimension keys);
+    * every aggregate aliased and one of count/sum/avg/min/max (the
+    * partial-mergeable streaming-safe set — count(DISTINCT)/median/
+    * percentile/sketches refuse). Calendar bucket widths refuse (the
+    * engine's tumbling window needs a fixed width). HAVING/ORDER BY/
+    * LIMIT/DISTINCT/QUALIFY refuse: on an unbounded stream they are
+    * sink-side concerns.
+    */
+  def sqlStream(query: String, families: ((String, String)) => DataFrame,
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.boostql.Ast._
+    val spec = Parser.parseStmt(query) match {
+      case q: QuerySpec => q
+      case _ => throw Compiler.CompileException(
+        "streaming queries do not support set operations")
+    }
+    def refuse(cond: Boolean, what: String): Unit =
+      if (cond) throw Compiler.CompileException(
+        "watermarked streaming aggregation supports a bucket(ts, …) " +
+          s"group key + count/sum/avg/min/max only; $what is not " +
+          "supported (use the watermarked StreamingOps tier)")
+    refuse(spec.joins.nonEmpty, "JOIN")
+    refuse(spec.having.nonEmpty, "HAVING (filter emitted rows downstream)")
+    refuse(spec.orderBy.nonEmpty, "ORDER BY (sort at the sink)")
+    refuse(spec.limit.isDefined, "LIMIT")
+    refuse(spec.distinct, "DISTINCT")
+    refuse(spec.qualify.isDefined, "QUALIFY")
+    refuse(spec.groupMode != "plain", "ROLLUP/CUBE/GROUPING SETS")
+    refuse(spec.hints.nonEmpty, "an optimizer hint")
+    if (spec.groupBy.isEmpty) throw Compiler.CompileException(
+      "no GROUP BY — use sqlStream(query, families) for the stateless tier")
+    val srcAlias = spec.source.alias
+    val aliasOf: Map[String, Operand] =
+      spec.select.collect { case ExprItem(e, nm) => nm -> e }.toMap
+    // bucket(ts, 'w') or CAST(bucket(ts, 'w') AS int) — the event-time key
+    def bucketShape(e: Operand): Option[(String, Boolean)] = e match {
+      case OFn("bucket", Seq(ORef(n), OLit(BStr(w))))
+        if n.parts.last.equalsIgnoreCase("ts") => Some((w, false))
+      case OCast(inner, ty) => bucketShape(inner).map { case (w, _) =>
+        if (ty != "int") throw Compiler.CompileException(
+          s"streaming bucket key CAST must target int (epoch seconds), not $ty")
+        (w, true)
+      }
+      case _ => None
+    }
+    // classify group entries: ONE bucket key (by select alias) + plain
+    // dimension fields
+    var bucket: Option[(String, String, Boolean)] = None // (alias, width, cast)
+    val dims = Seq.newBuilder[(RawName, String)]          // (field, outName)
+    spec.groupBy.foreach { n =>
+      n.parts match {
+        case Seq(one) if aliasOf.contains(one) =>
+          (bucketShape(aliasOf(one)), aliasOf(one)) match {
+            case (Some((w, c)), _) =>
+              if (bucket.isDefined) throw Compiler.CompileException(
+                "watermarked streaming aggregation takes exactly one " +
+                  "bucket(ts, …) group key")
+              bucket = Some((one, w, c))
+            case (None, ORef(f)) => dims += ((f, one))
+            case _ => throw Compiler.CompileException(
+              s"streaming GROUP BY alias '$one' must name a " +
+                "bucket(ts, …) item or a plain field")
+          }
+        case _ =>
+          if (n.parts.last.equalsIgnoreCase("ts"))
+            throw Compiler.CompileException(
+              "GROUP BY ts groups every point alone — use bucket(ts, …)")
+          dims += ((n, Compiler.resolve(n, srcAlias).colName))
+      }
+    }
+    val (bAlias, bWidth, bCast) = bucket.getOrElse(
+      throw Compiler.CompileException(
+        "watermarked streaming aggregation needs a bucket(ts, '<width>') " +
+          "group key selected under an alias"))
+    val widthUs = Compiler.parseIntervalMicros(bWidth).getOrElse(
+      throw Compiler.CompileException(
+        s"streaming bucket width '$bWidth' must be fixed-width " +
+          "(microsecond…day) — the engine's tumbling window cannot " +
+          "evict calendar-width state"))
+    if (widthUs <= 0)
+      throw Compiler.CompileException("bucket() width must be positive")
+    // classify select items; build the stateless sub-select (agg args +
+    // dimension fields + the time axis) and the final agg/projection
+    val dimNames = dims.result()
+    val subItems = scala.collection.mutable.LinkedHashMap.empty[String, SelectItem]
+    dimNames.foreach { case (f, out) =>
+      subItems.getOrElseUpdate(out,
+        if (out == Compiler.resolve(f, srcAlias).colName) FieldItem(f)
+        else ExprItem(ORef(f), out))
+    }
+    val streamingAggs = Set("count", "sum", "avg", "min", "max")
+    var helperIdx = 0
+    sealed trait Out
+    case class BucketOut(nm: String) extends Out
+    case class DimOut(nm: String) extends Out
+    case class AggOut(fn: String, argCol: Option[String], nm: String) extends Out
+    def aggOut(fn: String, arg: Option[Operand], nm: String): AggOut = {
+      if (!streamingAggs.contains(fn)) throw Compiler.CompileException(
+        s"$fn() is not streaming-safe — supported streaming aggregates: " +
+          "count, sum, avg, min, max")
+      arg match {
+        case None => AggOut(fn, None, nm)
+        case Some(ORef(f)) =>
+          val cn = Compiler.resolve(f, srcAlias).colName
+          subItems.getOrElseUpdate(cn, FieldItem(f))
+          AggOut(fn, Some(cn), nm)
+        case Some(e) =>
+          val hn = s"__sa$helperIdx"; helperIdx += 1
+          subItems.getOrElseUpdate(hn, ExprItem(e, hn))
+          AggOut(fn, Some(hn), nm)
+      }
+    }
+    val outs: Seq[Out] = spec.select.map {
+      case ExprItem(e, nm) if nm == bAlias && bucketShape(e).isDefined =>
+        BucketOut(nm)
+      case ExprItem(ORef(_), nm) if dimNames.exists(_._2 == nm) => DimOut(nm)
+      case FieldItem(n)
+        if dimNames.exists(_._2 == Compiler.resolve(n, srcAlias).colName) =>
+        DimOut(Compiler.resolve(n, srcAlias).colName)
+      case ExprItem(OAgg(fn, arg), nm)  => aggOut(fn, arg.map(ORef), nm)
+      case ExprItem(OAggX(fn, e, ps), nm) =>
+        if (ps.nonEmpty) throw Compiler.CompileException(
+          s"$fn() is not streaming-safe — supported streaming " +
+            "aggregates: count, sum, avg, min, max")
+        aggOut(fn, Some(e), nm)
+      case _: AggItem => throw Compiler.CompileException(
+        "streaming aggregates must be aliased (agg(x) AS name)")
+      case other => throw Compiler.CompileException(
+        "streaming select items must be the bucket key, a grouping " +
+          "field, or an aliased aggregate")
+    }
+    val aggs = outs.collect { case a: AggOut => a }
+    if (aggs.isEmpty) throw Compiler.CompileException(
+      "watermarked streaming aggregation needs at least one aggregate")
+    // layer 1: the stateless projection/filter through the ordinary
+    // compiler — same pushed-filter scan as batch, swept to stay
+    // stateless (a derived-table DISTINCT etc. refuses here)
+    val subSpec = QuerySpec(
+      select = subItems.values.toSeq :+ FieldItem(RawName(Seq("ts"))),
+      source = spec.source, joins = Seq.empty, where = spec.where,
+      groupBy = Seq.empty, having = None, orderBy = Seq.empty, limit = None)
+    val flat = Compiler.compile(subSpec, families)
+    def refuseFlat(cond: Boolean, what: String): Unit =
+      refuse(cond, s"$what inside the streamed source")
+    statelessSweep(flat, refuseFlat)
+    // layer 2: the engine-recognized event-time aggregation
+    val win = window(col("ts"), s"$widthUs microseconds")
+    val keyCols = win +: dimNames.map(d => col(d._2))
+    val aggCols = aggs.map { a =>
+      val c = a.argCol.map(col)
+      (a.fn match {
+        case "count" => c.map(count).getOrElse(count(lit(1)))
+        case "sum"   => sum(c.get)
+        case "avg"   => avg(c.get)
+        case "min"   => min(c.get)
+        case "max"   => max(c.get)
+      }).as(a.nm)
+    }
+    val agged = flat.withWatermark("ts", watermarkDelay)
+      .groupBy(keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val outCols = outs.map {
+      case BucketOut(nm) =>
+        if (bCast) col("window.start").cast("long").as(nm)
+        else col("window.start").as(nm)
+      case DimOut(nm)       => col(nm)
+      case AggOut(_, _, nm) => col(nm)
+    }
+    agged.select(outCols: _*)
   }
 
   /** Time-scoped execution — the dialect face of the reference's

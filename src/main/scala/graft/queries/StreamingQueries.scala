@@ -28,7 +28,11 @@ object StreamingQueries {
     // grammar against an openStream tail (stateless subset), appended
     // through AvailableNow — must equal the batch run of the same query
     "stream_sql_filter" -> ((s, d) =>
-      StreamingOps.streamSqlFilterReplay(s, d))
+      StreamingOps.streamSqlFilterReplay(s, d)),
+    // the STATEFUL dialect subset: watermarked bucket()-keyed GROUP BY
+    // compiled to a true event-time window aggregation over the tail
+    "stream_sql_window" -> ((s, d) =>
+      StreamingOps.streamSqlWindowReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,6 +61,17 @@ object StreamingQueries {
         |  CAST(user_id AS VARCHAR) AS purchase_user, value AS purchase
         |FROM events WHERE event_type = 'purchase' AND value > 250.0
         |ORDER BY purchase_event_id""".stripMargin,
+
+    // the streamed dialect aggregate must equal the same query run
+    // batch: daily event-time windows (epoch-aligned like bucket()),
+    // exact integer-cents sums
+    "stream_sql_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |  CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM events WHERE event_type = 'purchase' AND value > 50.0
+        |GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
 
     // batch twin of session_window: gaps-and-islands with the same 6h
     // gap; session end is last-event + gap, matching Spark's contract

@@ -193,6 +193,39 @@ object StreamingOps {
     spark.table(sink).orderBy("purchase_event_id")
   }
 
+  /** The SQL front driving a STATEFUL stream: the watermarked
+    * bucket()-keyed continuous aggregate through
+    * [[graft.boostql.BoostQL.sqlStream(query:String,families:((String,String))=>org\.apache\.spark\.sql\.DataFrame,watermarkDelay:String)*
+    * the 3-arg sqlStream]] — ingest the events into a family store,
+    * tail it, and run `GROUP BY bucket(ts, '1 day'), user` over the
+    * stream. The dialect compiles the projection/filter half exactly
+    * as batch and assembles the aggregation as a watermarked
+    * event-time window, so the replay's complete-mode materialization
+    * must equal the same dialect query run batch (the oracle's SQL) —
+    * the reference's north star (ts functions on the SQL front,
+    * README.md:8) reaching live data with REAL state semantics.
+    */
+  def streamSqlWindowReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlwstream").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, purchase.user AS u, " +
+        "count(*) AS n, sum(CAST(purchase * 100.0 AS int)) AS cents, " +
+        "min(purchase) AS lo, max(purchase) AS hi " +
+        "FROM dom.events WHERE purchase > 50.0 GROUP BY d, u",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlwin_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d", "u")
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -95,6 +95,80 @@ class StreamingSpec extends SparkSpec {
     refuses("SELECT x FROM (SELECT click AS x FROM dom.events LIMIT 5) AS t")
   }
 
+  test("watermarked sqlStream: bucket-keyed aggregate equals batch; refusal matrix") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlwin-spec").toString
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    def stream = graft.sources.TimeSeriesTable.openStream(spark, root, "dom", "events")
+    val q = "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+      "count(*) AS n, sum(CAST(click * 100.0 AS int)) AS cents " +
+      "FROM dom.events WHERE click > 50.0 GROUP BY d"
+    // complete-mode replay equals the BATCH dialect run of the same
+    // query text: streamed window().start must land exactly on batch
+    // bucket()'s epoch alignment
+    val out = graft.boostql.BoostQL.sqlStream(q, _ => stream, "1 day")
+    assert(out.isStreaming)
+    val sink = "graft_sqlwin_spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val streamed = spark.table(sink).orderBy("d").collect().toSeq
+    val batch = graft.boostql.BoostQL.sql(q,
+        _ => graft.sources.TimeSeriesTable.open(spark, root, "dom", "events"))
+      .orderBy("d").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // APPEND mode must START: the group key is an engine-recognized
+    // event-time window over the watermarked axis (emit-on-finalize +
+    // state eviction), not opaque timestamp arithmetic — an
+    // unrecognized key would throw at start. Finalized windows are a
+    // subset of the batch rows (the watermark withholds the tail).
+    val sink2 = "graft_sqlwin_app_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq2 = graft.boostql.BoostQL.sqlStream(q, _ => stream, "1 day")
+      .writeStream.format("memory").queryName(sink2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    sq2.awaitTermination()
+    val appended = spark.table(sink2).collect().toSeq
+    assert(appended.toSet.subsetOf(batch.toSet),
+      "append-mode windows must agree with batch where finalized")
+    // refusal matrix: every clause and every non-streaming-safe shape
+    // refuses at COMPILE time with the 3-arg overload too
+    def refuses(sql: String): Unit =
+      intercept[graft.boostql.Compiler.CompileException](
+        graft.boostql.BoostQL.sqlStream(sql, _ => stream, "1 day"))
+    val G = " FROM dom.events GROUP BY d"
+    val B = "SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n"
+    refuses(B + G + " HAVING count(*) > 1")                      // HAVING
+    refuses(B + G + " ORDER BY d")                                // ORDER BY
+    refuses(B + G + " LIMIT 5")                                   // LIMIT
+    refuses("SELECT DISTINCT CAST(bucket(ts, '1 day') AS int) AS d, " +
+      "count(*) AS n" + G)                                        // DISTINCT
+    refuses(B + ", rank() OVER (ORDER BY n) AS rk" + G)           // window fn
+    refuses(B + " FROM dom.events GROUP BY ROLLUP (d)")           // rollup
+    refuses("SELECT a.d, count(*) AS n FROM dom.events AS a " +
+      "JOIN dom.events AS b ON a.click.user = b.view.user " +
+      "GROUP BY a.d")                                             // JOIN
+    refuses(B + G + " UNION ALL " + B + G)                        // set op
+    refuses("SELECT click FROM dom.events")                       // no GROUP BY
+    refuses("SELECT click.user AS u, count(*) AS n " +
+      "FROM dom.events GROUP BY u")                               // no bucket key
+    refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+      "CAST(bucket(ts, '1 hour') AS int) AS h, count(*) AS n " +
+      "FROM dom.events GROUP BY d, h")                            // two buckets
+    refuses("SELECT bucket(ts, '1 month') AS d, count(*) AS n" + G) // calendar width
+    refuses("SELECT ts, count(*) AS n FROM dom.events GROUP BY ts") // raw ts key
+    refuses(B + ", count(DISTINCT click.user) AS cd" + G)         // distinct agg
+    refuses(B + ", median(click) AS md" + G)                      // sort-based agg
+    refuses(B + ", percentile(click, 0.5) AS p" + G)              // percentile
+    refuses(B + ", approx_percentile(click, 0.5) AS p" + G)       // sketch agg
+    refuses(B + ", approx_distinct(click.user) AS ad" + G)        // sketch agg
+    refuses(B + ", count(click)" + G)                             // unaliased agg
+    refuses(B + ", upper(click.user) AS uu" + G)                  // bare scalar item
+    refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
+      "FROM (SELECT DISTINCT click AS x, ts FROM dom.events) AS t " +
+      "GROUP BY d")                          // stateful derived table (sweep)
+  }
+
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
     // end-to-end topology: streamIntoFamily write half -> openStream
     // read half -> watermarked daily agg. Result must equal the plain
