@@ -60,6 +60,71 @@ object BoostQL {
       .orderBy("series")
   }
 
+  /** `INSERT INTO domain.family <select>` — the write half of the
+    * north star ("ingest/query via Spark"): the dialect's SQL ingest
+    * face, compiling to [[TimeSeriesTable.append]] (date-partitioned
+    * parquet, rows sorted by (series, ts) within partitions — the
+    * 100 TB layout). The reference is read-only at its SQL layer
+    * (boostsession.go:94-184 writes through the API only), so this is
+    * extension surface.
+    *
+    * Shape contract — the select's OUTPUT maps onto the family's
+    * long-format rows by UNPIVOT: it must carry the time axis as a
+    * timestamp column named `ts`, and every other column becomes one
+    * series (named by the column, so alias the items) with the
+    * column's numeric value as the datapoint value. NULL cells are the
+    * absence of a datapoint and are not written. Columns that collide
+    * with the family layout (`series`, `value`, `tags`, `attributes`,
+    * `dt`), non-numeric columns, duplicate names, and a ts-less select
+    * all refuse at compile time.
+    */
+  private val insertRe =
+    """(?is)^\s*insert\s+into\s+(\w+)\s*\.\s*(\w+)\s+((?:select|with)\b.*)$""".r
+
+  def sqlInsert(stmt: String, families: ((String, String)) => DataFrame,
+      root: String): Unit = stmt match {
+    case insertRe(dom, fam, rest) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val df = Compiler.compile(Parser.parseStmt(rest), families)
+      val cols = df.columns.toSeq
+      if (cols.count(_ == "ts") != 1 ||
+          df.schema("ts").dataType != TimestampType)
+        throw Compiler.CompileException(
+          "INSERT needs the select to propagate the time axis as a " +
+            "timestamp column named ts")
+      val valueCols = cols.filterNot(_ == "ts")
+      if (valueCols.isEmpty) throw Compiler.CompileException(
+        "INSERT needs at least one value column besides ts (each " +
+          "becomes a series named by the column)")
+      valueCols.groupBy(identity).collect { case (c, dup) if dup.length > 1 =>
+        throw Compiler.CompileException(
+          s"INSERT value columns must have distinct names ('$c' repeats " +
+            "— alias the select items)")
+      }
+      val reserved = Set("series", "value", "tags", "attributes", "dt")
+      valueCols.find(reserved).foreach(c => throw Compiler.CompileException(
+        s"INSERT value column '$c' collides with the family layout — " +
+          "alias it to the intended series name"))
+      valueCols.find(c => !df.schema(c).dataType.isInstanceOf[NumericType])
+        .foreach(c => throw Compiler.CompileException(
+          s"INSERT value column '$c' is " +
+            s"${df.schema(c).dataType.simpleString} — series values are " +
+            "numeric"))
+      val emptyMap = map().cast(MapType(StringType, StringType))
+      val long = df
+        .select(col("ts") +:
+          valueCols.map(c => col(c).cast("double").as(c)): _*)
+        .unpivot(Array(col("ts")), valueCols.map(col).toArray,
+          "series", "value")
+        .filter(col("value").isNotNull)
+        .select(col("series"), col("ts"), col("value"),
+          emptyMap.as("tags"), emptyMap.as("attributes"))
+      TimeSeriesTable.append(long, root, dom, fam)
+    case _ => throw Compiler.CompileException(
+      "INSERT must be 'INSERT INTO domain.family SELECT …'")
+  }
+
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
     query match {
       case describeRe(dom, f) => describe(families((dom, f)))

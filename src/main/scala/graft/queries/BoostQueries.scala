@@ -573,6 +573,26 @@ object BoostQueries {
         .orderBy("view_event_id")
     }),
 
+    // SQL ingest, oracle-checked end to end: INSERT INTO writes a
+    // derived two-series family (each select column a series, UNPIVOT
+    // to the long layout, date-partitioned append), then the dialect
+    // queries the REREAD copy with exact-ts multi-series alignment —
+    // p and p2 came from the same source rows, so the align join
+    // reconstructs them pairwise. Matching the direct-events oracle
+    // proves SQL write → reopen → query lossless.
+    "boost_insert_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_insert").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sqlInsert(
+        "INSERT INTO dom.derived SELECT ts, purchase AS p, " +
+          "purchase * 2.0 AS p2 FROM dom.events",
+        _ => fam, root)
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT p, p2, ts FROM dom.derived WHERE p > 250.0",
+          _ => reread)
+        .orderBy("ts")
+    }),
+
     // WITH common table expressions (substitution into derived tables;
     // each use optimizes independently — here the cnt > 2 filter pushes
     // into only the b copy, shrinking the broadcast side)
@@ -1153,6 +1173,11 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS view_event_id, value AS view
         |FROM events WHERE event_type = 'view' AND value >= 200.0
         |ORDER BY view_event_id""".stripMargin,
+
+    "boost_insert_roundtrip" ->
+      """SELECT value AS p, value * 2.0 AS p2, ts
+        |FROM events WHERE event_type = 'purchase' AND value > 250.0
+        |ORDER BY ts""".stripMargin,
 
     "boost_with" ->
       """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt

@@ -94,6 +94,37 @@ class BoostQLSpec extends SparkSpec {
     assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
+  test("INSERT INTO: SQL ingest round-trips; shape mismatches refuse") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-insert-spec").toString
+    // ingest a filtered single-series family, reopen, query back
+    BoostQL.sqlInsert(
+      "INSERT INTO dom.hot SELECT ts, click AS hot FROM dom.events " +
+        "WHERE click > 200.0",
+      _ => fam, root)
+    val reread = TimeSeriesTable.open(spark, root, "dom", "hot")
+    val got = BoostQL.sql("SELECT hot, ts FROM dom.hot", _ => reread)
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val expected = fam.filter(col("series") === "click" && col("value") > 200.0)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // the written layout is the real family layout: date-partitioned
+    assert(reread.columns.contains("dt"))
+    def bad(stmt: String): Unit =
+      intercept[Compiler.CompileException](BoostQL.sqlInsert(stmt, _ => fam, root))
+    // no ts column → no time axis to write
+    bad("INSERT INTO dom.x SELECT click AS c FROM dom.events")
+    // non-numeric value column
+    bad("INSERT INTO dom.x SELECT ts, click.user AS u FROM dom.events")
+    // reserved layout names
+    bad("INSERT INTO dom.x SELECT ts, click AS value FROM dom.events")
+    bad("INSERT INTO dom.x SELECT ts, click AS series FROM dom.events")
+    // duplicate series names
+    bad("INSERT INTO dom.x SELECT ts, click AS c, view AS c FROM dom.events")
+    // not an INSERT shape at all
+    bad("INSERT dom.x SELECT ts, click AS c FROM dom.events")
+  }
+
   test("approx_percentile: exact below k, HAVING reuse, refusals") {
     // per-user purchase groups sit far below k = 256, so the sample
     // holds every row and the estimate equals the exact interpolated
