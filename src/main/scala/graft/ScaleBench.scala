@@ -108,6 +108,34 @@ object ScaleBench {
     }
   }
 
+  /** Events-only replica generator with a HOT-SERIES knob: the last
+    * `hotReps` replicas map every row to series 'click', so at
+    * reps = 30 / hotReps = 12 the hot series holds ~½ of all points —
+    * the realistic 100 TB failure mode for the per-series window tier
+    * (those windows serialize per key; uniform replication never
+    * exercises it). hotReps = 0 degenerates to the uniform corpus.
+    * Same determinism rules as [[generateRelational]] (id offsets,
+    * 35-day ts shifts — note the hot replicas inherit the base ts
+    * shifted per replica, so ts stays unique WITHIN each replica's
+    * contribution but the hot series' total point count, not its
+    * density, is what grows).
+    */
+  def generateEventsSkew(spark: SparkSession, baseDir: String, outDir: String,
+      reps: Int, hotReps: Int): Unit = {
+    val ev = graft.tables.Tables.events(spark, baseDir)
+    (0 until reps).map { k =>
+      val hot = k >= reps - hotReps
+      ev.select(
+        (col("event_id") + lit(k * IdOffset)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) +
+          lit(k * 35L * 86400L * 1000000L)).as("ts"),
+        (col("user_id") + lit(k * IdOffset)).as("user_id"),
+        (if (hot) lit("click") else col("event_type")).as("event_type"),
+        col("value"), col("props"))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tierName = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "curation")

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Hot-series skew artifact: the per-series window tier (`boost_ts_*`,
+  * `boost_asof_*`, `ts_*` — rate/delta/ewma/locf/interp/zscore/session
+  * and the as-of union-window) partitions its windows by series key, so
+  * those windows SERIALIZE per key: one series holding half the corpus
+  * is the realistic 100 TB failure mode that uniform replica scaling
+  * (BENCH_scale_boost30.json) never exercises.
+  *
+  * Method: three timed phases with the shared median-of-N harness —
+  * base sf (1x), a UNIFORM 30x events corpus, and a SKEWED 30x corpus
+  * of identical volume where the last 12 of 30 replicas map every row
+  * to series 'click' (hot share ~52%). `skew_vs_uniform` is the
+  * number to judge: same bytes, same queries, only the key
+  * distribution differs — a query >2x there is hot-key-bound, and its
+  * mitigation is the two-phase bucket-then-stitch decomposition
+  * (compute windows per (series, time-bucket) partition, then stitch
+  * bucket boundaries — documented at the operator tier).
+  */
+object SkewBench {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outJson = args.headOption.getOrElse("BENCH_scale_skew.json")
+    val uniDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_skew_uni30")
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "/tmp/graft_skew_hot30")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "30").toInt
+    val hotReps = sys.env.getOrElse("SPARK_GRAFT_HOT_REPS", (reps * 2 / 5).toString).toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Seq((uniDir, 0), (skewDir, hotReps)).foreach { case (d, hr) =>
+      if (!Files.exists(Paths.get(s"$d/events.parquet")) ||
+          sys.env.contains("SPARK_GRAFT_REGEN")) {
+        System.err.println(s"[skew] generating ${reps}x corpus (hotReps=$hr) under $d")
+        ScaleBench.generateEventsSkew(spark, baseDir, d, reps, hr)
+      }
+    }
+    val skewEv = spark.read.parquet(s"$skewDir/events.parquet")
+    val total = skewEv.count()
+    val hotN = skewEv.filter(col("event_type") === "click").count()
+    val hotShare = hotN.toDouble / total
+    System.err.println(f"[skew] hot series 'click': $hotN/$total = $hotShare%.3f")
+
+    // the per-series window tier only (all read events exclusively)
+    val tier = SparkEntry.queries.filter { case (n, _) =>
+      n.startsWith("boost_ts_") || n.startsWith("boost_asof") ||
+        n.startsWith("ts_")
+    }
+    // warm + empty-input guard on all three corpora
+    Seq(baseDir, uniDir, skewDir).foreach { d =>
+      spark.read.parquet(s"$d/events.parquet").count()
+    }
+    val (probeName, probeFn) = tier.toSeq.minBy(_._1)
+    Seq(baseDir, uniDir, skewDir).foreach { d =>
+      val n = probeFn(spark, d).count()
+      require(n > 0, s"$probeName returned 0 rows on $d — empty source?")
+    }
+
+    def phase(name: String, d: String) = {
+      // cold-cache symmetry between phases (see ScaleBench)
+      graft.boostql.BoostQL.evictTestdataCache(Some(spark))
+      spark.catalog.clearCache()
+      System.gc()
+      System.err.println(s"[skew] benching ${tier.size} queries: $name")
+      Bench.run(spark, d, tier, iters)
+    }
+    val (baseT, baseF) = phase("base 1x", baseDir)
+    val (uniT, uniF) = phase(s"uniform ${reps}x", uniDir)
+    val (skewT, skewF) = phase(s"skewed ${reps}x", skewDir)
+
+    val baseM = baseT.toMap
+    val uniM = uniT.toMap
+    def ratios(num: Seq[(String, Double)], den: Map[String, Double]) =
+      num.flatMap { case (n, t) =>
+        den.get(n).map(b => n -> (if (b > 0) t / b else Double.NaN)) }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    def jfail(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
+        .mkString("{", ",", "}")
+    val svu = ratios(skewT, uniM)
+    val json =
+      s"""{"tier":"skew","base_sf":"$baseDir","scale_factor":$reps,""" +
+      s""""hot_series":"click","hot_reps":$hotReps,""" +
+      f""""hot_share":$hotShare%.3f,"iters":$iters,""" +
+      f""""total_base_sec":${baseT.map(_._2).sum}%.3f,""" +
+      f""""total_uniform_sec":${uniT.map(_._2).sum}%.3f,""" +
+      f""""total_skew_sec":${skewT.map(_._2).sum}%.3f,""" +
+      s""""base":${jmap(baseT)},"uniform":${jmap(uniT)},"skew":${jmap(skewT)},""" +
+      s""""uniform_vs_base":${jmap(ratios(uniT, baseM))},""" +
+      s""""skew_vs_base":${jmap(ratios(skewT, baseM))},""" +
+      s""""skew_vs_uniform":${jmap(svu)},""" +
+      s""""failed":${jfail((baseF ++ uniF ++ skewF).distinct)}}"""
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(json)
+    spark.stop()
+    if (baseF.nonEmpty || uniF.nonEmpty || skewF.nonEmpty) sys.exit(2)
+  }
+}
