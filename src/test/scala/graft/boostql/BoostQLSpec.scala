@@ -78,8 +78,9 @@ class BoostQLSpec extends SparkSpec {
       "WHERE ts >= INTERVAL '1 day' - '2024-01-10 00:00:00'")
     bad("SELECT click FROM dom.events " +
       "WHERE ts >= '2024-01-10 00:00:00' * INTERVAL '1 day'")
+    // calendar units now take the year-month path; garbage still refuses
     bad("SELECT click FROM dom.events " +
-      "WHERE ts >= '2024-01-10 00:00:00' - INTERVAL '1 month'")
+      "WHERE ts >= '2024-01-10 00:00:00' - INTERVAL '1 fortnight'")
     // a series named `interval` still parses (contextual keyword)
     assert(Parser.parse("SELECT interval FROM dom.events")
       .select.nonEmpty)
