@@ -185,6 +185,13 @@ object BoostQL {
     * (inner DISTINCT → Deduplicate, inner LIMIT → GlobalLimit, inner
     * set ops → Except/Intersect, …), which would then fail at stream
     * start or silently grow unbounded state.
+    *
+    * Deliberate asymmetry: set-operation COMPOUNDS refuse up front at
+    * the parse match (a UNION body re-scans the source per branch —
+    * never stateless), while a WITH CTE whose substitution yields a
+    * pure projection/filter shape passes this sweep: the CTE is just
+    * naming, and the analyzed plan it produces is the same stateless
+    * Project/Filter chain a plain SELECT would compile to.
     */
   private def statelessSweep(df: DataFrame,
       refuse: (Boolean, String) => Unit): Unit = {
