@@ -1758,12 +1758,45 @@ object Compiler {
           (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
         when(n > 0, round(est, 6))
       }
+      /** first(x) / last(x): the value at the earliest / latest point of
+        * the group on the family's time axis — the TSDB first/last
+        * aggregate (InfluxQL FIRST/LAST, TimescaleDB first/last), with
+        * the axis IMPLIED by the source the way bucket()/rate() imply
+        * it. Compiles to one lexicographic struct extreme —
+        * `min/max(struct(ts, x)).x` over rows where x is non-null — a
+        * single codegen'd hash-aggregate expression with constant
+        * per-group state (no sort, no window): partial extremes combine
+        * map-side, so the shape holds at any group size. The (ts, x)
+        * composite makes equal-timestamp ties deterministic (smallest /
+        * largest value wins), which is what lets a DuckDB
+        * `first(x ORDER BY ts, x)` ordered aggregate replay it exactly.
+        * Needs compile context (the axis), so it lives here like
+        * approx_percentile; single-source only — a joined frame has no
+        * unambiguous time axis.
+        */
+      def timeOrderedColumn(fn: String, v: Column): Column = {
+        if (multi) throw CompileException(
+          s"$fn() is single-source only — joined frames have no " +
+            "unambiguous time axis")
+        if (!isFam(0) && !subHasTs(0)) throw CompileException(
+          s"$fn() takes the value at the group's time-axis extreme — " +
+            "this derived table does not output a timestamp column named ts")
+        val key = when(v.isNotNull, struct(col("__ts_0").as("t"), v.as("v")))
+        (if (fn == "first") min(key) else max(key)).getField("v")
+      }
       val aggCols = aggSpecs.map {
         case Left(("approx_percentile", _)) => throw CompileException(
           "approx_percentile() requires (field, fraction) arguments")
+        case Left((f @ ("first" | "last"), a)) =>
+          val sf = a.getOrElse(throw CompileException(
+            s"$f(*) is not valid — $f() needs an argument"))
+          timeOrderedColumn(f, col(sf.inName)).as(aggColName(f, a))
         case Left((f, a)) => aggColumn(f, a)
         case Right(("approx_percentile", e, ps)) =>
           approxPercentileColumn(e, ps).as(aggXColName("approx_percentile", e, ps))
+        case Right((f @ ("first" | "last"), e, ps)) =>
+          timeOrderedColumn(f, operandColumn(e, aggOk = false))
+            .as(aggXColName(f, e, ps))
         case Right((f, e, ps)) =>
           val c = operandColumn(e, aggOk = false)
           aggFnColumn(f, c, ps).as(aggXColName(f, e, ps))

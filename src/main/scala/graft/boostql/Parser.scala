@@ -33,6 +33,7 @@ import Ast._
   * unary    := '-' unary | primary
   * primary  := literal | NULL
   *           | agg '(' ('*' | DISTINCT? name) ')' (over | filterc)?
+  *           | (CORR|COVAR_POP|COVAR_SAMP) '(' add ',' add ')' filterc?
   *           | CAST '(' add AS ident ')'
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
@@ -86,7 +87,59 @@ object Parser {
   private val aggFns = Set("count", "sum", "avg", "min", "max",
     "stddev", "variance", "median", "grouping", "approx_distinct",
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
-    "approx_percentile")
+    "approx_percentile", "first", "last", "corr", "covar_pop",
+    "covar_samp")
+
+  /** Two-argument statistics aggregates — desugared at parse time (see
+    * [[corrDesugar]]) rather than carried as AST nodes. */
+  private val corrFns = Set("corr", "covar_pop", "covar_samp")
+
+  /** Desugar corr/covar_pop/covar_samp(x, y) into arithmetic over plain
+    * sums, every sum guarded by the shared pair predicate (both args
+    * non-null, AND the FILTER condition when present) and cast to
+    * double BEFORE the arithmetic:
+    *
+    *   n   = Σ 1,  sx = Σ x,  sy = Σ y
+    *   sxx = Σ x², syy = Σ y², sxy = Σ x·y      (pair rows only)
+    *   covar_pop  = (sxy − sx·sy/n) / n
+    *   covar_samp = (sxy − sx·sy/n) / (n − 1)
+    *   corr       = ((n·sxy − sx·sy) / sqrt(n·sxx − sx·sx))
+    *                                 / sqrt(n·syy − sy·sy)
+    *
+    * Identical sub-sums dedup structurally into one computed aggregate
+    * each (OAggX identity). Degenerate groups fall out of the IEEE
+    * arithmetic with no special-casing, identically in any engine that
+    * nulls x/0: covar_samp of a single pair divides by zero → NULL;
+    * corr of a zero-variance side hits sqrt(0) → /0 → NULL.
+    */
+  private def corrDesugar(fn: String, x: Operand, y: Operand,
+      filter: Option[BExpr]): Operand = {
+    val bothNotNull: BExpr =
+      AndE(IsNullE(x, negated = true), IsNullE(y, negated = true))
+    val pairOk = filter.fold(bothNotNull)(c => AndE(bothNotNull, c))
+    def s(e: Operand): Operand =
+      OCast(OAggX("sum", OCase(Seq((pairOk, e)), None)), "float")
+    val n   = s(OLit(BInt(1)))
+    val sx  = s(x);                  val sy  = s(y)
+    val sxx = s(OArith("*", x, x));  val syy = s(OArith("*", y, y))
+    val sxy = s(OArith("*", x, y))
+    fn match {
+      case "covar_pop" =>
+        OArith("/",
+          OArith("-", sxy, OArith("/", OArith("*", sx, sy), n)), n)
+      case "covar_samp" =>
+        OArith("/",
+          OArith("-", sxy, OArith("/", OArith("*", sx, sy), n)),
+          OArith("-", n, OLit(BInt(1))))
+      case "corr" =>
+        val num = OArith("-", OArith("*", n, sxy), OArith("*", sx, sy))
+        val dx = OFn("sqrt",
+          Seq(OArith("-", OArith("*", n, sxx), OArith("*", sx, sx))))
+        val dy = OFn("sqrt",
+          Seq(OArith("-", OArith("*", n, syy), OArith("*", sy, sy))))
+        OArith("/", OArith("/", num, dx), dy)
+    }
+  }
 
   private def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -760,6 +813,25 @@ object Parser {
             case ORef(n) => OAgg("count_distinct", Some(n))
             case e       => OAggX("count_distinct", e)
           }
+        } else if (corrFns.contains(id.toLowerCase)) {
+          // corr(x, y) / covar_pop(x, y) / covar_samp(x, y): parsed as
+          // two-argument calls, then DESUGARED here into arithmetic over
+          // plain sum() aggregates (the stddev/zscore exact-sums trick:
+          // over integral inputs every sum is exact and order-
+          // independent, so the remaining double tail is a fixed IEEE
+          // sequence — cross-engine stable where the builtin streaming
+          // co-moment updates are not). Desugaring at parse time means
+          // the whole existing machinery — structural aggregate dedup,
+          // HAVING/ORDER BY references, grouped compilation — applies
+          // with zero compiler plumbing. ANSI pair semantics: rows where
+          // EITHER argument is null drop from every sum (the CASE
+          // guard); FILTER (WHERE c) conjoins into the same guard.
+          val fn = id.toLowerCase
+          val x = nested(addOperand())
+          expectSym(",")
+          val y = nested(addOperand())
+          expectSym(")")
+          corrDesugar(fn, x, y, filterClause())
         } else if (id.equalsIgnoreCase("percentile") ||
             id.equalsIgnoreCase("approx_percentile")) {
           // percentile(x, p): exact interpolated percentile

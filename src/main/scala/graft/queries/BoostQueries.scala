@@ -513,6 +513,28 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 1 ORDER BY purchase.user")),
 
+    // first/last on the implied time axis (the TSDB first/last
+    // aggregate): value at the group's earliest / latest point, compiled
+    // to one struct-extreme hash aggregate — min/max(struct(ts, x)).x —
+    // constant per-group state, no sort. The (ts, value) composite
+    // makes equal-ts ties deterministic, so DuckDB's ordered aggregate
+    // first(x ORDER BY ts, x) replays it exactly.
+    "boost_first_last" -> ((s, d) =>
+      run(s, d, "SELECT click.user, first(click) AS f, last(click) AS l, " +
+        "last(click.event_id) AS lid, count(*) AS n " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user")),
+
+    // two-argument statistics aggregates, desugared at parse time into
+    // arithmetic over exact integer sums (the stddev trick extended to
+    // co-moments): corr/covar over (integer-cents value, event ordinal)
+    "boost_corr" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "corr(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS r, " +
+        "covar_pop(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS cp, " +
+        "covar_samp(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS cs " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 2 ORDER BY purchase.user")),
+
     // exact median over integer cents: odd groups pick an element,
     // even groups take the midpoint — exact halves of integers, so both
     // engines produce identical doubles
@@ -1310,6 +1332,49 @@ object BoostQueries {
         |  COUNT(*) AS n
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY purchase_user""".stripMargin,
+
+    // ordered aggregates replay the struct-extreme: first/last of x by
+    // (ts, x), nulls filtered for the value column, count unaffected
+    "boost_first_last" ->
+      """SELECT CAST(user_id AS VARCHAR) AS click_user,
+        |  first(value ORDER BY ts, value) FILTER (value IS NOT NULL) AS f,
+        |  last(value ORDER BY ts, value) FILTER (value IS NOT NULL) AS l,
+        |  last(CAST(event_id AS VARCHAR)
+        |       ORDER BY ts, CAST(event_id AS VARCHAR)) AS lid,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY click_user""".stripMargin,
+
+    // the identical desugared co-moment formula over exact BIGINT pair
+    // sums, double-cast before the fixed IEEE tail; division by zero
+    // nulls in both engines, so degenerate groups need no guard
+    "boost_corr" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x,
+        |    CAST(event_id AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT u,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN 1 END) AS DOUBLE) AS n,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x END) AS DOUBLE) AS sx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y END) AS DOUBLE) AS sy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * x END) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y * y END) AS DOUBLE) AS syy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * y END) AS DOUBLE) AS sxy
+        |  FROM t GROUP BY u HAVING COUNT(x) > 2)
+        |SELECT u AS purchase_user,
+        |  ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+        |    / sqrt(n * syy - sy * sy) AS r,
+        |  (sxy - sx * sy / n) / n AS cp,
+        |  (sxy - sx * sy / n) / (n - 1.0) AS cs
+        |FROM g ORDER BY purchase_user""".stripMargin,
 
     // exact BIGINT S/Q/n per group, then the identical IEEE tail:
     // (Q - S*S/n) / (n - 1), sqrt for stddev

@@ -2398,6 +2398,114 @@ class BoostQLSpec extends SparkSpec {
       "SELECT percentile(DISTINCT purchase, 0.5) FROM dom.events"))
   }
 
+  test("first/last: time-axis extremes, tie-break by value, null skip") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // handcrafted family: a ts tie (5.0 vs 3.0) and a null at the
+    // latest point — first must take the tie's SMALLER value, last must
+    // skip the null back to 7.0, count(*) still sees every row
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 00:00:00"), Some(5.0)),
+      ("cpu", Timestamp.valueOf("2024-01-01 00:00:00"), Some(3.0)),
+      ("cpu", Timestamp.valueOf("2024-01-02 00:00:00"), Some(7.0)),
+      ("cpu", Timestamp.valueOf("2024-01-03 00:00:00"), Option.empty[Double]))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "value")
+      .withColumn("attributes", map(lit("host"), lit("h1")))
+    val r = Compiler.compile(Parser.parse(
+      "SELECT first(cpu) AS f, last(cpu) AS l, count(*) AS n FROM dom.f"),
+      tiny).collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 7.0 && r.getLong(2) == 4L)
+    // grouped over testdata: first/last agree with an independent
+    // window formulation (row_number over (ts, value))
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.user, first(click) AS f, last(click) AS l " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user"), fam)
+    val base = fam.filter(col("series") === "click" && col("value").isNotNull)
+      .select(element_at(col("attributes"), "user").as("u"),
+        col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ts"), col("value"))
+    val exp = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rx", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(col("ts").desc, col("value").desc)))
+      .groupBy("u").agg(
+        max(when(col("rn") === 1, col("value"))).as("f"),
+        max(when(col("rx") === 1, col("value"))).as("l"))
+      .orderBy("u")
+    assert(df.collect().map(_.toSeq).toSeq == exp.collect().map(_.toSeq).toSeq)
+    // HAVING references the same aggregate; works ungrouped too
+    assert(Compiler.compile(Parser.parse(
+      "SELECT click.user, first(click) AS f FROM dom.events " +
+        "GROUP BY click.user HAVING last(click) > 0.0"), fam).columns
+      .sameElements(Array("click_user", "f")))
+    // refusals: star, joined frames, derived tables without a ts axis,
+    // window position
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT first(*) FROM dom.events"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT first(a.click) FROM dom.events AS a " +
+        "JOIN dom.events AS b ON a.click.user = b.view.user"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT first(t.x) FROM (SELECT purchase.user AS x " +
+        "FROM dom.events) AS t"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT first(click) OVER (PARTITION BY click.user) FROM dom.events"),
+      fam))
+  }
+
+  test("corr/covar: parse-time desugar to exact-sum arithmetic") {
+    import org.apache.spark.sql.functions._
+    // desugar: no corr aggregate survives the parse — the select item
+    // is arithmetic over sum() CASE aggregates
+    val ast = Parser.parse("SELECT corr(cpu, mem) AS r FROM dom.f")
+    def aggNames(o: Operand): Seq[String] = o match {
+      case OAggX(f, e, _) => f +: aggNames(e)
+      case OArith(_, l, xr) => aggNames(l) ++ aggNames(xr)
+      case OCast(x, _) => aggNames(x)
+      case OFn(_, as) => as.flatMap(aggNames)
+      case OCase(bs, el) => bs.flatMap(b => aggNames(b._2)) ++
+        el.toSeq.flatMap(aggNames)
+      case _ => Seq.empty
+    }
+    val names = ast.select.collect { case ExprItem(e, _) => aggNames(e) }.flatten
+    assert(names.nonEmpty && names.forall(_ == "sum"), names)
+    // perfectly linear relation → corr 1 (IEEE tail tolerance);
+    // covar_pop(x, x) = population variance
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "corr(CAST(purchase * 100.0 AS int), " +
+        "     CAST(purchase * 100.0 AS int) * 2 + 1) AS r, " +
+        "covar_pop(CAST(purchase * 100.0 AS int), " +
+        "          CAST(purchase * 100.0 AS int)) AS cp, " +
+        "variance(CAST(purchase * 100.0 AS int)) AS v, " +
+        "count(purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user"), fam)
+    df.collect().foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-9, row.toSeq)
+      val n = row.getLong(4).toDouble
+      assert(math.abs(row.getDouble(2) - row.getDouble(3) * (n - 1) / n) <
+        1e-6 * math.abs(row.getDouble(2)).max(1.0), row.toSeq)
+    }
+    // covar_samp of a single pair divides by zero → null, no special
+    // casing; FILTER conjoins into the pair guard
+    val one = Compiler.compile(Parser.parse(
+      "SELECT covar_samp(click, click) AS cs FROM dom.events " +
+        "WHERE click.event_id = '3'"), fam).collect()(0)
+    assert(one.isNullAt(0))
+    val filt = Compiler.compile(Parser.parse(
+      "SELECT corr(click, click * 2.0) FILTER (WHERE click > 100.0) AS r " +
+        "FROM dom.events"), fam).collect()(0)
+    assert(math.abs(filt.getDouble(0) - 1.0) < 1e-9)
+    // arity is fixed at two
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT corr(cpu) FROM dom.f"))
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT covar_pop(cpu, mem, disk) FROM dom.f"))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
