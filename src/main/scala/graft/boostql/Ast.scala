@@ -291,7 +291,26 @@ object Ast {
         * combination stays refused, so QUALIFY is non-aggregate-query
         * territory here.
         */
-      qualify: Option[BExpr] = None) extends QueryStmt
+      qualify: Option[BExpr] = None,
+      /** `GROUP BY bucket(ts, w)[, keys…] FILL(mode)` — dense-bucket
+        * gap filling (the InfluxQL/TimescaleDB resample idiom): after
+        * the aggregation, every missing bucket between each dimension
+        * group's first and last observed bucket materializes, and the
+        * aggregate columns fill per [[FillSpec.mode]]. Requires exactly
+        * one fixed-width `bucket()` grouping key; refused with HAVING
+        * (filtering after densifying would re-open the gaps) and with
+        * ROLLUP/CUBE/GROUPING SETS (super-aggregate rows have no dense
+        * axis).
+        */
+      fill: Option[FillSpec] = None) extends QueryStmt
+
+  /** Gap-fill mode for [[QuerySpec.fill]]: "null" (materialize the
+    * missing buckets, leave aggregates null), "value" (constant in
+    * `value`), "previous" (last observed carried forward — LOCF), or
+    * "linear" (interpolate between the bracketing observed buckets;
+    * leading/trailing gaps stay null — no extrapolation).
+    */
+  final case class FillSpec(mode: String, value: Option[Double] = None)
 
   /** One optimizer hint: `name(args…)` inside `SELECT /*+ … */`. */
   final case class Hint(name: String, args: Seq[String])

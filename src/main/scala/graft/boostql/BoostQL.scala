@@ -168,6 +168,7 @@ object BoostQL {
           "watermarked StreamingOps tier for other stateful streams)")
     refuse(spec.joins.nonEmpty, "JOIN")
     refuse(spec.groupBy.nonEmpty || spec.having.nonEmpty, "GROUP BY/HAVING")
+    refuse(spec.fill.isDefined, "FILL")
     refuse(spec.orderBy.nonEmpty, "ORDER BY")
     refuse(spec.limit.isDefined, "LIMIT")
     refuse(spec.distinct, "DISTINCT")
@@ -251,6 +252,9 @@ object BoostQL {
           "supported (use the watermarked StreamingOps tier)")
     refuse(spec.joins.nonEmpty, "JOIN")
     refuse(spec.having.nonEmpty, "HAVING (filter emitted rows downstream)")
+    refuse(spec.fill.isDefined,
+      "FILL (densify at the sink — an unbounded stream has no final " +
+        "bucket extent to densify against)")
     refuse(spec.orderBy.nonEmpty, "ORDER BY (sort at the sink)")
     refuse(spec.limit.isDefined, "LIMIT")
     refuse(spec.distinct, "DISTINCT")

@@ -1826,10 +1826,100 @@ object Compiler {
       }
       val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))
+      /** `FILL(mode)`: densify the bucket axis AFTER the aggregation —
+        * the InfluxQL `GROUP BY time(...) fill(...)` / TimescaleDB
+        * time_bucket_gapfill idiom. Per dimension group (the non-bucket
+        * keys), every bucket between the group's first and last
+        * OBSERVED bucket materializes (epoch-aligned integer sequence —
+        * the exact complement of the bucket() floor), missing
+        * aggregates then fill per mode: null / constant / previous
+        * (LOCF) / linear (interpolation on the bucket axis, no
+        * extrapolation past the observed ends).
+        *
+        * Scale shape: everything here runs on the AGGREGATED frame
+        * (|groups| × |observed buckets| rows, orders of magnitude below
+        * the scan), adding one min/max pass reusing the dimension-key
+        * partitioning, a left join on (keys, bucket), and — for
+        * previous/linear — per-dimension-key window passes whose
+        * partitions are each one group's bucket count. The dense output
+        * is the user's explicit ask; a '1 second' fill over a year is
+        * 31M rows per group by CONTRACT, not by accident.
+        */
+      def fillStep(in: DataFrame): DataFrame = spec.fill match {
+        case None => in
+        case Some(Ast.FillSpec(mode, fv)) =>
+          if (spec.groupMode != "plain") throw CompileException(
+            "FILL is not valid with ROLLUP/CUBE/GROUPING SETS — " +
+              "super-aggregate rows have no dense bucket axis")
+          if (spec.having.isDefined) throw CompileException(
+            "FILL with HAVING is not supported — filtering after " +
+              "densifying would re-open the gaps the fill just closed")
+          val bucketEntries = groupEntries.zipWithIndex.collect {
+            case (Right(ExprItem(OFn("bucket", bargs), nm)), i) => (nm, bargs, i)
+          }
+          if (bucketEntries.length != 1) throw CompileException(
+            "FILL needs exactly one bucket(ts, '<width>') grouping key, " +
+              "selected bare under an alias (no CAST wrapper) and " +
+              "grouped by that alias — it is the axis being densified")
+          val (dName, bargs, dIdx) = bucketEntries.head
+          val widthUs = bargs(1) match {
+            case OLit(BStr(w)) => parseIntervalMicros(w).getOrElse(
+              throw CompileException(
+                s"FILL requires a fixed-width bucket — '$w' has no " +
+                  "constant step to densify"))
+            case _ => throw CompileException(
+              "bucket() width must be a string literal like '5 minutes'")
+          }
+          val partKeys = groupEntries.zipWithIndex.collect {
+            case (Left(sf), _)                           => sf.inName
+            case (Right(ExprItem(_, nm)), i) if i != dIdx => nm
+          }
+          val keyCols = partKeys :+ dName
+          val valCols = in.columns.filterNot(keyCols.contains).toSeq
+          import org.apache.spark.sql.expressions.{Window => W}
+          val spine = in.groupBy(partKeys.map(col): _*)
+            .agg(min(col(dName)).as("__lo"), max(col(dName)).as("__hi"))
+            .select(partKeys.map(col) :+ explode(sequence(
+              unix_micros(col("__lo")), unix_micros(col("__hi")),
+              lit(widthUs))).as("__us"): _*)
+            .select(partKeys.map(col) :+
+              timestamp_micros(col("__us")).as(dName): _*)
+          val joined = spine.join(in, keyCols, "left")
+          def perCol(f: Column => Column): DataFrame =
+            valCols.foldLeft(joined)((df, c) => df.withColumn(c, f(col(c))))
+          mode match {
+            case "null"  => joined
+            case "value" => perCol(c => coalesce(c, lit(fv.get)))
+            case "previous" =>
+              val w = W.partitionBy(partKeys.map(col): _*)
+                .orderBy(col(dName))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+              perCol(c => last(c, ignoreNulls = true).over(w))
+            case "linear" =>
+              // the interp() formula on the bucket axis: four bounded-
+              // frame lookups + one fixed IEEE expression per row
+              val tsUs = unix_micros(col(dName)).cast("double")
+              val w0 = W.partitionBy(partKeys.map(col): _*)
+                .orderBy(col(dName))
+              val runF = w0.rowsBetween(W.unboundedPreceding, W.currentRow)
+              val futF = w0.rowsBetween(W.currentRow, W.unboundedFollowing)
+              perCol { c =>
+                val pv = last(c.cast("double"), ignoreNulls = true).over(runF)
+                val pt = last(when(c.isNotNull, tsUs), ignoreNulls = true)
+                  .over(runF)
+                val nv = first(c.cast("double"), ignoreNulls = true).over(futF)
+                val nt = first(when(c.isNotNull, tsUs), ignoreNulls = true)
+                  .over(futF)
+                when(c.isNotNull, c.cast("double"))
+                  .otherwise(pv + (nv - pv) * (tsUs - pt) / (nt - pt))
+              }
+          }
+      }
       // SELECT-item scalar subs attach AFTER the aggregation (one
       // broadcast row onto the grouped output; pre-agg they'd be
-      // swallowed by the groupBy)
-      attachScalarSubs(havd, postScalarSubs)
+      // swallowed by the groupBy) — and after the fill, so filled rows
+      // carry the subquery value too
+      attachScalarSubs(fillStep(havd), postScalarSubs)
     } else {
       // --- QUALIFY: filter AFTER windows compute ----------------------
       // Spark's analyzer rejects window expressions inside Filter, so
@@ -1861,6 +1951,10 @@ object Compiler {
     if (hasAgg && spec.qualify.isDefined)
       throw CompileException(
         "QUALIFY requires a window-function query; aggregates filter with HAVING")
+    if (!hasAgg && spec.fill.isDefined)
+      throw CompileException(
+        "FILL requires a GROUP BY bucket(…) aggregate query — there is " +
+          "no bucket axis to densify here")
 
     // --- ORDER BY / DISTINCT / LIMIT / final projection ------------------
     def itemColName(i: SelectItem): String = i match {

@@ -9,7 +9,8 @@ import Ast._
   * the dialect is tiny):
   *
   * {{{
-  * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)? (GROUP BY grp)?
+  * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)?
+  *             (GROUP BY grp (FILL '(' (NULL|PREVIOUS|LINEAR|num) ')')?)?
   *             (HAVING or)? (QUALIFY or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
   * hints    := hintOpen (ident '(' idents? ')' ','?)+ hintClose
   *             -- hintOpen/hintClose are the slash-star-plus / star-slash
@@ -422,6 +423,33 @@ object Parser {
             (g, mode, Seq.empty[Seq[RawName]])
           }
         } else (Seq.empty[RawName], "plain", Seq.empty[Seq[RawName]])
+      // FILL is contextual (like FILTER/ROLLUP): only the exact shape
+      // `FILL (` directly after a GROUP BY key list is the gap-fill
+      // clause, so a series named `fill` is unaffected
+      val fillSpec =
+        if (grp.nonEmpty && peekIsKw("fill") &&
+            (pos + 1) < toks.length && toks(pos + 1) == TSym("(")) {
+          pos += 2
+          val f = peek match {
+            case TIdent(id) if id.equalsIgnoreCase("null") =>
+              pos += 1; FillSpec("null")
+            case TIdent(id) if id.equalsIgnoreCase("previous") =>
+              pos += 1; FillSpec("previous")
+            case TIdent(id) if id.equalsIgnoreCase("linear") =>
+              pos += 1; FillSpec("linear")
+            case TNum(s) => pos += 1; FillSpec("value", Some(s.toDouble))
+            case TSym("-") => toks(pos + 1) match {
+              case TNum(s) => pos += 2; FillSpec("value", Some(-s.toDouble))
+              case t => throw ParseException(
+                s"FILL(-…) expects a numeric literal, got $t")
+            }
+            case t => throw ParseException(
+              s"FILL mode must be null, previous, linear or a numeric " +
+                s"literal, got $t")
+          }
+          expectSym(")")
+          Some(f)
+        } else None
       val having = if (kw("having")) Some(orExpr()) else None
       // QUALIFY is reserved (like HAVING — it must not parse as a source
       // alias); a series named `qualify` needs backticks
@@ -433,7 +461,7 @@ object Parser {
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode, gsets, hints, qual)
+        gmode, gsets, hints, qual, fillSpec)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]

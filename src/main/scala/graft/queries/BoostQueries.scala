@@ -463,6 +463,36 @@ object BoostQueries {
         "sum(CAST(click * 100.0 AS int)) AS cents " +
         "FROM dom.events GROUP BY CAST(bucket(ts, '1 hour') AS int) ORDER BY h")),
 
+    // FILL: dense-bucket gap filling after a bucketed aggregation (the
+    // InfluxQL fill() / TimescaleDB gapfill idiom). previous = LOCF per
+    // dimension group between its first and last observed bucket; the
+    // derived-table wrapper casts the dense axis to epoch seconds for
+    // the cross-engine compare
+    "boost_ts_fill_prev" -> ((s, d) =>
+      run(s, d, "SELECT CAST(t.d AS int) AS ds, t.u AS u, t.n AS n, t.mx AS mx " +
+        "FROM (SELECT purchase.user AS u, bucket(ts, '1 day') AS d, " +
+        "count(*) AS n, max(CAST(purchase * 100.0 AS int)) AS mx " +
+        "FROM dom.events GROUP BY u, d FILL(previous)) AS t " +
+        "ORDER BY u, ds")),
+
+    // linear = interpolate between the bracketing observed buckets on
+    // the epoch-micros axis (every filled column goes double); no
+    // extrapolation past the ends
+    "boost_ts_fill_linear" -> ((s, d) =>
+      run(s, d, "SELECT CAST(t.d AS int) AS ds, t.n AS n, t.cents AS cents " +
+        "FROM (SELECT bucket(ts, '1 day') AS d, count(*) AS n, " +
+        "sum(CAST(signup * 100.0 AS int)) AS cents " +
+        "FROM dom.events WHERE signup.user = '7' " +
+        "GROUP BY d FILL(linear)) AS t ORDER BY ds")),
+
+    // constant fill: missing buckets take the literal (count 0 — the
+    // "no events that hour" report shape)
+    "boost_ts_fill_zero" -> ((s, d) =>
+      run(s, d, "SELECT CAST(t.d AS int) AS ds, t.n AS n " +
+        "FROM (SELECT bucket(ts, '6 hours') AS d, count(*) AS n " +
+        "FROM dom.events WHERE error.user = '2' " +
+        "GROUP BY d FILL(0)) AS t ORDER BY ds")),
+
     // CALENDAR buckets: '1 week'/'1 month' compile to date_trunc (ISO
     // Monday weeks — the corpus starts Monday 2024-01-01, so five week
     // rows), the monthly/weekly rollup right after daily buckets; both
@@ -1271,6 +1301,93 @@ object BoostQueries {
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // dense spine per user via generate_series over epoch-seconds
+    // buckets, LEFT JOIN back, LOCF via IGNORE NULLS running frames
+    "boost_ts_fill_prev" ->
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS ds,
+        |    COUNT(*) AS n,
+        |    MAX(CAST(TRUNC(value * 100.0) AS BIGINT)) AS mx
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT u, MIN(ds) AS lo, MAX(ds) AS hi FROM a GROUP BY u
+        |), spine AS (
+        |  SELECT u, UNNEST(generate_series(lo, hi, 86400)) AS ds FROM g)
+        |SELECT spine.ds AS ds, spine.u AS u,
+        |  last_value(a.n IGNORE NULLS) OVER w AS n,
+        |  last_value(a.mx IGNORE NULLS) OVER w AS mx
+        |FROM spine LEFT JOIN a USING (u, ds)
+        |WINDOW w AS (PARTITION BY spine.u ORDER BY spine.ds
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY u, ds""".stripMargin,
+
+    // spine in MICROS so the interpolation ratio runs over the same
+    // doubles as the engine (units must match bit-for-bit, not just
+    // cancel); observed rows double-cast, gaps take
+    // pv + (nv - pv) * (t - pt) / (nt - pt)
+    "boost_ts_fill_linear" ->
+      """WITH a AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT)
+        |      * 1000000 AS dus,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'signup'
+        |    AND CAST(user_id AS VARCHAR) = '7'
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT MIN(dus) AS lo, MAX(dus) AS hi FROM a
+        |), spine AS (
+        |  SELECT UNNEST(generate_series(lo, hi, 86400000000)) AS dus FROM g
+        |), j AS (
+        |  SELECT spine.dus, CAST(spine.dus AS DOUBLE) AS tu, a.n, a.cents
+        |  FROM spine LEFT JOIN a USING (dus))
+        |SELECT CAST(dus // 1000000 AS BIGINT) AS ds,
+        |  CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+        |       ELSE last_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER run
+        |          + (first_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER fut
+        |             - last_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER run)
+        |          * (tu - last_value(CASE WHEN n IS NOT NULL THEN tu END
+        |                             IGNORE NULLS) OVER run)
+        |          / (first_value(CASE WHEN n IS NOT NULL THEN tu END
+        |                         IGNORE NULLS) OVER fut
+        |             - last_value(CASE WHEN n IS NOT NULL THEN tu END
+        |                          IGNORE NULLS) OVER run) END AS n,
+        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |       ELSE last_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER run
+        |          + (first_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER fut
+        |             - last_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER run)
+        |          * (tu - last_value(CASE WHEN cents IS NOT NULL THEN tu END
+        |                             IGNORE NULLS) OVER run)
+        |          / (first_value(CASE WHEN cents IS NOT NULL THEN tu END
+        |                         IGNORE NULLS) OVER fut
+        |             - last_value(CASE WHEN cents IS NOT NULL THEN tu END
+        |                          IGNORE NULLS) OVER run) END AS cents
+        |FROM j
+        |WINDOW run AS (ORDER BY dus
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fut AS (ORDER BY dus
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |ORDER BY ds""".stripMargin,
+
+    // constant fill: COALESCE over the dense spine (count → 0.0, the
+    // BIGINT column goes DOUBLE under the double literal both engines)
+    "boost_ts_fill_zero" ->
+      """WITH a AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ds,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_type = 'error'
+        |    AND CAST(user_id AS VARCHAR) = '2'
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT MIN(ds) AS lo, MAX(ds) AS hi FROM a
+        |), spine AS (
+        |  SELECT UNNEST(generate_series(lo, hi, 21600)) AS ds FROM g)
+        |SELECT spine.ds AS ds, COALESCE(CAST(a.n AS DOUBLE), 0.0) AS n
+        |FROM spine LEFT JOIN a USING (ds)
+        |ORDER BY ds""".stripMargin,
 
     // both engines' date_trunc('week') is the ISO Monday week start and
     // date_trunc('month') the month start — the calendar-bucket twin

@@ -2506,6 +2506,82 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT covar_pop(cpu, mem, disk) FROM dom.f"))
   }
 
+  test("FILL: dense bucket axis, modes, refusal matrix") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // three observed daily buckets with a two-day gap: Jan 1 (v=10),
+    // Jan 4 (v=40); Jan 2/3 are the gap
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), 10.0),
+      ("cpu", Timestamp.valueOf("2024-01-01 07:00:00"), 10.0),
+      ("cpu", Timestamp.valueOf("2024-01-04 09:00:00"), 40.0))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "value")
+      .withColumn("attributes", map(lit("host"), lit("h1")))
+      .withColumn("tags", map().cast("map<string,string>"))
+    def fill(mode: String) = Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day') AS d, sum(cpu) AS s FROM dom.f " +
+        s"GROUP BY d FILL($mode) ORDER BY d"), tiny).collect()
+    // null: 4 dense buckets, gaps null
+    val nulls = fill("null")
+    assert(nulls.length == 4)
+    assert(nulls(0).getDouble(1) == 20.0 && nulls(1).isNullAt(1) &&
+      nulls(2).isNullAt(1) && nulls(3).getDouble(1) == 40.0)
+    // previous: LOCF carries 20 across the gap
+    val prev = fill("previous")
+    assert(prev.map(_.getDouble(1)).toSeq == Seq(20.0, 20.0, 20.0, 40.0))
+    // linear: 20 → 40 over three steps
+    val lin = fill("linear")
+    assert(lin.map(_.getDouble(1)).toSeq ==
+      Seq(20.0, 20.0 + 20.0 / 3, 20.0 + 40.0 / 3, 40.0))
+    // constant
+    assert(fill("-1.5").map(_.getDouble(1)).toSeq ==
+      Seq(20.0, -1.5, -1.5, 40.0))
+    // per-dimension-group extents: each host densifies between ITS OWN
+    // first and last bucket
+    val rows2 = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), "a", 1.0),
+      ("cpu", Timestamp.valueOf("2024-01-03 05:00:00"), "a", 3.0),
+      ("cpu", Timestamp.valueOf("2024-01-05 05:00:00"), "b", 5.0),
+      ("cpu", Timestamp.valueOf("2024-01-06 05:00:00"), "b", 6.0))
+    val tiny2 = spark.createDataFrame(rows2).toDF("series", "ts", "h", "value")
+      .withColumn("attributes", map(lit("host"), col("h"))).drop("h")
+      .withColumn("tags", map().cast("map<string,string>"))
+    val keyed = Compiler.compile(Parser.parse(
+      "SELECT cpu.host, bucket(ts, '1 day') AS d, max(cpu) AS m " +
+        "FROM dom.f GROUP BY cpu.host, d FILL(previous) " +
+        "ORDER BY cpu.host, d"), tiny2).collect()
+    assert(keyed.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 6.0)))
+    // refusal matrix
+    def refuses(q: String): Unit =
+      intercept[Compiler.CompileException](Compiler.compile(Parser.parse(q), fam))
+    // no aggregation / no GROUP BY (parser only accepts FILL after a
+    // group list, so the non-grouped shape is a parse error)
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT click FROM dom.events FILL(null)"))
+    // no bucket grouping key
+    refuses("SELECT click.user, count(*) AS n FROM dom.events " +
+      "GROUP BY click.user FILL(null)")
+    // CAST-wrapped bucket key is not the raw axis
+    refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY d FILL(null)")
+    // calendar widths have no constant step
+    refuses("SELECT bucket(ts, '1 month') AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY d FILL(null)")
+    // HAVING re-opens the gaps
+    refuses("SELECT bucket(ts, '1 day') AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY d FILL(null) HAVING count(*) > 1")
+    // super-aggregate rows have no dense axis
+    refuses("SELECT bucket(ts, '1 day') AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY ROLLUP (d) FILL(null)")
+    // mode must be a known word or a number; a series named fill is
+    // unaffected (contextual keyword)
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT bucket(ts, '1 day') AS d, count(*) AS n FROM dom.events " +
+        "GROUP BY d FILL(sideways)"))
+    assert(Parser.parse("SELECT fill FROM dom.events").select.length == 1)
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(

@@ -79,6 +79,8 @@ class StreamingSpec extends SparkSpec {
       intercept[graft.boostql.Compiler.CompileException](
         graft.boostql.BoostQL.sqlStream(sql, _ => stream))
     refuses("SELECT click.user, count(*) FROM dom.events GROUP BY click.user")
+    refuses("SELECT bucket(ts, '1 day') AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY d FILL(null)")
     refuses("SELECT click FROM dom.events ORDER BY click")
     refuses("SELECT click FROM dom.events LIMIT 5")
     refuses("SELECT DISTINCT click FROM dom.events")
@@ -139,6 +141,7 @@ class StreamingSpec extends SparkSpec {
     val G = " FROM dom.events GROUP BY d"
     val B = "SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n"
     refuses(B + G + " HAVING count(*) > 1")                      // HAVING
+    refuses(B + G + " FILL(previous)")                            // FILL
     refuses(B + G + " ORDER BY d")                                // ORDER BY
     refuses(B + G + " LIMIT 5")                                   // LIMIT
     refuses("SELECT DISTINCT CAST(bucket(ts, '1 day') AS int) AS d, " +
