@@ -96,6 +96,27 @@ object Compiler {
     (q - s * s / n) / (n - lit(1.0))
   }
 
+  /** Sample size of the approx_percentile family's bottom-k-by-hash row
+    * sample — rank standard error ~ sqrt(p(1-p)/k) ≈ 3% at the median. */
+  private val SampleK = 256
+
+  /** Exact interpolated percentile over a [[graft.functions.KmvSampleAgg]]
+    * sample sketch column: sort the sampled values, rank p·(n−1), linear
+    * interpolation — the identical arithmetic any engine replays from
+    * the md5 ranking, rounded to 6 decimals for float stability. Null on
+    * empty sketches. */
+  private def sampleInterp(sk: Column, p: Double): Column = {
+    val vals = array_sort(transform(sk, x => x.getField("v")))
+    val n = size(sk)
+    val rank = lit(p) * (n - 1).cast("double")
+    val lo = floor(rank)
+    val loIdx = lo.cast("int") + 1
+    val hiIdx = least(loIdx + 1, n)
+    val est = element_at(vals, loIdx) +
+      (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
+    when(n > 0, round(est, 6))
+  }
+
   private def aggFnColumn(fn: String, c: => Column,
       params: Seq[Double] = Nil): Column = fn match {
     case "count"          => count(c)
@@ -146,6 +167,17 @@ object Compiler {
     case "approx_distinct_sketch" =>
       graft.functions.GraftFunctions.kmvSketch(
         graft.operators.SketchOps.portableHash32(c), 64)
+    /* union of sample-sketch columns (array<struct<h, v>> from
+     * approx_percentile_sketch) -> interpolated percentile of the
+     * merged sample; by the bottom-k merge law the merged sample IS
+     * the sample a single pass over the raw rows would keep, so the
+     * two-level rollup hash-matches approx_percentile run directly —
+     * the quantile counterpart of approx_distinct_merge */
+    case "approx_percentile_merge" =>
+      val p = params.headOption.getOrElse(throw CompileException(
+        "approx_percentile_merge() requires a fraction argument"))
+      sampleInterp(
+        graft.functions.GraftFunctions.kmvSampleMerge(c, SampleK), p)
     // union of sketch columns -> estimate; by the KMV merge law the
     // result hash-matches approx_distinct run directly on the raw
     // values (pinned by boost_sketch_merge's oracle)
@@ -1734,29 +1766,23 @@ object Compiler {
         * repeat the sampling axis, which the distinct-hash buffer
         * would silently dedup.
         */
+      def sampleSketchColumn(fnName: String, v: Column): Column = {
+        if (multi) throw CompileException(
+          s"$fnName() is single-source only — joined frames " +
+            "can repeat the sampling time axis")
+        if (!isFam(0) && !subHasTs(0)) throw CompileException(
+          s"$fnName() samples on the time axis — this derived " +
+            "table does not output a timestamp column named ts")
+        val key = graft.operators.SketchOps
+          .portableHash60(unix_micros(col("__ts_0")))
+        graft.functions.GraftFunctions.kmvSample(
+          key, v.cast("double"), SampleK)
+      }
       def approxPercentileColumn(e: Ast.Operand, ps: Seq[Double]): Column = {
         val p = ps.headOption.getOrElse(throw CompileException(
           "approx_percentile() requires a fraction argument"))
-        if (multi) throw CompileException(
-          "approx_percentile() is single-source only — joined frames " +
-            "can repeat the sampling time axis")
-        if (!isFam(0) && !subHasTs(0)) throw CompileException(
-          "approx_percentile() samples on the time axis — this derived " +
-            "table does not output a timestamp column named ts")
-        val k = 256
-        val key = graft.operators.SketchOps
-          .portableHash60(unix_micros(col("__ts_0")))
-        val sk = graft.functions.GraftFunctions.kmvSample(
-          key, operandColumn(e, aggOk = false).cast("double"), k)
-        val vals = array_sort(transform(sk, x => x.getField("v")))
-        val n = size(sk)
-        val rank = lit(p) * (n - 1).cast("double")
-        val lo = floor(rank)
-        val loIdx = lo.cast("int") + 1
-        val hiIdx = least(loIdx + 1, n)
-        val est = element_at(vals, loIdx) +
-          (element_at(vals, hiIdx) - element_at(vals, loIdx)) * (rank - lo)
-        when(n > 0, round(est, 6))
+        sampleInterp(sampleSketchColumn("approx_percentile",
+          operandColumn(e, aggOk = false)), p)
       }
       /** first(x) / last(x): the value at the earliest / latest point of
         * the group on the family's time axis — the TSDB first/last
@@ -1787,6 +1813,15 @@ object Compiler {
       val aggCols = aggSpecs.map {
         case Left(("approx_percentile", _)) => throw CompileException(
           "approx_percentile() requires (field, fraction) arguments")
+        case Left(("approx_percentile_sketch", a)) =>
+          val sf = a.getOrElse(throw CompileException(
+            "approx_percentile_sketch(*) is not valid — it needs an argument"))
+          sampleSketchColumn("approx_percentile_sketch", col(sf.inName))
+            .as(aggColName("approx_percentile_sketch", a))
+        case Right(("approx_percentile_sketch", e, ps)) =>
+          sampleSketchColumn("approx_percentile_sketch",
+            operandColumn(e, aggOk = false))
+            .as(aggXColName("approx_percentile_sketch", e, ps))
         case Left((f @ ("first" | "last"), a)) =>
           val sf = a.getOrElse(throw CompileException(
             s"$f(*) is not valid — $f() needs an argument"))

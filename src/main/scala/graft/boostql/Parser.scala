@@ -88,7 +88,8 @@ object Parser {
   private val aggFns = Set("count", "sum", "avg", "min", "max",
     "stddev", "variance", "median", "grouping", "approx_distinct",
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
-    "approx_percentile", "first", "last", "corr", "covar_pop",
+    "approx_percentile", "approx_percentile_sketch",
+    "approx_percentile_merge", "first", "last", "corr", "covar_pop",
     "covar_samp")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
@@ -861,7 +862,8 @@ object Parser {
           expectSym(")")
           corrDesugar(fn, x, y, filterClause())
         } else if (id.equalsIgnoreCase("percentile") ||
-            id.equalsIgnoreCase("approx_percentile")) {
+            id.equalsIgnoreCase("approx_percentile") ||
+            id.equalsIgnoreCase("approx_percentile_merge")) {
           // percentile(x, p): exact interpolated percentile
           // (PERCENTILE_CONT); approx_percentile(x, p): the same
           // estimate over a k-bounded deterministic row sample

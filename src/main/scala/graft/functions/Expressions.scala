@@ -389,33 +389,20 @@ final class KmvPairBuffer(k: Int) {
   * sketch (Greenwald–Khanna here, t-digest elsewhere), reproducible in
   * any engine with md5. Null hashes or values are skipped.
   */
-case class KmvSampleAgg(left: Expression, right: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KmvPairBuffer]
-    with BinaryLike[Expression] {
-  require(k >= 2, "k must be >= 2")
+/** Shared machinery of the pair-sample aggregates: the k-capped
+  * (hash, value) buffer, its lossless merge, the array<struct<h, v>>
+  * evaluation, and the sorted binary serialization. Mirrors
+  * [[KmvBufferAgg]] for the value-carrying buffer.
+  */
+sealed trait KmvPairBufferAgg extends TypedImperativeAggregate[KmvPairBuffer] {
+  def k: Int
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == DoubleType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (bigint hash, double value), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("h", LongType, nullable = false),
     StructField("v", DoubleType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_kmv_sample"
 
   override def createAggregationBuffer(): KmvPairBuffer = new KmvPairBuffer(k)
-
-  override def update(buf: KmvPairBuffer, input: InternalRow): KmvPairBuffer = {
-    val h = left.eval(input)
-    val v = right.eval(input)
-    if (h != null && v != null)
-      buf.insert(h.asInstanceOf[Long], v.asInstanceOf[Double])
-    buf
-  }
 
   override def merge(b1: KmvPairBuffer, b2: KmvPairBuffer): KmvPairBuffer = {
     b1.mergeFrom(b2); b1
@@ -444,6 +431,29 @@ case class KmvSampleAgg(left: Expression, right: Expression, k: Int,
     while (bb.remaining() >= 16) buf.appendSorted(bb.getLong, bb.getDouble)
     buf
   }
+}
+
+case class KmvSampleAgg(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KmvPairBufferAgg
+    with BinaryLike[Expression] {
+  require(k >= 2, "k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint hash, double value), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def prettyName: String = "graft_kmv_sample"
+
+  override def update(buf: KmvPairBuffer, input: InternalRow): KmvPairBuffer = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      buf.insert(h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSampleAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -451,6 +461,56 @@ case class KmvSampleAgg(left: Expression, right: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): KmvSampleAgg = copy(left = newLeft, right = newRight)
+}
+
+/** Union of [[KmvSampleAgg]] sample sketches (array<struct<h, v>>
+  * columns) back into one bottom-k sample: by the same merge law as
+  * the distinct sketch — the bottom-k of a union is the bottom-k of
+  * the bottom-ks — a two-level GROUP BY (per-day samples in an inner
+  * query, merged per-key in an outer one) yields EXACTLY the sample a
+  * single pass over the raw rows would keep, so quantile rollups
+  * answer from kilobyte sketches without re-scanning values. Nulls
+  * (column or element) are skipped; input arrays need not be sorted.
+  */
+case class KmvSampleMergeAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends KmvPairBufferAgg
+    with UnaryLike[Expression] {
+  require(k >= 2, "k must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.length == 2 && st.fields(0).dataType == LongType &&
+          st.fields(1).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<h: bigint, v: double>> (a " +
+        s"sample sketch), got ${other.simpleString}")
+  }
+  override def prettyName: String = "graft_kmv_sample_merge"
+
+  override def update(buf: KmvPairBuffer, input: InternalRow): KmvPairBuffer = {
+    val a = child.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getStruct(i, 2)
+          buf.insert(s.getLong(0), s.getDouble(1))
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSampleMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSampleMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvSampleMergeAgg = copy(child = newChild)
 }
 
 /** Dot product of two array<double> columns (float arrays implicitly

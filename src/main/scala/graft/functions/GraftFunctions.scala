@@ -43,6 +43,12 @@ object GraftFunctions {
   def kmvSample(hashes: Column, values: Column, k: Int): Column =
     toCol(KmvSampleAgg(toExpr(hashes), toExpr(values), k).toAggregateExpression())
 
+  /** Union [[kmvSample]] sketches (array<struct<h, v>> rows) back into
+    * one bottom-k sample — the quantile-rollup counterpart of
+    * [[kmvMerge]]. See [[KmvSampleMergeAgg]]. */
+  def kmvSampleMerge(sketches: Column, k: Int): Column =
+    toCol(KmvSampleMergeAgg(toExpr(sketches), k).toAggregateExpression())
+
   /** Distinct fnv64 hashes of word-`k`-gram shingles of a string column,
     * computed in one byte-level pass. Feed the result to [[minhash]] /
     * [[simhash]] for bit-identical, string-free signatures. */

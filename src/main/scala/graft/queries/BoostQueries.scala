@@ -789,6 +789,19 @@ object BoostQueries {
         "percentile(CAST(purchase * 100.0 AS int), 0.5) AS p50, " +
         "count(*) AS n FROM dom.events GROUP BY d ORDER BY d")),
 
+    // two-level quantile rollup: per-(user, week) sample sketches in the
+    // inner query, merged per user in the outer one — by the bottom-k
+    // merge law the merged sample IS the single-pass sample, so the
+    // rollup answers quantiles from kilobyte sketches without
+    // re-scanning values (the quantile twin of boost_sketch_merge)
+    "boost_percentile_rollup" -> ((s, d) =>
+      run(s, d, "SELECT t.u AS u, " +
+        "approx_percentile_merge(t.sk, 0.5) AS p50, count(*) AS parts " +
+        "FROM (SELECT click.user AS u, CAST(bucket(ts, '1 week') AS int) AS w, " +
+        "approx_percentile_sketch(CAST(click * 100.0 AS int)) AS sk " +
+        "FROM dom.events GROUP BY u, w) AS t " +
+        "GROUP BY t.u ORDER BY u")),
+
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
     // Engine-specific text — no DuckDB twin, so the driver records the
@@ -1664,6 +1677,30 @@ object BoostQueries {
     // the KmvSampleAgg replay: bottom-256 rows per day by md5 of the
     // epoch-micros ts, exact interpolated percentile of the sampled
     // cents — identical arithmetic to the engine
+    // the merge law makes the two-level rollup equal the single-pass
+    // sample: rank ALL of a user's rows by the md5 hash, keep 256,
+    // interpolate — plus the partition count the outer count(*) sees
+    "boost_percentile_rollup" ->
+      """WITH p AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS eus,
+        |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS w
+        |  FROM events WHERE event_type = 'click'),
+        |ranked AS (SELECT u, cents, row_number() OVER (PARTITION BY u
+        |    ORDER BY ('0x' || substr(md5(CAST(eus AS VARCHAR)), 1, 15))::UBIGINT
+        |      ASC) AS rk
+        |  FROM p),
+        |arr AS (SELECT u, list_sort(list(cents)) AS vals, count(*) AS ns
+        |  FROM ranked WHERE rk <= 256 GROUP BY 1),
+        |wk AS (SELECT u, count(DISTINCT w) AS parts FROM p GROUP BY 1)
+        |SELECT arr.u AS u,
+        |  round(arr.vals[CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 1] +
+        |    (arr.vals[least(CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 2, arr.ns)] -
+        |     arr.vals[CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 1]) *
+        |    (0.5 * (arr.ns - 1) - floor(0.5 * (arr.ns - 1))), 6) AS p50,
+        |  wk.parts AS parts
+        |FROM arr JOIN wk USING (u) ORDER BY u""".stripMargin,
+
     "boost_approx_percentile" ->
       """WITH p AS (SELECT
         |    CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,

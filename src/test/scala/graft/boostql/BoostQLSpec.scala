@@ -2582,6 +2582,33 @@ class BoostQLSpec extends SparkSpec {
     assert(Parser.parse("SELECT fill FROM dom.events").select.length == 1)
   }
 
+  test("approx_percentile_sketch/_merge: two-level rollup equals direct") {
+    // the bottom-k merge law: per-day sample sketches merged per user
+    // give EXACTLY the sample (and so the estimate) of a direct
+    // single-pass approx_percentile over the same rows
+    val direct = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "approx_percentile(CAST(purchase * 100.0 AS int), 0.25) AS p " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"),
+      fam).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val rolled = Compiler.compile(Parser.parse(
+      "SELECT t.u AS purchase_user, " +
+        "approx_percentile_merge(t.sk, 0.25) AS p " +
+        "FROM (SELECT purchase.user AS u, bucket(ts, '1 day') AS d, " +
+        "approx_percentile_sketch(CAST(purchase * 100.0 AS int)) AS sk " +
+        "FROM dom.events GROUP BY u, d) AS t GROUP BY t.u ORDER BY t.u"),
+      fam).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rolled == direct && rolled.nonEmpty)
+    // the sketch needs the time axis; the merge fraction is mandatory
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT approx_percentile_sketch(t.x) AS sk FROM " +
+        "(SELECT purchase.user AS x FROM dom.events) AS t"), fam))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT approx_percentile_merge(t.sk) AS p FROM " +
+        "(SELECT approx_percentile_sketch(purchase) AS sk " +
+        "FROM dom.events) AS t"))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
