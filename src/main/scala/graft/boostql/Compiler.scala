@@ -994,7 +994,8 @@ object Compiler {
         operandColumn(args(i), aggOk)
       }
       val needsOrder = Set("row_number", "rank", "dense_rank", "lag", "lead",
-        "ntile", "first_value", "last_value")
+        "ntile", "first_value", "last_value", "percent_rank", "cume_dist",
+        "nth_value")
       if (needsOrder.contains(fn) && ord.isEmpty)
         throw CompileException(s"$fn OVER requires a window ORDER BY")
       def offsetOf(i: Int): Int = args.lift(i) match {
@@ -1022,10 +1023,19 @@ object Compiler {
         }
         case "first_value" => first(arg(0))
         case "last_value"  => last(arg(0))
+        // rank ratios: (rank-1)/(n-1) and rows<=current/n — integer
+        // ratios evaluated once in doubles, identical in any engine
+        case "percent_rank" => percent_rank()
+        case "cume_dist"    => cume_dist()
+        case "nth_value" => args.lift(1) match {
+          case Some(OLit(BInt(n))) if n >= 1 => nth_value(arg(0), n.toInt)
+          case _ => throw CompileException(
+            "nth_value needs (expr, positive integer literal) arguments")
+        }
         case other => throw CompileException(
           s"unknown window function $other (supported: row_number, rank, " +
             "dense_rank, count, sum, avg, min, max, lag, lead, ntile, " +
-            "first_value, last_value)")
+            "first_value, last_value, nth_value, percent_rank, cume_dist)")
       }
       val w0 = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
       val spec =
@@ -1047,7 +1057,7 @@ object Compiler {
           if (ord.isEmpty)
             throw CompileException("a window frame requires a window ORDER BY")
           val frameable = Set("count_star", "count", "sum", "avg", "min",
-            "max", "first_value", "last_value")
+            "max", "first_value", "last_value", "nth_value")
           if (!frameable.contains(fn))
             throw CompileException(
               s"a window frame applies to aggregate window functions, not $fn")

@@ -340,6 +340,21 @@ object BoostQueries {
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cents4 " +
         "FROM dom.events ORDER BY purchase.event_id")),
 
+    // rank-ratio analytics (percent_rank / cume_dist: integer ratios
+    // evaluated once in doubles — engine-identical) + nth_value over an
+    // explicit whole-partition frame; value-tie-broken by event_id so
+    // the order is total in both engines
+    "boost_window_rank_ratio" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "percent_rank() OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id) AS pr, " +
+        "cume_dist() OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id) AS cd, " +
+        "nth_value(click, 2) OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // RANGE interval frame: the trailing-2-day moving aggregate per
     // user in event time — rangeBetween over epoch micros (peers by
     // time distance, not row count, so tie handling is value-exact on
@@ -978,6 +993,18 @@ object BoostQueries {
         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents4
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_window_rank_ratio" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id
+        |    ORDER BY value, CAST(event_id AS VARCHAR)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv
+        |FROM events WHERE event_type = 'click'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY value, CAST(event_id AS VARCHAR))
+        |ORDER BY click_event_id""".stripMargin,
 
     // the mean is engine-computed on both sides; a purchase exactly at
     // the (last-ulp-different) means would flip the filter, but the

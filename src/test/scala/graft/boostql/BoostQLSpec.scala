@@ -2609,6 +2609,36 @@ class BoostQLSpec extends SparkSpec {
         "FROM dom.events) AS t"))
   }
 
+  test("percent_rank/cume_dist/nth_value: ANSI ratios and refusals") {
+    // percent_rank = (rank-1)/(n-1), cume_dist = peers<=current / n;
+    // single-row partitions give 0 and 1 (ANSI), nth_value past the
+    // partition end gives null
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.user, percent_rank() OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id) AS pr, " +
+        "cume_dist() OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id) AS cd, " +
+        "nth_value(click, 2) OVER (PARTITION BY click.user " +
+        "ORDER BY click, click.event_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND UNBOUNDED FOLLOWING) AS nv FROM dom.events"), fam).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // both need a window ORDER BY; nth_value's offset is a positive
+    // integer literal
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT percent_rank() OVER (PARTITION BY click.user) AS pr " +
+        "FROM dom.events"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT nth_value(click, 0) OVER (PARTITION BY click.user " +
+        "ORDER BY click) AS nv FROM dom.events"), fam))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT nth_value(click, click) OVER (PARTITION BY click.user " +
+        "ORDER BY click) AS nv FROM dom.events"), fam))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
