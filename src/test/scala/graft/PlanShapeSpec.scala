@@ -368,4 +368,33 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
       s"corpus must never be range-partitioned during dedup:\n$plan")
   }
+
+  test("approx_percentile_merge plans partial+final sample-merge object aggregates") {
+    // the quantile-rollup twin of the KMV pin: the outer merge must be
+    // an ObjectHashAggregate with a partial graft_kmv_sample_merge pass
+    // (k pairs per task) and its final merge — the shuffle carries
+    // sample sketches, never the sampled values row-by-row
+    val df = SparkEntry.queries("boost_percentile_rollup")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_graft_kmv_sample_merge"),
+      s"partial (map-side) sample-merge pass missing:\n$plan")
+    assert("graft_kmv_sample_merge".r.findAllIn(plan).size >= 2,
+      s"final sample-merge pass missing:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"sample aggregate degraded to SortAggregate:\n$plan")
+  }
+
+  test("FILL plans an equi spine join, never a cartesian/nested-loop") {
+    // the dense-spine LEFT join must key on (dimension keys, bucket) —
+    // a BroadcastNestedLoopJoin or CartesianProduct here would blow up
+    // at scale exactly when the fill is most useful
+    for (q <- Seq("boost_ts_fill_prev", "boost_ts_fill_linear",
+        "boost_ts_fill_zero")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q spine join degenerated:\n$plan")
+    }
+  }
 }
