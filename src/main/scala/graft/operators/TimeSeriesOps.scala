@@ -278,6 +278,39 @@ object TimeSeriesOps {
         UnspecifiedFrame))))
   }
 
+  /** Time-weighted average per key (the TimescaleDB
+    * `time_weighted_average` / trapezoid-integral aggregate): for
+    * irregularly-sampled series, the plain AVG over-weights densely
+    * sampled stretches; the time-weighted mean integrates the
+    * piecewise-linear value curve and divides by the observed span —
+    *
+    *   twa = Σᵢ (vᵢ + vᵢ₊₁)/2 · (tᵢ₊₁ − tᵢ)  /  (t_max − t_min)
+    *
+    * Shape: one lead() window pass on the key exchange (segment values),
+    * then a hash aggregate on the SAME key — the exchange is reused, no
+    * second shuffle. Computed as an exact integer numerator when
+    * `valCol` is integral (segments are value·micros longs, summed
+    * exactly whatever the partitioning) with ONE double division at the
+    * end — the determinism contract that gives it a cross-engine
+    * oracle; a double `valCol` works but inherits double-sum rounding.
+    * Single-point keys have zero span → null (no time to weight).
+    * Output: key columns + `twa` (in `valCol` units).
+    */
+  def timeWeightedAvg(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val v = col(valCol)
+    val seg = (v + lead(v, 1).over(w)) * (lead(us, 1).over(w) - us)
+    df.select(by.map(col) :+ seg.as("__seg2") :+ us.as("__us"): _*)
+      .groupBy(by.map(col): _*)
+      .agg(sum(col("__seg2")).as("__num2"),
+        (max(col("__us")) - min(col("__us"))).as("__span"))
+      .select(by.map(col) :+
+        (col("__num2").cast("double") / 2.0 /
+          col("__span").cast("double")).as("twa"): _*)
+  }
+
   /** Resample each key onto a dense daily grid over [gridStart, gridEnd]
     * and carry the last observed value forward (LOCF gap-fill). The grid
     * is built with `sequence` + `explode` per key — no driver-side loops —

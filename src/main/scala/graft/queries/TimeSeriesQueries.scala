@@ -154,6 +154,19 @@ object TimeSeriesQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("series")),
 
+    // time-weighted average per (series, user): integer-cents values
+    // keep the trapezoid numerator an exact long sum, one double
+    // division at the end — deterministic under any partitioning
+    "ts_twa" -> ((s, d) =>
+      TimeSeriesOps.timeWeightedAvg(
+        ev(s, d).withColumn("cents",
+          col("value").multiply(100.0).cast("long")),
+        by = Seq("event_type", "user_id"), tsCol = "ts", valCol = "cents")
+        .filter(col("twa").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          round(col("twa"), 6).as("twa_cents"))
+        .orderBy("event_type", "user_id")),
+
     "ts_ewma" -> ((s, d) => {
       // bounded to the first 50 points per series so the oracle's
       // closed-form power() formulation stays in range; the operator
@@ -336,6 +349,28 @@ object TimeSeriesQueries {
         |            ELSE 'test' END) = 'prod'
         |  AND ('dc' || CAST(length(event_type) % 3 AS VARCHAR)) = 'dc2'
         |GROUP BY 1 ORDER BY series""".stripMargin,
+
+    "ts_twa" ->
+      """WITH t AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS us,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS c
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, user_id, us,
+        |    (c + LEAD(c) OVER w) * (LEAD(us) OVER w - us) AS seg2
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY us)),
+        |g AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(seg2) AS DOUBLE) AS num2,
+        |    CAST(MAX(us) - MIN(us) AS DOUBLE) AS span
+        |  FROM s GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, round(num2 / 2.0 / span, 6) AS twa_cents
+        |  FROM g)
+        |SELECT event_type, user_id, twa_cents FROM r
+        |WHERE twa_cents IS NOT NULL
+        |ORDER BY event_type, user_id""".stripMargin,
 
     "ts_ewma" ->
       """WITH ranked AS (

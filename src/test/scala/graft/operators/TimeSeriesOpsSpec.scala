@@ -138,4 +138,36 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(first == Seq(ts("2024-01-01 00:01:00"), ts("2024-01-01 00:03:00")))
     assert(run() == first)
   }
+
+  test("timeWeightedAvg: trapezoid integral, gap weighting, null span") {
+    // constant series -> the constant, however irregular the sampling
+    val const = Seq(
+      ("cpu", ts("2024-01-01 00:00:00"), 5L),
+      ("cpu", ts("2024-01-01 00:00:07"), 5L),
+      ("cpu", ts("2024-01-01 03:00:00"), 5L)
+    ).toDF("k", "ts", "v")
+    val c = TimeSeriesOps.timeWeightedAvg(const, Seq("k"), "ts", "v").collect()
+    assert(c.length == 1 && c(0).getDouble(1) == 5.0)
+    // a long stretch at 10 dominates a brief spike to 100: one minute
+    // at avg 10, then one second ramping 10->100 — twa must sit near
+    // 10, where the row AVG (10+10+100)/3 = 40 over-weights the spike
+    val spike = Seq(
+      ("cpu", ts("2024-01-01 00:00:00"), 10L),
+      ("cpu", ts("2024-01-01 00:01:00"), 10L),
+      ("cpu", ts("2024-01-01 00:01:01"), 100L)
+    ).toDF("k", "ts", "v")
+    val tw = TimeSeriesOps.timeWeightedAvg(spike, Seq("k"), "ts", "v")
+      .collect()(0).getDouble(1)
+    // exact: (10*60 + 55*1) / 61
+    assert(math.abs(tw - (10.0 * 60 + 55.0) / 61) < 1e-12, tw)
+    // single observation: zero span, no time to weight -> null
+    val one = Seq(("cpu", ts("2024-01-01 00:00:00"), 5L)).toDF("k", "ts", "v")
+    assert(TimeSeriesOps.timeWeightedAvg(one, Seq("k"), "ts", "v")
+      .collect()(0).isNullAt(1))
+    // the lead() window and the aggregate share ONE key exchange
+    val plan = TimeSeriesOps.timeWeightedAvg(spike, Seq("k"), "ts", "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"window+agg must reuse the key exchange:\n$plan")
+  }
 }
