@@ -15,6 +15,10 @@ object StreamingQueries {
 
   def queries: Map[String, Q] = Map(
     "stream_window_agg" -> ((s, d) => StreamingOps.windowedAggReplay(s, d)),
+    // SLIDING windows: each event expands map-side into its
+    // window/slide = 2 overlapping windows; the oracle replays the
+    // expansion with an explicit 2-row cross join
+    "stream_sliding_agg" -> ((s, d) => StreamingOps.slidingWindowReplay(s, d)),
     "stream_dedup_count" -> ((s, d) => StreamingOps.streamingDedupCounts(s, d)),
     "stream_session" -> ((s, d) => StreamingOps.sessionWindowReplay(s, d)),
     "stream_join" -> ((s, d) => StreamingOps.streamIntervalJoinReplay(s, d)),
@@ -41,6 +45,19 @@ object StreamingQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+
+    // every event is in exactly 2 sliding windows (ts ∈ [b, b+12h) ⟹
+    // both window starts b and b−12h cover it); the 2-row cross join is
+    // the batch replay of the engine's map-side Expand
+    "stream_sliding_agg" ->
+      """WITH j AS (
+        |  SELECT event_type, value,
+        |    epoch_us(time_bucket(INTERVAL '12 hours', ts))
+        |      - x.o * 43200000000 AS w_start_us
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o) AS x)
+        |SELECT w_start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
 
     "stream_dedup_count" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n

@@ -72,6 +72,38 @@ object StreamingOps {
     try body finally spark.conf.set(key, old)
   }
 
+  /** SLIDING event-time windows as a stream: a 1-day window every 12
+    * hours, so each event lands in window_duration / slide = 2
+    * overlapping windows. The engine's `window(ts, w, slide)` expands
+    * each row into its windows MAP-SIDE (one Expand, no self-join) and
+    * the state store keys on (window, event_type) — state is bounded by
+    * watermark eviction exactly as in the tumbling case, just with
+    * w / slide times the live keys. The overlap factor is the scale
+    * knob: a 1-day/1-minute slide would hold 1440x the state, which is
+    * why the slide is an explicit parameter of the topology and not a
+    * sink-side concern.
+    */
+  def slidingWindowReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .transform(graft.tables.Tables.normalizeEventsTs)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+  }
+
   /** Run a daily tumbling-window aggregate over the events table *as a
     * stream* (AvailableNow trigger: process all existing data in
     * micro-batches, then stop), materializing into an in-memory sink.

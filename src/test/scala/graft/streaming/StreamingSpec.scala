@@ -33,6 +33,18 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streamed sliding windows: every event lands in exactly w/slide windows") {
+    val out = graft.streaming.StreamingOps.slidingWindowReplay(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // 1-day window / 12-hour slide: summed window counts = 2x the rows
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val base = Tables.events(spark, sfDir).count()
+    assert(total == 2 * base, s"expected 2x$base, got $total")
+    // window starts align to the slide, not the window width
+    assert(rows.forall(_.getAs[Long]("w_start_us") % (12L * 3600 * 1000000) == 0))
+  }
+
   test("openStream tails a written family: streamed replay equals batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
