@@ -266,30 +266,35 @@ object BoostQL {
     val srcAlias = spec.source.alias
     val aliasOf: Map[String, Operand] =
       spec.select.collect { case ExprItem(e, nm) => nm -> e }.toMap
-    // bucket(ts, 'w') or CAST(bucket(ts, 'w') AS int) — the event-time key
-    def bucketShape(e: Operand): Option[(String, Boolean)] = e match {
+    // bucket(ts, 'w'[, 'slide']) or CAST(bucket(…) AS int) — the
+    // event-time key; a third argument makes it a SLIDING window
+    // (window(ts, w, slide): map-side Expand, w/slide live windows per
+    // event in the state store)
+    def bucketShape(e: Operand): Option[(String, Option[String], Boolean)] = e match {
       case OFn("bucket", Seq(ORef(n), OLit(BStr(w))))
-        if n.parts.last.equalsIgnoreCase("ts") => Some((w, false))
-      case OCast(inner, ty) => bucketShape(inner).map { case (w, _) =>
+        if n.parts.last.equalsIgnoreCase("ts") => Some((w, None, false))
+      case OFn("bucket", Seq(ORef(n), OLit(BStr(w)), OLit(BStr(sl))))
+        if n.parts.last.equalsIgnoreCase("ts") => Some((w, Some(sl), false))
+      case OCast(inner, ty) => bucketShape(inner).map { case (w, sl, _) =>
         if (ty != "int") throw Compiler.CompileException(
           s"streaming bucket key CAST must target int (epoch seconds), not $ty")
-        (w, true)
+        (w, sl, true)
       }
       case _ => None
     }
     // classify group entries: ONE bucket key (by select alias) + plain
     // dimension fields
-    var bucket: Option[(String, String, Boolean)] = None // (alias, width, cast)
+    var bucket: Option[(String, String, Option[String], Boolean)] = None // (alias, width, slide, cast)
     val dims = Seq.newBuilder[(RawName, String)]          // (field, outName)
     spec.groupBy.foreach { n =>
       n.parts match {
         case Seq(one) if aliasOf.contains(one) =>
           (bucketShape(aliasOf(one)), aliasOf(one)) match {
-            case (Some((w, c)), _) =>
+            case (Some((w, sl, c)), _) =>
               if (bucket.isDefined) throw Compiler.CompileException(
                 "watermarked streaming aggregation takes exactly one " +
                   "bucket(ts, …) group key")
-              bucket = Some((one, w, c))
+              bucket = Some((one, w, sl, c))
             case (None, ORef(f)) => dims += ((f, one))
             case _ => throw Compiler.CompileException(
               s"streaming GROUP BY alias '$one' must name a " +
@@ -302,7 +307,7 @@ object BoostQL {
           dims += ((n, Compiler.resolve(n, srcAlias).colName))
       }
     }
-    val (bAlias, bWidth, bCast) = bucket.getOrElse(
+    val (bAlias, bWidth, bSlide, bCast) = bucket.getOrElse(
       throw Compiler.CompileException(
         "watermarked streaming aggregation needs a bucket(ts, '<width>') " +
           "group key selected under an alias"))
@@ -313,6 +318,23 @@ object BoostQL {
           "evict calendar-width state"))
     if (widthUs <= 0)
       throw Compiler.CompileException("bucket() width must be positive")
+    // sliding form: same divisibility contract as the batch expansion
+    // (every event in exactly width/slide windows)
+    val slideUs = bSlide.map { sl =>
+      val v = Compiler.parseIntervalMicros(sl).getOrElse(
+        throw Compiler.CompileException(
+          s"streaming bucket slide '$sl' must be fixed-width " +
+            "(microsecond…day)"))
+      if (v <= 0) throw Compiler.CompileException(
+        "bucket() slide must be positive")
+      if (v > widthUs) throw Compiler.CompileException(
+        "bucket() slide must not exceed the width — a larger slide " +
+          "leaves gaps (filter rows instead)")
+      if (widthUs % v != 0) throw Compiler.CompileException(
+        "bucket() width must be a multiple of the slide so every event " +
+          "is in exactly width/slide windows")
+      v
+    }
     // classify select items; build the stateless sub-select (agg args +
     // dimension fields + the time axis) and the final agg/projection
     val dimNames = dims.result()
@@ -378,7 +400,8 @@ object BoostQL {
       refuse(cond, s"$what inside the streamed source")
     statelessSweep(flat, refuseFlat)
     // layer 2: the engine-recognized event-time aggregation
-    val win = window(col("ts"), s"$widthUs microseconds")
+    val win = slideUs.fold(window(col("ts"), s"$widthUs microseconds"))(sl =>
+      window(col("ts"), s"$widthUs microseconds", s"$sl microseconds"))
     val keyCols = win +: dimNames.map(d => col(d._2))
     val aggCols = aggs.map { a =>
       val c = a.argCol.map(col)

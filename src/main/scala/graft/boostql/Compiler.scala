@@ -1089,6 +1089,11 @@ object Compiler {
       * engine's iteration axis rather than arbitrary columns.
       */
     def bucketColumn(args: Seq[Operand]): Column = {
+      if (args.length == 3)
+        throw CompileException(
+          "sliding bucket(ts, '<width>', '<slide>') is only valid bare " +
+            "as a GROUP BY key — each row belongs to width/slide windows, " +
+            "so it is an expansion, not a scalar")
       if (args.length != 2)
         throw CompileException("bucket(ts, '<n> <unit>') expects 2 arguments")
       val axis = args.head match {
@@ -1701,8 +1706,66 @@ object Compiler {
       }
 
     val projected: DataFrame = if (hasAgg) {
+      /** SLIDING buckets: `GROUP BY bucket(ts, '<width>', '<slide>')`
+        * (by select alias) expands each row MAP-SIDE into its
+        * width/slide overlapping windows — explode over an epoch-aligned
+        * start sequence, the batch twin of the engine's streaming
+        * `window(ts, w, s)` Expand — then groups normally. Width must be
+        * a multiple of slide (every row is in EXACTLY width/slide
+        * windows; a remainder would make membership row-dependent) and
+        * slide ≤ width (a larger slide leaves gaps, which is a filter,
+        * not a window). Row multiplicity changes, so the sliding key is
+        * only valid as a plain grouping key: scalar use, ROLLUP/CUBE/
+        * GROUPING SETS (Expand-on-Expand) and FILL refuse.
+        */
+      val slidingEntries = groupEntries.collect {
+        case Right(it @ ExprItem(OFn("bucket", a), nm)) if a.length == 3 =>
+          (nm, a, it)
+      }
+      if (slidingEntries.length > 1) throw CompileException(
+        "at most one sliding bucket(ts, width, slide) grouping key")
+      if (slidingEntries.nonEmpty && spec.groupMode != "plain")
+        throw CompileException(
+          "a sliding bucket key is not valid with ROLLUP/CUBE/GROUPING SETS")
+      if (slidingEntries.nonEmpty && spec.fill.isDefined)
+        throw CompileException(
+          "FILL applies to the tumbling bucket(ts, width) form — sliding " +
+            "windows already overlap")
+      val preExpanded = slidingEntries.headOption.fold(filtered) {
+        case (nm, a, _) =>
+          val axis = a.head match {
+            case ORef(n) if ref(n).isTs => ref(n).inName
+            case _ => throw CompileException(
+              "bucket() first argument must be the time axis ts")
+          }
+          def us(arg: Operand, what: String): Long = arg match {
+            case OLit(BStr(w)) => parseIntervalMicros(w).getOrElse(
+              throw CompileException(
+                s"sliding bucket $what '$w' must be fixed-width " +
+                  "(microsecond…day)"))
+            case _ => throw CompileException(
+              s"bucket() $what must be a string literal like '5 minutes'")
+          }
+          val widthUs = us(a(1), "width")
+          val slideUs = us(a(2), "slide")
+          if (widthUs <= 0 || slideUs <= 0)
+            throw CompileException("bucket() width and slide must be positive")
+          if (slideUs > widthUs) throw CompileException(
+            "bucket() slide must not exceed the width — a larger slide " +
+              "leaves gaps (filter rows instead)")
+          if (widthUs % slideUs != 0) throw CompileException(
+            "bucket() width must be a multiple of the slide so every row " +
+              "is in exactly width/slide windows")
+          val tsUs = unix_micros(col(axis))
+          val base = tsUs - pmod(tsUs, lit(slideUs))
+          val starts = sequence(
+            base - lit(widthUs - slideUs), base, lit(slideUs))
+          filtered.withColumn(nm,
+            explode(transform(starts, s => timestamp_micros(s))))
+      }
       val groupCols = groupEntries.map {
         case Left(sf)               => col(sf.inName)
+        case Right(ExprItem(OFn("bucket", a), nm)) if a.length == 3 => col(nm)
         case Right(ExprItem(e, nm)) => operandColumn(e, aggOk = false).as(nm)
       }
       // every bare (non-aggregated) select field must be a grouping key —
@@ -1867,7 +1930,7 @@ object Compiler {
             }
           pre.groupingSets(
             spec.groupSets.map(_.map(keyCol)), spec.groupBy.map(keyCol): _*)
-        case _ => filtered.groupBy(groupCols: _*)
+        case _ => preExpanded.groupBy(groupCols: _*)
       }
       val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))

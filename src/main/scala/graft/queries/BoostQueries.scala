@@ -508,6 +508,16 @@ object BoostQueries {
         "FROM dom.events WHERE error.user = '2' " +
         "GROUP BY d FILL(0)) AS t ORDER BY ds")),
 
+    // SLIDING buckets: GROUP BY bucket(ts, width, slide) expands each
+    // row map-side into width/slide overlapping windows (the batch twin
+    // of the engine's streaming window(ts, w, s) Expand) and groups
+    // normally — the moving-aggregate-over-buckets idiom
+    "boost_ts_sliding" -> ((s, d) =>
+      run(s, d, "SELECT CAST(t.d AS int) AS ds, t.n AS n, t.cents AS cents " +
+        "FROM (SELECT bucket(ts, '1 day', '12 hours') AS d, count(*) AS n, " +
+        "sum(CAST(view * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY d) AS t ORDER BY ds")),
+
     // CALENDAR buckets: '1 week'/'1 month' compile to date_trunc (ISO
     // Monday weeks — the corpus starts Monday 2024-01-01, so five week
     // rows), the monthly/weekly rollup right after daily buckets; both
@@ -1341,6 +1351,20 @@ object BoostQueries {
         |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // every event is in exactly width/slide = 2 windows (ts ∈ [b, b+12h)
+    // ⟹ starts b and b−12h both cover it) — the 2-row cross join IS the
+    // engine's map-side Expand, replayed
+    "boost_ts_sliding" ->
+      """WITH j AS (
+        |  SELECT value,
+        |    epoch(time_bucket(INTERVAL '12 hours', ts))
+        |      - x.o * 43200 AS ds
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o) AS x
+        |  WHERE event_type = 'view')
+        |SELECT CAST(ds AS BIGINT) AS ds, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM j GROUP BY 1 ORDER BY ds""".stripMargin,
 
     // dense spine per user via generate_series over epoch-seconds
     // buckets, LEFT JOIN back, LOCF via IGNORE NULLS running frames

@@ -28,6 +28,10 @@ object StreamingQueries {
     // windowed agg, end to end — the streaming twin of boost_roundtrip
     "stream_family_roundtrip" -> ((s, d) =>
       StreamingOps.streamFamilyRoundtrip(s, d)),
+    // the dialect's SLIDING bucket over a stream: bucket(ts, w, slide)
+    // through sqlStream compiles to window(ts, w, slide)
+    "stream_sql_sliding" -> ((s, d) =>
+      StreamingOps.streamSqlSlidingReplay(s, d)),
     // the DIALECT over a stream: BoostQL.sqlStream compiles the same
     // grammar against an openStream tail (stateless subset), appended
     // through AvailableNow — must equal the batch run of the same query
@@ -45,6 +49,18 @@ object StreamingQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+
+    // window(ts, 1d, 12h) starts as epoch seconds after the dialect's
+    // CAST AS int; same 2-row expansion, filtered like the query
+    "stream_sql_sliding" ->
+      """WITH j AS (
+        |  SELECT value,
+        |    epoch(time_bucket(INTERVAL '12 hours', ts)) - x.o * 43200 AS d
+        |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o) AS x
+        |  WHERE event_type = 'view' AND value > 50.0)
+        |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM j GROUP BY 1 ORDER BY d""".stripMargin,
 
     // every event is in exactly 2 sliding windows (ts ∈ [b, b+12h) ⟹
     // both window starts b and b−12h cover it); the 2-row cross join is

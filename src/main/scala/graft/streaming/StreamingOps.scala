@@ -258,6 +258,33 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** The SLIDING form of the dialect-over-stream aggregate:
+    * `bucket(ts, '1 day', '12 hours')` through `BoostQL.sqlStream`
+    * compiles to the engine's `window(ts, w, slide)` — map-side Expand
+    * into width/slide windows, watermark-evicted state keyed on
+    * (window, dims). Complete-mode AvailableNow replay; the batch
+    * oracle replays the expansion with an explicit 2-row cross join.
+    */
+  def streamSqlSlidingReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlslstream").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day', '12 hours') AS int) AS d, " +
+        "count(*) AS n, sum(CAST(view * 100.0 AS int)) AS cents " +
+        "FROM dom.events WHERE view > 50.0 GROUP BY d",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlslide_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d")
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -2639,6 +2639,44 @@ class BoostQLSpec extends SparkSpec {
         "ORDER BY click) AS nv FROM dom.events"), fam))
   }
 
+  test("sliding bucket: map-side expansion, window membership, refusals") {
+    import org.apache.spark.sql.functions._
+    // every row lands in exactly width/slide windows: summed window
+    // counts = 2x the series rows for (1 day, 12 hours)
+    val df = Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day', '12 hours') AS d, count(click) AS n " +
+        "FROM dom.events GROUP BY d ORDER BY d"), fam).collect()
+    val clicks = fam.filter(col("series") === "click")
+    val base = clicks.count()
+    assert(df.map(_.getAs[Long]("n")).sum == 2 * base && base > 0)
+    // window starts align to the slide; each consecutive pair of starts
+    // is 12 hours apart where data is dense
+    val starts = df.map(_.getAs[java.sql.Timestamp]("d").getTime)
+    assert(starts.forall(_ % (12L * 3600 * 1000) == 0))
+    // equals the manual 2-row expansion
+    val us = unix_micros(col("ts"))
+    val b = us - pmod(us, lit(43200000000L))
+    val exp = clicks.select(explode(array(b, b - 43200000000L)).as("dus"))
+      .groupBy("dus").count().orderBy("dus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(df.map(r => (r.getAs[java.sql.Timestamp]("d").getTime * 1000,
+      r.getAs[Long]("n"))).toSeq == exp)
+    // refusals: scalar position, gap-leaving slide, non-divisible
+    // width, ROLLUP, FILL
+    def refuses(q: String): Unit =
+      intercept[Compiler.CompileException](Compiler.compile(Parser.parse(q), fam))
+    refuses("SELECT bucket(ts, '1 day', '12 hours') AS d, click " +
+      "FROM dom.events")
+    refuses("SELECT bucket(ts, '1 hour', '2 hours') AS d, count(click) AS n " +
+      "FROM dom.events GROUP BY d")
+    refuses("SELECT bucket(ts, '1 day', '7 hours') AS d, count(click) AS n " +
+      "FROM dom.events GROUP BY d")
+    refuses("SELECT bucket(ts, '1 day', '12 hours') AS d, count(click) AS n " +
+      "FROM dom.events GROUP BY ROLLUP (d)")
+    refuses("SELECT bucket(ts, '1 day', '12 hours') AS d, count(click) AS n " +
+      "FROM dom.events GROUP BY d FILL(null)")
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(

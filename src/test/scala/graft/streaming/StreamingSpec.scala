@@ -45,6 +45,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("w_start_us") % (12L * 3600 * 1000000) == 0))
   }
 
+  test("sqlStream sliding bucket equals the batch expansion") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-slide-spec").toString
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    def stream = graft.sources.TimeSeriesTable.openStream(spark, root, "dom", "events")
+    val q = "SELECT CAST(bucket(ts, '1 day', '12 hours') AS int) AS d, " +
+      "count(click) AS n FROM dom.events GROUP BY d"
+    val out = graft.boostql.BoostQL.sqlStream(q, _ => stream, "1 day")
+    assert(out.isStreaming)
+    val sink = "graft_slide_spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq = out.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val streamed = spark.table(sink).orderBy("d").collect().toSeq
+    // batch twin: the dialect's own sliding expansion over the same data
+    val batch = graft.boostql.BoostQL.sql(
+      "SELECT CAST(t.d AS int) AS d, t.n AS n FROM " +
+        "(SELECT bucket(ts, '1 day', '12 hours') AS d, count(click) AS n " +
+        "FROM dom.events GROUP BY d) AS t ORDER BY d",
+      _ => graft.sources.TimeSeriesTable.open(spark, root, "dom", "events"))
+      .collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // slide contract refusals carry to the streaming front
+    def refuses(sql: String): Unit =
+      intercept[graft.boostql.Compiler.CompileException](
+        graft.boostql.BoostQL.sqlStream(sql, _ => stream, "1 day"))
+    refuses("SELECT CAST(bucket(ts, '1 hour', '2 hours') AS int) AS d, " +
+      "count(click) AS n FROM dom.events GROUP BY d")
+    refuses("SELECT CAST(bucket(ts, '1 day', '7 hours') AS int) AS d, " +
+      "count(click) AS n FROM dom.events GROUP BY d")
+  }
+
   test("openStream tails a written family: streamed replay equals batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
