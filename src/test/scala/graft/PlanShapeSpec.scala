@@ -397,4 +397,17 @@ class PlanShapeSpec extends SparkSpec {
         s"$q spine join degenerated:\n$plan")
     }
   }
+
+  test("sliding bucket plans a map-side Generate, never a join") {
+    // the width/slide expansion must be an explode (Generate) feeding
+    // the hash aggregate — a windows-table join formulation would
+    // shuffle the corpus against a spine instead of expanding in place
+    val plan = planOf(SparkEntry.queries("boost_ts_sliding")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Generate"), s"no map-side expansion in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"sliding expansion must not plan a join:\n$plan")
+  }
 }
