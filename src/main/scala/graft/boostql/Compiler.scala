@@ -187,6 +187,25 @@ object Compiler {
       when(size(sk) < k, size(sk).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
           element_at(sk, -1).cast("double"))
+    /* histogram(x, lo, hi, nbins): nbins conditional sums — one per
+     * bin, each a codegen'd when().sum() — assembled into a
+     * comma-joined count string (engine-portable scalar output). Bin
+     * index is the one IEEE expression floor((x − lo) / (hi−lo) · n),
+     * least-clamped so a float landing ulp-exactly on hi-1's edge
+     * stays in the last bin; values outside [lo, hi) and nulls are
+     * excluded (filter rows or widen the range to count them).
+     * Identical arithmetic replays in any engine. */
+    case "histogram" =>
+      val Seq(lo, hi, nb) = params
+      val n = nb.toInt
+      val cd = c.cast("double")
+      val bin = least(
+        floor((cd - lit(lo)) / lit(hi - lo) * lit(nb)).cast("int"),
+        lit(n - 1))
+      val inRange = c.isNotNull && cd >= lit(lo) && cd < lit(hi)
+      val counts = (0 until n).map(i =>
+        coalesce(sum(when(inRange && bin === i, 1L)), lit(0L)).cast("string"))
+      array_join(array(counts: _*), ",")
     // grouping-set marker: 1 when the key is rolled up in this output
     // row, 0 when it groups — the ANSI disambiguator between a rollup
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE

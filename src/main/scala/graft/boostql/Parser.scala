@@ -90,7 +90,7 @@ object Parser {
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
     "approx_percentile", "approx_percentile_sketch",
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
-    "covar_samp")
+    "covar_samp", "histogram")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */
@@ -841,6 +841,40 @@ object Parser {
           arg match {
             case ORef(n) => OAgg("count_distinct", Some(n))
             case e       => OAggX("count_distinct", e)
+          }
+        } else if (id.equalsIgnoreCase("histogram")) {
+          // histogram(x, lo, hi, nbins): fixed-bin distribution counts
+          // over [lo, hi) — nbins comma-joined bin counts as ONE string
+          // column (engine-portable output, cross-engine hashable).
+          // Bounds and bin count are literals, so the whole thing
+          // compiles to nbins conditional sums: constant per-group
+          // state, map-side combined — a distribution summary that
+          // costs one hash aggregate however large the group.
+          val x = nested(addOperand())
+          def num(what: String): Double = {
+            expectSym(",")
+            peek match {
+              case TNum(v) => pos += 1; v.toDouble
+              case TSym("-") => toks(pos + 1) match {
+                case TNum(v) => pos += 2; -v.toDouble
+                case t => throw ParseException(
+                  s"histogram() $what must be a numeric literal, got $t")
+              }
+              case t => throw ParseException(
+                s"histogram() $what must be a numeric literal, got $t")
+            }
+          }
+          val lo = num("lo"); val hi = num("hi"); val nb = num("bin count")
+          expectSym(")")
+          if (nb != math.floor(nb) || nb < 1 || nb > 256)
+            throw ParseException(
+              "histogram() bin count must be an integer in [1, 256]")
+          if (!(hi > lo))
+            throw ParseException("histogram() needs hi > lo")
+          filterClause() match {
+            case Some(c) =>
+              OAggX("histogram", OCase(Seq((c, x)), None), Seq(lo, hi, nb))
+            case None => OAggX("histogram", x, Seq(lo, hi, nb))
           }
         } else if (corrFns.contains(id.toLowerCase)) {
           // corr(x, y) / covar_pop(x, y) / covar_samp(x, y): parsed as

@@ -590,6 +590,15 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 2 ORDER BY purchase.user")),
 
+    // fixed-bin histogram: 8 conditional sums over [0, 25000) cents,
+    // assembled into one comma-joined count string — a per-group
+    // distribution summary with constant aggregation state
+    "boost_histogram" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS hist, " +
+        "count(purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // exact median over integer cents: odd groups pick an element,
     // even groups take the midpoint — exact halves of integers, so both
     // engines produce identical doubles
@@ -1556,6 +1565,33 @@ object BoostQueries {
         |  (sxy - sx * sy / n) / n AS cp,
         |  (sxy - sx * sy / n) / (n - 1.0) AS cs
         |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // the identical bin expression (one IEEE formula, least-clamped),
+    // eight explicit conditional sums concat-joined in bin order
+    "boost_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT u, x,
+        |    CASE WHEN x IS NOT NULL AND CAST(x AS DOUBLE) >= 0.0
+        |              AND CAST(x AS DOUBLE) < 25000.0
+        |         THEN least(CAST(floor((CAST(x AS DOUBLE) - 0.0)
+        |                    / 25000.0 * 8.0) AS INT), 7) END AS bin
+        |  FROM t)
+        |SELECT u AS purchase_user,
+        |  concat_ws(',',
+        |    COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0)) AS hist,
+        |  COUNT(x) AS n
+        |FROM b GROUP BY u ORDER BY purchase_user""".stripMargin,
 
     // exact BIGINT S/Q/n per group, then the identical IEEE tail:
     // (Q - S*S/n) / (n - 1), sqrt for stddev

@@ -2677,6 +2677,41 @@ class BoostQLSpec extends SparkSpec {
       "FROM dom.events GROUP BY d FILL(null)")
   }
 
+  test("histogram: bin counts, exclusion, FILTER, literal contracts") {
+    import org.apache.spark.sql.functions._
+    // bins of [0, 100) in 4: values 5, 30, 55, 99 → one per bin; -1 and
+    // 100 excluded; 25 lands in bin 1
+    val df = Compiler.compile(Parser.parse(
+      "SELECT histogram(click, 0, 100, 4) AS h, count(*) AS n " +
+        "FROM dom.events"), fam)
+    assert(df.columns.sameElements(Array("h", "n")))
+    val h = df.collect()(0).getString(0).split(",").map(_.toLong)
+    assert(h.length == 4)
+    // matches an independent Spark formulation
+    val exp = fam.filter(col("series") === "click" &&
+        col("value") >= 0 && col("value") < 100)
+      .withColumn("b", least(floor(col("value") / lit(100.0) * 4.0)
+        .cast("int"), lit(3)))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach(i => assert(h(i) == exp.getOrElse(i, 0L), s"bin $i"))
+    // total binned <= series rows (out-of-range excluded, not clamped)
+    assert(h.sum <= fam.filter(col("series") === "click").count())
+    // FILTER narrows the input rows
+    val f = Compiler.compile(Parser.parse(
+      "SELECT histogram(click, 0, 300, 3) FILTER (WHERE click < 100.0) " +
+        "AS h FROM dom.events"), fam).collect()(0).getString(0)
+    assert(f.split(",").drop(1).forall(_ == "0"), f)
+    // literal contracts: integer bin count in [1, 256], hi > lo
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram(click, 0, 100, 0) AS h FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram(click, 0, 100, 2.5) AS h FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram(click, 100, 100, 4) AS h FROM dom.events"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram(click, 0, 100, click) AS h FROM dom.events"))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
