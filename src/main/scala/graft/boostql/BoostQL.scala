@@ -84,9 +84,65 @@ object BoostQL {
   def sqlInsert(stmt: String, families: ((String, String)) => DataFrame,
       root: String): Unit = stmt match {
     case insertRe(dom, fam, rest) =>
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types._
       val df = Compiler.compile(Parser.parseStmt(rest), families)
+      TimeSeriesTable.append(insertLong(df), root, dom, fam)
+    case _ => throw Compiler.CompileException(
+      "INSERT must be 'INSERT INTO domain.family SELECT …'")
+  }
+
+  /** `INSERT INTO domain.family <select>` against STREAMING family
+    * frames — continuous SQL ingest, the ETL-pipeline face of the
+    * north star: the same INSERT text that runs in batch keeps a family
+    * continuously fed from a live source. Two tiers by `watermark`:
+    *
+    *  - None: the STATELESS subset (projection + WHERE through
+    *    [[sqlStream]]'s whitelist) — a filtering/renaming/derived-series
+    *    pass-through pipe, no state store;
+    *  - Some(delay): the watermarked `bucket(ts, …)`-keyed aggregate
+    *    subset — the CONTINUOUS DOWNSAMPLING idiom (InfluxQL continuous
+    *    queries / TimescaleDB continuous aggregates): alias the bucket
+    *    key `ts` (uncast, so it stays the new family's time axis) and
+    *    each aggregate becomes a series of the target family. The
+    *    parquet sink appends FINALIZED windows only (state evicts
+    *    behind the watermark), so the target trails the source by the
+    *    watermark delay — the price of exactly-once downsampling over
+    *    late data.
+    *
+    * Same shape contract as [[sqlInsert]] (timestamp `ts` + numeric
+    * series columns, validated before stream start); same
+    * date-partitioned checkpointed sink as a hand-built ingest job.
+    * AvailableNow trigger: drains the current backlog, then returns —
+    * swap the trigger for a production run-forever deployment.
+    */
+  def sqlStreamInsert(stmt: String, families: ((String, String)) => DataFrame,
+      root: String, watermark: Option[String] = None): Unit = stmt match {
+    case insertRe(dom, fam, rest) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val df = watermark.fold(sqlStream(rest, families))(d =>
+        sqlStream(rest, families, d))
+      val long = insertLong(df).withColumn("dt", to_date(col("ts")))
+      val q = long.writeStream
+        .format("parquet")
+        .option("path", s"$root/$dom/$fam")
+        .option("checkpointLocation", s"$root/.checkpoints/$dom.$fam")
+        .partitionBy("dt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    case _ => throw Compiler.CompileException(
+      "INSERT must be 'INSERT INTO domain.family SELECT …'")
+  }
+
+  /** Shared INSERT shape contract + UNPIVOT onto the family long
+    * layout; works identically on batch and streaming frames (the
+    * unpivot is a map-side Expand). See [[sqlInsert]] for the rules.
+    */
+  private def insertLong(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    {
       val cols = df.columns.toSeq
       if (cols.count(_ == "ts") != 1 ||
           df.schema("ts").dataType != TimestampType)
@@ -112,17 +168,14 @@ object BoostQL {
             s"${df.schema(c).dataType.simpleString} — series values are " +
             "numeric"))
       val emptyMap = map().cast(MapType(StringType, StringType))
-      val long = df
-        .select(col("ts") +:
+      df.select(col("ts") +:
           valueCols.map(c => col(c).cast("double").as(c)): _*)
         .unpivot(Array(col("ts")), valueCols.map(col).toArray,
           "series", "value")
         .filter(col("value").isNotNull)
         .select(col("series"), col("ts"), col("value"),
           emptyMap.as("tags"), emptyMap.as("attributes"))
-      TimeSeriesTable.append(long, root, dom, fam)
-    case _ => throw Compiler.CompileException(
-      "INSERT must be 'INSERT INTO domain.family SELECT …'")
+    }
   }
 
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =

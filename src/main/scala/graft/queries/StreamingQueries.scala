@@ -28,6 +28,10 @@ object StreamingQueries {
     // windowed agg, end to end — the streaming twin of boost_roundtrip
     "stream_family_roundtrip" -> ((s, d) =>
       StreamingOps.streamFamilyRoundtrip(s, d)),
+    // continuous SQL ingest: the batch INSERT text kept running against
+    // a live tail, feeding a derived family (stateless transform tier)
+    "stream_sql_insert" -> ((s, d) =>
+      StreamingOps.streamSqlInsertReplay(s, d)),
     // the dialect's SLIDING bucket over a stream: bucket(ts, w, slide)
     // through sqlStream compiles to window(ts, w, slide)
     "stream_sql_sliding" -> ((s, d) =>
@@ -49,6 +53,14 @@ object StreamingQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin,
+
+    // the streamed INSERT pipe adds and loses nothing: read-back of the
+    // derived family equals the direct transform (boost_insert_roundtrip
+    // run through the streaming write path)
+    "stream_sql_insert" ->
+      """SELECT value AS p, value * 2.0 AS p2, ts
+        |FROM events WHERE event_type = 'purchase' AND value > 250.0
+        |ORDER BY ts""".stripMargin,
 
     // window(ts, 1d, 12h) starts as epoch seconds after the dialect's
     // CAST AS int; same 2-row expansion, filtered like the query

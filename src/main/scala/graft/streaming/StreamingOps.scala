@@ -285,6 +285,28 @@ object StreamingOps {
     spark.table(sink).orderBy("d")
   }
 
+  /** Continuous SQL ingest end to end: ingest the events into a family
+    * store, tail it, and run [[graft.boostql.BoostQL.sqlStreamInsert]]
+    * — the same INSERT text that runs in batch — to keep a DERIVED
+    * family continuously fed (stateless transform tier). Read the
+    * derived family back with a batch dialect query; must equal the
+    * batch [[graft.boostql.BoostQL.sqlInsert]] of the same statement.
+    */
+  def streamSqlInsertReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlinsert").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    graft.boostql.BoostQL.sqlStreamInsert(
+      "INSERT INTO dom.derived SELECT ts, purchase AS p, " +
+        "purchase * 2.0 AS p2 FROM dom.events",
+      _ => stream, root)
+    val reread = graft.sources.TimeSeriesTable.open(spark, root, "dom", "derived")
+    graft.boostql.BoostQL.sql("SELECT p, p2, ts FROM dom.derived WHERE p > 250.0",
+        _ => reread)
+      .orderBy("ts")
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -78,6 +78,58 @@ class StreamingSpec extends SparkSpec {
       "count(click) AS n FROM dom.events GROUP BY d")
   }
 
+  test("sqlStreamInsert: stateless pipe parity and continuous downsampling") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-insstream").toString
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    def stream = graft.sources.TimeSeriesTable.openStream(spark, root, "dom", "events")
+    def openFam(f: String) =
+      graft.sources.TimeSeriesTable.open(spark, root, "dom", f)
+    // stateless pipe: streamed INSERT equals the batch INSERT of the
+    // same statement
+    val ins = "INSERT INTO dom.%s SELECT ts, view AS v, view * 0.5 AS half " +
+      "FROM dom.events WHERE view > 100.0"
+    graft.boostql.BoostQL.sqlStreamInsert(ins.format("scopy"), _ => stream, root)
+    graft.boostql.BoostQL.sqlInsert(ins.format("bcopy"),
+      _ => openFam("events"), root)
+    def rows(f: String) = openFam(f)
+      .select("series", "ts", "value").orderBy("series", "ts")
+      .collect().toSeq
+    assert(rows("scopy") == rows("bcopy") && rows("scopy").nonEmpty)
+    // continuous downsampling: watermarked daily rollup into a derived
+    // family — finalized windows only, each matching the batch rollup
+    graft.boostql.BoostQL.sqlStreamInsert(
+      "INSERT INTO dom.daily SELECT bucket(ts, '1 day') AS ts, " +
+        "sum(CAST(click * 100.0 AS int)) AS clicks FROM dom.events " +
+        "GROUP BY ts",
+      _ => stream, root, Some("1 day"))
+    val daily = openFam("daily").filter(col("series") === "clicks")
+      .select(col("ts"), col("value")).collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    val batchDaily = openFam("events").filter(col("series") === "click")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(sum(expr("CAST(value * 100.0 AS long)")).cast("double").as("v"))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(daily.nonEmpty && daily.size >= batchDaily.size - 2)
+    daily.foreach { case (d, v) =>
+      assert(batchDaily.get(d).contains(v), s"day $d: $v vs ${batchDaily.get(d)}")
+    }
+    // shape refusals carry to the streaming front, BEFORE stream start
+    def refuses(stmt: String, wm: Option[String]): Unit =
+      intercept[graft.boostql.Compiler.CompileException](
+        graft.boostql.BoostQL.sqlStreamInsert(stmt, _ => stream, root, wm))
+    // watermarked INSERT needs the bucket key to stay the ts axis
+    refuses("INSERT INTO dom.x SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+      "count(click) AS n FROM dom.events GROUP BY d", Some("1 day"))
+    // a stateless INSERT of an aggregate refuses via the whitelist
+    refuses("INSERT INTO dom.x SELECT ts, count(click) AS n " +
+      "FROM dom.events GROUP BY ts", None)
+    // non-numeric series column refuses
+    refuses("INSERT INTO dom.x SELECT ts, click.user AS u FROM dom.events",
+      None)
+  }
+
   test("openStream tails a written family: streamed replay equals batch read") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
