@@ -659,6 +659,41 @@ object BoostQueries {
         .orderBy("view_event_id")
     }),
 
+    // maintenance ops, oracle-checked end to end: two interleaved
+    // appends (odd/even event ids — many small files), then COMPACT
+    // rewrites into few sorted files per date partition; the dialect
+    // query over the compacted copy must still match the direct-events
+    // oracle bit for bit (compaction moves bytes, never rows)
+    "boost_compact_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      import org.apache.spark.sql.functions.{col, element_at, lit, pmod}
+      val id = element_at(col("attributes"), "event_id").cast("long")
+      TimeSeriesTable.append(fam.filter(pmod(id, lit(2)) === 0), root, "dom", "events")
+      TimeSeriesTable.append(fam.filter(pmod(id, lit(2)) === 1), root, "dom", "events")
+      TimeSeriesTable.compact(s, root, "dom", "events")
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql("SELECT error.event_id, error FROM dom.events WHERE error >= 150.0",
+          _ => reread)
+        .orderBy("error_event_id")
+    }),
+
+    // EXPIRE drops whole date partitions older than the cutoff
+    // (metadata-only retention); the surviving rows are exactly the
+    // oracle's CAST(ts AS DATE) >= cutoff slice
+    "boost_expire_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_expire").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      TimeSeriesTable.expire(s, root, "dom", "events",
+        java.sql.Date.valueOf("2024-01-15"))
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql("SELECT click.user, count(*) AS n, " +
+        "sum(CAST(click * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user",
+          _ => reread)
+    }),
+
     // SQL ingest, oracle-checked end to end: INSERT INTO writes a
     // derived two-series family (each select column a series, UNPIVOT
     // to the long layout, date-partitioned append), then the dialect
@@ -1289,6 +1324,18 @@ object BoostQueries {
       """SELECT value AS p, value * 2.0 AS p2, ts
         |FROM events WHERE event_type = 'purchase' AND value > 250.0
         |ORDER BY ts""".stripMargin,
+
+    "boost_compact_roundtrip" ->
+      """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
+        |FROM events WHERE event_type = 'error' AND value >= 150.0
+        |ORDER BY error_event_id""".stripMargin,
+
+    "boost_expire_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS click_user, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |  AND CAST(ts AS DATE) >= DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY click_user""".stripMargin,
 
     "boost_with" ->
       """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt

@@ -104,6 +104,70 @@ object TimeSeriesTable {
       .write.partitionBy("dt").mode("append")
       .format(format).save(s"$root/$domain/$family")
 
+  /** RETENTION: drop whole date partitions older than the cutoff —
+    * metadata-only directory removal, never a rewrite, which is the
+    * only way retention works at 100 TB (a DELETE-shaped rewrite of a
+    * petabyte family to age out a day is an anti-pattern; the
+    * reference's m3db side ages out whole blocks the same way).
+    * Returns the dropped partition names, sorted. Directories that are
+    * not `dt=YYYY-MM-DD` are left untouched.
+    */
+  def expire(spark: SparkSession, root: String, domain: String,
+      family: String, olderThan: java.sql.Date): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$domain/$family")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("dt=")) None
+      else scala.util.Try(java.sql.Date.valueOf(name.stripPrefix("dt=")))
+        .toOption.filter(_.before(olderThan))
+        .map { _ => fs.delete(st.getPath, true); name }
+    }.sorted
+  }
+
+  /** COMPACTION: rewrite the family into few large (series, ts)-sorted
+    * files per date partition — the operational counterpart of the
+    * streaming ingest path, whose sink lands one small file per
+    * micro-batch per partition. Small files tax the scan twice at
+    * scale (listing + per-file open, and row groups too small for
+    * min/max pruning to bite); compaction restores the
+    * [[append]]-shaped layout. The rewrite goes to a sibling temp
+    * directory first and swaps in only after it completes, so a
+    * concurrent reader sees old or new, never half. Note: compacting
+    * finalizes a streaming-sink directory into a batch-owned one (the
+    * sink's `_spark_metadata` log is not carried over), so run it on
+    * families whose ingest stream has stopped or rolled to a new root.
+    * Returns (data files before, data files after).
+    */
+  def compact(spark: SparkSession, root: String, domain: String,
+      family: String): (Int, Int) = {
+    val dir = s"$root/$domain/$family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(path: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(p)
+    val df = spark.read
+      .schema(schema.add(StructField("dt", DateType, nullable = true)))
+      .parquet(dir)
+      .repartition(col("dt"))
+      .sortWithinPartitions("series", "ts")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__compacting")
+    df.write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    (before, dataFiles(p))
+  }
+
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):
     * date partitions × series-hash buckets, rows sorted by (series, ts)
     * within each bucket file. Spark's bucketing metadata lives in the

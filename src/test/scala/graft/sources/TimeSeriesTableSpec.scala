@@ -87,4 +87,34 @@ class TimeSeriesTableSpec extends SparkSpec {
       s"bucketed series agg should not shuffle:\n$plan")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("compact merges small files; expire drops whole date partitions") {
+    import graft.tables.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    // three interleaved appends -> many small files per date partition
+    val id = element_at(col("attributes"), "event_id").cast("long")
+    (0 until 3).foreach(k =>
+      TimeSeriesTable.append(fam.filter(pmod(id, lit(3)) === k), root, "dom", "m"))
+    val before = TimeSeriesTable.open(spark, root, "dom", "m")
+      .orderBy("series", "ts").collect().toSeq
+    val (nBefore, nAfter) = TimeSeriesTable.compact(spark, root, "dom", "m")
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+      .orderBy("series", "ts").collect().toSeq
+    assert(after == before && after.nonEmpty)
+    // retention: drop partitions before the cutoff, keep the rest
+    val cutoff = java.sql.Date.valueOf("2024-01-10")
+    val dropped = TimeSeriesTable.expire(spark, root, "dom", "m", cutoff)
+    assert(dropped.nonEmpty && dropped.forall(_.startsWith("dt=")))
+    assert(dropped.forall(n =>
+      java.sql.Date.valueOf(n.stripPrefix("dt=")).before(cutoff)))
+    val kept = TimeSeriesTable.open(spark, root, "dom", "m")
+    assert(kept.filter(to_date(col("ts")) < lit(cutoff)).count() == 0)
+    assert(kept.count() ==
+      before.count(_.getAs[java.sql.Timestamp]("ts").getTime >=
+        cutoff.getTime))
+    // idempotent: nothing left to drop at the same cutoff
+    assert(TimeSeriesTable.expire(spark, root, "dom", "m", cutoff).isEmpty)
+  }
 }
