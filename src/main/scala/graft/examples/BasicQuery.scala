@@ -137,6 +137,27 @@ object BasicQuery {
       "FROM dom.events GROUP BY purchase.user " +
       "ORDER BY purchase.user LIMIT 5").show()
 
+    println("== first/last on the time axis + co-moment statistics")
+    run("SELECT purchase.user, first(purchase) AS opening, " +
+      "last(purchase) AS closing, " +
+      "corr(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS r " +
+      "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user LIMIT 5").show()
+
+    println("== FILL: dense daily buckets, gaps carried forward (LOCF)")
+    run("SELECT bucket(ts, '1 day') AS d, count(*) AS n, avg(purchase) AS mean " +
+      "FROM dom.events WHERE purchase.user = '3' " +
+      "GROUP BY d FILL(previous) ORDER BY d LIMIT 8").show()
+
+    println("== sliding windows: 1-day window every 12 hours (moving daily count)")
+    run("SELECT CAST(t.d AS int) AS start_s, t.n AS n FROM " +
+      "(SELECT bucket(ts, '1 day', '12 hours') AS d, count(click) AS n " +
+      "FROM dom.events GROUP BY d) AS t ORDER BY start_s LIMIT 6").show()
+
+    println("== fixed-bin histogram: per-user purchase distribution in cents")
+    run("SELECT purchase.user, histogram(CAST(purchase * 100.0 AS int), " +
+      "0, 25000, 5) AS hist FROM dom.events " +
+      "GROUP BY purchase.user ORDER BY purchase.user LIMIT 5").show(5, truncate = false)
+
     println("== EXPLAIN: the compiled Spark plan through the dialect front door")
     run("EXPLAIN SIMPLE SELECT click.user, click FROM dom.events " +
       "WHERE click < 100.0").collect().foreach(r => println(r.getString(0)))
