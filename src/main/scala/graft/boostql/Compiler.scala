@@ -211,6 +211,15 @@ object Compiler {
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE
     // mode and key membership at the call site)
     case "grouping"       => grouping(c)
+    // context-needing aggregates that ONLY the grouped-select compile
+    // wires (they read the source's time axis): reaching here means a
+    // position without that context — say so, not "unknown"
+    case "first" | "last" | "approx_percentile_sketch" |
+         "approx_percentile" =>
+      throw CompileException(
+        s"$fn() needs the source's time axis and is only supported in " +
+          "the SELECT/HAVING/ORDER BY of a grouped query over a family " +
+          "(not in correlated scalar subqueries)")
     case other            => throw CompileException(s"unknown aggregate $other")
   }
 
