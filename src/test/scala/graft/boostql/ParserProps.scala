@@ -300,4 +300,76 @@ object ParserProps extends Properties("graft.boostql.parser") {
     Gen.oneOf("99999999999999999999 days", "200000000000000 days",
       "5 fortnights", "banana", "", "-3 minutes", "1 month", "2 weeks")
   ) { bad => Compiler.parseIntervalMicros(bad).isEmpty }
+
+  // FILL clause: every mode spelling (any case) round-trips to its
+  // FillSpec; numeric modes keep their value; junk modes reject
+  property("fillModeRoundTrip") = forAll(
+    Gen.oneOf("null" -> FillSpec("null"), "previous" -> FillSpec("previous"),
+      "linear" -> FillSpec("linear"), "0" -> FillSpec("value", Some(0.0)),
+      "2.5" -> FillSpec("value", Some(2.5)),
+      "-1.5" -> FillSpec("value", Some(-1.5))),
+    Gen.oneOf(false, true)
+  ) { case ((text, expected), upper) =>
+    val t = if (upper) text.toUpperCase else text
+    Parser.parse("SELECT bucket(ts, '1 day') AS d, count(cpu) AS n " +
+      s"FROM dom.f GROUP BY d FILL($t)").fill.contains(expected)
+  }
+
+  property("fillJunkModesReject") = forAll(
+    Gen.oneOf("sideways", "prev", "''", "--", "null null")
+  ) { bad =>
+    scala.util.Try(Parser.parse(
+      "SELECT bucket(ts, '1 day') AS d, count(cpu) AS n " +
+        s"FROM dom.f GROUP BY d FILL($bad)")).isFailure
+  }
+
+  // histogram literal contract: any integer bin count in [1, 256]
+  // parses with the exact (lo, hi, n) params; out-of-range rejects
+  property("histogramLiteralRoundTrip") = forAll(
+    Gen.choose(1, 256), Gen.choose(-100, 100)
+  ) { (n, lo) =>
+    parseExpr(s"histogram(cpu, $lo, ${lo + 50}, $n)") ==
+      OAggX("histogram", ORef(RawName(Seq("cpu"))),
+        Seq(lo.toDouble, (lo + 50).toDouble, n.toDouble))
+  }
+
+  property("histogramBadBinCountsReject") = forAll(
+    Gen.oneOf("0", "257", "2.5", "-3")
+  ) { bad =>
+    scala.util.Try(parseExpr(s"histogram(cpu, 0, 100, $bad)")).isFailure
+  }
+
+  // corr desugar: textual whitespace variants of one call desugar to
+  // the IDENTICAL operand tree (structural dedup depends on it), and
+  // the tree contains only sum() aggregates
+  property("corrDesugarCanonical") = forAll(
+    Gen.oneOf("corr", "covar_pop", "covar_samp"),
+    Gen.oneOf("cpu,mem" -> "cpu , mem", "cpu,mem" -> "cpu,  mem")
+  ) { case (fn, (a, b)) =>
+    def aggs(o: Operand): Seq[String] = o match {
+      case OAggX(f, e, _)  => f +: aggs(e)
+      case OArith(_, l, r) => aggs(l) ++ aggs(r)
+      case OCast(x, _)     => aggs(x)
+      case OFn(_, as)      => as.flatMap(aggs)
+      case OCase(bs, el)   => bs.flatMap(x => aggs(x._2)) ++
+        el.toSeq.flatMap(aggs)
+      case _               => Seq.empty
+    }
+    val p1 = parseExpr(s"$fn($a)"); val p2 = parseExpr(s"$fn($b)")
+    p1 == p2 && aggs(p1).nonEmpty && aggs(p1).forall(_ == "sum")
+  }
+
+  // sliding bucket: the 3-argument form parses as a plain 3-arg OFn in
+  // a grouping-key position for any fixed-width spelling pair
+  property("slidingBucketParseShape") = forAll(
+    Gen.oneOf("'1 day'" -> "'12 hours'", "'1 hour'" -> "'30 minutes'",
+      "'10 minutes'" -> "'5 minutes'")
+  ) { case (w, s) =>
+    val q = Parser.parse(s"SELECT bucket(ts, $w, $s) AS d, " +
+      s"count(cpu) AS n FROM dom.f GROUP BY d")
+    q.select.head match {
+      case ExprItem(OFn("bucket", args), "d") => args.length == 3
+      case _ => false
+    }
+  }
 }
