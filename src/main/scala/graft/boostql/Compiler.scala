@@ -1791,11 +1791,10 @@ object Compiler {
           filtered.withColumn(nm,
             explode(transform(starts, s => timestamp_micros(s))))
       }
-      val groupCols = groupEntries.map {
-        case Left(sf)               => col(sf.inName)
-        case Right(ExprItem(OFn("bucket", a), nm)) if a.length == 3 => col(nm)
-        case Right(ExprItem(e, nm)) => operandColumn(e, aggOk = false).as(nm)
-      }
+      // (groupCols is defined after the twa pre-pass below: when twa()
+      // materializes the expression keys as columns, the aggregate must
+      // group on THOSE attributes so the lead-window's exchange is the
+      // aggregate's exchange)
       // every bare (non-aggregated) select field must be a grouping key —
       // inside ExprItems too (OAgg args are not bare: they aggregate);
       // an ExprItem that IS a grouping entry is exempt (it's the key)
@@ -1911,9 +1910,82 @@ object Compiler {
         val key = when(v.isNotNull, struct(col("__ts_0").as("t"), v.as("v")))
         (if (fn == "first") min(key) else max(key)).getField("v")
       }
+      /** twa(x): time-weighted average on the SQL front — the dialect
+        * face of [[graft.operators.TimeSeriesOps.timeWeightedAvg]]
+        * (TimescaleDB's time_weighted_average): trapezoid-integrate the
+        * piecewise-linear value curve over each group's observed span,
+        *   twa = Σ (vᵢ+vᵢ₊₁)/2 · (tᵢ₊₁−tᵢ) / (t_max − t_min),
+        * the right mean for irregular sampling where plain avg()
+        * over-weights dense stretches. Compiles as ONE lead() window
+        * pass over the group keys (segment values, added pre-agg) and a
+        * hash aggregate on the SAME keys — the exchange is reused, no
+        * second shuffle. Over integral inputs the segment sum is exact
+        * with a single double division tail — cross-engine stable.
+        * Needs the time axis: single family/ts-propagating source only;
+        * ROLLUP/CUBE/GROUPING SETS and sliding-bucket grouping refuse
+        * (their row expansion would double-count segments).
+        */
+      val twaSpecs: Seq[(String, Column)] = aggSpecs.collect {
+        case Left(("twa", a)) =>
+          val sf = a.getOrElse(throw CompileException(
+            "twa(*) is not valid — twa() needs an argument"))
+          (aggColName("twa", a), col(sf.inName))
+        case Right(("twa", e, ps)) =>
+          (aggXColName("twa", e, ps), operandColumn(e, aggOk = false))
+      }
+      if (twaSpecs.nonEmpty) {
+        if (multi) throw CompileException(
+          "twa() is single-source only — joined frames have no " +
+            "unambiguous time axis")
+        if (!isFam(0) && !subHasTs(0)) throw CompileException(
+          "twa() integrates over the time axis — this derived table " +
+            "does not output a timestamp column named ts")
+        if (spec.groupMode != "plain") throw CompileException(
+          "twa() is not valid with ROLLUP/CUBE/GROUPING SETS")
+        if (slidingEntries.nonEmpty) throw CompileException(
+          "twa() is not valid with a sliding bucket key — the window " +
+            "expansion would double-count segments")
+      }
+      val preAgg = if (twaSpecs.isEmpty) preExpanded else {
+        import org.apache.spark.sql.expressions.{Window => W}
+        // materialize expression keys as NAMED columns first, so the
+        // lead-window and the aggregate hash on the same attributes —
+        // one exchange for both (groupCols below reads these back)
+        val withKeys = groupEntries.foldLeft(preExpanded) {
+          case (df, Right(ExprItem(e, nm))) if !df.columns.contains(nm) =>
+            df.withColumn(nm, operandColumn(e, aggOk = false))
+          case (df, _) => df
+        }
+        val partCols = groupEntries.map {
+          case Left(sf)               => col(sf.inName)
+          case Right(ExprItem(_, nm)) => col(nm)
+        }
+        val w = W.partitionBy(partCols: _*).orderBy(col("__ts_0"))
+        val us = unix_micros(col("__ts_0"))
+        twaSpecs.foldLeft(withKeys) { case (df, (nm, v)) =>
+          df.withColumn(s"__twa_seg_$nm",
+            (v + lead(v, 1).over(w)) * (lead(us, 1).over(w) - us))
+        }
+      }
+      def twaColumn(nm: String): Column = {
+        val us = unix_micros(col("__ts_0"))
+        sum(col(s"__twa_seg_$nm")).cast("double") / 2.0 /
+          (max(us) - min(us)).cast("double")
+      }
+      val groupCols = groupEntries.map {
+        case Left(sf)               => col(sf.inName)
+        case Right(ExprItem(OFn("bucket", a), nm)) if a.length == 3 => col(nm)
+        case Right(ExprItem(e, nm)) =>
+          if (twaSpecs.nonEmpty) col(nm)
+          else operandColumn(e, aggOk = false).as(nm)
+      }
       val aggCols = aggSpecs.map {
         case Left(("approx_percentile", _)) => throw CompileException(
           "approx_percentile() requires (field, fraction) arguments")
+        case Left((f @ "twa", a)) =>
+          val nm = aggColName(f, a); twaColumn(nm).as(nm)
+        case Right((f @ "twa", e, ps)) =>
+          val nm = aggXColName(f, e, ps); twaColumn(nm).as(nm)
         case Left(("approx_percentile_sketch", a)) =>
           val sf = a.getOrElse(throw CompileException(
             "approx_percentile_sketch(*) is not valid — it needs an argument"))
@@ -1958,7 +2030,7 @@ object Compiler {
             }
           pre.groupingSets(
             spec.groupSets.map(_.map(keyCol)), spec.groupBy.map(keyCol): _*)
-        case _ => preExpanded.groupBy(groupCols: _*)
+        case _ => preAgg.groupBy(groupCols: _*)
       }
       val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
       val havd = having2.fold(agged)(h => agged.filter(exprColumn(h, aggOk = true)))

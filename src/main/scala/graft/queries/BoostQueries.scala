@@ -590,6 +590,17 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 2 ORDER BY purchase.user")),
 
+    // time-weighted average on the SQL front: trapezoid integral over
+    // integer cents — one lead() pass on the group keys + the hash
+    // aggregate on the same keys (exchange reused), exact segment sums,
+    // single double division tail
+    "boost_ts_twa" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "round(twa(CAST(purchase * 100.0 AS int)), 6) AS tw, " +
+        "count(purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user")),
+
     // fixed-bin histogram: 8 conditional sums over [0, 25000) cents,
     // assembled into one comma-joined count string — a per-group
     // distribution summary with constant aggregation state
@@ -1611,6 +1622,26 @@ object BoostQueries {
         |    / sqrt(n * syy - sy * sy) AS r,
         |  (sxy - sx * sy / n) / n AS cp,
         |  (sxy - sx * sy / n) / (n - 1.0) AS cs
+        |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // identical trapezoid arithmetic: exact BIGINT segment sums per
+    // user, double-cast, one division sequence, rounded to 6
+    "boost_ts_twa" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS us,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT u, us, c,
+        |    (c + LEAD(c) OVER w) * (LEAD(us) OVER w - us) AS seg2
+        |  FROM t WINDOW w AS (PARTITION BY u ORDER BY us)),
+        |g AS (
+        |  SELECT u,
+        |    CAST(SUM(seg2) AS DOUBLE) AS num2,
+        |    CAST(MAX(us) - MIN(us) AS DOUBLE) AS span,
+        |    COUNT(c) AS n
+        |  FROM s GROUP BY u HAVING COUNT(c) > 1)
+        |SELECT u AS purchase_user, round(num2 / 2.0 / span, 6) AS tw, n
         |FROM g ORDER BY purchase_user""".stripMargin,
 
     // the identical bin expression (one IEEE formula, least-clamped),

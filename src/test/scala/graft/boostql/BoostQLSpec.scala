@@ -2712,6 +2712,46 @@ class BoostQLSpec extends SparkSpec {
       "SELECT histogram(click, 0, 100, click) AS h FROM dom.events"))
   }
 
+  test("twa: dialect equals the operator; window+agg on one exchange; refusals") {
+    import org.apache.spark.sql.functions._
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.user, twa(click) AS tw FROM dom.events " +
+        "GROUP BY click.user HAVING count(click) > 1 " +
+        "ORDER BY click.user"), fam)
+    val base = fam.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "user").as("click_user"),
+        col("ts"), col("value"))
+    val exp = graft.operators.TimeSeriesOps
+      .timeWeightedAvg(base, Seq("click_user"), "ts", "value")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val expm = exp.collect()
+      .flatMap(r => Option(r.get(1)).map(v =>
+        r.getString(0) -> v.asInstanceOf[Double])).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, v) =>
+      assert(math.abs(v - expm(u)) < 1e-9, s"$u: $v vs ${expm(u)}")
+    }
+    // the lead() window and the aggregate hash on the same key: one
+    // data exchange (plus the presentation sort)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"twa must reuse the key exchange:\n$plan")
+    // refusals: star, joined frames, ts-less derived tables, ROLLUP,
+    // sliding keys
+    def refuses(q: String): Unit =
+      intercept[Compiler.CompileException](Compiler.compile(Parser.parse(q), fam))
+    refuses("SELECT twa(*) FROM dom.events")
+    refuses("SELECT twa(a.click) AS t FROM dom.events AS a " +
+      "JOIN dom.events AS b ON a.click.user = b.view.user")
+    refuses("SELECT twa(t.x) AS tw FROM (SELECT purchase.user AS x " +
+      "FROM dom.events) AS t")
+    refuses("SELECT click.user, twa(click) AS tw FROM dom.events " +
+      "GROUP BY ROLLUP (click.user)")
+    refuses("SELECT bucket(ts, '1 day', '12 hours') AS d, twa(click) AS tw " +
+      "FROM dom.events GROUP BY d")
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(
