@@ -1761,6 +1761,13 @@ object Compiler {
             "windows already overlap")
       val preExpanded = slidingEntries.headOption.fold(filtered) {
         case (nm, a, _) =>
+          // the window starts materialize via withColumn, which REPLACES
+          // a same-named column — a key alias shadowing a source
+          // series/column would silently change what downstream items
+          // read, so it refuses instead
+          if (filtered.columns.contains(nm)) throw CompileException(
+            s"sliding bucket alias '$nm' collides with a source column " +
+              "of the same name — choose a different alias")
           val axis = a.head match {
             case ORef(n) if ref(n).isTs => ref(n).inName
             case _ => throw CompileException(
@@ -1952,7 +1959,13 @@ object Compiler {
         // lead-window and the aggregate hash on the same attributes —
         // one exchange for both (groupCols below reads these back)
         val withKeys = groupEntries.foldLeft(preExpanded) {
-          case (df, Right(ExprItem(e, nm))) if !df.columns.contains(nm) =>
+          case (df, Right(ExprItem(e, nm))) =>
+            // a key alias that collides with an existing column would
+            // make the aggregate silently group by the RAW column (the
+            // old contains-check skipped materialization) — refuse
+            if (df.columns.contains(nm)) throw CompileException(
+              s"twa(): group key alias '$nm' collides with a source " +
+                "column of the same name — choose a different alias")
             df.withColumn(nm, operandColumn(e, aggOk = false))
           case (df, _) => df
         }
@@ -2090,38 +2103,63 @@ object Compiler {
             .select(partKeys.map(col) :+ explode(sequence(
               unix_micros(col("__lo")), unix_micros(col("__hi")),
               lit(widthUs))).as("__us"): _*)
-            .select(partKeys.map(col) :+
-              timestamp_micros(col("__us")).as(dName): _*)
-          val joined = spine.join(in, keyCols, "left")
+            .select(partKeys.map(c => col(c).as(s"__sp_$c")) :+
+              timestamp_micros(col("__us")).as(s"__sp_$dName"): _*)
+          // Dimension keys join NULL-SAFELY (<=>): a tag/attribute
+          // dimension group whose key IS null must still match its own
+          // spine rows (groupBy made it a group; a plain equi-join would
+          // drop every observed row of that group and report the whole
+          // group as gaps). The bucket axis joins by plain equality —
+          // spine buckets are never null. Spine-only rows are the GAP
+          // rows; `__gap` tags them so fill modes touch ONLY materialized
+          // gaps, never an observed bucket whose aggregate is genuinely
+          // null (e.g. sum over an all-null bucket) — the
+          // InfluxQL/TimescaleDB gap-fill contract.
+          val cond = partKeys.map(k => col(s"__sp_$k") <=> col(k))
+            .foldLeft(col(s"__sp_$dName") === col(dName))(_ && _)
+          val joined = spine
+            .join(in.withColumn("__gap", lit(false)), cond, "left")
+            .select(keyCols.map(c => col(s"__sp_$c").as(c)) ++
+              valCols.map(col) :+
+              coalesce(col("__gap"), lit(true)).as("__gap"): _*)
+          val gap = col("__gap")
           def perCol(f: Column => Column): DataFrame =
             valCols.foldLeft(joined)((df, c) => df.withColumn(c, f(col(c))))
-          mode match {
+          val filled = mode match {
             case "null"  => joined
-            case "value" => perCol(c => coalesce(c, lit(fv.get)))
+            case "value" => perCol(c => when(gap, lit(fv.get)).otherwise(c))
             case "previous" =>
+              // carry the last OBSERVED row's value into gap rows — even
+              // when that value is itself null (struct-wrapping makes an
+              // observed null a non-null carrier, so it is not skipped
+              // back over); observed rows pass through untouched
               val w = W.partitionBy(partKeys.map(col): _*)
                 .orderBy(col(dName))
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
-              perCol(c => last(c, ignoreNulls = true).over(w))
+              perCol(c => when(!gap, c).otherwise(
+                last(when(!gap, struct(c.as("v"))), ignoreNulls = true)
+                  .over(w)("v")))
             case "linear" =>
               // the interp() formula on the bucket axis: four bounded-
-              // frame lookups + one fixed IEEE expression per row
+              // frame lookups + one fixed IEEE expression per gap row;
+              // anchors are observed non-null points only
               val tsUs = unix_micros(col(dName)).cast("double")
               val w0 = W.partitionBy(partKeys.map(col): _*)
                 .orderBy(col(dName))
               val runF = w0.rowsBetween(W.unboundedPreceding, W.currentRow)
               val futF = w0.rowsBetween(W.currentRow, W.unboundedFollowing)
               perCol { c =>
-                val pv = last(c.cast("double"), ignoreNulls = true).over(runF)
-                val pt = last(when(c.isNotNull, tsUs), ignoreNulls = true)
-                  .over(runF)
-                val nv = first(c.cast("double"), ignoreNulls = true).over(futF)
-                val nt = first(when(c.isNotNull, tsUs), ignoreNulls = true)
-                  .over(futF)
-                when(c.isNotNull, c.cast("double"))
+                val anchor = when(!gap && c.isNotNull, c.cast("double"))
+                val anchorT = when(!gap && c.isNotNull, tsUs)
+                val pv = last(anchor, ignoreNulls = true).over(runF)
+                val pt = last(anchorT, ignoreNulls = true).over(runF)
+                val nv = first(anchor, ignoreNulls = true).over(futF)
+                val nt = first(anchorT, ignoreNulls = true).over(futF)
+                when(!gap, c.cast("double"))
                   .otherwise(pv + (nv - pv) * (tsUs - pt) / (nt - pt))
               }
           }
+          filled.drop("__gap")
       }
       // SELECT-item scalar subs attach AFTER the aggregation (one
       // broadcast row onto the grouped output; pre-agg they'd be

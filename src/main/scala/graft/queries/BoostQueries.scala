@@ -1440,18 +1440,27 @@ object BoostQueries {
         |  SELECT CAST(user_id AS VARCHAR) AS u,
         |    CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS ds,
         |    COUNT(*) AS n,
-        |    MAX(CAST(TRUNC(value * 100.0) AS BIGINT)) AS mx
+        |    MAX(CAST(TRUNC(value * 100.0) AS BIGINT)) AS mx,
+        |    TRUE AS obs
         |  FROM events WHERE event_type = 'purchase'
         |  GROUP BY 1, 2
         |), g AS (
         |  SELECT u, MIN(ds) AS lo, MAX(ds) AS hi FROM a GROUP BY u
         |), spine AS (
-        |  SELECT u, UNNEST(generate_series(lo, hi, 86400)) AS ds FROM g)
-        |SELECT spine.ds AS ds, spine.u AS u,
-        |  last_value(a.n IGNORE NULLS) OVER w AS n,
-        |  last_value(a.mx IGNORE NULLS) OVER w AS mx
-        |FROM spine LEFT JOIN a USING (u, ds)
-        |WINDOW w AS (PARTITION BY spine.u ORDER BY spine.ds
+        |  SELECT u, UNNEST(generate_series(lo, hi, 86400)) AS ds FROM g
+        |), j AS (
+        |  SELECT spine.ds AS ds, spine.u AS u, a.n, a.mx,
+        |    COALESCE(a.obs, FALSE) AS obs
+        |  FROM spine LEFT JOIN a USING (u, ds))
+        |SELECT ds, u,
+        |  CASE WHEN obs THEN n ELSE
+        |    (last_value(CASE WHEN obs THEN {'v': n} END IGNORE NULLS)
+        |       OVER w).v END AS n,
+        |  CASE WHEN obs THEN mx ELSE
+        |    (last_value(CASE WHEN obs THEN {'v': mx} END IGNORE NULLS)
+        |       OVER w).v END AS mx
+        |FROM j
+        |WINDOW w AS (PARTITION BY u ORDER BY ds
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY u, ds""".stripMargin,
 
@@ -1473,10 +1482,11 @@ object BoostQueries {
         |), spine AS (
         |  SELECT UNNEST(generate_series(lo, hi, 86400000000)) AS dus FROM g
         |), j AS (
-        |  SELECT spine.dus, CAST(spine.dus AS DOUBLE) AS tu, a.n, a.cents
+        |  SELECT spine.dus, CAST(spine.dus AS DOUBLE) AS tu, a.n, a.cents,
+        |    (a.n IS NOT NULL) AS obs
         |  FROM spine LEFT JOIN a USING (dus))
         |SELECT CAST(dus // 1000000 AS BIGINT) AS ds,
-        |  CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+        |  CASE WHEN obs THEN CAST(n AS DOUBLE)
         |       ELSE last_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER run
         |          + (first_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER fut
         |             - last_value(CAST(n AS DOUBLE) IGNORE NULLS) OVER run)
@@ -1486,7 +1496,7 @@ object BoostQueries {
         |                         IGNORE NULLS) OVER fut
         |             - last_value(CASE WHEN n IS NOT NULL THEN tu END
         |                          IGNORE NULLS) OVER run) END AS n,
-        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |  CASE WHEN obs THEN CAST(cents AS DOUBLE)
         |       ELSE last_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER run
         |          + (first_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER fut
         |             - last_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER run)
@@ -1516,7 +1526,8 @@ object BoostQueries {
         |  SELECT MIN(ds) AS lo, MAX(ds) AS hi FROM a
         |), spine AS (
         |  SELECT UNNEST(generate_series(lo, hi, 21600)) AS ds FROM g)
-        |SELECT spine.ds AS ds, COALESCE(CAST(a.n AS DOUBLE), 0.0) AS n
+        |SELECT spine.ds AS ds,
+        |  CASE WHEN a.n IS NOT NULL THEN CAST(a.n AS DOUBLE) ELSE 0.0 END AS n
         |FROM spine LEFT JOIN a USING (ds)
         |ORDER BY ds""".stripMargin,
 

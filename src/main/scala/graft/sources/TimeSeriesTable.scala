@@ -132,12 +132,27 @@ object TimeSeriesTable {
     * micro-batch per partition. Small files tax the scan twice at
     * scale (listing + per-file open, and row groups too small for
     * min/max pruning to bite); compaction restores the
-    * [[append]]-shaped layout. The rewrite goes to a sibling temp
-    * directory first and swaps in only after it completes, so a
-    * concurrent reader sees old or new, never half. Note: compacting
-    * finalizes a streaming-sink directory into a batch-owned one (the
-    * sink's `_spark_metadata` log is not carried over), so run it on
-    * families whose ingest stream has stopped or rolled to a new root.
+    * [[append]]-shaped layout.
+    *
+    * Safety contract:
+    *  - The source is read by EXPLICIT FILE LIST, never by directory.
+    *    A directory that was ever a streaming-sink target carries a
+    *    `_spark_metadata` log, and a directory read honors only the
+    *    files that log committed — files landed by the batch path
+    *    ([[append]] / SQL `INSERT`, which target the same layout) would
+    *    be invisible to the rewrite and then destroyed with the swap.
+    *    The explicit list sees every parquet file regardless of
+    *    provenance; the sink log itself is retired by the swap (the
+    *    compacted directory is batch-owned), so roll any live ingest
+    *    stream to a new root first — its checkpoint's file log does not
+    *    carry over.
+    *  - The rewrite is VERIFIED (row counts must match) before the
+    *    source is touched; a mismatch aborts with the source intact.
+    *  - The swap is two renames: the old directory moves aside to
+    *    `.{family}__old`, the rewrite renames in, then the old copy is
+    *    dropped. The live path is missing only for the instant between
+    *    the renames, and any failure leaves the data recoverable (the
+    *    source either still in place or intact under `.{family}__old`).
     * Returns (data files before, data files after).
     */
   def compact(spark: SparkSession, root: String, domain: String,
@@ -145,27 +160,53 @@ object TimeSeriesTable {
     val dir = s"$root/$domain/$family"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(path: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(p)) return (0, 0)
+    def listData(path: org.apache.hadoop.fs.Path): Seq[String] = {
       val it = fs.listFiles(path, true)
-      var n = 0
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) n += 1
+        // skip anything under the sink log — only data files count
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.toString.contains("/_spark_metadata/"))
+          buf += f.getPath.toString
       }
-      n
+      buf.toSeq
     }
-    val before = dataFiles(p)
-    val df = spark.read
-      .schema(schema.add(StructField("dt", DateType, nullable = true)))
-      .parquet(dir)
-      .repartition(col("dt"))
-      .sortWithinPartitions("series", "ts")
+    val files = listData(p)
+    if (files.isEmpty) return (0, 0)
+    val withDt = schema.add(StructField("dt", DateType, nullable = true))
+    // explicit file list + basePath: bypasses any _spark_metadata sink
+    // log (mixed batch+stream files all participate) while keeping the
+    // dt partition column derivable from the file paths
+    val src = spark.read.schema(withDt).option("basePath", dir)
+      .parquet(files: _*)
+    val expected = src.count()
     val tmp = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__compacting")
-    df.write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"compaction swap failed for $dir")
-    (before, dataFiles(p))
+    src.repartition(col("dt"))
+      .sortWithinPartitions("series", "ts")
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+    val rewritten = spark.read.schema(withDt).parquet(tmp.toString).count()
+    if (rewritten != expected) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compaction aborted for $dir: rewrite holds $rewritten rows, " +
+          s"source holds $expected — source left untouched")
+    }
+    val aside = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (!fs.rename(p, aside))
+      throw new java.io.IOException(
+        s"compaction swap failed for $dir: could not move the old " +
+          "directory aside — source left untouched")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(aside, p) // roll back; source restored
+      throw new java.io.IOException(
+        s"compaction swap failed for $dir: rewrite rename failed — " +
+          "source restored")
+    }
+    fs.delete(aside, true)
+    (files.length, listData(p).length)
   }
 
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):

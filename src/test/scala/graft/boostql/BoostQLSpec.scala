@@ -2582,6 +2582,76 @@ class BoostQLSpec extends SparkSpec {
     assert(Parser.parse("SELECT fill FROM dom.events").select.length == 1)
   }
 
+  test("FILL: null dimension keys keep their groups; observed nulls survive") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // host 'a': Jan 1 (1.0), Jan 3 observed but ALL-NULL (sum -> null),
+    // Jan 5 (5.0) — gaps Jan 2 and Jan 4; host NULL: Jan 1 (10.0) and
+    // Jan 3 (30.0) — gap Jan 2
+    val rows: Seq[(String, Timestamp, String, Option[Double])] = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:00:00"), "a", Some(1.0)),
+      ("cpu", Timestamp.valueOf("2024-01-03 05:00:00"), "a", None),
+      ("cpu", Timestamp.valueOf("2024-01-05 05:00:00"), "a", Some(5.0)),
+      ("cpu", Timestamp.valueOf("2024-01-01 06:00:00"), null, Some(10.0)),
+      ("cpu", Timestamp.valueOf("2024-01-03 06:00:00"), null, Some(30.0)))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "h", "value")
+      .withColumn("attributes",
+        when(col("h").isNotNull, map(lit("host"), col("h")))
+          .otherwise(map().cast("map<string,string>")))
+      .drop("h")
+      .withColumn("tags", map().cast("map<string,string>"))
+    def fill(mode: String) = Compiler.compile(Parser.parse(
+      "SELECT cpu.host, bucket(ts, '1 day') AS d, sum(cpu) AS s FROM dom.f " +
+        s"GROUP BY cpu.host, d FILL($mode) ORDER BY cpu.host, d"), tiny)
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    // previous: the NULL-host group still densifies (null-safe key
+    // join), and LOCF carries the last OBSERVED row's value — an
+    // observed null (Jan 3) is carried as null into Jan 4's gap, never
+    // skipped back over, and never itself overwritten
+    assert(fill("previous") == Seq(
+      (None, Some(10.0)), (None, Some(10.0)), (None, Some(30.0)),
+      (Some("a"), Some(1.0)), (Some("a"), Some(1.0)), (Some("a"), None),
+      (Some("a"), None), (Some("a"), Some(5.0))))
+    // constant: only materialized GAP rows take the literal; the
+    // observed all-null bucket stays null
+    assert(fill("0.0") == Seq(
+      (None, Some(10.0)), (None, Some(0.0)), (None, Some(30.0)),
+      (Some("a"), Some(1.0)), (Some("a"), Some(0.0)), (Some("a"), None),
+      (Some("a"), Some(0.0)), (Some("a"), Some(5.0))))
+    // linear: gaps interpolate between observed NON-NULL anchors (Jan 1
+    // and Jan 5 for host a); the observed-null bucket neither anchors
+    // nor gets interpolated
+    assert(fill("linear") == Seq(
+      (None, Some(10.0)), (None, Some(20.0)), (None, Some(30.0)),
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), None),
+      (Some("a"), Some(4.0)), (Some("a"), Some(5.0))))
+    // null mode: gaps materialize as null for the null-host group too
+    assert(fill("null") == Seq(
+      (None, Some(10.0)), (None, None), (None, Some(30.0)),
+      (Some("a"), Some(1.0)), (Some("a"), None), (Some("a"), None),
+      (Some("a"), None), (Some("a"), Some(5.0))))
+  }
+
+  test("group-key alias colliding with a source column refuses") {
+    // sliding bucket: the window-starts explode materializes via
+    // withColumn, which would REPLACE a same-named source column
+    val e1 = intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day', '12 hours') AS click, avg(click) AS a " +
+        "FROM dom.events GROUP BY click"), fam))
+    assert(e1.getMessage.contains("collides"))
+    // twa key materialization: the old contains-check skipped the
+    // withColumn, silently grouping by the RAW column
+    val e2 = intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day') AS click, twa(click) AS t " +
+        "FROM dom.events GROUP BY click"), fam))
+    assert(e2.getMessage.contains("collides"))
+    // a non-colliding alias on the same shapes still compiles
+    Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day') AS d, twa(click) AS t " +
+        "FROM dom.events GROUP BY d"), fam)
+  }
+
   test("approx_percentile_sketch/_merge: two-level rollup equals direct") {
     // the bottom-k merge law: per-day sample sketches merged per user
     // give EXACTLY the sample (and so the estimate) of a direct

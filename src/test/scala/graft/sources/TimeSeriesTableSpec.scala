@@ -117,4 +117,38 @@ class TimeSeriesTableSpec extends SparkSpec {
     // idempotent: nothing left to drop at the same cutoff
     assert(TimeSeriesTable.expire(spark, root, "dom", "m", cutoff).isEmpty)
   }
+
+  test("compact preserves batch files landed in a streaming-sink directory") {
+    // a family first written by the STREAMING sink (so the directory
+    // carries a _spark_metadata log), then appended to by the BATCH
+    // path: a directory read honors only sink-committed files, so the
+    // batch rows are invisible to it — compact must read by explicit
+    // file list, keep every row, and verify counts before swapping
+    val root = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    graft.streaming.StreamingOps.streamIntoFamily(spark, sfDir, root, "dom", "mx")
+    val dir = s"$root/dom/mx"
+    assert(new java.io.File(s"$dir/_spark_metadata").exists())
+    val streamed = TimeSeriesTable.open(spark, root, "dom", "mx").count()
+    assert(streamed > 0)
+    // batch-append a disjoint slice (future dates: no file collision)
+    val extra = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 YEARS"))
+    TimeSeriesTable.append(extra, root, "dom", "mx")
+    val nExtra = extra.count()
+    // the sink log HIDES the batch files from a directory read — the
+    // exact hazard compact used to destroy data through
+    assert(TimeSeriesTable.open(spark, root, "dom", "mx").count() == streamed)
+    val (nBefore, nAfter) = TimeSeriesTable.compact(spark, root, "dom", "mx")
+    assert(nBefore > 0 && nAfter <= nBefore)
+    // compacted directory is batch-owned (sink log retired) and holds
+    // EVERY row from both provenances
+    assert(!new java.io.File(s"$dir/_spark_metadata").exists())
+    val back = TimeSeriesTable.open(spark, root, "dom", "mx")
+    assert(back.count() == streamed + nExtra)
+    // no stray swap debris
+    assert(!new java.io.File(s"$root/dom/.mx__old").exists())
+    assert(!new java.io.File(s"$root/dom/.mx__compacting").exists())
+    // compacting an empty/missing family is a no-op
+    assert(TimeSeriesTable.compact(spark, root, "dom", "nothere") == ((0, 0)))
+  }
 }
