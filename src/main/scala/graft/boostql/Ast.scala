@@ -248,7 +248,14 @@ object Ast {
   final case class JoinClause(source: FromRel, on: Option[BExpr],
       joinType: String = "inner", asof: Option[AsofOpts] = None)
 
-  final case class OrderItem(item: SelectItem, asc: Boolean)
+  /** One ORDER BY key. `nullsFirst`: None = the engine default
+    * (Spark: NULLS FIRST for ASC, NULLS LAST for DESC); Some(true/false)
+    * = an explicit `NULLS FIRST` / `NULLS LAST` — the portable spelling,
+    * since ANSI leaves the default to the implementation (DuckDB and
+    * Postgres default the other way round from Spark for ASC).
+    */
+  final case class OrderItem(item: SelectItem, asc: Boolean,
+      nullsFirst: Option[Boolean] = None)
 
   /** A statement: a single SELECT or a set-operation compound. */
   sealed trait QueryStmt

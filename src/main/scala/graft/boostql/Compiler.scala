@@ -383,6 +383,21 @@ object Compiler {
         build(cols)
     }
 
+  /** Apply an ORDER BY key's direction and NULLS placement. No explicit
+    * NULLS clause keeps Spark's defaults (NULLS FIRST for ASC, LAST for
+    * DESC); the explicit forms are the portable spelling against engines
+    * whose defaults differ (DuckDB/Postgres ASC default is NULLS LAST).
+    */
+  private def sortKey(c: Column, o: OrderItem): Column =
+    (o.asc, o.nullsFirst) match {
+      case (true, None)         => c.asc
+      case (true, Some(true))   => c.asc_nulls_first
+      case (true, Some(false))  => c.asc_nulls_last
+      case (false, None)        => c.desc
+      case (false, Some(true))  => c.desc_nulls_first
+      case (false, Some(false)) => c.desc_nulls_last
+    }
+
   /** Compile a query; `families` resolves each (domain, family) source to
     * a series-family DataFrame (schema: series, ts, value, tags,
     * attributes).
@@ -2259,8 +2274,7 @@ object Compiler {
       val ordered =
         if (orderItems.isEmpty) out
         else out.orderBy(orderItems.map { o =>
-          val c = distinctOrderCol(o.item)
-          if (o.asc) c.asc else c.desc
+          sortKey(distinctOrderCol(o.item), o)
         }: _*)
       // OFFSET skips before LIMIT counts (ANSI paging order)
       val paged = spec.offset.fold(ordered)(ordered.offset)
@@ -2290,8 +2304,7 @@ object Compiler {
       val ordered =
         if (orderItems.isEmpty) out
         else out.orderBy(orderItems.map { o =>
-          val c = winOrderCol(o.item)
-          if (o.asc) c.asc else c.desc
+          sortKey(winOrderCol(o.item), o)
         }: _*)
       val paged = spec.offset.fold(ordered)(ordered.offset)
       spec.limit.fold(paged)(paged.limit)
@@ -2299,8 +2312,7 @@ object Compiler {
       val ordered =
         if (orderItems.isEmpty) projected
         else projected.orderBy(orderItems.map { o =>
-          val c = orderCol(o.item)
-          if (o.asc) c.asc else c.desc
+          sortKey(orderCol(o.item), o)
         }: _*)
       // OFFSET skips before LIMIT counts (ANSI paging order)
       val paged = spec.offset.fold(ordered)(ordered.offset)
@@ -2358,7 +2370,7 @@ object Compiler {
         val ordered =
           if (ord.isEmpty) combined
           else combined.orderBy(ord.map { o =>
-            val c = key(o.item); if (o.asc) c.asc else c.desc
+            sortKey(key(o.item), o)
           }: _*)
         val paged = off.fold(ordered)(ordered.offset)
         lim.fold(paged)(paged.limit)

@@ -10,8 +10,13 @@ import Ast._
   *
   * {{{
   * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)?
-  *             (GROUP BY grp (FILL '(' (NULL|PREVIOUS|LINEAR|num) ')')?)?
-  *             (HAVING or)? (QUALIFY or)? (ORDER BY orders)? (LIMIT int (OFFSET int)?)?
+  *             (GROUP BY (ALL | grp) (FILL '(' (NULL|PREVIOUS|LINEAR|num) ')')?)?
+  *             (HAVING or)? (QUALIFY or)?
+  *             (ORDER BY (ALL dir? | orders))? (LIMIT int (OFFSET int)?)?
+  *             -- GROUP BY ALL / ORDER BY ALL desugar to the select
+  *             -- items (DuckDB idiom); dir := (ASC|DESC)? nulls?
+  * orders   := item dir (',' item dir)*
+  * nulls    := NULLS (FIRST|LAST)   -- contextual two-word shape
   * hints    := hintOpen (ident '(' idents? ')' ','?)+ hintClose
   *             -- hintOpen/hintClose are the slash-star-plus / star-slash
   *             -- comment-hint delimiters; `-- line` and standalone
@@ -399,9 +404,23 @@ object Parser {
       val (grp, gmode, gsets) =
         if (kw("group")) {
           expectKw("by")
+          // `GROUP BY ALL` (DuckDB idiom): desugar at parse time to the
+          // non-aggregate select items — plain fields by name,
+          // expression items by their alias (the `GROUP BY d` pattern);
+          // aggregate, window and scalar-subquery items are the
+          // aggregation output, never keys
+          if (kw("all")) {
+            val keys = items.collect {
+              case FieldItem(n) => n
+              case ExprItem(e, nm) if groupableExpr(e) => RawName(Seq(nm))
+            }
+            if (keys.isEmpty) throw ParseException(
+              "GROUP BY ALL found no non-aggregate select items to group by")
+            (keys, "plain", Seq.empty[Seq[RawName]])
+          }
           // `GROUP BY GROUPING SETS (` — contextual like ROLLUP/CUBE: a
           // series named `grouping` still groups as a plain key
-          if (peekIsKw("grouping") && (pos + 1) < toks.length &&
+          else if (peekIsKw("grouping") && (pos + 1) < toks.length &&
               (toks(pos + 1) match {
                 case TIdent(id) => id.equalsIgnoreCase("sets")
                 case _ => false
@@ -456,7 +475,16 @@ object Parser {
       // alias); a series named `qualify` needs backticks
       val qual = if (kw("qualify")) Some(orExpr()) else None
       val ord =
-        if (kw("order")) { expectKw("by"); orderList() } else Seq.empty
+        if (kw("order")) {
+          expectKw("by")
+          // `ORDER BY ALL` (DuckDB idiom): every select item left to
+          // right, one direction (and NULLS placement) for all
+          if (kw("all")) {
+            val asc = if (kw("desc")) false else { kw("asc"); true }
+            val nf = nullsOrder()
+            items.map(it => OrderItem(it, asc, nf))
+          } else orderList()
+        } else Seq.empty
       val lim = if (kw("limit")) Some(intLit()) else None
       // OFFSET only with LIMIT (an un-limited offset over an unordered
       // engine is a paging bug, not a query)
@@ -530,6 +558,33 @@ object Parser {
     private def peekIsKw(s: String): Boolean = peek match {
       case TIdent(id) => id.equalsIgnoreCase(s)
       case _ => false
+    }
+
+    /** True when an expression can serve as a GROUP BY ALL key: it
+      * contains no aggregate, window, or scalar-subquery call anywhere.
+      */
+    private def groupableExpr(o: Operand): Boolean = o match {
+      case _: OAgg | _: OAggX | _: OWin | _: OScalarSub => false
+      case OArith(_, l, r) => groupableExpr(l) && groupableExpr(r)
+      case ONeg(x)         => groupableExpr(x)
+      case OFn(_, as)      => as.forall(groupableExpr)
+      case OCast(x, _)     => groupableExpr(x)
+      case OCase(bs, o2)   =>
+        bs.forall { case (c, v) => groupableCond(c) && groupableExpr(v) } &&
+          o2.forall(groupableExpr)
+      case _ => true
+    }
+    private def groupableCond(e: BExpr): Boolean = e match {
+      case Cmp(_, l, r)           => groupableExpr(l) && groupableExpr(r)
+      case IsNullE(x, _)          => groupableExpr(x)
+      case InE(x, xs, _)          => groupableExpr(x) && xs.forall(groupableExpr)
+      case BetweenE(x, lo, hi, _) =>
+        groupableExpr(x) && groupableExpr(lo) && groupableExpr(hi)
+      case LikeE(x, _, _)         => groupableExpr(x)
+      case AndE(l, r)             => groupableCond(l) && groupableCond(r)
+      case OrE(l, r)              => groupableCond(l) && groupableCond(r)
+      case NotE(x)                => groupableCond(x)
+      case _: InSubE | _: ExistsE => false
     }
 
     /** Optional `FILTER (WHERE cond)` after an aggregate call. FILTER is
@@ -634,13 +689,28 @@ object Parser {
       b.result()
     }
 
+    /** `NULLS FIRST|LAST` after a sort direction — contextual (only the
+      * exact two-word shape engages, so a series named `nulls` still
+      * sorts as a key).
+      */
+    private def nullsOrder(): Option[Boolean] =
+      if (peekIsKw("nulls") && (pos + 1) < toks.length &&
+          (toks(pos + 1) match {
+            case TIdent(id) =>
+              id.equalsIgnoreCase("first") || id.equalsIgnoreCase("last")
+            case _ => false
+          })) {
+        pos += 1
+        Some(ident().equalsIgnoreCase("first"))
+      } else None
+
     private def orderList(): Seq[OrderItem] = {
       val b = Seq.newBuilder[OrderItem]
       var i = 0
       def one(): OrderItem = {
         val it = selectItem(i); i += 1
         val asc = if (kw("desc")) false else { kw("asc"); true }
-        OrderItem(it, asc)
+        OrderItem(it, asc, nullsOrder())
       }
       b += one()
       while (sym(",")) b += one()

@@ -213,6 +213,25 @@ object BoostQueries {
         "WHERE error > 150.0 ORDER BY error DESC, error.event_id " +
         "LIMIT 15 OFFSET 10")),
 
+    // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
+    // desugared at parse time to the non-aggregate select items (keys)
+    // / every select item (sort); the oracle runs the IDENTICAL sugar
+    "boost_group_all" -> ((s, d) =>
+      run(s, d, "SELECT click.user, CAST(bucket(ts, '6 hours') AS int) AS h, " +
+        "count(*) AS n, sum(CAST(click * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY ALL ORDER BY ALL")),
+
+    // explicit NULLS FIRST/LAST placement — the portable spelling:
+    // Spark defaults ASC to NULLS FIRST where DuckDB/Postgres default
+    // NULLS LAST, so a nullable sort key without the clause would
+    // hash-mismatch ANY cross-engine oracle
+    "boost_nulls_order" -> ((s, d) =>
+      run(s, d, "SELECT CAST(click.event_id AS int) AS eid, " +
+        "CASE WHEN click > 200.0 THEN CAST(click.k AS int) END AS bigk, " +
+        "CAST(click * 100.0 AS int) AS cents " +
+        "FROM dom.events WHERE click < 400.0 " +
+        "ORDER BY bigk DESC NULLS LAST, cents ASC NULLS FIRST, eid")),
+
     // COUNT(DISTINCT x) — partial-agg'd distinct count per group
     "boost_count_distinct" -> ((s, d) =>
       run(s, d, "SELECT purchase.user, count(DISTINCT purchase.event_id) AS n, " +
@@ -1294,6 +1313,22 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    "boost_group_all" ->
+      """SELECT CAST(user_id AS VARCHAR) AS click_user,
+        |  CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS h,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "boost_nulls_order" ->
+      """SELECT CAST(event_id AS INT) AS eid,
+        |  CASE WHEN value > 200.0
+        |    THEN CAST(props->>'k' AS INT) END AS bigk,
+        |  CAST(TRUNC(value * 100.0) AS INT) AS cents
+        |FROM events WHERE event_type = 'click' AND value < 400.0
+        |ORDER BY bigk DESC NULLS LAST, cents ASC NULLS FIRST, eid""".stripMargin,
 
     "boost_count_distinct" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

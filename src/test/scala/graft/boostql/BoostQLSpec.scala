@@ -2652,6 +2652,41 @@ class BoostQLSpec extends SparkSpec {
         "FROM dom.events GROUP BY d"), fam)
   }
 
+  test("GROUP BY ALL / ORDER BY ALL desugar; NULLS FIRST/LAST") {
+    // GROUP BY ALL = the non-aggregate select items (fields by name,
+    // expressions by alias), in select order
+    val g = Parser.parse(
+      "SELECT click.user, bucket(ts, '1 day') AS d, count(*) AS n " +
+        "FROM dom.events GROUP BY ALL")
+    assert(g.groupBy == Seq(RawName(Seq("click", "user")), RawName(Seq("d"))))
+    // sugar ≡ the explicit spelling, row for row
+    val sugar = Compiler.compile(Parser.parse(
+      "SELECT click.user, bucket(ts, '1 day') AS d, count(*) AS n " +
+        "FROM dom.events GROUP BY ALL ORDER BY ALL"), fam).collect().toSeq
+    val explicit = Compiler.compile(Parser.parse(
+      "SELECT click.user, bucket(ts, '1 day') AS d, count(*) AS n " +
+        "FROM dom.events GROUP BY click.user, d " +
+        "ORDER BY click.user, d, n"), fam).collect().toSeq
+    assert(sugar == explicit && sugar.nonEmpty)
+    // an all-aggregate select has no keys to group by
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT count(*) AS n FROM dom.events GROUP BY ALL"))
+    // ORDER BY ALL DESC applies the direction to every key
+    val o = Parser.parse(
+      "SELECT click.user, click FROM dom.events ORDER BY ALL DESC")
+    assert(o.orderBy.length == 2 && o.orderBy.forall(!_.asc))
+    // NULLS LAST on an ascending nullable key moves nulls to the end
+    // (Spark's ASC default is NULLS FIRST — this is the override)
+    val rows = Compiler.compile(Parser.parse(
+      "SELECT CASE WHEN click > 200.0 THEN click.k END AS k2, click " +
+        "FROM dom.events ORDER BY k2 NULLS LAST, click"), fam).collect()
+    assert(rows.nonEmpty && rows.last.isNullAt(0) && !rows.head.isNullAt(0))
+    // a series named `nulls` still parses as a sort key (contextual:
+    // only the exact `NULLS FIRST|LAST` two-word shape engages)
+    assert(Parser.parse(
+      "SELECT x FROM dom.f ORDER BY x, nulls").orderBy.length == 2)
+  }
+
   test("approx_percentile_sketch/_merge: two-level rollup equals direct") {
     // the bottom-k merge law: per-day sample sketches merged per user
     // give EXACTLY the sample (and so the estimate) of a direct
