@@ -1932,43 +1932,57 @@ object Compiler {
         val key = when(v.isNotNull, struct(col("__ts_0").as("t"), v.as("v")))
         (if (fn == "first") min(key) else max(key)).getField("v")
       }
-      /** twa(x): time-weighted average on the SQL front — the dialect
-        * face of [[graft.operators.TimeSeriesOps.timeWeightedAvg]]
-        * (TimescaleDB's time_weighted_average): trapezoid-integrate the
-        * piecewise-linear value curve over each group's observed span,
-        *   twa = Σ (vᵢ+vᵢ₊₁)/2 · (tᵢ₊₁−tᵢ) / (t_max − t_min),
-        * the right mean for irregular sampling where plain avg()
-        * over-weights dense stretches. Compiles as ONE lead() window
-        * pass over the group keys (segment values, added pre-agg) and a
-        * hash aggregate on the SAME keys — the exchange is reused, no
-        * second shuffle. Over integral inputs the segment sum is exact
-        * with a single double division tail — cross-engine stable.
-        * Needs the time axis: single family/ts-propagating source only;
-        * ROLLUP/CUBE/GROUPING SETS and sliding-bucket grouping refuse
-        * (their row expansion would double-count segments).
+      /** Consecutive-point ("segment") aggregates — the counter/gauge
+        * math that needs each point's SUCCESSOR, not just the bag of
+        * values:
+        *  - twa(x): time-weighted average, the dialect face of
+        *    [[graft.operators.TimeSeriesOps.timeWeightedAvg]]
+        *    (TimescaleDB's time_weighted_average): trapezoid-integrate
+        *    the piecewise-linear value curve over each group's span,
+        *    twa = Σ (vᵢ+vᵢ₊₁)/2 · (tᵢ₊₁−tᵢ) / (t_max − t_min) — the
+        *    right mean for irregular sampling where plain avg()
+        *    over-weights dense stretches.
+        *  - increase(x): total counter increase, reset-aware (the
+        *    Prometheus contract): per consecutive pair the contribution
+        *    is vᵢ₊₁−vᵢ when the counter moved forward, else vᵢ₊₁ (a
+        *    reset restarts from zero); summed per group. NULL values
+        *    break the chain (both segments touching a NULL contribute
+        *    nothing).
+        *  - resets(x): how many times the counter went backward —
+        *    the reset count increase() compensated for.
+        * All compile as ONE lead() window pass over the group keys
+        * (segment values, added pre-agg) and a hash aggregate on the
+        * SAME keys — the exchange is reused, no second shuffle. Over
+        * integral inputs the sums are exact (twa has a single double
+        * division tail) — cross-engine stable. Need the time axis:
+        * single family/ts-propagating source only; ROLLUP/CUBE/
+        * GROUPING SETS and sliding-bucket grouping refuse (their row
+        * expansion would double-count segments).
         */
-      val twaSpecs: Seq[(String, Column)] = aggSpecs.collect {
-        case Left(("twa", a)) =>
+      val segFns = Set("twa", "increase", "resets")
+      val segSpecs: Seq[(String, String, Column)] = aggSpecs.collect {
+        case Left((f, a)) if segFns(f) =>
           val sf = a.getOrElse(throw CompileException(
-            "twa(*) is not valid — twa() needs an argument"))
-          (aggColName("twa", a), col(sf.inName))
-        case Right(("twa", e, ps)) =>
-          (aggXColName("twa", e, ps), operandColumn(e, aggOk = false))
+            s"$f(*) is not valid — $f() needs an argument"))
+          (f, aggColName(f, a), col(sf.inName))
+        case Right((f, e, ps)) if segFns(f) =>
+          (f, aggXColName(f, e, ps), operandColumn(e, aggOk = false))
       }
-      if (twaSpecs.nonEmpty) {
+      if (segSpecs.nonEmpty) {
+        val f = segSpecs.head._1
         if (multi) throw CompileException(
-          "twa() is single-source only — joined frames have no " +
+          s"$f() is single-source only — joined frames have no " +
             "unambiguous time axis")
         if (!isFam(0) && !subHasTs(0)) throw CompileException(
-          "twa() integrates over the time axis — this derived table " +
-            "does not output a timestamp column named ts")
+          s"$f() walks consecutive points on the time axis — this " +
+            "derived table does not output a timestamp column named ts")
         if (spec.groupMode != "plain") throw CompileException(
-          "twa() is not valid with ROLLUP/CUBE/GROUPING SETS")
+          s"$f() is not valid with ROLLUP/CUBE/GROUPING SETS")
         if (slidingEntries.nonEmpty) throw CompileException(
-          "twa() is not valid with a sliding bucket key — the window " +
+          s"$f() is not valid with a sliding bucket key — the window " +
             "expansion would double-count segments")
       }
-      val preAgg = if (twaSpecs.isEmpty) preExpanded else {
+      val preAgg = if (segSpecs.isEmpty) preExpanded else {
         import org.apache.spark.sql.expressions.{Window => W}
         // materialize expression keys as NAMED columns first, so the
         // lead-window and the aggregate hash on the same attributes —
@@ -1979,7 +1993,7 @@ object Compiler {
             // make the aggregate silently group by the RAW column (the
             // old contains-check skipped materialization) — refuse
             if (df.columns.contains(nm)) throw CompileException(
-              s"twa(): group key alias '$nm' collides with a source " +
+              s"group key alias '$nm' collides with a source " +
                 "column of the same name — choose a different alias")
             df.withColumn(nm, operandColumn(e, aggOk = false))
           case (df, _) => df
@@ -1990,30 +2004,41 @@ object Compiler {
         }
         val w = W.partitionBy(partCols: _*).orderBy(col("__ts_0"))
         val us = unix_micros(col("__ts_0"))
-        twaSpecs.foldLeft(withKeys) { case (df, (nm, v)) =>
-          df.withColumn(s"__twa_seg_$nm",
-            (v + lead(v, 1).over(w)) * (lead(us, 1).over(w) - us))
+        segSpecs.foldLeft(withKeys) { case (df, (f, nm, v)) =>
+          val nx = lead(v, 1).over(w)
+          val seg = f match {
+            case "twa" => (v + nx) * (lead(us, 1).over(w) - us)
+            case "increase" =>
+              when(v.isNull || nx.isNull, lit(null))
+                .otherwise(when(nx >= v, nx - v).otherwise(nx))
+            case "resets" =>
+              when(v.isNull || nx.isNull, lit(null))
+                .otherwise(when(nx < v, lit(1L)).otherwise(lit(0L)))
+          }
+          df.withColumn(s"__seg_$nm", seg)
         }
       }
-      def twaColumn(nm: String): Column = {
-        val us = unix_micros(col("__ts_0"))
-        sum(col(s"__twa_seg_$nm")).cast("double") / 2.0 /
-          (max(us) - min(us)).cast("double")
+      def segColumn(f: String, nm: String): Column = f match {
+        case "twa" =>
+          val us = unix_micros(col("__ts_0"))
+          sum(col(s"__seg_$nm")).cast("double") / 2.0 /
+            (max(us) - min(us)).cast("double")
+        case _ => sum(col(s"__seg_$nm"))
       }
       val groupCols = groupEntries.map {
         case Left(sf)               => col(sf.inName)
         case Right(ExprItem(OFn("bucket", a), nm)) if a.length == 3 => col(nm)
         case Right(ExprItem(e, nm)) =>
-          if (twaSpecs.nonEmpty) col(nm)
+          if (segSpecs.nonEmpty) col(nm)
           else operandColumn(e, aggOk = false).as(nm)
       }
       val aggCols = aggSpecs.map {
         case Left(("approx_percentile", _)) => throw CompileException(
           "approx_percentile() requires (field, fraction) arguments")
-        case Left((f @ "twa", a)) =>
-          val nm = aggColName(f, a); twaColumn(nm).as(nm)
-        case Right((f @ "twa", e, ps)) =>
-          val nm = aggXColName(f, e, ps); twaColumn(nm).as(nm)
+        case Left((f, a)) if segFns(f) =>
+          val nm = aggColName(f, a); segColumn(f, nm).as(nm)
+        case Right((f, e, ps)) if segFns(f) =>
+          val nm = aggXColName(f, e, ps); segColumn(f, nm).as(nm)
         case Left(("approx_percentile_sketch", a)) =>
           val sf = a.getOrElse(throw CompileException(
             "approx_percentile_sketch(*) is not valid — it needs an argument"))

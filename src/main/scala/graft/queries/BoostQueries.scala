@@ -213,6 +213,17 @@ object BoostQueries {
         "WHERE error > 150.0 ORDER BY error DESC, error.event_id " +
         "LIMIT 15 OFFSET 10")),
 
+    // increase()/resets() — reset-aware counter math (the Prometheus
+    // contract): per consecutive pair the contribution is the forward
+    // delta, or the new value after a reset; resets counts the
+    // backward steps. One lead() pass + hash aggregate on the same
+    // keys (exchange reused)
+    "boost_ts_increase" -> ((s, d) =>
+      run(s, d, "SELECT click.user, " +
+        "increase(CAST(click * 100.0 AS int)) AS inc, " +
+        "resets(CAST(click * 100.0 AS int)) AS rst " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user")),
+
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
     // desugared at parse time to the non-aggregate select items (keys)
     // / every select item (sort); the oracle runs the IDENTICAL sugar
@@ -1313,6 +1324,23 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // lead() over the same (user, ts) order as the engine; the CASE
+    // mirrors the reset contract exactly, NULL-breaking included
+    "boost_ts_increase" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, ts,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'
+        |), d AS (
+        |  SELECT u, v, lead(v) OVER (PARTITION BY u ORDER BY ts) AS nx
+        |  FROM s)
+        |SELECT u AS click_user,
+        |  CAST(SUM(CASE WHEN v IS NULL OR nx IS NULL THEN NULL
+        |                WHEN nx >= v THEN nx - v ELSE nx END) AS BIGINT) AS inc,
+        |  CAST(SUM(CASE WHEN v IS NULL OR nx IS NULL THEN NULL
+        |                WHEN nx < v THEN 1 ELSE 0 END) AS BIGINT) AS rst
+        |FROM d GROUP BY u ORDER BY u""".stripMargin,
 
     "boost_group_all" ->
       """SELECT CAST(user_id AS VARCHAR) AS click_user,

@@ -398,6 +398,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("segment aggregates (increase) share ONE exchange between window and agg") {
+    // the lead() pre-pass partitions by the group keys and the hash
+    // aggregate groups by the SAME keys — exactly one hashpartitioning
+    // exchange on them; a second would mean the window and aggregate
+    // stopped hashing on the same attributes
+    val plan = planOf(SparkEntry.queries("boost_ts_increase")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val keyExchanges = "Exchange hashpartitioning\\(click_user"
+      .r.findAllIn(plan).size
+    assert(keyExchanges == 1,
+      s"expected exactly one group-key exchange, got $keyExchanges:\n$plan")
+    assert(plan.contains("Window"), s"no lead() window pass in:\n$plan")
+  }
+
   test("sliding bucket plans a map-side Generate, never a join") {
     // the width/slide expansion must be an explode (Generate) feeding
     // the hash aggregate — a windows-table join formulation would

@@ -2652,6 +2652,43 @@ class BoostQLSpec extends SparkSpec {
         "FROM dom.events GROUP BY d"), fam)
   }
 
+  test("increase()/resets(): reset-aware counter math over consecutive points") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // counter walk 10 → 15 → 3 (reset) → 9:
+    //   increase = (15-10) + 3 + (9-3) = 14, resets = 1
+    val rows: Seq[(String, Timestamp, Option[Double])] = Seq(
+      ("c", Timestamp.valueOf("2024-01-01 00:00:00"), Some(10.0)),
+      ("c", Timestamp.valueOf("2024-01-01 00:01:00"), Some(15.0)),
+      ("c", Timestamp.valueOf("2024-01-01 00:02:00"), Some(3.0)),
+      ("c", Timestamp.valueOf("2024-01-01 00:03:00"), Some(9.0)))
+    def fam(rs: Seq[(String, Timestamp, Option[Double])]) =
+      spark.createDataFrame(rs).toDF("series", "ts", "value")
+        .withColumn("attributes", map().cast("map<string,string>"))
+        .withColumn("tags", map().cast("map<string,string>"))
+    val r = Compiler.compile(Parser.parse(
+      "SELECT increase(c) AS inc, resets(c) AS rst FROM dom.f"),
+      fam(rows)).collect()(0)
+    assert(r.getDouble(0) == 14.0 && r.getLong(1) == 1L)
+    // a NULL breaks the chain: 10 → null → 9 contributes nothing at all
+    val rows2: Seq[(String, Timestamp, Option[Double])] = Seq(
+      ("c", Timestamp.valueOf("2024-01-01 00:00:00"), Some(10.0)),
+      ("c", Timestamp.valueOf("2024-01-01 00:01:00"), None),
+      ("c", Timestamp.valueOf("2024-01-01 00:02:00"), Some(9.0)))
+    val r2 = Compiler.compile(Parser.parse(
+      "SELECT increase(c) AS inc, resets(c) AS rst FROM dom.f"),
+      fam(rows2)).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    // the segment-aggregate refusal matrix applies (same as twa)
+    def refuses(q: String): Unit =
+      intercept[Compiler.CompileException](
+        Compiler.compile(Parser.parse(q), fam(rows)))
+    refuses("SELECT c.host, increase(c) AS i FROM dom.f " +
+      "GROUP BY ROLLUP (c.host)")
+    refuses("SELECT bucket(ts, '1 day', '12 hours') AS d, " +
+      "increase(c) AS i FROM dom.f GROUP BY d")
+  }
+
   test("GROUP BY ALL / ORDER BY ALL desugar; NULLS FIRST/LAST") {
     // GROUP BY ALL = the non-aggregate select items (fields by name,
     // expressions by alias), in select order
