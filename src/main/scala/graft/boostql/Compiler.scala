@@ -1982,7 +1982,30 @@ object Compiler {
           s"$f() is not valid with a sliding bucket key — the window " +
             "expansion would double-count segments")
       }
-      val preAgg = if (segSpecs.isEmpty) preExpanded else {
+      /** mad(x): median absolute deviation — median(|x − median(x)|),
+        * the robust dispersion aggregate (a z-score's stddev is dragged
+        * by the very outliers it measures; a median is not). Needs the
+        * per-group median BEFORE the group collapses, so it rides the
+        * same pre-pass: a window median over the group keys (no order —
+        * whole-partition frame) materializes the deviation column, and
+        * the aggregate takes its exact interpolated median on the SAME
+        * keys — one exchange for window and aggregate. No time axis
+        * needed; sliding buckets fine (per-window median is the ask);
+        * ROLLUP/CUBE/GROUPING SETS refuse (Expand double-counts).
+        */
+      val madSpecs: Seq[(String, Column)] = aggSpecs.collect {
+        case Left(("mad", a)) =>
+          val sf = a.getOrElse(throw CompileException(
+            "mad(*) is not valid — mad() needs an argument"))
+          (aggColName("mad", a), col(sf.inName))
+        case Right(("mad", e, ps)) =>
+          (aggXColName("mad", e, ps), operandColumn(e, aggOk = false))
+      }
+      if (madSpecs.nonEmpty && spec.groupMode != "plain")
+        throw CompileException(
+          "mad() is not valid with ROLLUP/CUBE/GROUPING SETS")
+      val preAgg = if (segSpecs.isEmpty && madSpecs.isEmpty) preExpanded
+      else {
         import org.apache.spark.sql.expressions.{Window => W}
         // materialize expression keys as NAMED columns first, so the
         // lead-window and the aggregate hash on the same attributes —
@@ -2004,7 +2027,7 @@ object Compiler {
         }
         val w = W.partitionBy(partCols: _*).orderBy(col("__ts_0"))
         val us = unix_micros(col("__ts_0"))
-        segSpecs.foldLeft(withKeys) { case (df, (f, nm, v)) =>
+        val withSegs = segSpecs.foldLeft(withKeys) { case (df, (f, nm, v)) =>
           val nx = lead(v, 1).over(w)
           val seg = f match {
             case "twa" => (v + nx) * (lead(us, 1).over(w) - us)
@@ -2016,6 +2039,12 @@ object Compiler {
                 .otherwise(when(nx < v, lit(1L)).otherwise(lit(0L)))
           }
           df.withColumn(s"__seg_$nm", seg)
+        }
+        // mad: whole-partition (unordered) frame — the group median
+        val wAll = W.partitionBy(partCols: _*)
+        madSpecs.foldLeft(withSegs) { case (df, (nm, v)) =>
+          df.withColumn(s"__mad_dev_$nm",
+            abs(v - percentile(v, lit(0.5)).over(wAll)))
         }
       }
       def segColumn(f: String, nm: String): Column = f match {
@@ -2029,7 +2058,7 @@ object Compiler {
         case Left(sf)               => col(sf.inName)
         case Right(ExprItem(OFn("bucket", a), nm)) if a.length == 3 => col(nm)
         case Right(ExprItem(e, nm)) =>
-          if (segSpecs.nonEmpty) col(nm)
+          if (segSpecs.nonEmpty || madSpecs.nonEmpty) col(nm)
           else operandColumn(e, aggOk = false).as(nm)
       }
       val aggCols = aggSpecs.map {
@@ -2039,6 +2068,12 @@ object Compiler {
           val nm = aggColName(f, a); segColumn(f, nm).as(nm)
         case Right((f, e, ps)) if segFns(f) =>
           val nm = aggXColName(f, e, ps); segColumn(f, nm).as(nm)
+        case Left(("mad", a)) =>
+          val nm = aggColName("mad", a)
+          percentile(col(s"__mad_dev_$nm"), lit(0.5)).as(nm)
+        case Right(("mad", e, ps)) =>
+          val nm = aggXColName("mad", e, ps)
+          percentile(col(s"__mad_dev_$nm"), lit(0.5)).as(nm)
         case Left(("approx_percentile_sketch", a)) =>
           val sf = a.getOrElse(throw CompileException(
             "approx_percentile_sketch(*) is not valid — it needs an argument"))

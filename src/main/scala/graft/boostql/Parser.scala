@@ -95,7 +95,7 @@ object Parser {
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
     "approx_percentile", "approx_percentile_sketch",
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
-    "covar_samp", "histogram", "twa", "increase", "resets")
+    "covar_samp", "histogram", "twa", "increase", "resets", "mad")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */

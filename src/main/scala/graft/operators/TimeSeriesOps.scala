@@ -142,6 +142,34 @@ object TimeSeriesOps {
     * (double accumulation order differs across engines); windows with
     * zero dispersion yield null — no anomaly signal on a flat series.
     */
+  /** MAD outliers: robust per-key anomaly flags. A point is an outlier
+    * when |v − median| > k · MAD, where MAD is the median absolute
+    * deviation median(|v − median|) — the robust dispersion measure
+    * that, unlike the z-score's mean/stddev, is not itself dragged by
+    * the outliers it is hunting (one wild point shifts a mean; it
+    * cannot shift a median).
+    *
+    * Both medians are exact interpolated percentiles computed as WINDOW
+    * aggregates over the same per-key partition, so Catalyst plans ONE
+    * exchange with two window passes — never a self-join against a
+    * per-key medians table. At 100 TB the cost is the one per-key
+    * shuffle every per-series operator pays. Emits `dev` (|v − median|)
+    * and `mad` alongside the surviving rows; all-constant keys have
+    * MAD 0 and flag nothing (dev > k·0 requires dev > 0 ... every
+    * deviating point of a constant-majority key IS the anomaly).
+    */
+  def madOutliers(df: DataFrame, by: Seq[String], valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(by.map(col): _*)
+    val med = expr(s"percentile($valCol, 0.5)").over(w)
+    df.withColumn("__med", med)
+      .withColumn("dev", abs(col(valCol) - col("__med")))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(w))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .drop("__med")
+  }
+
   def rollingZScore(df: DataFrame, by: Seq[String], tsCol: String,
       valCol: String, tieBreak: Seq[String], window: Int = 20,
       out: String = "zscore"): DataFrame = {

@@ -224,6 +224,16 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // mad() — median absolute deviation, the robust dispersion
+    // aggregate: window median over the group keys materializes the
+    // deviation pre-agg, exact interpolated median of it per group
+    // (one exchange for window + aggregate)
+    "boost_mad" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "mad(CAST(purchase * 100.0 AS int)) AS m, " +
+        "round(mad(purchase), 6) AS mv " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
     // desugared at parse time to the non-aggregate select items (keys)
     // / every select item (sort); the oracle runs the IDENTICAL sugar
@@ -1324,6 +1334,23 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // two-level median replay: group medians first, then the median of
+    // each row's absolute deviation — quantile_cont is the same exact
+    // interpolated percentile as the engine's percentile()
+    "boost_mad" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS v, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT u, quantile_cont(v, 0.5) AS medc,
+        |    quantile_cont(value, 0.5) AS medv
+        |  FROM s GROUP BY u)
+        |SELECT s.u AS purchase_user,
+        |  quantile_cont(abs(s.v - m.medc), 0.5) AS m,
+        |  round(quantile_cont(abs(s.value - m.medv), 0.5), 6) AS mv
+        |FROM s JOIN m USING (u) GROUP BY s.u ORDER BY purchase_user""".stripMargin,
 
     // lead() over the same (user, ts) order as the engine; the CASE
     // mirrors the reset contract exactly, NULL-breaking included

@@ -80,6 +80,15 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("zscore"))
         .orderBy("event_id")),
 
+    "ts_mad_outlier" -> ((s, d) =>
+      // robust anomaly tier: |v - median| > 3 * MAD per series; rounded
+      // to 6 decimals so the doubles survive the cross-engine hash
+      TimeSeriesOps.madOutliers(ev(s, d), by = Seq("event_type"),
+        valCol = "value", k = 3.0)
+        .select(col("event_type"), col("event_id"),
+          round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
+        .orderBy("event_type", "event_id")),
+
     "ts_tumbling_window" -> ((s, d) =>
       // tumbling 6-hour windows via window() — the declarative form of the
       // reference's executionWindowSize loop (executor.go:239-252)
@@ -260,6 +269,22 @@ object TimeSeriesQueries {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         |ORDER BY event_id""".stripMargin,
+
+    "ts_mad_outlier" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id,
+        |  round(d.dev, 6) AS dev, round(md.mad, 6) AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev > 3.0 * md.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
 
     "ts_window_stats" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

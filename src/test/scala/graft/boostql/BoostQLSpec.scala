@@ -2689,6 +2689,28 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("mad(): median absolute deviation, robust against the outlier itself") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // 1,2,3,4,100: median 3, deviations (2,1,0,1,97) → mad = 1; the
+    // wild point that would wreck a stddev moves the MAD not at all
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) =>
+        ("c", Timestamp.valueOf(f"2024-01-01 00:00:0$i"), v)
+    }
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "value")
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+    val r = Compiler.compile(Parser.parse(
+      "SELECT mad(c) AS m, round(stddev(c), 2) AS sd FROM dom.f"),
+      tiny).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) > 40.0)
+    // grouping-set expansion would double-count the window median
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT c.host, mad(c) AS m FROM dom.f GROUP BY ROLLUP (c.host)"),
+      tiny))
+  }
+
   test("GROUP BY ALL / ORDER BY ALL desugar; NULLS FIRST/LAST") {
     // GROUP BY ALL = the non-aggregate select items (fields by name,
     // expressions by alias), in select order

@@ -68,6 +68,29 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("madOutliers flags by |v - median| > k*MAD and plans one exchange") {
+    // values 1..7 plus 100: median 4.5, devs (3.5,2.5,1.5,.5,.5,1.5,2.5,95.5),
+    // MAD = 2.0 → only 100 exceeds 3*MAD = 6
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 00:00:0$i"), v) }.toDF("k", "ts", "v")
+    val out = TimeSeriesOps.madOutliers(df, Seq("k"), "v", k = 3.0)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("v") == 100.0)
+    assert(rows(0).getAs[Double]("mad") == 2.0 &&
+      rows(0).getAs[Double]("dev") == 95.5)
+    // both median windows partition on the same key: exactly one
+    // exchange, never a medians-table self-join
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), s"mad must not self-join:\n$plan")
+    // an all-constant key has MAD 0 and flags nothing
+    val const = Seq.fill(5)(7.0).zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 00:00:0$i"), v) }.toDF("k", "ts", "v")
+    assert(TimeSeriesOps.madOutliers(const, Seq("k"), "v").count() == 0)
+  }
+
   test("rollingZScore matches a hand-rolled trailing-window computation") {
     val xs = Seq(10.0, 12.0, 8.0, 30.0, 11.0, 9.0)
     val df = xs.zipWithIndex.map { case (v, i) =>
