@@ -309,7 +309,15 @@ object Ast {
         * ROLLUP/CUBE/GROUPING SETS (super-aggregate rows have no dense
         * axis).
         */
-      fill: Option[FillSpec] = None) extends QueryStmt
+      fill: Option[FillSpec] = None,
+      /** `SELECT DISTINCT ON (keys) …` — one row per distinct key
+        * combination: the FIRST row per the query's ORDER BY (the
+        * Postgres/DuckDB idiom; the latest-observation-per-series
+        * workhorse). Non-empty only with `distinct = true`; keys must
+        * be selected output columns, and an ORDER BY is required for
+        * the pick to be deterministic.
+        */
+      distinctOn: Seq[RawName] = Seq.empty) extends QueryStmt
 
   /** Gap-fill mode for [[QuerySpec.fill]]: "null" (materialize the
     * missing buckets, leave aggregates null), "value" (constant in

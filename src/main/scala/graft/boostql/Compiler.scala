@@ -2316,7 +2316,7 @@ object Compiler {
       // limit — so every ORDER BY key must name a selected output column
       // (a computed key must match a selected expression); anything else
       // is a compile error, not a runtime unresolved-column surprise
-      val out = projected.select(spec.select.map(outputCol): _*).distinct()
+      val projectedOut = projected.select(spec.select.map(outputCol): _*)
       val selectedNames = spec.select.map(itemOutName).toSet
       def distinctOrderCol(i: SelectItem): Column = i match {
         case ExprItem(e, _) =>
@@ -2331,6 +2331,37 @@ object Compiler {
               s"ORDER BY under DISTINCT must be a selected item ($nm is not)")
           col(nm)
       }
+      // DISTINCT ON (keys): one row per key combination — the FIRST per
+      // the query ORDER BY (Postgres/DuckDB; the latest-per-series
+      // workhorse). Compiles to a row_number window on the keys ordered
+      // by the (resolved, selected-column) ORDER BY, filtered to 1 —
+      // one exchange on the keys; the outer sort then reorders the
+      // survivors. Plain DISTINCT stays dropDuplicates over all columns.
+      val out =
+        if (spec.distinctOn.isEmpty) projectedOut.distinct()
+        else {
+          if (orderItems.isEmpty) throw CompileException(
+            "DISTINCT ON requires an ORDER BY to pick each key's row " +
+              "deterministically")
+          val keyCols = spec.distinctOn.map { n =>
+            val nm = n.parts match {
+              case Seq(one) if selectedNames.contains(one) => one
+              case _ =>
+                val r = ref(n)
+                if (!selectedNames.contains(r.outName))
+                  throw CompileException(
+                    s"DISTINCT ON key ${n.text} must be a selected " +
+                      "output column")
+                r.outName
+            }
+            col(nm)
+          }
+          import org.apache.spark.sql.expressions.{Window => W}
+          val w = W.partitionBy(keyCols: _*).orderBy(
+            orderItems.map(o => sortKey(distinctOrderCol(o.item), o)): _*)
+          projectedOut.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
       val ordered =
         if (orderItems.isEmpty) out
         else out.orderBy(orderItems.map { o =>

@@ -9,7 +9,8 @@ import Ast._
   * the dialect is tiny):
   *
   * {{{
-  * query    := SELECT hints? DISTINCT? items FROM src (WHERE or)?
+  * query    := SELECT hints? (DISTINCT (ON '(' names ')')?)? items
+  *             FROM src (WHERE or)?
   *             (GROUP BY (ALL | grp) (FILL '(' (NULL|PREVIOUS|LINEAR|num) ')')?)?
   *             (HAVING or)? (QUALIFY or)?
   *             (ORDER BY (ALL dir? | orders))? (LIMIT int (OFFSET int)?)?
@@ -393,6 +394,16 @@ object Parser {
           b.result()
         } else Seq.empty
       val dist = kw("distinct")
+      // `DISTINCT ON (keys)` — the Postgres/DuckDB one-row-per-key
+      // idiom; keys are names (fields or select aliases), validated
+      // against the select list by the Compiler
+      val distOn =
+        if (dist && kw("on")) {
+          expectSym("(")
+          val ks = nameList()
+          expectSym(")")
+          ks
+        } else Seq.empty
       val items = selectItems()
       expectKw("from")
       val src = source()
@@ -490,7 +501,7 @@ object Parser {
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
       QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode, gsets, hints, qual, fillSpec)
+        gmode, gsets, hints, qual, fillSpec, distOn)
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]

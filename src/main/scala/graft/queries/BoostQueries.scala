@@ -224,6 +224,14 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // DISTINCT ON — one row per key, the first per ORDER BY (the
+    // Postgres/DuckDB idiom): here each user's HIGHEST click
+    // observation, event_id breaking value ties deterministically
+    "boost_distinct_on" -> ((s, d) =>
+      run(s, d, "SELECT DISTINCT ON (click.user) click.user, " +
+        "click.event_id, click FROM dom.events " +
+        "ORDER BY click DESC, click.event_id")),
+
     // mad() — median absolute deviation, the robust dispersion
     // aggregate: window median over the group keys materializes the
     // deviation pre-agg, exact interpolated median of it per group
@@ -1334,6 +1342,14 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // the same DISTINCT ON in DuckDB — first row per user under the
+    // identical (value DESC, event_id) total order
+    "boost_distinct_on" ->
+      """SELECT DISTINCT ON (click_user) CAST(user_id AS VARCHAR) AS click_user,
+        |  CAST(event_id AS VARCHAR) AS click_event_id, value AS click
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY click DESC, click_event_id""".stripMargin,
 
     // two-level median replay: group medians first, then the median of
     // each row's absolute deviation — quantile_cont is the same exact

@@ -2689,6 +2689,40 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("DISTINCT ON: first row per key under the query ORDER BY") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      ("cpu", Timestamp.valueOf("2024-01-02 00:00:00"), "a", 9.0),
+      ("cpu", Timestamp.valueOf("2024-01-03 00:00:00"), "a", 5.0),
+      ("cpu", Timestamp.valueOf("2024-01-01 00:00:00"), "b", 7.0),
+      ("cpu", Timestamp.valueOf("2024-01-02 00:00:00"), "b", 2.0))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "h", "value")
+      .withColumn("attributes", map(lit("host"), col("h"))).drop("h")
+      .withColumn("tags", map().cast("map<string,string>"))
+    // highest value per host
+    val top = Compiler.compile(Parser.parse(
+      "SELECT DISTINCT ON (cpu.host) cpu.host, cpu FROM dom.f " +
+        "ORDER BY cpu DESC"), tiny).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(top == Seq(("a", 9.0), ("b", 7.0)))
+    // the ORDER BY also orders the survivors (value DESC here)
+    val latest = Compiler.compile(Parser.parse(
+      "SELECT DISTINCT ON (cpu.host) cpu.host, ts, cpu FROM dom.f " +
+        "ORDER BY ts DESC"), tiny).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(latest.toSet == Set(("a", 5.0), ("b", 2.0)))
+    // refusals: no ORDER BY → nondeterministic pick; unselected key
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT DISTINCT ON (cpu.host) cpu.host, cpu FROM dom.f"), tiny))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT DISTINCT ON (cpu.host) cpu FROM dom.f ORDER BY cpu"), tiny))
+    // plain DISTINCT is untouched; `on` elsewhere still parses as a
+    // join keyword
+    assert(Parser.parse("SELECT DISTINCT cpu FROM dom.f").distinctOn.isEmpty)
+  }
+
   test("mad(): median absolute deviation, robust against the outlier itself") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
