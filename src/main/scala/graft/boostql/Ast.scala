@@ -180,6 +180,18 @@ object Ast {
     * LEFT SEMI / LEFT ANTI join — never a per-row rescan.
     */
   final case class InSubE(operand: Operand, sub: QuerySpec, negated: Boolean) extends BExpr
+  /** Quantified comparison `x op ANY|ALL (SELECT v …)` over the ORDERED
+    * operators (`= ANY` is IN and `!= ALL` is NOT IN — the parser points
+    * there). ALL is stored as its ANY complement with `negated = true`
+    * (`x > ALL s` ≡ `NOT (x <= ANY s)`), so compilation is one shape: a
+    * semi join for the positive form, and for the negated form the ANSI
+    * three-valued anti join (match-or-either-side-null, with the empty
+    * list surviving) — the NOT IN generalization. The sub reduces to ONE
+    * aggregate row per correlation key (extreme + counts), so the join
+    * is against a key-sized frame, never the raw list.
+    */
+  final case class QuantE(op: String, operand: Operand, sub: QuerySpec,
+      negated: Boolean) extends BExpr
   /** `[NOT] EXISTS (SELECT …)` — same correlation rules and join-based
     * compilation as [[InSubE]]; the subquery's select list is irrelevant
     * to the semantics (only row existence matters).

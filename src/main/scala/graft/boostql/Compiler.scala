@@ -580,6 +580,7 @@ object Compiler {
       // operand and the outer half of each correlation pair — those must
       // be fetched; everything else lives in the subquery's own compile
       case InSubE(o, sub, _) => operandRefs(o) ++ analyzeSub(sub).pairs.map(_._1)
+      case QuantE(_, o, sub, _) => operandRefs(o) ++ analyzeSub(sub).pairs.map(_._1)
       case ExistsE(sub, _)   => analyzeSub(sub).pairs.map(_._1)
     }
 
@@ -629,7 +630,7 @@ object Compiler {
         case NotE(x)       => exprRawRefs(x)
         // nested subquery: its references belong to ITS scope — the
         // recursive compile resolves them (two-level correlation is out)
-        case _: InSubE | _: ExistsE => Seq.empty
+        case _: InSubE | _: ExistsE | _: QuantE => Seq.empty
       }
       // outer references are legal only in the sub's WHERE (as correlation)
       val elsewhere = sub.select.flatMap {
@@ -709,7 +710,7 @@ object Compiler {
       case AndE(l, r)    => exprRawRefsPublic(l) ++ exprRawRefsPublic(r)
       case OrE(l, r)     => exprRawRefsPublic(l) ++ exprRawRefsPublic(r)
       case NotE(x)       => exprRawRefsPublic(x)
-      case _: InSubE | _: ExistsE => Seq.empty
+      case _: InSubE | _: ExistsE | _: QuantE => Seq.empty
     }
     def opRaw(o: Operand): Seq[RawName] = o match {
       case ORef(n)         => Seq(n)
@@ -1334,7 +1335,7 @@ object Compiler {
       // semi/anti joins are plan surgery, not a Column — reachable only
       // as top-level WHERE conjuncts, which compile() strips out before
       // calling here
-      case _: InSubE | _: ExistsE => throw CompileException(
+      case _: InSubE | _: ExistsE | _: QuantE => throw CompileException(
         "subquery predicates are only supported as top-level WHERE " +
           "conjuncts (optionally under NOT)")
     }
@@ -1459,6 +1460,7 @@ object Compiler {
       case OrE(l, r)     => exprScalarSubs(l) ++ exprScalarSubs(r)
       case NotE(x)       => exprScalarSubs(x)
       case InSubE(o, _, _) => opScalarSubs(o) // left operand is THIS scope
+      case QuantE(_, o, _, _) => opScalarSubs(o)
       case _: ExistsE    => Seq.empty
     }
     val whereScalarSubs: Seq[QuerySpec] =
@@ -1625,6 +1627,53 @@ object Compiler {
             .reduce(_ && _)
           df.join(named, cond, "left_anti")
         }
+      case QuantE(op, x, sub, neg) =>
+        val a = analyzeSub(sub)
+        if (a.local.select.length != 1)
+          throw CompileException(
+            "ANY/ALL subquery must select exactly one item")
+        val spec2 = a.local.copy(
+          select = a.local.select ++ a.pairs.map(p => FieldItem(p._2)))
+        val keyNames = a.pairs.indices.map(i => s"__sq${j}_k$i")
+        val listed = compile(spec2, families)
+          .toDF(s"__sq${j}_v" +: keyNames: _*)
+        // reduce the (per-correlation-key) list to ONE aggregate row:
+        // the decisive extreme (min for >/>= — x beats ANY iff it beats
+        // the minimum; max for </<=) plus the non-null and total counts
+        // for the ANSI null/empty cases. The join then runs against
+        // |keys| rows, never the raw list.
+        val vc = col(s"__sq${j}_v")
+        val extreme = if (op.startsWith(">")) min(vc) else max(vc)
+        val agg = listed.groupBy(keyNames.map(col): _*)
+          .agg(extreme.as(s"__sq${j}_m"), count(vc).as(s"__sq${j}_nn"),
+            count(lit(1)).as(s"__sq${j}_n"))
+        val xc = operandColumn(x, aggOk = false, winOk = false)
+        val mc = col(s"__sq${j}_m")
+        val cmp = op match {
+          case ">"  => xc > mc
+          case ">=" => xc >= mc
+          case "<"  => xc < mc
+          case "<=" => xc <= mc
+          case o    => throw CompileException(s"ANY/ALL does not take $o")
+        }
+        val keyCond = a.pairs.zipWithIndex.map { case ((of, _), i) =>
+          col(of.inName) === col(s"__sq${j}_k$i")
+        }
+        if (!neg)
+          // x op ANY: true iff some non-null v satisfies — iff x beats
+          // the extreme (null-propagating, so empty/all-null key lists
+          // never match)
+          df.join(agg, (keyCond :+ cmp).reduce(_ && _), "left_semi")
+        else
+          // negated (the ALL family): anti over match-or-unknown — a
+          // row drops when its list is non-empty AND (x beats the
+          // extreme, or either side is NULL, or the list has nulls);
+          // an absent or empty key survives (ALL over the empty list
+          // is true)
+          df.join(agg, (keyCond :+ (col(s"__sq${j}_n") > 0 &&
+            (cmp || xc.isNull || mc.isNull ||
+              col(s"__sq${j}_nn") < col(s"__sq${j}_n")))).reduce(_ && _),
+            "left_anti")
       case other => throw CompileException(s"not a subquery predicate: $other")
     }
 
@@ -1636,6 +1685,7 @@ object Compiler {
     def normalizeConjunct(e: BExpr): BExpr = e match {
       case NotE(x) => normalizeConjunct(x) match {
         case InSubE(o, s, n) => InSubE(o, s, !n)
+        case QuantE(o2, x, s, n) => QuantE(o2, x, s, !n)
         case ExistsE(s, n)   => ExistsE(s, !n)
         case nx              => NotE(nx)
       }
@@ -1647,7 +1697,7 @@ object Compiler {
     }
     val conjs = spec.where.toSeq.flatMap(whereConjuncts)
     val (subPreds, plainPreds) = conjs.partition {
-      case _: InSubE | _: ExistsE => true
+      case _: InSubE | _: ExistsE | _: QuantE => true
       case _ => false
     }
     val withScalars = attachScalarSubs(joined, preScalarSubs)
@@ -1686,7 +1736,7 @@ object Compiler {
       case NotE(x)       => exprAggs(x)
       // subquery predicates never nest aggregates into THIS query's agg
       // list (exprColumn rejects them outside top-level WHERE anyway)
-      case _: InSubE | _: ExistsE => Seq.empty
+      case _: InSubE | _: ExistsE | _: QuantE => Seq.empty
     }
     def itemAggs(i: SelectItem): Seq[AggSpec] = i match {
       case AggItem(f, a)  => Seq(Left((f, a.map(ref))))
@@ -1722,7 +1772,7 @@ object Compiler {
       case AndE(l, r)    => exprHasWin(l) || exprHasWin(r)
       case OrE(l, r)     => exprHasWin(l) || exprHasWin(r)
       case NotE(x)       => exprHasWin(x)
-      case _: InSubE | _: ExistsE => false
+      case _: InSubE | _: ExistsE | _: QuantE => false
     }
     val hasWin = (spec.select ++ orderItems.map(_.item)).exists {
       case ExprItem(e, _) => hasWinOp(e)
@@ -1841,7 +1891,7 @@ object Compiler {
         case AndE(l, r)    => exprBareRefs(l) ++ exprBareRefs(r)
         case OrE(l, r)     => exprBareRefs(l) ++ exprBareRefs(r)
         case NotE(x)       => exprBareRefs(x)
-        case _: InSubE | _: ExistsE => Seq.empty
+        case _: InSubE | _: ExistsE | _: QuantE => Seq.empty
       }
       spec.select.foreach {
         case FieldItem(n) if !groupNames.contains(ref(n).inName) =>

@@ -33,8 +33,11 @@ import Ast._
   * or       := and (OR and)*
   * and      := cmp (AND cmp)*
   * cmp      := NOT cmp | '(' or ')'
-  *           | add ( op add | IS NOT? NULL | NOT? IN '(' add (',' add)* ')'
+  *           | add ( op add | op (ANY|ALL) '(' query ')'
+  *                 | IS NOT? NULL | NOT? IN '(' add (',' add)* ')'
   *                 | NOT? BETWEEN add AND add | NOT? LIKE string )
+  *             -- quantified ops are the ordered four (> >= < <=):
+  *             -- `= ANY` is IN, `!= ALL` is NOT IN
   * add      := mul (('+'|'-') mul)*
   * mul      := unary (('*'|'/') unary)*
   * unary    := '-' unary | primary
@@ -595,7 +598,7 @@ object Parser {
       case AndE(l, r)             => groupableCond(l) && groupableCond(r)
       case OrE(l, r)              => groupableCond(l) && groupableCond(r)
       case NotE(x)                => groupableCond(x)
-      case _: InSubE | _: ExistsE => false
+      case _: InSubE | _: ExistsE | _: QuantE => false
     }
 
     /** Optional `FILTER (WHERE cond)` after an aggregate call. FILTER is
@@ -854,7 +857,32 @@ object Parser {
               if (s == "==") "=" else if (s == "<>") "!=" else s
             case t => throw ParseException(s"expected comparison operator, got $t")
           }
-          Cmp(op, l, addOperand())
+          // quantified comparison: `op ANY|ALL (SELECT …)` — contextual
+          // (only the exact keyword-paren shape engages, so series named
+          // any/all keep comparing). Ordered operators only: `= ANY` IS
+          // the IN predicate and `!= ALL` IS NOT IN — refused with that
+          // pointer rather than silently duplicating them.
+          if ((peekIsKw("any") || peekIsKw("all")) &&
+              (pos + 1) < toks.length && toks(pos + 1) == TSym("(")) {
+            val quant = ident().toLowerCase
+            if (!Set(">", ">=", "<", "<=").contains(op))
+              throw ParseException(
+                s"$op ${quant.toUpperCase} is not supported — spell " +
+                  "= ANY as IN and != ALL as NOT IN")
+            expectSym("(")
+            if (!peekIsKw("select"))
+              throw ParseException(
+                s"${quant.toUpperCase} expects a (SELECT …) subquery")
+            val sub = nested(selectBody())
+            expectSym(")")
+            def flip(o: String): String = o match {
+              case ">" => "<="; case ">=" => "<"
+              case "<" => ">="; case "<=" => ">"
+            }
+            // x op ALL s  ≡  NOT (x flip(op) ANY s)
+            if (quant == "any") QuantE(op, l, sub, negated = false)
+            else QuantE(flip(op), l, sub, negated = true)
+          } else Cmp(op, l, addOperand())
         }
       }
     }

@@ -224,6 +224,27 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // quantified comparisons: > ALL / < ANY against uncorrelated
+    // subqueries — compiled as semi/anti joins against ONE aggregate
+    // row (the decisive extreme + null/empty counts), never the raw
+    // list
+    "boost_any_all" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase FROM dom.events " +
+        "WHERE purchase > ALL (SELECT click FROM dom.events " +
+        "WHERE click.user = '7') " +
+        "AND purchase < ANY (SELECT error FROM dom.events) " +
+        "ORDER BY purchase.event_id")),
+
+    // correlated ALL: each purchase against ITS user's click ceiling —
+    // the aggregate reduction groups by the correlation key, so the
+    // anti join is key-equi (hashable), with empty per-key lists
+    // surviving per ANSI
+    "boost_all_corr" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase FROM dom.events AS a " +
+        "WHERE a.purchase > ALL (SELECT b.click FROM dom.events AS b " +
+        "WHERE b.click.user = a.purchase.user) " +
+        "ORDER BY a.purchase.event_id")),
+
     // DISTINCT ON — one row per key, the first per ORDER BY (the
     // Postgres/DuckDB idiom): here each user's HIGHEST click
     // observation, event_id breaking value ties deterministically
@@ -1342,6 +1363,26 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // DuckDB evaluates ANY/ALL natively with the same ANSI three-valued
+    // semantics the semi/anti-join compilation implements
+    "boost_any_all" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id,
+        |  value AS purchase
+        |FROM events WHERE event_type = 'purchase'
+        |  AND value > ALL (SELECT value FROM events
+        |    WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) = '7')
+        |  AND value < ANY (SELECT value FROM events
+        |    WHERE event_type = 'error')
+        |ORDER BY purchase_event_id""".stripMargin,
+
+    "boost_all_corr" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS purchase_event_id,
+        |  a.value AS purchase
+        |FROM events a WHERE a.event_type = 'purchase'
+        |  AND a.value > ALL (SELECT b.value FROM events b
+        |    WHERE b.event_type = 'click' AND b.user_id = a.user_id)
+        |ORDER BY purchase_event_id""".stripMargin,
 
     // the same DISTINCT ON in DuckDB — first row per user under the
     // identical (value DESC, event_id) total order

@@ -2689,6 +2689,54 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("ANY/ALL quantified comparisons: ANSI null and empty-list cases") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def mk(rows: Seq[(String, Timestamp, Option[Double])]) =
+      spark.createDataFrame(rows).toDF("series", "ts", "value")
+        .withColumn("attributes", map().cast("map<string,string>"))
+        .withColumn("tags", map().cast("map<string,string>"))
+    val t = (i: Int) => Timestamp.valueOf(f"2024-01-01 00:00:0$i")
+    val base = mk(Seq(("cpu", t(0), Some(4.0)), ("cpu", t(1), Some(6.0)),
+      ("cpu", t(2), Some(8.0)), ("cpu", t(3), Some(9.0)),
+      ("mem", t(4), Some(5.0)), ("mem", t(5), Some(7.0))))
+    def q(sql: String, fam: org.apache.spark.sql.DataFrame = base) =
+      Compiler.compile(Parser.parse(sql), fam)
+        .collect().map(_.getDouble(0)).sorted.toSeq
+    // > ALL: beat the maximum; > ANY: beat the minimum
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ALL " +
+      "(SELECT mem FROM dom.f)") == Seq(8.0, 9.0))
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ANY " +
+      "(SELECT mem FROM dom.f)") == Seq(6.0, 8.0, 9.0))
+    assert(q("SELECT cpu FROM dom.f WHERE cpu < ANY " +
+      "(SELECT mem FROM dom.f)") == Seq(4.0, 6.0))
+    // empty list: ALL is vacuously true, ANY vacuously false
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ALL " +
+      "(SELECT mem FROM dom.f WHERE mem > 100.0)") ==
+      Seq(4.0, 6.0, 8.0, 9.0))
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ANY " +
+      "(SELECT mem FROM dom.f WHERE mem > 100.0)") == Seq.empty)
+    // a NULL in the list poisons ALL (unknown filters out) but not the
+    // ANY rows that beat a non-null element
+    val withNull = mk(Seq(("cpu", t(0), Some(4.0)), ("cpu", t(1), Some(9.0)),
+      ("mem", t(2), Some(5.0)), ("mem", t(3), None)))
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ALL " +
+      "(SELECT mem FROM dom.f)", withNull) == Seq.empty)
+    assert(q("SELECT cpu FROM dom.f WHERE cpu > ANY " +
+      "(SELECT mem FROM dom.f)", withNull) == Seq(9.0))
+    // NOT flips to the anti form with the same unknown-dropping rules
+    assert(q("SELECT cpu FROM dom.f WHERE NOT (cpu > ANY " +
+      "(SELECT mem FROM dom.f))") == Seq(4.0))
+    // = ANY / != ALL point at IN / NOT IN instead of duplicating them
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT cpu FROM dom.f WHERE cpu = ANY (SELECT mem FROM dom.f)"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT cpu FROM dom.f WHERE cpu != ALL (SELECT mem FROM dom.f)"))
+    // contextual: a series named `any` still compares (no paren follows)
+    assert(Parser.parse("SELECT cpu FROM dom.f WHERE cpu > any")
+      .where.isDefined)
+  }
+
   test("DISTINCT ON: first row per key under the query ORDER BY") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
