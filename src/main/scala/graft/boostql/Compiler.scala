@@ -117,6 +117,24 @@ object Compiler {
     when(n > 0, round(est, 6))
   }
 
+  /** approx_top_k family plumbing: k from the literal params, the
+    * Misra-Gries capacity derived from it (max(64, 8k) — same k at both
+    * rollup levels ⇒ same capacity ⇒ the merge law holds), and the
+    * portable "item:n,…" rendering of the top k entries (the summary is
+    * already count-desc/item-asc, so a slice is the top-k).
+    */
+  private def topkK(params: Seq[Double], fn: String): Int = {
+    val k = params.headOption.getOrElse(throw CompileException(
+      s"$fn() requires a k argument, e.g. $fn(x, 10)")).toInt
+    if (k < 1) throw CompileException(s"$fn k must be >= 1")
+    k
+  }
+  private def topkCap(k: Int): Int = math.max(64, 8 * k)
+  private def freqTopString(sketch: Column, k: Int): Column =
+    array_join(transform(slice(sketch, 1, k),
+      e => concat(e.getField("item"), lit(":"),
+        e.getField("n").cast("string"))), ",")
+
   private def aggFnColumn(fn: String, c: => Column,
       params: Seq[Double] = Nil): Column = fn match {
     case "count"          => count(c)
@@ -187,6 +205,32 @@ object Compiler {
       when(size(sk) < k, size(sk).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
           element_at(sk, -1).cast("double"))
+    /* approx_top_k(x, k): heavy hitters via the Misra-Gries summary
+     * ([[graft.functions.FreqSketchAgg]], capacity max(64, 8k)) — per-
+     * group state is bounded at the capacity however large the group,
+     * so the shuffle carries kilobyte summaries, never a count per
+     * distinct value. Output is the portable string "item:n,…" of the
+     * top k by estimated count (ties item-asc); counts undercount by
+     * at most n/(cap+1) and are EXACT whenever the group's distinct
+     * cardinality stays below the capacity. */
+    case "approx_top_k" =>
+      val kk = topkK(params, "approx_top_k")
+      freqTopString(graft.functions.GraftFunctions.freqSketch(
+        c.cast("string"), topkCap(kk)), kk)
+    // the raw summary (array<struct<item, n>>) — materialize per-day/
+    // per-key summaries in an inner query, roll them up with
+    // approx_top_k_merge in the outer one (same k both levels)
+    case "approx_top_k_sketch" =>
+      val kk = topkK(params, "approx_top_k_sketch")
+      graft.functions.GraftFunctions.freqSketch(
+        c.cast("string"), topkCap(kk))
+    // union of summaries under the mergeable-summaries law; below
+    // capacity it is exact summation, hash-matching approx_top_k run
+    // directly on the raw values
+    case "approx_top_k_merge" =>
+      val kk = topkK(params, "approx_top_k_merge")
+      freqTopString(graft.functions.GraftFunctions.freqMerge(
+        c, topkCap(kk)), kk)
     /* histogram(x, lo, hi, nbins): nbins conditional sums — one per
      * bin, each a codegen'd when().sum() — assembled into a
      * comma-joined count string (engine-portable scalar output). Bin

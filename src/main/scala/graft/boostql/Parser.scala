@@ -99,7 +99,8 @@ object Parser {
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
     "approx_percentile", "approx_percentile_sketch",
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
-    "covar_samp", "histogram", "twa", "increase", "resets", "mad")
+    "covar_samp", "histogram", "twa", "increase", "resets", "mad",
+    "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */
@@ -1029,6 +1030,26 @@ object Parser {
           filterClause() match {
             case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
             case None    => OAggX(fn, parg, Seq(p))
+          }
+        } else if (id.equalsIgnoreCase("approx_top_k") ||
+            id.equalsIgnoreCase("approx_top_k_sketch") ||
+            id.equalsIgnoreCase("approx_top_k_merge")) {
+          // approx_top_k(x, k): heavy hitters over a Misra-Gries
+          // summary; k rides in OAggX.params like percentile's fraction
+          // (structural dedup + FILTER desugar apply unchanged)
+          val fn = id.toLowerCase
+          val parg = nested(addOperand())
+          expectSym(",")
+          val k = peek match {
+            case TNum(s) if !s.contains('.') && s.toLong >= 1 =>
+              pos += 1; s.toDouble
+            case t => throw ParseException(
+              s"$fn() k must be a positive integer literal, got $t")
+          }
+          expectSym(")")
+          filterClause() match {
+            case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(k))
+            case None    => OAggX(fn, parg, Seq(k))
           }
         } else {
           // the argument is a full expression; a bare field ref keeps the

@@ -344,6 +344,196 @@ case class KmvMergeAgg(child: Expression, k: Int,
   * ascending — same allocation-free shape as [[KmvBuffer]], carrying a
   * double payload per hash.
   */
+/** Misra-Gries frequent-items summary: at most `cap` counters over a
+  * string key space. The deterministic heavy-hitters sketch:
+  *  - addOne: tracked key +1; untracked with room → new counter at 1;
+  *    untracked and full → EVERY counter −1, zeros dropped (the classic
+  *    MG step — the arrival's +1 and its own −1 cancel, so it is not
+  *    inserted). Each decrement event retires cap+1 previously-added
+  *    units, so there are ≤ n/(cap+1) events and update stays O(1)
+  *    amortized.
+  *  - estimate error: each stored count undercounts its key's true
+  *    frequency by at most n/(cap+1); any key with true count above
+  *    that bound is GUARANTEED present (the heavy-hitters contract).
+  *  - merge (Agarwal et al., "Mergeable Summaries"): sum counters
+  *    pairwise; if more than `cap` remain, subtract the (cap+1)-th
+  *    largest count from all and keep the positive ones — the error
+  *    bounds add, so two-level rollups keep the same n/(cap+1)
+  *    guarantee over the union.
+  * Below capacity no decrement ever fires, counts are exact, and merge
+  * is exact summation — the regime the DuckDB oracle exercises; the
+  * approximation regime is property-pinned instead (merge-order
+  * dependence makes byte-exact cross-engine replay impossible there,
+  * same acceptance as the GK sketch).
+  */
+final class FreqBuffer(val cap: Int) {
+  val m: scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  def addOne(item: String): Unit = m.get(item) match {
+    case Some(v)              => m.update(item, v + 1L)
+    case None if m.size < cap => m.update(item, 1L)
+    case None =>
+      m.mapValuesInPlace((_, v) => v - 1L)
+      m.filterInPlace((_, v) => v > 0L)
+  }
+
+  def mergeFrom(o: FreqBuffer): Unit = {
+    o.m.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+    if (m.size > cap) {
+      val vs = m.values.toArray
+      java.util.Arrays.sort(vs)
+      val d = vs(vs.length - cap - 1) // (cap+1)-th largest
+      m.mapValuesInPlace((_, v) => v - d)
+      m.filterInPlace((_, v) => v > 0L)
+    }
+  }
+
+  /** Entries sorted by (count desc, item asc) — a deterministic order
+    * for any given counter multiset. */
+  def sortedEntries: Array[(String, Long)] =
+    m.toArray.sortBy { case (item, n) => (-n, item) }
+}
+
+/** Shared plumbing for the frequent-items aggregates: state, merge law,
+  * the array<struct<item, n>> result (count-desc, item-asc), and the
+  * length-prefixed wire format.
+  */
+sealed trait FreqBufferAgg extends TypedImperativeAggregate[FreqBuffer] {
+  def cap: Int
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): FreqBuffer = new FreqBuffer(cap)
+
+  override def merge(b1: FreqBuffer, b2: FreqBuffer): FreqBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: FreqBuffer): Any = {
+    val es = buf.sortedEntries
+    val rows = new Array[Any](es.length)
+    var i = 0
+    while (i < es.length) {
+      rows(i) = InternalRow(UTF8String.fromString(es(i)._1), es(i)._2)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: FreqBuffer): Array[Byte] = {
+    val entries = buf.m.toArray
+    val bytes = entries.map { case (k, _) => k.getBytes("UTF-8") }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + entries.length * 12 + bytes.map(_.length).sum)
+    bb.putInt(entries.length)
+    var i = 0
+    while (i < entries.length) {
+      bb.putInt(bytes(i).length); bb.put(bytes(i)); bb.putLong(entries(i)._2)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuffer = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val arr = new Array[Byte](len); bb.get(arr)
+      buf.m.update(new String(arr, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+}
+
+/** Frequent-items (heavy hitters) sketch aggregate over a string
+  * column: a Misra-Gries summary of at most `cap` counters, evaluated
+  * as array<struct<item, n>> sorted count-desc/item-asc. The partial
+  * aggregate bounds each task's per-group emission to `cap` entries, so
+  * the shuffle carries kilobyte summaries however large the group —
+  * the property that makes a top-k over 100 TB one pass + one kilobyte
+  * shuffle instead of a full groupBy count of every distinct value.
+  * Nulls are skipped.
+  */
+case class FreqSketchAgg(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends FreqBufferAgg
+    with UnaryLike[Expression] {
+  require(cap >= 1, "capacity must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "graft_freq_sketch"
+
+  override def update(buf: FreqBuffer, input: InternalRow): FreqBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.addOne(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketchAgg =
+    copy(child = newChild)
+}
+
+/** Union of frequent-items summaries (array<struct<item, n>> rows —
+  * [[FreqSketchAgg]] output) under the mergeable-summaries law: the
+  * two-level rollup keeps the n/(cap+1) undercount guarantee over the
+  * union, and below capacity it is exact summation (hash-matching the
+  * single-pass sketch — the oracle regime). */
+case class FreqMergeAgg(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends FreqBufferAgg
+    with UnaryLike[Expression] {
+  require(cap >= 1, "capacity must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == StringType &&
+          s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<item string, n bigint>>, " +
+        s"got ${other.simpleString}")
+  }
+  override def prettyName: String = "graft_freq_merge"
+
+  override def update(buf: FreqBuffer, input: InternalRow): FreqBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val other = new FreqBuffer(cap)
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        other.m.update(row.getUTF8String(0).toString, row.getLong(1))
+        i += 1
+      }
+      buf.mergeFrom(other)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
+    copy(child = newChild)
+}
+
 final class KmvPairBuffer(k: Int) {
   private val hs = new Array[Long](k)
   private val vs = new Array[Double](k)

@@ -43,6 +43,18 @@ object GraftFunctions {
   def kmvSample(hashes: Column, values: Column, k: Int): Column =
     toCol(KmvSampleAgg(toExpr(hashes), toExpr(values), k).toAggregateExpression())
 
+  /** Frequent-items (Misra-Gries) heavy-hitters AGGREGATE over a string
+    * column: ≤ `cap` counters per group, array<struct<item, n>> sorted
+    * count-desc/item-asc. Each count undercounts by at most n/(cap+1);
+    * below capacity it is exact. See [[FreqSketchAgg]]. */
+  def freqSketch(items: Column, cap: Int): Column =
+    toCol(FreqSketchAgg(toExpr(items), cap).toAggregateExpression())
+
+  /** Union [[freqSketch]] summaries (the mergeable-summaries law) —
+    * per-day/per-partition heavy-hitter rollups in kilobytes. */
+  def freqMerge(sketches: Column, cap: Int): Column =
+    toCol(FreqMergeAgg(toExpr(sketches), cap).toAggregateExpression())
+
   /** Union [[kmvSample]] sketches (array<struct<h, v>> rows) back into
     * one bottom-k sample — the quantile-rollup counterpart of
     * [[kmvMerge]]. See [[KmvSampleMergeAgg]]. */

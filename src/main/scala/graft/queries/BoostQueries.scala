@@ -224,6 +224,24 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // approx_top_k — heavy hitters per group over the Misra-Gries
+    // summary (bounded state, kilobyte shuffle); at this cardinality
+    // (distinct k < capacity) the counts are exact, so the DuckDB
+    // count+rank replay hash-matches
+    "boost_top_k" -> ((s, d) =>
+      run(s, d, "SELECT click.user, approx_top_k(click.k, 16) AS top " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user")),
+
+    // two-level heavy-hitter rollup: per-day summaries merged under the
+    // mergeable-summaries law — below capacity the merge is exact
+    // summation, so the rollup equals the direct global top-k
+    "boost_top_k_merge" -> ((s, d) =>
+      run(s, d, "SELECT approx_top_k_merge(t.sk, 16) AS top, " +
+        "count(*) AS n_days FROM " +
+        "(SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
+        "approx_top_k_sketch(click.k, 16) AS sk " +
+        "FROM dom.events GROUP BY CAST(bucket(ts, '1 day') AS int)) AS t")),
+
     // quantified comparisons: > ALL / < ANY against uncorrelated
     // subqueries — compiled as semi/anti joins against ONE aggregate
     // row (the decisive extreme + null/empty counts), never the raw
@@ -1363,6 +1381,34 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // exact-regime replay: full counts, ranked (n DESC, item ASC),
+    // top 16 rendered as the same "item:n,…" string
+    "boost_top_k" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, props->>'k' AS item,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), r AS (
+        |  SELECT u, item, n,
+        |    row_number() OVER (PARTITION BY u ORDER BY n DESC, item) AS rk
+        |  FROM c)
+        |SELECT u AS click_user,
+        |  string_agg(item || ':' || n, ',' ORDER BY rk) AS top
+        |FROM r WHERE rk <= 16 GROUP BY u ORDER BY u""".stripMargin,
+
+    "boost_top_k_merge" ->
+      """WITH c AS (
+        |  SELECT props->>'k' AS item, COUNT(*) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), r AS (
+        |  SELECT item, n,
+        |    row_number() OVER (ORDER BY n DESC, item) AS rk
+        |  FROM c)
+        |SELECT string_agg(item || ':' || n, ',' ORDER BY rk) AS top,
+        |  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events
+        |   WHERE event_type = 'click') AS n_days
+        |FROM r WHERE rk <= 16""".stripMargin,
 
     // DuckDB evaluates ANY/ALL natively with the same ANSI three-valued
     // semantics the semi/anti-join compilation implements

@@ -163,6 +163,60 @@ class SketchOpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
   }
 
+  test("freqSketch: exact below capacity, MG undercount bound above it") {
+    import graft.functions.GraftFunctions.{freqSketch, freqMerge}
+    // skewed synthetic stream: item i appears (101 - i) times, i in 1..100
+    val rows = (1 to 100).flatMap(i => Seq.fill(101 - i)(f"item$i%03d"))
+    val n = rows.length
+    val df = spark.createDataset(new scala.util.Random(42).shuffle(rows))(
+      org.apache.spark.sql.Encoders.STRING).toDF("x").repartition(7)
+    def topOf(cap: Int): Map[String, Long] =
+      df.agg(freqSketch(col("x"), cap).as("s")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity >= distinct: exact counts
+    val exactTop = topOf(128)
+    assert(exactTop.size == 100 &&
+      (1 to 100).forall(i => exactTop(f"item$i%03d") == 101L - i))
+    // capacity 20 << 100 distinct: every stored count undercounts by at
+    // most n/(cap+1), and every key above that bound is present
+    val cap = 20
+    val approx = topOf(cap)
+    val bound = n / (cap + 1)
+    assert(approx.forall { case (item, est) =>
+      val truth = 101L - item.drop(4).toInt
+      est <= truth && truth - est <= bound
+    })
+    (1 to 100).filter(i => 101 - i > bound).foreach(i =>
+      assert(approx.contains(f"item$i%03d"), s"heavy item$i missing"))
+    // merge law in the exact regime: per-slice sketches union to the
+    // direct sketch (counts sum exactly below capacity)
+    val perSlice = df.withColumn("g", pmod(crc32(col("x")), lit(5)))
+      .groupBy("g").agg(freqSketch(col("x"), 128).as("s"))
+    val merged = perSlice.agg(freqMerge(col("s"), 128).as("m"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == exactTop)
+    // deterministic under repartitioning (exact regime)
+    assert(df.repartition(31).agg(freqSketch(col("x"), 128))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(
+        r => r.getString(0) -> r.getLong(1)).toMap == exactTop)
+  }
+
+  test("freqSketch partial aggregation ships capped summaries, not value counts") {
+    import graft.functions.GraftFunctions.freqSketch
+    val df = Tables.events(spark, sfDir)
+    val q = df.groupBy("event_type")
+      .agg(freqSketch(col("user_id").cast("string"), 64).as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_graft_freq_sketch"),
+      s"partial (map-side) summary pass missing:\n$plan")
+    assert("graft_freq_sketch".r.findAllIn(plan).size >= 2,
+      s"final summary pass missing:\n$plan")
+  }
+
   test("hllDistinct estimates within DataSketches error bounds") {
     val est = SketchOps.hllDistinct(li, "l_returnflag", "l_partkey")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
