@@ -44,7 +44,11 @@ object StreamingQueries {
     // the STATEFUL dialect subset: watermarked bucket()-keyed GROUP BY
     // compiled to a true event-time window aggregation over the tail
     "stream_sql_window" -> ((s, d) =>
-      StreamingOps.streamSqlWindowReplay(s, d))
+      StreamingOps.streamSqlWindowReplay(s, d)),
+    // continuous heavy hitters: the mergeable Misra-Gries summary as
+    // bounded streaming-aggregation state per (window, series); exact
+    // below capacity, so the replay equals the batch count+rank
+    "stream_top_k" -> ((s, d) => StreamingOps.streamingTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,6 +94,23 @@ object StreamingQueries {
     "stream_dedup_count" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // exact-regime replay of the streamed MG summary: per (day, type)
+    // counts ranked (n DESC, item ASC), top 16 as the same "item:n,…"
+    "stream_top_k" ->
+      """WITH c AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS w_start_us,
+        |    event_type, props->>'k' AS item, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT w_start_us, event_type, item, n,
+        |    row_number() OVER (PARTITION BY w_start_us, event_type
+        |      ORDER BY n DESC, item) AS rk
+        |  FROM c)
+        |SELECT w_start_us, event_type,
+        |  string_agg(item || ':' || n, ',' ORDER BY rk) AS top
+        |FROM r WHERE rk <= 16 GROUP BY w_start_us, event_type
+        |ORDER BY w_start_us, event_type""".stripMargin,
 
     // the family roundtrip must reproduce the plain batch aggregate —
     // the parquet write/stream-read hop adds no rows, loses no rows

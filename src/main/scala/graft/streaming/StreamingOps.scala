@@ -132,6 +132,45 @@ object StreamingOps {
       .orderBy("w_start_us", "event_type")
   }
 
+  /** Streaming heavy hitters: per daily event-time window, the top-k
+    * property values by count via the mergeable Misra-Gries summary
+    * ([[graft.functions.FreqSketchAgg]]) as a watermarked streaming
+    * aggregate. The summary IS the aggregation state, so each
+    * (window, series) group holds at most `cap` counters in the state
+    * store however many events the window sees — the bounded-state
+    * property that makes continuous top-k viable at ingest rates where
+    * a per-value count state would grow without limit. Below capacity
+    * (this corpus: ≤100 distinct per window) the counts are exact, so
+    * the replay equals the batch GROUP BY — what the DuckDB oracle
+    * checks; the rendered output is the same portable "item:n,…"
+    * string as the dialect's approx_top_k.
+    */
+  def streamingTopK(spark: SparkSession, sfDir: String, k: Int = 16,
+      statePartitions: Int = 4): DataFrame = {
+    val cap = math.max(64, 8 * k)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .transform(graft.tables.Tables.normalizeEventsTs)
+      .withColumn("item", get_json_object(col("props"), "$.k"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .freqSketch(col("item"), cap).as("sk"))
+    val sink = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"),
+        array_join(transform(slice(col("sk"), 1, k),
+          e => concat(e.getField("item"), lit(":"),
+            e.getField("n").cast("string"))), ",").as("top"))
+      .orderBy("w_start_us", "event_type")
+  }
+
   /** Stream the events table INTO a series-family parquet table — the
     * full `readStream → transform → writeStream` chain with a durable
     * sink: date-partitioned parquet + checkpointing, exactly the shape
