@@ -331,7 +331,22 @@ object Compiler {
     // SAME k co-samples them, so sampled joins stay consistent (the
     // 100 TB subsetting pattern; rand()-based sampling gives neither)
     "sample_hash" -> ((1, 1, (a: Seq[Column]) =>
-      graft.operators.SketchOps.portableHash32(a(0)) / lit(4294967296.0)))
+      graft.operators.SketchOps.portableHash32(a(0)) / lit(4294967296.0))),
+    // time-axis field extraction (UTC session contract) — the diurnal /
+    // weekly / seasonal grouping tier: `GROUP BY hour(ts)` hour-of-day
+    // profiles, `dow(ts)` ISO day-of-week rollups (1 = Monday …
+    // 7 = Sunday, DuckDB isodow — Spark's dayofweek is Sunday-based so
+    // it maps through weekday()+1), epoch_us for raw microsecond
+    // arithmetic
+    "year"     -> ((1, 1, (a: Seq[Column]) => year(a(0)))),
+    "month"    -> ((1, 1, (a: Seq[Column]) => month(a(0)))),
+    "day"      -> ((1, 1, (a: Seq[Column]) => dayofmonth(a(0)))),
+    "hour"     -> ((1, 1, (a: Seq[Column]) => hour(a(0)))),
+    "minute"   -> ((1, 1, (a: Seq[Column]) => minute(a(0)))),
+    "second"   -> ((1, 1, (a: Seq[Column]) => second(a(0)))),
+    "dow"      -> ((1, 1, (a: Seq[Column]) => weekday(a(0)) + lit(1))),
+    "doy"      -> ((1, 1, (a: Seq[Column]) => dayofyear(a(0)))),
+    "epoch_us" -> ((1, 1, (a: Seq[Column]) => unix_micros(a(0))))
   )
 
   /** Fixed-width interval text → microseconds (micro…day units; larger

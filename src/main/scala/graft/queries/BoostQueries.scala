@@ -224,6 +224,15 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // time-axis extraction: the diurnal/weekly profile — hour-of-day ×
+    // ISO day-of-week rollup (GROUP BY ALL exercises the sugar over
+    // the new functions)
+    "boost_fn_time" -> ((s, d) =>
+      run(s, d, "SELECT dow(ts) AS dw, hour(ts) AS h, count(click) AS n, " +
+        "sum(CAST(click * 100.0 AS int)) AS cents, " +
+        "min(epoch_us(ts)) AS first_us " +
+        "FROM dom.events GROUP BY ALL ORDER BY ALL")),
+
     // approx_top_k — heavy hitters per group over the Misra-Gries
     // summary (bounded state, kilobyte shuffle); at this cardinality
     // (distinct k < capacity) the counts are exact, so the DuckDB
@@ -1381,6 +1390,14 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // isodow is the dialect's dow() contract (1 = Monday … 7 = Sunday)
+    "boost_fn_time" ->
+      """SELECT isodow(ts) AS dw, hour(ts) AS h, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+        |  MIN(epoch_us(ts)) AS first_us
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     // exact-regime replay: full counts, ranked (n DESC, item ASC),
     // top 16 rendered as the same "item:n,…" string

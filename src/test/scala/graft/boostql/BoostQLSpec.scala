@@ -2689,6 +2689,27 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("time extraction: dow() is ISO (Monday=1), hour/epoch_us UTC") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 05:30:15"), 1.0),
+      ("cpu", Timestamp.valueOf("2024-01-07 23:00:00"), 2.0))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "value")
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+    val got = Compiler.compile(Parser.parse(
+      "SELECT dow(ts) AS dw, hour(ts) AS h, minute(ts) AS m, " +
+        "year(ts) AS y, doy(ts) AS dy, epoch_us(ts) AS us, cpu " +
+        "FROM dom.f ORDER BY cpu"), tiny).collect()
+    assert(got(0).getInt(0) == 1 && got(1).getInt(0) == 7) // Mon=1, Sun=7
+    assert(got(0).getInt(1) == 5 && got(0).getInt(2) == 30)
+    assert(got(0).getInt(3) == 2024 && got(0).getInt(4) == 1)
+    assert(got(0).getLong(5) % 1000000L == 0L &&
+      got(0).getLong(5) / 1000000L % 60 == 15L)
+  }
+
   test("ANY/ALL quantified comparisons: ANSI null and empty-list cases") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
