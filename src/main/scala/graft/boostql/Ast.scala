@@ -134,7 +134,7 @@ object Ast {
     * BETWEEN INTERVAL '5' MINUTE PRECEDING AND CURRENT ROW)`).
     */
   final case class OWin(fn: String, args: Seq[Operand],
-      partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean)],
+      partitionBy: Seq[RawName], orderBy: Seq[(RawName, Boolean, Option[Boolean])],
       frame: Option[WFrame] = None) extends Operand
 
   /** Window frame: kind "rows" carries (lo, hi) row offsets relative to

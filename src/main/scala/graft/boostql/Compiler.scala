@@ -448,14 +448,16 @@ object Compiler {
     * whose defaults differ (DuckDB/Postgres ASC default is NULLS LAST).
     */
   private def sortKey(c: Column, o: OrderItem): Column =
-    (o.asc, o.nullsFirst) match {
-      case (true, None)         => c.asc
-      case (true, Some(true))   => c.asc_nulls_first
-      case (true, Some(false))  => c.asc_nulls_last
-      case (false, None)        => c.desc
-      case (false, Some(true))  => c.desc_nulls_first
-      case (false, Some(false)) => c.desc_nulls_last
-    }
+    sortDir(c, o.asc, o.nullsFirst)
+  private def sortDir(c: Column, asc: Boolean,
+      nullsFirst: Option[Boolean]): Column = (asc, nullsFirst) match {
+    case (true, None)         => c.asc
+    case (true, Some(true))   => c.asc_nulls_first
+    case (true, Some(false))  => c.asc_nulls_last
+    case (false, None)        => c.desc
+    case (false, Some(true))  => c.desc_nulls_first
+    case (false, Some(false)) => c.desc_nulls_last
+  }
 
   /** Compile a query; `families` resolves each (domain, family) source to
     * a series-family DataFrame (schema: series, ts, value, tags,
@@ -1143,8 +1145,8 @@ object Compiler {
       val w0 = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
       val spec =
         if (ord.isEmpty) w0
-        else w0.orderBy(ord.map { case (n, asc) =>
-          val cc = col(ref(n).inName); if (asc) cc.asc else cc.desc
+        else w0.orderBy(ord.map { case (n, asc, nf) =>
+          sortDir(col(ref(n).inName), asc, nf)
         }: _*)
       // ROWS/RANGE frames: aggregate window functions only (a framed
       // rank is meaningless), and only over an ordered window; the
@@ -1167,7 +1169,7 @@ object Compiler {
           kind match {
             case "rows" => spec.rowsBetween(lo, hi)
             case "range_us" => ord match {
-              case Seq((n, true)) if ref(n).isTs =>
+              case Seq((n, true, _)) if ref(n).isTs =>
                 w0.orderBy(unix_micros(col(ref(n).inName)))
                   .rangeBetween(lo, hi)
               case _ => throw CompileException(

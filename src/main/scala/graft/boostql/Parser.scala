@@ -48,7 +48,7 @@ import Ast._
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
   * over     := OVER '(' (PARTITION BY names)?
-  *                      (ORDER BY name (ASC|DESC)? (',' …)*)?
+  *                      (ORDER BY name dir (',' …)*)?
   *                      ((ROWS|RANGE) BETWEEN bound AND bound)? ')'
   * filterc  := FILTER '(' WHERE or ')'
   * bound    := UNBOUNDED (PRECEDING|FOLLOWING) | CURRENT ROW
@@ -232,10 +232,12 @@ object Parser {
     // recursion guard: the recursive-descent productions self-nest
     // through parens / NOT / unary minus, so adversarially deep input
     // would otherwise kill the JVM thread with StackOverflowError (an
-    // Error, not a catchable parse failure). 500 is far beyond any
-    // human query and well inside the default stack.
+    // Error, not a catchable parse failure). 200 is far beyond any
+    // human query and — unlike the earlier 500, which measured ~5k JVM
+    // frames and overflowed threads with sub-default stacks — leaves
+    // the guard comfortable on any thread that can run Spark at all.
     private var depth = 0
-    private val MaxDepth = 500
+    private val MaxDepth = 200
     private def nested[T](body: => T): T = {
       depth += 1
       if (depth > MaxDepth)
@@ -1152,11 +1154,11 @@ object Parser {
         val ord =
           if (kw("order")) {
             expectKw("by")
-            val b = Seq.newBuilder[(RawName, Boolean)]
-            def one(): (RawName, Boolean) = {
+            val b = Seq.newBuilder[(RawName, Boolean, Option[Boolean])]
+            def one(): (RawName, Boolean, Option[Boolean]) = {
               val n = rawName()
               val asc = if (kw("desc")) false else { kw("asc"); true }
-              (n, asc)
+              (n, asc, nullsOrder())
             }
             b += one()
             while (sym(",")) b += one()

@@ -857,7 +857,7 @@ class BoostQLSpec extends SparkSpec {
       "FROM dom.f")
     assert(q.select.head match {
       case ExprItem(OWin("rank", Seq(), Seq(RawName(Seq("cpu", "host"))),
-        Seq((RawName(Seq("cpu")), false)), None), "r") => true
+        Seq((RawName(Seq("cpu")), false, None)), None), "r") => true
       case _ => false
     })
     // execution vs a manual Window over the same frame
@@ -2847,6 +2847,14 @@ class BoostQLSpec extends SparkSpec {
     // only the exact `NULLS FIRST|LAST` two-word shape engages)
     assert(Parser.parse(
       "SELECT x FROM dom.f ORDER BY x, nulls").orderBy.length == 2)
+    // window ORDER BY carries the placement too (same sortDir path as
+    // the query-level keys — grammar pin here)
+    Parser.parse("SELECT rank() OVER (ORDER BY cpu DESC NULLS LAST) AS r " +
+      "FROM dom.f").select.head match {
+      case ExprItem(OWin("rank", _, _,
+        Seq((RawName(Seq("cpu")), false, Some(false))), _), "r") => ()
+      case other => fail(s"window NULLS placement not parsed: $other")
+    }
   }
 
   test("approx_percentile_sketch/_merge: two-level rollup equals direct") {
