@@ -192,7 +192,8 @@ object ScaleBench {
     // stream_neardup read `documents` and belong to the curation
     // corpus, not this one
     val streamTier = Set("stream_window_agg", "stream_sliding_agg",
-      "stream_dedup_count", "stream_session", "stream_join")
+      "stream_dedup_count", "stream_session", "stream_join",
+      "stream_top_k")
     val tier = SparkEntry.queries.filter { case (n, _) =>
       if (streaming) streamTier.contains(n)
       else if (boost)

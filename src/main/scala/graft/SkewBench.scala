@@ -58,7 +58,7 @@ object SkewBench {
     // the per-series window tier only (all read events exclusively)
     val tier = SparkEntry.queries.filter { case (n, _) =>
       n.startsWith("boost_ts_") || n.startsWith("boost_asof") ||
-        n.startsWith("ts_")
+        n.startsWith("ts_") || n == "boost_mad" || n == "boost_top_k"
     }
     // warm + empty-input guard on all three corpora
     Seq(baseDir, uniDir, skewDir).foreach { d =>

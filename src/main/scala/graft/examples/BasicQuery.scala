@@ -192,6 +192,27 @@ object BasicQuery {
       "approx_distinct_sketch(click.user) AS sk FROM dom.events " +
       "GROUP BY CAST(bucket(ts, '1 day') AS int)) AS t").show()
 
+    println("== DISTINCT ON: each user's single highest purchase")
+    run("SELECT DISTINCT ON (purchase.user) purchase.user, purchase " +
+      "FROM dom.events ORDER BY purchase DESC LIMIT 5").show()
+
+    println("== reset-aware counter math + robust dispersion, GROUP BY ALL")
+    run("SELECT purchase.user, increase(CAST(purchase * 100.0 AS int)) AS inc, " +
+      "resets(CAST(purchase * 100.0 AS int)) AS rst, " +
+      "round(mad(purchase), 2) AS mad " +
+      "FROM dom.events GROUP BY ALL ORDER BY inc DESC NULLS LAST LIMIT 5").show()
+
+    println("== heavy hitters: top-5 property values per series (bounded state)")
+    run("SELECT click.user, approx_top_k(click.k, 5) AS top " +
+      "FROM dom.events GROUP BY click.user ORDER BY click.user LIMIT 5")
+      .show(truncate = false)
+
+    println("== diurnal profile: hour-of-day x ISO weekday, ANY/ALL threshold")
+    run("SELECT dow(ts) AS dw, hour(ts) AS h, count(click) AS n " +
+      "FROM dom.events " +
+      "WHERE click > ALL (SELECT error FROM dom.events WHERE error.user = '3') " +
+      "GROUP BY ALL ORDER BY n DESC LIMIT 5").show()
+
     spark.stop()
   }
 }
