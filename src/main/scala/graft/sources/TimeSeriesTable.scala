@@ -186,7 +186,15 @@ object TimeSeriesTable {
     src.repartition(col("dt"))
       .sortWithinPartitions("series", "ts")
       .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
-    val rewritten = spark.read.schema(withDt).parquet(tmp.toString).count()
+    // verify via the explicit file list as well: the temp dir is
+    // dot-prefixed (hidden from sibling listings by design), and a
+    // directory read of a hidden root trips Spark's hidden-path
+    // filtering ("All paths were ignored") — the file list is immune
+    val tmpFiles = listData(tmp)
+    val rewritten =
+      if (tmpFiles.isEmpty) 0L
+      else spark.read.schema(withDt).option("basePath", tmp.toString)
+        .parquet(tmpFiles: _*).count()
     if (rewritten != expected) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
