@@ -397,26 +397,33 @@ object BoostQL {
         if (out == Compiler.resolve(f, srcAlias).colName) FieldItem(f)
         else ExprItem(ORef(f), out))
     }
-    val streamingAggs = Set("count", "sum", "avg", "min", "max")
+    // count/sum/avg/min/max are the partial-mergeable built-ins;
+    // approx_top_k rides along because its Misra-Gries summary IS
+    // bounded mergeable state — the continuous heavy-hitters form
+    // (count(DISTINCT)/median/percentile stay refused)
+    val streamingAggs = Set("count", "sum", "avg", "min", "max",
+      "approx_top_k")
     var helperIdx = 0
     sealed trait Out
     case class BucketOut(nm: String) extends Out
     case class DimOut(nm: String) extends Out
-    case class AggOut(fn: String, argCol: Option[String], nm: String) extends Out
-    def aggOut(fn: String, arg: Option[Operand], nm: String): AggOut = {
+    case class AggOut(fn: String, argCol: Option[String], nm: String,
+        k: Option[Int] = None) extends Out
+    def aggOut(fn: String, arg: Option[Operand], nm: String,
+        k: Option[Int] = None): AggOut = {
       if (!streamingAggs.contains(fn)) throw Compiler.CompileException(
         s"$fn() is not streaming-safe — supported streaming aggregates: " +
-          "count, sum, avg, min, max")
+          "count, sum, avg, min, max, approx_top_k")
       arg match {
-        case None => AggOut(fn, None, nm)
+        case None => AggOut(fn, None, nm, k)
         case Some(ORef(f)) =>
           val cn = Compiler.resolve(f, srcAlias).colName
           subItems.getOrElseUpdate(cn, FieldItem(f))
-          AggOut(fn, Some(cn), nm)
+          AggOut(fn, Some(cn), nm, k)
         case Some(e) =>
           val hn = s"__sa$helperIdx"; helperIdx += 1
           subItems.getOrElseUpdate(hn, ExprItem(e, hn))
-          AggOut(fn, Some(hn), nm)
+          AggOut(fn, Some(hn), nm, k)
       }
     }
     val outs: Seq[Out] = spec.select.map {
@@ -427,10 +434,12 @@ object BoostQL {
         if dimNames.exists(_._2 == Compiler.resolve(n, srcAlias).colName) =>
         DimOut(Compiler.resolve(n, srcAlias).colName)
       case ExprItem(OAgg(fn, arg), nm)  => aggOut(fn, arg.map(ORef), nm)
+      case ExprItem(OAggX("approx_top_k", e, Seq(k)), nm) =>
+        aggOut("approx_top_k", Some(e), nm, Some(k.toInt))
       case ExprItem(OAggX(fn, e, ps), nm) =>
         if (ps.nonEmpty) throw Compiler.CompileException(
           s"$fn() is not streaming-safe — supported streaming " +
-            "aggregates: count, sum, avg, min, max")
+            "aggregates: count, sum, avg, min, max, approx_top_k")
         aggOut(fn, Some(e), nm)
       case _: AggItem => throw Compiler.CompileException(
         "streaming aggregates must be aliased (agg(x) AS name)")
@@ -464,6 +473,13 @@ object BoostQL {
         case "avg"   => avg(c.get)
         case "min"   => min(c.get)
         case "max"   => max(c.get)
+        case "approx_top_k" =>
+          // the MG summary as streaming-aggregation state (capacity-
+          // bounded per (window, dims) entry), rendered to the same
+          // portable "item:n,…" string as the batch dialect
+          val k = a.k.get
+          Compiler.freqTopString(graft.functions.GraftFunctions
+            .freqSketch(c.get.cast("string"), Compiler.topkCap(k)), k)
       }).as(a.nm)
     }
     val agged = flat.withWatermark("ts", watermarkDelay)
@@ -474,7 +490,7 @@ object BoostQL {
         if (bCast) col("window.start").cast("long").as(nm)
         else col("window.start").as(nm)
       case DimOut(nm)       => col(nm)
-      case AggOut(_, _, nm) => col(nm)
+      case AggOut(_, _, nm, _) => col(nm)
     }
     agged.select(outCols: _*)
   }

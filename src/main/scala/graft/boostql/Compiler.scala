@@ -129,8 +129,8 @@ object Compiler {
     if (k < 1) throw CompileException(s"$fn k must be >= 1")
     k
   }
-  private def topkCap(k: Int): Int = math.max(64, 8 * k)
-  private def freqTopString(sketch: Column, k: Int): Column =
+  private[boostql] def topkCap(k: Int): Int = math.max(64, 8 * k)
+  private[boostql] def freqTopString(sketch: Column, k: Int): Column =
     array_join(transform(slice(sketch, 1, k),
       e => concat(e.getField("item"), lit(":"),
         e.getField("n").cast("string"))), ",")

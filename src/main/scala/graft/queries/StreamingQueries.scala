@@ -48,7 +48,10 @@ object StreamingQueries {
     // continuous heavy hitters: the mergeable Misra-Gries summary as
     // bounded streaming-aggregation state per (window, series); exact
     // below capacity, so the replay equals the batch count+rank
-    "stream_top_k" -> ((s, d) => StreamingOps.streamingTopK(s, d))
+    "stream_top_k" -> ((s, d) => StreamingOps.streamingTopK(s, d)),
+    // the same capability through the SQL FRONT: approx_top_k(x, k)
+    // inside sqlStream's watermarked bucket()-keyed aggregate
+    "stream_sql_topk" -> ((s, d) => StreamingOps.streamSqlTopKReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -94,6 +97,27 @@ object StreamingQueries {
     "stream_dedup_count" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the SQL-front streamed top-k: per-day counts over click rows,
+    // ranked (n DESC, item ASC), top 16 as the same "item:n,…"; n
+    // counts the bucket's click rows (the dialect frame is the
+    // referenced series)
+    "stream_sql_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |    props->>'k' AS item, COUNT(*) AS n
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), t AS (
+        |  SELECT d, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY d
+        |), r AS (
+        |  SELECT d, item, n,
+        |    row_number() OVER (PARTITION BY d ORDER BY n DESC, item) AS rk
+        |  FROM c)
+        |SELECT r.d AS d,
+        |  string_agg(r.item || ':' || r.n, ',' ORDER BY r.rk) AS top,
+        |  any_value(t.total) AS n
+        |FROM r JOIN t USING (d) WHERE r.rk <= 16
+        |GROUP BY r.d ORDER BY d""".stripMargin,
 
     // exact-regime replay of the streamed MG summary: per (day, type)
     // counts ranked (n DESC, item ASC), top 16 as the same "item:n,…"

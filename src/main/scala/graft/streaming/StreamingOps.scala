@@ -297,6 +297,34 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** Continuous heavy hitters THROUGH THE SQL FRONT: the dialect's
+    * `approx_top_k(x, k)` inside the watermarked `bucket()`-keyed
+    * streaming aggregate — `BoostQL.sqlStream` compiles it to the
+    * Misra-Gries summary as event-time window state (capacity-bounded
+    * per (window, dims) entry however many events arrive). Exact below
+    * capacity, so the AvailableNow replay hash-matches the batch
+    * count+rank oracle.
+    */
+  def streamSqlTopKReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqltopk").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+        "approx_top_k(click.k, 16) AS top, count(*) AS n " +
+        "FROM dom.events GROUP BY d",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqltopk_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d")
+  }
+
   /** The SLIDING form of the dialect-over-stream aggregate:
     * `bucket(ts, '1 day', '12 hours')` through `BoostQL.sqlStream`
     * compiles to the engine's `window(ts, w, slide)` — map-side Expand

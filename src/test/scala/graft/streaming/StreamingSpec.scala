@@ -262,6 +262,15 @@ class StreamingSpec extends SparkSpec {
     refuses(B + ", percentile(click, 0.5) AS p" + G)              // percentile
     refuses(B + ", approx_percentile(click, 0.5) AS p" + G)       // sketch agg
     refuses(B + ", approx_distinct(click.user) AS ad" + G)        // sketch agg
+    // approx_top_k IS streaming-safe (capacity-bounded MG state) — it
+    // must compile through the watermarked form…
+    graft.boostql.BoostQL.sqlStream(
+      B + ", approx_top_k(click.k, 8) AS top" + G, _ => stream, "1 day")
+    // …and keep refusing in the STATELESS overload (it aggregates)
+    intercept[graft.boostql.Compiler.CompileException](
+      graft.boostql.BoostQL.sqlStream(
+        "SELECT approx_top_k(click.k, 8) AS top FROM dom.events",
+        _ => stream))
     refuses(B + ", count(click)" + G)                             // unaliased agg
     refuses(B + ", upper(click.user) AS uu" + G)                  // bare scalar item
     refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
