@@ -412,6 +412,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"no lead() window pass in:\n$plan")
   }
 
+  test("quantified ALL/ANY joins the aggregate row, never the raw list") {
+    // correlated ALL: the sub reduces to one aggregate row per
+    // correlation key, so the anti join is KEY-EQUI (hashable) — a
+    // per-value formulation would nested-loop the outer against the
+    // whole list
+    val corr = planOf(SparkEntry.queries("boost_all_corr")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(corr.contains("LeftAnti"), s"negated ALL must anti-join:\n$corr")
+    assert(!corr.contains("CartesianProduct"),
+      s"correlated ALL must stay key-equi:\n$corr")
+    // the aggregate reduction is present: partial+final min/max + counts
+    // below the join, bounded at one row per key
+    assert(corr.contains("HashAggregate"),
+      s"sub must reduce to aggregate rows:\n$corr")
+    // uncorrelated: the one-row aggregate side broadcasts
+    val un = planOf(SparkEntry.queries("boost_any_all")(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(un.contains("LeftSemi") && un.contains("LeftAnti"),
+      s"ANY semi + ALL anti expected:\n$un")
+    assert(un.contains("Broadcast"),
+      s"one-row aggregate side should broadcast:\n$un")
+  }
+
   test("sliding bucket plans a map-side Generate, never a join") {
     // the width/slide expansion must be an explode (Generate) feeding
     // the hash aggregate — a windows-table join formulation would
