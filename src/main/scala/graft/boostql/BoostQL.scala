@@ -39,6 +39,33 @@ object BoostQL {
     */
   private val describeRe = """(?is)^\s*describe\s+(\w+)\s*\.\s*(\w+)\s*$""".r
 
+  /** `SHOW FAMILIES [IN domain]` — the catalog-listing half of the
+    * discovery face (DESCRIBE is the per-family half): one
+    * (domain, family) row per registered family, sorted. Enumerable
+    * only when the resolver IS an enumerable registry (the Map
+    * overload); the function-resolver overloads refuse with a pointer
+    * rather than listing nothing.
+    */
+  private val showRe =
+    """(?is)^\s*show\s+families(?:\s+in\s+(\w+))?\s*$""".r
+
+  /** SQL over an ENUMERABLE family registry: everything the resolver
+    * overload runs, plus `SHOW FAMILIES [IN domain]` over the map's
+    * keys. */
+  def sql(query: String,
+      families: Map[(String, String), DataFrame]): DataFrame =
+    query match {
+      case showRe(dom) =>
+        val spark = families.headOption.map(_._2.sparkSession).getOrElse(
+          throw Compiler.CompileException(
+            "SHOW FAMILIES: the registry is empty"))
+        import spark.implicits._
+        families.keys.toSeq
+          .filter(k => Option(dom).forall(_.equalsIgnoreCase(k._1)))
+          .sorted.toDF("domain", "family")
+      case _ => sql(query, families.apply _)
+    }
+
   private def describe(fam: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     // ONE aggregation pass over the scan: key inventories via
@@ -180,6 +207,10 @@ object BoostQL {
 
   def sql(query: String, families: ((String, String)) => DataFrame): DataFrame =
     query match {
+      case showRe(_) => throw Compiler.CompileException(
+        "SHOW FAMILIES needs an enumerable registry — pass the families " +
+          "as a Map (the sql(query, Map) overload); a resolver function " +
+          "cannot be listed")
       case describeRe(dom, f) => describe(families((dom, f)))
       case explainRe(mode, rest) =>
         val df = Compiler.compile(Parser.parseStmt(rest), families)

@@ -224,6 +224,16 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // SHOW FAMILIES — the catalog-listing half of the discovery face
+    // (DESCRIBE is the per-family half): rows from an enumerable
+    // registry, here a two-family map over the same adapted frame
+    "boost_show" -> ((s, d) => {
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sql("SHOW FAMILIES",
+          Map(("dom", "events") -> fam, ("ops", "metrics") -> fam))
+        .orderBy("domain", "family")
+    }),
+
     // time-axis extraction: the diurnal/weekly profile — hour-of-day ×
     // ISO day-of-week rollup (GROUP BY ALL exercises the sugar over
     // the new functions)
@@ -1390,6 +1400,11 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    "boost_show" ->
+      """SELECT 'dom' AS domain, 'events' AS family
+        |UNION ALL SELECT 'ops', 'metrics'
+        |ORDER BY domain, family""".stripMargin,
 
     // isodow is the dialect's dow() contract (1 = Monday … 7 = Sunday)
     "boost_fn_time" ->

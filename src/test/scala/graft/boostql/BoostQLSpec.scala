@@ -2689,6 +2689,26 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("SHOW FAMILIES: registry listing, domain filter, resolver refusal") {
+    val reg = Map(("dom", "events") -> fam, ("ops", "metrics") -> fam,
+      ("ops", "alerts") -> fam)
+    val all = BoostQL.sql("SHOW FAMILIES", reg)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(all == Seq(("dom", "events"), ("ops", "alerts"),
+      ("ops", "metrics")))
+    val ops = BoostQL.sql("SHOW FAMILIES IN ops", reg)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ops == Seq(("ops", "alerts"), ("ops", "metrics")))
+    // a SELECT through the Map overload still compiles (delegation)
+    assert(BoostQL.sql(
+      "SELECT click FROM dom.events WHERE click < 50.0", reg).count() > 0)
+    // the function-resolver overload cannot enumerate — refuse with a
+    // pointer, never an empty listing
+    val e = intercept[Compiler.CompileException](
+      BoostQL.sql("SHOW FAMILIES", (_: (String, String)) => fam))
+    assert(e.getMessage.contains("enumerable"))
+  }
+
   test("time extraction: dow() is ISO (Monday=1), hour/epoch_us UTC") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
