@@ -332,6 +332,14 @@ object Compiler {
     // 100 TB subsetting pattern; rand()-based sampling gives neither)
     "sample_hash" -> ((1, 1, (a: Seq[Column]) =>
       graft.operators.SketchOps.portableHash32(a(0)) / lit(4294967296.0))),
+    // string predicates beyond LIKE: substring/affix tests and full
+    // regular expressions (Java regex here, RE2-ish in DuckDB — the
+    // shared subset covers everyday character-class/anchor/quantifier
+    // patterns; both engines are null-propagating)
+    "contains"    -> ((2, 2, (a: Seq[Column]) => a(0).contains(a(1)))),
+    "starts_with" -> ((2, 2, (a: Seq[Column]) => a(0).startsWith(a(1)))),
+    "ends_with"   -> ((2, 2, (a: Seq[Column]) => a(0).endsWith(a(1)))),
+    "regexp_like" -> ((2, 2, (a: Seq[Column]) => regexp_like(a(0), a(1)))),
     // time-axis field extraction (UTC session contract) — the diurnal /
     // weekly / seasonal grouping tier: `GROUP BY hour(ts)` hour-of-day
     // profiles, `dow(ts)` ISO day-of-week rollups (1 = Monday …

@@ -224,6 +224,16 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // string predicates beyond LIKE: affix/substring tests + regex
+    // (the shared Java/RE2 subset — classes, anchors, quantifiers)
+    "boost_fn_str2" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id AS eid, " +
+        "contains(click.user, '1') AS c, " +
+        "starts_with(click.user, '1') AS sw, " +
+        "ends_with(click.user, '3') AS ew, " +
+        "regexp_like(click.k, '^[0-9]?[02468]$') AS even " +
+        "FROM dom.events WHERE click < 150.0 ORDER BY eid")),
+
     // SHOW FAMILIES — the catalog-listing half of the discovery face
     // (DESCRIBE is the per-family half): rows from an enumerable
     // registry, here a two-family map over the same adapted frame
@@ -1400,6 +1410,15 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    "boost_fn_str2" ->
+      """SELECT CAST(event_id AS VARCHAR) AS eid,
+        |  contains(CAST(user_id AS VARCHAR), '1') AS c,
+        |  starts_with(CAST(user_id AS VARCHAR), '1') AS sw,
+        |  ends_with(CAST(user_id AS VARCHAR), '3') AS ew,
+        |  regexp_matches(props->>'k', '^[0-9]?[02468]$') AS even
+        |FROM events WHERE event_type = 'click' AND value < 150.0
+        |ORDER BY eid""".stripMargin,
 
     "boost_show" ->
       """SELECT 'dom' AS domain, 'events' AS family
