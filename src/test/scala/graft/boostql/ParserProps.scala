@@ -372,4 +372,64 @@ object ParserProps extends Properties("graft.boostql.parser") {
       case _ => false
     }
   }
+
+  // ---- round-13 grammar: DISTINCT ON / NULLS placement / ALL sugar /
+  //      quantified comparisons ----------------------------------------
+
+  private val identGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.alphaLowerChar).map("s" + _.mkString))
+
+  property("distinctOnKeysRoundTrip") = forAll(
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, identGen))
+  ) { keys =>
+    val q = Parser.parse(s"SELECT DISTINCT ON (${keys.mkString(", ")}) " +
+      s"${keys.mkString(", ")} FROM dom.f ORDER BY ${keys.head}")
+    q.distinct && q.distinctOn == keys.map(k => RawName(Seq(k)))
+  }
+
+  property("nullsPlacementRoundTrip") = forAll(
+    Gen.oneOf(true, false), Gen.oneOf(Option.empty[Boolean],
+      Some(true), Some(false)), Gen.oneOf(false, true)
+  ) { (asc, nf, upper) =>
+    val dir = (if (asc) "ASC" else "DESC") +
+      nf.fold("")(f => if (f) " nulls first" else " nulls last")
+    val t = if (upper) dir.toUpperCase else dir
+    val q = Parser.parse(s"SELECT cpu FROM dom.f ORDER BY cpu $t")
+    q.orderBy == Seq(OrderItem(FieldItem(RawName(Seq("cpu"))), asc, nf))
+  }
+
+  property("groupByAllDesugarsToNonAggregateItems") = forAll(
+    Gen.choose(1, 3), Gen.choose(1, 3)
+  ) { (nKeys, nAggs) =>
+    val keys = (1 to nKeys).map(i => s"k$i")
+    val sel = keys.map(k => s"cpu.$k") ++
+      (1 to nAggs).map(i => s"sum(cpu) AS a$i")
+    val q = Parser.parse(
+      s"SELECT ${sel.mkString(", ")} FROM dom.f GROUP BY ALL")
+    q.groupBy == keys.map(k => RawName(Seq("cpu", k)))
+  }
+
+  property("quantifiedComparisonNormalization") = forAll(
+    Gen.oneOf(">" -> "<=", ">=" -> "<", "<" -> ">=", "<=" -> ">"),
+    Gen.oneOf(false, true)
+  ) { case ((op, flipped), isAll) =>
+    val quant = if (isAll) "ALL" else "ANY"
+    val q = Parser.parse("SELECT cpu FROM dom.f WHERE cpu " +
+      s"$op $quant (SELECT mem FROM dom.g)")
+    q.where match {
+      // ALL stores its negated-ANY complement (x > ALL ≡ NOT(x <= ANY))
+      case Some(QuantE(o, ORef(RawName(Seq("cpu"))), _, neg)) =>
+        neg == isAll && o == (if (isAll) flipped else op)
+      case _ => false
+    }
+  }
+
+  property("equalityQuantifiersPointAtInNotIn") = forAll(
+    Gen.oneOf("=", "!="), Gen.oneOf("ANY", "ALL")
+  ) { (op, quant) =>
+    scala.util.Try(Parser.parse(
+      s"SELECT cpu FROM dom.f WHERE cpu $op $quant (SELECT mem FROM dom.g)"))
+      .failed.toOption.exists(_.getMessage.contains("IN"))
+  }
 }
