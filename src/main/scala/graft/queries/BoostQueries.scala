@@ -224,6 +224,17 @@ object BoostQueries {
         "resets(CAST(click * 100.0 AS int)) AS rst " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // the combined pre-pass path: twa + increase (lead segments) and
+    // mad (window median) in ONE grouped query must share the
+    // materialized keys and the single exchange without interfering
+    "boost_ts_combo" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "round(twa(CAST(purchase * 100.0 AS int)), 6) AS tw, " +
+        "mad(CAST(purchase * 100.0 AS int)) AS m, " +
+        "increase(CAST(purchase * 100.0 AS int)) AS inc " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user")),
+
     // string predicates beyond LIKE: affix/substring tests + regex
     // (the shared Java/RE2 subset — classes, anchors, quantifiers)
     "boost_fn_str2" -> ((s, d) =>
@@ -1410,6 +1421,33 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error
         |FROM events WHERE event_type = 'error' AND value > 150.0
         |ORDER BY error DESC, error_event_id LIMIT 15 OFFSET 10""".stripMargin,
+
+    // one replay per member: lead-segment sums for twa/increase, the
+    // two-level quantile_cont for mad, joined on the group key
+    "boost_ts_combo" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, ts,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), d AS (
+        |  SELECT u, v, lead(v) OVER w AS nx,
+        |    lead(epoch_us(ts)) OVER w AS nus, epoch_us(ts) AS us
+        |  FROM s WINDOW w AS (PARTITION BY u ORDER BY ts)
+        |), t AS (
+        |  SELECT u,
+        |    round(SUM((v + nx) * (nus - us)) / 2.0
+        |      / (MAX(us) - MIN(us)), 6) AS tw,
+        |    CAST(SUM(CASE WHEN v IS NULL OR nx IS NULL THEN NULL
+        |                  WHEN nx >= v THEN nx - v ELSE nx END)
+        |      AS BIGINT) AS inc
+        |  FROM d GROUP BY u HAVING COUNT(*) > 1
+        |), med AS (
+        |  SELECT u, quantile_cont(v, 0.5) AS med FROM s GROUP BY u
+        |), md AS (
+        |  SELECT s.u, quantile_cont(abs(s.v - med.med), 0.5) AS m
+        |  FROM s JOIN med USING (u) GROUP BY s.u)
+        |SELECT t.u AS purchase_user, t.tw, md.m, t.inc
+        |FROM t JOIN md USING (u) ORDER BY purchase_user""".stripMargin,
 
     "boost_fn_str2" ->
       """SELECT CAST(event_id AS VARCHAR) AS eid,
