@@ -339,6 +339,68 @@ object TimeSeriesOps {
           col("__span").cast("double")).as("twa"): _*)
   }
 
+  /** Two-phase bucket-then-stitch [[timeWeightedAvg]] — the hot-key
+    * mitigation the scale artifacts document, implemented: the
+    * single-pass form's lead() window partitions by the key alone, so a
+    * key holding a large share of the corpus serializes its whole
+    * series through one task (the BENCH_scale_rel100 ts_twa shape — 5
+    * distinct keys cap the window parallelism at 5 however many cores
+    * exist). The trapezoid integral decomposes EXACTLY over any time
+    * partition, so phase 1 computes per-(key, bucket) partial segment
+    * sums with windows partitioned by (key, bucket) — parallelism =
+    * keys × buckets — plus each bucket's first/last (ts, value)
+    * endpoint; phase 2 runs over the BUCKET-COUNT-sized frame only,
+    * stitching the boundary segment between consecutive buckets (last
+    * point of bucket i → first point of bucket i+1) and dividing by the
+    * key's span. Over integral inputs (the repo's cents convention)
+    * every partial sum is exact, so the result EQUALS the single-pass
+    * form bit for bit; over doubles it agrees to summation-order
+    * rounding (the segments are identical, only their addition order
+    * differs).
+    *
+    * `bucketSeconds` is the parallelism knob: pick it so each (key,
+    * bucket) slice fits a task comfortably (points-per-key-per-bucket ≈
+    * rows / keys / buckets).
+    */
+  def timeWeightedAvgBucketed(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val us = unix_micros(col(tsCol))
+    val v = col(valCol)
+    val bucketed = df.select(by.map(col) :+ v.as("__v") :+ us.as("__us") :+
+      (us - pmod(us, lit(bucketSeconds * 1000000L))).as("__bk"): _*)
+    // phase 1: within-bucket segments — windows keyed on (key, bucket),
+    // so a hot key fans out over its buckets instead of one task
+    val wIn = Window.partitionBy((by :+ "__bk").map(col): _*)
+      .orderBy(col("__us"))
+    val seg = (col("__v") + lead(col("__v"), 1).over(wIn)) *
+      (lead(col("__us"), 1).over(wIn) - col("__us"))
+    val perBucket = bucketed
+      .withColumn("__seg", seg)
+      .groupBy((by :+ "__bk").map(col): _*)
+      .agg(sum(col("__seg")).as("__num"),
+        min(struct(col("__us"), col("__v"))).as("__first"),
+        max(struct(col("__us"), col("__v"))).as("__last"))
+    // phase 2: boundary segments between consecutive buckets + span —
+    // runs over |key, bucket| rows (orders of magnitude below the scan)
+    val wB = Window.partitionBy(by.map(col): _*).orderBy(col("__bk"))
+    val nf = lead(col("__first"), 1).over(wB)
+    val boundary = (col("__last.__v") + nf.getField("__v")) *
+      (nf.getField("__us") - col("__last.__us"))
+    perBucket
+      .withColumn("__bseg", boundary)
+      .groupBy(by.map(col): _*)
+      .agg(sum(col("__num")).as("__n1"), sum(col("__bseg")).as("__n2"),
+        min(col("__first.__us")).as("__lo"), max(col("__last.__us")).as("__hi"))
+      // a key with no segment at all (single point / all-null values)
+      // is null in the single-pass form — keep parity (0/0 would NaN)
+      .select(by.map(col) :+
+        when(col("__n1").isNotNull || col("__n2").isNotNull,
+          (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
+            .cast("double") / 2.0 /
+            (col("__hi") - col("__lo")).cast("double")).as("twa"): _*)
+  }
+
   /** Resample each key onto a dense daily grid over [gridStart, gridEnd]
     * and carry the last observed value forward (LOCF gap-fill). The grid
     * is built with `sequence` + `explode` per key — no driver-side loops —

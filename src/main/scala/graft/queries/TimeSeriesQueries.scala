@@ -176,6 +176,21 @@ object TimeSeriesQueries {
           round(col("twa"), 6).as("twa_cents"))
         .orderBy("event_type", "user_id")),
 
+    "ts_twa_bucketed" -> ((s, d) =>
+      // the two-phase bucket-then-stitch form (daily buckets): windows
+      // partition by (key, bucket) so a hot key fans out over its
+      // buckets — over integral cents it EQUALS the single-pass twa
+      // bit for bit, so it shares ts_twa's oracle replay
+      TimeSeriesOps.timeWeightedAvgBucketed(
+        ev(s, d).withColumn("cents",
+          col("value").multiply(100.0).cast("long")),
+        by = Seq("event_type", "user_id"), tsCol = "ts", valCol = "cents",
+        bucketSeconds = 86400L)
+        .filter(col("twa").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          round(col("twa"), 6).as("twa_cents"))
+        .orderBy("event_type", "user_id")),
+
     "ts_ewma" -> ((s, d) => {
       // bounded to the first 50 points per series so the oracle's
       // closed-form power() formulation stays in range; the operator
@@ -191,7 +206,8 @@ object TimeSeriesQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = Map(
     "ts_time_range_scan" ->
       """SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
@@ -411,5 +427,9 @@ object TimeSeriesQueries {
         |SELECT event_type, event_id,
         |  round(power(0.9, rn - 1) * x1 + 0.1 * power(0.9, rn) * (ti - x1 / 0.9), 6) AS ewma
         |FROM t ORDER BY event_type, event_id""".stripMargin
-  )
+    )
+    // the bucketed two-phase twa equals the single-pass form bit for
+    // bit over integral cents — same oracle replay
+    m + ("ts_twa_bucketed" -> m("ts_twa"))
+  }
 }

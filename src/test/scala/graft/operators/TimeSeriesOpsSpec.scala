@@ -68,6 +68,30 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("bucketed twa equals single-pass exactly; windows key on (key, bucket)") {
+    import graft.tables.Tables
+    val e = Tables.events(spark, sfDir)
+      .withColumn("cents", col("value").multiply(100.0).cast("long"))
+    val single = TimeSeriesOps.timeWeightedAvg(e,
+        Seq("event_type", "user_id"), "ts", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val bucketed = TimeSeriesOps.timeWeightedAvgBucketed(e,
+        Seq("event_type", "user_id"), "ts", "cents", bucketSeconds = 86400L)
+    val two = bucketed.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // integral inputs: EXACT equality, not tolerance — the decomposed
+    // sums are the same longs
+    assert(two == single && single.nonEmpty)
+    // the mitigation's point: phase-1 windows partition by
+    // (key..., bucket), so a hot key fans out over its buckets
+    val plan = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("windowspecdefinition(event_type") &&
+      plan.contains("__bk"),
+      s"phase-1 window must key on (key, bucket):\n$plan")
+  }
+
   test("madOutliers flags by |v - median| > k*MAD and plans one exchange") {
     // values 1..7 plus 100: median 4.5, devs (3.5,2.5,1.5,.5,.5,1.5,2.5,95.5),
     // MAD = 2.0 → only 100 exceeds 3*MAD = 6
