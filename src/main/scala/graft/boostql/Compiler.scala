@@ -93,7 +93,11 @@ object Compiler {
     val n = count(c).cast("double")
     val s = sum(c).cast("double")
     val q = sum(c * c).cast("double")
-    (q - s * s / n) / (n - lit(1.0))
+    // n <= 1 has no sample variance: NULL — the guard also matters
+    // mechanically under ANSI mode, where (n - 1) = 0 with the
+    // non-null zero dividend would throw DIVIDE_BY_ZERO at runtime
+    // instead of nulling (found by CompileFuzzProps)
+    when(n > lit(1.0), (q - s * s / n) / (n - lit(1.0)))
   }
 
   /** Sample size of the approx_percentile family's bottom-k-by-hash row
@@ -1313,7 +1317,11 @@ object Compiler {
         val s = sum(c).over(pw).cast("double")
         val q = sum(c * c).over(pw).cast("double")
         val cd = c.cast("double")
-        return (cd - s / n) / sqrt((q - s * s / n) / (n - lit(1.0)))
+        // guards: a 1-point partition has no sample variance and a
+        // zero-variance partition no z-score — NULL both, and neither
+        // division reaches ANSI's DIVIDE_BY_ZERO
+        val sd = sqrt(when(n > lit(1.0), (q - s * s / n) / (n - lit(1.0))))
+        return when(sd > lit(0.0), (cd - s / n) / sd)
       }
       val w = W.partitionBy(part.map(p => col(ref(p).inName)): _*)
         .orderBy(col(axis).asc)
@@ -1971,6 +1979,24 @@ object Compiler {
             throw CompileException(s"$nm: ${r.outName} must appear in GROUP BY"))
         case _ => ()
       }
+      // the same rule governs ORDER BY: post-aggregation only grouping
+      // keys and aggregates exist, so a bare non-grouped sort key must
+      // refuse HERE — not leak Spark's unresolved-column error at
+      // execution (select aliases and ordinals were already resolved
+      // to their select items above, so a surviving FieldItem is a
+      // genuine field reference)
+      orderItems.map(_.item).foreach {
+        case FieldItem(n) if !groupNames.contains(ref(n).inName) =>
+          throw CompileException(
+            s"ORDER BY ${n.text} must appear in GROUP BY or be an aggregate")
+        case ExprItem(_, nm) if groupedExprNames.contains(nm) => ()
+        case ExprItem(e, _) =>
+          bareRefs(e).find(r => !groupNames.contains(r.inName)).foreach(r =>
+            throw CompileException(
+              s"ORDER BY: ${r.outName} must appear in GROUP BY or be " +
+                "an aggregate"))
+        case _ => ()
+      }
       // aggs needed by SELECT, HAVING and ORDER BY (hidden ones dropped
       // later); exprAggs is the BExpr walker shared with CASE conditions
       val selectAggs = spec.select.flatMap(itemAggs)
@@ -2169,8 +2195,11 @@ object Compiler {
       def segColumn(f: String, nm: String): Column = f match {
         case "twa" =>
           val us = unix_micros(col("__ts_0"))
-          sum(col(s"__seg_$nm")).cast("double") / 2.0 /
-            (max(us) - min(us)).cast("double")
+          val span = (max(us) - min(us)).cast("double")
+          // zero span (all points at one timestamp) has no time axis to
+          // integrate over: NULL, never an ANSI divide-by-zero
+          when(span > lit(0.0),
+            sum(col(s"__seg_$nm")).cast("double") / 2.0 / span)
         case _ => sum(col(s"__seg_$nm"))
       }
       val groupCols = groupEntries.map {

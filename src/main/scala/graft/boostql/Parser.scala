@@ -135,21 +135,32 @@ object Parser {
     val sx  = s(x);                  val sy  = s(y)
     val sxx = s(OArith("*", x, x));  val syy = s(OArith("*", y, y))
     val sxy = s(OArith("*", x, y))
+    // Degenerate-group guards (found by CompileFuzzProps): under ANSI
+    // mode a zero divisor with a NON-NULL dividend throws
+    // DIVIDE_BY_ZERO at runtime instead of nulling — covar_samp of a
+    // single pair (n−1 = 0 with dividend 0.0) and corr of a
+    // zero-variance side (sqrt(0) = 0 with dividend 0.0) are exactly
+    // that shape. The CASE guards spell the documented NULL contract
+    // explicitly; empty groups stay NULL through the null dividend
+    // (a NULL dividend short-circuits before the divisor check).
     fn match {
       case "covar_pop" =>
         OArith("/",
           OArith("-", sxy, OArith("/", OArith("*", sx, sy), n)), n)
       case "covar_samp" =>
-        OArith("/",
-          OArith("-", sxy, OArith("/", OArith("*", sx, sy), n)),
-          OArith("-", n, OLit(BInt(1))))
+        OCase(Seq((Cmp(">", n, OLit(BInt(1))),
+          OArith("/",
+            OArith("-", sxy, OArith("/", OArith("*", sx, sy), n)),
+            OArith("-", n, OLit(BInt(1)))))), None)
       case "corr" =>
         val num = OArith("-", OArith("*", n, sxy), OArith("*", sx, sy))
         val dx = OFn("sqrt",
           Seq(OArith("-", OArith("*", n, sxx), OArith("*", sx, sx))))
         val dy = OFn("sqrt",
           Seq(OArith("-", OArith("*", n, syy), OArith("*", sy, sy))))
-        OArith("/", OArith("/", num, dx), dy)
+        OCase(Seq((AndE(Cmp(">", dx, OLit(BInt(0))),
+          Cmp(">", dy, OLit(BInt(0)))),
+          OArith("/", OArith("/", num, dx), dy))), None)
     }
   }
 
