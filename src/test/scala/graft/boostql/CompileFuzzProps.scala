@@ -55,19 +55,39 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
       // bare 1-part fields keep their name; everything else aliased
       if (it.matches("[a-z_.]+") && !it.contains("(")) it else s"$it AS c$i"
     }
+    source <- Gen.frequency(
+      6 -> Gen.const(" FROM dom.f"),
+      1 -> Gen.const(" FROM dom.f AS a JOIN dom.f AS b " +
+        "ON a.cpu.host = b.mem.host"),
+      1 -> Gen.const(" FROM dom.f AS a ASOF JOIN dom.f AS b " +
+        "ON a.cpu.host = b.mem.host WITHIN '1 hour'"),
+      1 -> Gen.const(" FROM (SELECT ts, cpu AS v, cpu.host AS h " +
+        "FROM dom.f WHERE cpu > 3.0) AS t"),
+      1 -> Gen.const(" FROM dom.f, dom.g"))
     where <- Gen.oneOf("", " WHERE cpu > 5.0", " WHERE cpu > ALL " +
       "(SELECT mem FROM dom.f)", " WHERE cpu.host IN ('h0', 'h1')",
-      " WHERE NOT (mem < ANY (SELECT cpu FROM dom.f WHERE cpu > 20.0))")
+      " WHERE NOT (mem < ANY (SELECT cpu FROM dom.f WHERE cpu > 20.0))",
+      " WHERE EXISTS (SELECT mem FROM dom.f WHERE mem > 50.0)",
+      " WHERE cpu > (SELECT avg(mem) FROM dom.f)")
     group <- Gen.oneOf("", " GROUP BY cpu.host", " GROUP BY ALL",
       " GROUP BY bucket(ts, '1 hour')",
       " GROUP BY cpu.host FILL(previous)",
+      " GROUP BY bucket(ts, '2 hours', '1 hour')",
       " GROUP BY ROLLUP (cpu.host)")
+    having <- Gen.frequency(4 -> Gen.const(""),
+      1 -> Gen.const(" HAVING count(*) > 1"),
+      1 -> Gen.const(" HAVING sum(cpu) > 10.0"))
+    qualify <- Gen.frequency(5 -> Gen.const(""),
+      1 -> Gen.const(" QUALIFY rank() OVER (ORDER BY cpu) <= 2"))
     order <- Gen.oneOf("", " ORDER BY 1", " ORDER BY ALL DESC",
       " ORDER BY cpu NULLS LAST")
     limit <- Gen.oneOf("", " LIMIT 5", " LIMIT 5 OFFSET 2")
     dist  <- Gen.oneOf("", "DISTINCT ", "DISTINCT ON (cpu.host) ")
-  } yield s"SELECT $dist${withAliases.mkString(", ")} FROM dom.f" +
-    s"$where$group$order$limit"
+    setop <- Gen.frequency(6 -> Gen.const(""),
+      1 -> Gen.const(" UNION ALL SELECT mem FROM dom.f"),
+      1 -> Gen.const(" INTERSECT SELECT cpu FROM dom.f"))
+  } yield s"SELECT $dist${withAliases.mkString(", ")}$source" +
+    s"$where$group$having$qualify$order$limit$setop"
 
   property("execute or refuse with a dialect exception — nothing leaks") =
     forAll(queryGen) { q =>
