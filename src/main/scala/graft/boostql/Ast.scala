@@ -68,9 +68,15 @@ object Ast {
     * are one node). Part of the case-class identity, so the structural
     * dedup of identical aggregate calls across SELECT / HAVING /
     * ORDER BY extends to the parameters — no name-mangling side-channel.
+    *
+    * `arg2` is the second COLUMN argument of the two-operand aggregates:
+    * the ordering key of `arg_max(x, y)` / `arg_min(x, y)` and the
+    * (literal string) separator of `string_agg(x, ',')`. None for every
+    * single-argument aggregate; part of the structural identity like
+    * `params`.
     */
   final case class OAggX(fn: String, arg: Operand,
-      params: Seq[Double] = Nil) extends Operand
+      params: Seq[Double] = Nil, arg2: Option[Operand] = None) extends Operand
   /** Arithmetic over operands (`+ - * /`, standard precedence) — absent
     * from the reference's grammar (whereparser.go:146-169 rejects
     * anything beyond literal/field comparisons) but the first everyday

@@ -465,10 +465,10 @@ object BoostQL {
         if dimNames.exists(_._2 == Compiler.resolve(n, srcAlias).colName) =>
         DimOut(Compiler.resolve(n, srcAlias).colName)
       case ExprItem(OAgg(fn, arg), nm)  => aggOut(fn, arg.map(ORef), nm)
-      case ExprItem(OAggX("approx_top_k", e, Seq(k)), nm) =>
+      case ExprItem(OAggX("approx_top_k", e, Seq(k), _), nm) =>
         aggOut("approx_top_k", Some(e), nm, Some(k.toInt))
-      case ExprItem(OAggX(fn, e, ps), nm) =>
-        if (ps.nonEmpty) throw Compiler.CompileException(
+      case ExprItem(OAggX(fn, e, ps, a2), nm) =>
+        if (ps.nonEmpty || a2.nonEmpty) throw Compiler.CompileException(
           s"$fn() is not streaming-safe — supported streaming " +
             "aggregates: count, sum, avg, min, max, approx_top_k")
         aggOut(fn, Some(e), nm)

@@ -70,13 +70,14 @@ object Compiler {
     * aggregate always surfaces through its ExprItem alias).
     */
   private def aggXColName(fn: String, e: Ast.Operand,
-      params: Seq[Double]): String =
-    s"__${fn}_x${Integer.toHexString((e, params).hashCode)}"
+      params: Seq[Double], arg2: Option[Ast.Operand] = None): String =
+    s"__${fn}_x${Integer.toHexString((e, params, arg2).hashCode)}"
 
   /** An aggregate to compute: Left = bare-field form (legacy naming),
     * Right = expression-argument form (argument + literal params). */
   private type AggSpec =
-    Either[(String, Option[SField]), (String, Ast.Operand, Seq[Double])]
+    Either[(String, Option[SField]),
+           (String, Ast.Operand, Seq[Double], Option[Ast.Operand])]
 
   /** Internal column carrying a scalar subquery's one value — structural
     * (identical subs share a column), never user-visible. */
@@ -259,6 +260,11 @@ object Compiler {
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE
     // mode and key membership at the call site)
     case "grouping"       => grouping(c)
+    // conjunction / disjunction of a boolean condition over the group;
+    // the argument is already the parser's three-valued CASE, so
+    // UNKNOWN rows arrive as NULL and the builtins skip them (ANSI)
+    case "bool_and"       => bool_and(c)
+    case "bool_or"        => bool_or(c)
     // context-needing aggregates that ONLY the grouped-select compile
     // wires (they read the source's time axis): reaching here means a
     // position without that context — say so, not "unknown"
@@ -622,7 +628,7 @@ object Compiler {
     def operandRefs(o: Operand): Seq[SField] = o match {
       case ORef(n)         => Seq(ref(n))
       case OAgg(_, arg)    => arg.map(ref).toSeq
-      case OAggX(_, e, _)  => operandRefs(e)
+      case OAggX(_, e, _, a2) => operandRefs(e) ++ a2.toSeq.flatMap(operandRefs)
       case OArith(_, l, r) => operandRefs(l) ++ operandRefs(r)
       case ONeg(x)         => operandRefs(x)
       case OFn(_, args)    => args.flatMap(operandRefs)
@@ -679,7 +685,7 @@ object Compiler {
       def rawRefs(o: Operand): Seq[RawName] = o match {
         case ORef(n)         => Seq(n)
         case OAgg(_, a)      => a.toSeq
-        case OAggX(_, e, _)  => rawRefs(e)
+        case OAggX(_, e, _, a2) => rawRefs(e) ++ a2.toSeq.flatMap(rawRefs)
         case OArith(_, l, r) => rawRefs(l) ++ rawRefs(r)
         case ONeg(x)         => rawRefs(x)
         case OFn(_, as)      => as.flatMap(rawRefs)
@@ -760,7 +766,8 @@ object Compiler {
     def analyzeSubFieldless(o: Operand): Boolean = o match {
       case ORef(_)         => true
       case OAgg(_, a)      => a.isDefined
-      case OAggX(_, e, _)  => analyzeSubFieldless(e)
+      case OAggX(_, e, _, a2) =>
+        analyzeSubFieldless(e) || a2.exists(analyzeSubFieldless)
       case OArith(_, l, r) => analyzeSubFieldless(l) || analyzeSubFieldless(r)
       case ONeg(x)         => analyzeSubFieldless(x)
       case OFn(_, as)      => as.exists(analyzeSubFieldless)
@@ -788,7 +795,7 @@ object Compiler {
     def opRaw(o: Operand): Seq[RawName] = o match {
       case ORef(n)         => Seq(n)
       case OAgg(_, a)      => a.toSeq
-      case OAggX(_, e, _)  => opRaw(e)
+      case OAggX(_, e, _, a2) => opRaw(e) ++ a2.toSeq.flatMap(opRaw)
       case OArith(_, l, r) => opRaw(l) ++ opRaw(r)
       case ONeg(x)         => opRaw(x)
       case OFn(_, as)      => as.flatMap(opRaw)
@@ -1009,9 +1016,9 @@ object Compiler {
       case OAgg(fn, arg) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
         col(aggColName(fn, arg.map(ref)))
-      case OAggX(fn, e, ps) =>
+      case OAggX(fn, e, ps, a2) =>
         if (!aggOk) throw CompileException("aggregate not allowed in WHERE")
-        col(aggXColName(fn, e, ps))
+        col(aggXColName(fn, e, ps, a2))
       case OScalarSub(s2) => col(scalarColName(s2))
       case OGroupKey(nm)  => col(nm)
       // timestamp ± INTERVAL: fixed-width units (micro…day) compile to
@@ -1520,7 +1527,7 @@ object Compiler {
       case ONeg(x)         => opScalarSubs(x)
       case OFn(_, as)      => as.flatMap(opScalarSubs)
       case OCast(x, _)     => opScalarSubs(x)
-      case OAggX(_, e, _)  => opScalarSubs(e)
+      case OAggX(_, e, _, a2) => opScalarSubs(e) ++ a2.toSeq.flatMap(opScalarSubs)
       case OCase(bs, o2)   =>
         bs.flatMap { case (c, v) => exprScalarSubs(c) ++ opScalarSubs(v) } ++
           o2.toSeq.flatMap(opScalarSubs)
@@ -1620,7 +1627,7 @@ object Compiler {
           val isCount = s2.select.head match {
             case AggItem(f, _)           => f.startsWith("count")
             case ExprItem(OAgg(f, _), _)  => f.startsWith("count")
-            case ExprItem(OAggX(f, _, _), _) => f.startsWith("count")
+            case ExprItem(OAggX(f, _, _, _), _) => f.startsWith("count")
             case _ => throw CompileException(
               "correlated scalar subquery must select a single bare " +
                 "aggregate (count/sum/avg/min/max over a field or expression)")
@@ -1787,10 +1794,10 @@ object Compiler {
     // --- aggregation / projection ---------------------------------------
     def opAggs(o: Operand): Seq[AggSpec] = o match {
       case OAgg(f, a)      => Seq(Left((f, a.map(ref))))
-      case OAggX(f, e, ps) =>
-        if (opAggs(e).nonEmpty)
+      case OAggX(f, e, ps, a2) =>
+        if (opAggs(e).nonEmpty || a2.exists(opAggs(_).nonEmpty))
           throw CompileException(s"nested aggregate inside $f(…)")
-        Seq(Right((f, e, ps)))
+        Seq(Right((f, e, ps, a2)))
       case OArith(_, l, r) => opAggs(l) ++ opAggs(r)
       case ONeg(x)         => opAggs(x)
       case OFn(_, args)    => args.flatMap(opAggs)
@@ -2016,7 +2023,7 @@ object Compiler {
             throw CompileException(
               s"grouping() argument ${a.map(_.outName).getOrElse("*")} " +
                 "must be a grouping key")
-        case Right(("grouping", _, _)) =>
+        case Right(("grouping", _, _, _)) =>
           throw CompileException("grouping() takes a single grouping-key field")
         case _ => ()
       }
@@ -2110,8 +2117,8 @@ object Compiler {
           val sf = a.getOrElse(throw CompileException(
             s"$f(*) is not valid — $f() needs an argument"))
           (f, aggColName(f, a), col(sf.inName))
-        case Right((f, e, ps)) if segFns(f) =>
-          (f, aggXColName(f, e, ps), operandColumn(e, aggOk = false))
+        case Right((f, e, ps, a2)) if segFns(f) =>
+          (f, aggXColName(f, e, ps, a2), operandColumn(e, aggOk = false))
       }
       if (segSpecs.nonEmpty) {
         val f = segSpecs.head._1
@@ -2143,8 +2150,8 @@ object Compiler {
           val sf = a.getOrElse(throw CompileException(
             "mad(*) is not valid — mad() needs an argument"))
           (aggColName("mad", a), col(sf.inName))
-        case Right(("mad", e, ps)) =>
-          (aggXColName("mad", e, ps), operandColumn(e, aggOk = false))
+        case Right(("mad", e, ps, a2)) =>
+          (aggXColName("mad", e, ps, a2), operandColumn(e, aggOk = false))
       }
       if (madSpecs.nonEmpty && spec.groupMode != "plain")
         throw CompileException(
@@ -2214,36 +2221,54 @@ object Compiler {
           "approx_percentile() requires (field, fraction) arguments")
         case Left((f, a)) if segFns(f) =>
           val nm = aggColName(f, a); segColumn(f, nm).as(nm)
-        case Right((f, e, ps)) if segFns(f) =>
-          val nm = aggXColName(f, e, ps); segColumn(f, nm).as(nm)
+        case Right((f, e, ps, a2)) if segFns(f) =>
+          val nm = aggXColName(f, e, ps, a2); segColumn(f, nm).as(nm)
         case Left(("mad", a)) =>
           val nm = aggColName("mad", a)
           percentile(col(s"__mad_dev_$nm"), lit(0.5)).as(nm)
-        case Right(("mad", e, ps)) =>
-          val nm = aggXColName("mad", e, ps)
+        case Right(("mad", e, ps, a2)) =>
+          val nm = aggXColName("mad", e, ps, a2)
           percentile(col(s"__mad_dev_$nm"), lit(0.5)).as(nm)
         case Left(("approx_percentile_sketch", a)) =>
           val sf = a.getOrElse(throw CompileException(
             "approx_percentile_sketch(*) is not valid — it needs an argument"))
           sampleSketchColumn("approx_percentile_sketch", col(sf.inName))
             .as(aggColName("approx_percentile_sketch", a))
-        case Right(("approx_percentile_sketch", e, ps)) =>
+        case Right(("approx_percentile_sketch", e, ps, a2)) =>
           sampleSketchColumn("approx_percentile_sketch",
             operandColumn(e, aggOk = false))
-            .as(aggXColName("approx_percentile_sketch", e, ps))
+            .as(aggXColName("approx_percentile_sketch", e, ps, a2))
         case Left((f @ ("first" | "last"), a)) =>
           val sf = a.getOrElse(throw CompileException(
             s"$f(*) is not valid — $f() needs an argument"))
           timeOrderedColumn(f, col(sf.inName)).as(aggColName(f, a))
         case Left((f, a)) => aggColumn(f, a)
-        case Right(("approx_percentile", e, ps)) =>
-          approxPercentileColumn(e, ps).as(aggXColName("approx_percentile", e, ps))
-        case Right((f @ ("first" | "last"), e, ps)) =>
+        case Right(("approx_percentile", e, ps, a2)) =>
+          approxPercentileColumn(e, ps)
+            .as(aggXColName("approx_percentile", e, ps, a2))
+        case Right((f @ ("first" | "last"), e, ps, a2)) =>
           timeOrderedColumn(f, operandColumn(e, aggOk = false))
-            .as(aggXColName(f, e, ps))
-        case Right((f, e, ps)) =>
+            .as(aggXColName(f, e, ps, a2))
+        /* arg_max/arg_min: ONE pass, no join-back — the pair rides a
+         * struct ordered by (key, value), so ties on the key break
+         * deterministically toward the max (resp. min) value; rows where
+         * either argument is NULL drop (the struct is NULL). */
+        case Right((f @ ("arg_max" | "arg_min"), e, ps, a2 @ Some(y))) =>
+          val vx = operandColumn(e, aggOk = false)
+          val vy = operandColumn(y, aggOk = false)
+          val pair = when(vx.isNotNull && vy.isNotNull,
+            struct(vy.as("k"), vx.as("v")))
+          val red = if (f == "arg_max") max(pair) else min(pair)
+          red.getField("v").as(aggXColName(f, e, ps, a2))
+        // string_agg: values rendered as strings, sorted ASC, joined —
+        // the value-sort (not input order) is the determinism contract
+        case Right(("string_agg", e, ps, a2 @ Some(OLit(BStr(sep))))) =>
+          val vx = operandColumn(e, aggOk = false)
+          array_join(array_sort(collect_list(vx.cast("string"))), sep)
+            .as(aggXColName("string_agg", e, ps, a2))
+        case Right((f, e, ps, a2)) =>
           val c = operandColumn(e, aggOk = false)
-          aggFnColumn(f, c, ps).as(aggXColName(f, e, ps))
+          aggFnColumn(f, c, ps).as(aggXColName(f, e, ps, a2))
       }
       // ROLLUP/CUBE/GROUPING SETS plan through Spark's native Expand
       // (one shuffle, the grouping-set rows generated map-side) — no

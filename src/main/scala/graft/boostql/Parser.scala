@@ -44,6 +44,9 @@ import Ast._
   * primary  := literal | NULL
   *           | agg '(' ('*' | DISTINCT? name) ')' (over | filterc)?
   *           | (CORR|COVAR_POP|COVAR_SAMP) '(' add ',' add ')' filterc?
+  *           | (ARG_MAX|ARG_MIN) '(' add ',' add ')' filterc?
+  *           | STRING_AGG '(' add ',' string ')' filterc?
+  *           | (BOOL_AND|BOOL_OR) '(' or ')' filterc?
   *           | CAST '(' add AS ident ')'
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
@@ -100,7 +103,8 @@ object Parser {
     "approx_percentile", "approx_percentile_sketch",
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
     "covar_samp", "histogram", "twa", "increase", "resets", "mad",
-    "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge")
+    "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
+    "arg_max", "arg_min", "string_agg", "bool_and", "bool_or")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */
@@ -1043,6 +1047,71 @@ object Parser {
           filterClause() match {
             case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
             case None    => OAggX(fn, parg, Seq(p))
+          }
+        } else if (id.equalsIgnoreCase("arg_max") ||
+            id.equalsIgnoreCase("arg_min")) {
+          // arg_max(x, y): the value of x on the row where y is maximal
+          // (arg_min: minimal) — "which user had the peak purchase". Both
+          // arguments are full expressions; rows where EITHER is NULL are
+          // skipped (ANSI pair semantics, like corr). Ties on y break
+          // toward the max (resp. min) x — a DETERMINISTIC contract,
+          // unlike the unspecified tie of most engines' arg_max. FILTER
+          // conjoins into the pair guard via the CASE desugar on both
+          // arguments.
+          val fn = id.toLowerCase
+          val x = nested(addOperand())
+          expectSym(",")
+          val y = nested(addOperand())
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            s"$fn is not supported as a window function")
+          filterClause() match {
+            case Some(c) => OAggX(fn, OCase(Seq((c, x)), None), Nil,
+              Some(OCase(Seq((c, y)), None)))
+            case None => OAggX(fn, x, Nil, Some(y))
+          }
+        } else if (id.equalsIgnoreCase("string_agg")) {
+          // string_agg(x, 'sep'): the group's values rendered as strings,
+          // sorted ASCENDING BY VALUE, joined with the literal separator.
+          // The value-sort is the determinism contract (engines' default
+          // string_agg is input-order-dependent — useless for a
+          // reproducible pipeline); NULLs are skipped (ANSI).
+          val x = nested(addOperand())
+          expectSym(",")
+          val sep = peek match {
+            case TStr(s) => pos += 1; s
+            case t => throw ParseException(
+              s"string_agg() separator must be a string literal, got $t")
+          }
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            "string_agg is not supported as a window function")
+          val sepOp = Some(OLit(BStr(sep)): Operand)
+          filterClause() match {
+            case Some(c) =>
+              OAggX("string_agg", OCase(Seq((c, x)), None), Nil, sepOp)
+            case None => OAggX("string_agg", x, Nil, sepOp)
+          }
+        } else if (id.equalsIgnoreCase("bool_and") ||
+            id.equalsIgnoreCase("bool_or")) {
+          // bool_and(c) / bool_or(c): conjunction / disjunction of a
+          // BOOLEAN CONDITION over the group — `bool_and(cpu < 90)` is
+          // "did every point stay under 90". The argument parses as a
+          // full predicate (the one aggregate whose argument is the
+          // boolean tier, not the arithmetic tier) and desugars to the
+          // three-valued CASE — true / false / NULL-skipped — so UNKNOWN
+          // rows drop exactly as ANSI bool_and prescribes. Empty or
+          // all-NULL groups yield NULL.
+          val fn = id.toLowerCase
+          val c = nested(orExpr())
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            s"$fn is not supported as a window function")
+          val threeValued = OCase(Seq(
+            (c, OLit(BBool(true))), (NotE(c), OLit(BBool(false)))), None)
+          filterClause() match {
+            case Some(fc) => OAggX(fn, OCase(Seq((fc, threeValued)), None))
+            case None     => OAggX(fn, threeValued)
           }
         } else if (id.equalsIgnoreCase("approx_top_k") ||
             id.equalsIgnoreCase("approx_top_k_sketch") ||

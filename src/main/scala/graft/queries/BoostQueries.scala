@@ -321,6 +321,36 @@ object BoostQueries {
         "round(mad(purchase), 6) AS mv " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // arg_max/arg_min — "which user had the peak purchase": arg 1's
+    // value on the row where arg 2 is maximal (minimal). One pass, no
+    // join-back: the pair rides a (key, value) struct under max/min, so
+    // ties on the key break deterministically toward the max (min)
+    // value — unlike the unspecified tie of most engines' arg_max
+    "boost_arg_max" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
+        "arg_max(purchase.user, purchase) AS peak_user, " +
+        "arg_min(purchase.user, purchase) AS low_user, " +
+        "max(purchase) AS peak FROM dom.events " +
+        "GROUP BY CAST(bucket(ts, '1 day') AS int) ORDER BY day")),
+
+    // string_agg — group values rendered as strings, sorted ASCENDING BY
+    // VALUE, joined with the literal separator: the value-sort (not
+    // input order) is what makes the output deterministic and
+    // partitioning-invariant
+    "boost_string_agg" -> ((s, d) =>
+      run(s, d, "SELECT CAST(bucket(ts, '1 day') AS int) AS day, " +
+        "string_agg(signup.user, ',') AS users, count(*) AS n " +
+        "FROM dom.events WHERE signup > 330.0 " +
+        "GROUP BY CAST(bucket(ts, '1 day') AS int) ORDER BY day")),
+
+    // bool_and / bool_or — conjunction/disjunction of a boolean
+    // CONDITION over the group (the one aggregate whose argument is the
+    // predicate tier): three-valued, UNKNOWN rows skipped per ANSI
+    "boost_bool_agg" -> ((s, d) =>
+      run(s, d, "SELECT click.user, bool_and(click < 400.0) AS all_small, " +
+        "bool_or(click > 450.0) AS any_big, count(*) AS n " +
+        "FROM dom.events GROUP BY click.user ORDER BY click.user")),
+
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
     // desugared at parse time to the non-aggregate select items (keys)
     // / every select item (sort); the oracle runs the IDENTICAL sugar
@@ -1526,6 +1556,35 @@ object BoostQueries {
         |  CAST(event_id AS VARCHAR) AS click_event_id, value AS click
         |FROM events WHERE event_type = 'click'
         |ORDER BY click DESC, click_event_id""".stripMargin,
+
+    // arg_max/arg_min replay as ordered-list heads — the ORDER BY spells
+    // out the engine's deterministic tie contract (max value, then max
+    // arg for arg_max; min, min for arg_min)
+    "boost_arg_max" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day,
+        |  (list(CAST(user_id AS VARCHAR)
+        |     ORDER BY value DESC, CAST(user_id AS VARCHAR) DESC))[1] AS peak_user,
+        |  (list(CAST(user_id AS VARCHAR)
+        |     ORDER BY value ASC, CAST(user_id AS VARCHAR) ASC))[1] AS low_user,
+        |  max(value) AS peak
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // the engine's string_agg sorts by value — the ORDER BY x replays it
+    "boost_string_agg" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS day,
+        |  string_agg(CAST(user_id AS VARCHAR), ','
+        |    ORDER BY CAST(user_id AS VARCHAR)) AS users,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_type = 'signup' AND value > 330.0
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "boost_bool_agg" ->
+      """SELECT CAST(user_id AS VARCHAR) AS click_user,
+        |  bool_and(value < 400.0) AS all_small,
+        |  bool_or(value > 450.0) AS any_big, COUNT(*) AS n
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY click_user""".stripMargin,
 
     // two-level median replay: group medians first, then the median of
     // each row's absolute deviation — quantile_cont is the same exact

@@ -2461,7 +2461,7 @@ class BoostQLSpec extends SparkSpec {
     // is arithmetic over sum() CASE aggregates
     val ast = Parser.parse("SELECT corr(cpu, mem) AS r FROM dom.f")
     def aggNames(o: Operand): Seq[String] = o match {
-      case OAggX(f, e, _) => f +: aggNames(e)
+      case OAggX(f, e, _, _) => f +: aggNames(e)
       case OArith(_, l, xr) => aggNames(l) ++ aggNames(xr)
       case OCast(x, _) => aggNames(x)
       case OFn(_, as) => as.flatMap(aggNames)
@@ -2832,6 +2832,63 @@ class BoostQLSpec extends SparkSpec {
     intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
       "SELECT c.host, mad(c) AS m FROM dom.f GROUP BY ROLLUP (c.host)"),
       tiny))
+  }
+
+  test("arg_max/arg_min/string_agg/bool_and/bool_or: two-arg aggregates") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val rows: Seq[(String, Timestamp, java.lang.Double, String)] = Seq(
+      ("c", t(0), 5.0, "u3"),
+      ("c", t(1), 9.0, "u1"), // tie at the peak …
+      ("c", t(2), 9.0, "u9"), // … breaks toward the MAX arg for arg_max
+      ("c", t(3), 1.0, "u5"),
+      ("c", t(4), 1.0, "u2"), // trough tie breaks toward the MIN arg
+      ("c", t(5), 99.0, null), // null pair member: skipped, not the peak
+      ("c", t(6), null, "u7")) // null key: skipped everywhere
+    val tiny = spark.createDataFrame(rows)
+      .toDF("series", "ts", "value", "u")
+      .withColumn("attributes", map(lit("user"), col("u"))).drop("u")
+      .withColumn("tags", map().cast("map<string,string>"))
+    def one(q: String) = Compiler.compile(Parser.parse(q), tiny).collect()(0)
+    val r = one(
+      "SELECT arg_max(c.user, c) AS pk, arg_min(c.user, c) AS lo FROM dom.f")
+    assert(r.getString(0) == "u9" && r.getString(1) == "u2")
+    // FILTER conjoins into the pair guard on BOTH arguments
+    val rf = one(
+      "SELECT arg_max(c.user, c) FILTER (WHERE c < 9.0) AS pk FROM dom.f")
+    assert(rf.getString(0) == "u3")
+    // string_agg: sorted ASCENDING BY VALUE (not input order), nulls
+    // skipped — 99.0's null user drops, u1 < u3 < u9
+    val sa = one(
+      "SELECT string_agg(c.user, '|') AS us FROM dom.f WHERE c >= 5.0")
+    assert(sa.getString(0) == "u1|u3|u9")
+    // bool_and/bool_or are three-valued: the null-value row is UNKNOWN
+    // and drops (ANSI) — it neither falsifies bool_and nor fires bool_or
+    val b = one(
+      "SELECT bool_and(c < 50.0) AS a, bool_or(c > 50.0) AS o FROM dom.f")
+    assert(!b.getBoolean(0) && b.getBoolean(1))
+    val b2 = one(
+      "SELECT bool_and(c < 500.0) AS a, bool_or(c > 500.0) AS o FROM dom.f")
+    assert(b2.getBoolean(0) && !b2.getBoolean(1))
+    // empty group → NULL, never false
+    val b3 = one("SELECT bool_and(c < 5.0) AS a FROM dom.f WHERE c > 1000.0")
+    assert(b3.isNullAt(0))
+    // structural dedup: the same arg_max in SELECT and HAVING is ONE
+    // aggregate; a different second argument is a DIFFERENT aggregate
+    val g = Compiler.compile(Parser.parse(
+      "SELECT c.user, arg_max(c, ts) AS lastv FROM dom.f " +
+        "WHERE c.user IS NOT NULL " +
+        "GROUP BY c.user HAVING arg_max(c, ts) > 2.0 ORDER BY c.user"),
+      tiny).collect()
+    assert(g.map(_.getString(0)).toSeq == Seq("u1", "u3", "u9"))
+    // refusals: no window form; separator must be a string literal
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT arg_max(c, ts) OVER (PARTITION BY c.user) AS x FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT string_agg(c.user, c) AS x FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT bool_and(c < 1) OVER (PARTITION BY c.user) AS x FROM dom.f"))
   }
 
   test("GROUP BY ALL / ORDER BY ALL desugar; NULLS FIRST/LAST") {

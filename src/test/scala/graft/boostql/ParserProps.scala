@@ -347,7 +347,7 @@ object ParserProps extends Properties("graft.boostql.parser") {
     Gen.oneOf("cpu,mem" -> "cpu , mem", "cpu,mem" -> "cpu,  mem")
   ) { case (fn, (a, b)) =>
     def aggs(o: Operand): Seq[String] = o match {
-      case OAggX(f, e, _)  => f +: aggs(e)
+      case OAggX(f, e, _, _) => f +: aggs(e)
       case OArith(_, l, r) => aggs(l) ++ aggs(r)
       case OCast(x, _)     => aggs(x)
       case OFn(_, as)      => as.flatMap(aggs)
