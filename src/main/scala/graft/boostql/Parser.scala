@@ -13,6 +13,7 @@ import Ast._
   *             FROM src (WHERE or)?
   *             (GROUP BY (ALL | grp) (FILL '(' (NULL|PREVIOUS|LINEAR|num) ')')?)?
   *             (HAVING or)? (QUALIFY or)?
+  *             (WINDOW ident AS '(' winspec ')' (',' ident AS '(' winspec ')')*)?
   *             (ORDER BY (ALL dir? | orders))? (LIMIT int (OFFSET int)?)?
   *             -- GROUP BY ALL / ORDER BY ALL desugar to the select
   *             -- items (DuckDB idiom); dir := (ASC|DESC)? nulls?
@@ -50,9 +51,11 @@ import Ast._
   *           | CAST '(' add AS ident ')'
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
-  * over     := OVER '(' (PARTITION BY names)?
-  *                      (ORDER BY name dir (',' …)*)?
-  *                      ((ROWS|RANGE) BETWEEN bound AND bound)? ')'
+  * over     := OVER (ident | '(' winspec ')')
+  *             -- `OVER w` references the WINDOW clause's named spec
+  * winspec  := (PARTITION BY names)?
+  *             (ORDER BY name dir (',' …)*)?
+  *             ((ROWS|RANGE) BETWEEN bound AND bound)?
   * filterc  := FILTER '(' WHERE or ')'
   * bound    := UNBOUNDED (PRECEDING|FOLLOWING) | CURRENT ROW
   *           | int (PRECEDING|FOLLOWING)                      -- ROWS
@@ -109,6 +112,12 @@ object Parser {
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */
   private val corrFns = Set("corr", "covar_pop", "covar_samp")
+
+  /** `OVER <name>` parks the name as the sole partitionBy entry under
+    * this marker until the query's WINDOW clause resolves it. The NUL
+    * control char cannot reach an identifier through the lexer (quoted
+    * or not), so no user name collides. */
+  private[boostql] val WinRefMark = "\u0000over"
 
   /** Desugar corr/covar_pop/covar_samp(x, y) into arithmetic over plain
     * sums, every sum guarded by the shared pair predicate (both args
@@ -506,6 +515,39 @@ object Parser {
       // QUALIFY is reserved (like HAVING — it must not parse as a source
       // alias); a series named `qualify` needs backticks
       val qual = if (kw("qualify")) Some(orExpr()) else None
+      // WINDOW w AS ( spec ) [, w2 AS ( spec )]* — named windows every
+      // OVER w in this query level refers to (the ANSI clause, DuckDB
+      // clause order: after QUALIFY, before ORDER BY). Contextual: only
+      // the exact shape `WINDOW ident AS` opens the clause, so a series
+      // named `window` is unaffected.
+      val wins: Map[String, (Seq[RawName],
+          Seq[(RawName, Boolean, Option[Boolean])], Option[WFrame])] =
+        if (peekIsKw("window") && (pos + 1) < toks.length &&
+            (toks(pos + 1) match {
+              case TIdent(id) => !keywords(id.toLowerCase)
+              case _: TQuoted => true
+              case _ => false
+            }) && (pos + 2) < toks.length && (toks(pos + 2) match {
+              case TIdent(id) => id.equalsIgnoreCase("as")
+              case _ => false
+            })) {
+          pos += 1
+          val b = scala.collection.mutable.LinkedHashMap.empty[String,
+            (Seq[RawName], Seq[(RawName, Boolean, Option[Boolean])],
+              Option[WFrame])]
+          def one(): Unit = {
+            val nm = ident().toLowerCase
+            if (b.contains(nm)) throw ParseException(
+              s"window '$nm' is defined twice in the WINDOW clause")
+            expectKw("as")
+            expectSym("(")
+            b(nm) = overBody()
+            expectSym(")")
+          }
+          one()
+          while (sym(",")) one()
+          b.toMap
+        } else Map.empty
       val ord =
         if (kw("order")) {
           expectKw("by")
@@ -521,8 +563,63 @@ object Parser {
       // OFFSET only with LIMIT (an un-limited offset over an unordered
       // engine is a paging bug, not a query)
       val off = if (lim.isDefined && kw("offset")) Some(intLit()) else None
-      QuerySpec(items, src, joins, where, grp, having, ord, lim, dist, off,
-        gmode, gsets, hints, qual, fillSpec, distOn)
+      substWindows(QuerySpec(items, src, joins, where, grp, having, ord,
+        lim, dist, off, gmode, gsets, hints, qual, fillSpec, distOn), wins)
+    }
+
+    /** Replace every `OVER <name>` reference (parked under
+      * [[Parser.WinRefMark]]) with its WINDOW-clause specification.
+      * Window names scope to their own query level (ANSI): a nested
+      * subquery resolved its own references when IT parsed, so the
+      * rewrite never descends into nested QuerySpecs — an inner query
+      * using an outer window name fails there, correctly.
+      */
+    private def substWindows(q: QuerySpec, wins: Map[String, (Seq[RawName],
+        Seq[(RawName, Boolean, Option[Boolean])], Option[WFrame])])
+        : QuerySpec = {
+      def rewOp(o: Operand): Operand = o match {
+        case OWin(fn, args, Seq(RawName(Seq(Parser.WinRefMark, nm))), _, _) =>
+          wins.get(nm) match {
+            case Some((p, o2, f)) => OWin(fn, args.map(rewOp), p, o2, f)
+            case None => throw ParseException(
+              s"OVER $nm references no named window — define it in a " +
+                s"WINDOW clause: WINDOW $nm AS (PARTITION BY ... ORDER BY ...)")
+          }
+        case OWin(fn, args, p, o2, f) => OWin(fn, args.map(rewOp), p, o2, f)
+        case OArith(op, l, r)    => OArith(op, rewOp(l), rewOp(r))
+        case ONeg(x)             => ONeg(rewOp(x))
+        case OFn(f, as)          => OFn(f, as.map(rewOp))
+        case OCast(x, t)         => OCast(rewOp(x), t)
+        case OAggX(f, e, ps, a2) => OAggX(f, rewOp(e), ps, a2.map(rewOp))
+        case OCase(bs, el) =>
+          OCase(bs.map { case (c, v) => (rewB(c), rewOp(v)) }, el.map(rewOp))
+        // leaves (and OScalarSub: its body is its own window scope)
+        case other => other
+      }
+      def rewB(e: BExpr): BExpr = e match {
+        case Cmp(op, l, r)      => Cmp(op, rewOp(l), rewOp(r))
+        case AndE(l, r)         => AndE(rewB(l), rewB(r))
+        case OrE(l, r)          => OrE(rewB(l), rewB(r))
+        case NotE(x)            => NotE(rewB(x))
+        case IsNullE(o, n)      => IsNullE(rewOp(o), n)
+        case InE(o, xs, n)      => InE(rewOp(o), xs.map(rewOp), n)
+        case BetweenE(o, lo, hi, n) =>
+          BetweenE(rewOp(o), rewOp(lo), rewOp(hi), n)
+        case LikeE(o, p2, n)    => LikeE(rewOp(o), p2, n)
+        case InSubE(o, s2, n)   => InSubE(rewOp(o), s2, n)
+        case QuantE(op, o, s2, n) => QuantE(op, rewOp(o), s2, n)
+        case other              => other // ExistsE: own scope
+      }
+      def rewItem(it: SelectItem): SelectItem = it match {
+        case ExprItem(e, nm) => ExprItem(rewOp(e), nm)
+        case other           => other
+      }
+      q.copy(
+        select = q.select.map(rewItem),
+        where = q.where.map(rewB),
+        having = q.having.map(rewB),
+        qualify = q.qualify.map(rewB),
+        orderBy = q.orderBy.map(oi => oi.copy(item = rewItem(oi.item))))
     }
 
     /** `JOIN src ON cond` (INNER optional), `LEFT|RIGHT|FULL [OUTER]
@@ -784,6 +881,19 @@ object Parser {
 
     private def sourceAlias(): Option[String] = peek match {
       case TIdent(id) if id.equalsIgnoreCase("as") => pos += 1; Some(aliasIdent())
+      // the exact clause shape `WINDOW <ident> AS` is the named-window
+      // clause, never a bare alias (a source genuinely named `window`
+      // spells `AS window` or backticks) — without this carve-out
+      // `FROM dom.f WINDOW w AS (…)` would eat WINDOW as the alias
+      case TIdent(id) if id.equalsIgnoreCase("window") &&
+          (toks(pos + 1) match {
+            case TIdent(n) => !keywords.contains(n.toLowerCase) &&
+              (toks(pos + 2) match {
+                case TIdent(a) => a.equalsIgnoreCase("as")
+                case _ => false
+              })
+            case _ => false
+          }) => None
       case TIdent(id) if !keywords.contains(id.toLowerCase) => pos += 1; Some(id)
       case TQuoted(id) => pos += 1; Some(id)
       case _ => None
@@ -1226,10 +1336,35 @@ object Parser {
     /** `OVER '(' (PARTITION BY names)? (ORDER BY name [ASC|DESC] …)? ')'`
       * following a call makes it an analytic/window call; without OVER
       * the call stays a scalar [[OFn]]. */
+    /** `OVER w` — a reference to a named window from the query's WINDOW
+      * clause. The name is carried inside the OWin's partitionBy under a
+      * control-char marker no lexable identifier can collide with, and
+      * [[substWindows]] replaces the whole spec before the query parse
+      * returns — the compiler never sees a named reference.
+      */
     private def withOptionalOver(fn: String, args: Seq[Operand]): Operand =
       if (!kw("over")) OFn(fn, args)
-      else {
-        expectSym("(")
+      else peek match {
+        case TIdent(w) if !keywords(w.toLowerCase) =>
+          pos += 1
+          OWin(fn, args, Seq(RawName(Seq(Parser.WinRefMark, w.toLowerCase))),
+            Seq.empty, None)
+        case TQuoted(w) =>
+          pos += 1
+          OWin(fn, args, Seq(RawName(Seq(Parser.WinRefMark, w.toLowerCase))),
+            Seq.empty, None)
+        case _ =>
+          expectSym("(")
+          val (part, ord, frame) = overBody()
+          expectSym(")")
+          OWin(fn, args, part, ord, frame)
+      }
+
+    /** The inside of a window specification — shared between inline
+      * `OVER ( … )` and the named-window definitions of the WINDOW
+      * clause. */
+    private def overBody(): (Seq[RawName],
+        Seq[(RawName, Boolean, Option[Boolean])], Option[WFrame]) = {
         val part = if (kw("partition")) { expectKw("by"); nameList() } else Seq.empty
         val ord =
           if (kw("order")) {
@@ -1293,9 +1428,9 @@ object Parser {
             WFrame(k, lo, hi)
           }
         }
-        expectSym(")")
-        OWin(fn, args, part, ord, frame)
+        (part, ord, frame)
       }
+
 
     private def intLit(): Int = next() match {
       case TNum(s) if !s.contains('.') => s.toInt

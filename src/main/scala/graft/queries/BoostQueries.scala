@@ -155,6 +155,19 @@ object BoostQueries {
     // analytic/window tier: ranking, partition aggregates and lag over
     // OVER clauses (order-exact functions only in the oracle — windowed
     // SUM of doubles is association-order-dependent)
+    // WINDOW clause — one named spec shared by several OVER calls
+    // (ANSI; parse-time substitution, so the plan is IDENTICAL to
+    // spelling the spec inline — Spark computes same-spec windows on
+    // one sort/exchange)
+    "boost_window_clause" -> ((s, d) =>
+      run(s, d, "SELECT purchase.event_id, purchase, " +
+        "rank() OVER w AS rk, row_number() OVER w AS rn, " +
+        "lag(purchase, 1) OVER w AS prev, count(*) OVER u AS user_n " +
+        "FROM dom.events WHERE purchase > 100.0 " +
+        "WINDOW w AS (PARTITION BY purchase.user ORDER BY purchase DESC, purchase.event_id), " +
+        "u AS (PARTITION BY purchase.user) " +
+        "ORDER BY purchase.event_id")),
+
     "boost_window" -> ((s, d) =>
       run(s, d, "SELECT purchase.event_id, purchase, " +
         "rank() OVER (PARTITION BY purchase.user ORDER BY purchase DESC, purchase.event_id) AS rk, " +
@@ -1383,6 +1396,18 @@ object BoostQueries {
         |  AND value BETWEEN 50.0 AND 250.0
         |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
         |ORDER BY click_event_id""".stripMargin,
+
+    // DuckDB has the same ANSI WINDOW clause — the oracle is the
+    // near-identical spelling
+    "boost_window_clause" ->
+      """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id, value AS purchase,
+        |  rank() OVER w AS rk, row_number() OVER w AS rn,
+        |  lag(value, 1) OVER w AS prev, count(*) OVER u AS user_n
+        |FROM events WHERE event_type = 'purchase' AND value > 100.0
+        |WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY value DESC, CAST(event_id AS VARCHAR)),
+        |  u AS (PARTITION BY user_id)
+        |ORDER BY purchase_event_id""".stripMargin,
 
     "boost_window" ->
       """SELECT CAST(event_id AS VARCHAR) AS purchase_event_id, value AS purchase,

@@ -2834,6 +2834,49 @@ class BoostQLSpec extends SparkSpec {
       tiny))
   }
 
+  test("WINDOW clause: parse-time substitution, scoping, refusals") {
+    // `OVER w` substitutes to the EXACT AST the inline spelling builds —
+    // downstream (compiler, plan, same-spec window collapsing) is
+    // literally the same query
+    val named = Parser.parse(
+      "SELECT cpu.host, rank() OVER w AS r, lag(cpu, 1) OVER w AS p " +
+        "FROM dom.f WINDOW w AS (PARTITION BY cpu.host ORDER BY cpu DESC)")
+    val inline = Parser.parse(
+      "SELECT cpu.host, " +
+        "rank() OVER (PARTITION BY cpu.host ORDER BY cpu DESC) AS r, " +
+        "lag(cpu, 1) OVER (PARTITION BY cpu.host ORDER BY cpu DESC) AS p " +
+        "FROM dom.f")
+    assert(named == inline)
+    // named windows reach QUALIFY and ORDER BY items too
+    val q = Parser.parse(
+      "SELECT cpu.host, cpu FROM dom.f QUALIFY rank() OVER w <= 2 " +
+        "WINDOW w AS (PARTITION BY cpu.host ORDER BY cpu DESC) " +
+        "ORDER BY row_number() OVER w")
+    assert(q.qualify.isDefined && q.orderBy.nonEmpty)
+    // frames ride along
+    val f = Parser.parse(
+      "SELECT sum(cpu) OVER w AS s FROM dom.f WINDOW w AS " +
+        "(PARTITION BY cpu.host ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")
+    assert(f.select.collect {
+      case ExprItem(OWin(_, _, _, _, Some(fr)), _) => fr }.nonEmpty)
+    // undefined name refuses with the clause spelled out
+    val e1 = intercept[Parser.ParseException](Parser.parse(
+      "SELECT rank() OVER w AS r FROM dom.f"))
+    assert(e1.getMessage.contains("WINDOW"))
+    // duplicate definition refuses
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT rank() OVER w AS r FROM dom.f WINDOW w AS (ORDER BY cpu), " +
+        "w AS (ORDER BY ts)"))
+    // ANSI scoping: a subquery does NOT see the outer query's windows
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT x FROM (SELECT rank() OVER w AS x FROM dom.f) " +
+        "WINDOW w AS (ORDER BY cpu)"))
+    // `window` stays usable as an ordinary name (contextual keyword)
+    val w = Parser.parse("SELECT window, window.host FROM dom.f " +
+      "WHERE window > 1.0")
+    assert(w.select.length == 2)
+  }
+
   test("arg_max/arg_min/string_agg/bool_and/bool_or: two-arg aggregates") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
