@@ -24,6 +24,45 @@ object CorpusOps {
   private def hashKey(idCol: Column, salt: String): Column =
     md5(concat(idCol.cast("string"), lit(salt)))
 
+  /** Fixed-size overlapping token-window chunking — the RAG /
+    * context-window document splitter: each document's token stream
+    * (single-space tokenization, the corpus convention) emits windows of
+    * `chunkTokens` tokens starting every `chunkTokens - overlapTokens`
+    * tokens; a non-first window of length ≤ `overlapTokens` is fully
+    * contained in its predecessor and is not emitted. Deterministic
+    * from the text alone — no row order, no randomness.
+    *
+    * Output: idCol, `chunk_id` (0-based window ordinal), `chunk_text`,
+    * `n_tokens` (≤ chunkTokens; the tail window may be shorter).
+    *
+    * 100 TB: narrow (split → sequence → explode, all codegen'd — no
+    * shuffle, no state); chunking parallelizes per input split and
+    * composes with [[packBins]] / dedup downstream. NULL text rows drop
+    * (no token stream), like the rest of the text tier.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens, "need 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // NULL text must yield NO starts: greatest() SKIPS nulls (a null n
+    // would otherwise fall back to one start at 0), so gate explicitly —
+    // explode(null) drops the row
+    val starts = when(n.isNotNull, filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || (n - s) > overlapTokens))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(starts).as("__s"))
+      .select(col(idCol),
+        (col("__s") / step).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__s")).cast("long")
+          .as("n_tokens"))
+  }
+
   /** Assign each row to "train" or "holdout" with P(train) ~ trainFrac,
     * deterministically from the id: train iff the first 8 hex digits of
     * md5(id || salt) — a uniform 32-bit value — fall below

@@ -670,6 +670,13 @@ object PipelineQueries {
       CorpusOps.hashSplit(docs(s, d), "doc_id", 0.9)
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // fixed-size overlapping token-window chunking (32-token windows,
+    // 8-token overlap) — the RAG/context-window splitter; narrow
+    // split→sequence→explode, no shuffle (CorpusOps.chunkDocuments)
+    "pipe_chunk" -> ((s, d) =>
+      CorpusOps.chunkDocuments(docs(s, d), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // deterministic md5-keyed global shuffle (CorpusOps.deterministicShuffle)
     "pipe_shuffle" -> ((s, d) =>
       CorpusOps.deterministicShuffle(docs(s, d), "doc_id", "42")
@@ -1256,6 +1263,23 @@ object PipelineQueries {
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
         |       THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // step = 32 - 8 = 24; range(0, n, 24) are the window starts (< n),
+    // and a non-first start with n - st <= overlap (8) is a window fully
+    // inside its predecessor — excluded, the engine's contract
+    "pipe_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS st FROM t
+        |)
+        |SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+        |  CAST(least(32, n - st) AS BIGINT) AS n_tokens
+        |FROM s WHERE st = 0 OR n - st > 8
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "pipe_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key

@@ -136,6 +136,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: window starts, overlap, containment rule, tail") {
+    import spark.implicits._
+    def txt(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, txt(10)),           // chunk 8 / overlap 4 → starts 0, 4 (8 is
+                               // a 2-token tail ⊆ window@4 — dropped)
+      (2L, txt(3)),            // shorter than one chunk → one window
+      (3L, txt(13)),           // starts 0, 4, 8 (12 dropped: 1 ≤ overlap)
+      (4L, null.asInstanceOf[String])) // null text → no chunks
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocuments(d, "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.map(c => (c._1, c._2)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L), (3L, 1L), (3L, 2L)))
+    // consecutive windows share exactly the overlap tokens
+    assert(out(0)._3 == (1 to 8).map("t" + _).mkString(" "))
+    assert(out(1)._3 == (5 to 10).map("t" + _).mkString(" ") && out(1)._4 == 6L)
+    // a doc shorter than one chunk is one whole-doc window
+    assert(out(2)._3 == "t1 t2 t3" && out(2)._4 == 3L)
+    // the tail window may be shorter but never ≤ the overlap
+    assert(out.forall(c => c._4 > 4L || c._2 == 0L))
+    // deterministic under partitioning (narrow op)
+    val again = CorpusOps.chunkDocuments(d.repartition(7), "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+    intercept[IllegalArgumentException](
+      CorpusOps.chunkDocuments(d, "doc_id", "text", 8, 8))
+  }
+
   test("hash split is deterministic, stable under corpus growth, near trainFrac") {
     val full = CorpusOps.hashSplit(docs, "doc_id", 0.9)
       .select("doc_id", "split").collect()
