@@ -45,9 +45,9 @@ import Ast._
   * primary  := literal | NULL
   *           | agg '(' ('*' | DISTINCT? name) ')' (over | filterc)?
   *           | (CORR|COVAR_POP|COVAR_SAMP) '(' add ',' add ')' filterc?
-  *           | (ARG_MAX|ARG_MIN) '(' add ',' add ')' filterc?
+  *           | (ARG_MAX|ARG_MIN|MAX_BY|MIN_BY) '(' add ',' add ')' filterc?
   *           | STRING_AGG '(' add ',' string ')' filterc?
-  *           | (BOOL_AND|BOOL_OR) '(' or ')' filterc?
+  *           | (BOOL_AND|BOOL_OR|COUNT_IF) '(' or ')' filterc?
   *           | CAST '(' add AS ident ')'
   *           | ident '(' (add (',' add)*)? ')' over?
   *           | name | '(' add ')'
@@ -107,7 +107,8 @@ object Parser {
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
     "covar_samp", "histogram", "twa", "increase", "resets", "mad",
     "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
-    "arg_max", "arg_min", "string_agg", "bool_and", "bool_or")
+    "arg_max", "arg_min", "max_by", "min_by", "string_agg",
+    "bool_and", "bool_or", "count_if")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. */
@@ -1159,7 +1160,8 @@ object Parser {
             case None    => OAggX(fn, parg, Seq(p))
           }
         } else if (id.equalsIgnoreCase("arg_max") ||
-            id.equalsIgnoreCase("arg_min")) {
+            id.equalsIgnoreCase("arg_min") ||
+            id.equalsIgnoreCase("max_by") || id.equalsIgnoreCase("min_by")) {
           // arg_max(x, y): the value of x on the row where y is maximal
           // (arg_min: minimal) — "which user had the peak purchase". Both
           // arguments are full expressions; rows where EITHER is NULL are
@@ -1168,7 +1170,12 @@ object Parser {
           // unlike the unspecified tie of most engines' arg_max. FILTER
           // conjoins into the pair guard via the CASE desugar on both
           // arguments.
-          val fn = id.toLowerCase
+          // max_by/min_by are the Spark/Trino spellings — one aggregate
+          val fn = id.toLowerCase match {
+            case "max_by" => "arg_max"
+            case "min_by" => "arg_min"
+            case f        => f
+          }
           val x = nested(addOperand())
           expectSym(",")
           val y = nested(addOperand())
@@ -1201,6 +1208,20 @@ object Parser {
             case Some(c) =>
               OAggX("string_agg", OCase(Seq((c, x)), None), Nil, sepOp)
             case None => OAggX("string_agg", x, Nil, sepOp)
+          }
+        } else if (id.equalsIgnoreCase("count_if")) {
+          // count_if(c): rows where the condition holds — desugars to
+          // count(CASE WHEN c THEN 1 END) (count skips the NULL of both
+          // UNKNOWN and false-with-no-branch... false takes the explicit
+          // no-ELSE fall-through to NULL too, so only TRUE rows count)
+          val c = nested(orExpr())
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            "count_if is not supported as a window function")
+          filterClause() match {
+            case Some(fc) =>
+              OAggX("count", OCase(Seq((AndE(fc, c), OLit(BInt(1)))), None))
+            case None => OAggX("count", OCase(Seq((c, OLit(BInt(1)))), None))
           }
         } else if (id.equalsIgnoreCase("bool_and") ||
             id.equalsIgnoreCase("bool_or")) {

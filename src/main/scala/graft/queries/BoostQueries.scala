@@ -361,7 +361,8 @@ object BoostQueries {
     // predicate tier): three-valued, UNKNOWN rows skipped per ANSI
     "boost_bool_agg" -> ((s, d) =>
       run(s, d, "SELECT click.user, bool_and(click < 400.0) AS all_small, " +
-        "bool_or(click > 450.0) AS any_big, count(*) AS n " +
+        "bool_or(click > 450.0) AS any_big, " +
+        "count_if(click > 240.0) AS n_big, count(*) AS n " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
@@ -1607,7 +1608,8 @@ object BoostQueries {
     "boost_bool_agg" ->
       """SELECT CAST(user_id AS VARCHAR) AS click_user,
         |  bool_and(value < 400.0) AS all_small,
-        |  bool_or(value > 450.0) AS any_big, COUNT(*) AS n
+        |  bool_or(value > 450.0) AS any_big,
+        |  count_if(value > 240.0) AS n_big, COUNT(*) AS n
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY click_user""".stripMargin,
 

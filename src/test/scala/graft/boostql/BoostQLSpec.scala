@@ -2925,6 +2925,16 @@ class BoostQLSpec extends SparkSpec {
         "GROUP BY c.user HAVING arg_max(c, ts) > 2.0 ORDER BY c.user"),
       tiny).collect()
     assert(g.map(_.getString(0)).toSeq == Seq("u1", "u3", "u9"))
+    // max_by/min_by are pure aliases — same AST, one aggregate
+    assert(Parser.parse("SELECT max_by(c.user, c) AS pk FROM dom.f") ==
+      Parser.parse("SELECT arg_max(c.user, c) AS pk FROM dom.f"))
+    assert(Parser.parse("SELECT min_by(c.user, c) AS lo FROM dom.f") ==
+      Parser.parse("SELECT arg_min(c.user, c) AS lo FROM dom.f"))
+    // count_if: only TRUE rows count — UNKNOWN (null value) is not a
+    // match, unlike count(*); FILTER conjoins
+    val ci = one("SELECT count_if(c >= 9.0) AS n, count(*) AS all_n, " +
+      "count_if(c >= 9.0) FILTER (WHERE c < 50.0) AS nf FROM dom.f")
+    assert(ci.getLong(0) == 3L && ci.getLong(1) == 7L && ci.getLong(2) == 2L)
     // refusals: no window form; separator must be a string literal
     intercept[Parser.ParseException](Parser.parse(
       "SELECT arg_max(c, ts) OVER (PARTITION BY c.user) AS x FROM dom.f"))

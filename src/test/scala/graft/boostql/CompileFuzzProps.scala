@@ -38,12 +38,17 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
     "count(*)", "sum(cpu)", "avg(cpu + mem)", "mad(cpu)", "twa(cpu)",
     "increase(cpu)", "median(mem)", "percentile(cpu, 0.5)",
     "approx_top_k(cpu.host, 4)", "first(cpu)", "corr(cpu, mem)",
-    "histogram(cpu, 0, 100, 4)", "stddev(mem)")
+    "histogram(cpu, 0, 100, 4)", "stddev(mem)",
+    "arg_max(cpu.host, cpu)", "min_by(mem, ts)",
+    "arg_min(cpu, mem + 1.0) FILTER (WHERE mem > 4.0)",
+    "string_agg(cpu.host, ',')", "bool_and(cpu < 50.0)",
+    "bool_or(cpu.host = 'h1')", "count_if(mem > cpu)")
   private val winItem: Gen[String] = Gen.oneOf(
     "rank() OVER (ORDER BY cpu)",
     "lag(cpu, 1) OVER (PARTITION BY cpu.host ORDER BY cpu)",
     "avg(mem) OVER (ORDER BY cpu ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
-    "rate(cpu)", "locf(mem)", "zscore(cpu)")
+    "rate(cpu)", "locf(mem)", "zscore(cpu)",
+    "rank() OVER w", "sum(cpu) OVER w")
 
   private val item: Gen[String] = Gen.frequency(
     5 -> scalarItem, 3 -> aggItem, 2 -> winItem)
@@ -79,6 +84,11 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
       1 -> Gen.const(" HAVING sum(cpu) > 10.0"))
     qualify <- Gen.frequency(5 -> Gen.const(""),
       1 -> Gen.const(" QUALIFY rank() OVER (ORDER BY cpu) <= 2"))
+    // a WINDOW clause defining w half the time — `OVER w` items hit
+    // both the defined path and the undefined-name refusal
+    window <- Gen.oneOf("", " WINDOW w AS (PARTITION BY cpu.host " +
+      "ORDER BY cpu DESC)", " WINDOW w AS (ORDER BY ts " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
     order <- Gen.oneOf("", " ORDER BY 1", " ORDER BY ALL DESC",
       " ORDER BY cpu NULLS LAST")
     limit <- Gen.oneOf("", " LIMIT 5", " LIMIT 5 OFFSET 2")
@@ -87,7 +97,7 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
       1 -> Gen.const(" UNION ALL SELECT mem FROM dom.f"),
       1 -> Gen.const(" INTERSECT SELECT cpu FROM dom.f"))
   } yield s"SELECT $dist${withAliases.mkString(", ")}$source" +
-    s"$where$group$having$qualify$order$limit$setop"
+    s"$where$group$having$qualify$window$order$limit$setop"
 
   property("execute or refuse with a dialect exception — nothing leaks") =
     forAll(queryGen) { q =>
