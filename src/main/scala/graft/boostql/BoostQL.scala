@@ -1,6 +1,6 @@
 package graft.boostql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.sources.TimeSeriesTable
 import graft.tables.Tables
@@ -316,9 +316,12 @@ object BoostQL {
     * every aggregate aliased and one of count/sum/avg/min/max (the
     * partial-mergeable streaming-safe set — count(DISTINCT)/median/
     * percentile/sketches refuse). Calendar bucket widths refuse (the
-    * engine's tumbling window needs a fixed width). HAVING/ORDER BY/
-    * LIMIT/DISTINCT/QUALIFY refuse: on an unbounded stream they are
-    * sink-side concerns.
+    * engine's tumbling window needs a fixed width). HAVING is
+    * supported as a STATELESS filter on the finalized aggregate rows
+    * (append mode emits a window once, then the filter applies exactly
+    * like batch HAVING — extra aggregates it names are computed hidden
+    * and dropped); ORDER BY/LIMIT/DISTINCT/QUALIFY refuse: on an
+    * unbounded stream they are sink-side concerns.
     */
   def sqlStream(query: String, families: ((String, String)) => DataFrame,
       watermarkDelay: String): DataFrame = {
@@ -335,7 +338,6 @@ object BoostQL {
           s"group key + count/sum/avg/min/max only; $what is not " +
           "supported (use the watermarked StreamingOps tier)")
     refuse(spec.joins.nonEmpty, "JOIN")
-    refuse(spec.having.nonEmpty, "HAVING (filter emitted rows downstream)")
     refuse(spec.fill.isDefined,
       "FILL (densify at the sink — an unbounded stream has no final " +
         "bucket extent to densify against)")
@@ -457,6 +459,10 @@ object BoostQL {
           AggOut(fn, Some(hn), nm, k)
       }
     }
+    // structural aggregate-shape -> output column, so a HAVING that
+    // names an already-selected aggregate reuses its column instead of
+    // aggregating twice
+    val aggByShape = scala.collection.mutable.Map.empty[Operand, String]
     val outs: Seq[Out] = spec.select.map {
       case ExprItem(e, nm) if nm == bAlias && bucketShape(e).isDefined =>
         BucketOut(nm)
@@ -464,14 +470,16 @@ object BoostQL {
       case FieldItem(n)
         if dimNames.exists(_._2 == Compiler.resolve(n, srcAlias).colName) =>
         DimOut(Compiler.resolve(n, srcAlias).colName)
-      case ExprItem(OAgg(fn, arg), nm)  => aggOut(fn, arg.map(ORef), nm)
-      case ExprItem(OAggX("approx_top_k", e, Seq(k), _), nm) =>
-        aggOut("approx_top_k", Some(e), nm, Some(k.toInt))
-      case ExprItem(OAggX(fn, e, ps, a2), nm) =>
+      case it @ ExprItem(OAgg(fn, arg), nm) =>
+        val o = aggOut(fn, arg.map(ORef), nm); aggByShape(it.expr) = nm; o
+      case it @ ExprItem(OAggX("approx_top_k", e, Seq(k), _), nm) =>
+        val o = aggOut("approx_top_k", Some(e), nm, Some(k.toInt))
+        aggByShape(it.expr) = nm; o
+      case it @ ExprItem(OAggX(fn, e, ps, a2), nm) =>
         if (ps.nonEmpty || a2.nonEmpty) throw Compiler.CompileException(
           s"$fn() is not streaming-safe — supported streaming " +
             "aggregates: count, sum, avg, min, max, approx_top_k")
-        aggOut(fn, Some(e), nm)
+        val o = aggOut(fn, Some(e), nm); aggByShape(it.expr) = nm; o
       case _: AggItem => throw Compiler.CompileException(
         "streaming aggregates must be aliased (agg(x) AS name)")
       case other => throw Compiler.CompileException(
@@ -481,6 +489,91 @@ object BoostQL {
     val aggs = outs.collect { case a: AggOut => a }
     if (aggs.isEmpty) throw Compiler.CompileException(
       "watermarked streaming aggregation needs at least one aggregate")
+    /* HAVING: a STATELESS filter on the FINALIZED aggregate rows —
+     * append mode emits a window once (on watermark passage), the
+     * filter then applies exactly like batch HAVING; no second
+     * aggregation, no new state. Aggregates in the condition join the
+     * aggregate list (hidden columns when not selected, dropped after
+     * the filter); operands are literals, select aliases, and
+     * streaming-safe aggregates — anything else refuses. */
+    val extraAggs = Seq.newBuilder[AggOut]
+    val hidden = Seq.newBuilder[String]
+    var haIdx = 0
+    def havingAggCol(e: Operand): String = aggByShape.getOrElse(e, {
+      val nm = s"__ha$haIdx"; haIdx += 1
+      val out = e match {
+        case OAgg(fn, arg) => aggOut(fn, arg.map(ORef), nm)
+        case OAggX("approx_top_k", x, Seq(k), _) =>
+          aggOut("approx_top_k", Some(x), nm, Some(k.toInt))
+        case OAggX(fn, x, ps, a2) =>
+          if (ps.nonEmpty || a2.nonEmpty) throw Compiler.CompileException(
+            s"$fn() is not streaming-safe — supported streaming " +
+              "aggregates: count, sum, avg, min, max, approx_top_k")
+          aggOut(fn, Some(x), nm)
+        case _ => throw Compiler.CompileException(
+          "unreachable: havingAggCol on a non-aggregate")
+      }
+      extraAggs += out; hidden += nm; aggByShape(e) = nm
+      nm
+    })
+    val outNames: Set[String] = outs.map {
+      case BucketOut(nm) => nm
+      case DimOut(nm) => nm
+      case AggOut(_, _, nm, _) => nm
+    }.toSet
+    def hRefuse(what: String): Nothing = throw Compiler.CompileException(
+      s"streaming HAVING supports literals, select-output names, " +
+        s"arithmetic, CAST and streaming-safe aggregates only; $what " +
+        "is not supported")
+    def hOp(o: Operand): Column = o match {
+      case OLit(l)    => Compiler.litColumn(l)
+      case e: OAgg    => col(havingAggCol(e))
+      case e: OAggX   => col(havingAggCol(e))
+      case ORef(n) if n.parts.length == 1 && outNames(n.parts.head) =>
+        col(n.parts.head)
+      case ORef(n) => hRefuse(
+        s"'${n.parts.mkString(".")}' (name a select output)")
+      case OArith(op, l, r) =>
+        val (a, b) = (hOp(l), hOp(r))
+        op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+        }
+      case ONeg(x) => -hOp(x)
+      case OCast(x, t) => hOp(x).cast(t match {
+        case "int" => "long"
+        case "float" => "double"
+        case "string" => "string"
+        case "bool" => "boolean"
+        case other => hRefuse(s"CAST to $other")
+      })
+      case _ => hRefuse("this expression form")
+    }
+    def hB(e: BExpr): Column = e match {
+      case Cmp(op, l, r) =>
+        val (a, b) = (hOp(l), hOp(r))
+        op match {
+          case "=" | "==" => a === b
+          case "!=" | "<>" => a =!= b
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case ">=" => a >= b
+        }
+      case AndE(l, r)    => hB(l) && hB(r)
+      case OrE(l, r)     => hB(l) || hB(r)
+      case NotE(x)       => !hB(x)
+      case IsNullE(o, n) => if (n) hOp(o).isNotNull else hOp(o).isNull
+      case BetweenE(o, lo, hi, n) =>
+        val c = hOp(o).between(hOp(lo), hOp(hi)); if (n) !c else c
+      case InE(o, xs, n) =>
+        val c = hOp(o).isin(xs.map(hOp): _*); if (n) !c else c
+      case _ => hRefuse("subquery/LIKE predicates")
+    }
+    val havingCond: Option[Column] = spec.having.map(hB)
+    val allAggs = aggs ++ extraAggs.result()
     // layer 1: the stateless projection/filter through the ordinary
     // compiler — same pushed-filter scan as batch, swept to stay
     // stateless (a derived-table DISTINCT etc. refuses here)
@@ -496,7 +589,7 @@ object BoostQL {
     val win = slideUs.fold(window(col("ts"), s"$widthUs microseconds"))(sl =>
       window(col("ts"), s"$widthUs microseconds", s"$sl microseconds"))
     val keyCols = win +: dimNames.map(d => col(d._2))
-    val aggCols = aggs.map { a =>
+    val aggCols = allAggs.map { a =>
       val c = a.argCol.map(col)
       (a.fn match {
         case "count" => c.map(count).getOrElse(count(lit(1)))
@@ -523,7 +616,12 @@ object BoostQL {
       case DimOut(nm)       => col(nm)
       case AggOut(_, _, nm, _) => col(nm)
     }
-    agged.select(outCols: _*)
+    val hiddenNames = hidden.result()
+    val projected = agged.select((outCols ++ hiddenNames.map(col)): _*)
+    havingCond match {
+      case Some(c) => projected.filter(c).drop(hiddenNames: _*)
+      case None    => projected
+    }
   }
 
   /** Time-scoped execution — the dialect face of the reference's

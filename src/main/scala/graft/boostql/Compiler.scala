@@ -292,7 +292,7 @@ object Compiler {
     c.as(name)
   }
 
-  private def litColumn(l: BLit): Column = l match {
+  private[boostql] def litColumn(l: BLit): Column = l match {
     case BInt(v)   => lit(v)
     case BFloat(v) => lit(v)
     case BStr(v)   => lit(v)

@@ -51,7 +51,11 @@ object StreamingQueries {
     "stream_top_k" -> ((s, d) => StreamingOps.streamingTopK(s, d)),
     // the same capability through the SQL FRONT: approx_top_k(x, k)
     // inside sqlStream's watermarked bucket()-keyed aggregate
-    "stream_sql_topk" -> ((s, d) => StreamingOps.streamSqlTopKReplay(s, d))
+    "stream_sql_topk" -> ((s, d) => StreamingOps.streamSqlTopKReplay(s, d)),
+    // HAVING over the watermarked streaming aggregate — a stateless
+    // filter on finalized windows, incl. a hidden max() aggregate
+    "stream_sql_having" -> ((s, d) =>
+      StreamingOps.streamSqlHavingReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +166,17 @@ object StreamingQueries {
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events WHERE event_type = 'purchase' AND value > 50.0
         |GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
+
+    // HAVING applies after the windows finalize — the batch replay is
+    // the same aggregation with the same HAVING (the hidden max(value)
+    // filters but is not output)
+    "stream_sql_having" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |  CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase' AND value > 50.0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND max(value) < 370.0
+        |ORDER BY d, u""".stripMargin,
 
     // batch twin of session_window: gaps-and-islands with the same 6h
     // gap; session end is last-event + gap, matching Spark's contract

@@ -297,6 +297,34 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** The watermarked streaming-SQL aggregate WITH a HAVING tail: the
+    * dialect compiles HAVING to a stateless filter on the finalized
+    * window rows (extra aggregates named only in the condition are
+    * computed hidden and dropped — here max(purchase)). Complete-mode
+    * AvailableNow replay, so the result equals the batch oracle with
+    * the same HAVING.
+    */
+  def streamSqlHavingReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlhav").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, purchase.user AS u, " +
+        "count(*) AS n, sum(CAST(purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events WHERE purchase > 50.0 GROUP BY d, u " +
+        "HAVING count(*) >= 2 AND max(purchase) < 370.0",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlhav_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d", "u")
+  }
+
   /** Continuous heavy hitters THROUGH THE SQL FRONT: the dialect's
     * `approx_top_k(x, k)` inside the watermarked `bucket()`-keyed
     * streaming aggregate — `BoostQL.sqlStream` compiles it to the

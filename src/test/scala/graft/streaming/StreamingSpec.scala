@@ -230,6 +230,24 @@ class StreamingSpec extends SparkSpec {
     val appended = spark.table(sink2).collect().toSeq
     assert(appended.toSet.subsetOf(batch.toSet),
       "append-mode windows must agree with batch where finalized")
+    // HAVING: a stateless filter on the finalized aggregate rows —
+    // complete-mode replay equals the BATCH run of the same text,
+    // including a HIDDEN aggregate (min(click) named only in HAVING:
+    // computed, filtered on, dropped from the output schema)
+    val qh = q + " HAVING count(*) > 3 AND min(click) > 50.0"
+    val sink3 = "graft_sqlwin_hav_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sq3 = graft.boostql.BoostQL.sqlStream(qh, _ => stream, "1 day")
+      .writeStream.format("memory").queryName(sink3)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sq3.awaitTermination()
+    val streamedH = spark.table(sink3).orderBy("d").collect().toSeq
+    val batchH = graft.boostql.BoostQL.sql(qh,
+        _ => graft.sources.TimeSeriesTable.open(spark, root, "dom", "events"))
+      .orderBy("d").collect().toSeq
+    assert(streamedH == batchH && streamedH.nonEmpty)
+    assert(spark.table(sink3).columns.toSeq == Seq("d", "n", "cents"),
+      "hidden HAVING aggregates must not leak into the output schema")
+
     // refusal matrix: every clause and every non-streaming-safe shape
     // refuses at COMPILE time with the 3-arg overload too
     def refuses(sql: String): Unit =
@@ -237,7 +255,6 @@ class StreamingSpec extends SparkSpec {
         graft.boostql.BoostQL.sqlStream(sql, _ => stream, "1 day"))
     val G = " FROM dom.events GROUP BY d"
     val B = "SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n"
-    refuses(B + G + " HAVING count(*) > 1")                      // HAVING
     refuses(B + G + " FILL(previous)")                            // FILL
     refuses(B + G + " ORDER BY d")                                // ORDER BY
     refuses(B + G + " LIMIT 5")                                   // LIMIT
@@ -276,6 +293,11 @@ class StreamingSpec extends SparkSpec {
     refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
       "FROM (SELECT DISTINCT click AS x, ts FROM dom.events) AS t " +
       "GROUP BY d")                          // stateful derived table (sweep)
+    // HAVING refusal edges: window fns, unknown names, and
+    // non-streaming-safe aggregates inside the condition
+    refuses(B + G + " HAVING rank() OVER (ORDER BY ts) > 1")
+    refuses(B + G + " HAVING nope > 1")
+    refuses(B + G + " HAVING median(click) > 1.0")
   }
 
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
