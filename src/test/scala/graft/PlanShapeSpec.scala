@@ -282,6 +282,30 @@ class PlanShapeSpec extends SparkSpec {
       s"partial sketch pass missing in pure form:\n$pure")
   }
 
+  test("arg_max plans partial+final aggregation, one exchange, no join-back") {
+    // the "one pass, no join-back" claim as a plan shape: the struct
+    // max/min must partial-aggregate MAP-SIDE (partial_max → exchange →
+    // final max) like any min/max — a rank-window or self-join
+    // formulation would show Window/Join nodes and a second exchange.
+    // The aggregate node is SortAggregate, not HashAggregate: a struct
+    // buffer is not UnsafeRow-mutable (same fallback as max(string)) —
+    // the shuffle still carries ONE pair per (task, group), which is
+    // the scale contract; the per-partition sort is the accepted cost
+    val plan = planOf(BoostQL.onTestdata(spark, sfDir)(
+      "SELECT purchase.user, arg_max(purchase.event_id, purchase) AS pk, " +
+        "arg_min(purchase.event_id, purchase) AS lo " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Aggregate"), s"no aggregate in:\n$plan")
+    assert("partial_(max|min)".r.findAllIn(plan).nonEmpty,
+      s"map-side partial max/min missing:\n$plan")
+    assert(!plan.contains("Join"), s"arg_max must not join back:\n$plan")
+    assert(!plan.contains("Window"), s"arg_max must not rank-window:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected agg exchange + presentation sort, got $exchanges:\n$plan")
+  }
+
   test("dialect approx_percentile plans partial+final sample aggregates, one exchange") {
     // the sampled-quantile sketch through the SQL front: map-side pass
     // must be partial_graft_kmv_sample (k-capped pair buffers — the
