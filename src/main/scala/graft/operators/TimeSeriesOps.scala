@@ -182,6 +182,75 @@ object TimeSeriesOps {
     df.withColumn(out, when(sd > 0, round((col(valCol) - mu) / sd, 6)))
   }
 
+  /** LTTB downsampling (Steinarsson 2013, "Largest-Triangle-Three-
+    * Buckets" — the Grafana/Timescale chart downsampler), in the
+    * PARALLEL neighbor-average variant: per (key, time-bucket) keep the
+    * ONE point forming the largest triangle with the PREVIOUS and NEXT
+    * buckets' average points. Classic LTTB anchors the triangle on the
+    * previously SELECTED point — a sequential chain no distributed plan
+    * can honor; anchoring on the neighbor averages (the same
+    * approximation several engines ship for exactly this reason)
+    * decouples the buckets: two narrow window passes over the
+    * bucket-aggregate table plus one equi-join, every stage parallel.
+    * The first and last buckets emit their first/last POINT (the
+    * classic endpoint anchors). Deterministic: exact decimal/integer
+    * sums inside the averages (double summation order would differ
+    * across partitionings) and total tie orders on every pick.
+    *
+    * Output: by-keys, `bucket`, tsCol, valCol — ≤1 point per bucket.
+    *
+    * 100 TB: the bucket-aggregate table A is |buckets| rows (~1/per-
+    * bucket-count of the input); points shuffle ONCE on (key, bucket)
+    * for the join, and the pick aggregate reuses that partitioning.
+    * NULL values are excluded (they cannot anchor a triangle).
+    */
+  def lttbDownsample(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val keyCols = by.map(col)
+    val pts = df
+      .filter(col(valCol).isNotNull)
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("bucket", expr(s"__t div ${bucketSeconds * 1000000L}"))
+    // exact-sum averages: micros sums in decimal(38,0) (a day of micros
+    // times a billion rows overflows int64), values in decimal(18,2)
+    // (the corpus's native precision) — identical doubles in any engine
+    val aggA = pts.groupBy((keyCols :+ col("bucket")): _*)
+      .agg((sum(col("__t").cast("decimal(38,0)")).cast("double") /
+              count(lit(1))).as("avg_t"),
+        (sum(col(valCol).cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("avg_v"))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(keyCols: _*)
+    val a2 = aggA
+      .withColumn("__pt", lag(col("avg_t"), 1).over(wOrd))
+      .withColumn("__pv", lag(col("avg_v"), 1).over(wOrd))
+      .withColumn("__nt", lead(col("avg_t"), 1).over(wOrd))
+      .withColumn("__nv", lead(col("avg_v"), 1).over(wOrd))
+      .withColumn("__bmin", min(col("bucket")).over(wAll))
+      .withColumn("__bmax", max(col("bucket")).over(wAll))
+      .drop("avg_t", "avg_v")
+    val j = pts.join(a2, by :+ "bucket")
+    val v = col(valCol).cast("double")
+    val area = abs((col("__pt") - col("__nt")) * (v - col("__pv")) -
+      (col("__pt") - col("__t")) * (col("__nv") - col("__pv")))
+    val pt = struct(col("__t").as("t"), v.as("v"))
+    val isFirst = col("bucket") === col("__bmin")
+    val isLast = col("bucket") === col("__bmax")
+    val isMid = !isFirst && !isLast
+    val picked = j.groupBy((keyCols :+ col("bucket")): _*)
+      .agg(min(when(isFirst, pt)).as("__f"),
+        max(when(isLast, pt)).as("__l"),
+        max(when(isMid, struct(area.as("a"), (-col("__t")).as("nt"), pt.as("p"))))
+          .getField("p").as("__m"))
+    picked
+      .select((keyCols :+ col("bucket") :+ explode(array_distinct(filter(
+        array(col("__f"), col("__l"), col("__m")), _.isNotNull))).as("__pick")): _*)
+      .select((keyCols :+ col("bucket") :+
+        timestamp_micros(col("__pick.t")).as(tsCol) :+
+        col("__pick.v").as(valCol)): _*)
+  }
+
   /** M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-
     * Oriented Time Series Data Aggregation"): per (key, time-bucket)
     * keep at most the 4 points that determine an error-free min/max

@@ -122,6 +122,16 @@ object TimeSeriesQueries {
         .orderBy("event_type", "day")),
 
     // M4 downsampling: ≤4 points per (series, 6h bucket) — the
+    // LTTB chart downsampling, parallel neighbor-average variant: one
+    // point per (series, day) maximizing the triangle with the
+    // neighboring buckets' average points (TimeSeriesOps.lttbDownsample)
+    "ts_lttb_downsample" -> ((s, d) =>
+      TimeSeriesOps.lttbDownsample(ev(s, d), Seq("event_type"), "ts", "value",
+          bucketSeconds = 86400L)
+        .select(col("event_type"), col("bucket"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+        .orderBy("event_type", "bucket", "t_us", "value")),
+
     // error-free min/max-line chart reduction (TimeSeriesOps.m4Downsample)
     "ts_m4_downsample" -> ((s, d) =>
       TimeSeriesOps.m4Downsample(ev(s, d), Seq("event_type"), "ts", "value",
@@ -308,6 +318,45 @@ object TimeSeriesQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // exact replay of the parallel-LTTB arithmetic: bucket averages
+    // from exact HUGEINT/decimal sums (identical doubles), lag/lead
+    // over present buckets, the same triangle-area expression, and the
+    // engine's total tie orders (area DESC, t ASC, v DESC for middle
+    // buckets; endpoint picks in the first/last bucket)
+    "ts_lttb_downsample" ->
+      """WITH p AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS t, value AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), a AS (
+        |  SELECT k, t // 86400000000 AS b,
+        |    CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) / COUNT(*) AS avg_t,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+        |  FROM p GROUP BY 1, 2
+        |), w AS (
+        |  SELECT k, b,
+        |    lag(avg_t) OVER win AS pt, lag(avg_v) OVER win AS pv,
+        |    lead(avg_t) OVER win AS nt, lead(avg_v) OVER win AS nv,
+        |    min(b) OVER (PARTITION BY k) AS bmin,
+        |    max(b) OVER (PARTITION BY k) AS bmax
+        |  FROM a WINDOW win AS (PARTITION BY k ORDER BY b)
+        |), j AS (
+        |  SELECT p.k, p.t, p.v, w.b, w.bmin, w.bmax,
+        |    abs((w.pt - w.nt) * (p.v - w.pv)
+        |      - (w.pt - p.t) * (w.nv - w.pv)) AS area
+        |  FROM p JOIN w ON p.k = w.k AND p.t // 86400000000 = w.b
+        |), picks AS (
+        |  SELECT k, b,
+        |    CASE WHEN b = bmin THEN (list(t ORDER BY t, v))[1]
+        |         WHEN b = bmax THEN (list(t ORDER BY t DESC, v DESC))[1]
+        |         ELSE (list(t ORDER BY area DESC, t, v DESC))[1] END AS t,
+        |    CASE WHEN b = bmin THEN (list(v ORDER BY t, v))[1]
+        |         WHEN b = bmax THEN (list(v ORDER BY t DESC, v DESC))[1]
+        |         ELSE (list(v ORDER BY area DESC, t, v DESC))[1] END AS v
+        |  FROM j GROUP BY k, b, bmin, bmax
+        |)
+        |SELECT k AS event_type, b AS bucket, t AS t_us, v AS value
+        |FROM picks ORDER BY event_type, bucket, t_us, value""".stripMargin,
 
     "ts_m4_downsample" ->
       """WITH b AS (

@@ -186,6 +186,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(run() == first)
   }
 
+  test("lttbDownsample: endpoint anchors, triangle-max pick, null drop") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows: Seq[(String, java.sql.Timestamp, java.lang.Double)] = Seq(
+      ("k", t(1), 1.0),    // bucket 0 (first) → endpoint pick
+      ("k", t(11), 0.0),   // bucket 1 …
+      ("k", t(13), null),  // null value: excluded entirely
+      ("k", t(15), 10.0),  // … the spike: largest triangle vs neighbors
+      ("k", t(19), 0.0),
+      ("k", t(25), 0.0))   // bucket 2 (last) → endpoint pick
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = TimeSeriesOps
+      .lttbDownsample(d, Seq("k"), "ts", "v", bucketSeconds = 10L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getAs[Long]("bucket"),
+        r.getAs[java.sql.Timestamp]("ts").getTime / 1000L,
+        r.getAs[Double]("v"))).toSeq
+    val got = run(df)
+    assert(got == Seq((0L, 1L, 1.0), (1L, 15L, 10.0), (2L, 25L, 0.0)))
+    // narrow determinism: any partitioning, same picks (exact-sum
+    // averages — double summation order never leaks into the result)
+    assert(run(df.repartition(7)) == got)
+    // ≤ 1 point per middle bucket however many points it holds
+    assert(got.map(_._1).distinct.length == got.length)
+    intercept[IllegalArgumentException](
+      TimeSeriesOps.lttbDownsample(df, Seq("k"), "ts", "v", 0L))
+  }
+
   test("timeWeightedAvg: trapezoid integral, gap weighting, null span") {
     // constant series -> the constant, however irregular the sampling
     val const = Seq(
