@@ -364,8 +364,42 @@ object Compiler {
     "second"   -> ((1, 1, (a: Seq[Column]) => second(a(0)))),
     "dow"      -> ((1, 1, (a: Seq[Column]) => weekday(a(0)) + lit(1))),
     "doy"      -> ((1, 1, (a: Seq[Column]) => dayofyear(a(0)))),
-    "epoch_us" -> ((1, 1, (a: Seq[Column]) => unix_micros(a(0))))
+    "epoch_us" -> ((1, 1, (a: Seq[Column]) => unix_micros(a(0)))),
+    /* KMV sketch SET OPERATIONS over two approx_distinct_sketch columns
+     * (array<bigint>, bottom-64 md5-derived 32-bit hashes) — the
+     * "how much do two audiences overlap" tier that unions alone can't
+     * answer. The k-minimum-values Jaccard estimator (Beyer et al.,
+     * SIGMOD 2007): U = bottom-k of the union of both sketches,
+     * J = |{h ∈ U : h ∈ A and h ∈ B}| / |U|; sketch_intersect scales J
+     * by the union's KMV distinct estimate. Below k the sketches ARE
+     * the hash sets, so both are EXACT. All higher-order array
+     * built-ins — codegen-friendly, and the identical arithmetic
+     * replays in any engine with list ops (full DuckDB oracle). */
+    "sketch_jaccard" -> ((2, 2, (a: Seq[Column]) =>
+      kmvJaccard(a(0), a(1)))),
+    "sketch_intersect" -> ((2, 2, (a: Seq[Column]) => {
+      val u = kmvUnionBottomK(a(0), a(1))
+      val dU = when(size(u) < KmvK, size(u).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+          element_at(u, -1).cast("double"))
+      kmvJaccard(a(0), a(1)) * dU
+    }))
   )
+
+  /** The dialect's fixed KMV sketch size (matches approx_distinct /
+    * approx_distinct_sketch / approx_distinct_merge — set-op estimators
+    * assume both inputs were built at this k). */
+  private val KmvK = 64
+
+  private def kmvUnionBottomK(x: Column, y: Column): Column =
+    slice(array_sort(array_distinct(concat(x, y))), 1, KmvK)
+
+  private def kmvJaccard(x: Column, y: Column): Column = {
+    val u = kmvUnionBottomK(x, y)
+    val shared = size(filter(u,
+      h => array_contains(x, h) && array_contains(y, h)))
+    when(size(u) > 0, shared.cast("double") / size(u).cast("double"))
+  }
 
   /** Fixed-width interval text → microseconds (micro…day units; larger
     * calendar units are not fixed-width — INTERVAL arithmetic routes

@@ -365,6 +365,21 @@ object BoostQueries {
         "count_if(click > 240.0) AS n_big, count(*) AS n " +
         "FROM dom.events GROUP BY click.user ORDER BY click.user")),
 
+    // KMV sketch SET OPERATIONS: day-over-day audience overlap from
+    // per-day approx_distinct_sketch columns — sketch_jaccard (k-min
+    // Jaccard estimator) and sketch_intersect (Jaccard × union
+    // estimate); exact below k, kilobyte sketches joined instead of
+    // re-scanning raw values (the 100 TB overlap pattern)
+    "boost_sketch_overlap" -> ((s, d) =>
+      run(s, d, "WITH s AS (" +
+        "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+        "CAST(bucket(ts, '1 day') AS int) + 86400 AS dn, " +
+        "approx_distinct_sketch(click.user) AS sk " +
+        "FROM dom.events GROUP BY d, dn) " +
+        "SELECT a.d AS d, round(sketch_jaccard(a.sk, b.sk), 6) AS j, " +
+        "round(sketch_intersect(a.sk, b.sk), 3) AS ix " +
+        "FROM s AS a JOIN s AS b ON a.dn = b.d ORDER BY d")),
+
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
     // desugared at parse time to the non-aggregate select items (keys)
     // / every select item (sort); the oracle runs the IDENTICAL sugar
@@ -2209,6 +2224,29 @@ object BoostQueries {
         |            ELSE 63e0 * 4294967296e0 / bk.kth::DOUBLE END AS merged,
         |  d.n_days AS n_days
         |FROM bk, d""".stripMargin,
+
+    // replay: per-day bottom-64 hash sets, union bottom-64, shared
+    // count — the identical k-min arithmetic (exact below k)
+    "boost_sketch_overlap" ->
+      """WITH pts AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |dh AS (SELECT DISTINCT d, h FROM pts),
+        |sk AS (SELECT d, (list(h ORDER BY h))[1:64] AS sk FROM dh GROUP BY d),
+        |pr AS (SELECT a.d AS d, a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.d + 86400 = b.d),
+        |u AS (SELECT d, ska, skb,
+        |    (list_sort(list_distinct(ska || skb)))[1:64] AS un FROM pr),
+        |m AS (SELECT d, len(un) AS nu, un[-1] AS kth,
+        |    len(list_filter(un, x -> list_contains(ska, x)
+        |      AND list_contains(skb, x))) AS ns
+        |  FROM u)
+        |SELECT d, round(ns::DOUBLE / nu::DOUBLE, 6) AS j,
+        |  round(ns::DOUBLE / nu::DOUBLE *
+        |    (CASE WHEN nu < 64 THEN nu::DOUBLE
+        |          ELSE 63e0 * 4294967296e0 / kth::DOUBLE END), 3) AS ix
+        |FROM m ORDER BY d""".stripMargin,
 
     "boost_percentile" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

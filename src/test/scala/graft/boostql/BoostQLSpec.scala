@@ -2834,6 +2834,32 @@ class BoostQLSpec extends SparkSpec {
       tiny))
   }
 
+  test("sketch_jaccard/sketch_intersect: exact below k, arity refusals") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // day 1 users u1..u6, day 2 users u4..u9: below k = 64 the sketches
+    // ARE the hash sets, so jaccard = |A∩B|/|A∪B| = 3/9 and intersect
+    // = 3 EXACTLY — the estimator's exact regime, independent of hashes
+    val rows = (1 to 6).map(i => ("2024-01-01 10:00:00", s"u$i")) ++
+      (4 to 9).map(i => ("2024-01-02 10:00:00", s"u$i"))
+    val tiny = spark.createDataFrame(rows.zipWithIndex.map {
+      case ((day, u), i) => ("c", Timestamp.valueOf(day), i * 1.0, u)
+    }).toDF("series", "ts", "value", "u")
+      .withColumn("attributes", map(lit("user"), col("u"))).drop("u")
+      .withColumn("tags", map().cast("map<string,string>"))
+    val r = Compiler.compile(Parser.parse(
+      "WITH s AS (SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+        "CAST(bucket(ts, '1 day') AS int) + 86400 AS dn, " +
+        "approx_distinct_sketch(c.user) AS sk " +
+        "FROM dom.f GROUP BY d, dn) " +
+        "SELECT round(sketch_jaccard(a.sk, b.sk), 6) AS j, " +
+        "sketch_intersect(a.sk, b.sk) AS ix " +
+        "FROM s AS a JOIN s AS b ON a.dn = b.d"), tiny).collect()(0)
+    assert(r.getDouble(0) == 0.333333 && r.getDouble(1) == 3.0)
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT sketch_jaccard(c) AS j FROM dom.f"), tiny))
+  }
+
   test("WINDOW clause: parse-time substitution, scoping, refusals") {
     // `OVER w` substitutes to the EXACT AST the inline spelling builds —
     // downstream (compiler, plan, same-spec window collapsing) is
