@@ -378,11 +378,16 @@ object Compiler {
     "sketch_jaccard" -> ((2, 2, (a: Seq[Column]) =>
       kmvJaccard(a(0), a(1)))),
     "sketch_intersect" -> ((2, 2, (a: Seq[Column]) => {
-      val u = kmvUnionBottomK(a(0), a(1))
-      val dU = when(size(u) < KmvK, size(u).cast("double"))
+      kmvJaccard(a(0), a(1)) * kmvUnionEstimate(a(0), a(1))
+    })),
+    // |A \ B| = D(A∪B) − D(B): difference via the union law (both
+    // operands k-min estimates over the SAME hash space), floored at 0
+    // (estimator noise can cross zero); exact below k like the others
+    "sketch_diff" -> ((2, 2, (a: Seq[Column]) => {
+      val dB = when(size(a(1)) < KmvK, size(a(1)).cast("double"))
         .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
-          element_at(u, -1).cast("double"))
-      kmvJaccard(a(0), a(1)) * dU
+          element_at(a(1), -1).cast("double"))
+      greatest(kmvUnionEstimate(a(0), a(1)) - dB, lit(0.0))
     }))
   )
 
@@ -393,6 +398,14 @@ object Compiler {
 
   private def kmvUnionBottomK(x: Column, y: Column): Column =
     slice(array_sort(array_distinct(concat(x, y))), 1, KmvK)
+
+  /** KMV distinct estimate of the UNION from the merged bottom-k. */
+  private def kmvUnionEstimate(x: Column, y: Column): Column = {
+    val u = kmvUnionBottomK(x, y)
+    when(size(u) < KmvK, size(u).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+        element_at(u, -1).cast("double"))
+  }
 
   private def kmvJaccard(x: Column, y: Column): Column = {
     val u = kmvUnionBottomK(x, y)

@@ -377,7 +377,8 @@ object BoostQueries {
         "approx_distinct_sketch(click.user) AS sk " +
         "FROM dom.events GROUP BY d, dn) " +
         "SELECT a.d AS d, round(sketch_jaccard(a.sk, b.sk), 6) AS j, " +
-        "round(sketch_intersect(a.sk, b.sk), 3) AS ix " +
+        "round(sketch_intersect(a.sk, b.sk), 3) AS ix, " +
+        "round(sketch_diff(a.sk, b.sk), 3) AS dx " +
         "FROM s AS a JOIN s AS b ON a.dn = b.d ORDER BY d")),
 
     // GROUP BY ALL / ORDER BY ALL — the DuckDB convenience sugar,
@@ -2239,14 +2240,20 @@ object BoostQueries {
         |u AS (SELECT d, ska, skb,
         |    (list_sort(list_distinct(ska || skb)))[1:64] AS un FROM pr),
         |m AS (SELECT d, len(un) AS nu, un[-1] AS kth,
+        |    len(skb) AS nb, skb[-1] AS kthb,
         |    len(list_filter(un, x -> list_contains(ska, x)
         |      AND list_contains(skb, x))) AS ns
-        |  FROM u)
+        |  FROM u),
+        |e AS (SELECT d, ns, nu,
+        |    CASE WHEN nu < 64 THEN nu::DOUBLE
+        |         ELSE 63e0 * 4294967296e0 / kth::DOUBLE END AS du,
+        |    CASE WHEN nb < 64 THEN nb::DOUBLE
+        |         ELSE 63e0 * 4294967296e0 / kthb::DOUBLE END AS db
+        |  FROM m)
         |SELECT d, round(ns::DOUBLE / nu::DOUBLE, 6) AS j,
-        |  round(ns::DOUBLE / nu::DOUBLE *
-        |    (CASE WHEN nu < 64 THEN nu::DOUBLE
-        |          ELSE 63e0 * 4294967296e0 / kth::DOUBLE END), 3) AS ix
-        |FROM m ORDER BY d""".stripMargin,
+        |  round(ns::DOUBLE / nu::DOUBLE * du, 3) AS ix,
+        |  round(greatest(du - db, 0e0), 3) AS dx
+        |FROM e ORDER BY d""".stripMargin,
 
     "boost_percentile" ->
       """SELECT CAST(user_id AS VARCHAR) AS purchase_user,

@@ -380,6 +380,30 @@ object ParserProps extends Properties("graft.boostql.parser") {
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
       Gen.alphaLowerChar).map("s" + _.mkString))
 
+  // WINDOW clause: for ANY spec, `OVER w` + `WINDOW w AS (spec)` must
+  // parse to the IDENTICAL tree as spelling the spec inline at every
+  // OVER site — substitution is invisible downstream by construction
+  private val winSpecGen: Gen[String] = for {
+    part <- Gen.oneOf("", "PARTITION BY cpu.host", "PARTITION BY cpu.host, mem")
+    ord  <- Gen.oneOf("", "ORDER BY cpu", "ORDER BY cpu DESC, ts")
+    frame <- Gen.oneOf("", "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    // a frame needs an ordered window; empty spec is legal
+    spec = Seq(part, ord, if (ord.nonEmpty) frame else "")
+      .filter(_.nonEmpty).mkString(" ")
+  } yield spec
+  property("windowClauseSubstitutionInvisible") = forAll(
+    winSpecGen, Gen.oneOf(1, 2, 3)
+  ) { (spec, uses) =>
+    val calls = Seq("rank()", "sum(cpu)", "lag(cpu, 1)").take(uses)
+    val named = calls.zipWithIndex
+      .map { case (c, i) => s"$c OVER w AS c$i" }.mkString(", ")
+    val inline = calls.zipWithIndex
+      .map { case (c, i) => s"$c OVER ($spec) AS c$i" }.mkString(", ")
+    Parser.parse(s"SELECT $named FROM dom.f WINDOW w AS ($spec)") ==
+      Parser.parse(s"SELECT $inline FROM dom.f")
+  }
+
   property("distinctOnKeysRoundTrip") = forAll(
     Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, identGen))
   ) { keys =>
