@@ -108,11 +108,16 @@ object Parser {
     "covar_samp", "histogram", "twa", "increase", "resets", "mad",
     "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
     "arg_max", "arg_min", "max_by", "min_by", "string_agg",
-    "bool_and", "bool_or", "count_if")
+    "bool_and", "bool_or", "count_if", "regr_slope", "regr_intercept",
+    "regr_r2", "regr_count", "regr_avgx", "regr_avgy")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
-    * [[corrDesugar]]) rather than carried as AST nodes. */
-  private val corrFns = Set("corr", "covar_pop", "covar_samp")
+    * [[corrDesugar]]) rather than carried as AST nodes. The `regr_*`
+    * family follows the SQL-standard argument order `(y, x)` — y the
+    * dependent variable, x the independent one. */
+  private val corrFns = Set("corr", "covar_pop", "covar_samp",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy")
 
   /** `OVER <name>` parks the name as the sole partitionBy entry under
     * this marker until the query's WINDOW clause resolves it. The NUL
@@ -138,8 +143,12 @@ object Parser {
     * nulls x/0: covar_samp of a single pair divides by zero → NULL;
     * corr of a zero-variance side hits sqrt(0) → /0 → NULL.
     */
-  private def corrDesugar(fn: String, x: Operand, y: Operand,
+  private def corrDesugar(fn: String, arg1: Operand, arg2: Operand,
       filter: Option[BExpr]): Operand = {
+    // regr_*(y, x) puts the DEPENDENT variable first (SQL standard);
+    // rebind so the body's (x, y) are always (independent, dependent)
+    val (x, y) =
+      if (fn.startsWith("regr_")) (arg2, arg1) else (arg1, arg2)
     val bothNotNull: BExpr =
       AndE(IsNullE(x, negated = true), IsNullE(y, negated = true))
     val pairOk = filter.fold(bothNotNull)(c => AndE(bothNotNull, c))
@@ -175,6 +184,34 @@ object Parser {
         OCase(Seq((AndE(Cmp(">", dx, OLit(BInt(0))),
           Cmp(">", dy, OLit(BInt(0)))),
           OArith("/", OArith("/", num, dx), dy))), None)
+      // ordinary-least-squares over the same exact pair sums:
+      //   slope     = (n·sxy − sx·sy) / (n·sxx − sx²)
+      //   intercept = (sy − slope·sx) / n
+      //   r²        = (n·sxy − sx·sy)² / ((n·sxx − sx²)(n·syy − sy²))
+      // zero x-variance (vertical line) nulls slope/intercept/r²; zero
+      // y-variance with x-variance present is a perfect horizontal fit
+      // → r² = 1 (the PostgreSQL/DuckDB regr_r2 contract)
+      case "regr_count" =>
+        OCast(OFn("coalesce", Seq(
+          OAggX("sum", OCase(Seq((pairOk, OLit(BInt(1)))), None)),
+          OLit(BInt(0)))), "int")
+      case "regr_avgx" => OArith("/", sx, n)
+      case "regr_avgy" => OArith("/", sy, n)
+      case "regr_slope" | "regr_intercept" | "regr_r2" =>
+        val num = OArith("-", OArith("*", n, sxy), OArith("*", sx, sy))
+        val dxx = OArith("-", OArith("*", n, sxx), OArith("*", sx, sx))
+        val dyy = OArith("-", OArith("*", n, syy), OArith("*", sy, sy))
+        val xVaries = Cmp(">", dxx, OLit(BInt(0)))
+        val slope = OArith("/", num, dxx)
+        fn match {
+          case "regr_slope" => OCase(Seq((xVaries, slope)), None)
+          case "regr_intercept" => OCase(Seq((xVaries,
+            OArith("/", OArith("-", sy, OArith("*", slope, sx)), n))), None)
+          case "regr_r2" => OCase(Seq(
+            (AndE(xVaries, Cmp(">", dyy, OLit(BInt(0)))),
+              OArith("*", OArith("/", num, dxx), OArith("/", num, dyy))),
+            (xVaries, OLit(BFloat(1.0)))), None)
+        }
     }
   }
 

@@ -777,6 +777,23 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 2 ORDER BY purchase.user")),
 
+    // ordinary-least-squares per group: the regr_* family desugars to
+    // the same exact-integer pair sums as corr/covar, so slope /
+    // intercept / r² are a fixed IEEE tail over order-independent
+    // sums — trend-per-series ("is this metric drifting?") on the SQL
+    // front with a bit-exact cross-engine replay. regr_*(y, x): value
+    // cents regressed ON the event ordinal
+    "boost_regr" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "regr_slope(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS sl, " +
+        "regr_intercept(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS ic, " +
+        "regr_r2(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS r2, " +
+        "regr_count(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS n, " +
+        "regr_avgx(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS ax, " +
+        "regr_avgy(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS ay " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 2 ORDER BY purchase.user")),
+
     // time-weighted average on the SQL front: trapezoid integral over
     // integer cents — one lead() pass on the group keys + the hash
     // aggregate on the same keys (exchange reused), exact segment sums,
@@ -2017,6 +2034,46 @@ object BoostQueries {
         |    / sqrt(n * syy - sy * sy) AS r,
         |  (sxy - sx * sy / n) / n AS cp,
         |  (sxy - sx * sy / n) / (n - 1.0) AS cs
+        |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // the identical OLS desugar arithmetic; x = event ordinal,
+    // y = value cents (regr_* argument order is (y, x))
+    "boost_regr" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(event_id AS BIGINT) AS x,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT u,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN 1 END) AS DOUBLE) AS nd,
+        |    CAST(COALESCE(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN 1 END), 0) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x END) AS DOUBLE) AS sx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y END) AS DOUBLE) AS sy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * x END) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y * y END) AS DOUBLE) AS syy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * y END) AS DOUBLE) AS sxy
+        |  FROM t GROUP BY u HAVING COUNT(y) > 2)
+        |SELECT u AS purchase_user,
+        |  CASE WHEN nd * sxx - sx * sx > 0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS sl,
+        |  CASE WHEN nd * sxx - sx * sx > 0
+        |    THEN (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx)
+        |           / nd END AS ic,
+        |  CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+        |    THEN ((nd * sxy - sx * sy) / (nd * sxx - sx * sx))
+        |       * ((nd * sxy - sx * sy) / (nd * syy - sy * sy))
+        |    WHEN nd * sxx - sx * sx > 0 THEN 1e0 END AS r2,
+        |  cnt AS n,
+        |  sx / nd AS ax,
+        |  sy / nd AS ay
         |FROM g ORDER BY purchase_user""".stripMargin,
 
     // identical trapezoid arithmetic: exact BIGINT segment sums per

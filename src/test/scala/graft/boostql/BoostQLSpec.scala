@@ -2506,6 +2506,55 @@ class BoostQLSpec extends SparkSpec {
       Parser.parse("SELECT covar_pop(cpu, mem, disk) FROM dom.f"))
   }
 
+  test("regr_*: OLS semantics over the exact-sum desugar") {
+    // a perfect line y = 2x + 1 recovers slope/intercept/r² exactly
+    // (regr_* argument order is (y, x): dependent first)
+    val df = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "regr_slope(CAST(purchase * 100.0 AS int) * 2 + 1, " +
+        "           CAST(purchase * 100.0 AS int)) AS sl, " +
+        "regr_intercept(CAST(purchase * 100.0 AS int) * 2 + 1, " +
+        "               CAST(purchase * 100.0 AS int)) AS ic, " +
+        "regr_r2(CAST(purchase * 100.0 AS int) * 2 + 1, " +
+        "        CAST(purchase * 100.0 AS int)) AS r2, " +
+        "regr_count(purchase, purchase) AS n, " +
+        "regr_avgx(purchase, CAST(purchase * 100.0 AS int)) AS ax, " +
+        "count(purchase) AS cn " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 2 ORDER BY purchase.user"), fam)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 2.0) < 1e-9, r.toSeq)
+      assert(math.abs(r.getDouble(2) - 1.0) <
+        1e-9 * math.abs(r.getDouble(2)).max(1.0), r.toSeq)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toSeq)
+      // both args non-null on every purchase row → count = count()
+      assert(r.getLong(4) == r.getLong(6), r.toSeq)
+    }
+    // zero x-variance (vertical line): slope/intercept/r² all null;
+    // zero y-variance with x varying: a perfect horizontal fit, r² = 1
+    val degen = Compiler.compile(Parser.parse(
+      "SELECT regr_slope(click, 7) AS sl, " +
+        "regr_intercept(click, 7) AS ic, regr_r2(click, 7) AS r2, " +
+        "regr_slope(7, click) AS hs, regr_r2(7, click) AS hr " +
+        "FROM dom.events"), fam).collect()(0)
+    assert(degen.isNullAt(0) && degen.isNullAt(1) && degen.isNullAt(2),
+      degen.toSeq)
+    // slope over raw (non-integral) doubles is near-zero, not exact —
+    // the exactness contract is for integral inputs; r² = 1 is the
+    // literal CASE branch so it IS exact
+    assert(math.abs(degen.getDouble(3)) < 1e-9 &&
+      degen.getDouble(4) == 1.0, degen.toSeq)
+    // count over an empty pair set is 0, not null
+    val none = Compiler.compile(Parser.parse(
+      "SELECT regr_count(click, click) AS n FROM dom.events " +
+        "WHERE click > 1000000000000.0"), fam).collect()(0)
+    assert(!none.isNullAt(0) && none.getLong(0) == 0L, none.toSeq)
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT regr_slope(cpu) FROM dom.f"))
+  }
+
   test("FILL: dense bucket axis, modes, refusal matrix") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp

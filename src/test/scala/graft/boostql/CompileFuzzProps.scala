@@ -42,7 +42,9 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
     "arg_max(cpu.host, cpu)", "min_by(mem, ts)",
     "arg_min(cpu, mem + 1.0) FILTER (WHERE mem > 4.0)",
     "string_agg(cpu.host, ',')", "bool_and(cpu < 50.0)",
-    "bool_or(cpu.host = 'h1')", "count_if(mem > cpu)")
+    "bool_or(cpu.host = 'h1')", "count_if(mem > cpu)",
+    "regr_slope(mem, cpu)", "regr_r2(mem, cpu)",
+    "regr_count(mem, cpu)")
   private val winItem: Gen[String] = Gen.oneOf(
     "rank() OVER (ORDER BY cpu)",
     "lag(cpu, 1) OVER (PARTITION BY cpu.host ORDER BY cpu)",

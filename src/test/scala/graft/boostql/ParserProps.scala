@@ -343,7 +343,9 @@ object ParserProps extends Properties("graft.boostql.parser") {
   // the IDENTICAL operand tree (structural dedup depends on it), and
   // the tree contains only sum() aggregates
   property("corrDesugarCanonical") = forAll(
-    Gen.oneOf("corr", "covar_pop", "covar_samp"),
+    Gen.oneOf("corr", "covar_pop", "covar_samp", "regr_slope",
+      "regr_intercept", "regr_r2", "regr_count", "regr_avgx",
+      "regr_avgy"),
     Gen.oneOf("cpu,mem" -> "cpu , mem", "cpu,mem" -> "cpu,  mem")
   ) { case (fn, (a, b)) =>
     def aggs(o: Operand): Seq[String] = o match {
