@@ -471,7 +471,7 @@ object Compiler {
     * ORDER BY only, no GROUP BY combination).
     */
   private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp",
-    "session")
+    "session", "holt", "holt_forecast")
 
   /** Whole-partition series statistics (`zscore`): no time order — the
     * statistic is over the entire series (or each OVER partition), so
@@ -1308,7 +1308,9 @@ object Compiler {
     def tsWinColumn(fn: String, args: Seq[Operand], aggOk: Boolean,
         part: Seq[RawName] = Seq.empty): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
-      val arity = if (fn == "ewma" || fn == "session") 2 else 1
+      val arity =
+        if (fn == "holt" || fn == "holt_forecast") 3
+        else if (fn == "ewma" || fn == "session") 2 else 1
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
       if (fn == "session") {
@@ -1425,6 +1427,35 @@ object Compiler {
           ColumnBridge.column(WindowExpression(
             graft.functions.Ewma(
               ColumnBridge.expression(c.cast("double")), alpha),
+            WindowSpecDefinition(
+              part.map(p => ColumnBridge.expression(col(ref(p).inName))),
+              Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),
+              UnspecifiedFrame)))
+        case "holt" | "holt_forecast" =>
+          // Holt double-exponential smoothing — level + linear trend
+          // (holt = smoothed level, holt_forecast = one-step-ahead
+          // l + b). Same running-frame kernel shape as ewma, two-slot
+          // state; alpha/beta must be compile-time numeric literals
+          // (they are baked into the update expressions).
+          def smoothParam(o: Operand, what: String, zeroOk: Boolean): Double =
+            o match {
+              case OLit(BFloat(a))
+                if (a > 0.0 || (zeroOk && a == 0.0)) && a <= 1.0 => a
+              case OLit(BInt(1)) => 1.0
+              case OLit(BInt(0)) if zeroOk => 0.0
+              case _ => throw CompileException(
+                s"$fn() $what must be a numeric literal in " +
+                  (if (zeroOk) "[0, 1]" else "(0, 1]"))
+            }
+          val alpha = smoothParam(args(1), "alpha", zeroOk = false)
+          val beta = smoothParam(args(2), "beta", zeroOk = true)
+          import org.apache.spark.sql.catalyst.expressions.{
+            Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+            WindowSpecDefinition}
+          ColumnBridge.column(WindowExpression(
+            graft.functions.Holt(
+              ColumnBridge.expression(c.cast("double")), alpha, beta,
+              forecast = fn == "holt_forecast"),
             WindowSpecDefinition(
               part.map(p => ColumnBridge.expression(col(ref(p).inName))),
               Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),

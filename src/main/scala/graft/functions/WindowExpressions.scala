@@ -47,3 +47,59 @@ case class Ewma(child: Expression, alpha: Double)
   override protected def withNewChildInternal(newChild: Expression): Ewma =
     copy(child = newChild)
 }
+
+/** Holt double-exponential smoothing (level + linear trend) over a
+  * running window:
+  *
+  *   l_i = alpha * x_i + (1 - alpha) * (l_(i-1) + b_(i-1))
+  *   b_i = beta * (l_i - l_(i-1)) + (1 - beta) * b_(i-1)
+  *
+  * seeded at the first non-null observation with `l_1 = x_1, b_1 = 0`
+  * (the zero-trend seed — deterministic for a 1-point series, unlike
+  * the x_2 − x_1 textbook seed which needs lookahead). Emits the
+  * smoothed level, or the one-step-ahead forecast `l_i + b_i` when
+  * `forecast` is set — the "where is this metric heading" tier that
+  * single-exponential [[Ewma]] (which lags any trending series) cannot
+  * answer. A null input leaves the (level, trend) state unchanged.
+  *
+  * Same execution shape as [[Ewma]]: an [[AggregateWindowFunction]]
+  * with a two-slot buffer, one declarative update per row, O(n) per
+  * partition. The recurrence is a fixed IEEE sequence — the trend
+  * update re-derives l_i with the identical expression, so an engine
+  * replaying the same arithmetic (e.g. a recursive CTE) matches bit
+  * for bit.
+  */
+case class Holt(child: Expression, alpha: Double, beta: Double,
+    forecast: Boolean = false)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+  require(alpha > 0.0 && alpha <= 1.0, "holt alpha must be in (0, 1]")
+  require(beta >= 0.0 && beta <= 1.0, "holt beta must be in [0, 1]")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (forecast) "graft_holt_forecast" else "graft_holt"
+
+  private lazy val x = Cast(child, DoubleType)
+  private lazy val l =
+    AttributeReference("l", DoubleType, nullable = true)()
+  private lazy val b =
+    AttributeReference("b", DoubleType, nullable = true)()
+
+  // the new level, in terms of the OLD buffer (update expressions all
+  // read pre-update state; the trend update inlines the same tree)
+  private def lNext: Expression =
+    Literal(alpha) * x + Literal(1.0 - alpha) * (l + b)
+
+  override def aggBufferAttributes: Seq[AttributeReference] = l :: b :: Nil
+  override val initialValues: Seq[Expression] =
+    Literal.create(null, DoubleType) :: Literal.create(null, DoubleType) :: Nil
+  override lazy val updateExpressions: Seq[Expression] =
+    If(IsNull(x), l, If(IsNull(l), x, lNext)) ::
+    If(IsNull(x), b, If(IsNull(l), Literal(0.0),
+      Literal(beta) * (lNext - l) + Literal(1.0 - beta) * b)) :: Nil
+  override lazy val evaluateExpression: Expression =
+    if (forecast) l + b else l
+
+  override protected def withNewChildInternal(newChild: Expression): Holt =
+    copy(child = newChild)
+}

@@ -849,6 +849,17 @@ object BoostQueries {
         "ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm " +
         "FROM dom.events ORDER BY click.event_id")),
 
+    // holt(x, a, b) / holt_forecast(x, a, b): double-exponential
+    // smoothing — level + linear trend, the "where is this metric
+    // heading" tier ewma can't answer (it lags any trending series).
+    // Same running-frame kernel shape, two-slot (level, trend) state;
+    // the oracle replays the identical IEEE recurrence recursively.
+    "boost_ts_holt" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "holt(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS lv, " +
+        "holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // zscore(x): whole-partition standardization spelled as explicit
     // S/Q/n sums — an integral input keeps the sums exact (order-
     // independent), so the remaining double ops are a fixed IEEE
@@ -2196,6 +2207,27 @@ object BoostQueries {
         |  FROM pts p JOIN s ON p.user_id = s.user_id AND p.rn = s.rn + 1
         |)
         |SELECT CAST(event_id AS VARCHAR) AS click_event_id, y AS sm
+        |FROM s ORDER BY click_event_id""".stripMargin,
+
+    // the identical Holt recurrence, replayed recursively: the trend
+    // row re-derives the new level with the same expression the kernel
+    // inlines, so every step is the same fixed IEEE sequence
+    "boost_ts_holt" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), s AS (
+        |  SELECT event_id, user_id, rn, x, x AS l, 0e0 AS b
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.rn, p.x,
+        |    0.5 * p.x + 0.5 * (s.l + s.b),
+        |    0.25 * ((0.5 * p.x + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b
+        |  FROM pts p JOIN s ON p.user_id = s.user_id AND p.rn = s.rn + 1
+        |)
+        |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  l AS lv, l + b AS fc
         |FROM s ORDER BY click_event_id""".stripMargin,
 
     // exact integer S/Q/n per partition, then the same fixed IEEE

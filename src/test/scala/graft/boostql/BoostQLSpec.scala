@@ -1888,6 +1888,69 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("holt: level+trend smoothing matches the driver-replayed recurrence") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click, " +
+        "holt(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS lv, " +
+        "holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events ORDER BY click.event_id"), fam)
+    val rows = Compiler.compile(Parser.parse(
+      "SELECT click.event_id, click, click.user FROM dom.events"), fam)
+      .join(fam.filter(c("series") === "click")
+        .select(org.apache.spark.sql.functions.element_at(
+          c("attributes"), "event_id").as("click_event_id"), c("ts")),
+        "click_event_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val expect = rows.groupBy(_._3).iterator.flatMap { case (_, g) =>
+      var st = Option.empty[(Double, Double)]
+      g.sortBy(_._4).map { case (id, x, _, _) =>
+        st = Some(st.fold((x, 0.0)) { case (l, b) =>
+          val ln = 0.5 * x + 0.5 * (l + b)
+          (ln, 0.25 * (ln - l) + 0.75 * b)
+        })
+        (id, st.get)
+      }
+    }.toMap
+    val got = df.collect()
+      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty && got.size == expect.size)
+    // bit-identical level; forecast = level + trend exactly
+    assert(got.forall { case (id, (lv, fc)) =>
+      val (l, b) = expect(id); lv == l && fc == l + b
+    })
+    // a constant series has zero trend: forecast == level == the value
+    val const = Compiler.compile(Parser.parse(
+      "SELECT holt(7.0, 0.5, 0.5) OVER (PARTITION BY click.user) AS lv, " +
+        "holt_forecast(7.0, 0.5, 0.5) OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events"), fam).collect()
+    assert(const.forall(r => r.getDouble(0) == 7.0 && r.getDouble(1) == 7.0))
+    // beta = 0 degrades to single-exponential: holt == ewma exactly
+    val eq = Compiler.compile(Parser.parse(
+      "SELECT holt(click, 0.5, 0) OVER (PARTITION BY click.user) AS h, " +
+        "ewma(click, 0.5) OVER (PARTITION BY click.user) AS e " +
+        "FROM dom.events"), fam).collect()
+    assert(eq.nonEmpty && eq.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // validation pins
+    intercept[Compiler.CompileException] { // arity is three
+      Compiler.compile(Parser.parse(
+        "SELECT holt(click, 0.5) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // alpha = 0 invalid
+      Compiler.compile(Parser.parse(
+        "SELECT holt(click, 0, 0.5) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // beta out of range
+      Compiler.compile(Parser.parse(
+        "SELECT holt(click, 0.5, 1.5) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // beta must be a literal
+      Compiler.compile(Parser.parse(
+        "SELECT holt_forecast(click, 0.5, click) AS s FROM dom.events"), fam)
+    }
+  }
+
   test("session() assigns monotone per-partition session ids") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Compiler.compile(Parser.parse(

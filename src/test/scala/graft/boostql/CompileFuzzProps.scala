@@ -50,6 +50,7 @@ object CompileFuzzProps extends Properties("boostql.compilefuzz") {
     "lag(cpu, 1) OVER (PARTITION BY cpu.host ORDER BY cpu)",
     "avg(mem) OVER (ORDER BY cpu ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
     "rate(cpu)", "locf(mem)", "zscore(cpu)",
+    "holt(cpu, 0.5, 0.25)", "holt_forecast(mem, 1, 0)",
     "rank() OVER w", "sum(cpu) OVER w")
 
   private val item: Gen[String] = Gen.frequency(
