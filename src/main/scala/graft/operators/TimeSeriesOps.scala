@@ -310,6 +310,84 @@ object TimeSeriesOps {
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered funnel conversion: for each user, the earliest time each
+    * step was reached STRICTLY AFTER the previous step (the classic
+    * product-analytics funnel — "signed up, then viewed, then clicked,
+    * then purchased, in that order"), counted per step. A user advances
+    * to step i only via an event of `steps(i)` with a timestamp later
+    * than their step i−1 time; `withinMicros` additionally bounds the
+    * whole journey to that many microseconds from the step-0 time.
+    *
+    * Plan shape: ONE hash exchange on the user key. Each step's
+    * first-reach time is a whole-partition `min(CASE …)` window over
+    * the same partitioning — step i's condition references step i−1's
+    * materialized column, so Catalyst stacks k Window nodes on one
+    * exchange (dependent expressions cannot collapse into one node,
+    * but they re-use the partitioning and sort nothing). The per-user
+    * reduction and the final per-step counts aggregate over the same
+    * key, so at 100 TB the cost is the one per-user shuffle any
+    * sessionization pays, then a k-column count.
+    *
+    * Returns one row per step: (step_index, step, users), ordered —
+    * users is monotonically non-increasing down the funnel by
+    * construction.
+    */
+  def funnel(df: DataFrame, userCol: String, eventCol: String,
+      tsCol: String, steps: Seq[String],
+      withinMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(withinMicros.forall(_ > 0), "withinMicros must be positive")
+    val w = Window.partitionBy(col(userCol))
+    var d = df.withColumn("__s0",
+      min(when(col(eventCol) === steps.head, col(tsCol))).over(w))
+    steps.indices.drop(1).foreach { i =>
+      val after = col(eventCol) === steps(i) &&
+        col(tsCol) > col(s"__s${i - 1}")
+      val bounded = withinMicros.fold(after)(us =>
+        after && unix_micros(col(tsCol)) <= unix_micros(col("__s0")) + us)
+      d = d.withColumn(s"__s$i", min(when(bounded, col(tsCol))).over(w))
+    }
+    val perUser = d.groupBy(col(userCol)).agg(
+      max(col("__s0")).as("__s0"),
+      steps.indices.drop(1).map(i => max(col(s"__s$i")).as(s"__s$i")): _*)
+    val counts = perUser.agg(
+      count(col("__s0")).as("__n0"),
+      steps.indices.drop(1).map(i => count(col(s"__s$i")).as(s"__n$i")): _*)
+    val stackArgs = steps.zipWithIndex.map { case (s, i) =>
+      s"$i, '${s.replace("'", "''")}', __n$i"
+    }.mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step_index, step, users)")
+      .orderBy("step_index")
+  }
+
+  /** Retention cohorts: users grouped by their first-seen day (the
+    * cohort), counted on each later day they came back — the classic
+    * "day-N retention" triangle. Returns (cohort_date, day_offset,
+    * users) for offsets 0..maxOffsetDays, ordered; offset 0 is the
+    * cohort size.
+    *
+    * Plan shape: the first-seen day is a whole-partition `min` window
+    * on the user key (one exchange); (cohort, offset) pairs then
+    * aggregate with `count(DISTINCT user)` — Spark plans the distinct
+    * as a two-phase partial/final expand, so no per-cohort row list
+    * ever materializes. Two shuffles total (user, then cohort×offset),
+    * the minimum for these semantics at any scale.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, "maxOffsetDays must be non-negative")
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .withColumn("cohort_date", min(col("__day")).over(w))
+      .withColumn("day_offset", datediff(col("__day"), col("cohort_date")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count_distinct(col(userCol)).as("users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
   /** Linear interpolation of each key's series onto a dense daily grid:
     * grid days between two observations get the time-weighted blend of
     * the surrounding values; days outside the observed range stay at the

@@ -201,6 +201,22 @@ object TimeSeriesQueries {
           round(col("twa"), 6).as("twa_cents"))
         .orderBy("event_type", "user_id")),
 
+    // ordered funnel over the event stream: signup → view → click →
+    // purchase, each step strictly after the previous, the whole
+    // journey within 14 days of signup. One exchange on the user key
+    // (stacked dependent min-CASE windows), exact counts.
+    "ts_funnel" -> ((s, d) =>
+      TimeSeriesOps.funnel(ev(s, d), userCol = "user_id",
+        eventCol = "event_type", tsCol = "ts",
+        steps = Seq("signup", "view", "click", "purchase"),
+        withinMicros = Some(14L * 86400L * 1000000L))),
+
+    // day-N retention triangle: cohort = first-seen day per user,
+    // users counted on each later active day (offsets 0..30)
+    "ts_retention" -> ((s, d) =>
+      TimeSeriesOps.retentionCohorts(ev(s, d), userCol = "user_id",
+        tsCol = "ts", maxOffsetDays = 30)),
+
     "ts_ewma" -> ((s, d) => {
       // bounded to the first 50 points per series so the oracle's
       // closed-form power() formulation stays in range; the operator
@@ -461,6 +477,45 @@ object TimeSeriesQueries {
         |SELECT event_type, user_id, twa_cents FROM r
         |WHERE twa_cents IS NOT NULL
         |ORDER BY event_type, user_id""".stripMargin,
+
+    // the same stacked dependent min-CASE windows, per-user reduction,
+    // per-step counts — timestamps only compared, never emitted
+    "ts_funnel" ->
+      """WITH w0 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s0
+        |  FROM events),
+        |w1 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'view' AND ts > s0
+        |        AND epoch_us(ts) <= epoch_us(s0) + 1209600000000 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM w0),
+        |w2 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND ts > s1
+        |        AND epoch_us(ts) <= epoch_us(s0) + 1209600000000 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM w1),
+        |w3 AS (SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > s2
+        |        AND epoch_us(ts) <= epoch_us(s0) + 1209600000000 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM w2),
+        |u AS (SELECT user_id, max(s0) AS s0, max(s1) AS s1,
+        |    max(s2) AS s2, max(s3) AS s3 FROM w3 GROUP BY user_id)
+        |SELECT 0 AS step_index, 'signup' AS step, count(s0) AS users FROM u
+        |UNION ALL SELECT 1, 'view', count(s1) FROM u
+        |UNION ALL SELECT 2, 'click', count(s2) FROM u
+        |UNION ALL SELECT 3, 'purchase', count(s3) FROM u
+        |ORDER BY step_index""".stripMargin,
+
+    "ts_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_date FROM d)
+        |SELECT cohort_date, CAST(day - cohort_date AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM f WHERE day - cohort_date <= 30
+        |GROUP BY cohort_date, day_offset
+        |ORDER BY cohort_date, day_offset""".stripMargin,
 
     "ts_ewma" ->
       """WITH ranked AS (

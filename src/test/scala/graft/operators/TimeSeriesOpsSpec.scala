@@ -244,4 +244,83 @@ class TimeSeriesOpsSpec extends SparkSpec {
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"window+agg must reuse the key exchange:\n$plan")
   }
+
+  test("funnel: strict ordering, within bound, monotone counts, one user exchange") {
+    // u1 completes all four steps in order; u2 stalls at view (the
+    // click PRECEDES the view, so strict ordering refuses it); u3's
+    // purchase falls outside the within bound; u4 never signs up but
+    // views/clicks anyway (counted nowhere — no step-0)
+    val events = Seq(
+      ("u1", "signup",   ts("2024-01-01 00:00:00")),
+      ("u1", "view",     ts("2024-01-01 01:00:00")),
+      ("u1", "click",    ts("2024-01-01 02:00:00")),
+      ("u1", "purchase", ts("2024-01-01 03:00:00")),
+      ("u2", "click",    ts("2024-01-02 00:30:00")),
+      ("u2", "signup",   ts("2024-01-02 01:00:00")),
+      ("u2", "view",     ts("2024-01-02 02:00:00")),
+      ("u3", "signup",   ts("2024-01-03 00:00:00")),
+      ("u3", "view",     ts("2024-01-03 01:00:00")),
+      ("u3", "click",    ts("2024-01-03 02:00:00")),
+      ("u3", "purchase", ts("2024-01-20 00:00:00")),
+      ("u4", "view",     ts("2024-01-04 00:00:00")),
+      ("u4", "click",    ts("2024-01-04 01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"),
+      withinMicros = Some(7L * 86400L * 1000000L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, "signup", 3L), (1, "view", 3L),
+      (2, "click", 2L), (3, "purchase", 1L)), got.toSeq)
+    // no within bound: u3's late purchase converts
+    val open = TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(2))
+    assert(open.toSeq == Seq(3L, 3L, 2L, 2L), open.toSeq)
+    // a same-timestamp step does NOT advance (strictly after)
+    val tie = Seq(
+      ("u", "signup", ts("2024-01-01 00:00:00")),
+      ("u", "view",   ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val tied = TimeSeriesOps.funnel(tie, "user_id", "event_type", "ts",
+      Seq("signup", "view")).collect().map(r => r.getLong(2))
+    assert(tied.toSeq == Seq(1L, 0L), tied.toSeq)
+    // the stacked windows and the per-user reduction share ONE user
+    // exchange (the per-step count tail is a single-partition agg)
+    val plan = TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"funnel must reuse the user exchange:\n$plan")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.funnel(events, "user_id", "event_type", "ts", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("a", "a"))
+    }
+  }
+
+  test("retentionCohorts: first-seen day cohorts, offset triangle") {
+    val events = Seq(
+      ("u1", ts("2024-01-01 09:00:00")),
+      ("u1", ts("2024-01-02 09:00:00")),
+      ("u1", ts("2024-01-02 18:00:00")), // same day twice: counted once
+      ("u1", ts("2024-01-05 09:00:00")),
+      ("u2", ts("2024-01-01 12:00:00")),
+      ("u2", ts("2024-01-05 12:00:00")),
+      ("u3", ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = TimeSeriesOps.retentionCohorts(events, "user_id", "ts", 30)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 4, 2L),
+      ("2024-01-02", 0, 1L)), got.toSeq)
+    // maxOffsetDays cuts the triangle
+    val cut = TimeSeriesOps.retentionCohorts(events, "user_id", "ts", 1)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(cut.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)),
+      cut.toSeq)
+  }
 }
