@@ -388,6 +388,44 @@ object Compiler {
         .otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) /
           element_at(a(1), -1).cast("double"))
       greatest(kmvUnionEstimate(a(0), a(1)) - dB, lit(0.0))
+    })),
+    /* histogram_quantile(h, q, lo, hi): the Prometheus-style quantile
+     * estimate over a histogram() count string — the read half of the
+     * mergeable-histogram rollup pattern (aggregate cheap fixed-state
+     * histograms per group/day, estimate percentiles at read time).
+     * Walks the cumulative counts to the first bucket where
+     * cum ≥ q·total (skipping empty buckets), then interpolates
+     * uniformly within it:  lo + width · (bin + (q·total − cumBefore)
+     * / binCount).  q/lo/hi are ordinary expressions (q may vary per
+     * row); lo/hi must be the bounds the histogram was built with —
+     * the count string does not carry them. NULL when the histogram is
+     * empty or q is outside [0, 1]. One fold over ≤256 elements per
+     * row (higher-order functions evaluate per-row post-aggregation,
+     * off the hot scan path); the identical arithmetic replays in any
+     * engine with list ops. */
+    "histogram_quantile" -> ((4, 4, (a: Seq[Column]) => {
+      val arr = transform(split(a(0), ","), x => x.cast("long"))
+      val q = a(1).cast("double")
+      val lo = a(2).cast("double"); val hi = a(3).cast("double")
+      val total = aggregate(arr, lit(0L), (acc, x) => acc + x)
+      val target = q * total.cast("double")
+      val init = struct(lit(0).as("i"), lit(0L).as("cum"),
+        lit(-1).as("bin"), lit(0L).as("before"))
+      val folded = aggregate(arr, init, (acc, x) => {
+        val cum = acc.getField("cum") + x
+        val hit = acc.getField("bin") === lit(-1) &&
+          cum.cast("double") >= target && x > 0
+        struct((acc.getField("i") + 1).as("i"), cum.as("cum"),
+          when(hit, acc.getField("i")).otherwise(acc.getField("bin")).as("bin"),
+          when(hit, acc.getField("cum"))
+            .otherwise(acc.getField("before")).as("before"))
+      })
+      val bin = folded.getField("bin")
+      val cnt = element_at(arr, bin + 1).cast("double")
+      val width = (hi - lo) / size(arr).cast("double")
+      when(total > 0 && bin >= 0 && q >= 0.0 && q <= 1.0,
+        lo + width * (bin.cast("double") +
+          (target - folded.getField("before").cast("double")) / cnt))
     }))
   )
 

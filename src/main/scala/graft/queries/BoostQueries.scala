@@ -814,6 +814,19 @@ object BoostQueries {
         "count(purchase) AS n " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // histogram_quantile over the histogram counts: the mergeable-
+    // histogram read path — estimate percentiles from the fixed-state
+    // bin counts (Prometheus-style uniform-within-bucket interpolation)
+    // instead of re-scanning raw points. Structural dedup computes the
+    // histogram aggregate once for both quantiles.
+    "boost_hist_quantile" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "histogram_quantile(histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8), " +
+        "                   0.5, 0, 25000) AS p50, " +
+        "histogram_quantile(histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8), " +
+        "                   0.9, 0, 25000) AS p90 " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
+
     // exact median over integer cents: odd groups pick an element,
     // even groups take the midpoint — exact halves of integers, so both
     // engines produce identical doubles
@@ -2133,6 +2146,56 @@ object BoostQueries {
         |    COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0)) AS hist,
         |  COUNT(x) AS n
         |FROM b GROUP BY u ORDER BY purchase_user""".stripMargin,
+
+    // the identical bin counts, then the same cumulative walk + uniform
+    // interpolation per quantile (range-join over the 8 bins; empty
+    // slice sums coalesce to 0 like the fold's seed)
+    "boost_hist_quantile" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT u, x,
+        |    CASE WHEN x IS NOT NULL AND CAST(x AS DOUBLE) >= 0.0
+        |              AND CAST(x AS DOUBLE) < 25000.0
+        |         THEN least(CAST(floor((CAST(x AS DOUBLE) - 0.0)
+        |                    / 25000.0 * 8.0) AS INT), 7) END AS bin
+        |  FROM t
+        |), g AS (
+        |  SELECT u, [
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT)
+        |  ] AS cs FROM b GROUP BY u
+        |), r AS (
+        |  SELECT g.u, qq.q, t2.i, cs[t2.i] AS c,
+        |    CAST(COALESCE(list_sum(cs[1:t2.i]), 0) AS BIGINT) AS cum,
+        |    CAST(COALESCE(list_sum(cs[1:t2.i - 1]), 0) AS BIGINT) AS bef,
+        |    CAST(COALESCE(list_sum(cs), 0) AS BIGINT) AS total
+        |  FROM g, (SELECT CAST(i AS INT) AS i FROM range(1, 9) s(i)) t2,
+        |       (VALUES (0.5), (0.9)) qq(q)
+        |), p AS (
+        |  SELECT u, q, i, c, bef, total,
+        |    row_number() OVER (PARTITION BY u, q ORDER BY i) AS rn
+        |  FROM r
+        |  WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE) AND c > 0
+        |), v AS (
+        |  SELECT u, q,
+        |    0e0 + (25000e0 - 0e0) / 8e0 * (CAST(i - 1 AS DOUBLE) +
+        |      (q * CAST(total AS DOUBLE) - CAST(bef AS DOUBLE))
+        |        / CAST(c AS DOUBLE)) AS val
+        |  FROM p WHERE rn = 1)
+        |SELECT g.u AS purchase_user, v5.val AS p50, v9.val AS p90
+        |FROM g
+        |LEFT JOIN v v5 ON v5.u = g.u AND v5.q = 0.5
+        |LEFT JOIN v v9 ON v9.u = g.u AND v9.q = 0.9
+        |ORDER BY purchase_user""".stripMargin,
 
     // exact BIGINT S/Q/n per group, then the identical IEEE tail:
     // (Q - S*S/n) / (n - 1), sqrt for stddev

@@ -1888,6 +1888,33 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("histogram_quantile: cumulative walk + uniform interpolation") {
+    // 4 unit buckets over [0, 4), one count each: quantiles interpolate
+    // to q*4 exactly; q=0 lands on the first nonempty bucket's left
+    // edge, q=1 on the last one's right edge
+    def hq(h: String, q: Double, lo: Int, hi: Int): Option[Double] = {
+      val r = Compiler.compile(Parser.parse(
+        s"SELECT click, histogram_quantile('$h', $q, $lo, $hi) AS v " +
+          "FROM dom.events LIMIT 1"), fam).collect()(0)
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    assert(hq("1,1,1,1", 0.5, 0, 4) == Some(2.0))
+    assert(hq("1,1,1,1", 0.0, 0, 4) == Some(0.0))
+    assert(hq("1,1,1,1", 1.0, 0, 4) == Some(4.0))
+    assert(hq("1,1,1,1", 0.25, 0, 4) == Some(1.0))
+    // skew: all mass in the second bucket of [0, 2) → median mid-bucket
+    assert(hq("0,4", 0.5, 0, 2) == Some(1.5))
+    // empty histogram, and q outside [0, 1]: NULL
+    assert(hq("0,0,0,0", 0.5, 0, 4).isEmpty)
+    assert(hq("1,1", 1.5, 0, 4).isEmpty)
+    assert(hq("1,1", -0.1, 0, 4).isEmpty)
+    // empty leading buckets are skipped, not interpolated into: the
+    // first quartile target (1 of 4) falls halfway into bucket [4, 6)
+    assert(hq("0,0,2,2", 0.25, 0, 8) == Some(5.0))
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT histogram_quantile('1,1', 0.5) AS v FROM dom.events"), fam))
+  }
+
   test("holt: level+trend smoothing matches the driver-replayed recurrence") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Compiler.compile(Parser.parse(
