@@ -201,6 +201,24 @@ object TimeSeriesQueries {
           round(col("twa"), 6).as("twa_cents"))
         .orderBy("event_type", "user_id")),
 
+    // continuous-aggregate materialization roundtrip: ingest the events
+    // family, roll it up into daily avg/min/max/count series
+    // ({series}:{agg}_1d), reopen the ROLLUP FAMILY through the normal
+    // read path and compare against DuckDB aggregating the raw events —
+    // proves the materialize→write→reread cycle end to end
+    "ts_rollup" -> ((s, d) => {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      val fam = TimeSeriesTable.downsample(s, root, "dom", "events",
+        bucketMicros = 86400L * 1000000L, label = "1d")
+      TimeSeriesTable.open(s, root, "dom", fam)
+        .select(col("series"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("series", "ts_us")
+    }),
+
     // ordered funnel over the event stream: signup → view → click →
     // purchase, each step strictly after the previous, the whole
     // journey within 14 days of signup. One exchange on the user key
@@ -477,6 +495,31 @@ object TimeSeriesQueries {
         |SELECT event_type, user_id, twa_cents FROM r
         |WHERE twa_cents IS NOT NULL
         |ORDER BY event_type, user_id""".stripMargin,
+
+    // the same daily rollup from the raw events: decimal-exact avg
+    // sums divided once in doubles, integer epoch bucketing, the
+    // identical {series}:{agg}_1d naming
+    "ts_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+        |    value
+        |  FROM events),
+        |g AS (
+        |  SELECT series, bus,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE) AS av,
+        |    MIN(value) AS mn, MAX(value) AS mx,
+        |    CAST(COUNT(value) AS DOUBLE) AS n
+        |  FROM b GROUP BY series, bus)
+        |SELECT series || ':avg_1d' AS series, bus AS ts_us, av AS value FROM g
+        |UNION ALL
+        |SELECT series || ':min_1d', bus, mn FROM g
+        |UNION ALL
+        |SELECT series || ':max_1d', bus, mx FROM g
+        |UNION ALL
+        |SELECT series || ':count_1d', bus, n FROM g
+        |ORDER BY series, ts_us""".stripMargin,
 
     // the same stacked dependent min-CASE windows, per-user reduction,
     // per-step counts — timestamps only compared, never emitted

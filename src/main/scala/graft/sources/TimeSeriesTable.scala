@@ -126,6 +126,66 @@ object TimeSeriesTable {
     }.sorted
   }
 
+  /** CONTINUOUS-AGGREGATE MATERIALIZATION (the TimescaleDB continuous
+    * aggregate / Prometheus recording-rule idiom): roll a family up
+    * into fixed-width buckets and write the result as a NEW family in
+    * the same warehouse, queryable through every existing read path —
+    * `open`, the dialect, `openStream`. Each source series emits four
+    * rollup series named `{series}:{agg}_{label}` (avg/min/max/count;
+    * count is cast to double — the family value type), bucket start as
+    * `ts`.
+    *
+    * Determinism contract: `avg` accumulates as DECIMAL(30,6) sums
+    * over the bucket (order-independent, partitioning-invariant) and
+    * divides once in doubles — the same rollup bytes on every run and
+    * every engine replaying the arithmetic, which plain double
+    * summation cannot promise. Bucketing is integer arithmetic on
+    * epoch micros (`u − u mod width`).
+    *
+    * Plan shape: one hash aggregation on (series, bucket), a narrow
+    * 4-way explode, then [[append]]'s date repartition — the rollup is
+    * |series|×|buckets| rows, so everything after the first exchange
+    * is metadata-sized relative to the source. At 100 TB this is THE
+    * dashboard-latency lever: queries over months hit the 1-day
+    * rollup family and never rescan raw points.
+    *
+    * Series-level `tags` carry through (`first` per series — constant
+    * per series by the family contract); `attributes` do not (they are
+    * per-point).
+    */
+  def downsample(spark: SparkSession, root: String, domain: String,
+      family: String, bucketMicros: Long, label: String,
+      toFamily: Option[String] = None): String = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(label.nonEmpty && label.forall(c => c.isLetterOrDigit || c == '_'),
+      "label must be alphanumeric")
+    val src = open(spark, root, domain, family)
+    val u = unix_micros(col("ts"))
+    val bucket = timestamp_micros(u - pmod(u, lit(bucketMicros)))
+    val g = src.groupBy(col("series"), bucket.as("ts"))
+      .agg(
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("__sum"),
+        count(col("value")).as("__n"),
+        min(col("value")).as("__min"), max(col("value")).as("__max"),
+        first(col("tags")).as("__tags"))
+      .withColumn("__avg", col("__sum") / col("__n").cast("double"))
+    val rows = g.select(col("series"), col("ts"), col("__tags"),
+      explode(array(
+        struct(lit("avg").as("a"), col("__avg").as("v")),
+        struct(lit("min").as("a"), col("__min").as("v")),
+        struct(lit("max").as("a"), col("__max").as("v")),
+        struct(lit("count").as("a"),
+          col("__n").cast("double").as("v")))).as("e"))
+      .select(
+        concat(col("series"), lit(":"), col("e.a"), lit("_" + label))
+          .as("series"),
+        col("ts"), col("e.v").as("value"), col("__tags").as("tags"),
+        map().cast(MapType(StringType, StringType)).as("attributes"))
+    val target = toFamily.getOrElse(s"${family}_$label")
+    append(rows, root, domain, target)
+    target
+  }
+
   /** COMPACTION: rewrite the family into few large (series, ts)-sorted
     * files per date partition — the operational counterpart of the
     * streaming ingest path, whose sink lands one small file per

@@ -151,4 +151,56 @@ class TimeSeriesTableSpec extends SparkSpec {
     // compacting an empty/missing family is a no-op
     assert(TimeSeriesTable.compact(spark, root, "dom", "nothere") == ((0, 0)))
   }
+
+  test("downsample materializes a queryable rollup family") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ds").toString
+    val fam = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+      ("cpu", Timestamp.valueOf("2024-01-01 23:00:00"), 20.0),
+      ("cpu", Timestamp.valueOf("2024-01-02 01:00:00"), 5.0),
+      ("mem", Timestamp.valueOf("2024-01-01 12:00:00"), 7.5)
+    ).toDF("series", "ts", "value")
+      .withColumn("tags", map(lit("dc"), col("series")))
+      .withColumn("attributes",
+        map().cast("map<string,string>"))
+    TimeSeriesTable.append(fam, root, "dom", "m")
+    val out = TimeSeriesTable.downsample(spark, root, "dom", "m",
+      bucketMicros = 86400L * 1000000L, label = "1d")
+    assert(out == "m_1d")
+    val back = TimeSeriesTable.open(spark, root, "dom", "m_1d")
+    val got = back.select("series", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      ("cpu:avg_1d",   "2024-01-01 00:00:00.0", 15.0),
+      ("cpu:min_1d",   "2024-01-01 00:00:00.0", 10.0),
+      ("cpu:max_1d",   "2024-01-01 00:00:00.0", 20.0),
+      ("cpu:count_1d", "2024-01-01 00:00:00.0", 2.0),
+      ("cpu:avg_1d",   "2024-01-02 00:00:00.0", 5.0),
+      ("cpu:min_1d",   "2024-01-02 00:00:00.0", 5.0),
+      ("cpu:max_1d",   "2024-01-02 00:00:00.0", 5.0),
+      ("cpu:count_1d", "2024-01-02 00:00:00.0", 2.0 - 1.0),
+      ("mem:avg_1d",   "2024-01-01 00:00:00.0", 7.5),
+      ("mem:min_1d",   "2024-01-01 00:00:00.0", 7.5),
+      ("mem:max_1d",   "2024-01-01 00:00:00.0", 7.5),
+      ("mem:count_1d", "2024-01-01 00:00:00.0", 1.0)), got)
+    // series-level tags carry through; attributes are dropped (empty)
+    val tagRow = back.filter(col("series") === "cpu:avg_1d")
+      .select(element_at(col("tags"), "dc"), size(col("attributes")))
+      .collect()(0)
+    assert(tagRow.getString(0) == "cpu" && tagRow.getInt(1) == 0)
+    // the rollup family reads through the dialect too
+    val viaSql = graft.boostql.BoostQL.sql(
+      "SELECT series_value FROM dom.rollup WHERE series_value > 10.0",
+      _ => TimeSeriesTable.open(spark, root, "dom", "m_1d")
+        .withColumn("series", lit("series_value")))
+    assert(viaSql.count() == 2) // avg 15 and max 20 pass; all else ≤ 10
+    intercept[IllegalArgumentException] {
+      TimeSeriesTable.downsample(spark, root, "dom", "m", 0L, "x")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesTable.downsample(spark, root, "dom", "m", 10L, "bad label")
+    }
+  }
 }
