@@ -252,6 +252,45 @@ class PlanShapeSpec extends SparkSpec {
       s"ewma must stay a native window aggregate:\n$plan")
   }
 
+  test("holt + ewma share one Window operator (same spec, one exchange)") {
+    val df = BoostQL.onTestdata(spark, sfDir)(
+      "SELECT click.event_id, " +
+        "holt(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS lv, " +
+        "holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS fc, " +
+        "ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm " +
+        "FROM dom.events ORDER BY click.event_id")
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // identical window specs (same key, same implicit running frame):
+    // all three kernels must collapse into ONE Window operator over one
+    // data exchange (+ the presentation sort exchange)
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows <= 1, s"holt/ewma must share one Window op ($windows):\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"holt/ewma must reuse the key partitioning ($exchanges):\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+
+  test("regr_* desugar dedups the pair sums into ONE aggregation, one exchange") {
+    val df = BoostQL.onTestdata(spark, sfDir)(
+      "SELECT purchase.user, " +
+        "regr_slope(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS sl, " +
+        "regr_intercept(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS ic, " +
+        "regr_r2(CAST(purchase * 100.0 AS int), CAST(purchase.event_id AS int)) AS r2, " +
+        "corr(CAST(purchase.event_id AS int), CAST(purchase * 100.0 AS int)) AS r " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // all four statistics read the same six structural sums: one
+    // partial+final hash aggregate pair on one exchange, no join, no
+    // second aggregation pass
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs <= 2, s"regr sums must dedup into one aggregation ($aggs):\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"regr must plan one agg exchange + presentation sort ($exchanges):\n$plan")
+    assert(!plan.contains("Join"), s"no join-back:\n$plan")
+  }
+
   test("dialect approx_distinct plans partial+final KMV object aggregates, one exchange") {
     // the "shuffle carries sketches" claim as a plan shape: the map-side
     // pass must be partial_graft_kmv_sketch under ObjectHashAggregate
