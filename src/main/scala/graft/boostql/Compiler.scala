@@ -2447,11 +2447,27 @@ object Compiler {
               "selected bare under an alias (no CAST wrapper) and " +
               "grouped by that alias — it is the axis being densified")
           val (dName, bargs, dIdx) = bucketEntries.head
-          val widthUs = bargs(1) match {
-            case OLit(BStr(w)) => parseIntervalMicros(w).getOrElse(
-              throw CompileException(
-                s"FILL requires a fixed-width bucket — '$w' has no " +
-                  "constant step to densify"))
+          // the spine step mirrors bucket()'s two width families:
+          // fixed widths densify by an epoch-micros integer sequence,
+          // calendar widths ('1 week|month|quarter|year', the
+          // date_trunc buckets) by a calendar-interval sequence from
+          // the observed (already truncation-aligned) min — month
+          // lengths vary, and the linear mode interpolates on actual
+          // micros, so irregular steps are handled by construction
+          val calendarBucket = """\s*(\d+)\s*(week|month|quarter|year)s?\s*""".r
+          val step: Either[String, Long] = bargs(1) match {
+            case OLit(BStr(w)) =>
+              w.toLowerCase(java.util.Locale.ROOT) match {
+                case calendarBucket(n, unit) =>
+                  if (n.toLong != 1L) throw CompileException(
+                    s"bucket() calendar width must be exactly '1 $unit' — " +
+                      s"multi-$unit buckets are not fixed-width")
+                  Left(unit)
+                case _ => Right(parseIntervalMicros(w).getOrElse(
+                  throw CompileException(
+                    s"FILL requires a bucket with a densifiable step — " +
+                      s"'$w' is neither a fixed width nor a calendar unit")))
+              }
             case _ => throw CompileException(
               "bucket() width must be a string literal like '5 minutes'")
           }
@@ -2462,13 +2478,21 @@ object Compiler {
           val keyCols = partKeys :+ dName
           val valCols = in.columns.filterNot(keyCols.contains).toSeq
           import org.apache.spark.sql.expressions.{Window => W}
+          val spineTs: Column = step match {
+            case Right(widthUs) => transform(sequence(
+              unix_micros(col("__lo")), unix_micros(col("__hi")),
+              lit(widthUs)), us => timestamp_micros(us))
+            // quarter is not a Spark interval unit — 3 months is
+            case Left("quarter") =>
+              expr("sequence(__lo, __hi, interval 3 month)")
+            case Left(unit) =>
+              expr(s"sequence(__lo, __hi, interval 1 $unit)")
+          }
           val spine = in.groupBy(partKeys.map(col): _*)
             .agg(min(col(dName)).as("__lo"), max(col(dName)).as("__hi"))
-            .select(partKeys.map(col) :+ explode(sequence(
-              unix_micros(col("__lo")), unix_micros(col("__hi")),
-              lit(widthUs))).as("__us"): _*)
+            .select(partKeys.map(col) :+ explode(spineTs).as("__t0"): _*)
             .select(partKeys.map(c => col(c).as(s"__sp_$c")) :+
-              timestamp_micros(col("__us")).as(s"__sp_$dName"): _*)
+              col("__t0").as(s"__sp_$dName"): _*)
           // Dimension keys join NULL-SAFELY (<=>): a tag/attribute
           // dimension group whose key IS null must still match its own
           // spine rows (groupBy made it a group; a plain equi-join would

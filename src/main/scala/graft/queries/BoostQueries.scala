@@ -687,6 +687,15 @@ object BoostQueries {
         "FROM dom.events WHERE signup.user = '7' " +
         "GROUP BY d FILL(linear)) AS t ORDER BY ds")),
 
+    // CALENDAR fill: the spine steps by the calendar interval (here
+    // '1 week', the date_trunc bucket family) instead of a fixed
+    // micros width — monthly/weekly report gap-filling
+    "boost_ts_fill_week" -> ((s, d) =>
+      run(s, d, "SELECT CAST(t.d AS int) AS ds, t.u AS u, t.n AS n " +
+        "FROM (SELECT purchase.user AS u, bucket(ts, '1 week') AS d, " +
+        "count(*) AS n FROM dom.events WHERE purchase < 50.0 " +
+        "GROUP BY u, d FILL(previous)) AS t ORDER BY u, ds")),
+
     // constant fill: missing buckets take the literal (count 0 — the
     // "no events that hour" report shape)
     "boost_ts_fill_zero" -> ((s, d) =>
@@ -1884,6 +1893,32 @@ object BoostQueries {
         |  CASE WHEN obs THEN mx ELSE
         |    (last_value(CASE WHEN obs THEN {'v': mx} END IGNORE NULLS)
         |       OVER w).v END AS mx
+        |FROM j
+        |WINDOW w AS (PARTITION BY u ORDER BY ds
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY u, ds""".stripMargin,
+
+    // weekly spine: both engines' week buckets are Monday-aligned, so
+    // in UTC the epoch-seconds spine steps exactly 604800
+    "boost_ts_fill_week" ->
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS ds,
+        |    COUNT(*) AS n, TRUE AS obs
+        |  FROM events WHERE event_type = 'purchase' AND value < 50.0
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT u, MIN(ds) AS lo, MAX(ds) AS hi FROM a GROUP BY u
+        |), spine AS (
+        |  SELECT u, UNNEST(generate_series(lo, hi, 604800)) AS ds FROM g
+        |), j AS (
+        |  SELECT spine.ds AS ds, spine.u AS u, a.n,
+        |    COALESCE(a.obs, FALSE) AS obs
+        |  FROM spine LEFT JOIN a USING (u, ds))
+        |SELECT ds, u,
+        |  CASE WHEN obs THEN n ELSE
+        |    (last_value(CASE WHEN obs THEN {'v': n} END IGNORE NULLS)
+        |       OVER w).v END AS n
         |FROM j
         |WINDOW w AS (PARTITION BY u ORDER BY ds
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -2721,6 +2721,50 @@ class BoostQLSpec extends SparkSpec {
     assert(Parser.parse("SELECT fill FROM dom.events").select.length == 1)
   }
 
+  test("FILL: calendar buckets step the spine by the calendar interval") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // observed in Jan, Feb and May: the month spine must land on the
+    // true month STARTS (Mar 1, Apr 1 — irregular month lengths), not
+    // fixed 30-day steps
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-15 05:00:00"), 10.0),
+      ("cpu", Timestamp.valueOf("2024-02-20 07:00:00"), 20.0),
+      ("cpu", Timestamp.valueOf("2024-05-02 09:00:00"), 50.0))
+    val tiny = spark.createDataFrame(rows).toDF("series", "ts", "value")
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+    val got = Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 month') AS m, max(cpu) AS mx " +
+        "FROM dom.f GROUP BY m FILL(previous) ORDER BY m"), tiny)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 10.0),
+      ("2024-02-01 00:00:00.0", 20.0),
+      ("2024-03-01 00:00:00.0", 20.0),
+      ("2024-04-01 00:00:00.0", 20.0),
+      ("2024-05-01 00:00:00.0", 50.0)), got.toSeq)
+    // quarter steps three months (Q1 observed, Q2 gap-filled, Q3 obs)
+    val q = Seq(
+      ("cpu", Timestamp.valueOf("2024-02-15 00:00:00"), 1.0),
+      ("cpu", Timestamp.valueOf("2024-08-15 00:00:00"), 3.0))
+    val tinyQ = spark.createDataFrame(q).toDF("series", "ts", "value")
+      .withColumn("attributes", map().cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+    val gotQ = Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 quarter') AS m, count(cpu) AS n " +
+        "FROM dom.f GROUP BY m FILL(0) ORDER BY m"), tinyQ)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1)))
+    assert(gotQ.toSeq == Seq( // constant fill coerces the column double
+      ("2024-01-01 00:00:00.0", 1.0),
+      ("2024-04-01 00:00:00.0", 0.0),
+      ("2024-07-01 00:00:00.0", 1.0)), gotQ.toSeq)
+    // multi-count calendar widths still refuse under FILL
+    intercept[Compiler.CompileException](Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '2 months') AS m, count(cpu) AS n " +
+        "FROM dom.f GROUP BY m FILL(0)"), tinyQ))
+  }
+
   test("FILL: null dimension keys keep their groups; observed nulls survive") {
     import org.apache.spark.sql.functions._
     import java.sql.Timestamp
