@@ -255,6 +255,20 @@ object Compiler {
       val counts = (0 until n).map(i =>
         coalesce(sum(when(inRange && bin === i, 1L)), lit(0L)).cast("string"))
       array_join(array(counts: _*), ",")
+    /* histogram_merge(h, nbins): elementwise sum of histogram() count
+     * strings — partial histograms roll up without touching raw points
+     * (the approx_distinct_sketch/_merge pattern for distributions;
+     * histogram_quantile then reads percentiles off the merged bins).
+     * nbins plain sums over the split counts: the same constant
+     * aggregation state as histogram itself. `get` (0-based, null out
+     * of range) keeps a short/null partial from throwing under ANSI —
+     * its missing bins simply contribute nothing. */
+    case "histogram_merge" =>
+      val n = params.head.toInt
+      val arr = transform(split(c, ","), x => x.cast("long"))
+      val merged = (0 until n).map(i =>
+        coalesce(sum(get(arr, lit(i))), lit(0L)).cast("string"))
+      array_join(array(merged: _*), ",")
     // grouping-set marker: 1 when the key is rolled up in this output
     // row, 0 when it groups — the ANSI disambiguator between a rollup
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE

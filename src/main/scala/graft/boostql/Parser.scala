@@ -105,7 +105,8 @@ object Parser {
     "approx_distinct_sketch", "approx_distinct_merge", "percentile",
     "approx_percentile", "approx_percentile_sketch",
     "approx_percentile_merge", "first", "last", "corr", "covar_pop",
-    "covar_samp", "histogram", "twa", "increase", "resets", "mad",
+    "covar_samp", "histogram", "histogram_merge", "twa", "increase",
+    "resets", "mad",
     "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
     "arg_max", "arg_min", "max_by", "min_by", "string_agg",
     "bool_and", "bool_or", "count_if", "regr_slope", "regr_intercept",
@@ -1150,6 +1151,29 @@ object Parser {
             case Some(c) =>
               OAggX("histogram", OCase(Seq((c, x)), None), Seq(lo, hi, nb))
             case None => OAggX("histogram", x, Seq(lo, hi, nb))
+          }
+        } else if (id.equalsIgnoreCase("histogram_merge")) {
+          // histogram_merge(h, nbins): elementwise sum of histogram()
+          // count strings — the two-level rollup (partial histograms
+          // per group/day, merged at read) that pairs with
+          // histogram_quantile. nbins must match the partials' bin
+          // count (a literal, so the merge compiles to nbins plain
+          // sums — the same constant-state shape as histogram itself).
+          val x = nested(addOperand())
+          expectSym(",")
+          val nb = peek match {
+            case TNum(s) if !s.contains('.') &&
+                s.toLong >= 1 && s.toLong <= 256 =>
+              pos += 1; s.toDouble
+            case t => throw ParseException(
+              s"histogram_merge() bin count must be an integer literal " +
+                s"in [1, 256], got $t")
+          }
+          expectSym(")")
+          filterClause() match {
+            case Some(c) =>
+              OAggX("histogram_merge", OCase(Seq((c, x)), None), Seq(nb))
+            case None => OAggX("histogram_merge", x, Seq(nb))
           }
         } else if (corrFns.contains(id.toLowerCase)) {
           // corr(x, y) / covar_pop(x, y) / covar_samp(x, y): parsed as

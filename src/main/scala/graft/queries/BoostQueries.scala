@@ -836,6 +836,21 @@ object BoostQueries {
         "                   0.9, 0, 25000) AS p90 " +
         "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user")),
 
+    // two-level histogram rollup: per-(user, day) partial histograms in
+    // a derived table, merged per user with histogram_merge, percentile
+    // read off the merged bins — the distribution twin of
+    // boost_sketch_merge's per-day distinct rollup. The oracle computes
+    // the histogram DIRECTLY from raw points: elementwise sums of
+    // day-partials must equal the one-pass counts exactly (integer
+    // merge law), and the quantile then matches bit for bit.
+    "boost_hist_merge" -> ((s, d) =>
+      run(s, d, "WITH dd AS (SELECT purchase.user AS u, bucket(ts, '1 day') AS dy, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS dh " +
+        "FROM dom.events GROUP BY u, dy) " +
+        "SELECT u, histogram_merge(dh, 8) AS h, " +
+        "histogram_quantile(histogram_merge(dh, 8), 0.5, 0, 25000) AS p50 " +
+        "FROM dd GROUP BY u ORDER BY u")),
+
     // exact median over integer cents: odd groups pick an element,
     // even groups take the midpoint — exact halves of integers, so both
     // engines produce identical doubles
@@ -2181,6 +2196,54 @@ object BoostQueries {
         |    COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0)) AS hist,
         |  COUNT(x) AS n
         |FROM b GROUP BY u ORDER BY purchase_user""".stripMargin,
+
+    // the merge law makes the oracle a DIRECT one-pass histogram: the
+    // per-day partials sum elementwise to the raw counts, so the
+    // merged string and its quantile must equal this exactly
+    "boost_hist_merge" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT u, x,
+        |    CASE WHEN x IS NOT NULL AND CAST(x AS DOUBLE) >= 0.0
+        |              AND CAST(x AS DOUBLE) < 25000.0
+        |         THEN least(CAST(floor((CAST(x AS DOUBLE) - 0.0)
+        |                    / 25000.0 * 8.0) AS INT), 7) END AS bin
+        |  FROM t
+        |), g AS (
+        |  SELECT u, [
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT)
+        |  ] AS cs FROM b GROUP BY u
+        |), r AS (
+        |  SELECT g.u, t2.i, cs, cs[t2.i] AS c,
+        |    CAST(COALESCE(list_sum(cs[1:t2.i]), 0) AS BIGINT) AS cum,
+        |    CAST(COALESCE(list_sum(cs[1:t2.i - 1]), 0) AS BIGINT) AS bef,
+        |    CAST(COALESCE(list_sum(cs), 0) AS BIGINT) AS total
+        |  FROM g, (SELECT CAST(i AS INT) AS i FROM range(1, 9) s(i)) t2
+        |), p AS (
+        |  SELECT u, i, c, bef, total,
+        |    row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+        |  FROM r
+        |  WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE) AND c > 0
+        |), v AS (
+        |  SELECT u,
+        |    0e0 + (25000e0 - 0e0) / 8e0 * (CAST(i - 1 AS DOUBLE) +
+        |      (0.5 * CAST(total AS DOUBLE) - CAST(bef AS DOUBLE))
+        |        / CAST(c AS DOUBLE)) AS val
+        |  FROM p WHERE rn = 1)
+        |SELECT g.u AS u, list_aggregate(cs, 'string_agg', ',') AS h,
+        |  v.val AS p50
+        |FROM g LEFT JOIN v ON v.u = g.u
+        |ORDER BY u""".stripMargin,
 
     // the identical bin counts, then the same cumulative walk + uniform
     // interpolation per quantile (range-join over the 8 bins; empty

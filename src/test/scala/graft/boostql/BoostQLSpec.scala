@@ -1915,6 +1915,31 @@ class BoostQLSpec extends SparkSpec {
       "SELECT histogram_quantile('1,1', 0.5) AS v FROM dom.events"), fam))
   }
 
+  test("histogram_merge: elementwise sum of partials equals the direct histogram") {
+    // two-level rollup vs one pass over the same rows — the integer
+    // merge law makes them EQUAL, not approximately equal
+    val direct = Compiler.compile(Parser.parse(
+      "SELECT purchase.user, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS h " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user"), fam)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val merged = Compiler.compile(Parser.parse(
+      "WITH dd AS (SELECT purchase.user AS u, bucket(ts, '1 day') AS dy, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS dh " +
+        "FROM dom.events GROUP BY u, dy) " +
+        "SELECT u, histogram_merge(dh, 8) AS h FROM dd GROUP BY u ORDER BY u"),
+      fam).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(direct.nonEmpty && direct.toSeq == merged.toSeq)
+    // a short partial contributes nothing to its missing bins (no ANSI
+    // index error); bin count is validated at parse
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram_merge(h, 0) FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram_merge(h, 257) FROM dom.f"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT histogram_merge(h) FROM dom.f"))
+  }
+
   test("holt: level+trend smoothing matches the driver-replayed recurrence") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Compiler.compile(Parser.parse(
