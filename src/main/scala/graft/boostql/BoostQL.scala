@@ -432,31 +432,34 @@ object BoostQL {
     }
     // count/sum/avg/min/max are the partial-mergeable built-ins;
     // approx_top_k rides along because its Misra-Gries summary IS
-    // bounded mergeable state — the continuous heavy-hitters form
+    // bounded mergeable state — the continuous heavy-hitters form —
+    // and histogram because its fixed bin counts are plain sums: the
+    // continuous-distribution form (histogram_quantile reads
+    // percentiles off the emitted windows downstream).
     // (count(DISTINCT)/median/percentile stay refused)
     val streamingAggs = Set("count", "sum", "avg", "min", "max",
-      "approx_top_k")
+      "approx_top_k", "histogram")
     var helperIdx = 0
     sealed trait Out
     case class BucketOut(nm: String) extends Out
     case class DimOut(nm: String) extends Out
     case class AggOut(fn: String, argCol: Option[String], nm: String,
-        k: Option[Int] = None) extends Out
+        k: Option[Int] = None, hist: Option[Seq[Double]] = None) extends Out
     def aggOut(fn: String, arg: Option[Operand], nm: String,
-        k: Option[Int] = None): AggOut = {
+        k: Option[Int] = None, hist: Option[Seq[Double]] = None): AggOut = {
       if (!streamingAggs.contains(fn)) throw Compiler.CompileException(
         s"$fn() is not streaming-safe — supported streaming aggregates: " +
-          "count, sum, avg, min, max, approx_top_k")
+          "count, sum, avg, min, max, approx_top_k, histogram")
       arg match {
-        case None => AggOut(fn, None, nm, k)
+        case None => AggOut(fn, None, nm, k, hist)
         case Some(ORef(f)) =>
           val cn = Compiler.resolve(f, srcAlias).colName
           subItems.getOrElseUpdate(cn, FieldItem(f))
-          AggOut(fn, Some(cn), nm, k)
+          AggOut(fn, Some(cn), nm, k, hist)
         case Some(e) =>
           val hn = s"__sa$helperIdx"; helperIdx += 1
           subItems.getOrElseUpdate(hn, ExprItem(e, hn))
-          AggOut(fn, Some(hn), nm, k)
+          AggOut(fn, Some(hn), nm, k, hist)
       }
     }
     // structural aggregate-shape -> output column, so a HAVING that
@@ -474,6 +477,9 @@ object BoostQL {
         val o = aggOut(fn, arg.map(ORef), nm); aggByShape(it.expr) = nm; o
       case it @ ExprItem(OAggX("approx_top_k", e, Seq(k), _), nm) =>
         val o = aggOut("approx_top_k", Some(e), nm, Some(k.toInt))
+        aggByShape(it.expr) = nm; o
+      case it @ ExprItem(OAggX("histogram", e, ps @ Seq(_, _, _), _), nm) =>
+        val o = aggOut("histogram", Some(e), nm, hist = Some(ps))
         aggByShape(it.expr) = nm; o
       case it @ ExprItem(OAggX(fn, e, ps, a2), nm) =>
         if (ps.nonEmpty || a2.nonEmpty) throw Compiler.CompileException(
@@ -519,7 +525,7 @@ object BoostQL {
     val outNames: Set[String] = outs.map {
       case BucketOut(nm) => nm
       case DimOut(nm) => nm
-      case AggOut(_, _, nm, _) => nm
+      case AggOut(_, _, nm, _, _) => nm
     }.toSet
     def hRefuse(what: String): Nothing = throw Compiler.CompileException(
       s"streaming HAVING supports literals, select-output names, " +
@@ -604,6 +610,11 @@ object BoostQL {
           val k = a.k.get
           Compiler.freqTopString(graft.functions.GraftFunctions
             .freqSketch(c.get.cast("string"), Compiler.topkCap(k)), k)
+        case "histogram" =>
+          // nbins plain sums per (window, dims) entry — constant state,
+          // the same expression (and the same count string) as batch
+          val Seq(lo, hi, nb) = a.hist.get
+          Compiler.histogramString(c.get, lo, hi, nb)
       }).as(a.nm)
     }
     val agged = flat.withWatermark("ts", watermarkDelay)
@@ -614,7 +625,7 @@ object BoostQL {
         if (bCast) col("window.start").cast("long").as(nm)
         else col("window.start").as(nm)
       case DimOut(nm)       => col(nm)
-      case AggOut(_, _, nm, _) => col(nm)
+      case AggOut(_, _, nm, _, _) => col(nm)
     }
     val hiddenNames = hidden.result()
     val projected = agged.select((outCols ++ hiddenNames.map(col)): _*)

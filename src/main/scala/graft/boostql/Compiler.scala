@@ -134,6 +134,27 @@ object Compiler {
     if (k < 1) throw CompileException(s"$fn k must be >= 1")
     k
   }
+  /** histogram(x, lo, hi, nbins) as nbins conditional sums — one per
+    * bin, each a codegen'd when().sum() — assembled into a comma-joined
+    * count string (engine-portable scalar output). Bin index is the one
+    * IEEE expression floor((x − lo) / (hi−lo) · n), least-clamped so a
+    * float landing ulp-exactly on hi-1's edge stays in the last bin;
+    * values outside [lo, hi) and nulls are excluded. Shared by the
+    * batch aggregate tier and the streaming SQL aggregate (the sums are
+    * partial-mergeable, so the same expression is watermarked-
+    * aggregation state). */
+  private[boostql] def histogramString(c: Column, lo: Double, hi: Double,
+      nb: Double): Column = {
+    val n = nb.toInt
+    val cd = c.cast("double")
+    val bin = least(
+      floor((cd - lit(lo)) / lit(hi - lo) * lit(nb)).cast("int"),
+      lit(n - 1))
+    val inRange = c.isNotNull && cd >= lit(lo) && cd < lit(hi)
+    val counts = (0 until n).map(i =>
+      coalesce(sum(when(inRange && bin === i, 1L)), lit(0L)).cast("string"))
+    array_join(array(counts: _*), ",")
+  }
   private[boostql] def topkCap(k: Int): Int = math.max(64, 8 * k)
   private[boostql] def freqTopString(sketch: Column, k: Int): Column =
     array_join(transform(slice(sketch, 1, k),
@@ -236,25 +257,10 @@ object Compiler {
       val kk = topkK(params, "approx_top_k_merge")
       freqTopString(graft.functions.GraftFunctions.freqMerge(
         c, topkCap(kk)), kk)
-    /* histogram(x, lo, hi, nbins): nbins conditional sums — one per
-     * bin, each a codegen'd when().sum() — assembled into a
-     * comma-joined count string (engine-portable scalar output). Bin
-     * index is the one IEEE expression floor((x − lo) / (hi−lo) · n),
-     * least-clamped so a float landing ulp-exactly on hi-1's edge
-     * stays in the last bin; values outside [lo, hi) and nulls are
-     * excluded (filter rows or widen the range to count them).
-     * Identical arithmetic replays in any engine. */
+    // see [[histogramString]] — shared with the streaming SQL aggregate
     case "histogram" =>
       val Seq(lo, hi, nb) = params
-      val n = nb.toInt
-      val cd = c.cast("double")
-      val bin = least(
-        floor((cd - lit(lo)) / lit(hi - lo) * lit(nb)).cast("int"),
-        lit(n - 1))
-      val inRange = c.isNotNull && cd >= lit(lo) && cd < lit(hi)
-      val counts = (0 until n).map(i =>
-        coalesce(sum(when(inRange && bin === i, 1L)), lit(0L)).cast("string"))
-      array_join(array(counts: _*), ",")
+      histogramString(c, lo, hi, nb)
     /* histogram_merge(h, nbins): elementwise sum of histogram() count
      * strings — partial histograms roll up without touching raw points
      * (the approx_distinct_sketch/_merge pattern for distributions;

@@ -55,7 +55,11 @@ object StreamingQueries {
     // HAVING over the watermarked streaming aggregate — a stateless
     // filter on finalized windows, incl. a hidden max() aggregate
     "stream_sql_having" -> ((s, d) =>
-      StreamingOps.streamSqlHavingReplay(s, d))
+      StreamingOps.streamSqlHavingReplay(s, d)),
+    // continuous per-window DISTRIBUTIONS: histogram() as watermarked
+    // streaming-aggregation state (nbins plain sums — constant per
+    // window entry), the same portable count string as batch
+    "stream_sql_hist" -> ((s, d) => StreamingOps.streamSqlHistReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -166,6 +170,33 @@ object StreamingQueries {
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events WHERE event_type = 'purchase' AND value > 50.0
         |GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
+
+    // the streamed histogram must equal the batch bins exactly: same
+    // bin arithmetic, same comma-joined rendering, per daily window
+    "stream_sql_hist" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT d, x,
+        |    CASE WHEN x IS NOT NULL AND CAST(x AS DOUBLE) >= 0.0
+        |              AND CAST(x AS DOUBLE) < 25000.0
+        |         THEN least(CAST(floor((CAST(x AS DOUBLE) - 0.0)
+        |                    / 25000.0 * 8.0) AS INT), 7) END AS bin
+        |  FROM t)
+        |SELECT d,
+        |  concat_ws(',',
+        |    COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0),
+        |    COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0)) AS h,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY d ORDER BY d""".stripMargin,
 
     // HAVING applies after the windows finalize — the batch replay is
     // the same aggregation with the same HAVING (the hidden max(value)

@@ -297,6 +297,37 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** Continuous per-window distributions: histogram(x, lo, hi, nbins)
+    * inside sqlStream's watermarked bucket()-keyed aggregate. The
+    * fixed bin counts are plain sums, so the state per (window, dims)
+    * entry is CONSTANT however many events arrive — the streaming twin
+    * of the batch histogram, emitting the same portable count string
+    * (histogram_quantile reads percentiles off the emitted windows
+    * downstream, and histogram_merge rolls daily windows up to months
+    * without touching raw points). AvailableNow replay equals the
+    * batch bins exactly.
+    */
+  def streamSqlHistReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlhist").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS h, " +
+        "count(*) AS n " +
+        "FROM dom.events WHERE purchase IS NOT NULL GROUP BY d",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlhist_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d")
+  }
+
   /** The watermarked streaming-SQL aggregate WITH a HAVING tail: the
     * dialect compiles HAVING to a stateless filter on the finalized
     * window rows (extra aggregates named only in the condition are

@@ -288,6 +288,17 @@ class StreamingSpec extends SparkSpec {
       graft.boostql.BoostQL.sqlStream(
         "SELECT approx_top_k(click.k, 8) AS top FROM dom.events",
         _ => stream))
+    // histogram IS streaming-safe too (nbins plain sums — constant
+    // state per window entry); same stateless-overload refusal
+    graft.boostql.BoostQL.sqlStream(
+      B + ", histogram(click, 0, 500, 4) AS h" + G, _ => stream, "1 day")
+    intercept[graft.boostql.Compiler.CompileException](
+      graft.boostql.BoostQL.sqlStream(
+        "SELECT histogram(click, 0, 500, 4) AS h FROM dom.events",
+        _ => stream))
+    // …but histogram in HAVING refuses (a count string is not a
+    // comparable aggregate)
+    refuses(B + G + " HAVING histogram(click, 0, 500, 4) != ''")
     refuses(B + ", count(click)" + G)                             // unaliased agg
     refuses(B + ", upper(click.user) AS uu" + G)                  // bare scalar item
     refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
