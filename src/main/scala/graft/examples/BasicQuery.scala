@@ -213,6 +213,31 @@ object BasicQuery {
       "WHERE click > ALL (SELECT error FROM dom.events WHERE error.user = '3') " +
       "GROUP BY ALL ORDER BY n DESC LIMIT 5").show()
 
+    println("== trend: OLS fit per user (is this metric drifting?)")
+    run("SELECT purchase.user, " +
+      "round(regr_slope(CAST(purchase * 100.0 AS int), " +
+      "CAST(purchase.event_id AS int)), 3) AS slope, " +
+      "round(regr_r2(CAST(purchase * 100.0 AS int), " +
+      "CAST(purchase.event_id AS int)), 3) AS r2 " +
+      "FROM dom.events GROUP BY purchase.user " +
+      "HAVING count(purchase) > 2 ORDER BY slope DESC NULLS LAST LIMIT 5")
+      .show()
+
+    println("== forecast: Holt level+trend smoothing, one-step-ahead")
+    run("SELECT click.event_id, click, " +
+      "round(holt(click, 0.5, 0.25) OVER (PARTITION BY click.user), 2) AS level, " +
+      "round(holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user), 2) AS next " +
+      "FROM dom.events ORDER BY click.event_id LIMIT 5").show()
+
+    println("== histogram rollup + percentile read: per-day partials merged, " +
+      "p90 off the merged bins — no raw re-scan")
+    run("WITH dd AS (SELECT bucket(ts, '1 day') AS dy, " +
+      "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS dh " +
+      "FROM dom.events GROUP BY dy) " +
+      "SELECT histogram_merge(dh, 8) AS merged, " +
+      "round(histogram_quantile(histogram_merge(dh, 8), 0.9, 0, 25000), 1) AS p90_cents " +
+      "FROM dd").show(truncate = false)
+
     spark.stop()
   }
 }
