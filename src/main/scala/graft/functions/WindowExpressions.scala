@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.{
   AggregateWindowFunction, AttributeReference, Cast, Expression, If, IsNull,
   Literal}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{TernaryLike, UnaryLike}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Exponentially-weighted moving average over a running window:
@@ -102,4 +102,43 @@ case class Holt(child: Expression, alpha: Double, beta: Double,
 
   override protected def withNewChildInternal(newChild: Expression): Holt =
     copy(child = newChild)
+}
+
+/** Running affine chain `y_i = coef_i · y_(i-1) + offset_i`, seeded at
+  * the first row with `seed_i` (the value the chain takes when there is
+  * no previous state). The stitch step of two-phase parallel
+  * decompositions of linear recurrences: any sequential scan of the
+  * form y = a·y + b (EWMA, decaying counters) splits into per-bucket
+  * partial scans that compose affinely — this kernel runs the
+  * per-bucket composition in one O(#buckets) pass per key
+  * ([[graft.operators.TimeSeriesOps.ewmaBucketed]]). Null coef/offset
+  * rows carry the state unchanged.
+  */
+case class AffineScan(coef: Expression, offset: Expression,
+    seed: Expression)
+    extends AggregateWindowFunction with TernaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_affine_scan"
+
+  override def first: Expression = coef
+  override def second: Expression = offset
+  override def third: Expression = seed
+
+  private lazy val a = Cast(coef, DoubleType)
+  private lazy val b = Cast(offset, DoubleType)
+  private lazy val s = Cast(seed, DoubleType)
+  private lazy val y =
+    AttributeReference("y", DoubleType, nullable = true)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = y :: Nil
+  override val initialValues: Seq[Expression] =
+    Literal.create(null, DoubleType) :: Nil
+  override lazy val updateExpressions: Seq[Expression] =
+    If(IsNull(y), s, If(IsNull(a * b), y, a * y + b)) :: Nil
+  override lazy val evaluateExpression: Expression = y
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AffineScan =
+    copy(coef = newFirst, offset = newSecond, seed = newThird)
 }

@@ -453,6 +453,85 @@ object TimeSeriesOps {
         UnspecifiedFrame))))
   }
 
+  /** Two-phase bucket-then-stitch [[ewma]] — the hot-key mitigation for
+    * the smoothing tier (the skew artifact measures the single-pass
+    * recurrence at ~2.1× uniform when one series holds half the corpus:
+    * a sequential scan serializes on its partition). EWMA is a LINEAR
+    * recurrence, so it decomposes exactly:
+    *
+    *  - phase 1: the in-bucket scan, partitioned by (key, bucket) — the
+    *    hot key fans out over its time buckets. Within a bucket the
+    *    seed-at-first-value kernel computes z_i; the bucket composes
+    *    affinely: y_end = A·y_in + B with A = (1−α)^n and
+    *    B = z_n − A·x_1.
+    *  - phase 2: [[graft.functions.AffineScan]] chains the per-bucket
+    *    (A, B) pairs in one O(#buckets) pass per key — the only
+    *    sequential step left, over bucket summaries, not rows.
+    *  - phase 3: rows re-join their bucket's incoming state y_in and
+    *    finish as y_i = z_i + (1−α)^i · (y_in − x_1).
+    *
+    * Mathematically identical to the single-pass form; numerically it
+    * reassociates (powers via pow() instead of the multiply chain), so
+    * expect agreement to ~1e-9 relative, not bit equality — the price
+    * of parallelism, stated. Null-valued rows are dropped (a bucket
+    * boundary cannot carry "no observation yet" state); filter or fill
+    * upstream if the carried-forward null semantics of [[ewma]] are
+    * needed. Output: input columns + `out` (dropping null-value rows).
+    */
+  def ewmaBucketed(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieBreak: Seq[String], alpha: Double,
+      bucketSeconds: Long, out: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val om = 1.0 - alpha
+    val bucketUs = bucketSeconds * 1000000L
+    val u = unix_micros(col(tsCol))
+    val rows = df.filter(col(valCol).isNotNull)
+      .withColumn("__bk", u - pmod(u, lit(bucketUs)))
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(c =>
+      SortOrder(ColumnBridge.expression(c), Ascending))
+    val zCol = ColumnBridge.column(WindowExpression(
+      graft.functions.Ewma(
+        ColumnBridge.expression(col(valCol).cast("double")), alpha),
+      WindowSpecDefinition(
+        Seq(keyCol, "__bk").map(c => ColumnBridge.expression(col(c))),
+        ord, UnspecifiedFrame)))
+    val w1 = Window.partitionBy(col(keyCol), col("__bk"))
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val wb = Window.partitionBy(col(keyCol), col("__bk"))
+    val withZ = rows.withColumn("__z", zCol)
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__nb", count(lit(1)).over(wb))
+      .withColumn("__x1", first(col(valCol).cast("double"))
+        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val aB = pow(lit(om), col("__nb"))
+    val summary = withZ.filter(col("__rn") === col("__nb"))
+      .select(col(keyCol), col("__bk"), aB.as("__A"),
+        (col("__z") - aB * col("__x1")).as("__B"), col("__z").as("__s"))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("__bk").asc)
+    val yEnd = ColumnBridge.column(WindowExpression(
+      graft.functions.AffineScan(
+        ColumnBridge.expression(col("__A")),
+        ColumnBridge.expression(col("__B")),
+        ColumnBridge.expression(col("__s"))),
+      WindowSpecDefinition(
+        Seq(ColumnBridge.expression(col(keyCol))),
+        Seq(SortOrder(ColumnBridge.expression(col("__bk")), Ascending)),
+        UnspecifiedFrame)))
+    val chained = summary.withColumn("__yend", yEnd)
+      .withColumn("__y0", lag(col("__yend"), 1).over(w2))
+      .select(col(keyCol), col("__bk"), col("__y0"))
+    withZ.join(chained, Seq(keyCol, "__bk"))
+      .withColumn(out, when(col("__y0").isNull, col("__z"))
+        .otherwise(col("__z") +
+          pow(lit(om), col("__rn")) * (col("__y0") - col("__x1"))))
+      .drop("__bk", "__z", "__rn", "__nb", "__x1", "__y0")
+  }
+
   /** Time-weighted average per key (the TimescaleDB
     * `time_weighted_average` / trapezoid-integral aggregate): for
     * irregularly-sampled series, the plain AVG over-weights densely

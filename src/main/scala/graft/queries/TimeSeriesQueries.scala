@@ -201,6 +201,21 @@ object TimeSeriesQueries {
           round(col("twa"), 6).as("twa_cents"))
         .orderBy("event_type", "user_id")),
 
+    // bucket-then-stitch ewma — the hot-series mitigation for the
+    // sequential smoothing recurrence: in-bucket scans keyed
+    // (user, day) fan a hot key out; per-bucket affine summaries chain
+    // in one O(#buckets) pass. alpha = 0.5 makes every power/scale
+    // EXACT (powers of two), so the oracle replays the decomposition
+    // bit for bit — proving the stitch algebra cross-engine.
+    "ts_ewma_bucketed" -> ((s, d) =>
+      TimeSeriesOps.ewmaBucketed(
+        ev(s, d).filter(col("event_type") === "click" &&
+          col("value").isNotNull),
+        keyCol = "user_id", tsCol = "ts", valCol = "value",
+        tieBreak = Seq("event_id"), alpha = 0.5, bucketSeconds = 86400L)
+        .select(col("event_id"), col("ewma"))
+        .orderBy("event_id")),
+
     // continuous-aggregate materialization roundtrip: ingest the events
     // family, roll it up into daily avg/min/max/count series
     // ({series}:{agg}_1d), reopen the ROLLUP FAMILY through the normal
@@ -495,6 +510,52 @@ object TimeSeriesQueries {
         |SELECT event_type, user_id, twa_cents FROM r
         |WHERE twa_cents IS NOT NULL
         |ORDER BY event_type, user_id""".stripMargin,
+
+    // the identical two-phase decomposition replayed: in-bucket
+    // recursion per (user, day), per-bucket affine chain per user,
+    // per-row finish z + 0.5^rn (y0 − x1) — alpha = 0.5 keeps every
+    // power and scale exact, so each step is the same IEEE sequence
+    "ts_ewma_bucketed" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x, ts,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bk,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000) AS nb,
+        |    first_value(value) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts, event_id) AS x1
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |), z AS (
+        |  SELECT event_id, user_id, bk, rn, nb, x1, x AS z
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.bk, p.rn, p.nb, p.x1,
+        |    0.5 * p.x + 0.5 * z.z
+        |  FROM pts p JOIN z
+        |    ON p.user_id = z.user_id AND p.bk = z.bk AND p.rn = z.rn + 1
+        |), sm AS (
+        |  SELECT user_id, bk, power(0.5, nb) AS a,
+        |    z - power(0.5, nb) * x1 AS b, z AS s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk) AS bi
+        |  FROM z WHERE rn = nb
+        |), ch AS (
+        |  SELECT user_id, bk, bi, s AS yend FROM sm WHERE bi = 1
+        |  UNION ALL
+        |  SELECT m.user_id, m.bk, m.bi, m.a * ch.yend + m.b
+        |  FROM sm m JOIN ch
+        |    ON m.user_id = ch.user_id AND m.bi = ch.bi + 1
+        |), y0 AS (
+        |  SELECT user_id, bk,
+        |    lag(yend) OVER (PARTITION BY user_id ORDER BY bk) AS y0
+        |  FROM ch)
+        |SELECT z.event_id,
+        |  CASE WHEN y0.y0 IS NULL THEN z.z
+        |    ELSE z.z + power(0.5, z.rn) * (y0.y0 - z.x1) END AS ewma
+        |FROM z JOIN y0 ON z.user_id = y0.user_id AND z.bk = y0.bk
+        |ORDER BY z.event_id""".stripMargin,
 
     // the same daily rollup from the raw events: decimal-exact avg
     // sums divided once in doubles, integer epoch bucketing, the

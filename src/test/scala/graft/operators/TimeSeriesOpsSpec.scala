@@ -323,4 +323,47 @@ class TimeSeriesOpsSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)),
       cut.toSeq)
   }
+
+  test("ewmaBucketed stitches to the single-pass recurrence (~1e-9)") {
+    import org.apache.spark.sql.functions._
+    // 400 points over ~14 days on one key, irregular spacing: the
+    // bucketed two-phase decomposition must agree with the sequential
+    // kernel to floating-point reassociation tolerance
+    val pts = (0 until 400).map { i =>
+      ("k", new Timestamp(1704067200000L + i.toLong * 3137 * 1000 +
+        (i % 7) * 111), math.sin(i * 0.37) * 50 + (i % 13))
+    }
+    val df = pts.toDF("k", "ts", "v")
+    val single = TimeSeriesOps.ewma(df, "k", "ts", "v",
+      tieBreak = Seq.empty, alpha = 0.3)
+      .select(col("ts"), col("ewma")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1))).toMap
+    val bucketed = TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v",
+      tieBreak = Seq.empty, alpha = 0.3, bucketSeconds = 86400L)
+      .select(col("ts"), col("ewma")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+    assert(bucketed.length == single.size)
+    bucketed.foreach { case (t, v) =>
+      val e = single(t)
+      assert(math.abs(v - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"$t: $v vs $e")
+    }
+    // alpha = 1: no memory — both forms emit the raw value exactly
+    val a1 = TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v",
+      tieBreak = Seq.empty, alpha = 1.0, bucketSeconds = 86400L)
+      .select(col("v"), col("ewma")).collect()
+    assert(a1.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // phase 1/3 partition by (key, bucket): the plan must hash on BOTH
+    // columns somewhere (the hot-key fan-out), and phase 2 on the key
+    val plan = TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v",
+      tieBreak = Seq.empty, alpha = 0.3, bucketSeconds = 86400L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bk"), s"bucketed phase must key on (k, __bk):\n$plan")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v", Seq.empty, 0.3, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v", Seq.empty, 1.5, 60L)
+    }
+  }
 }
