@@ -117,6 +117,38 @@ object BoostQL {
       "INSERT must be 'INSERT INTO domain.family SELECT …'")
   }
 
+  /** `DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'` — the
+    * SQL face of retention (TimescaleDB `drop_chunks`), compiling to
+    * [[TimeSeriesTable.expire]]: METADATA-ONLY whole-date-partition
+    * drops, never a rewrite — the only DELETE shape that works on a
+    * petabyte family, and therefore the only shape this face accepts.
+    * The bound is exclusive and PARTITION-GRANULAR: rows strictly
+    * before the date go, the date itself and everything after stay.
+    * Any other predicate (a mid-day timestamp bound, a value filter, a
+    * series filter) refuses with the reason — a row-level DELETE would
+    * silently become a full-family rewrite, which a user must opt into
+    * by writing the rewrite themselves. Returns the dropped partition
+    * names (empty when nothing is old enough).
+    */
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+(\w+)\s*\.\s*(\w+)\s+where\s+ts\s*<\s*date\s*'(\d{4}-\d{2}-\d{2})'\s*$""".r
+  private val deleteShapeRe = """(?is)^\s*delete\b.*$""".r
+
+  def sqlDelete(stmt: String, spark: SparkSession, root: String): Seq[String] =
+    stmt match {
+      case deleteRe(dom, fam, cutoff) =>
+        TimeSeriesTable.expire(spark, root, dom, fam,
+          java.sql.Date.valueOf(cutoff))
+      case deleteShapeRe() => throw Compiler.CompileException(
+        "DELETE supports exactly the retention shape " +
+          "\"DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'\" — " +
+          "whole date partitions drop as metadata; any other predicate " +
+          "would be a full-family rewrite (write it explicitly if you " +
+          "mean it)")
+      case _ => throw Compiler.CompileException(
+        "sqlDelete expects a DELETE statement")
+    }
+
   /** `INSERT INTO domain.family <select>` against STREAMING family
     * frames — continuous SQL ingest, the ETL-pipeline face of the
     * north star: the same INSERT text that runs in batch keeps a family

@@ -957,6 +957,24 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // SQL retention, oracle-checked end to end: the DELETE face drops
+    // whole date partitions as metadata (never a rewrite), then the
+    // dialect queries the survivors — matching the oracle's date slice
+    // proves the partition-granular cut exact
+    "boost_delete_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sqldel").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      val dropped = BoostQL.sqlDelete(
+        "DELETE FROM dom.events WHERE ts < DATE '2024-01-20'", s, root)
+      require(dropped.nonEmpty, "expected partitions to drop")
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql("SELECT purchase.user, count(*) AS n, " +
+        "sum(CAST(purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY purchase.user ORDER BY purchase.user",
+          _ => reread)
+    }),
+
     // SQL ingest, oracle-checked end to end: INSERT INTO writes a
     // derived two-series family (each select column a series, UNPIVOT
     // to the long layout, date-partitioned append), then the dialect
@@ -1796,6 +1814,14 @@ object BoostQueries {
         |FROM events WHERE event_type = 'click'
         |  AND CAST(ts AS DATE) >= DATE '2024-01-15'
         |GROUP BY 1 ORDER BY click_user""".stripMargin,
+
+    // the same date-slice contract through the SQL DELETE face
+    "boost_delete_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS purchase_user, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |  AND CAST(ts AS DATE) >= DATE '2024-01-20'
+        |GROUP BY 1 ORDER BY purchase_user""".stripMargin,
 
     "boost_with" ->
       """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS cnt

@@ -95,6 +95,39 @@ class BoostQLSpec extends SparkSpec {
     assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
+  test("DELETE: partition-granular retention; row-level shapes refuse") {
+    import org.apache.spark.sql.functions.{col => c}
+    val root = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val before = TimeSeriesTable.open(spark, root, "dom", "events").count()
+    val dropped = BoostQL.sqlDelete(
+      "DELETE FROM dom.events WHERE ts < DATE '2024-01-10'", spark, root)
+    assert(dropped.nonEmpty && dropped.forall(_.startsWith("dt=")))
+    val after = TimeSeriesTable.open(spark, root, "dom", "events")
+    assert(after.count() < before)
+    // the cut is exact at the date boundary: nothing before survives,
+    // the boundary date itself stays
+    assert(after.filter(c("ts") <
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00")).count() == 0)
+    assert(after.filter(c("ts") <
+      java.sql.Timestamp.valueOf("2024-01-11 00:00:00")).count() > 0)
+    // idempotent: nothing left to drop
+    assert(BoostQL.sqlDelete(
+      "DELETE FROM dom.events WHERE ts < DATE '2024-01-10'", spark, root).isEmpty)
+    // refusal matrix: every non-retention DELETE shape names the rule
+    def refuses(stmt: String): Unit = {
+      val e = intercept[Compiler.CompileException](
+        BoostQL.sqlDelete(stmt, spark, root))
+      assert(e.getMessage.contains("retention shape"), e.getMessage)
+    }
+    refuses("DELETE FROM dom.events WHERE ts < TIMESTAMP '2024-01-10 12:00:00'")
+    refuses("DELETE FROM dom.events WHERE click > 5.0")
+    refuses("DELETE FROM dom.events WHERE ts > DATE '2024-01-10'")
+    refuses("DELETE FROM dom.events")
+    intercept[Compiler.CompileException](
+      BoostQL.sqlDelete("SELECT click FROM dom.events", spark, root))
+  }
+
   test("INSERT INTO: SQL ingest round-trips; shape mismatches refuse") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-insert-spec").toString
