@@ -498,6 +498,36 @@ object BoostQL {
     // names an already-selected aggregate reuses its column instead of
     // aggregating twice
     val aggByShape = scala.collection.mutable.Map.empty[Operand, String]
+    // an aggregate EXPRESSION (arithmetic/CAST/CASE/allowlisted scalar
+    // functions over streaming-safe aggregates — the shape the
+    // corr/covar/regr parse-time desugar produces): every contained
+    // aggregate becomes hidden watermarked state, the surrounding
+    // arithmetic applies STATELESSLY to the finalized window rows —
+    // continuous correlation / OLS drift detection through the SQL
+    // front, no new state kinds
+    case class ExprOut(nm: String, e: Operand) extends Out
+    def bexprHasAgg(e: BExpr): Boolean = e match {
+      case Cmp(_, l, r)  => hasAggIn(l) || hasAggIn(r)
+      case AndE(l, r)    => bexprHasAgg(l) || bexprHasAgg(r)
+      case OrE(l, r)     => bexprHasAgg(l) || bexprHasAgg(r)
+      case NotE(x)       => bexprHasAgg(x)
+      case IsNullE(o, _) => hasAggIn(o)
+      case BetweenE(o, lo, hi, _) =>
+        hasAggIn(o) || hasAggIn(lo) || hasAggIn(hi)
+      case InE(o, xs, _) => hasAggIn(o) || xs.exists(hasAggIn)
+      case _             => false
+    }
+    def hasAggIn(o: Operand): Boolean = o match {
+      case _: OAgg | _: OAggX => true
+      case OArith(_, l, r)    => hasAggIn(l) || hasAggIn(r)
+      case ONeg(x)            => hasAggIn(x)
+      case OCast(x, _)        => hasAggIn(x)
+      case OFn(_, as)         => as.exists(hasAggIn)
+      case OCase(bs, el)      =>
+        bs.exists { case (c, v) => bexprHasAgg(c) || hasAggIn(v) } ||
+          el.exists(hasAggIn)
+      case _                  => false
+    }
     val outs: Seq[Out] = spec.select.map {
       case ExprItem(e, nm) if nm == bAlias && bucketShape(e).isDefined =>
         BucketOut(nm)
@@ -518,15 +548,18 @@ object BoostQL {
           s"$fn() is not streaming-safe — supported streaming " +
             "aggregates: count, sum, avg, min, max, approx_top_k")
         val o = aggOut(fn, Some(e), nm); aggByShape(it.expr) = nm; o
+      case ExprItem(e, nm) if hasAggIn(e) => ExprOut(nm, e)
       case _: AggItem => throw Compiler.CompileException(
         "streaming aggregates must be aliased (agg(x) AS name)")
       case other => throw Compiler.CompileException(
         "streaming select items must be the bucket key, a grouping " +
-          "field, or an aliased aggregate")
+          "field, an aliased aggregate, or an expression over " +
+          "streaming-safe aggregates")
     }
     val aggs = outs.collect { case a: AggOut => a }
-    if (aggs.isEmpty) throw Compiler.CompileException(
-      "watermarked streaming aggregation needs at least one aggregate")
+    if (aggs.isEmpty && !outs.exists(_.isInstanceOf[ExprOut]))
+      throw Compiler.CompileException(
+        "watermarked streaming aggregation needs at least one aggregate")
     /* HAVING: a STATELESS filter on the FINALIZED aggregate rows —
      * append mode emits a window once (on watermark passage), the
      * filter then applies exactly like batch HAVING; no second
@@ -558,11 +591,13 @@ object BoostQL {
       case BucketOut(nm) => nm
       case DimOut(nm) => nm
       case AggOut(_, _, nm, _, _) => nm
+      case ExprOut(nm, _) => nm
     }.toSet
     def hRefuse(what: String): Nothing = throw Compiler.CompileException(
-      s"streaming HAVING supports literals, select-output names, " +
-        s"arithmetic, CAST and streaming-safe aggregates only; $what " +
-        "is not supported")
+      s"streaming aggregate expressions (HAVING and expression select " +
+        s"items) support literals, select-output names, arithmetic, " +
+        s"CAST, CASE, the scalar builtins and streaming-safe " +
+        s"aggregates only; $what is not supported")
     def hOp(o: Operand): Column = o match {
       case OLit(l)    => Compiler.litColumn(l)
       case e: OAgg    => col(havingAggCol(e))
@@ -587,6 +622,22 @@ object BoostQL {
         case "bool" => "boolean"
         case other => hRefuse(s"CAST to $other")
       })
+      // the allowlisted scalar builtins and CASE — enough to carry the
+      // corr/covar/regr desugar trees (sqrt/coalesce + guards) and
+      // ordinary rounding/formatting of finalized aggregates
+      case OFn(fn, args) =>
+        Compiler.scalarFns.get(fn) match {
+          case Some((lo, hi, build)) =>
+            if (args.length < lo || args.length > hi)
+              hRefuse(s"$fn() with ${args.length} argument(s)")
+            build(args.map(hOp))
+          case None => hRefuse(s"function $fn()")
+        }
+      case OCase(bs, el) =>
+        val first = when(hB(bs.head._1), hOp(bs.head._2))
+        val folded = bs.tail.foldLeft(first)((c, b) =>
+          c.when(hB(b._1), hOp(b._2)))
+        el.fold(folded)(e => folded.otherwise(hOp(e)))
       case _ => hRefuse("this expression form")
     }
     def hB(e: BExpr): Column = e match {
@@ -611,6 +662,12 @@ object BoostQL {
       case _ => hRefuse("subquery/LIKE predicates")
     }
     val havingCond: Option[Column] = spec.having.map(hB)
+    // aggregate-expression select items: walking them through hOp here
+    // registers their contained aggregates as hidden columns (the same
+    // registration HAVING uses), so allAggs below carries them
+    val exprOutCols: Map[String, Column] = outs.collect {
+      case ExprOut(nm, e) => nm -> hOp(e).as(nm)
+    }.toMap
     val allAggs = aggs ++ extraAggs.result()
     // layer 1: the stateless projection/filter through the ordinary
     // compiler — same pushed-filter scan as batch, swept to stay
@@ -658,12 +715,16 @@ object BoostQL {
         else col("window.start").as(nm)
       case DimOut(nm)       => col(nm)
       case AggOut(_, _, nm, _, _) => col(nm)
+      // stateless arithmetic over the finalized hidden aggregates
+      case ExprOut(nm, _)   => exprOutCols(nm)
     }
     val hiddenNames = hidden.result()
     val projected = agged.select((outCols ++ hiddenNames.map(col)): _*)
+    // hidden aggregates serve HAVING and the expression outputs; both
+    // paths drop them from the emitted rows
     havingCond match {
       case Some(c) => projected.filter(c).drop(hiddenNames: _*)
-      case None    => projected
+      case None    => projected.drop(hiddenNames: _*)
     }
   }
 

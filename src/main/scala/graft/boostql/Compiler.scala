@@ -325,7 +325,7 @@ object Compiler {
     * built-in — no UDFs — so function calls stay inside WholeStageCodegen
     * and never block predicate pushdown of sibling conjuncts.
     */
-  private val scalarFns: Map[String, (Int, Int, Seq[Column] => Column)] = Map(
+  private[boostql] val scalarFns: Map[String, (Int, Int, Seq[Column] => Column)] = Map(
     "upper"    -> ((1, 1, (a: Seq[Column]) => upper(a(0)))),
     "lower"    -> ((1, 1, (a: Seq[Column]) => lower(a(0)))),
     "length"   -> ((1, 1, (a: Seq[Column]) => length(a(0)).cast("long"))),

@@ -59,7 +59,12 @@ object StreamingQueries {
     // continuous per-window DISTRIBUTIONS: histogram() as watermarked
     // streaming-aggregation state (nbins plain sums — constant per
     // window entry), the same portable count string as batch
-    "stream_sql_hist" -> ((s, d) => StreamingOps.streamSqlHistReplay(s, d))
+    "stream_sql_hist" -> ((s, d) => StreamingOps.streamSqlHistReplay(s, d)),
+    // continuous DRIFT DETECTION: the corr/regr desugar trees as
+    // streaming aggregate expressions — pair sums are ordinary
+    // watermarked state, the OLS/corr tail applies statelessly to
+    // finalized windows
+    "stream_sql_regr" -> ((s, d) => StreamingOps.streamSqlRegrReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +175,41 @@ object StreamingQueries {
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events WHERE event_type = 'purchase' AND value > 50.0
         |GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
+
+    // the streamed OLS/corr must equal the batch desugar exactly: the
+    // same exact pair sums per daily window, the same fixed IEEE tail
+    "stream_sql_regr" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS d,
+        |    CAST(user_id AS VARCHAR) AS u,
+        |    CAST(event_id AS BIGINT) AS x,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' AND value > 50.0
+        |), g AS (
+        |  SELECT d, u,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN 1 END) AS DOUBLE) AS nd,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x END) AS DOUBLE) AS sx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y END) AS DOUBLE) AS sy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * x END) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN y * y END) AS DOUBLE) AS syy,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |                  THEN x * y END) AS DOUBLE) AS sxy,
+        |    COUNT(*) AS n
+        |  FROM t GROUP BY d, u)
+        |SELECT d, u,
+        |  CASE WHEN nd * sxx - sx * sx > 0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS sl,
+        |  CASE WHEN sqrt(nd * sxx - sx * sx) > 0
+        |        AND sqrt(nd * syy - sy * sy) > 0
+        |    THEN ((nd * sxy - sx * sy) / sqrt(nd * sxx - sx * sx))
+        |           / sqrt(nd * syy - sy * sy) END AS r,
+        |  n
+        |FROM g ORDER BY d, u""".stripMargin,
 
     // the streamed histogram must equal the batch bins exactly: same
     // bin arithmetic, same comma-joined rendering, per daily window

@@ -328,6 +328,40 @@ object StreamingOps {
     spark.table(sink).orderBy("d")
   }
 
+  /** Continuous drift detection: an OLS slope and a correlation —
+    * aggregate EXPRESSIONS, the corr/regr parse-time desugar trees —
+    * inside sqlStream's watermarked bucket()-keyed aggregate. Every
+    * contained pair sum is ordinary watermarked streaming state; the
+    * surrounding fixed IEEE arithmetic applies statelessly to each
+    * FINALIZED window row, so "is this metric drifting, per user, per
+    * day, on live data" runs through the SQL front with no new state
+    * kinds. AvailableNow replay equals the batch oracle exactly (the
+    * sums are exact integers; the tail is the same fixed sequence).
+    */
+  def streamSqlRegrReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqlregr").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(ts, '1 day') AS int) AS d, purchase.user AS u, " +
+        "regr_slope(CAST(purchase * 100.0 AS int), " +
+        "           CAST(purchase.event_id AS int)) AS sl, " +
+        "corr(CAST(purchase.event_id AS int), " +
+        "     CAST(purchase * 100.0 AS int)) AS r, " +
+        "count(*) AS n " +
+        "FROM dom.events WHERE purchase > 50.0 GROUP BY d, u",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlregr_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d", "u")
+  }
+
   /** The watermarked streaming-SQL aggregate WITH a HAVING tail: the
     * dialect compiles HAVING to a stateless filter on the finalized
     * window rows (extra aggregates named only in the condition are

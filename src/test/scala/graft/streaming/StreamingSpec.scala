@@ -299,6 +299,21 @@ class StreamingSpec extends SparkSpec {
     // …but histogram in HAVING refuses (a count string is not a
     // comparable aggregate)
     refuses(B + G + " HAVING histogram(click, 0, 500, 4) != ''")
+    // aggregate EXPRESSIONS (the corr/regr desugar shape) compile —
+    // hidden pair sums + a stateless tail on finalized windows…
+    graft.boostql.BoostQL.sqlStream(
+      B + ", corr(click, CAST(click.k AS float)) AS r" + G,
+      _ => stream, "1 day")
+    graft.boostql.BoostQL.sqlStream(
+      B + ", regr_slope(click, CAST(click.k AS float)) AS sl" + G,
+      _ => stream, "1 day")
+    graft.boostql.BoostQL.sqlStream(
+      B + ", sum(click) / count(click) AS ratio" + G, _ => stream, "1 day")
+    // …while expressions containing non-streaming-safe aggregates, and
+    // expressions over raw (non-output) fields, keep refusing
+    refuses(B + ", median(click) + 1.0 AS m" + G)
+    refuses(B + ", percentile(click, 0.5) * 2.0 AS p" + G)
+    refuses(B + ", sum(click) + click AS broken" + G)
     refuses(B + ", count(click)" + G)                             // unaliased agg
     refuses(B + ", upper(click.user) AS uu" + G)                  // bare scalar item
     refuses("SELECT CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
