@@ -1154,12 +1154,23 @@ object BoostQueries {
 
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
-    // Engine-specific text — no DuckDB twin, so the driver records the
-    // rows-only contract check; the PushedFilters claim itself is
-    // asserted in PlanShapeSpec against a graft-written store.
-    "boost_explain" -> ((s, d) =>
+    // The plan TEXT is engine-specific, so the registered query emits
+    // INVARIANT booleans computed from it (plan present, a Filter and a
+    // Project node planned, the predicate literal visible in the
+    // condition) — DuckDB predicts TRUE for each, so a lost filter or
+    // an empty plan is a hash mismatch. The raw-text face stays
+    // reachable via BoostQL.sql("EXPLAIN …"); the PushedFilters claim
+    // is asserted in PlanShapeSpec against a graft-written store.
+    "boost_explain" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
       run(s, d, "EXPLAIN SELECT click.user, click FROM dom.events " +
-        "WHERE click < 100.0"))
+        "WHERE click < 100.0")
+        .select(
+          (length(col("plan")) > 0).as("plan_nonempty"),
+          col("plan").contains("Filter").as("has_filter"),
+          col("plan").contains("Project").as("has_project"),
+          col("plan").contains("100.0").as("has_predicate"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1708,9 +1719,15 @@ object BoostQueries {
       """SELECT CAST(user_id AS VARCHAR) AS click_user,
         |  bool_and(value < 400.0) AS all_small,
         |  bool_or(value > 450.0) AS any_big,
-        |  count_if(value > 240.0) AS n_big, COUNT(*) AS n
+        |  CAST(count_if(value > 240.0) AS BIGINT) AS n_big, COUNT(*) AS n
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY click_user""".stripMargin,
+
+    // plan-shape invariants: DuckDB predicts TRUE per check — a lost
+    // Filter/Project or an empty compiled plan is a hash mismatch
+    "boost_explain" ->
+      """SELECT TRUE AS plan_nonempty, TRUE AS has_filter,
+        |  TRUE AS has_project, TRUE AS has_predicate""".stripMargin,
 
     // two-level median replay: group medians first, then the median of
     // each row's absolute deviation — quantile_cont is the same exact

@@ -196,24 +196,63 @@ object RelationalQueries {
           Tables.events(s, d), "event_type", "value", "event_id", 0.5, 256)
         .orderBy("event_type")),
 
-    // native DataSketches HLL estimates (rows-only: engine-specific
-    // sketch; accuracy + mergeability pinned in SketchOpsSpec)
-    "q_hll_distinct" -> ((s, d) =>
-      graft.operators.SketchOps.hllDistinct(
-          Tables.lineitem(s, d), "l_returnflag", "l_partkey")
-        .orderBy("l_returnflag")),
+    // native DataSketches HLL estimates, ORACLE-CHECKED BY INVARIANT:
+    // the sketch bytes are engine-specific, but the accuracy contract
+    // is not — emit the EXACT distinct count (DuckDB-replayable) plus a
+    // boolean pinning the estimate within ±5% of it (lgK=12 ⇒ ~1.6%
+    // relative std error; 3σ ≈ 4.9%). DuckDB predicts TRUE literally,
+    // so the hash matches iff the estimate actually lands in the bound
+    // — the reference's own self-verifying harness style
+    // (examples/basic_client/main.go:229-245). Raw estimates +
+    // mergeability stay pinned in SketchOpsSpec.
+    "q_hll_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = graft.operators.SketchOps.hllDistinct(
+        li, "l_returnflag", "l_partkey")
+      li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("exact_distinct"))
+        .join(broadcast(est), "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("est_distinct") / col("exact_distinct") - 1.0) <= 0.05)
+            .as("within_5pct"))
+        .orderBy("l_returnflag")
+    }),
 
-    // Greenwald–Khanna approximate quantiles (rows-only: GK picks
-    // in-group elements within rank error, a Spark-side contract;
-    // rank-error bound + determinism pinned in SketchOpsSpec)
-    "q_quantile_sketch" -> ((s, d) =>
-      graft.operators.SketchOps.approxQuantiles(
-          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
-          Seq(0.25, 0.5, 0.9, 0.99))
-        .select(col("l_returnflag"), col("n"),
-          col("quantiles")(0).as("p25"), col("quantiles")(1).as("p50"),
-          col("quantiles")(2).as("p90"), col("quantiles")(3).as("p99"))
-        .orderBy("l_returnflag")),
+    // Greenwald–Khanna approximate quantiles, ORACLE-CHECKED BY
+    // INVARIANT: GK picks in-group ELEMENTS (engine-specific choice),
+    // but its deterministic guarantee — returned element's rank within
+    // n/accuracy of target — is checkable: join the estimates back and
+    // count elements strictly-below / at-or-below each one; the
+    // element's rank interval [lt+1, le] must overlap [p·n − εn,
+    // p·n + εn] (ε = 2/accuracy, twice the hard bound for float slack).
+    // DuckDB predicts TRUE per prob + the exact n, so a rank-bound
+    // violation is a hash mismatch. Element choice stays pinned in
+    // SketchOpsSpec.
+    "q_quantile_sketch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val probs = Seq(0.25, 0.5, 0.9, 0.99)
+      val q = graft.operators.SketchOps.approxQuantiles(
+        li, "l_returnflag", "l_extendedprice", probs, accuracy = 1000)
+      val eps = 2.0 / 1000.0
+      val counted = li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          probs.indices.flatMap(i => Seq(
+            sum(when(col("l_extendedprice") < col("quantiles")(i), 1L)
+              .otherwise(0L)).as(s"__lt$i"),
+            sum(when(col("l_extendedprice") <= col("quantiles")(i), 1L)
+              .otherwise(0L)).as(s"__le$i"))): _*)
+      val oks = probs.zipWithIndex.map { case (p, i) =>
+        val target = lit(p) * col("n").cast("double")
+        val slack = lit(eps) * col("n").cast("double")
+        ((col(s"__lt$i").cast("double") + 1.0 <= target + slack) &&
+          (col(s"__le$i").cast("double") >= target - slack))
+          .as(s"ok_p${(p * 100).toInt}")
+      }
+      counted.select(col("l_returnflag") +: col("n") +: oks: _*)
+        .orderBy("l_returnflag")
+    }),
 
     // bivariate aggregates: corr / sample covariance / sample stddev.
     // Both engines use single-pass co-moment accumulation; results are
@@ -374,6 +413,20 @@ object RelationalQueries {
         |     vals[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]) *
         |    (0.5 * (n - 1) - floor(0.5 * (n - 1))), 6) AS p50
         |FROM arr ORDER BY event_type""".stripMargin,
+
+    // invariant oracles: DuckDB computes the exact side and predicts
+    // TRUE for each bound check — a sketch estimate outside its
+    // accuracy contract is a hash mismatch
+    "q_hll_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_distinct,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag, COUNT(l_extendedprice) AS n,
+        |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_corr" ->
       """SELECT l_returnflag,
