@@ -170,6 +170,51 @@ object TimeSeriesOps {
       .drop("__med")
   }
 
+  /** Aggregate-then-broadcast decomposition of [[madOutliers]] — the
+    * hot-key escape for the ORDER-STATISTIC tier. A median does NOT
+    * stitch over time buckets (unlike twa/ewma's linear recurrences),
+    * so the decomposition is in VALUE space instead: the per-key median
+    * as a `groupBy` AGGREGATE — Spark's `percentile` buffers a
+    * value→count map, so the map-side PARTIAL aggregation parallelizes
+    * the scan over every task and the one sequential step per key is
+    * merging count maps sized by DISTINCT values, not rows (the exact
+    * analogue of twa's phase-2 bucket-summary scan) — then a broadcast
+    * join pins the medians back onto the rows with NO row shuffle at
+    * all. The whole-partition WINDOW form shuffles and sorts every row
+    * of a key into one task; this form never moves a data row.
+    *
+    * Cost: two scan passes (median, then the deviation median) instead
+    * of one sorted shuffle — at 100 TB two parallel scans beat one
+    * serialized sort on a 5-key corpus by the core count. Results are
+    * BIT-IDENTICAL to [[madOutliers]]: the window and aggregate forms
+    * run the same Percentile aggregate (count-map merge is order-
+    * insensitive; the final rank walk sorts by value), and the
+    * broadcast join is null-safe on the by-keys so null-key groups
+    * match the window form's partitioning. Output columns: by-keys
+    * first (join layout), then the remaining input columns, `dev`,
+    * `mad`.
+    */
+  def madOutliersAgg(df: DataFrame, by: Seq[String], valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    def pinBack(rows: DataFrame, perKey: DataFrame): DataFrame = {
+      val renamed = perKey.select(perKey.columns.map(c =>
+        if (by.contains(c)) col(c).as(s"__k_$c") else col(c)): _*)
+      val cond = by.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      rows.join(broadcast(renamed), cond)
+        .drop(by.map(c => s"__k_$c"): _*)
+    }
+    val med = df.groupBy(by.map(col): _*)
+      .agg(expr(s"percentile($valCol, 0.5)").as("__med"))
+    val withDev = pinBack(df, med)
+      .withColumn("dev", abs(col(valCol) - col("__med")))
+    val mad = withDev.groupBy(by.map(col): _*)
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    pinBack(withDev, mad)
+      .filter(col("dev") > lit(k) * col("mad"))
+      .drop("__med")
+  }
+
   def rollingZScore(df: DataFrame, by: Seq[String], tsCol: String,
       valCol: String, tieBreak: Seq[String], window: Int = 20,
       out: String = "zscore"): DataFrame = {
@@ -180,6 +225,84 @@ object TimeSeriesOps {
     val mu = avg(col(valCol)).over(w)
     val sd = stddev_samp(col(valCol)).over(w)
     df.withColumn(out, when(sd > 0, round((col(valCol) - mu) / sd, 6)))
+  }
+
+  /** Two-phase bucket-then-stitch [[rollingZScore]] — the hot-key escape
+    * for the trailing-ROWS window tier (the same failure shape the skew
+    * artifact measures for twa/ewma: a window partitioned by the key
+    * alone serializes one task per key, so 5 distinct keys cap the
+    * parallelism at 5 however many cores exist). The trailing window is
+    * over ROWS, so the decomposition works in ROW space:
+    *
+    *  - phase 1 (parallel per (key, time-bucket)): in-bucket row numbers
+    *    via a (key, bucket)-partitioned window — a hot key fans out over
+    *    its time buckets;
+    *  - phase 2 (bucket-summary-sized): per-(key, bucket) counts prefix-
+    *    summed per key give each bucket's global row offset; joining it
+    *    back yields the GLOBAL per-key row number rn without ever
+    *    sorting a whole key in one task (time-bucket floor is monotone
+    *    in ts, so rn order ≡ the single-pass (ts, tieBreak) order);
+    *  - phase 3 (parallel per (key, row-bucket)): rows regroup into
+    *    fixed-size ROW buckets of `rowsPerBucket`; each row whose
+    *    trailing window is needed by the NEXT row bucket's head (the
+    *    last window−1 rows) is DUPLICATED into it as a carry row, so
+    *    every row's trailing `window` ROWS are physically present in its
+    *    partition; the same avg/stddev_samp frame as the single-pass
+    *    form then evaluates over the identical rows in the identical
+    *    order — BIT-IDENTICAL output (carry rows compute and are
+    *    dropped) — with parallelism keys × (rows / rowsPerBucket).
+    *
+    * The carry crosses at most one bucket boundary because
+    * `rowsPerBucket >= window` (required). Output = input columns +
+    * `out`, exactly [[rollingZScore]].
+    */
+  def rollingZScoreBucketed(df: DataFrame, by: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], window: Int = 20,
+      bucketSeconds: Long = 86400L, rowsPerBucket: Int = 8192,
+      out: String = "zscore"): DataFrame = {
+    require(window > 1, "window must cover at least 2 rows")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(rowsPerBucket >= window,
+      "rowsPerBucket must be >= window so a trailing frame crosses at " +
+        "most one row-bucket boundary")
+    val keyCols = by.map(col)
+    val u = unix_micros(col(tsCol))
+    val withTbk = df.withColumn("__tbk",
+      u - pmod(u, lit(bucketSeconds * 1000000L)))
+    // phase 1: in-bucket row numbers — parallel per (key, time-bucket)
+    val wIn = Window.partitionBy((by :+ "__tbk").map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val withIrn = withTbk.withColumn("__irn",
+      row_number().over(wIn).cast("long"))
+    // phase 2: per-key bucket offsets over the SUMMARY table only
+    val counts = withTbk.groupBy((by :+ "__tbk").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wPre = Window.partitionBy(keyCols: _*).orderBy(col("__tbk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+      .select((by :+ "__tbk").map(col) :+ col("__off"): _*)
+    val withRn = withIrn.join(offs, by :+ "__tbk")
+      .withColumn("__rn", col("__off") + col("__irn"))
+    // phase 3: fixed-size row buckets + boundary carry
+    val bkOf = floor((col("__rn") - 1L) / lit(rowsPerBucket.toLong))
+    val carryBk =
+      floor((col("__rn") - 1L + lit((window - 1).toLong)) /
+        lit(rowsPerBucket.toLong))
+    val own = withRn.withColumn("__rbk", bkOf)
+      .withColumn("__carry", lit(false))
+    val carried = withRn.withColumn("__rbk", carryBk)
+      .filter(carryBk =!= bkOf)
+      .withColumn("__carry", lit(true))
+    val wz = Window.partitionBy((keyCols :+ col("__rbk")): _*)
+      .orderBy(col("__rn").asc)
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val mu = avg(col(valCol)).over(wz)
+    val sd = stddev_samp(col(valCol)).over(wz)
+    own.unionByName(carried)
+      .withColumn(out, when(sd > 0, round((col(valCol) - mu) / sd, 6)))
+      .filter(!col("__carry"))
+      .drop("__tbk", "__irn", "__off", "__rn", "__rbk", "__carry")
   }
 
   /** LTTB downsampling (Steinarsson 2013, "Largest-Triangle-Three-

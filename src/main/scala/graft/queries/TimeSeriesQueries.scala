@@ -89,6 +89,27 @@ object TimeSeriesQueries {
           round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
         .orderBy("event_type", "event_id")),
 
+    "ts_mad_outlier_bucketed" -> ((s, d) =>
+      // the aggregate-then-broadcast hot-key escape: medians as
+      // partial-agg'd groupBy aggregates pinned back by broadcast join
+      // (no row ever shuffles on the key) — bit-identical to the
+      // window form, so it shares ts_mad_outlier's oracle replay
+      TimeSeriesOps.madOutliersAgg(ev(s, d), by = Seq("event_type"),
+        valCol = "value", k = 3.0)
+        .select(col("event_type"), col("event_id"),
+          round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
+        .orderBy("event_type", "event_id")),
+
+    "ts_zscore_bucketed" -> ((s, d) =>
+      // the row-bucket + boundary-carry hot-key escape for trailing-ROWS
+      // windows: identical frames evaluate per (key, row-bucket), so the
+      // output is bit-identical to ts_zscore and shares its oracle
+      TimeSeriesOps.rollingZScoreBucketed(ev(s, d), by = Seq("event_type"),
+        tsCol = "ts", valCol = "value", tieBreak = Seq("event_id"),
+        window = 20, bucketSeconds = 86400L)
+        .select(col("event_id"), col("zscore"))
+        .orderBy("event_id")),
+
     "ts_tumbling_window" -> ((s, d) =>
       // tumbling 6-hour windows via window() — the declarative form of the
       // reference's executionWindowSize loop (executor.go:239-252)
@@ -637,7 +658,12 @@ object TimeSeriesQueries {
         |FROM t ORDER BY event_type, event_id""".stripMargin
     )
     // the bucketed two-phase twa equals the single-pass form bit for
-    // bit over integral cents — same oracle replay
-    m + ("ts_twa_bucketed" -> m("ts_twa"))
+    // bit over integral cents — same oracle replay; the mad aggregate
+    // and zscore row-bucket escapes are bit-identical to their window
+    // forms by construction (same Percentile count-map / same frame
+    // rows in the same order), so they share those oracles too
+    m + ("ts_twa_bucketed" -> m("ts_twa")) +
+      ("ts_mad_outlier_bucketed" -> m("ts_mad_outlier")) +
+      ("ts_zscore_bucketed" -> m("ts_zscore"))
   }
 }

@@ -115,6 +115,69 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(TimeSeriesOps.madOutliers(const, Seq("k"), "v").count() == 0)
   }
 
+  test("madOutliersAgg is bit-identical to the window form; broadcasts, " +
+      "never shuffles rows on the key") {
+    import graft.tables.Tables
+    val e = Tables.events(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Long]("event_id"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("dev"), r.getAs[Double]("mad"))
+    val win = TimeSeriesOps.madOutliers(e, Seq("event_type"), "value")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    val agg = TimeSeriesOps.madOutliersAgg(e, Seq("event_type"), "value")
+    val got = agg.collect().map(r => key(r) -> vals(r)).toMap
+    assert(got == win && win.nonEmpty)
+    // the escape's point: medians pin back via BROADCAST joins (data
+    // rows never shuffle or sort on the key — no Window, no
+    // SortMergeJoin) and the percentile aggregates partial-merge
+    // map-side, so the only key exchanges carry count-map summaries
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_percentile"),
+      s"median must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"rows must never shuffle/sort on the key:\n$plan")
+    // null by-keys group together, matching the window partitioning
+    val withNull = Seq((null.asInstanceOf[String], 1.0),
+      (null.asInstanceOf[String], 2.0), (null.asInstanceOf[String], 3.0),
+      (null.asInstanceOf[String], 4.0), (null.asInstanceOf[String], 5.0),
+      (null.asInstanceOf[String], 6.0), (null.asInstanceOf[String], 7.0),
+      (null.asInstanceOf[String], 100.0)).toDF("k", "v")
+    val nOut = TimeSeriesOps.madOutliersAgg(withNull, Seq("k"), "v")
+    assert(nOut.count() ==
+      TimeSeriesOps.madOutliers(withNull, Seq("k"), "v").count())
+  }
+
+  test("rollingZScoreBucketed is bit-identical to the single pass; " +
+      "windows key on (key, row-bucket)") {
+    import graft.tables.Tables
+    val e = Tables.events(spark, sfDir)
+    def zmap(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "zscore").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val single = zmap(TimeSeriesOps.rollingZScore(e, Seq("event_type"),
+      "ts", "value", Seq("event_id"), window = 20))
+    // tiny rowsPerBucket (>= window) forces MANY carry boundaries — the
+    // hardest case for the stitch; bit equality, not tolerance
+    val bucketed = TimeSeriesOps.rollingZScoreBucketed(e, Seq("event_type"),
+      "ts", "value", Seq("event_id"), window = 20,
+      bucketSeconds = 3600L, rowsPerBucket = 32)
+    assert(zmap(bucketed) == single && single.nonEmpty)
+    // phase-3 windows partition by (key, row-bucket): the hot key fans
+    // out instead of serializing in one task
+    val plan = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("windowspecdefinition(event_type") &&
+      plan.contains("__rbk"),
+      s"phase-3 window must key on (key, row-bucket):\n$plan")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.rollingZScoreBucketed(e, Seq("event_type"), "ts",
+        "value", Seq("event_id"), window = 20, rowsPerBucket = 10)
+    }
+  }
+
   test("rollingZScore matches a hand-rolled trailing-window computation") {
     val xs = Seq(10.0, 12.0, 8.0, 30.0, 11.0, 9.0)
     val df = xs.zipWithIndex.map { case (v, i) =>
