@@ -64,12 +64,30 @@ object StreamingOps {
     * rather than whatever the session happened to be configured with.
     * At 100 TB state you'd raise it; for these replays 4 is plenty
     * (measured: 32 → 4 cuts the dedup replay ~1.5x at sf0.1).
+    *
+    * The state store is pinned to ROCKSDB for the same stateful starts:
+    * the default HDFS-backed provider holds every live state row as JVM
+    * heap objects, which is the measured 100×-scale ceiling
+    * (`stream_session` at the 100× corpus needed a 32 GiB driver heap
+    * in local mode purely for session state); RocksDB keeps state in
+    * native memory + local disk with bounded block caches, so state
+    * capacity stops being a heap concern on both local replays and real
+    * executors. Provider choice is also pinned into the checkpoint at
+    * first start — set here, not session-wide, so batch work in the
+    * same session is untouched.
     */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider)
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   /** SLIDING event-time windows as a stream: a 1-day window every 12

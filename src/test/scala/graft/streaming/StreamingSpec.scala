@@ -362,6 +362,15 @@ class StreamingSpec extends SparkSpec {
     assert(dataBatches == (files + 1) / 2,
       s"maxFilesPerTrigger=2 over $files files should take ${(files + 1) / 2} " +
         s"data batches, took $dataBatches")
+    // the stateful tier pins the ROCKSDB state store (heap-free state —
+    // the 100x session-state ceiling was JVM objects in the default
+    // provider); the progress trail proves the provider engaged
+    val stateOps = progress.flatMap(_.stateOperators)
+    assert(stateOps.nonEmpty)
+    assert(stateOps.exists(so => {
+      import scala.jdk.CollectionConverters._
+      so.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))
+    }), "state operators must report rocksdb metrics")
   }
 
   test("streaming dedup count equals batch distinct count") {
