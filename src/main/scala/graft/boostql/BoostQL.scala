@@ -364,12 +364,13 @@ object BoostQL {
       case _ => throw Compiler.CompileException(
         "streaming queries do not support set operations")
     }
+    if (spec.joins.nonEmpty)
+      return sqlStreamJoin(spec, families, watermarkDelay)
     def refuse(cond: Boolean, what: String): Unit =
       if (cond) throw Compiler.CompileException(
         "watermarked streaming aggregation supports a bucket(ts, …) " +
           s"group key + count/sum/avg/min/max only; $what is not " +
           "supported (use the watermarked StreamingOps tier)")
-    refuse(spec.joins.nonEmpty, "JOIN")
     refuse(spec.fill.isDefined,
       "FILL (densify at the sink — an unbounded stream has no final " +
         "bucket extent to densify against)")
@@ -587,6 +588,13 @@ object BoostQL {
       extraAggs += out; hidden += nm; aggByShape(e) = nm
       nm
     })
+    // expression-item names materialize in the same projection step, so
+    // a reference to one (from HAVING or another expression) inlines its
+    // OPERAND instead of naming a column that may not exist yet; a
+    // cyclic reference refuses instead of looping
+    val exprByName: Map[String, Operand] =
+      outs.collect { case ExprOut(nm, e) => nm -> e }.toMap
+    val expanding = scala.collection.mutable.Set.empty[String]
     val outNames: Set[String] = outs.map {
       case BucketOut(nm) => nm
       case DimOut(nm) => nm
@@ -602,6 +610,11 @@ object BoostQL {
       case OLit(l)    => Compiler.litColumn(l)
       case e: OAgg    => col(havingAggCol(e))
       case e: OAggX   => col(havingAggCol(e))
+      case ORef(n) if n.parts.length == 1 && exprByName.contains(n.parts.head) =>
+        val nm = n.parts.head
+        if (!expanding.add(nm))
+          hRefuse(s"'$nm' (a cyclic expression-alias reference)")
+        try hOp(exprByName(nm)) finally expanding.remove(nm)
       case ORef(n) if n.parts.length == 1 && outNames(n.parts.head) =>
         col(n.parts.head)
       case ORef(n) => hRefuse(
@@ -709,23 +722,150 @@ object BoostQL {
     val agged = flat.withWatermark("ts", watermarkDelay)
       .groupBy(keyCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
-    val outCols = outs.map {
+    val hiddenNames = hidden.result()
+    // two-step projection: first materialize every OUTPUT NAME (bucket
+    // alias included — `window.start` renames here), then evaluate the
+    // expression items against those names. An aggregate expression
+    // referencing the bucket alias (`d / 86400`) thereby resolves to
+    // the post-rename (post-CAST) bucket value instead of failing
+    // against the pre-rename frame where only `window` exists.
+    val named = agged.select((outs.collect {
       case BucketOut(nm) =>
         if (bCast) col("window.start").cast("long").as(nm)
         else col("window.start").as(nm)
-      case DimOut(nm)       => col(nm)
+      case DimOut(nm)             => col(nm)
+      case AggOut(_, _, nm, _, _) => col(nm)
+    } ++ hiddenNames.map(col)): _*)
+    val outCols = outs.map {
+      case BucketOut(nm)          => col(nm)
+      case DimOut(nm)             => col(nm)
       case AggOut(_, _, nm, _, _) => col(nm)
       // stateless arithmetic over the finalized hidden aggregates
-      case ExprOut(nm, _)   => exprOutCols(nm)
+      case ExprOut(nm, _)         => exprOutCols(nm)
     }
-    val hiddenNames = hidden.result()
-    val projected = agged.select((outCols ++ hiddenNames.map(col)): _*)
+    val projected = named.select((outCols ++ hiddenNames.map(col)): _*)
     // hidden aggregates serve HAVING and the expression outputs; both
     // paths drop them from the emitted rows
     havingCond match {
       case Some(c) => projected.filter(c).drop(hiddenNames: _*)
       case None    => projected.drop(hiddenNames: _*)
     }
+  }
+
+  /** The STREAM-STREAM JOIN subset of the watermarked SQL front:
+    * exactly one INNER equi-join between two family sources whose ON
+    * bounds the two time axes against each other — the attribution/
+    * funnel enrich shape (`ON a.click.user = b.purchase.user AND b.ts
+    * BETWEEN a.ts AND a.ts + INTERVAL '1 hour'`). Reached through
+    * `sqlStream(query, families, watermarkDelay)` when the statement
+    * has a JOIN.
+    *
+    * Compilation is deliberately thin: each side gets
+    * `withWatermark(ts, delay)` at the source, then the ORDINARY
+    * dialect compiler builds the same plan it builds in batch — the
+    * per-side series filters push to the scans, the equi conjuncts
+    * become the join keys, and the interval arithmetic compiles to
+    * native ts ± day-time-interval terms, the exact shape the engine's
+    * state-eviction analysis recognizes. So the join state is BOUNDED:
+    * a row older than the other side's watermark minus the bound can
+    * never match again and evicts. That is also why the ON MUST bound
+    * both time axes (refused otherwise): an unbounded or half-bounded
+    * stream join accretes one side's history forever.
+    *
+    * Refusals, each with the reason: ASOF (latest-at-or-before orders
+    * over the unbounded past — no watermark can evict that state;
+    * bound the window explicitly or run it batch), outer joins
+    * (unmatched-side emission needs per-side watermark reasoning; the
+    * batch tier has them), GROUP BY over the joined stream (chained
+    * stateful operators), cross joins, derived-table sides, and
+    * multi-series sides (the exact-ts align is itself an unbounded
+    * stream-stream join). Append output mode; matches emit as soon as
+    * both rows have arrived.
+    */
+  private def sqlStreamJoin(spec: Ast.QuerySpec,
+      families: ((String, String)) => DataFrame,
+      watermarkDelay: String): DataFrame = {
+    import graft.boostql.Ast._
+    def refuse(cond: Boolean, what: String): Unit =
+      if (cond) throw Compiler.CompileException(
+        "streaming joins support exactly one INNER equi-join between " +
+          "two family sources with a two-sided time bound in ON; " +
+          s"$what is not supported")
+    refuse(spec.joins.length > 1, "more than one JOIN")
+    val j = spec.joins.head
+    if (j.joinType == "asof") throw Compiler.CompileException(
+      "streaming ASOF is not supported: latest-at-or-before orders over " +
+        "the unbounded past — state no watermark can evict. Bound the " +
+        "match window explicitly (ON a.k = b.k AND b.ts BETWEEN a.ts " +
+        "AND a.ts + INTERVAL '…') or run ASOF in batch")
+    refuse(j.joinType != "inner", s"${j.joinType.toUpperCase} JOIN " +
+      "(unmatched-side emission needs per-side watermark reasoning)")
+    refuse(spec.groupBy.nonEmpty || spec.having.isDefined,
+      "GROUP BY/HAVING over a joined stream (chained stateful operators)")
+    refuse(spec.fill.isDefined, "FILL")
+    refuse(spec.orderBy.nonEmpty, "ORDER BY (sort at the sink)")
+    refuse(spec.limit.isDefined, "LIMIT")
+    refuse(spec.distinct, "DISTINCT")
+    refuse(spec.qualify.isDefined, "QUALIFY")
+    refuse(spec.hints.nonEmpty, "an optimizer hint")
+    refuse(!spec.source.isInstanceOf[Source] ||
+      !j.source.isInstanceOf[Source], "a derived-table side")
+    val cond = j.on.getOrElse(throw Compiler.CompileException(
+      "streaming joins need an ON clause — a cross join would hold both " +
+        "streams' full history as state"))
+    // the ON must bound the two time axes against each other from both
+    // sides (a BETWEEN, a >=/<= pair, or exact ts equality)
+    val aliases = (spec.source.alias.toSeq ++ j.source.alias.toSeq)
+    def tsAliasOf(o: Operand): Option[String] = o match {
+      case ORef(RawName(Seq(al, t)))
+        if t.equalsIgnoreCase("ts") && aliases.contains(al) => Some(al)
+      case OArith("+" | "-", x, _: OInterval) => tsAliasOf(x)
+      case OArith("+", _: OInterval, x)       => tsAliasOf(x)
+      case _ => None
+    }
+    def bounds(e: BExpr): Int = e match {
+      case AndE(l, r) => bounds(l) + bounds(r)
+      case Cmp(op, l, r) if Seq("<", "<=", ">", ">=").contains(op) =>
+        (tsAliasOf(l), tsAliasOf(r)) match {
+          case (Some(a), Some(b)) if a != b => 1
+          case _ => 0
+        }
+      case Cmp("=" | "==", l, r) =>
+        (tsAliasOf(l), tsAliasOf(r)) match {
+          case (Some(a), Some(b)) if a != b => 2
+          case _ => 0
+        }
+      case BetweenE(o, lo, hi, false) =>
+        (tsAliasOf(o), tsAliasOf(lo), tsAliasOf(hi)) match {
+          case (Some(a), Some(b), Some(c)) if a != b && a != c => 2
+          case _ => 0
+        }
+      case _ => 0
+    }
+    if (bounds(cond) < 2) throw Compiler.CompileException(
+      "streaming joins need the ON to bound the two time axes against " +
+        "each other from BOTH sides (e.g. b.ts BETWEEN a.ts AND a.ts + " +
+        "INTERVAL '1 hour') — the bound is what lets join state evict " +
+        "behind the watermarks; an unbounded or half-bounded join " +
+        "accretes state forever")
+    // per-side watermark at the source, then the ordinary batch compile
+    val wmFam: ((String, String)) => DataFrame =
+      key => families(key).withWatermark("ts", watermarkDelay)
+    val df = Compiler.compile(spec, wmFam)
+    // sweep the analyzed plan: exactly one join over stateless sides
+    import org.apache.spark.sql.catalyst.plans.logical
+    var joins = 0
+    df.queryExecution.analyzed.foreach {
+      case _: logical.Project | _: logical.Filter |
+           _: logical.SubqueryAlias | _: logical.LeafNode |
+           _: logical.EventTimeWatermark => ()
+      case _: logical.Join => joins += 1
+      case other => refuse(true, s"the ${other.nodeName} operator")
+    }
+    refuse(joins > 1, "a multi-series side (the exact-ts align is " +
+      "itself an unbounded stream-stream join) — reference one series " +
+      "per side")
+    df
   }
 
   /** Time-scoped execution — the dialect face of the reference's

@@ -267,14 +267,21 @@ object Compiler {
      * histogram_quantile then reads percentiles off the merged bins).
      * nbins plain sums over the split counts: the same constant
      * aggregation state as histogram itself. `get` (0-based, null out
-     * of range) keeps a short/null partial from throwing under ANSI —
-     * its missing bins simply contribute nothing. */
+     * of range) keeps a null partial from throwing under ANSI.
+     * Guard: a non-null partial whose bin count differs from nbins
+     * means the literal does not match how the partials were built —
+     * silently dropping the tail bins would skew every downstream
+     * histogram_quantile read, so the merged result is NULL instead
+     * (fails loudly at the first read; all-null groups keep the
+     * all-zero bins). */
     case "histogram_merge" =>
       val n = params.head.toInt
       val arr = transform(split(c, ","), x => x.cast("long"))
       val merged = (0 until n).map(i =>
         coalesce(sum(get(arr, lit(i))), lit(0L)).cast("string"))
-      array_join(array(merged: _*), ",")
+      val sizesOk = coalesce(
+        bool_and(when(c.isNotNull, size(split(c, ",")) === n)), lit(true))
+      when(sizesOk, array_join(array(merged: _*), ","))
     // grouping-set marker: 1 when the key is rolled up in this output
     // row, 0 when it groups — the ANSI disambiguator between a rollup
     // super-row and a genuine NULL key (validated against ROLLUP/CUBE
@@ -1139,8 +1146,18 @@ object Compiler {
           s"INTERVAL supports only + and -, not $op")
         parseIntervalMicros(r.text) match {
           case Some(us) =>
-            val base = unix_micros(operandColumn(l, aggOk, winOk).cast("timestamp"))
-            timestamp_micros(if (op == "+") base + lit(us) else base - lit(us))
+            // NATIVE day-time-interval arithmetic (not a unix_micros
+            // round-trip): bit-identical micros shift under the UTC
+            // session, but the shape matters twice — it still constant-
+            // folds into a pushable plain-ts bound on literal operands,
+            // AND Spark's stream-stream join state-eviction analysis
+            // (StreamingJoinHelper) recognizes ts ± interval terms,
+            // where an opaque timestamp_micros(unix_micros(ts) ± n)
+            // would silence state cleanup in the streaming join tier
+            val base = operandColumn(l, aggOk, winOk).cast("timestamp")
+            val iv = lit(java.time.Duration.ofNanos(
+              math.multiplyExact(us, 1000L)))
+            if (op == "+") base + iv else base - iv
           case None =>
             val m = parseIntervalMonths(r.text).getOrElse(throw CompileException(
               s"malformed INTERVAL '${r.text}' — expected '<n> " +

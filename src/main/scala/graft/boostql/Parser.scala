@@ -192,6 +192,9 @@ object Parser {
       // zero x-variance (vertical line) nulls slope/intercept/r²; zero
       // y-variance with x-variance present is a perfect horizontal fit
       // → r² = 1 (the PostgreSQL/DuckDB regr_r2 contract)
+      // "int" is the dialect's 64-bit integer (common.go:8) — it
+      // compiles to Spark long, consistent with count()/count_if and
+      // overflow-safe past 2^31 pairs
       case "regr_count" =>
         OCast(OFn("coalesce", Seq(
           OAggX("sum", OCase(Seq((pairOk, OLit(BInt(1)))), None)),
@@ -655,6 +658,11 @@ object Parser {
       }
       q.copy(
         select = q.select.map(rewItem),
+        // JOIN ON conditions too: a window call there is still rejected
+        // downstream, but an unresolved `OVER w` marker must not leak
+        // past the parser — resolve it here so the later rejection
+        // carries the intended diagnostics, not a NUL-marker confusion
+        joins = q.joins.map(j => j.copy(on = j.on.map(rewB))),
         where = q.where.map(rewB),
         having = q.having.map(rewB),
         qualify = q.qualify.map(rewB),

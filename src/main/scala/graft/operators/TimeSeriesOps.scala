@@ -320,7 +320,12 @@ object TimeSeriesOps {
     * sums inside the averages (double summation order would differ
     * across partitionings) and total tie orders on every pick.
     *
-    * Output: by-keys, `bucket`, tsCol, valCol — ≤1 point per bucket.
+    * Output: by-keys, `bucket`, tsCol, valCol — ≤1 point per bucket,
+    * EXCEPT a key whose data spans a single bucket: that bucket is both
+    * endpoint anchors, so it emits the first AND last point (2 when
+    * they differ — the whole series reduced to its endpoints, matching
+    * classic LTTB's always-keep-both-endpoints contract; pinned in
+    * spec).
     *
     * 100 TB: the bucket-aggregate table A is |buckets| rows (~1/per-
     * bucket-count of the input); points shuffle ONCE on (key, bucket)

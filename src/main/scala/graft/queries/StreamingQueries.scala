@@ -64,7 +64,11 @@ object StreamingQueries {
     // streaming aggregate expressions — pair sums are ordinary
     // watermarked state, the OLS/corr tail applies statelessly to
     // finalized windows
-    "stream_sql_regr" -> ((s, d) => StreamingOps.streamSqlRegrReplay(s, d))
+    "stream_sql_regr" -> ((s, d) => StreamingOps.streamSqlRegrReplay(s, d)),
+    // stream-stream JOIN through the SQL front: the dialect's interval-
+    // bounded two-family equi-join compiled to a watermarked streaming
+    // inner join (state bounded by watermark + the ON's time bound)
+    "stream_sql_join" -> ((s, d) => StreamingOps.streamSqlJoinReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,6 +280,19 @@ object StreamingQueries {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // batch twin of the SQL-front stream-stream join: same equi key
+    // (user as VARCHAR, the dialect's attribute type), same inclusive
+    // micros-exact time bound
+    "stream_sql_join" ->
+      """SELECT CAST(c.event_id AS VARCHAR) AS click_id,
+        |  CAST(c.user_id AS VARCHAR) AS u,
+        |  CAST(p.event_id AS VARCHAR) AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     // batch twin of the streaming shingle-candidate rollup: identical

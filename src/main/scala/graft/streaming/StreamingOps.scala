@@ -485,6 +485,41 @@ object StreamingOps {
       .orderBy("ts")
   }
 
+  /** Stream-stream JOIN through the SQL FRONT: the dialect's
+    * two-family interval-bounded equi-join — `BoostQL.sqlStream`
+    * compiles `ON a.click.user = b.purchase.user AND b.ts BETWEEN a.ts
+    * AND a.ts + INTERVAL '1 hour'` into a watermarked stream-stream
+    * inner join (per-side `withWatermark` at the sources; the interval
+    * arithmetic is native ts ± day-time-interval, the shape the
+    * engine's state-eviction analysis recognizes, so join state is
+    * bounded by watermark + bound). Append-mode AvailableNow replay
+    * must equal the same join run batch (the DuckDB oracle). The
+    * watermark delay covers the within-day disorder of the family
+    * files (rows sort series-major inside a partition), the honest
+    * "max expected lateness" dial of a production deployment.
+    */
+  def streamSqlJoinReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = Files.createTempDirectory("graft-sqljoin").toString
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT a.click.event_id AS click_id, a.click.user AS u, " +
+        "b.purchase.event_id AS purchase_id " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'",
+      _ => stream, watermarkDelay = "2 days")
+    val sink = "graft_sqljoin_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("click_id", "purchase_id")
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -1971,6 +1971,16 @@ class BoostQLSpec extends SparkSpec {
       "SELECT histogram_merge(h, 257) FROM dom.f"))
     intercept[Parser.ParseException](Parser.parse(
       "SELECT histogram_merge(h) FROM dom.f"))
+    // runtime guard: a partial whose bin count differs from the nbins
+    // literal would silently truncate — the merged result is NULL
+    // instead of skewed counts (all-null groups keep the zero bins)
+    val mismatched = Compiler.compile(Parser.parse(
+      "WITH dd AS (SELECT purchase.user AS u, bucket(ts, '1 day') AS dy, " +
+        "histogram(CAST(purchase * 100.0 AS int), 0, 25000, 8) AS dh " +
+        "FROM dom.events GROUP BY u, dy) " +
+        "SELECT u, histogram_merge(dh, 4) AS h FROM dd GROUP BY u ORDER BY u"),
+      fam).collect()
+    assert(mismatched.nonEmpty && mismatched.forall(_.isNullAt(1)))
   }
 
   test("holt: level+trend smoothing matches the driver-replayed recurrence") {
@@ -3130,6 +3140,12 @@ class BoostQLSpec extends SparkSpec {
     val e1 = intercept[Parser.ParseException](Parser.parse(
       "SELECT rank() OVER w AS r FROM dom.f"))
     assert(e1.getMessage.contains("WINDOW"))
+    // … including inside a JOIN ON condition: the marker must not leak
+    // past the parser into a confusing downstream resolution error
+    val e2 = intercept[Parser.ParseException](Parser.parse(
+      "SELECT a.cpu, b.mem FROM dom.f AS a JOIN dom.g AS b " +
+        "ON row_number() OVER w = 1"))
+    assert(e2.getMessage.contains("references no named window"))
     // duplicate definition refuses
     intercept[Parser.ParseException](Parser.parse(
       "SELECT rank() OVER w AS r FROM dom.f WINDOW w AS (ORDER BY cpu), " +

@@ -274,6 +274,15 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length)
     intercept[IllegalArgumentException](
       TimeSeriesOps.lttbDownsample(df, Seq("k"), "ts", "v", 0L))
+    // single-bucket key: both endpoint anchors live in one bucket, so
+    // it emits the first AND last point (the documented exception to
+    // ≤1/bucket) — and just one when they coincide
+    val one = Seq(("k", t(1), 1.0), ("k", t(3), 7.0), ("k", t(5), 2.0))
+    val oneGot = run(spark.createDataFrame(one).toDF("k", "ts", "v"))
+    assert(oneGot == Seq((0L, 1L, 1.0), (0L, 5L, 2.0)))
+    val solo = Seq(("k", t(1), 1.0))
+    assert(run(spark.createDataFrame(solo).toDF("k", "ts", "v")) ==
+      Seq((0L, 1L, 1.0)))
   }
 
   test("timeWeightedAvg: trapezoid integral, gap weighting, null span") {

@@ -309,6 +309,22 @@ class StreamingSpec extends SparkSpec {
       _ => stream, "1 day")
     graft.boostql.BoostQL.sqlStream(
       B + ", sum(click) / count(click) AS ratio" + G, _ => stream, "1 day")
+    // …and an aggregate expression referencing the BUCKET ALIAS
+    // resolves to the post-rename (post-CAST) bucket value instead of
+    // failing against the pre-rename frame where only `window` exists
+    val qb = "SELECT CAST(bucket(ts, '1 day') AS int) AS d, " +
+      "count(click) AS n, count(click) + d / 86400 AS nd" + G
+    val sinkB = "graft_sqlwin_ba_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val sqB = graft.boostql.BoostQL.sqlStream(qb, _ => stream, "1 day")
+      .writeStream.format("memory").queryName(sinkB)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    sqB.awaitTermination()
+    val gotB = spark.table(sinkB).orderBy("d").collect().toSeq
+    assert(gotB.nonEmpty && gotB.forall(r =>
+      r.getLong(1) + r.getLong(0) / 86400.0 == r.getDouble(2)))
+    // a cyclic expression-alias reference refuses instead of looping
+    refuses(B + ", sum(click) + x AS x" + G)
+    refuses(B + ", sum(click) + y AS x, sum(click) + x AS y" + G)
     // …while expressions containing non-streaming-safe aggregates, and
     // expressions over raw (non-output) fields, keep refusing
     refuses(B + ", median(click) + 1.0 AS m" + G)
@@ -324,6 +340,67 @@ class StreamingSpec extends SparkSpec {
     refuses(B + G + " HAVING rank() OVER (ORDER BY ts) > 1")
     refuses(B + G + " HAVING nope > 1")
     refuses(B + G + " HAVING median(click) > 1.0")
+  }
+
+  test("SQL-front stream-stream join: batch parity, bounded state, refusals") {
+    import org.apache.spark.sql.streaming.Trigger
+    val text = "SELECT a.click.event_id AS click_id, a.click.user AS u, " +
+      "b.purchase.event_id AS purchase_id " +
+      "FROM dom.events AS a JOIN dom.events AS b " +
+      "ON a.click.user = b.purchase.user " +
+      "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'"
+    // append-mode replay equals the SAME dialect text run batch
+    val got = StreamingOps.streamSqlJoinReplay(spark, sfDir)
+      .collect().toSeq
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    val batch = graft.boostql.BoostQL.sql(text, _ => fam)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(got == batch && got.nonEmpty)
+    // bounded state: multiple micro-batches + a tight watermark must
+    // EVICT join state — the final batch's state rows sit well below
+    // the total click+purchase rows streamed (date-ordered family files
+    // advance the watermark between batches)
+    val root = java.nio.file.Files.createTempDirectory("graft-sjn-spec").toString
+    StreamingOps.streamIntoFamily(spark, sfDir, root, "dom", "events")
+    def tail = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events", maxFilesPerTrigger = 2)
+    val out = graft.boostql.BoostQL.sqlStream(text, _ => tail, "1 hour")
+    val sink = "graft_sjn_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    val sides = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(stateRows.nonEmpty)
+    assert(stateRows.last < sides / 2,
+      s"join state must evict behind the watermark: ${stateRows.last} of $sides")
+    // refusal matrix (compile-time, batch frames suffice)
+    def refuses(q2: String): String =
+      intercept[graft.boostql.Compiler.CompileException](
+        graft.boostql.BoostQL.sqlStream(q2, _ => fam, "1 day")).getMessage
+    val S = "SELECT a.click.event_id AS i, b.purchase.event_id AS p " +
+      "FROM dom.events AS a JOIN dom.events AS b ON "
+    val K = "a.click.user = b.purchase.user"
+    val B = " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'"
+    assert(refuses(S + K).contains("bound"))            // no time bound
+    assert(refuses(S + K + " AND b.ts >= a.ts")
+      .contains("BOTH"))                                // half-bounded
+    assert(refuses(S.replace("JOIN", "LEFT JOIN") + K + B)
+      .contains("LEFT"))                                // outer join
+    assert(refuses(S.replace("JOIN", "ASOF JOIN") + K)
+      .contains("ASOF"))                                // asof
+    assert(refuses("SELECT a.click, b.view FROM dom.events AS a, " +
+      "dom.events AS b").contains("ON"))                // cross join
+    assert(refuses(S + K + B + " GROUP BY i")
+      .contains("GROUP BY"))                            // chained stateful
+    // a BETWEEN bound and exact-ts equality both count as two-sided
+    graft.boostql.BoostQL.sqlStream(
+      S + K + " AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1 hour'",
+      _ => fam, "1 day")
+    graft.boostql.BoostQL.sqlStream(
+      S + K + " AND a.ts = b.ts", _ => fam, "1 day")
   }
 
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
