@@ -49,6 +49,94 @@ object BoostQL {
   private val showRe =
     """(?is)^\s*show\s+families(?:\s+in\s+(\w+))?\s*$""".r
 
+  /** `FUNNEL s1 -> s2 [-> …] BY <attr> [WITHIN '<interval>'] FROM
+    * dom.family` — the ordered-conversion funnel as a first-class
+    * statement (the most user-reached product-analytics shape): each
+    * step is a SERIES of the family, users are identified by the named
+    * per-point attribute (tag fallback, like `s.k` field access), and a
+    * user advances to step i only via a step-i point strictly later
+    * than their step-(i−1) first-reach; WITHIN bounds the whole journey
+    * from the step-0 time. Compiles to
+    * [[graft.operators.TimeSeriesOps.funnel]] (ONE hash exchange on the
+    * user key); returns (step_index, step, users) ordered, users
+    * non-increasing. Rows with no user attribute are skipped (no
+    * journey without an identity).
+    */
+  private val funnelRe =
+    """(?is)^\s*funnel\s+(.+?)\s+by\s+(\w+)(?:\s+within\s+'([^']+)')?\s+from\s+(\w+)\s*\.\s*(\w+)\s*$""".r
+
+  /** `RETENTION BY <attr> [MAX <n> DAYS] FROM dom.family` — the day-N
+    * retention triangle: users cohorted by first-seen day (any series
+    * of the family counts as activity), counted on each later day they
+    * returned, offsets 0..MAX (default 30). Compiles to
+    * [[graft.operators.TimeSeriesOps.retentionCohorts]] (two shuffles —
+    * user, then cohort×offset — the minimum for the semantics).
+    * Returns (cohort_date, day_offset, users) ordered.
+    */
+  private val retentionRe =
+    """(?is)^\s*retention\s+by\s+(\w+)(?:\s+max\s+(\d+)\s+days)?\s+from\s+(\w+)\s*\.\s*(\w+)\s*$""".r
+
+  /** `OUTLIERS <series> [K <k>] FROM dom.family` — robust MAD anomaly
+    * detection over one series: points with |v − median| > k·MAD
+    * (default k = 3), the dispersion measure outliers cannot drag.
+    * Compiles to [[graft.operators.TimeSeriesOps.madOutliersAgg]] — the
+    * hot-key-safe aggregate/broadcast form (medians partial-aggregate;
+    * data rows never shuffle). Returns (ts_us, value, dev, mad),
+    * unordered (order at the consumer).
+    */
+  private val outliersRe =
+    """(?is)^\s*outliers\s+(\w+)(?:\s+k\s+([0-9.]+))?\s+from\s+(\w+)\s*\.\s*(\w+)\s*$""".r
+
+  /** User identity for FUNNEL/RETENTION: the named per-point attribute,
+    * tag fallback — the same resolution as `series.k` field access. */
+  private def userKey(attr: String): Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(element_at(col("attributes"), attr),
+      element_at(col("tags"), attr))
+  }
+
+  private def funnelStmt(stepsTxt: String, attr: String, within: String,
+      fam: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val steps = stepsTxt.split("->").map(_.trim).toSeq
+    if (steps.isEmpty || steps.exists(!_.matches("\\w+")))
+      throw Compiler.CompileException(
+        "FUNNEL steps must be series names separated by '->'")
+    if (steps.distinct.size != steps.size)
+      throw Compiler.CompileException("FUNNEL steps must be distinct")
+    val withinUs = Option(within).map(iv =>
+      Compiler.parseIntervalMicros(iv).getOrElse(
+        throw Compiler.CompileException(
+          s"malformed FUNNEL WITHIN interval '$iv' — expected '<n> " +
+            "<microsecond|millisecond|second|minute|hour|day>[s]'")))
+    val df = fam.select(col("series"), userKey(attr).as("__u"), col("ts"))
+      .filter(col("__u").isNotNull)
+    graft.operators.TimeSeriesOps.funnel(
+      df, "__u", "series", "ts", steps, withinUs)
+  }
+
+  private def retentionStmt(attr: String, maxDays: String,
+      fam: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = fam.select(userKey(attr).as("__u"), col("ts"))
+      .filter(col("__u").isNotNull)
+    graft.operators.TimeSeriesOps.retentionCohorts(
+      df, "__u", "ts", Option(maxDays).map(_.toInt).getOrElse(30))
+  }
+
+  private def outliersStmt(series: String, k: String,
+      fam: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kk = Option(k).map(_.toDouble).getOrElse(3.0)
+    if (kk <= 0.0) throw Compiler.CompileException(
+      "OUTLIERS K must be positive")
+    val rows = fam.filter(col("series") === series)
+      .select(col("series"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    graft.operators.TimeSeriesOps
+      .madOutliersAgg(rows, Seq("series"), "value", kk)
+      .select(col("ts_us"), col("value"), col("dev"), col("mad"))
+  }
+
   /** SQL over an ENUMERABLE family registry: everything the resolver
     * overload runs, plus `SHOW FAMILIES [IN domain]` over the map's
     * keys. */
@@ -244,6 +332,12 @@ object BoostQL {
           "as a Map (the sql(query, Map) overload); a resolver function " +
           "cannot be listed")
       case describeRe(dom, f) => describe(families((dom, f)))
+      case funnelRe(steps, attr, within, dom, f) =>
+        funnelStmt(steps, attr, within, families((dom, f)))
+      case retentionRe(attr, maxDays, dom, f) =>
+        retentionStmt(attr, maxDays, families((dom, f)))
+      case outliersRe(series, k, dom, f) =>
+        outliersStmt(series, k, families((dom, f)))
       case explainRe(mode, rest) =>
         val df = Compiler.compile(Parser.parseStmt(rest), families)
         val m = Option(mode).map(_.toLowerCase).getOrElse("formatted")

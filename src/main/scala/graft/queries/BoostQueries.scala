@@ -1152,6 +1152,29 @@ object BoostQueries {
         "FROM dom.events GROUP BY u, w) AS t " +
         "GROUP BY t.u ORDER BY u")),
 
+    // product-analytics statements through the dialect front door:
+    // ordered funnel (strictly-after step advancement), the bounded
+    // variant, day-N retention cohorts, and MAD outliers — each
+    // compiling to the TimeSeriesOps operator and replayed in DuckDB
+    "boost_funnel" -> ((s, d) =>
+      run(s, d, "FUNNEL signup -> click -> purchase BY user " +
+        "FROM dom.events")),
+
+    "boost_funnel_within" -> ((s, d) =>
+      run(s, d, "FUNNEL signup -> click -> purchase BY user " +
+        "WITHIN '7 days' FROM dom.events")),
+
+    "boost_retention" -> ((s, d) =>
+      run(s, d, "RETENTION BY user MAX 30 DAYS FROM dom.events")),
+
+    "boost_mad_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      run(s, d, "OUTLIERS purchase K 3.0 FROM dom.events")
+        .select(col("ts_us"), col("value"),
+          round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
+        .orderBy("ts_us", "value")
+    }),
+
     // EXPLAIN through the dialect front door: compiles (never executes)
     // the statement and returns the formatted Spark plan as one row.
     // The plan TEXT is engine-specific, so the registered query emits
@@ -1722,6 +1745,80 @@ object BoostQueries {
         |  CAST(count_if(value > 240.0) AS BIGINT) AS n_big, COUNT(*) AS n
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY click_user""".stripMargin,
+
+    // ordered-funnel replay: t_i = first step-i event strictly after
+    // t_{i-1}, per user; users per step = users with a t_i
+    "boost_funnel" ->
+      """WITH u0 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, min(ts) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |u1 AS (
+        |  SELECT u0.u, min(e.ts) AS t1
+        |  FROM u0 JOIN events e ON CAST(e.user_id AS VARCHAR) = u0.u
+        |  WHERE e.event_type = 'click' AND e.ts > u0.t0 GROUP BY 1),
+        |u2 AS (
+        |  SELECT u1.u, min(e.ts) AS t2
+        |  FROM u1 JOIN events e ON CAST(e.user_id AS VARCHAR) = u1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > u1.t1 GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'signup', (SELECT COUNT(*) FROM u0)),
+        |  (CAST(1 AS INTEGER), 'click', (SELECT COUNT(*) FROM u1)),
+        |  (CAST(2 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM u2)))
+        |  AS t(step_index, step, users)
+        |ORDER BY step_index""".stripMargin,
+
+    // the WITHIN variant bounds every later step to 7 days from t0
+    "boost_funnel_within" ->
+      """WITH u0 AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, min(ts) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |u1 AS (
+        |  SELECT u0.u, u0.t0, min(e.ts) AS t1
+        |  FROM u0 JOIN events e ON CAST(e.user_id AS VARCHAR) = u0.u
+        |  WHERE e.event_type = 'click' AND e.ts > u0.t0
+        |    AND epoch_us(e.ts) <= epoch_us(u0.t0) + 604800000000
+        |  GROUP BY 1, 2),
+        |u2 AS (
+        |  SELECT u1.u, min(e.ts) AS t2
+        |  FROM u1 JOIN events e ON CAST(e.user_id AS VARCHAR) = u1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > u1.t1
+        |    AND epoch_us(e.ts) <= epoch_us(u1.t0) + 604800000000
+        |  GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'signup', (SELECT COUNT(*) FROM u0)),
+        |  (CAST(1 AS INTEGER), 'click', (SELECT COUNT(*) FROM u1)),
+        |  (CAST(2 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM u2)))
+        |  AS t(step_index, step, users)
+        |ORDER BY step_index""".stripMargin,
+
+    // retention triangle: first-seen-day cohorts, distinct returning
+    // users per (cohort, offset); INTEGER offset matches Spark datediff
+    "boost_retention" ->
+      """WITH d AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT u, min(day) AS cohort_date FROM d GROUP BY 1)
+        |SELECT c.cohort_date,
+        |  CAST(d.day - c.cohort_date AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT d.u) AS users
+        |FROM d JOIN c USING (u)
+        |WHERE d.day - c.cohort_date <= 30
+        |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin,
+
+    // MAD outliers over the purchase series: same exact interpolated
+    // medians (quantile_cont ≡ percentile), same k·MAD filter
+    "boost_mad_outliers" ->
+      """WITH s AS (
+        |  SELECT epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT quantile_cont(value, 0.5) AS med FROM s),
+        |d AS (SELECT s.ts_us, s.value, abs(s.value - m.med) AS dev
+        |      FROM s, m),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT d.ts_us, d.value, round(d.dev, 6) AS dev,
+        |  round(md.mad, 6) AS mad
+        |FROM d, md WHERE d.dev > 3.0 * md.mad
+        |ORDER BY ts_us, value""".stripMargin,
 
     // plan-shape invariants: DuckDB predicts TRUE per check — a lost
     // Filter/Project or an empty compiled plan is a hash mismatch

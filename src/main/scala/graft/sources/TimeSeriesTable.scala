@@ -162,12 +162,22 @@ object TimeSeriesTable {
     val src = open(spark, root, domain, family)
     val u = unix_micros(col("ts"))
     val bucket = timestamp_micros(u - pmod(u, lit(bucketMicros)))
+    // tags are series-constant by the data model, but nothing enforces
+    // that at write time — `first(tags)` would pick whichever map a
+    // task order happened to deliver. Pick DETERMINISTICALLY instead:
+    // the map with the lexicographically least canonical rendering
+    // (sorted k=v list). Well-formed series (one map) are unaffected;
+    // a malformed mixed-tags series downsamples reproducibly under any
+    // partitioning (pinned in spec).
+    val renderedTags = array_join(array_sort(transform(
+      map_entries(col("tags")),
+      e => concat_ws("=", e.getField("key"), e.getField("value")))), ",")
     val g = src.groupBy(col("series"), bucket.as("ts"))
       .agg(
         sum(col("value").cast("decimal(30,6)")).cast("double").as("__sum"),
         count(col("value")).as("__n"),
         min(col("value")).as("__min"), max(col("value")).as("__max"),
-        first(col("tags")).as("__tags"))
+        min_by(col("tags"), renderedTags).as("__tags"))
       .withColumn("__avg", col("__sum") / col("__n").cast("double"))
     val rows = g.select(col("series"), col("ts"), col("__tags"),
       explode(array(

@@ -3440,6 +3440,46 @@ class BoostQLSpec extends SparkSpec {
       "FROM dom.events GROUP BY d")
   }
 
+  test("FUNNEL/RETENTION/OUTLIERS statements: semantics + refusals") {
+    import org.apache.spark.sql.functions._
+    // funnel equals the operator it compiles to, run by hand
+    val viaSql = BoostQL.sql(
+      "FUNNEL signup -> click -> purchase BY user FROM dom.events",
+      _ => fam).collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val byHand = graft.operators.TimeSeriesOps.funnel(
+      fam.select(col("series"),
+        coalesce(element_at(col("attributes"), "user"),
+          element_at(col("tags"), "user")).as("u"), col("ts")),
+      "u", "series", "ts", Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(viaSql.toSeq == byHand.toSeq && viaSql.nonEmpty)
+    // funnel counts are monotone non-increasing down the steps
+    assert(viaSql.map(_._3).toSeq == viaSql.map(_._3).sorted.reverse.toSeq)
+    // WITHIN tightens (or keeps) every step count
+    val bounded = BoostQL.sql(
+      "FUNNEL signup -> click -> purchase BY user WITHIN '1 hour' " +
+        "FROM dom.events", _ => fam)
+      .collect().map(_.getLong(2))
+    assert(bounded.zip(viaSql.map(_._3)).forall { case (b, u) => b <= u })
+    // retention: offset 0 row per cohort; all offsets within MAX
+    val ret = BoostQL.sql("RETENTION BY user MAX 5 DAYS FROM dom.events",
+      _ => fam).collect()
+    assert(ret.nonEmpty && ret.forall(_.getInt(1) <= 5))
+    assert(ret.filter(_.getInt(1) == 0).nonEmpty)
+    // outliers: every surviving row satisfies dev > k*mad
+    val out = BoostQL.sql("OUTLIERS purchase K 3.0 FROM dom.events",
+      _ => fam).collect()
+    assert(out.nonEmpty && out.forall(r =>
+      r.getDouble(2) > 3.0 * r.getDouble(3)))
+    // refusals: malformed/duplicate steps, bad interval, non-positive K
+    def refuses(q: String): Unit =
+      intercept[Compiler.CompileException](BoostQL.sql(q, _ => fam))
+    refuses("FUNNEL signup -> -> click BY user FROM dom.events")
+    refuses("FUNNEL signup -> signup BY user FROM dom.events")
+    refuses("FUNNEL signup -> click BY user WITHIN 'nope' FROM dom.events")
+    refuses("OUTLIERS purchase K 0 FROM dom.events")
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(

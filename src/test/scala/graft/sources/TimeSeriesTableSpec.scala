@@ -203,4 +203,30 @@ class TimeSeriesTableSpec extends SparkSpec {
       TimeSeriesTable.downsample(spark, root, "dom", "m", 10L, "bad label")
     }
   }
+
+  test("downsample picks tags deterministically for a mixed-tags series") {
+    import spark.implicits._
+    // tags are series-constant by the data model; a malformed writer
+    // that mixed maps must still downsample REPRODUCIBLY: the pick is
+    // the lexicographically least canonical (sorted k=v) rendering,
+    // under any partitioning
+    val root = Files.createTempDirectory("graft-ds-tags").toString
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 01:00:00"), 1.0, "zz"),
+      ("cpu", Timestamp.valueOf("2024-01-01 02:00:00"), 2.0, "aa"),
+      ("cpu", Timestamp.valueOf("2024-01-01 03:00:00"), 3.0, "mm")
+    ).toDF("series", "ts", "value", "t")
+      .withColumn("tags", map(lit("dc"), col("t"))).drop("t")
+      .withColumn("attributes", map().cast("map<string,string>"))
+    (1 to 3).foreach { i =>
+      val r = s"$root/$i"
+      TimeSeriesTable.append(rows.repartition(i), r, "dom", "m")
+      val out = TimeSeriesTable.downsample(spark, r, "dom", "m",
+        bucketMicros = 86400L * 1000000L, label = "1d")
+      val tags = TimeSeriesTable.open(spark, r, "dom", out)
+        .select(element_at(col("tags"), "dc")).distinct().collect()
+        .map(_.getString(0)).toSeq
+      assert(tags == Seq("aa"), s"partitioning $i picked $tags")
+    }
+  }
 }
