@@ -255,7 +255,8 @@ object TextDedupOps {
     * instead and verify exactly.
     */
   def embeddingDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numBlocks: Int = 0): DataFrame = {
+      threshold: Double, numBlocks: Int = 0,
+      maxInputBytes: Long = 4L << 30): DataFrame = {
     val idType = df.schema(idCol).dataType // integral; restored on output
     // the kernel carries ids as longs; a silent cast of string/decimal
     // ids would null them out and DROP their pairs — reject instead
@@ -263,6 +264,23 @@ object TextDedupOps {
       s"embeddingDedupPairs needs an integral id column; $idCol is $idType")
     val v = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // LOUD scale guard: the exact-threshold contract is quadratic in
+    // pairs BY NATURE (see above) — acceptable on a bounded slice,
+    // catastrophic if reached by its obvious name on a corpus-sized
+    // frame (4 GiB of 768-dim doubles ≈ 700k vectors ≈ 2.4e11 dots;
+    // every doubling quadruples it). Refuse beyond `maxInputBytes`
+    // (plan-time size estimate, no job) with the scale paths named;
+    // pass 0 to disable when the quadratic cost is a considered choice.
+    if (maxInputBytes > 0) {
+      val bytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(bytes <= BigInt(maxInputBytes),
+        s"embeddingDedupPairs is EXACT all-pairs (quadratic by " +
+          s"contract) and the input is ~$bytes bytes (> $maxInputBytes)" +
+          " — at corpus scale use SemanticDedupOps.semanticDedup " +
+          "(sampled k-means blocking) or VectorSearchOps.lshCandidates " +
+          "+ exact verify; pass maxInputBytes = 0 to force the " +
+          "quadratic run deliberately")
+    }
     // Block count is a pure parallelism/memory knob — every unordered
     // block pair is enumerated, so the OUTPUT is identical for any
     // value. When the caller doesn't pass one, derive it from the

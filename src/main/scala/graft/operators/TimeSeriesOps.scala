@@ -185,7 +185,10 @@ object TimeSeriesOps {
     *
     * Cost: two scan passes (median, then the deviation median) instead
     * of one sorted shuffle — at 100 TB two parallel scans beat one
-    * serialized sort on a 5-key corpus by the core count. Results are
+    * serialized sort on a 5-key corpus by the core count. Regime: this
+    * is the LOW-cardinality hot-key escape (the medians table must fit
+    * a broadcast); at high key cardinality the window form's
+    * parallelism equals |keys| and is already fine — use it there. Results are
     * BIT-IDENTICAL to [[madOutliers]]: the window and aggregate forms
     * run the same Percentile aggregate (count-map merge is order-
     * insensitive; the final rank walk sorts by value), and the

@@ -46,6 +46,23 @@ class SemanticDedupSpec extends SparkSpec {
       s"k-means blocking must keep every planted pair: missing ${exact -- sem}")
   }
 
+  test("embeddingDedupPairs refuses corpus-scale input loudly; 0 forces") {
+    val df = planted(nc = 2, per = 3, dim = 8)
+    // a 1-byte budget trips the guard on any real input — the message
+    // names the scale paths and the deliberate-override knob
+    val ex = intercept[IllegalArgumentException](TextDedupOps
+      .embeddingDedupPairs(df, "vec_id", "embedding", 0.8,
+        maxInputBytes = 1L))
+    assert(ex.getMessage.contains("quadratic") &&
+      ex.getMessage.contains("semanticDedup") &&
+      ex.getMessage.contains("maxInputBytes = 0"))
+    // maxInputBytes = 0 disables the guard (the considered-choice path)
+    assert(TextDedupOps.embeddingDedupPairs(df, "vec_id", "embedding",
+      0.8, maxInputBytes = 0L).count() ==
+      TextDedupOps.embeddingDedupPairsNaive(df, "vec_id", "embedding",
+        0.8).count())
+  }
+
   test("subset contract: semantic pairs are always a subset of all-pairs, cos identical") {
     val e = Tables.embeddings(spark, sfDir)
     val exact = TextDedupOps
