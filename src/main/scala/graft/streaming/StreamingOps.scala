@@ -21,6 +21,34 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  /** Temp roots for the replay topologies (family stores + checkpoints
+    * the replays write). `deleteOnExit` cannot remove non-empty trees,
+    * so every bench/verify invocation would otherwise leak a family
+    * copy per stateful replay (measured: gigabytes per full sweep on a
+    * long-lived host). Deletion happens at JVM exit, not per replay —
+    * several replays RETURN lazily-evaluated frames over the files
+    * they wrote (e.g. the INSERT read-back), so an eager cleanup would
+    * pull the data out from under the caller's DataFrame.
+    */
+  private val tempRoots = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      tempRoots.asScala.foreach { root =>
+        try {
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-stream-temp-cleanup"))
+  }
+  private def tempRoot(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    tempRoots.add(dir)
+    dir.toString
+  }
+
   /** The file stream source requires a *directory* of plain files; the
     * testdata is a single parquet file, and generated scale corpora are
     * parquet DIRECTORIES of part files (the production layout). Stage a
@@ -242,7 +270,7 @@ object StreamingOps {
   def familyRoundtripWithProgress(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4, maxFilesPerTrigger: Int = 8)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val root = Files.createTempDirectory("graft-famstream").toString
+    val root = tempRoot("graft-famstream")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val agg = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events", maxFilesPerTrigger)
@@ -278,7 +306,7 @@ object StreamingOps {
     * continuous query.
     */
   def streamSqlFilterReplay(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlstream").toString
+    val root = tempRoot("graft-sqlstream")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -307,7 +335,7 @@ object StreamingOps {
     */
   def streamSqlWindowReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlwstream").toString
+    val root = tempRoot("graft-sqlwstream")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -338,7 +366,7 @@ object StreamingOps {
     */
   def streamSqlHistReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlhist").toString
+    val root = tempRoot("graft-sqlhist")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -369,7 +397,7 @@ object StreamingOps {
     */
   def streamSqlRegrReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlregr").toString
+    val root = tempRoot("graft-sqlregr")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -400,7 +428,7 @@ object StreamingOps {
     */
   def streamSqlHavingReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlhav").toString
+    val root = tempRoot("graft-sqlhav")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -429,7 +457,7 @@ object StreamingOps {
     */
   def streamSqlTopKReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqltopk").toString
+    val root = tempRoot("graft-sqltopk")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -456,7 +484,7 @@ object StreamingOps {
     */
   def streamSqlSlidingReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlslstream").toString
+    val root = tempRoot("graft-sqlslstream")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -482,7 +510,7 @@ object StreamingOps {
     * batch [[graft.boostql.BoostQL.sqlInsert]] of the same statement.
     */
   def streamSqlInsertReplay(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqlinsert").toString
+    val root = tempRoot("graft-sqlinsert")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
@@ -511,7 +539,7 @@ object StreamingOps {
     */
   def streamSqlJoinReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val root = Files.createTempDirectory("graft-sqljoin").toString
+    val root = tempRoot("graft-sqljoin")
     streamIntoFamily(spark, sfDir, root, "dom", "events")
     def stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
