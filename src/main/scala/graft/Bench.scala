@@ -110,14 +110,17 @@ object Bench {
       s""""calibration_sec":$calibration,""" +
       s""""queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
-    // also persist to a file: the round-7 BENCH artifact lost its
-    // "total" line to driver-side log truncation — the file survives
-    // regardless of what happens to stdout
+    // also persist to files: the round-7 BENCH artifact lost its
+    // "total" line to driver-side log truncation, and the harness's
+    // stdout capture keeps only a tail — so the COMPLETE per-query map
+    // goes to a tracked repo-root artifact (bench_full.json; committed
+    // per round as bench_full_rNN.json) in addition to target/.
     locally {
+      val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(out, bytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"), bytes)
     }
     spark.stop()
     // failures are loud: nonzero exit so the harness flags the round

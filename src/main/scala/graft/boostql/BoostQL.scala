@@ -121,13 +121,26 @@ object BoostQL {
     val df = fam.select(userKey(attr).as("__u"), col("ts"))
       .filter(col("__u").isNotNull)
     graft.operators.TimeSeriesOps.retentionCohorts(
-      df, "__u", "ts", Option(maxDays).map(_.toInt).getOrElse(30))
+      df, "__u", "ts", Option(maxDays).map(parseNum(_, "RETENTION MAX",
+        _.toInt)).getOrElse(30))
   }
+
+  /** Numeric statement captures ('OUTLIERS … K 3', 'RETENTION … MAX
+    * 30') parse through here so a malformed literal ('3..5', a
+    * >19-digit MAX) raises the dialect's CompileException naming the
+    * literal — like every other malformed-statement path — instead of
+    * leaking a raw NumberFormatException. */
+  private def parseNum[T](raw: String, what: String, f: String => T): T =
+    try f(raw) catch {
+      case _: NumberFormatException => throw Compiler.CompileException(
+        s"malformed $what literal '$raw'")
+    }
 
   private def outliersStmt(series: String, k: String,
       fam: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val kk = Option(k).map(_.toDouble).getOrElse(3.0)
+    val kk = Option(k).map(parseNum(_, "OUTLIERS K", _.toDouble))
+      .getOrElse(3.0)
     if (kk <= 0.0) throw Compiler.CompileException(
       "OUTLIERS K must be positive")
     val rows = fam.filter(col("series") === series)
@@ -910,6 +923,9 @@ object BoostQL {
     // the ON must bound the two time axes against each other from both
     // sides (a BETWEEN, a >=/<= pair, or exact ts equality)
     val aliases = (spec.source.alias.toSeq ++ j.source.alias.toSeq)
+    if (aliases.size < 2) throw Compiler.CompileException(
+      "streaming joins need BOTH sides aliased (FROM dom.f AS a JOIN " +
+        "dom.g AS b) so the ON can bound each side's time axis")
     def tsAliasOf(o: Operand): Option[String] = o match {
       case ORef(RawName(Seq(al, t)))
         if t.equalsIgnoreCase("ts") && aliases.contains(al) => Some(al)
@@ -917,31 +933,59 @@ object BoostQL {
       case OArith("+", _: OInterval, x)       => tsAliasOf(x)
       case _ => None
     }
-    def bounds(e: BExpr): Int = e match {
-      case AndE(l, r) => bounds(l) + bounds(r)
-      case Cmp(op, l, r) if Seq("<", "<=", ">", ">=").contains(op) =>
+    // DIRECTION-tracked bound analysis: state on side X evicts only
+    // when the ON upper-bounds X's time axis in terms of the OTHER
+    // side's (x.ts <= y.ts + δ ⟹ once y's watermark passes, old x rows
+    // can never match again). So the check is per SIDE, not a count —
+    // two same-direction inequalities (b.ts >= a.ts AND b.ts > a.ts −
+    // INTERVAL '1 minute') upper-bound only a and would leave b's state
+    // accreting forever. `x < y` upper-bounds x; `x > y` upper-bounds
+    // y (normalize by swapping); equality and a two-sided cross-axis
+    // BETWEEN upper-bound both.
+    def upperBounded(e: BExpr): Set[String] = e match {
+      case AndE(l, r) => upperBounded(l) ++ upperBounded(r)
+      case Cmp("<" | "<=", l, r) =>
         (tsAliasOf(l), tsAliasOf(r)) match {
-          case (Some(a), Some(b)) if a != b => 1
-          case _ => 0
+          case (Some(a), Some(b)) if a != b => Set(a)
+          case _ => Set.empty
+        }
+      case Cmp(">" | ">=", l, r) =>
+        (tsAliasOf(l), tsAliasOf(r)) match {
+          case (Some(a), Some(b)) if a != b => Set(b)
+          case _ => Set.empty
         }
       case Cmp("=" | "==", l, r) =>
         (tsAliasOf(l), tsAliasOf(r)) match {
-          case (Some(a), Some(b)) if a != b => 2
-          case _ => 0
+          case (Some(a), Some(b)) if a != b => Set(a, b)
+          case _ => Set.empty
         }
       case BetweenE(o, lo, hi, false) =>
-        (tsAliasOf(o), tsAliasOf(lo), tsAliasOf(hi)) match {
-          case (Some(a), Some(b), Some(c)) if a != b && a != c => 2
-          case _ => 0
+        // lo <= o <= hi: `o <= hi` upper-bounds o's axis against hi's;
+        // `lo <= o` upper-bounds lo's axis against o's
+        val oA = tsAliasOf(o)
+        val fromHi = (oA, tsAliasOf(hi)) match {
+          case (Some(a), Some(c)) if a != c => Set(a)
+          case _ => Set.empty[String]
         }
-      case _ => 0
+        val fromLo = (tsAliasOf(lo), oA) match {
+          case (Some(b), Some(a)) if a != b => Set(b)
+          case _ => Set.empty[String]
+        }
+        fromHi ++ fromLo
+      case _ => Set.empty
     }
-    if (bounds(cond) < 2) throw Compiler.CompileException(
+    val sidesBounded = upperBounded(cond)
+    if (!aliases.forall(sidesBounded.contains)) throw Compiler.CompileException(
       "streaming joins need the ON to bound the two time axes against " +
         "each other from BOTH sides (e.g. b.ts BETWEEN a.ts AND a.ts + " +
-        "INTERVAL '1 hour') — the bound is what lets join state evict " +
-        "behind the watermarks; an unbounded or half-bounded join " +
-        "accretes state forever")
+        "INTERVAL '1 hour') — an upper bound on EACH side's time axis " +
+        "is what lets that side's join state evict behind the other " +
+        "side's watermark; an unbounded or half-bounded join accretes " +
+        "state forever" +
+        (if (sidesBounded.nonEmpty)
+          s" (only ${aliases.filter(sidesBounded.contains).mkString(", ")} " +
+            "is bounded here)"
+        else ""))
     // per-side watermark at the source, then the ordinary batch compile
     val wmFam: ((String, String)) => DataFrame =
       key => families(key).withWatermark("ts", watermarkDelay)

@@ -69,9 +69,15 @@ object GraphOps {
       return e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[Row], schema)
     }
-    if (nEdges <= driverUnionFindMax &&
-        classOf[Comparable[_]].isAssignableFrom(
-          e.head.get(0).getClass)) {
+    // plan-time gate: the fast path compares ids as boxed JVM values,
+    // so the COLUMN TYPE must externalize to a Comparable whose natural
+    // order matches Catalyst's least/min order. Decided from the
+    // schema, not a sampled row (`e.head` burned an extra job per call
+    // and inspected one value's runtime class) — Catalyst-orderable
+    // types with non-Comparable externals (binary → Array[Byte],
+    // array/struct ids → Seq/Row) fall through to the star path.
+    if (nEdges <= driverUnionFindMax && comparableExternal(
+        e.schema("hi").dataType)) {
       return driverUnionFind(e)
     }
 
@@ -187,6 +193,22 @@ object GraphOps {
           lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("degree") * (col("degree") - lit(1L))))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Does `dt` externalize (Row.get) to a JVM value whose natural
+    * Comparable order matches Catalyst's ordering? The driver fast path
+    * may only engage for these; Catalyst-orderable types with
+    * non-Comparable externals (binary → Array[Byte], array → Seq,
+    * struct → Row) take the distributed star path instead.
+    */
+  private def comparableExternal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
   }
 
   /** Small-graph fast path: classic union-find with path compression on

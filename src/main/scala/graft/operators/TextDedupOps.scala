@@ -273,7 +273,21 @@ object TextDedupOps {
     // pass 0 to disable when the quadratic cost is a considered choice.
     if (maxInputBytes > 0) {
       val bytes = v.queryExecution.optimizedPlan.stats.sizeInBytes
-      require(bytes <= BigInt(maxInputBytes),
+      // stats can be UNKNOWN (RDD-backed / local-relation-free plans
+      // fall back to spark.sql.defaultSizeInBytes = Long.MaxValue): a
+      // small valid input must not be spuriously refused on a missing
+      // estimate — skip the guard with a warning instead; the refusal
+      // fires only on a REAL over-threshold estimate
+      val statsUnknown = bytes >= BigInt(
+        df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      if (statsUnknown)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "embeddingDedupPairs: input size estimate unavailable " +
+            "(plan reports the defaultSizeInBytes sentinel) — the " +
+            s"$maxInputBytes-byte quadratic-scale guard cannot apply; " +
+            "proceeding. Materialize the input (e.g. write it to " +
+            "parquet) to restore the guard")
+      if (!statsUnknown) require(bytes <= BigInt(maxInputBytes),
         s"embeddingDedupPairs is EXACT all-pairs (quadratic by " +
           s"contract) and the input is ~$bytes bytes (> $maxInputBytes)" +
           " — at corpus scale use SemanticDedupOps.semanticDedup " +

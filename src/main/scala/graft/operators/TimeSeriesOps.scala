@@ -284,8 +284,15 @@ object TimeSeriesOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts
       .withColumn("__off", coalesce(sum(col("__c")).over(wPre), lit(0L)))
-      .select((by :+ "__tbk").map(col) :+ col("__off"): _*)
-    val withRn = withIrn.join(offs, by :+ "__tbk")
+      .select((by :+ "__tbk").map(c => col(c).as(s"__k_$c")) :+ col("__off"): _*)
+    // null-safe equality on the stitch keys (like madOutliersAgg's
+    // pinBack): a USING join would silently drop null by-keys / null ts
+    // rows that the single-pass window form keeps as their own
+    // partition — breaking the BIT-IDENTICAL contract
+    val stitchCond = (by :+ "__tbk")
+      .map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    val withRn = withIrn.join(offs, stitchCond)
+      .drop((by :+ "__tbk").map(c => s"__k_$c"): _*)
       .withColumn("__rn", col("__off") + col("__irn"))
     // phase 3: fixed-size row buckets + boundary carry
     val bkOf = floor((col("__rn") - 1L) / lit(rowsPerBucket.toLong))

