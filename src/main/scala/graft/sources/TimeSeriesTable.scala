@@ -225,6 +225,31 @@ object TimeSeriesTable {
     *    source either still in place or intact under `.{family}__old`).
     * Returns (data files before, data files after).
     */
+  /** Sum of the files' parquet-footer record counts — the authoritative
+    * per-file row count (what the writer committed), read from metadata
+    * only. Footers are fetched on a bounded thread pool: compaction
+    * targets are exactly the many-small-files directories, and a
+    * thousand sequential ~ms footer reads would add driver seconds for
+    * no reason (object stores amplify per-request latency further).
+    */
+  private def footerRowCount(files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    if (files.isEmpty) return 0L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[Long]] =
+        files.map[java.util.concurrent.Callable[Long]] { f => () =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.asJava
+      pool.invokeAll(tasks).asScala.map(_.get()).sum
+    } finally pool.shutdown()
+  }
+
   def compact(spark: SparkSession, root: String, domain: String,
       family: String): (Int, Int) = {
     val dir = s"$root/$domain/$family"
@@ -251,20 +276,23 @@ object TimeSeriesTable {
     // dt partition column derivable from the file paths
     val src = spark.read.schema(withDt).option("basePath", dir)
       .parquet(files: _*)
-    val expected = src.count()
+    // row counts on both sides come from the parquet FOOTERS (summed
+    // row-group record counts — authoritative commit metadata, no data
+    // scan), so the rewrite write is the compaction's ONLY
+    // data-proportional pass; the r13 form burned two extra full scans
+    // (source count + rewrite count) for the same verification
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val expected = footerRowCount(files, hconf)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__compacting")
     src.repartition(col("dt"))
       .sortWithinPartitions("series", "ts")
       .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
     // verify via the explicit file list as well: the temp dir is
     // dot-prefixed (hidden from sibling listings by design), and a
-    // directory read of a hidden root trips Spark's hidden-path
-    // filtering ("All paths were ignored") — the file list is immune
+    // directory listing of a hidden root would be filtered — the
+    // recursive file list is immune
     val tmpFiles = listData(tmp)
-    val rewritten =
-      if (tmpFiles.isEmpty) 0L
-      else spark.read.schema(withDt).option("basePath", tmp.toString)
-        .parquet(tmpFiles: _*).count()
+    val rewritten = footerRowCount(tmpFiles, hconf)
     if (rewritten != expected) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
