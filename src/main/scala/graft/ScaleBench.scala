@@ -182,12 +182,24 @@ object ScaleBench {
       else generate(spark, baseDir, scaleDir, reps)
     }
 
-    // dd_embed_cosine: exact all-pairs, quadratic by contract.
-    // dd_semantic: candidate volume is Σ|cluster|² — at FIXED k that is
-    // n²/k (a k-fold cut of all-pairs, not linear); the scale recipe is
-    // k ∝ n so clusters stay bounded, which this fixed-param harness
-    // can't express honestly. Both documented at the operator.
+    // dd_embed_cosine: exact all-pairs, quadratic by contract — still
+    // excluded (scale-safe lshCandidates route exists in-repo).
+    // dd_semantic at FIXED k is n²/k (a k-fold cut of all-pairs, not
+    // linear); its DOCUMENTED scale recipe is k ∝ n so expected cluster
+    // size stays constant — measured below as `dd_semantic_kscaled`,
+    // which grows k with the corpus instead of excluding the operator.
     val excluded = Set("dd_embed_cosine", "dd_semantic")
+    // the k ∝ n form of dd_semantic: k = 10 per 1x of corpus (the
+    // registered query's k at base scale), so Σ|cluster|² ≈ n²/k grows
+    // ~linearly — the recipe SemanticDedupOps documents, carried as a
+    // scale-artifact row so the linearity claim is a measurement
+    val kScaled = "dd_semantic_kscaled" ->
+      ((s: SparkSession, d: String) => {
+        val k = if (d == scaleDir) 10 * reps else 10
+        graft.operators.SemanticDedupOps.semanticDedupPairs(
+          graft.tables.Tables.embeddings(s, d), "vec_id", "embedding",
+          0.45, k = k, probes = 3, iters = 4)
+      })
     // the events-sourced AvailableNow replays; stream_classify and
     // stream_neardup read `documents` and belong to the curation
     // corpus, not this one
@@ -208,7 +220,7 @@ object ScaleBench {
       else
         (n.startsWith("dd_") || n.startsWith("ann_") || n.startsWith("graph_") ||
           n.startsWith("pipe_") || n.startsWith("txt_")) && !excluded.contains(n)
-    }
+    } ++ (if (!streaming && !boost && !relational) Map(kScaled) else Map.empty)
     // warm both corpora (footers, page cache, codegen)
     val warmTables =
       if (streaming) Seq("events")
@@ -276,7 +288,7 @@ object ScaleBench {
     val json =
       s"""{"base_sf":"$baseDir","scale_dir":"$scaleDir","scale_factor":$reps,""" +
       s""""iters":$iters,"excluded":["dd_embed_cosine (quadratic by exact-all-pairs contract)",""" +
-      s""""dd_semantic (n^2/k at fixed k; scale recipe is k ~ n, outside a fixed-param harness)"],""" +
+      s""""dd_semantic fixed-k form (n^2/k at fixed k; measured as dd_semantic_kscaled with k ~ n instead)"],""" +
       f""""total_base_sec":$totalBase%.3f,"total_scaled_sec":$totalScale%.3f,""" +
       f""""total_ratio":${totalScale / totalBase}%.2f,""" + decomp +
       s""""base":${jmap(baseT)},"scaled":${jmap(scaleT)},"ratio":${jmap(ratios)},""" +

@@ -495,7 +495,12 @@ object BoostQL {
     // bucket(ts, 'w'[, 'slide']) or CAST(bucket(…) AS int) — the
     // event-time key; a third argument makes it a SLIDING window
     // (window(ts, w, slide): map-side Expand, w/slide live windows per
-    // event in the state store)
+    // event in the state store). session(ts, '<gap>') is the GAP-keyed
+    // event-time key: the engine's session_window, whose state-store
+    // entries are OPEN sessions merged/extended as events arrive and
+    // finalized when the watermark passes last-event + gap — the
+    // continuous form of the batch dialect's session() window function
+    // (there a per-key gaps-and-islands id; here the group key itself).
     def bucketShape(e: Operand): Option[(String, Option[String], Boolean)] = e match {
       case OFn("bucket", Seq(ORef(n), OLit(BStr(w))))
         if n.parts.last.equalsIgnoreCase("ts") => Some((w, None, false))
@@ -508,23 +513,38 @@ object BoostQL {
       }
       case _ => None
     }
-    // classify group entries: ONE bucket key (by select alias) + plain
-    // dimension fields
+    def sessionShape(e: Operand): Option[(String, Boolean)] = e match {
+      case OFn("session", Seq(ORef(n), OLit(BStr(g))))
+        if n.parts.last.equalsIgnoreCase("ts") => Some((g, false))
+      case OCast(inner, ty) => sessionShape(inner).map { case (g, _) =>
+        if (ty != "int") throw Compiler.CompileException(
+          s"streaming session key CAST must target int (epoch seconds), not $ty")
+        (g, true)
+      }
+      case _ => None
+    }
+    // classify group entries: ONE time key — bucket(ts, …) or
+    // session(ts, …), by select alias — + plain dimension fields
     var bucket: Option[(String, String, Option[String], Boolean)] = None // (alias, width, slide, cast)
+    var session: Option[(String, String, Boolean)] = None // (alias, gap, cast)
     val dims = Seq.newBuilder[(RawName, String)]          // (field, outName)
+    def oneTimeKey(): Unit =
+      if (bucket.isDefined || session.isDefined) throw Compiler.CompileException(
+        "watermarked streaming aggregation takes exactly one " +
+          "bucket(ts, …) or session(ts, …) group key")
     spec.groupBy.foreach { n =>
       n.parts match {
         case Seq(one) if aliasOf.contains(one) =>
-          (bucketShape(aliasOf(one)), aliasOf(one)) match {
-            case (Some((w, sl, c)), _) =>
-              if (bucket.isDefined) throw Compiler.CompileException(
-                "watermarked streaming aggregation takes exactly one " +
-                  "bucket(ts, …) group key")
-              bucket = Some((one, w, sl, c))
-            case (None, ORef(f)) => dims += ((f, one))
+          (bucketShape(aliasOf(one)), sessionShape(aliasOf(one)),
+              aliasOf(one)) match {
+            case (Some((w, sl, c)), _, _) =>
+              oneTimeKey(); bucket = Some((one, w, sl, c))
+            case (_, Some((g, c)), _) =>
+              oneTimeKey(); session = Some((one, g, c))
+            case (None, None, ORef(f)) => dims += ((f, one))
             case _ => throw Compiler.CompileException(
               s"streaming GROUP BY alias '$one' must name a " +
-                "bucket(ts, …) item or a plain field")
+                "bucket(ts, …) / session(ts, …) item or a plain field")
           }
         case _ =>
           if (n.parts.last.equalsIgnoreCase("ts"))
@@ -533,34 +553,60 @@ object BoostQL {
           dims += ((n, Compiler.resolve(n, srcAlias).colName))
       }
     }
-    val (bAlias, bWidth, bSlide, bCast) = bucket.getOrElse(
-      throw Compiler.CompileException(
-        "watermarked streaming aggregation needs a bucket(ts, '<width>') " +
-          "group key selected under an alias"))
-    val widthUs = Compiler.parseIntervalMicros(bWidth).getOrElse(
-      throw Compiler.CompileException(
-        s"streaming bucket width '$bWidth' must be fixed-width " +
-          "(microsecond…day) — the engine's tumbling window cannot " +
-          "evict calendar-width state"))
-    if (widthUs <= 0)
-      throw Compiler.CompileException("bucket() width must be positive")
-    // sliding form: same divisibility contract as the batch expansion
-    // (every event in exactly width/slide windows)
-    val slideUs = bSlide.map { sl =>
-      val v = Compiler.parseIntervalMicros(sl).getOrElse(
+    if (bucket.isEmpty && session.isEmpty) throw Compiler.CompileException(
+      "watermarked streaming aggregation needs a bucket(ts, '<width>') " +
+        "or session(ts, '<gap>') group key selected under an alias")
+    val (bAlias, bCast) = bucket.map(b => (b._1, b._4))
+      .getOrElse((session.get._1, session.get._3))
+    val widthSlideUs: Option[(Long, Option[Long])] = bucket.map {
+      case (_, bWidth, bSlide, _) =>
+        val widthUs = Compiler.parseIntervalMicros(bWidth).getOrElse(
+          throw Compiler.CompileException(
+            s"streaming bucket width '$bWidth' must be fixed-width " +
+              "(microsecond…day) — the engine's tumbling window cannot " +
+              "evict calendar-width state"))
+        if (widthUs <= 0)
+          throw Compiler.CompileException("bucket() width must be positive")
+        // sliding form: same divisibility contract as the batch
+        // expansion (every event in exactly width/slide windows)
+        val slideUs = bSlide.map { sl =>
+          val v = Compiler.parseIntervalMicros(sl).getOrElse(
+            throw Compiler.CompileException(
+              s"streaming bucket slide '$sl' must be fixed-width " +
+                "(microsecond…day)"))
+          if (v <= 0) throw Compiler.CompileException(
+            "bucket() slide must be positive")
+          if (v > widthUs) throw Compiler.CompileException(
+            "bucket() slide must not exceed the width — a larger slide " +
+              "leaves gaps (filter rows instead)")
+          if (widthUs % v != 0) throw Compiler.CompileException(
+            "bucket() width must be a multiple of the slide so every " +
+              "event is in exactly width/slide windows")
+          v
+        }
+        (widthUs, slideUs)
+    }
+    val sessionGapUs: Option[Long] = session.map { case (_, g, _) =>
+      val v = Compiler.parseIntervalMicros(g).getOrElse(
         throw Compiler.CompileException(
-          s"streaming bucket slide '$sl' must be fixed-width " +
-            "(microsecond…day)"))
+          s"streaming session gap '$g' must be fixed-width " +
+            "(microsecond…day) — open-session state cannot evict under " +
+            "a calendar-width gap"))
       if (v <= 0) throw Compiler.CompileException(
-        "bucket() slide must be positive")
-      if (v > widthUs) throw Compiler.CompileException(
-        "bucket() slide must not exceed the width — a larger slide " +
-          "leaves gaps (filter rows instead)")
-      if (widthUs % v != 0) throw Compiler.CompileException(
-        "bucket() width must be a multiple of the slide so every event " +
-          "is in exactly width/slide windows")
+        "session() gap must be positive")
       v
     }
+    // session state is OPEN sessions per (dims) key: the engine
+    // requires at least one non-window grouping key in a streaming
+    // query (a global session merge is unsupported) — checked here,
+    // before the sub-select compile, so the refusal names the real
+    // reason instead of a downstream resolution error
+    if (session.isDefined && dims.result().isEmpty)
+      throw Compiler.CompileException(
+        "streaming session(ts, …) aggregation needs at least one plain " +
+          "grouping key besides the session — a global session merge is " +
+          "not supported by the engine (group by the series/user key " +
+          "whose activity defines the session)")
     // classify select items; build the stateless sub-select (agg args +
     // dimension fields + the time axis) and the final agg/projection
     val dimNames = dims.result()
@@ -637,7 +683,8 @@ object BoostQL {
       case _                  => false
     }
     val outs: Seq[Out] = spec.select.map {
-      case ExprItem(e, nm) if nm == bAlias && bucketShape(e).isDefined =>
+      case ExprItem(e, nm) if nm == bAlias &&
+          (bucketShape(e).isDefined || sessionShape(e).isDefined) =>
         BucketOut(nm)
       case ExprItem(ORef(_), nm) if dimNames.exists(_._2 == nm) => DimOut(nm)
       case FieldItem(n)
@@ -800,9 +847,16 @@ object BoostQL {
     def refuseFlat(cond: Boolean, what: String): Unit =
       refuse(cond, s"$what inside the streamed source")
     statelessSweep(flat, refuseFlat)
-    // layer 2: the engine-recognized event-time aggregation
-    val win = slideUs.fold(window(col("ts"), s"$widthUs microseconds"))(sl =>
-      window(col("ts"), s"$widthUs microseconds", s"$sl microseconds"))
+    // layer 2: the engine-recognized event-time aggregation — a
+    // tumbling/sliding window() or a session_window() (the ≥1-dim
+    // session requirement was enforced at classification)
+    val win = sessionGapUs match {
+      case Some(gap) => session_window(col("ts"), s"$gap microseconds")
+      case None =>
+        val (widthUs, slideUs) = widthSlideUs.get
+        slideUs.fold(window(col("ts"), s"$widthUs microseconds"))(sl =>
+          window(col("ts"), s"$widthUs microseconds", s"$sl microseconds"))
+    }
     val keyCols = win +: dimNames.map(d => col(d._2))
     val aggCols = allAggs.map { a =>
       val c = a.argCol.map(col)
@@ -836,10 +890,11 @@ object BoostQL {
     // referencing the bucket alias (`d / 86400`) thereby resolves to
     // the post-rename (post-CAST) bucket value instead of failing
     // against the pre-rename frame where only `window` exists.
+    val winCol = if (session.isDefined) "session_window" else "window"
     val named = agged.select((outs.collect {
       case BucketOut(nm) =>
-        if (bCast) col("window.start").cast("long").as(nm)
-        else col("window.start").as(nm)
+        if (bCast) col(s"$winCol.start").cast("long").as(nm)
+        else col(s"$winCol.start").as(nm)
       case DimOut(nm)             => col(nm)
       case AggOut(_, _, nm, _, _) => col(nm)
     } ++ hiddenNames.map(col)): _*)
@@ -905,10 +960,18 @@ object BoostQL {
         "the unbounded past — state no watermark can evict. Bound the " +
         "match window explicitly (ON a.k = b.k AND b.ts BETWEEN a.ts " +
         "AND a.ts + INTERVAL '…') or run ASOF in batch")
-    refuse(j.joinType != "inner", s"${j.joinType.toUpperCase} JOIN " +
-      "(unmatched-side emission needs per-side watermark reasoning)")
-    refuse(spec.groupBy.nonEmpty || spec.having.isDefined,
-      "GROUP BY/HAVING over a joined stream (chained stateful operators)")
+    // inner joins emit eagerly; LEFT/RIGHT/FULL OUTER joins emit
+    // null-extended rows for the unmatched side(s) once the OTHER
+    // side's watermark has passed the row's match window — which the
+    // two-sided time bound below makes decidable, so all four are
+    // state-bounded under the same analysis. (Semantic note for
+    // replays: an outer row's emission WAITS on the watermark, so an
+    // AvailableNow run withholds the last `delay + bound` of unmatched
+    // rows unless the input ends with rows advancing each side's
+    // watermark past the real data — see
+    // StreamingOps.streamSqlLeftJoinReplay's flush rows.)
+    refuse(!Seq("inner", "left", "right", "full").contains(j.joinType),
+      s"${j.joinType.toUpperCase} JOIN")
     refuse(spec.fill.isDefined, "FILL")
     refuse(spec.orderBy.nonEmpty, "ORDER BY (sort at the sink)")
     refuse(spec.limit.isDefined, "LIMIT")
@@ -989,21 +1052,183 @@ object BoostQL {
     // per-side watermark at the source, then the ordinary batch compile
     val wmFam: ((String, String)) => DataFrame =
       key => families(key).withWatermark("ts", watermarkDelay)
-    val df = Compiler.compile(spec, wmFam)
     // sweep the analyzed plan: exactly one join over stateless sides
-    import org.apache.spark.sql.catalyst.plans.logical
-    var joins = 0
-    df.queryExecution.analyzed.foreach {
-      case _: logical.Project | _: logical.Filter |
-           _: logical.SubqueryAlias | _: logical.LeafNode |
-           _: logical.EventTimeWatermark => ()
-      case _: logical.Join => joins += 1
-      case other => refuse(true, s"the ${other.nodeName} operator")
+    def sweepJoin(df: DataFrame): Unit = {
+      import org.apache.spark.sql.catalyst.plans.logical
+      var joins = 0
+      df.queryExecution.analyzed.foreach {
+        case _: logical.Project | _: logical.Filter |
+             _: logical.SubqueryAlias | _: logical.LeafNode |
+             _: logical.EventTimeWatermark => ()
+        case _: logical.Join => joins += 1
+        case other => refuse(true, s"the ${other.nodeName} operator")
+      }
+      refuse(joins > 1, "a multi-series side (the exact-ts align is " +
+        "itself an unbounded stream-stream join) — reference one series " +
+        "per side")
     }
-    refuse(joins > 1, "a multi-series side (the exact-ts align is " +
-      "itself an unbounded stream-stream join) — reference one series " +
-      "per side")
+    if (spec.groupBy.nonEmpty || spec.having.isDefined) {
+      refuse(j.joinType != "inner",
+        s"GROUP BY over a ${j.joinType.toUpperCase} OUTER joined stream " +
+          "(the null-extended rows only arrive at watermark finalize, a " +
+          "second layer of emission latency the aggregate would compound " +
+          "— aggregate the inner join, or the outer join at the sink)")
+      refuse(spec.having.isDefined,
+        "HAVING over a joined-stream aggregate (filter the finalized " +
+          "windows at the sink, or use the single-family form which " +
+          "supports HAVING)")
+      return sqlStreamJoinAgg(spec, aliases, wmFam, sweepJoin)
+    }
+    val df = Compiler.compile(spec, wmFam)
+    sweepJoin(df)
     df
+  }
+
+  /** Windowed aggregation OVER the stream-stream join — the
+    * enrich-then-rollup pipeline (join the click stream to the purchase
+    * stream, then a per-bucket continuous rollup), compiled as CHAINED
+    * STATEFUL OPERATORS in append mode: per-side watermarks at the
+    * sources → the interval-bounded inner join (state evicted behind
+    * the watermarks + ON bound) → an event-time window aggregate over
+    * one side's time axis (state evicted as windows finalize). The
+    * engine supports this chaining natively (multiple stateful
+    * operators, append mode); the time column keeps its event-time
+    * watermark through the join's projection, which is what lets the
+    * downstream window aggregate finalize without a second
+    * `withWatermark`.
+    *
+    * Accepted shape, deliberately tight (each refusal names the wider
+    * tier): `SELECT [CAST(]bucket(x.ts, '<width>')[ AS int)] AS b[,
+    * dim AS d…], agg(expr) AS a… FROM dom.f AS x JOIN dom.g AS y ON
+    * <equi + two-sided time bound> GROUP BY b[, d…]` — x.ts names
+    * WHICH side's axis buckets the rollup; dims are any scalar select
+    * items named in GROUP BY by alias; aggregates are the
+    * partial-mergeable count/sum/avg/min/max over any scalar
+    * expression of the joined row. No sliding windows (an Expand
+    * between two stateful operators), no session keys, no HAVING, no
+    * aggregate expressions — those live in the single-family form.
+    */
+  private def sqlStreamJoinAgg(spec: Ast.QuerySpec, aliases: Seq[String],
+      wmFam: ((String, String)) => DataFrame,
+      sweepJoin: DataFrame => Unit): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.boostql.Ast._
+    def refuse(what: String): Nothing = throw Compiler.CompileException(
+      "streaming joined-stream aggregation supports one " +
+        "[CAST(]bucket(x.ts, '<width>')[ AS int)] key + plain dimension " +
+        "aliases + count/sum/avg/min/max only; " + what +
+        " is not supported (the single-family sqlStream form is wider)")
+    // bucket(x.ts, 'w') [CAST int] — x one of the two join aliases; no
+    // slide (an Expand between two stateful operators)
+    def bucketShape(e: Operand): Option[(String, String, Boolean)] = e match {
+      case OFn("bucket", Seq(ORef(RawName(Seq(al, t))), OLit(BStr(w))))
+        if t.equalsIgnoreCase("ts") && aliases.contains(al) =>
+        Some((al, w, false))
+      case OFn("bucket", args) if args.length == 3 =>
+        refuse("a sliding bucket over a joined stream")
+      case OCast(inner, ty) => bucketShape(inner).map { case (al, w, _) =>
+        if (ty != "int") refuse(
+          s"a bucket key CAST to $ty (epoch-seconds int only)")
+        (al, w, true)
+      }
+      case _ => None
+    }
+    val aliasOf: Map[String, Operand] =
+      spec.select.collect { case ExprItem(e, nm) => nm -> e }.toMap
+    // classify the GROUP BY: one bucket alias + dimension aliases (the
+    // joined form requires every group key selected under an alias —
+    // two-source raw-name resolution belongs to the batch compiler)
+    var bucket: Option[(String, String, String, Boolean)] = None // (alias, side, width, cast)
+    val dimAliases = Seq.newBuilder[String]
+    spec.groupBy.foreach { n =>
+      n.parts match {
+        case Seq(one) if aliasOf.contains(one) =>
+          bucketShape(aliasOf(one)) match {
+            case Some((al, w, c)) =>
+              if (bucket.isDefined) refuse("more than one bucket key")
+              bucket = Some((one, al, w, c))
+            case None => dimAliases += one
+          }
+        case _ => refuse(s"GROUP BY '${n.parts.mkString(".")}' (name a " +
+          "select alias)")
+      }
+    }
+    val (bAlias, bSide, bWidth, bCast) = bucket.getOrElse(refuse(
+      "GROUP BY without a bucket(x.ts, '<width>') key"))
+    val widthUs = Compiler.parseIntervalMicros(bWidth).getOrElse(refuse(
+      s"a calendar bucket width ('$bWidth' — the engine's tumbling " +
+        "window needs a fixed width)"))
+    if (widthUs <= 0) refuse("a non-positive bucket width")
+    val dimSet = dimAliases.result().toSet
+    // classify the SELECT; build the joined sub-select (dims + agg
+    // args + the bucketing time axis) and the aggregate list
+    val subItems = scala.collection.mutable.LinkedHashMap.empty[String, SelectItem]
+    sealed trait Out
+    case class BucketOut(nm: String) extends Out
+    case class DimOut(nm: String) extends Out
+    case class AggOut(fn: String, argCol: Option[String], nm: String) extends Out
+    val streamingAggs = Set("count", "sum", "avg", "min", "max")
+    var helperIdx = 0
+    def aggOut(fn: String, arg: Option[Operand], nm: String): AggOut = {
+      if (!streamingAggs.contains(fn)) refuse(s"$fn() (streaming-safe " +
+        "joined-stream aggregates: count, sum, avg, min, max)")
+      arg match {
+        case None => AggOut(fn, None, nm)
+        case Some(e) =>
+          val hn = s"__ja$helperIdx"; helperIdx += 1
+          subItems.getOrElseUpdate(hn, ExprItem(e, hn))
+          AggOut(fn, Some(hn), nm)
+      }
+    }
+    val outs: Seq[Out] = spec.select.map {
+      case ExprItem(e, nm) if nm == bAlias && bucketShape(e).isDefined =>
+        BucketOut(nm)
+      case ExprItem(OAgg(fn, arg), nm) => aggOut(fn, arg.map(ORef), nm)
+      case ExprItem(OAggX(fn, e, ps, a2), nm) =>
+        if (ps.nonEmpty || a2.nonEmpty) refuse(s"$fn() with parameters")
+        aggOut(fn, Some(e), nm)
+      case ExprItem(e, nm) if dimSet.contains(nm) =>
+        subItems.getOrElseUpdate(nm, ExprItem(e, nm)); DimOut(nm)
+      case _: AggItem => refuse("an unaliased aggregate (agg(x) AS name)")
+      case other => refuse(s"select item '$other' (the bucket key, a " +
+        "GROUP BY'd dimension alias, or an aliased aggregate)")
+    }
+    if (!outs.exists(_.isInstanceOf[AggOut]))
+      refuse("an aggregate-free select (nothing to roll up)")
+    val missingDims = dimSet -- outs.collect { case DimOut(nm) => nm }
+    if (missingDims.nonEmpty) refuse(
+      s"GROUP BY aliases not in the select: ${missingDims.mkString(", ")}")
+    // the bucketing side's time axis rides along; its event-time
+    // watermark metadata survives the join + projection, which the
+    // downstream window aggregate requires
+    val tsName = "__jts"
+    subItems.getOrElseUpdate(tsName,
+      ExprItem(ORef(RawName(Seq(bSide, "ts"))), tsName))
+    val subSpec = spec.copy(select = subItems.values.toSeq,
+      groupBy = Seq.empty, having = None)
+    val flat = Compiler.compile(subSpec, wmFam)
+    sweepJoin(flat)
+    val keyCols = window(col(tsName), s"$widthUs microseconds") +:
+      dimSet.toSeq.sorted.map(col)
+    val aggCols = outs.collect { case AggOut(fn, arg, nm) =>
+      val c = arg.map(col)
+      (fn match {
+        case "count" => c.map(count).getOrElse(count(lit(1)))
+        case "sum"   => sum(c.get)
+        case "avg"   => avg(c.get)
+        case "min"   => min(c.get)
+        case "max"   => max(c.get)
+      }).as(nm)
+    }
+    val agged = flat.groupBy(keyCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    agged.select(outs.map {
+      case BucketOut(nm) =>
+        if (bCast) col("window.start").cast("long").as(nm)
+        else col("window.start").as(nm)
+      case DimOut(nm)       => col(nm)
+      case AggOut(_, _, nm) => col(nm)
+    }: _*)
   }
 
   /** Time-scoped execution — the dialect face of the reference's

@@ -68,7 +68,22 @@ object StreamingQueries {
     // stream-stream JOIN through the SQL front: the dialect's interval-
     // bounded two-family equi-join compiled to a watermarked streaming
     // inner join (state bounded by watermark + the ON's time bound)
-    "stream_sql_join" -> ((s, d) => StreamingOps.streamSqlJoinReplay(s, d))
+    "stream_sql_join" -> ((s, d) => StreamingOps.streamSqlJoinReplay(s, d)),
+    // SESSION windows through the SQL front: GROUP BY session(ts, gap)
+    // compiled to session_window — open per-user sessions as
+    // watermark-finalized state, the continuous form of the batch
+    // dialect's session() window function
+    "stream_sql_session" -> ((s, d) =>
+      StreamingOps.streamSqlSessionReplay(s, d)),
+    // streaming LEFT OUTER join through the SQL front: unmatched
+    // clicks emit null-extended at watermark passage (flush rows close
+    // the books so the replay's tail actually emits)
+    "stream_sql_left_join" -> ((s, d) =>
+      StreamingOps.streamSqlLeftJoinReplay(s, d)),
+    // windowed aggregation OVER the joined stream (chained stateful
+    // operators, append mode): the enrich-then-rollup pipeline
+    "stream_sql_join_agg" -> ((s, d) =>
+      StreamingOps.streamSqlJoinAggReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,6 +285,25 @@ object StreamingQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start_us""".stripMargin,
 
+    // batch twin of the SQL-front session aggregate: gaps-and-islands
+    // over click rows with the same 6h gap; session start = first
+    // event ts on both sides (strict-> break matches the engine's
+    // exclusive session end; micros-exact gap ties are absent in the
+    // corpus — same convention stream_session pins)
+    "stream_sql_session" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS c,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT u, ts, c,
+        |    SUM(brk) OVER (PARTITION BY u ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        |SELECT MIN(ts) AS w, u, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS cents
+        |FROM s GROUP BY u, sid ORDER BY u, w""".stripMargin,
+
     // batch twin of the stream-stream interval join (bounds on µs-
     // truncated timestamps, matching the Spark side's `ts div 1000`)
     "stream_join" ->
@@ -281,6 +315,35 @@ object StreamingQueries {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // batch twin of the SQL-front streaming LEFT OUTER join: same
+    // series restriction per side (subqueries — ON-clause filters on a
+    // LEFT side would not restrict its rows), same inclusive time
+    // bound; unmatched clicks null-extend
+    "stream_sql_left_join" ->
+      """SELECT CAST(c.event_id AS VARCHAR) AS click_id,
+        |  CAST(c.user_id AS VARCHAR) AS u,
+        |  CAST(p.event_id AS VARCHAR) AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // batch twin of the joined-stream rollup: the same interval join,
+    // then per-(day-of-click, user) counts and exact integer-cents sums
+    "stream_sql_join_agg" ->
+      """WITH j AS (
+        |  SELECT c.ts AS cts, CAST(c.user_id AS VARCHAR) AS u,
+        |    p.value AS pv
+        |  FROM events c JOIN events p
+        |    ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT CAST(epoch(time_bucket(INTERVAL '1 day', cts)) AS BIGINT) AS d,
+        |  u, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(pv * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM j GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
 
     // batch twin of the SQL-front stream-stream join: same equi key
     // (user as VARCHAR, the dialect's attribute type), same inclusive

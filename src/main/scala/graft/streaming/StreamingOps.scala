@@ -524,6 +524,38 @@ object StreamingOps {
       .orderBy("ts")
   }
 
+  /** SESSION windows through the SQL FRONT: `GROUP BY session(ts,
+    * '<gap>')` inside `BoostQL.sqlStream` compiles to the engine's
+    * `session_window` — open sessions per (user) key held in the state
+    * store, merged/extended as events arrive, finalized when the
+    * watermark passes last-event + gap. The batch dialect's `session()`
+    * window function computes per-key session IDS over a static frame;
+    * this is the same sessionization running CONTINUOUSLY, the shape a
+    * static gaps-and-islands window cannot express incrementally.
+    * Complete-mode AvailableNow replay equals the batch
+    * gaps-and-islands oracle (session start = first event ts on both
+    * sides).
+    */
+  def streamSqlSessionReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqlsess")
+    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    val stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT session(ts, '6 hours') AS w, click.user AS u, " +
+        "count(*) AS n, sum(CAST(click * 100.0 AS int)) AS cents " +
+        "FROM dom.events GROUP BY w, u",
+      _ => stream, watermarkDelay = "1 day")
+    val sink = "graft_sqlsess_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("u", "w")
+  }
+
   /** Stream-stream JOIN through the SQL FRONT: the dialect's
     * two-family interval-bounded equi-join — `BoostQL.sqlStream`
     * compiles `ON a.click.user = b.purchase.user AND b.ts BETWEEN a.ts
@@ -557,6 +589,121 @@ object StreamingOps {
       query.awaitTermination()
     }
     spark.table(sink).orderBy("click_id", "purchase_id")
+  }
+
+  /** Append two far-future FLUSH rows to a family — one per series so
+    * each survives that side's series filter (predicates push below
+    * the watermark node, so a row filtered out never advances the
+    * watermark). An AvailableNow replay of a watermark-gated topology
+    * (outer join's null-extension, window finalize over a join)
+    * otherwise WITHHOLDS the final `delay + bound` of results: the
+    * watermark only trails data. Production streams don't need this —
+    * new data keeps arriving — it is the replay-determinism analogue of
+    * "close the books at end of day". The two rows use distinct marker
+    * users and a week between them so they can never join each other.
+    */
+  private def appendFlushRows(spark: SparkSession, sfDir: String,
+      root: String, domain: String, family: String,
+      series: Seq[String]): Unit = {
+    import spark.implicits._
+    val maxTs = graft.tables.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val rows = series.zipWithIndex.map { case (s, i) =>
+      (s, new java.sql.Timestamp(maxTs.getTime + (4L + 7L * i) * 86400000L),
+        0.0, Map.empty[String, String],
+        Map("user" -> s"__flush_$i", "event_id" -> "0"))
+    }
+    graft.sources.TimeSeriesTable.append(
+      rows.toDF("series", "ts", "value", "tags", "attributes"),
+      root, domain, family)
+  }
+
+  /** Streaming LEFT OUTER join through the SQL FRONT: the dialect's
+    * interval-bounded two-family equi-join with LEFT JOIN — unmatched
+    * clicks emit null-extended once the purchase side's watermark has
+    * passed their match window (the engine's outer stream-stream join;
+    * state bounded exactly as the inner form). The AvailableNow replay
+    * appends flush rows first ([[appendFlushRows]]) so the watermark
+    * passes all real data and the tail's unmatched rows actually emit;
+    * the flush markers are dropped from the returned frame. Must equal
+    * the same LEFT JOIN run batch (the DuckDB oracle).
+    */
+  def streamSqlLeftJoinReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqlljoin")
+    // BATCH-append the family (not streamIntoFamily): a streaming-sink
+    // directory carries a _spark_metadata log, and the file-stream tail
+    // then honors ONLY the files that log committed — the flush rows
+    // appended after ingest would be invisible and the watermark would
+    // never pass the real data (measured: the tail's unmatched rows
+    // simply missing). The write-half streaming topology is pinned by
+    // stream_family_roundtrip / stream_sql_insert; this replay pins the
+    // outer-join semantics.
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events",
+      Seq("click", "purchase"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT a.click.event_id AS click_id, a.click.user AS u, " +
+        "b.purchase.event_id AS purchase_id " +
+        "FROM dom.events AS a LEFT JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'",
+      _ => stream, watermarkDelay = "2 days")
+    val sink = "graft_sqlljoin_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .filter(!col("u").startsWith("__flush_"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Windowed aggregation OVER the joined stream through the SQL FRONT
+    * — the enrich-then-rollup pipeline: the interval-bounded
+    * click⋈purchase join chained into a per-(day, user) continuous
+    * rollup, compiled by `BoostQL.sqlStream` as two stateful operators
+    * in append mode (join state evicted behind the watermarks + ON
+    * bound; window state evicted as the watermark finalizes windows —
+    * the time axis carries its watermark THROUGH the join, no second
+    * `withWatermark`). Flush rows advance the watermark past all real
+    * data so every window finalizes in the replay; they match no real
+    * user, so no joined row (and no window) contains them. Must equal
+    * the same join+GROUP BY run batch (the DuckDB oracle).
+    */
+  def streamSqlJoinAggReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqljagg")
+    // batch append, same reason as streamSqlLeftJoinReplay: the flush
+    // rows must be visible to the file-stream tail
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events",
+      Seq("click", "purchase"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(a.ts, '1 day') AS int) AS d, " +
+        "a.click.user AS u, count(*) AS n, " +
+        "sum(CAST(b.purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour' " +
+        "GROUP BY d, u",
+      _ => stream, watermarkDelay = "2 days")
+    val sink = "graft_sqljagg_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d", "u")
   }
 
   /** Streaming sessionization: merge each user's events into activity

@@ -279,6 +279,27 @@ class StreamingSpec extends SparkSpec {
     refuses(B + ", percentile(click, 0.5) AS p" + G)              // percentile
     refuses(B + ", approx_percentile(click, 0.5) AS p" + G)       // sketch agg
     refuses(B + ", approx_distinct(click.user) AS ad" + G)        // sketch agg
+    // session(ts, gap) is a valid time key (compiles to session_window)
+    // when a plain grouping key rides along…
+    graft.boostql.BoostQL.sqlStream(
+      "SELECT session(ts, '6 hours') AS w, click.user AS u, " +
+        "count(*) AS n FROM dom.events GROUP BY w, u",
+      _ => stream, "1 day")
+    // …but a GLOBAL session merge refuses (engine limitation, caught at
+    // compile instead of stream start), as do session+bucket together,
+    // calendar gaps, and non-positive gaps
+    assert(intercept[graft.boostql.Compiler.CompileException](
+      graft.boostql.BoostQL.sqlStream(
+        "SELECT session(ts, '6 hours') AS w, count(*) AS n " +
+          "FROM dom.events GROUP BY w", _ => stream, "1 day"))
+      .getMessage.contains("grouping key"))
+    refuses("SELECT session(ts, '6 hours') AS w, " +
+      "CAST(bucket(ts, '1 day') AS int) AS d, count(*) AS n " +
+      "FROM dom.events GROUP BY w, d")                  // two time keys
+    refuses("SELECT session(ts, '1 month') AS w, click.user AS u, " +
+      "count(*) AS n FROM dom.events GROUP BY w, u")    // calendar gap
+    refuses("SELECT session(ts, '0 seconds') AS w, click.user AS u, " +
+      "count(*) AS n FROM dom.events GROUP BY w, u")    // zero gap
     // approx_top_k IS streaming-safe (capacity-bounded MG state) — it
     // must compile through the watermarked form…
     graft.boostql.BoostQL.sqlStream(
@@ -397,20 +418,103 @@ class StreamingSpec extends SparkSpec {
     assert(refuses(("SELECT click.event_id AS i FROM dom.events " +
       "JOIN dom.events AS b ON click.user = b.purchase.user" + B))
       .contains("aliased"))                             // unaliased side
-    assert(refuses(S.replace("JOIN", "LEFT JOIN") + K + B)
-      .contains("LEFT"))                                // outer join
+    // outer joins are ACCEPTED (null-extension at watermark) as long
+    // as the two-sided bound holds — but still need the bound
+    graft.boostql.BoostQL.sqlStream(
+      S.replace("JOIN", "LEFT JOIN") + K + B, _ => fam, "1 day")
+    graft.boostql.BoostQL.sqlStream(
+      S.replace("JOIN", "FULL JOIN") + K + B, _ => fam, "1 day")
+    assert(refuses(S.replace("JOIN", "LEFT JOIN") + K)
+      .contains("bound"))                               // outer, unbounded
     assert(refuses(S.replace("JOIN", "ASOF JOIN") + K)
       .contains("ASOF"))                                // asof
     assert(refuses("SELECT a.click, b.view FROM dom.events AS a, " +
       "dom.events AS b").contains("ON"))                // cross join
+    // GROUP BY over the joined stream routes to the join-agg tier,
+    // which requires a bucket key + aliased aggregates
     assert(refuses(S + K + B + " GROUP BY i")
-      .contains("GROUP BY"))                            // chained stateful
+      .contains("bucket"))                              // no bucket key
+    val JA = "SELECT CAST(bucket(a.ts, '1 day') AS int) AS d, " +
+      "count(*) AS n FROM dom.events AS a JOIN dom.events AS b ON " + K
+    assert(refuses(JA.replace("JOIN", "LEFT JOIN") + B + " GROUP BY d")
+      .contains("OUTER"))                               // agg over outer
+    assert(refuses(JA + B + " GROUP BY d HAVING count(*) > 2")
+      .contains("HAVING"))                              // having over join agg
+    assert(refuses(JA.replace("'1 day'", "'1 day', '12 hours'") +
+      B + " GROUP BY d").contains("sliding"))           // slide over join
+    assert(refuses((JA + B + " GROUP BY d")
+      .replace("count(*) AS n", "median(b.purchase) AS m"))
+      .contains("median"))                              // non-mergeable agg
+    // the accepted join-agg shape compiles (chained stateful operators)
+    graft.boostql.BoostQL.sqlStream(JA + B + " GROUP BY d", _ => fam, "1 day")
     // a BETWEEN bound and exact-ts equality both count as two-sided
     graft.boostql.BoostQL.sqlStream(
       S + K + " AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1 hour'",
       _ => fam, "1 day")
     graft.boostql.BoostQL.sqlStream(
       S + K + " AND a.ts = b.ts", _ => fam, "1 day")
+  }
+
+  test("SQL-front streaming LEFT OUTER join: batch parity incl. null-extended rows") {
+    val text = "SELECT a.click.event_id AS click_id, a.click.user AS u, " +
+      "b.purchase.event_id AS purchase_id " +
+      "FROM dom.events AS a LEFT JOIN dom.events AS b " +
+      "ON a.click.user = b.purchase.user " +
+      "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'"
+    val got = StreamingOps.streamSqlLeftJoinReplay(spark, sfDir)
+      .collect().toSeq
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    val batch = graft.boostql.BoostQL.sql(text, _ => fam)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(got == batch && got.nonEmpty)
+    // the outer semantics actually engaged: unmatched clicks emitted
+    // null-extended — including LATE-window ones near the end of the
+    // stream (the flush rows are what let the watermark pass them)
+    assert(got.exists(_.isNullAt(2)), "expected null-extended rows")
+    assert(got.count(!_.isNullAt(2)) > 0, "expected matched rows too")
+    // no flush marker leaks into the result
+    assert(got.forall(r => !r.getString(1).startsWith("__flush_")))
+  }
+
+  test("SQL-front joined-stream aggregation: batch parity + chained stateful operators") {
+    import org.apache.spark.sql.streaming.Trigger
+    val text = "SELECT CAST(bucket(a.ts, '1 day') AS int) AS d, " +
+      "a.click.user AS u, count(*) AS n, " +
+      "sum(CAST(b.purchase * 100.0 AS int)) AS cents " +
+      "FROM dom.events AS a JOIN dom.events AS b " +
+      "ON a.click.user = b.purchase.user " +
+      "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour' GROUP BY d, u"
+    val got = StreamingOps.streamSqlJoinAggReplay(spark, sfDir)
+      .collect().toSeq
+    // the SAME dialect text over a batch frame is the semantic twin
+    // (withWatermark is a no-op on batch; window(ts, 1d) == bucket)
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    val batch = graft.boostql.BoostQL.sqlStream(text, _ => fam, "2 days")
+      .orderBy("d", "u").collect().toSeq
+    assert(got == batch && got.nonEmpty)
+    // chained stateful operators: a multi-batch tail must show BOTH the
+    // join and the window-agg state operators, and the join's state
+    // must evict behind the watermark instead of holding both streams
+    val root = java.nio.file.Files.createTempDirectory("graft-jagg-spec").toString
+    graft.sources.TimeSeriesTable.append(fam, root, "dom", "events")
+    def tail = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events", maxFilesPerTrigger = 2)
+    val out = graft.boostql.BoostQL.sqlStream(text, _ => tail, "1 hour")
+    val sink = "graft_jagg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    assert(progress.nonEmpty)
+    assert(progress.exists(_.stateOperators.length == 2),
+      s"expected join + window agg state operators, got " +
+        progress.map(_.stateOperators.map(_.operatorName).mkString("+")).distinct)
+    val joinState = progress.last.stateOperators
+      .filter(_.operatorName.toLowerCase.contains("join")).map(_.numRowsTotal)
+    val sides = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(joinState.nonEmpty && joinState.sum < sides / 2,
+      s"join state must evict behind the watermark: ${joinState.sum} of $sides")
   }
 
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
