@@ -915,12 +915,18 @@ object BoostQL {
   }
 
   /** The STREAM-STREAM JOIN subset of the watermarked SQL front:
-    * exactly one INNER equi-join between two family sources whose ON
-    * bounds the two time axes against each other — the attribution/
-    * funnel enrich shape (`ON a.click.user = b.purchase.user AND b.ts
-    * BETWEEN a.ts AND a.ts + INTERVAL '1 hour'`). Reached through
-    * `sqlStream(query, families, watermarkDelay)` when the statement
-    * has a JOIN.
+    * exactly one equi-join — INNER, LEFT/RIGHT/FULL OUTER — between
+    * two family sources whose ON bounds the two time axes against each
+    * other — the attribution/funnel enrich shape (`ON a.click.user =
+    * b.purchase.user AND b.ts BETWEEN a.ts AND a.ts + INTERVAL
+    * '1 hour'`). Reached through `sqlStream(query, families,
+    * watermarkDelay)` when the statement has a JOIN; with a GROUP BY
+    * it chains into [[sqlStreamJoinAgg]] (windowed aggregation over
+    * the joined stream). Inner matches emit as soon as both rows
+    * arrive; an OUTER side's null-extended rows emit once the OTHER
+    * side's watermark passes their match window (so a replay must end
+    * with watermark-advancing rows to flush the tail — see
+    * [[graft.streaming.StreamingOps.streamSqlLeftJoinReplay]]).
     *
     * Compilation is deliberately thin: each side gets
     * `withWatermark(ts, delay)` at the source, then the ORDINARY
@@ -936,13 +942,11 @@ object BoostQL {
     *
     * Refusals, each with the reason: ASOF (latest-at-or-before orders
     * over the unbounded past — no watermark can evict that state;
-    * bound the window explicitly or run it batch), outer joins
-    * (unmatched-side emission needs per-side watermark reasoning; the
-    * batch tier has them), GROUP BY over the joined stream (chained
-    * stateful operators), cross joins, derived-table sides, and
-    * multi-series sides (the exact-ts align is itself an unbounded
-    * stream-stream join). Append output mode; matches emit as soon as
-    * both rows have arrived.
+    * bound the window explicitly or run it batch), cross joins,
+    * derived-table sides, unaliased sides, half-bounded or
+    * same-direction-bounded ON clauses, and multi-series sides (the
+    * exact-ts align is itself an unbounded stream-stream join).
+    * Append output mode.
     */
   private def sqlStreamJoin(spec: Ast.QuerySpec,
       families: ((String, String)) => DataFrame,
@@ -950,9 +954,9 @@ object BoostQL {
     import graft.boostql.Ast._
     def refuse(cond: Boolean, what: String): Unit =
       if (cond) throw Compiler.CompileException(
-        "streaming joins support exactly one INNER equi-join between " +
-          "two family sources with a two-sided time bound in ON; " +
-          s"$what is not supported")
+        "streaming joins support exactly one INNER or LEFT/RIGHT/FULL " +
+          "OUTER equi-join between two family sources with a two-sided " +
+          s"time bound in ON; $what is not supported")
     refuse(spec.joins.length > 1, "more than one JOIN")
     val j = spec.joins.head
     if (j.joinType == "asof") throw Compiler.CompileException(

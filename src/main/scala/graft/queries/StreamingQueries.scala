@@ -83,7 +83,11 @@ object StreamingQueries {
     // windowed aggregation OVER the joined stream (chained stateful
     // operators, append mode): the enrich-then-rollup pipeline
     "stream_sql_join_agg" -> ((s, d) =>
-      StreamingOps.streamSqlJoinAggReplay(s, d))
+      StreamingOps.streamSqlJoinAggReplay(s, d)),
+    // FULL OUTER stream-stream join: both sides null-extend at
+    // watermark passage (the LEFT form's mirror plus the union)
+    "stream_sql_full_join" -> ((s, d) =>
+      StreamingOps.streamSqlFullJoinReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -329,6 +333,20 @@ object StreamingQueries {
         |  ON CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // batch twin of the SQL-front streaming FULL OUTER join: both
+    // sides as series-restricted subqueries, both keys selected so
+    // null-extension is visible per side
+    "stream_sql_full_join" ->
+      """SELECT CAST(c.event_id AS VARCHAR) AS click_id,
+        |  CAST(c.user_id AS VARCHAR) AS u,
+        |  CAST(p.event_id AS VARCHAR) AS purchase_id,
+        |  CAST(p.user_id AS VARCHAR) AS pu
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
     // batch twin of the joined-stream rollup: the same interval join,
     // then per-(day-of-click, user) counts and exact integer-cents sums

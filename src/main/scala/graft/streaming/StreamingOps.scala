@@ -664,6 +664,44 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** FULL OUTER stream-stream join through the SQL FRONT — both sides
+    * null-extend: unmatched clicks AND unmatched purchases emit once
+    * the opposite watermark passes their match window. Both join keys
+    * are selected (`u` from the click side, `pu` from the purchase
+    * side) so the flush markers are identifiable on whichever side
+    * carries them — a null-extended row has a null key on the OTHER
+    * side, which a naive one-sided `u != flush` filter would
+    * null-drop. Must equal the batch FULL JOIN (the DuckDB oracle).
+    */
+  def streamSqlFullJoinReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqlfjoin")
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events",
+      Seq("click", "purchase"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val out = graft.boostql.BoostQL.sqlStream(
+      "SELECT a.click.event_id AS click_id, a.click.user AS u, " +
+        "b.purchase.event_id AS purchase_id, b.purchase.user AS pu " +
+        "FROM dom.events AS a FULL JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour'",
+      _ => stream, watermarkDelay = "2 days")
+    val sink = "graft_sqlfjoin_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .filter(coalesce(!col("u").startsWith("__flush_"), lit(true)) &&
+        coalesce(!col("pu").startsWith("__flush_"), lit(true)))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Windowed aggregation OVER the joined stream through the SQL FRONT
     * — the enrich-then-rollup pipeline: the interval-bounded
     * click⋈purchase join chained into a per-(day, user) continuous
