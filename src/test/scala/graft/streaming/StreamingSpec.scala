@@ -424,6 +424,8 @@ class StreamingSpec extends SparkSpec {
       S.replace("JOIN", "LEFT JOIN") + K + B, _ => fam, "1 day")
     graft.boostql.BoostQL.sqlStream(
       S.replace("JOIN", "FULL JOIN") + K + B, _ => fam, "1 day")
+    graft.boostql.BoostQL.sqlStream(
+      S.replace("JOIN", "RIGHT JOIN") + K + B, _ => fam, "1 day")
     assert(refuses(S.replace("JOIN", "LEFT JOIN") + K)
       .contains("bound"))                               // outer, unbounded
     assert(refuses(S.replace("JOIN", "ASOF JOIN") + K)
