@@ -312,7 +312,10 @@ object TimeSeriesTable {
           "source restored")
     }
     fs.delete(aside, true)
-    (files.length, listData(p).length)
+    // the compacted file set IS tmpFiles (the tmp dir became the live
+    // path by rename) — a third recursive listing here measured 33 s
+    // on a 3000-partition family for a number already in hand
+    (files.length, tmpFiles.length)
   }
 
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):
