@@ -130,11 +130,20 @@ object BoostQL {
     * >19-digit MAX) raises the dialect's CompileException naming the
     * literal — like every other malformed-statement path — instead of
     * leaking a raw NumberFormatException. */
-  private def parseNum[T](raw: String, what: String, f: String => T): T =
-    try f(raw) catch {
+  private def parseNum[T](raw: String, what: String, f: String => T): T = {
+    val v = try f(raw) catch {
       case _: NumberFormatException => throw Compiler.CompileException(
         s"malformed $what literal '$raw'")
     }
+    // String.toDouble accepts 'NaN'/'Infinity', which would slide past
+    // downstream positivity checks (NaN comparisons are all false) and
+    // silently return empty results — refuse them as malformed too
+    v match {
+      case d: Double if !java.lang.Double.isFinite(d) =>
+        throw Compiler.CompileException(s"malformed $what literal '$raw'")
+      case _ => v
+    }
+  }
 
   private def outliersStmt(series: String, k: String,
       fam: DataFrame): DataFrame = {
@@ -1000,25 +1009,27 @@ object BoostQL {
       case OArith("+", _: OInterval, x)       => tsAliasOf(x)
       case _ => None
     }
-    // DIRECTION-tracked bound analysis: state on side X evicts only
-    // when the ON upper-bounds X's time axis in terms of the OTHER
-    // side's (x.ts <= y.ts + δ ⟹ once y's watermark passes, old x rows
-    // can never match again). So the check is per SIDE, not a count —
-    // two same-direction inequalities (b.ts >= a.ts AND b.ts > a.ts −
-    // INTERVAL '1 minute') upper-bound only a and would leave b's state
-    // accreting forever. `x < y` upper-bounds x; `x > y` upper-bounds
-    // y (normalize by swapping); equality and a two-sided cross-axis
-    // BETWEEN upper-bound both.
+    // DIRECTION-tracked bound analysis: a stored row on side Y evicts
+    // only when the ON upper-bounds the OTHER side's time axis in
+    // terms of Y's (x.ts <= y.ts + δ ⟹ a stored y row at s matches
+    // only x.ts <= s + δ, so once X's watermark passes s + δ that y
+    // row can never match again — Y's state evicts behind X's
+    // watermark). So the check is per SIDE, not a count — two
+    // same-direction inequalities (b.ts >= a.ts AND b.ts > a.ts −
+    // INTERVAL '1 minute') make only B's state evictable and would
+    // leave A's state accreting forever. `x < y` evicts y; `x > y`
+    // evicts x (normalize by swapping); equality and a two-sided
+    // cross-axis BETWEEN evict both.
     def upperBounded(e: BExpr): Set[String] = e match {
       case AndE(l, r) => upperBounded(l) ++ upperBounded(r)
       case Cmp("<" | "<=", l, r) =>
         (tsAliasOf(l), tsAliasOf(r)) match {
-          case (Some(a), Some(b)) if a != b => Set(a)
+          case (Some(a), Some(b)) if a != b => Set(b)
           case _ => Set.empty
         }
       case Cmp(">" | ">=", l, r) =>
         (tsAliasOf(l), tsAliasOf(r)) match {
-          case (Some(a), Some(b)) if a != b => Set(b)
+          case (Some(a), Some(b)) if a != b => Set(a)
           case _ => Set.empty
         }
       case Cmp("=" | "==", l, r) =>
@@ -1027,15 +1038,17 @@ object BoostQL {
           case _ => Set.empty
         }
       case BetweenE(o, lo, hi, false) =>
-        // lo <= o <= hi: `o <= hi` upper-bounds o's axis against hi's;
-        // `lo <= o` upper-bounds lo's axis against o's
+        // lo <= o <= hi: `o <= hi` lets HI's side evict (a stored hi
+        // row becomes unmatchable once o's watermark passes it);
+        // `lo <= o` lets O's side evict (a stored o row becomes
+        // unmatchable once lo's watermark passes it)
         val oA = tsAliasOf(o)
         val fromHi = (oA, tsAliasOf(hi)) match {
-          case (Some(a), Some(c)) if a != c => Set(a)
+          case (Some(a), Some(c)) if a != c => Set(c)
           case _ => Set.empty[String]
         }
         val fromLo = (tsAliasOf(lo), oA) match {
-          case (Some(b), Some(a)) if a != b => Set(b)
+          case (Some(b), Some(a)) if a != b => Set(a)
           case _ => Set.empty[String]
         }
         fromHi ++ fromLo

@@ -278,8 +278,17 @@ object TextDedupOps {
       // small valid input must not be spuriously refused on a missing
       // estimate — skip the guard with a warning instead; the refusal
       // fires only on a REAL over-threshold estimate
-      val statsUnknown = bytes >= BigInt(
+      // the sentinel comparison must not become a bypass: if the user
+      // has LOWERED defaultSizeInBytes (a common broadcast-tuning
+      // change), a genuinely enormous well-estimated input would read
+      // as ">= sentinel" and skip the guard exactly in the regime it
+      // exists for — so only treat the estimate as unknown when it
+      // EQUALS the conf sentinel, or when the conf still sits at its
+      // Long.MaxValue default and the estimate is at/above it
+      val confDefault = BigInt(
         df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      val statsUnknown = bytes == confDefault ||
+        (confDefault == BigInt(Long.MaxValue) && bytes >= confDefault)
       if (statsUnknown)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           "embeddingDedupPairs: input size estimate unavailable " +

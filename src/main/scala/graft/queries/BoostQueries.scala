@@ -104,9 +104,18 @@ object BoostQueries {
         "WHERE a.purchase > 300.0 " +
         "ORDER BY a.purchase.event_id, b.error.event_id")),
 
-    // FULL OUTER JOIN: both sides null-extend (RIGHT is the mirror
-    // case, covered in BoostQLSpec); non-equi ON predicates keep rows
-    // of both inputs alive as null-extended rows
+    // RIGHT OUTER JOIN — the mirror of boost_left_join (also pinned
+    // mirror-equivalent in BoostQLSpec): unmatched errors keep null
+    // purchase columns, i.e. the null extension lands on the LEFT side
+    "boost_right_join" -> ((s, d) =>
+      run(s, d, "SELECT a.purchase.event_id, a.purchase, b.error.event_id, b.error " +
+        "FROM dom.events AS a RIGHT OUTER JOIN dom.events AS b " +
+        "ON a.purchase.user = b.error.user AND a.purchase > 300.0 " +
+        "WHERE b.error > 250.0 " +
+        "ORDER BY a.purchase.event_id, b.error.event_id")),
+
+    // FULL OUTER JOIN: both sides null-extend; non-equi ON predicates
+    // keep rows of both inputs alive as null-extended rows
     "boost_full_join" -> ((s, d) =>
       run(s, d, "SELECT a.purchase.event_id, a.purchase, b.error.event_id, b.error " +
         "FROM dom.events AS a FULL OUTER JOIN dom.events AS b " +
@@ -1486,6 +1495,15 @@ object BoostQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
         |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR) AND b.value > 250.0
         |ORDER BY a_purchase_event_id, b_error_event_id NULLS FIRST""".stripMargin,
+
+    "boost_right_join" ->
+      """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,
+        |  a.value AS a_purchase,
+        |  CAST(b.event_id AS VARCHAR) AS b_error_event_id, b.value AS b_error
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'error' AND value > 250.0) b
+        |  ON CAST(a.user_id AS VARCHAR) = CAST(b.user_id AS VARCHAR) AND a.value > 300.0
+        |ORDER BY a_purchase_event_id NULLS FIRST, b_error_event_id""".stripMargin,
 
     "boost_full_join" ->
       """SELECT CAST(a.event_id AS VARCHAR) AS a_purchase_event_id,

@@ -659,8 +659,11 @@ object StreamingOps {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
     }
+    // coalesce(…, true): a null-keyed click survives the flush filter
+    // (startsWith on NULL is NULL, which a bare filter would drop) —
+    // the batch LEFT JOIN oracle preserves null-key clicks null-extended
     spark.table(sink)
-      .filter(!col("u").startsWith("__flush_"))
+      .filter(coalesce(!col("u").startsWith("__flush_"), lit(true)))
       .orderBy("click_id", "purchase_id")
   }
 

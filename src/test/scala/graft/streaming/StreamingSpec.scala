@@ -408,13 +408,14 @@ class StreamingSpec extends SparkSpec {
     assert(refuses(S + K).contains("bound"))            // no time bound
     assert(refuses(S + K + " AND b.ts >= a.ts")
       .contains("BOTH"))                                // half-bounded
-    // two SAME-DIRECTION inequalities pass a naive >=2 count but
-    // upper-bound only a's axis — b's state would accrete forever;
-    // the direction-tracked analysis refuses (and names the one
-    // side that IS bounded)
+    // two SAME-DIRECTION inequalities pass a naive >=2 count but make
+    // only b's state evictable (b.ts >= a.ts: a stored b row at s is
+    // unmatchable once a's watermark passes s) — a's state would
+    // accrete forever; the direction-tracked analysis refuses (and
+    // names the one side that IS evictable)
     assert(refuses(S + K +
       " AND b.ts >= a.ts AND b.ts > a.ts - INTERVAL '1 minute'")
-      .contains("only a is bounded"))
+      .contains("only b is bounded"))
     assert(refuses(("SELECT click.event_id AS i FROM dom.events " +
       "JOIN dom.events AS b ON click.user = b.purchase.user" + B))
       .contains("aliased"))                             // unaliased side
