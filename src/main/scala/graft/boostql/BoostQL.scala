@@ -1,6 +1,7 @@
 package graft.boostql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, make_ym_interval}
 
 import graft.sources.TimeSeriesTable
 import graft.tables.Tables
@@ -242,6 +243,8 @@ object BoostQL {
     */
   private val deleteRe =
     """(?is)^\s*delete\s+from\s+(\w+)\s*\.\s*(\w+)\s+where\s+ts\s*<\s*date\s*'(\d{4}-\d{2}-\d{2})'\s*$""".r
+  private val deleteWhereRe =
+    """(?is)^\s*delete\s+from\s+(\w+)\s*\.\s*(\w+)\s+where\s+(.*\S)\s*$""".r
   private val deleteShapeRe = """(?is)^\s*delete\b.*$""".r
 
   def sqlDelete(stmt: String, spark: SparkSession, root: String): Seq[String] =
@@ -249,15 +252,163 @@ object BoostQL {
       case deleteRe(dom, fam, cutoff) =>
         TimeSeriesTable.expire(spark, root, dom, fam,
           java.sql.Date.valueOf(cutoff))
+      case deleteWhereRe(dom, fam, predText) =>
+        // ROW-LEVEL DELETE (the takedown path): any other WHERE compiles
+        // to [[TimeSeriesTable.deleteRows]]'s copy-on-write rewrite of
+        // only the affected date partitions. The predicate parses
+        // through the ordinary grammar (wrapped in a synthetic SELECT so
+        // the full expression surface — IN, BETWEEN, LIKE, IS NULL,
+        // arithmetic, intervals — comes for free) and compiles against
+        // the family's LONG rows via [[deletePredicate]].
+        val parsed = Parser.parseStmt(
+          s"SELECT ts FROM $dom.$fam WHERE $predText") match {
+          case q: Ast.QuerySpec => q
+          case _ => throw Compiler.CompileException(
+            "DELETE WHERE must be a plain predicate")
+        }
+        // the synthetic SELECT would happily absorb trailing clauses
+        // (GROUP BY / ORDER BY / LIMIT …) into the spec — refuse them
+        if (parsed.joins.nonEmpty || parsed.groupBy.nonEmpty ||
+            parsed.having.isDefined || parsed.orderBy.nonEmpty ||
+            parsed.limit.isDefined || parsed.offset.isDefined ||
+            parsed.qualify.isDefined || parsed.fill.isDefined)
+          throw Compiler.CompileException(
+            "DELETE takes exactly 'DELETE FROM domain.family WHERE " +
+              "<predicate>' — no joins, grouping, ordering or paging")
+        val pred = parsed.where.getOrElse(throw Compiler.CompileException(
+          "DELETE needs a WHERE predicate"))
+        TimeSeriesTable.deleteRows(spark, root, dom, fam,
+          deletePredicate(pred))._2
       case deleteShapeRe() => throw Compiler.CompileException(
-        "DELETE supports exactly the retention shape " +
-          "\"DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'\" — " +
-          "whole date partitions drop as metadata; any other predicate " +
-          "would be a full-family rewrite (write it explicitly if you " +
-          "mean it)")
+        "DELETE FROM domain.family needs a WHERE predicate — deleting a " +
+          "whole family is an operational drop, not a query; use " +
+          "retention (\"WHERE ts < DATE 'YYYY-MM-DD'\", metadata-only " +
+          "partition drops) or a row predicate (copy-on-write rewrite " +
+          "of the affected date partitions)")
       case _ => throw Compiler.CompileException(
         "sqlDelete expects a DELETE statement")
     }
+
+  /** Compile a DELETE WHERE tree to a Column over the family's LONG
+    * rows (series, ts, value, tags, attributes). DELETE is row-level
+    * over the PHYSICAL layout, unlike SELECT's pivoted per-series view:
+    * a series-qualified term (`purchase.user = '42'`, `error > 900.0`)
+    * is true only on that series' rows — on every other row it is
+    * FALSE, so `NOT (error > 900.0)` matches all non-error rows too
+    * (row-level reading: "delete every row that is not an
+    * error-above-900 row"). Reserved 1-part names: `ts` (the time
+    * axis) and `series` (the series name) address the physical
+    * columns; any other 1-part name is a series' value and a 2-part
+    * name a series' attribute (per-point attributes shadow series
+    * tags, same as SELECT's decode). One term cannot reference two
+    * series — a single long row holds exactly one.
+    */
+  private[boostql] def deletePredicate(e: Ast.BExpr): Column = {
+    import Ast._
+    def scoped(series: Set[String], c: Column): Column = series.toSeq match {
+      case Seq() => c
+      case Seq(s) => col("series") === lit(s) && c
+      case many => throw Compiler.CompileException(
+        s"a DELETE term references series ${many.sorted.mkString(", ")} — " +
+          "one long row holds one series, so a single comparison cannot " +
+          "span two; split it with AND/OR")
+    }
+    def operand(o: Operand): (Column, Set[String]) = o match {
+      case OLit(l) => (Compiler.litColumn(l), Set.empty)
+      case ORef(RawName(Seq(t))) if t.equalsIgnoreCase("ts") =>
+        (col("ts"), Set.empty)
+      case ORef(RawName(Seq(t))) if t.equalsIgnoreCase("series") =>
+        (col("series"), Set.empty)
+      case ORef(name) => Compiler.resolve(name, None) match {
+        case FieldRef(s, None) => (col("value"), Set(s))
+        case FieldRef(s, Some(a)) =>
+          (coalesce(element_at(col("attributes"), a),
+            element_at(col("tags"), a)), Set(s))
+      }
+      case OArith(op, l, r: OInterval) =>
+        if (op != "+" && op != "-") throw Compiler.CompileException(
+          s"INTERVAL supports only + and -, not $op")
+        val (base, ss) = operand(l)
+        val shifted = Compiler.parseIntervalMicros(r.text) match {
+          case Some(us) =>
+            val iv = lit(java.time.Duration.ofNanos(
+              math.multiplyExact(us, 1000L)))
+            if (op == "+") base.cast("timestamp") + iv
+            else base.cast("timestamp") - iv
+          case None =>
+            val m = Compiler.parseIntervalMonths(r.text)
+              .getOrElse(throw Compiler.CompileException(
+                s"malformed INTERVAL '${r.text}'"))
+            base.cast("timestamp") +
+              make_ym_interval(lit(0), lit(if (op == "+") m else -m))
+        }
+        (shifted, ss)
+      case OArith("+", l: OInterval, r) => operand(OArith("+", r, l))
+      case OArith(op, l, r) =>
+        val (a, as) = operand(l); val (b, bs) = operand(r)
+        val c = op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+        }
+        (c, as ++ bs)
+      case ONeg(x) => val (c, s) = operand(x); (-c, s)
+      case OCast(x, ty) =>
+        val (c, s) = operand(x)
+        val t = ty match {
+          case "int" => "long"
+          case "float" => "double"
+          case "string" => "string"
+          case "bool" => "boolean"
+          case other => throw Compiler.CompileException(
+            s"CAST to unknown type '$other'")
+        }
+        (c.cast(t), s)
+      case other => throw Compiler.CompileException(
+        "DELETE predicates support series/attribute/ts references, " +
+          "literals, arithmetic, intervals and CAST — not " +
+          other.getClass.getSimpleName.stripSuffix("$"))
+    }
+    def walk(e: BExpr): Column = e match {
+      case AndE(l, r) => walk(l) && walk(r)
+      case OrE(l, r)  => walk(l) || walk(r)
+      case NotE(x)    => !walk(x)
+      case Cmp(op, l, r) =>
+        val (a, as) = operand(l); val (b, bs) = operand(r)
+        val c = op match {
+          case "="  => a === b
+          case "!=" => a =!= b
+          case "<"  => a < b
+          case ">"  => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+        }
+        scoped(as ++ bs, c)
+      case IsNullE(o, neg) =>
+        val (c, s) = operand(o)
+        scoped(s, if (neg) c.isNotNull else c.isNull)
+      case InE(o, xs, neg) =>
+        val (c, s) = operand(o)
+        val items = xs.map(operand)
+        val folded = items.map(x => c === x._1).reduce(_ || _)
+        scoped(s ++ items.flatMap(_._2).toSet,
+          if (neg) !folded else folded)
+      case BetweenE(o, lo, hi, neg) =>
+        val (c, s) = operand(o)
+        val (l, ls) = operand(lo); val (h, hs) = operand(hi)
+        val b = c >= l && c <= h
+        scoped(s ++ ls ++ hs, if (neg) !b else b)
+      case LikeE(o, p, neg) =>
+        val (c, s) = operand(o)
+        val m = c.like(p)
+        scoped(s, if (neg) !m else m)
+      case _: InSubE | _: ExistsE | _: QuantE => throw Compiler.CompileException(
+        "DELETE predicates cannot contain subqueries — compute the key " +
+          "set first and spell it as IN (…)")
+    }
+    walk(e)
+  }
 
   /** `INSERT INTO domain.family <select>` against STREAMING family
     * frames — continuous SQL ingest, the ETL-pipeline face of the

@@ -984,6 +984,36 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // ROW-LEVEL DELETE (the takedown path), oracle-checked end to end:
+    // a predicate spanning two series (a user purge on clicks + a value
+    // takedown on purchases) compiles to a copy-on-write rewrite of
+    // only the affected date partitions, then the dialect re-aggregates
+    // ALL THREE series from the reread family — clicks and purchases
+    // show the deletions, views prove untouched series survive intact
+    // (byte-identity of untouched partitions is pinned in
+    // TimeSeriesTableSpec)
+    "boost_delete_rows" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_rowdel").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      val affected = BoostQL.sqlDelete(
+        "DELETE FROM dom.events WHERE click.user IN ('3', '7', '11') " +
+          "OR purchase > 450.0", s, root)
+      require(affected.nonEmpty, "expected affected partitions")
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql(
+        "SELECT click.user AS u, count(*) AS n, " +
+          "sum(CAST(click * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY click.user " +
+          "UNION ALL SELECT purchase.user AS u, count(*) AS n, " +
+          "sum(CAST(purchase * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY purchase.user " +
+          "UNION ALL SELECT view.user AS u, count(*) AS n, " +
+          "sum(CAST(view * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY view.user " +
+          "ORDER BY u, n, cents", _ => reread)
+    }),
+
     // SQL ingest, oracle-checked end to end: INSERT INTO writes a
     // derived two-series family (each select column a series, UNPIVOT
     // to the long layout, date-partitioned append), then the dialect
@@ -1946,6 +1976,27 @@ object BoostQueries {
         |FROM events WHERE event_type = 'click'
         |  AND CAST(ts AS DATE) >= DATE '2024-01-15'
         |GROUP BY 1 ORDER BY click_user""".stripMargin,
+
+    // the takedown path: survivors = rows NOT matched by either the
+    // click-user purge or the purchase-value takedown; views untouched
+    "boost_delete_rows" ->
+      """SELECT u, n, cents FROM (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, COUNT(*) AS n,
+        |    CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click'
+        |    AND CAST(user_id AS VARCHAR) NOT IN ('3', '7', '11')
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR), COUNT(*),
+        |    CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase' AND NOT (value > 450.0)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR), COUNT(*),
+        |    CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1) t
+        |ORDER BY u, n, cents""".stripMargin,
 
     // the same date-slice contract through the SQL DELETE face
     "boost_delete_roundtrip" ->

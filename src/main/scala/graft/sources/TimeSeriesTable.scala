@@ -250,25 +250,51 @@ object TimeSeriesTable {
     } finally pool.shutdown()
   }
 
+  /** Recursive data-file listing, parallelized PER DIRECTORY: one
+    * listStatus per directory on a bounded pool, level by level. The
+    * sequential `fs.listFiles(path, true)` walk this replaces paid one
+    * round-trip per directory in series — ~30 s at 3,000 date
+    * partitions (CompactProbe), and worse against an object store
+    * where each LIST is a network call. Parallel per-prefix listing is
+    * the standard S3 idiom; on a local fs it just collapses the walk
+    * to near-zero. Skips the streaming-sink log (`_spark_metadata`)
+    * and counts only data files.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dirs = Seq(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      while (dirs.nonEmpty) {
+        val tasks: java.util.List[java.util.concurrent.Callable[
+            Array[org.apache.hadoop.fs.FileStatus]]] =
+          dirs.map[java.util.concurrent.Callable[
+            Array[org.apache.hadoop.fs.FileStatus]]] { d => () =>
+            fs.listStatus(d)
+          }.asJava
+        val level = pool.invokeAll(tasks).asScala.flatMap(_.get())
+        dirs = level.collect {
+          case st if st.isDirectory &&
+            st.getPath.getName != "_spark_metadata" => st.getPath
+        }.toSeq
+        out ++= level.collect {
+          case st if !st.isDirectory &&
+            st.getPath.getName.endsWith(".parquet") => st.getPath.toString
+        }
+      }
+      out.toSeq
+    } finally pool.shutdown()
+  }
+
   def compact(spark: SparkSession, root: String, domain: String,
       family: String): (Int, Int) = {
     val dir = s"$root/$domain/$family"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0, 0)
-    def listData(path: org.apache.hadoop.fs.Path): Seq[String] = {
-      val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val f = it.next()
-        // skip anything under the sink log — only data files count
-        if (f.getPath.getName.endsWith(".parquet") &&
-            !f.getPath.toString.contains("/_spark_metadata/"))
-          buf += f.getPath.toString
-      }
-      buf.toSeq
-    }
-    val files = listData(p)
+    val files = listDataFiles(fs, p)
     if (files.isEmpty) return (0, 0)
     val withDt = schema.add(StructField("dt", DateType, nullable = true))
     // explicit file list + basePath: bypasses any _spark_metadata sink
@@ -291,7 +317,7 @@ object TimeSeriesTable {
     // dot-prefixed (hidden from sibling listings by design), and a
     // directory listing of a hidden root would be filtered — the
     // recursive file list is immune
-    val tmpFiles = listData(tmp)
+    val tmpFiles = listDataFiles(fs, tmp)
     val rewritten = footerRowCount(tmpFiles, hconf)
     if (rewritten != expected) {
       fs.delete(tmp, true)
@@ -316,6 +342,109 @@ object TimeSeriesTable {
     // path by rename) — a third recursive listing here measured 33 s
     // on a 3000-partition family for a number already in hand
     (files.length, tmpFiles.length)
+  }
+
+  /** ROW-LEVEL DELETE — the takedown path (PII purge, copyright
+    * removal: the one mutate verb an LLM corpus store is guaranteed to
+    * need). The reference's write tier has append/retention but no
+    * row-level mutate (boostsession.go:94-184 is its most complete
+    * surface and this verb is absent); [[expire]] covers the
+    * whole-partition retention shape, and this covers everything else
+    * as a COPY-ON-WRITE rewrite of ONLY the date partitions that hold
+    * matching rows.
+    *
+    * Semantics: rows where `predicate` is TRUE are deleted; FALSE and
+    * NULL rows are kept (ANSI DELETE). Two passes:
+    *
+    *  1. COUNT scan: per-partition matched counts. Column-pruned to
+    *     the predicate's columns + `dt`, and series/ts conjuncts push
+    *     into parquet row-group stats — at 100 TB a takedown touching
+    *     three dates reads a few predicate columns everywhere and
+    *     actual data almost nowhere. The collect is bounded: one row
+    *     per AFFECTED date partition.
+    *  2. REWRITE: only the affected partitions' files (explicit file
+    *     list, same [[compact]] rationale) are re-read, the kept rows
+    *     rewritten in the [[append]] layout ((series, ts)-sorted), the
+    *     result VERIFIED against parquet footers (kept = source −
+    *     matched, per the count pass) before anything moves, then each
+    *     affected partition swaps in via two renames. Partitions with
+    *     no matches are never read, moved, or rewritten — their files
+    *     stay BYTE-IDENTICAL (pinned in TimeSeriesTableSpec).
+    *
+    * A crash mid-swap leaves every partition either untouched or fully
+    * swapped, with the originals recoverable under
+    * `.{family}__delete_old`. Returns (rows deleted, affected
+    * partition names); (0, empty) when nothing matches — no writes at
+    * all in that case.
+    */
+  def deleteRows(spark: SparkSession, root: String, domain: String,
+      family: String, predicate: org.apache.spark.sql.Column): (Long, Seq[String]) = {
+    val dir = s"$root/$domain/$family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, Seq.empty)
+    val files = listDataFiles(fs, p)
+    if (files.isEmpty) return (0L, Seq.empty)
+    val withDt = schema.add(StructField("dt", DateType, nullable = true))
+    val src = spark.read.schema(withDt).option("basePath", dir)
+      .parquet(files: _*)
+    val hit = coalesce(predicate, lit(false))
+    val matchedRows = src.filter(hit).groupBy(col("dt")).count().collect()
+    if (matchedRows.isEmpty) return (0L, Seq.empty)
+    if (matchedRows.exists(_.isNullAt(0)))
+      throw new java.io.IOException(
+        s"row-level DELETE on $dir: matching rows exist OUTSIDE the " +
+          "dt= partition layout — the per-partition copy-on-write swap " +
+          "needs the partitioned layout; compact() the family first")
+    val matched = matchedRows.map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+      case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
+    }
+    val affected = matched.keySet
+    val affectedFiles = files.filter(f => dtOf(f).exists(affected.contains))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // the verification identity: kept-after-rewrite must equal the
+    // affected partitions' footer total minus the count pass's matches
+    val expectedKept = footerRowCount(affectedFiles, hconf) - matched.values.sum
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__deleting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.schema(withDt).option("basePath", dir)
+      .parquet(affectedFiles: _*)
+      .filter(!hit)
+      .repartition(col("dt"))
+      .sortWithinPartitions("series", "ts")
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+    val kept = footerRowCount(listDataFiles(fs, tmp), hconf)
+    if (kept != expectedKept) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"row-level DELETE aborted for $dir: rewrite holds $kept rows, " +
+          s"expected $expectedKept (source minus matches) — a concurrent " +
+          "write or a rewrite fault; source left untouched")
+    }
+    val asideRoot = new org.apache.hadoop.fs.Path(
+      s"$root/$domain/.${family}__delete_old")
+    if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+    fs.mkdirs(asideRoot)
+    affected.toSeq.sorted.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(p, s"dt=$d")
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+      if (!fs.rename(live, aside)) throw new java.io.IOException(
+        s"row-level DELETE swap failed for $dir: could not move " +
+          s"dt=$d aside — partition left untouched")
+      val rewritten = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
+      // a partition whose every row matched has no rewrite output: the
+      // rename-aside IS the delete (the partition disappears)
+      if (fs.exists(rewritten) && !fs.rename(rewritten, live)) {
+        fs.rename(aside, live) // roll back; partition restored
+        throw new java.io.IOException(
+          s"row-level DELETE swap failed for $dir: rewrite rename of " +
+            s"dt=$d failed — partition restored")
+      }
+    }
+    fs.delete(asideRoot, true)
+    fs.delete(tmp, true)
+    (matched.values.sum, affected.toSeq.sorted.map(d => s"dt=$d"))
   }
 
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):

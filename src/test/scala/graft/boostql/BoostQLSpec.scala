@@ -95,7 +95,7 @@ class BoostQLSpec extends SparkSpec {
     assert(bucketed("86400000 milliseconds") == bucketed("1 day"))
   }
 
-  test("DELETE: partition-granular retention; row-level shapes refuse") {
+  test("DELETE: partition-granular retention; whole-family shape refuses") {
     import org.apache.spark.sql.functions.{col => c}
     val root = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
     TimeSeriesTable.append(fam, root, "dom", "events")
@@ -114,18 +114,89 @@ class BoostQLSpec extends SparkSpec {
     // idempotent: nothing left to drop
     assert(BoostQL.sqlDelete(
       "DELETE FROM dom.events WHERE ts < DATE '2024-01-10'", spark, root).isEmpty)
-    // refusal matrix: every non-retention DELETE shape names the rule
-    def refuses(stmt: String): Unit = {
-      val e = intercept[Compiler.CompileException](
-        BoostQL.sqlDelete(stmt, spark, root))
-      assert(e.getMessage.contains("retention shape"), e.getMessage)
-    }
-    refuses("DELETE FROM dom.events WHERE ts < TIMESTAMP '2024-01-10 12:00:00'")
-    refuses("DELETE FROM dom.events WHERE click > 5.0")
-    refuses("DELETE FROM dom.events WHERE ts > DATE '2024-01-10'")
-    refuses("DELETE FROM dom.events")
+    // the whole-family shape refuses (an operational drop, not a query)
+    val e = intercept[Compiler.CompileException](
+      BoostQL.sqlDelete("DELETE FROM dom.events", spark, root))
+    assert(e.getMessage.contains("WHERE"), e.getMessage)
     intercept[Compiler.CompileException](
       BoostQL.sqlDelete("SELECT click FROM dom.events", spark, root))
+  }
+
+  test("DELETE: row-level predicates rewrite only the matching rows") {
+    import org.apache.spark.sql.functions.{col => c, element_at => ea}
+    def freshFam(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-rowdel-ql").toString
+      TimeSeriesTable.append(fam, root, "dom", "events")
+      root
+    }
+    // value takedown on one series: matching purchases go, every other
+    // row (other series AND non-matching purchases) survives
+    locally {
+      val root = freshFam()
+      val affected = BoostQL.sqlDelete(
+        "DELETE FROM dom.events WHERE purchase > 250.0", spark, root)
+      assert(affected.nonEmpty && affected.forall(_.startsWith("dt=")))
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.filter(c("series") === "purchase" && c("value") > 250.0)
+        .count() == 0)
+      val src = fam
+      assert(after.count() ==
+        src.filter(!(c("series") === "purchase" && c("value") > 250.0)).count())
+      // idempotent: a second pass matches nothing and touches nothing
+      assert(BoostQL.sqlDelete(
+        "DELETE FROM dom.events WHERE purchase > 250.0", spark, root).isEmpty)
+    }
+    // user purge across an attribute (takedown/PII shape), plus the
+    // reserved physical names: series + a mid-day ts bound — the shapes
+    // the retention face refuses are exactly what this face is for
+    locally {
+      val root = freshFam()
+      BoostQL.sqlDelete("DELETE FROM dom.events WHERE click.user = '3'",
+        spark, root)
+      BoostQL.sqlDelete("DELETE FROM dom.events WHERE series = 'view' " +
+        "AND ts < '2024-01-15 12:00:00'", spark, root)
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.filter(c("series") === "click" &&
+        ea(c("attributes"), "user") === "3").count() == 0)
+      assert(after.filter(c("series") === "view" && c("ts") <
+        java.sql.Timestamp.valueOf("2024-01-15 12:00:00")).count() == 0)
+      assert(after.filter(c("series") === "view").count() > 0)
+      assert(after.filter(c("series") === "click").count() > 0)
+    }
+    // attribute resolution shadows series tags like SELECT's decode:
+    // purchase's env TAG is 'test' (fromEvents), so the predicate
+    // deletes every purchase row
+    locally {
+      val root = freshFam()
+      BoostQL.sqlDelete("DELETE FROM dom.events WHERE purchase.env = 'test'",
+        spark, root)
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.filter(c("series") === "purchase").count() == 0)
+      assert(after.filter(c("series") === "click").count() > 0)
+    }
+    // NOT is row-level over the long rows: a series-scoped term is
+    // FALSE on other series' rows, so NOT(click > 100) deletes every
+    // non-click row too — survivors are exactly clicks above 100
+    locally {
+      val root = freshFam()
+      BoostQL.sqlDelete("DELETE FROM dom.events WHERE NOT (click > 100.0)",
+        spark, root)
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.filter(c("series") =!= "click").count() == 0)
+      assert(after.count() ==
+        fam.filter(c("series") === "click" && c("value") > 100.0).count())
+    }
+    // refusal matrix for the row-level face
+    val root = freshFam()
+    def refusal(stmt: String): String =
+      intercept[Compiler.CompileException](
+        BoostQL.sqlDelete(stmt, spark, root)).getMessage
+    assert(refusal("DELETE FROM dom.events WHERE click > purchase")
+      .contains("one long row holds one series"))
+    assert(refusal("DELETE FROM dom.events WHERE click.user IN " +
+      "(SELECT purchase.user FROM dom.events)").contains("subqueries"))
+    assert(refusal("DELETE FROM dom.events WHERE click > 5.0 ORDER BY click")
+      .contains("no joins, grouping, ordering or paging"))
   }
 
   test("INSERT INTO: SQL ingest round-trips; shape mismatches refuse") {

@@ -229,4 +229,107 @@ class TimeSeriesTableSpec extends SparkSpec {
       assert(tags == Seq("aa"), s"partitioning $i picked $tags")
     }
   }
+
+  /** MD5 of every data file in a partition dir, path → digest. */
+  private def partitionDigests(dir: String): Map[String, String] = {
+    val d = new java.io.File(dir)
+    assert(d.isDirectory, s"$dir should exist")
+    d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("deleteRows rewrites only matching partitions; untouched " +
+      "partitions stay byte-identical") {
+    val root = Files.createTempDirectory("graft-rowdel").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val before = TimeSeriesTable.open(spark, root, "dom", "events")
+    val dts = before.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString).toSeq
+    assert(dts.size >= 2, "need at least two date partitions")
+    // bound the delete to the FIRST date so every other partition is
+    // untouched — and snapshot those partitions' bytes before
+    val target = dts.head
+    val untouched = dts.tail
+    val digestsBefore = untouched.map(d =>
+      d -> partitionDigests(s"$root/dom/events/dt=$d")).toMap
+    val pred = col("series") === "purchase" &&
+      to_date(col("ts")) === lit(target)
+    val matchCnt = before.filter(pred).count()
+    assert(matchCnt > 0, s"no purchases on $target — pick another date")
+    val total = before.count()
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("series").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("s"))
+        .orderBy("series").collect().toSeq
+    // survivors' expected signature, materialized BEFORE the swap (the
+    // `before` frame is pinned to the pre-delete file listing)
+    val expectSig = sig(before.filter(!coalesce(pred, lit(false))))
+    val (deleted, affected) =
+      TimeSeriesTable.deleteRows(spark, root, "dom", "events", pred)
+    assert(deleted == matchCnt)
+    assert(affected == Seq(s"dt=$target"))
+    // untouched partitions: same files, same bytes
+    untouched.foreach { d =>
+      assert(partitionDigests(s"$root/dom/events/dt=$d") ==
+        digestsBefore(d), s"dt=$d should be byte-identical")
+    }
+    val after = TimeSeriesTable.open(spark, root, "dom", "events")
+    assert(after.count() == total - matchCnt)
+    assert(after.filter(pred).count() == 0, "matching rows must be gone")
+    // survivors intact: per-series signature of the reread family
+    // equals the source minus the matches
+    assert(sig(after) == expectSig)
+  }
+
+  test("deleteRows drops a partition whose every row matches, and " +
+      "no-ops cleanly on zero matches") {
+    val root = Files.createTempDirectory("graft-rowdel2").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val before = TimeSeriesTable.open(spark, root, "dom", "events")
+    val target = before.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString).head
+    // zero matches: nothing moves, nothing is written
+    val (zero, none) = TimeSeriesTable.deleteRows(spark, root, "dom",
+      "events", col("series") === "no_such_series")
+    assert(zero == 0L && none.isEmpty)
+    // whole-partition match: the dt dir disappears
+    val wholeDay = to_date(col("ts")) === lit(target)
+    val dayCnt = before.filter(wholeDay).count()
+    val (deleted, affected) =
+      TimeSeriesTable.deleteRows(spark, root, "dom", "events", wholeDay)
+    assert(deleted == dayCnt)
+    assert(affected == Seq(s"dt=$target"))
+    assert(!new java.io.File(s"$root/dom/events/dt=$target").exists(),
+      "fully-deleted partition should disappear")
+    val after = TimeSeriesTable.open(spark, root, "dom", "events")
+    assert(after.filter(to_date(col("ts")) === lit(target)).count() == 0)
+  }
+
+  test("deleteRows keeps rows where the predicate is NULL (ANSI DELETE)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-rowdel3").toString
+    val rows = Seq(
+      ("cpu", Timestamp.valueOf("2024-01-01 01:00:00"), 10.0, Some("a")),
+      ("cpu", Timestamp.valueOf("2024-01-01 02:00:00"), 20.0, None),
+      ("cpu", Timestamp.valueOf("2024-01-01 03:00:00"), 30.0, Some("b"))
+    ).toDF("series", "ts", "value", "k")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .withColumn("attributes",
+        when(col("k").isNotNull, map(lit("key"), col("k"))))
+      .drop("k")
+    TimeSeriesTable.append(rows, root, "dom", "m")
+    // attributes['key'] = 'a' is NULL on the attribute-less row — that
+    // row must SURVIVE (DELETE removes only predicate-TRUE rows)
+    val (deleted, _) = TimeSeriesTable.deleteRows(spark, root, "dom", "m",
+      element_at(col("attributes"), "key") === "a")
+    assert(deleted == 1L)
+    val vals = TimeSeriesTable.open(spark, root, "dom", "m")
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(vals == Seq(20.0, 30.0))
+  }
 }
