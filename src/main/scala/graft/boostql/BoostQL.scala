@@ -208,13 +208,18 @@ object BoostQL {
     *
     * Shape contract — the select's OUTPUT maps onto the family's
     * long-format rows by UNPIVOT: it must carry the time axis as a
-    * timestamp column named `ts`, and every other column becomes one
+    * timestamp column named `ts`, every NUMERIC column becomes one
     * series (named by the column, so alias the items) with the
-    * column's numeric value as the datapoint value. NULL cells are the
-    * absence of a datapoint and are not written. Columns that collide
-    * with the family layout (`series`, `value`, `tags`, `attributes`,
-    * `dt`), non-numeric columns, duplicate names, and a ts-less select
-    * all refuse at compile time.
+    * column's value as the datapoint value, and every STRING column is
+    * a DIMENSION — it lands as a per-point attribute named by the
+    * column on each series row (the grouped-rollup shape: `SELECT
+    * bucket(ts, '1 day') AS ts, click.user AS u, count(*) AS n …
+    * GROUP BY ts, u` materializes per-user rollups queryable as
+    * `n.u`). NULL cells are the absence of a datapoint and are not
+    * written. Columns that collide with the family layout (`series`,
+    * `value`, `tags`, `attributes`, `dt`), non-numeric non-string
+    * columns, duplicate names, a series-less select and a ts-less
+    * select all refuse at compile time.
     */
   private val insertRe =
     """(?is)^\s*insert\s+into\s+(\w+)\s*\.\s*(\w+)\s+((?:select|with)\b.*)$""".r
@@ -418,15 +423,21 @@ object BoostQL {
     *  - None: the STATELESS subset (projection + WHERE through
     *    [[sqlStream]]'s whitelist) — a filtering/renaming/derived-series
     *    pass-through pipe, no state store;
-    *  - Some(delay): the watermarked `bucket(ts, …)`-keyed aggregate
-    *    subset — the CONTINUOUS DOWNSAMPLING idiom (InfluxQL continuous
-    *    queries / TimescaleDB continuous aggregates): alias the bucket
-    *    key `ts` (uncast, so it stays the new family's time axis) and
-    *    each aggregate becomes a series of the target family. The
-    *    parquet sink appends FINALIZED windows only (state evicts
-    *    behind the watermark), so the target trails the source by the
-    *    watermark delay — the price of exactly-once downsampling over
-    *    late data.
+    *  - Some(delay): the watermarked aggregate subset — the CONTINUOUS
+    *    DOWNSAMPLING idiom (InfluxQL continuous queries / TimescaleDB
+    *    continuous aggregates): alias the time key `ts` (uncast, so it
+    *    stays the new family's time axis) and each aggregate becomes a
+    *    series of the target family. Every watermarked shape the SQL
+    *    front compiles materializes: `bucket(ts, …)` tumbling windows,
+    *    `session(ts, …)` session windows (the time axis is the session
+    *    start), and the JOINED-STREAM windowed aggregate (stream-stream
+    *    interval join + `bucket(x.ts, …)` rollup — the
+    *    enrich-then-materialize pipeline). Dimension group keys (user)
+    *    ride along as per-point attributes ([[insertLong]]'s string
+    *    rule). The parquet sink appends FINALIZED windows only (state
+    *    evicts behind the watermark), so the target trails the source
+    *    by the watermark delay — the price of exactly-once
+    *    downsampling over late data.
     *
     * Same shape contract as [[sqlInsert]] (timestamp `ts` + numeric
     * series columns, validated before stream start); same
@@ -458,6 +469,16 @@ object BoostQL {
   /** Shared INSERT shape contract + UNPIVOT onto the family long
     * layout; works identically on batch and streaming frames (the
     * unpivot is a map-side Expand). See [[sqlInsert]] for the rules.
+    *
+    * DIMENSION columns: a STRING column is a per-row dimension (the
+    * grouped-rollup shape — `GROUP BY bucket(ts, …), user`) and lands
+    * as a per-point ATTRIBUTE named by the column on every series row
+    * unpivoted from its source row, so the reread family answers
+    * `SELECT n.user, n FROM dom.rollup` exactly like a raw family.
+    * (Attributes, not tags: tags are series-constant by the data
+    * model, a dimension varies per row.) Numeric columns are the
+    * series, as before; at least one is required — a dimensions-only
+    * select has nothing to plot on the value axis.
     */
   private def insertLong(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -469,32 +490,38 @@ object BoostQL {
         throw Compiler.CompileException(
           "INSERT needs the select to propagate the time axis as a " +
             "timestamp column named ts")
-      val valueCols = cols.filterNot(_ == "ts")
-      if (valueCols.isEmpty) throw Compiler.CompileException(
-        "INSERT needs at least one value column besides ts (each " +
-          "becomes a series named by the column)")
-      valueCols.groupBy(identity).collect { case (c, dup) if dup.length > 1 =>
+      val rest = cols.filterNot(_ == "ts")
+      rest.groupBy(identity).collect { case (c, dup) if dup.length > 1 =>
         throw Compiler.CompileException(
           s"INSERT value columns must have distinct names ('$c' repeats " +
             "— alias the select items)")
       }
       val reserved = Set("series", "value", "tags", "attributes", "dt")
-      valueCols.find(reserved).foreach(c => throw Compiler.CompileException(
+      rest.find(reserved).foreach(c => throw Compiler.CompileException(
         s"INSERT value column '$c' collides with the family layout — " +
           "alias it to the intended series name"))
+      val (dimCols, valueCols) =
+        rest.partition(c => df.schema(c).dataType == StringType)
+      if (valueCols.isEmpty) throw Compiler.CompileException(
+        "INSERT needs at least one numeric value column besides ts " +
+          "(each becomes a series named by the column; string columns " +
+          "are dimensions and become per-point attributes)")
       valueCols.find(c => !df.schema(c).dataType.isInstanceOf[NumericType])
         .foreach(c => throw Compiler.CompileException(
           s"INSERT value column '$c' is " +
             s"${df.schema(c).dataType.simpleString} — series values are " +
-            "numeric"))
+            "numeric (and dimensions are strings)"))
       val emptyMap = map().cast(MapType(StringType, StringType))
-      df.select(col("ts") +:
+      val attrs =
+        if (dimCols.isEmpty) emptyMap
+        else map(dimCols.flatMap(c => Seq(lit(c), col(c))): _*)
+      df.select((col("ts") +: dimCols.map(col)) ++
           valueCols.map(c => col(c).cast("double").as(c)): _*)
-        .unpivot(Array(col("ts")), valueCols.map(col).toArray,
-          "series", "value")
+        .unpivot((col("ts") +: dimCols.map(col)).toArray,
+          valueCols.map(col).toArray, "series", "value")
         .filter(col("value").isNotNull)
         .select(col("series"), col("ts"), col("value"),
-          emptyMap.as("tags"), emptyMap.as("attributes"))
+          emptyMap.as("tags"), attrs.as("attributes"))
     }
   }
 

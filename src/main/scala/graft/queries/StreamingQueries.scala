@@ -87,7 +87,17 @@ object StreamingQueries {
     // FULL OUTER stream-stream join: both sides null-extend at
     // watermark passage (the LEFT form's mirror plus the union)
     "stream_sql_full_join" -> ((s, d) =>
-      StreamingOps.streamSqlFullJoinReplay(s, d))
+      StreamingOps.streamSqlFullJoinReplay(s, d)),
+    // continuous materialization OVER the joined stream: the
+    // enrich-then-rollup pipeline piped into a derived family through
+    // sqlStreamInsert (dimension keys land as per-point attributes),
+    // read back with batch dialect queries
+    "stream_sql_join_insert" -> ((s, d) =>
+      StreamingOps.streamSqlJoinInsertReplay(s, d)),
+    // continuous SESSION materialization: session-window aggregate →
+    // derived family keyed by session start, user as attribute
+    "stream_sql_session_insert" -> ((s, d) =>
+      StreamingOps.streamSqlSessionInsertReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +372,48 @@ object StreamingQueries {
         |  u, COUNT(*) AS n,
         |  CAST(SUM(CAST(TRUNC(pv * 100.0) AS BIGINT)) AS BIGINT) AS cents
         |FROM j GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
+
+    // batch twin of the joined-stream CONTINUOUS MATERIALIZATION: the
+    // same join+rollup as stream_sql_join_agg, then unpivoted to the
+    // family long layout the INSERT wrote (one row per (rollup series,
+    // session key, user), value as double — the family value type)
+    "stream_sql_join_insert" ->
+      """WITH j AS (
+        |  SELECT time_bucket(INTERVAL '1 day', c.ts) AS d,
+        |    CAST(c.user_id AS VARCHAR) AS u, COUNT(*) AS n,
+        |    SUM(CAST(TRUNC(p.value * 100.0) AS BIGINT)) AS cents
+        |  FROM events c JOIN events p
+        |    ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |  GROUP BY 1, 2)
+        |SELECT ts, u, v FROM (
+        |  SELECT d AS ts, u, CAST(n AS DOUBLE) AS v FROM j
+        |  UNION ALL
+        |  SELECT d AS ts, u, CAST(cents AS DOUBLE) AS v FROM j) t
+        |ORDER BY ts, u, v""".stripMargin,
+
+    // batch twin of the session CONTINUOUS MATERIALIZATION: the
+    // gaps-and-islands sessionization (same as stream_sql_session),
+    // keyed by session start, unpivoted to the family long layout
+    "stream_sql_session_insert" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS c,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_type = 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT u, ts, c,
+        |    SUM(brk) OVER (PARTITION BY u ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+        |g AS (SELECT MIN(ts) AS w, u, COUNT(*) AS n, SUM(c) AS cents
+        |  FROM s GROUP BY u, sid)
+        |SELECT ts, u, v FROM (
+        |  SELECT w AS ts, u, CAST(n AS DOUBLE) AS v FROM g
+        |  UNION ALL
+        |  SELECT w AS ts, u, CAST(cents AS DOUBLE) AS v FROM g) t
+        |ORDER BY ts, u, v""".stripMargin,
 
     // batch twin of the SQL-front stream-stream join: same equi key
     // (user as VARCHAR, the dialect's attribute type), same inclusive

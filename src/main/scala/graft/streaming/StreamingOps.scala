@@ -747,6 +747,84 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** Continuous materialization OVER the joined stream: the
+    * enrich-then-rollup pipeline (stream-stream interval join +
+    * windowed aggregation — [[streamSqlJoinAggReplay]]'s topology)
+    * piped STRAIGHT into a derived family via
+    * [[graft.boostql.BoostQL.sqlStreamInsert]] — the INSERT face now
+    * accepts the joined-stream aggregate, with the dimension key
+    * (user) landing as a per-point ATTRIBUTE on every rollup row. The
+    * derived family is read back with ordinary batch dialect queries
+    * (`n.u` = the user attribute of the `n` rollup series) and must
+    * equal the batch join+GROUP BY oracle — write path adds and loses
+    * nothing. Flush rows close the books (their users never join each
+    * other, so they contaminate no rollup rows).
+    */
+  def streamSqlJoinInsertReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqljins")
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events",
+      Seq("click", "purchase"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    withStatePartitions(spark, statePartitions) {
+      graft.boostql.BoostQL.sqlStreamInsert(
+        "INSERT INTO dom.jagg SELECT bucket(a.ts, '1 day') AS ts, " +
+          "a.click.user AS u, count(*) AS n, " +
+          "sum(CAST(b.purchase * 100.0 AS int)) AS cents " +
+          "FROM dom.events AS a JOIN dom.events AS b " +
+          "ON a.click.user = b.purchase.user " +
+          "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour' " +
+          "GROUP BY ts, u",
+        _ => stream, root, watermark = Some("2 days"))
+    }
+    val reread = graft.sources.TimeSeriesTable.open(spark, root, "dom", "jagg")
+    graft.boostql.BoostQL.sql(
+      "SELECT ts, n.u AS u, n AS v FROM dom.jagg " +
+        "UNION ALL SELECT ts, cents.u AS u, cents AS v FROM dom.jagg " +
+        "ORDER BY ts, u, v", _ => reread)
+  }
+
+  /** Continuous SESSION materialization: the session-window aggregate
+    * ([[streamSqlSessionReplay]]'s topology) piped into a derived
+    * family via sqlStreamInsert — per-user activity sessions land as
+    * family rows keyed by session START (the new time axis), user as a
+    * per-point attribute. Append-mode parquet sinks emit FINALIZED
+    * sessions only, so the replay needs the flush row to advance the
+    * watermark past the tail sessions (the complete-mode memory sink
+    * of the query-only replay sidesteps this; a file sink cannot) —
+    * the flush user's own one-row session is filtered from the
+    * read-back.
+    */
+  def streamSqlSessionInsertReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-sqlsessins")
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events", Seq("click"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    withStatePartitions(spark, statePartitions) {
+      graft.boostql.BoostQL.sqlStreamInsert(
+        "INSERT INTO dom.sess SELECT session(ts, '6 hours') AS ts, " +
+          "click.user AS u, count(*) AS n, " +
+          "sum(CAST(click * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY ts, u",
+        _ => stream, root, watermark = Some("1 day"))
+    }
+    val reread = graft.sources.TimeSeriesTable.open(spark, root, "dom", "sess")
+    graft.boostql.BoostQL.sql(
+      "SELECT ts, n.u AS u, n AS v FROM dom.sess " +
+        "WHERE NOT n.u LIKE '__flush%' " +
+        "UNION ALL SELECT ts, cents.u AS u, cents AS v FROM dom.sess " +
+        "WHERE NOT cents.u LIKE '__flush%' " +
+        "ORDER BY ts, u, v", _ => reread)
+  }
+
   /** Streaming sessionization: merge each user's events into activity
     * sessions separated by more than `gap` of event-time silence —
     * `session_window` keeps per-key open sessions in the state store and

@@ -215,11 +215,30 @@ class BoostQLSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
     // the written layout is the real family layout: date-partitioned
     assert(reread.columns.contains("dt"))
+    // DIMENSION columns: a string column becomes a per-point attribute
+    // on every unpivoted series row — the grouped-rollup shape
+    BoostQL.sqlInsert(
+      "INSERT INTO dom.peruser SELECT bucket(ts, '1 day') AS ts, " +
+        "click.user AS u, count(*) AS n FROM dom.events " +
+        "GROUP BY bucket(ts, '1 day'), click.user",
+      _ => fam, root)
+    val perUser = TimeSeriesTable.open(spark, root, "dom", "peruser")
+    val gotDim = BoostQL.sql(
+      "SELECT ts, n.u AS u, n FROM dom.peruser", _ => perUser)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1.getTime, t._2)).toSeq
+    val expDim = fam.filter(col("series") === "click")
+      .groupBy(date_trunc("day", col("ts")).as("d"),
+        element_at(col("attributes"), "user").as("u"))
+      .count()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2).toDouble))
+      .sortBy(t => (t._1.getTime, t._2)).toSeq
+    assert(gotDim == expDim && gotDim.nonEmpty)
     def bad(stmt: String): Unit =
       intercept[Compiler.CompileException](BoostQL.sqlInsert(stmt, _ => fam, root))
     // no ts column → no time axis to write
     bad("INSERT INTO dom.x SELECT click AS c FROM dom.events")
-    // non-numeric value column
+    // dimension-only select: no numeric series column to write
     bad("INSERT INTO dom.x SELECT ts, click.user AS u FROM dom.events")
     // reserved layout names
     bad("INSERT INTO dom.x SELECT ts, click AS value FROM dom.events")
