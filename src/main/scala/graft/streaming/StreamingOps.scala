@@ -954,41 +954,85 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
-  /** Near-dup candidate detection over a DOCUMENT STREAM: word-3-gram
-    * shingles per document (distinct within a doc), one stateful
-    * aggregation keyed by shingle counting the docs that carry it, then
-    * a batch summary over the sink — shingles shared by >= 2 docs are
-    * the near-dup candidate generators, Σ n(n-1)/2 the candidate-pair
-    * volume. (Chained streaming aggregations are unsupported by the
-    * engine, so the 3-number rollup is batch over the materialized
-    * per-shingle counts — the stateful heavy lifting IS the stream.)
+  /** Near-dup candidate detection over a DOCUMENT STREAM, fully
+    * CONTINUOUS: word-3-gram shingles per document (distinct within a
+    * doc), one stateful aggregation keyed by shingle counting the docs
+    * that carry it (level 1), and a per-micro-batch `foreachBatch`
+    * rollup of those counts into the 3-number candidate summary
+    * (level 2) — shingles shared by >= 2 docs are the near-dup
+    * candidate generators, Σ n(n-1)/2 the candidate-pair volume. The
+    * engine cannot chain two streaming aggregations in one plan, but
+    * the rollup needs no cross-batch state of its own: complete mode
+    * re-emits the LEVEL-1 state table each micro-batch, and the
+    * `foreachBatch` body aggregates it batch-side — so after EVERY
+    * micro-batch the current candidate counts exist as a summary row,
+    * not only after a post-hoc batch pass over a sink. Returns the
+    * last (fully-drained) summary; [[streamingShingleRollups]] exposes
+    * the whole per-batch trajectory (pinned monotone non-decreasing in
+    * StreamingSpec — counts only grow as documents arrive).
     *
     * Shingles here are plain strings (SQL-replicable, hence the DuckDB
     * oracle); the batch tier's hashed-shingle kernels are the scale
     * path, and at 100 TB the streaming state would key on LSH band
-    * buckets rather than raw shingles — same topology, bounded keys.
+    * buckets rather than raw shingles — same topology, bounded keys,
+    * and the level-2 rollup stays a narrow aggregate of the bounded
+    * state table.
     */
   def streamingShingleCandidates(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val docs = spark.readStream.schema(schema)
-      .parquet(stageDir(sfDir, "documents"))
+    import spark.implicits._
+    val rollups = streamingShingleRollups(spark,
+      stageDir(sfDir, "documents"), statePartitions)
+    require(rollups.nonEmpty, "the replay produced no micro-batches")
+    Seq(rollups.maxBy(_._1)).map { case (_, ns, cs, cp) => (ns, cs, cp) }
+      .toDF("n_shingles", "cand_shingles", "cand_pairs")
+  }
+
+  /** The continuous topology behind [[streamingShingleCandidates]],
+    * returning one (batchId, n_shingles, cand_shingles, cand_pairs)
+    * row PER MICRO-BATCH — the live candidate-count trajectory a
+    * monitoring job would chart. `maxFilesPerTrigger` splits a
+    * multi-file stage into several micro-batches so the trajectory is
+    * observable in tests.
+    */
+  def streamingShingleRollups(spark: SparkSession, docsDir: String,
+      statePartitions: Int = 4, maxFilesPerTrigger: Int = 0)
+      : Seq[(Long, Long, Long, Long)] = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val docs = reader.parquet(docsDir)
     val words = split(col("text"), " ")
     val n = greatest(size(words) - lit(2), lit(1))
     val shingles = array_distinct(transform(sequence(lit(1), n),
       i => concat_ws(" ", slice(words, i, lit(3)))))
     val perShingle = docs.select(explode(shingles).as("g"))
       .groupBy("g").agg(count(lit(1)).as("n"))
-    val sink = "graft_shingle_" + UUID.randomUUID.toString.replace("-", "")
+    val rollups =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     withStatePartitions(spark, statePartitions) {
-      val query = perShingle.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      val query = perShingle.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+          // level 2: a narrow batch aggregate of the level-1 state
+          // table this micro-batch emitted — no sink, no second
+          // stateful operator, no post-hoc pass
+          val r = batchDf.agg(
+            count(lit(1)).as("n_shingles"),
+            coalesce(sum(when(col("n") >= 2, 1L).otherwise(0L)), lit(0L))
+              .as("cand_shingles"),
+            coalesce(sum((col("n") * (col("n") - lit(1)) / lit(2))
+              .cast("long")), lit(0L)).as("cand_pairs")).head()
+          rollups.synchronized {
+            rollups += ((batchId, r.getLong(0), r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }
+        .start()
       query.awaitTermination()
     }
-    spark.table(sink).agg(
-      count(lit(1)).as("n_shingles"),
-      sum(when(col("n") >= 2, 1L).otherwise(0L)).as("cand_shingles"),
-      sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long"))
-        .as("cand_pairs"))
+    rollups.toSeq.sortBy(_._1)
   }
 }

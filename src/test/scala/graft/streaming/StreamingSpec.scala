@@ -655,6 +655,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.getLong(0) > 0 && streamed.getLong(2) >= streamed.getLong(1))
   }
 
+  test("stream_neardup is continuous: one rollup row per micro-batch, " +
+      "monotone, final equals batch truth") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // stage as 4 files so maxFilesPerTrigger=1 yields 4 micro-batches
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-neardup-multi").toString
+    docs.repartition(4).write.mode("overwrite").parquet(staged)
+    val rollups = StreamingOps.streamingShingleRollups(spark, staged,
+      statePartitions = 4, maxFilesPerTrigger = 1)
+    assert(rollups.size >= 2,
+      s"expected a multi-batch trajectory, got ${rollups.size} batch(es)")
+    // the candidate counts are LIVE after every micro-batch and only
+    // grow as documents arrive (complete-mode state re-emission)
+    rollups.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4,
+          s"rollups must be monotone non-decreasing: $a then $b")
+      case _ =>
+    }
+    // the final rollup equals the batch computation over all documents
+    // — and its n_shingles IS the level-1 state row count (one state
+    // entry per distinct shingle, not per document seen): bounded state
+    val words = split(col("text"), " ")
+    val n = greatest(size(words) - lit(2), lit(1))
+    val shingles = array_distinct(transform(sequence(lit(1), n),
+      i => concat_ws(" ", slice(words, i, lit(3)))))
+    val batch = docs.select(explode(shingles).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum(when(col("n") >= 2, 1L).otherwise(0L)),
+        sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")))
+      .head()
+    val last = rollups.last
+    assert((last._2, last._3, last._4) ==
+      (batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+  }
+
   test("repeated streaming calls stage exactly one temp dir per sfDir") {
     def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
