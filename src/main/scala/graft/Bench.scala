@@ -61,6 +61,44 @@ object Bench {
     runs(runs.length / 2)
   }
 
+  /** Fixed I/O calibration probe, the [[calibrate]] twin for the
+    * DISK-BOUND tier: write a constant-size two-column frame to a
+    * fresh temp dir as date-partitioned parquet (the family sink
+    * shape), read it back with a count, delete it. Byte-identical work
+    * every round, so its median measures the host's temp-dir
+    * filesystem (page cache pressure, dirty-page writeback, device
+    * contention) — the denominator for the stateful-replay rows, whose
+    * cost is micro-batch sink/state I/O the CPU probe cannot see
+    * (round 15's stream_sql_* rows read 1.5–3.5× on byte-identical
+    * code because of exactly this; the A/B that proved it took a
+    * session — this field makes the next read one division).
+    */
+  def calibrateIo(spark: SparkSession, iters: Int): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_iocal")
+      val t0 = System.nanoTime()
+      // 32 tasks × 8 date partitions ≈ 256 small files — the
+      // micro-batch-sink file shape, sized to ~2 s so five iterations
+      // stay a bench-budget rounding error
+      val df = spark.range(0, 500000L, 1, 32)
+        .select(col("id"),
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            pmod(col("id"), lit(8)).cast("int")).as("dt"))
+      df.write.partitionBy("dt").mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // best-effort cleanup outside the timed region
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+      dt
+    }
+    val runs = Seq.fill(math.max(3, iters))(once()).sorted
+    runs(runs.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,6 +132,7 @@ object Bench {
     // host-drift denominator: timed BEFORE the query sweep (same
     // thermal/JIT phase as the early queries) on byte-identical work
     val calibration = calibrate(spark, iters)
+    val ioCalibration = calibrateIo(spark, iters)
     val (results, failed) = run(spark, sfDir, selected, iters)
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -108,6 +147,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""calibration_sec":$calibration,""" +
+      s""""io_calibration_sec":$ioCalibration,""" +
       s""""queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
     // also persist to files: the round-7 BENCH artifact lost its
