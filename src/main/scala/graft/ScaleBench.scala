@@ -136,6 +136,29 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Hot-USER variant of [[generateEventsSkew]]: the last `hotReps`
+    * replicas map EVERY row to user 0 (series mix untouched), so the
+    * hot share lands on the key the streaming join/session state
+    * stores partition by — the stress the hot-series corpus cannot
+    * produce (its window tier keys on series, the streaming tier on
+    * user).
+    */
+  def generateEventsUserSkew(spark: SparkSession, baseDir: String,
+      outDir: String, reps: Int, hotReps: Int): Unit = {
+    val ev = graft.tables.Tables.events(spark, baseDir)
+    (0 until reps).map { k =>
+      val hot = k >= reps - hotReps
+      ev.select(
+        (col("event_id") + lit(k * IdOffset)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) +
+          lit(k * 35L * 86400L * 1000000L)).as("ts"),
+        (if (hot) lit(0L) else col("user_id") + lit(k * IdOffset))
+          .as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tierName = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "curation")

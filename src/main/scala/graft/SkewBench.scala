@@ -82,6 +82,46 @@ object SkewBench {
     val (uniT, uniF) = phase(s"uniform ${reps}x", uniDir)
     val (skewT, skewF) = phase(s"skewed ${reps}x", skewDir)
 
+    // ——— streaming hot-USER section ———————————————————————————————
+    // The stream-stream join and session-window state stores partition
+    // by USER (the join key / session key), which the hot-SERIES corpus
+    // above never stresses. A separate corpus maps the last hotReps
+    // replicas' every row to user 0 (~ the same hot share), and the two
+    // round-15 SQL-front stateful shapes run uniform-vs-skew on it.
+    // The join's OUTPUT genuinely grows under a hot key (one user's
+    // clicks × purchases within the hour bound — data semantics, not
+    // engine behavior), so per-query output row counts ride along and
+    // the honest per-row ratio is skew_time/skew_rows ÷ uni_time/
+    // uni_rows.
+    val userSkewDir = sys.env.getOrElse("SPARK_GRAFT_USER_SKEW_DIR",
+      "/tmp/graft_skew_user30")
+    if (!Files.exists(Paths.get(s"$userSkewDir/events.parquet")) ||
+        sys.env.contains("SPARK_GRAFT_REGEN")) {
+      System.err.println(
+        s"[skew] generating ${reps}x hot-user corpus under $userSkewDir")
+      ScaleBench.generateEventsUserSkew(spark, baseDir, userSkewDir, reps, hotReps)
+    }
+    val uev = spark.read.parquet(s"$userSkewDir/events.parquet")
+    val hotUserShare = uev.filter(col("user_id") === 0L).count().toDouble /
+      uev.count()
+    System.err.println(f"[skew] hot user 0 share: $hotUserShare%.3f")
+    val streamTier = SparkEntry.queries.filter { case (n, _) =>
+      n == "stream_sql_join_agg" || n == "stream_sql_session" }
+    def streamRows(d: String): Seq[(String, Double)] =
+      streamTier.toSeq.sortBy(_._1).map { case (n, fn) =>
+        n -> fn(spark, d).count().toDouble }
+    def streamPhase(name: String, d: String) = {
+      graft.boostql.BoostQL.evictTestdataCache(Some(spark))
+      spark.catalog.clearCache()
+      System.gc()
+      System.err.println(s"[skew] benching ${streamTier.size} streaming queries: $name")
+      Bench.run(spark, d, streamTier, iters)
+    }
+    val (sUniT, sUniF) = streamPhase(s"stream uniform ${reps}x", uniDir)
+    val (sSkewT, sSkewF) = streamPhase(s"stream hot-user ${reps}x", userSkewDir)
+    val sUniRows = streamRows(uniDir)
+    val sSkewRows = streamRows(userSkewDir)
+
     val baseM = baseT.toMap
     val uniM = uniT.toMap
     def ratios(num: Seq[(String, Double)], den: Map[String, Double]) =
@@ -104,10 +144,17 @@ object SkewBench {
       s""""uniform_vs_base":${jmap(ratios(uniT, baseM))},""" +
       s""""skew_vs_base":${jmap(ratios(skewT, baseM))},""" +
       s""""skew_vs_uniform":${jmap(svu)},""" +
+      f""""stream_tier":{"hot_user_share":$hotUserShare%.3f,""" +
+      s""""uniform":${jmap(sUniT)},"user_skew":${jmap(sSkewT)},""" +
+      s""""skew_vs_uniform":${jmap(ratios(sSkewT, sUniT.toMap))},""" +
+      s""""rows_uniform":${jmap(sUniRows)},""" +
+      s""""rows_user_skew":${jmap(sSkewRows)},""" +
+      s""""failed":${jfail((sUniF ++ sSkewF).distinct)}},""" +
       s""""failed":${jfail((baseF ++ uniF ++ skewF).distinct)}}"""
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
     spark.stop()
-    if (baseF.nonEmpty || uniF.nonEmpty || skewF.nonEmpty) sys.exit(2)
+    if (baseF.nonEmpty || uniF.nonEmpty || skewF.nonEmpty ||
+        sUniF.nonEmpty || sSkewF.nonEmpty) sys.exit(2)
   }
 }

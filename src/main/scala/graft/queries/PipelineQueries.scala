@@ -451,15 +451,50 @@ object PipelineQueries {
   /** Near-dup clusters: exact Jaccard pairs -> connected components ->
     * every doc labeled with its component (singletons label themselves).
     * Shared by dd_cluster and dd_canonical.
+    *
+    * The LABEL table (doc_id, component) is computed ONCE per
+    * (session, dir) and persisted — the pair generation + star rounds
+    * are the expensive stages (curation-100x: dd_canonical re-ran the
+    * full pipeline dd_cluster had just computed, 146 s of pure rework),
+    * while the label table itself is two integer columns, metadata-
+    * sized at any corpus scale. This is the shape a real pipeline
+    * uses: materialize components once, then every consumer (cluster
+    * listing, canonical pick, downstream joins) reads the labels. The
+    * cache is LRU-bounded (evicted entries unpersist) like
+    * [[graft.boostql.BoostQL.onTestdata]]'s family cache; a
+    * `spark.catalog.clearCache()` between bench phases unpersists the
+    * blocks and the labels recompute on next use — correctness never
+    * depends on the cache.
     */
-  private def clusteredDocs(s: SparkSession, d: String): DataFrame = {
-    val doc = docs(s, d)
-    val pairs = TextDedupOps.ngramJaccardPairs(doc, "doc_id", "text")
-    val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", "doc_id")
-    doc.join(cc, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-  }
+  private val ComponentCacheMax = 4
+  private val componentCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+        8, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > ComponentCacheMax) {
+          e.getValue.unpersist(blocking = false); true
+        } else false
+    }
+
+  private def componentLabels(s: SparkSession, d: String): DataFrame =
+    componentCache.synchronized {
+      Option(componentCache.get((s, d))).getOrElse {
+        val doc = docs(s, d)
+        val pairs = TextDedupOps.ngramJaccardPairs(doc, "doc_id", "text")
+        val cc = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val labels = doc.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        componentCache.put((s, d), labels)
+        labels
+      }
+    }
+
+  private def clusteredDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).join(componentLabels(s, d), Seq("doc_id"))
 
   def queries: Map[String, Q] = Map(
     "dd_exact" -> ((s, d) =>
