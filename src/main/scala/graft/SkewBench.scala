@@ -85,28 +85,45 @@ object SkewBench {
     // ——— streaming hot-USER section ———————————————————————————————
     // The stream-stream join and session-window state stores partition
     // by USER (the join key / session key), which the hot-SERIES corpus
-    // above never stresses. A separate corpus maps the last hotReps
-    // replicas' every row to user 0 (~ the same hot share), and the two
-    // round-15 SQL-front stateful shapes run uniform-vs-skew on it.
-    // The join's OUTPUT genuinely grows under a hot key (one user's
-    // clicks × purchases within the hour bound — data semantics, not
-    // engine behavior), so per-query output row counts ride along and
-    // the honest per-row ratio is skew_time/skew_rows ÷ uni_time/
-    // uni_rows.
+    // above never stresses. A separate corpus maps the last hot
+    // replicas' every row to user 0, and three stateful shapes run
+    // uniform-vs-skew on it: the raw SQL-front joined rollup (whose
+    // symmetric-hash state probe is QUADRATIC in the hot key's rows —
+    // measured 92× at 3×/33% hot on this host), the bucketed-interval
+    // form (StreamingOps.bucketedIntervalJoin — the engine's hot-key
+    // answer: time-bucket equi key bounds each probe to one bound-
+    // width window), and the session aggregate (state is open sessions
+    // per key — merge-heavy but not quadratic). Smaller reps than the
+    // window tier BY DESIGN: the raw join's quadratic probe is the
+    // phenomenon under measurement, and 3× already separates the two
+    // topologies by two orders of magnitude — running the pathological
+    // form at 30× would burn hours re-proving the same number.
+    // Output/pair counts ride along (`n` summed = joined pairs) so the
+    // intrinsic work growth is separable from engine behavior.
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
+    val streamHotReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_HOT_REPS",
+      (streamReps / 3).toString).toInt
+    val streamIters = sys.env.getOrElse("SPARK_GRAFT_STREAM_ITERS", "1").toInt
+    val streamUniDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_UNI_DIR",
+      s"/tmp/graft_skew_uni$streamReps")
     val userSkewDir = sys.env.getOrElse("SPARK_GRAFT_USER_SKEW_DIR",
-      "/tmp/graft_skew_user30")
-    if (!Files.exists(Paths.get(s"$userSkewDir/events.parquet")) ||
-        sys.env.contains("SPARK_GRAFT_REGEN")) {
-      System.err.println(
-        s"[skew] generating ${reps}x hot-user corpus under $userSkewDir")
-      ScaleBench.generateEventsUserSkew(spark, baseDir, userSkewDir, reps, hotReps)
+      s"/tmp/graft_skew_user$streamReps")
+    Seq((streamUniDir, 0), (userSkewDir, streamHotReps)).foreach { case (d, hr) =>
+      if (!Files.exists(Paths.get(s"$d/events.parquet")) ||
+          sys.env.contains("SPARK_GRAFT_REGEN")) {
+        System.err.println(
+          s"[skew] generating ${streamReps}x user corpus (hot=$hr) under $d")
+        if (hr == 0) ScaleBench.generateEventsSkew(spark, baseDir, d, streamReps, 0)
+        else ScaleBench.generateEventsUserSkew(spark, baseDir, d, streamReps, hr)
+      }
     }
     val uev = spark.read.parquet(s"$userSkewDir/events.parquet")
     val hotUserShare = uev.filter(col("user_id") === 0L).count().toDouble /
       uev.count()
     System.err.println(f"[skew] hot user 0 share: $hotUserShare%.3f")
     val streamTier = SparkEntry.queries.filter { case (n, _) =>
-      n == "stream_sql_join_agg" || n == "stream_sql_session" }
+      n == "stream_sql_join_agg" || n == "stream_join_agg_bucketed" ||
+        n == "stream_sql_session" }
     def streamRows(d: String): Seq[(String, Double)] =
       streamTier.toSeq.sortBy(_._1).map { case (n, fn) =>
         n -> fn(spark, d).count().toDouble }
@@ -115,11 +132,11 @@ object SkewBench {
       spark.catalog.clearCache()
       System.gc()
       System.err.println(s"[skew] benching ${streamTier.size} streaming queries: $name")
-      Bench.run(spark, d, streamTier, iters)
+      Bench.run(spark, d, streamTier, streamIters)
     }
-    val (sUniT, sUniF) = streamPhase(s"stream uniform ${reps}x", uniDir)
-    val (sSkewT, sSkewF) = streamPhase(s"stream hot-user ${reps}x", userSkewDir)
-    val sUniRows = streamRows(uniDir)
+    val (sUniT, sUniF) = streamPhase(s"stream uniform ${streamReps}x", streamUniDir)
+    val (sSkewT, sSkewF) = streamPhase(s"stream hot-user ${streamReps}x", userSkewDir)
+    val sUniRows = streamRows(streamUniDir)
     val sSkewRows = streamRows(userSkewDir)
 
     val baseM = baseT.toMap
@@ -145,6 +162,7 @@ object SkewBench {
       s""""skew_vs_base":${jmap(ratios(skewT, baseM))},""" +
       s""""skew_vs_uniform":${jmap(svu)},""" +
       f""""stream_tier":{"hot_user_share":$hotUserShare%.3f,""" +
+      s""""stream_reps":$streamReps,"stream_iters":$streamIters,""" +
       s""""uniform":${jmap(sUniT)},"user_skew":${jmap(sSkewT)},""" +
       s""""skew_vs_uniform":${jmap(ratios(sSkewT, sUniT.toMap))},""" +
       s""""rows_uniform":${jmap(sUniRows)},""" +

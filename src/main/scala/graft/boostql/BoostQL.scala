@@ -370,9 +370,27 @@ object BoostQL {
             s"CAST to unknown type '$other'")
         }
         (c.cast(t), s)
+      // the scalar builtins (all row-level, codegen'd) — carries the
+      // DATE/TIMESTAMP literal desugar (to_date/to_timestamp) plus the
+      // everyday normalizations (upper/lower/trim/epoch_us) a takedown
+      // predicate reaches for
+      case OFn(fn, args) =>
+        Compiler.scalarFns.get(fn) match {
+          case Some((lo, hi, build)) =>
+            if (args.length < lo || args.length > hi)
+              throw Compiler.CompileException(
+                s"$fn() takes $lo..$hi arguments, got ${args.length}")
+            val compiled = args.map(operand)
+            (build(compiled.map(_._1)), compiled.flatMap(_._2).toSet)
+          case None => throw Compiler.CompileException(
+            s"$fn() is not available in DELETE predicates — the scalar " +
+              "builtins only (window/time-series functions have no " +
+              "row-level meaning here)")
+        }
       case other => throw Compiler.CompileException(
         "DELETE predicates support series/attribute/ts references, " +
-          "literals, arithmetic, intervals and CAST — not " +
+          "literals, arithmetic, intervals, CAST and the scalar " +
+          "builtins — not " +
           other.getClass.getSimpleName.stripSuffix("$"))
     }
     def walk(e: BExpr): Column = e match {

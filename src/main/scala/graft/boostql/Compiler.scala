@@ -392,6 +392,11 @@ object Compiler {
     "dow"      -> ((1, 1, (a: Seq[Column]) => weekday(a(0)) + lit(1))),
     "doy"      -> ((1, 1, (a: Seq[Column]) => dayofyear(a(0)))),
     "epoch_us" -> ((1, 1, (a: Seq[Column]) => unix_micros(a(0)))),
+    // the DATE/TIMESTAMP literal desugar targets (also user-callable);
+    // on a literal argument the cast constant-folds, so a ts bound
+    // spelled `TIMESTAMP '…'` pushes into the scan like a plain string
+    "to_date"      -> ((1, 1, (a: Seq[Column]) => a(0).cast("date"))),
+    "to_timestamp" -> ((1, 1, (a: Seq[Column]) => a(0).cast("timestamp"))),
     /* KMV sketch SET OPERATIONS over two approx_distinct_sketch columns
      * (array<bigint>, bottom-64 md5-derived 32-bit hashes) — the
      * "how much do two audiences overlap" tier that unions alone can't

@@ -1105,6 +1105,28 @@ object Parser {
         val TStr(iv) = toks(pos): @unchecked
         pos += 1
         OInterval(iv)
+      // contextual like INTERVAL: `DATE '<text>'` / `TIMESTAMP '<text>'`
+      // typed literals (ANSI), validated HERE so a malformed literal is
+      // a parse error naming the text; they desugar to the to_date /
+      // to_timestamp scalar builtins (a cast of a literal — Catalyst
+      // constant-folds it, so a `ts < TIMESTAMP '…'` bound still pushes
+      // into the scan as a plain ts filter)
+      case TIdent(id) if (id.equalsIgnoreCase("date") ||
+          id.equalsIgnoreCase("timestamp")) &&
+          (toks(pos + 1) match { case TStr(_) => true; case _ => false }) =>
+        val isDate = id.equalsIgnoreCase("date")
+        pos += 1
+        val TStr(txt) = toks(pos): @unchecked
+        pos += 1
+        val ok =
+          if (isDate) scala.util.Try(java.sql.Date.valueOf(txt)).isSuccess
+          else scala.util.Try(java.sql.Timestamp.valueOf(txt)).isSuccess
+        if (!ok) throw ParseException(
+          s"malformed ${id.toUpperCase} literal '$txt'" +
+            (if (isDate) " — expected 'YYYY-MM-DD'"
+            else " — expected 'YYYY-MM-DD HH:MM:SS[.ffffff]'"))
+        OFn(if (isDate) "to_date" else "to_timestamp",
+          Seq(OLit(BStr(txt))))
       case TIdent(id) if id.equalsIgnoreCase("true") => pos += 1; OLit(BBool(true))
       case TIdent(id) if id.equalsIgnoreCase("false") => pos += 1; OLit(BBool(false))
       case TIdent(id) if id.equalsIgnoreCase("null") => pos += 1; OLit(BNull)

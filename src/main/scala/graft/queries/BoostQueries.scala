@@ -83,6 +83,16 @@ object BoostQueries {
         "WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00' " +
         "ORDER BY click.event_id")),
 
+    // DATE/TIMESTAMP typed literals (contextual keywords, like
+    // INTERVAL): the same [01-10, 01-12) window through the ANSI
+    // spellings — the literals desugar to constant-folded casts, so
+    // both bounds still push into the scan as plain ts filters
+    "boost_date_literal" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, click FROM dom.events " +
+        "WHERE ts >= DATE '2024-01-10' " +
+        "AND ts < TIMESTAMP '2024-01-12 00:00:00' " +
+        "ORDER BY click.event_id")),
+
     // INTERVAL arithmetic on the time axis: both bounds computed by
     // fixed-width shifts resolve to the same [01-10, 01-12) window as
     // boost_time_scope — and being literal-side arithmetic they
@@ -1365,6 +1375,13 @@ object BoostQueries {
       """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click
         |FROM events WHERE event_type = 'click'
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY click_event_id""".stripMargin,
+
+    "boost_date_literal" ->
+      """SELECT CAST(event_id AS VARCHAR) AS click_event_id, value AS click
+        |FROM events WHERE event_type = 'click'
+        |  AND ts >= DATE '2024-01-10'
         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |ORDER BY click_event_id""".stripMargin,
 

@@ -97,7 +97,13 @@ object StreamingQueries {
     // continuous SESSION materialization: session-window aggregate →
     // derived family keyed by session start, user as attribute
     "stream_sql_session_insert" -> ((s, d) =>
-      StreamingOps.streamSqlSessionInsertReplay(s, d))
+      StreamingOps.streamSqlSessionInsertReplay(s, d)),
+    // the HOT-KEY-PROOF joined-stream rollup: bucketedIntervalJoin
+    // (time-bucket equi key + ≤2-bucket explode) bounds state probes
+    // per (user, hour-bucket); same output contract as
+    // stream_sql_join_agg, same oracle
+    "stream_join_agg_bucketed" -> ((s, d) =>
+      StreamingOps.streamJoinAggBucketedReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -357,6 +363,21 @@ object StreamingQueries {
         |  ON CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
+
+    // the bucketed hot-key path computes the SAME rollup — one oracle
+    // text, two topologies (raw symmetric-hash vs bucketed-probe join)
+    "stream_join_agg_bucketed" ->
+      """WITH j AS (
+        |  SELECT c.ts AS cts, CAST(c.user_id AS VARCHAR) AS u,
+        |    p.value AS pv
+        |  FROM events c JOIN events p
+        |    ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(c.user_id AS VARCHAR) = CAST(p.user_id AS VARCHAR)
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT CAST(epoch(time_bucket(INTERVAL '1 day', cts)) AS BIGINT) AS d,
+        |  u, COUNT(*) AS n,
+        |  CAST(SUM(CAST(TRUNC(pv * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM j GROUP BY 1, 2 ORDER BY d, u""".stripMargin,
 
     // batch twin of the joined-stream rollup: the same interval join,
     // then per-(day-of-click, user) counts and exact integer-cents sums

@@ -747,6 +747,115 @@ object StreamingOps {
     spark.table(sink).orderBy("d", "u")
   }
 
+  /** HOT-KEY-PROOF stream-stream interval equi-join — the bucketed
+    * decomposition of `l JOIN r ON keys AND r.ts − l.ts ∈ [lo, hi]`.
+    *
+    * Why it exists: the engine's symmetric hash join keeps per-KEY
+    * state and, for every arriving row, probes EVERY stored row of
+    * that key, filtering the time bound afterwards. Under a hot key
+    * (one user holding a large share of both sides) that probe is
+    * quadratic in the key's row count even when the time bound keeps
+    * the true match set tiny — measured on this host: the joined-
+    * stream rollup read 92× its uniform-key time at a 3× corpus with a
+    * 33% hot user (BENCH_scale_skew.json's stream tier), pure state-
+    * probe cost. No shuffle/AQE knob helps: the skew is within one
+    * key, not across partitions.
+    *
+    * The decomposition: both sides get a derived TIME-BUCKET equi key
+    * of width w = max(hi − lo, 1) µs. A right row lives in bucket
+    * ⌊r.ts / w⌋; a left row's match window [l.ts+lo, l.ts+hi] spans at
+    * most TWO buckets (its width is ≤ w), so the left side EXPLODES
+    * into those 1–2 buckets and the join adds `l.bucket = r.bucket`.
+    * Every true pair matches exactly once (the right row's bucket is
+    * one of the left row's ≤2 distinct buckets), the exact time bounds
+    * still apply (native ts ± interval terms, so the engine's state-
+    * eviction analysis keeps both sides' state bounded by watermark +
+    * bound), and a probe now fetches only the hot key's rows in ONE
+    * w-wide bucket — O(rows per bound window), not O(rows in the
+    * watermark horizon). Left-side state doubles (≤2 buckets per row);
+    * that is the entire price.
+    *
+    * INNER joins only: an outer join would null-extend each unmatched
+    * exploded copy, duplicating the null-extension — refuse rather
+    * than emit duplicates. Works identically on batch frames (the
+    * bucket key is then just a redundant conjunct), which is how the
+    * spec pins pair-exactness incl. bucket-boundary ties.
+    *
+    * `keys` pairs left/right key column names; caller projects the two
+    * sides to distinct column names and (for streams) sets
+    * `withWatermark` on each side's ts column first.
+    */
+  def bucketedIntervalJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], tsLoUs: Long, tsHiUs: Long,
+      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    require(keys.nonEmpty, "bucketedIntervalJoin needs at least one equi key")
+    require(tsHiUs >= tsLoUs,
+      s"empty interval [$tsLoUs, $tsHiUs] — no row can ever match")
+    val w = math.max(tsHiUs - tsLoUs, 1L)
+    // floorDiv as an expression (pmod is non-negative, so this floors
+    // toward -inf — integer-exact, unlike a double division)
+    def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
+      ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    val lUs = unix_micros(col(leftTs))
+    val lExploded = left
+      .withColumn("__gbkt", explode(array_distinct(array(
+        floorDiv(lUs + lit(tsLoUs), w), floorDiv(lUs + lit(tsHiUs), w)))))
+    val rBucketed = right
+      .withColumn("__gbkt_r", floorDiv(unix_micros(col(rightTs)), w))
+    def iv(us: Long) =
+      lit(java.time.Duration.ofNanos(math.multiplyExact(us, 1000L)))
+    val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _) &&
+      col("__gbkt") === col("__gbkt_r") &&
+      col(rightTs) >= col(leftTs) + iv(tsLoUs) &&
+      col(rightTs) <= col(leftTs) + iv(tsHiUs)
+    lExploded.join(rBucketed, cond, "inner")
+      .drop("__gbkt", "__gbkt_r")
+  }
+
+  /** The joined-stream rollup ([[streamSqlJoinAggReplay]]'s topology)
+    * over [[bucketedIntervalJoin]] — the HOT-KEY path: same output
+    * contract (per day-of-click, per user: pair count + exact integer
+    * cents), hash-matched against the same DuckDB oracle, but the join
+    * state probes stay bounded per (user, hour-bucket) however hot one
+    * user runs. The skew artifact benches this against the raw SQL
+    * form on the hot-user corpus.
+    */
+  def streamJoinAggBucketedReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val root = tempRoot("graft-bjagg")
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    appendFlushRows(spark, sfDir, root, "dom", "events",
+      Seq("click", "purchase"))
+    def stream = graft.sources.TimeSeriesTable
+      .openStream(spark, root, "dom", "events")
+    val clicks = stream.filter(col("series") === "click")
+      .select(element_at(col("attributes"), "user").as("u"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "2 days")
+    val purchases = stream.filter(col("series") === "purchase")
+      .select(element_at(col("attributes"), "user").as("pu"),
+        col("ts").as("pts"), col("value").as("pv"))
+      .withWatermark("pts", "2 days")
+    val joined = bucketedIntervalJoin(clicks, purchases,
+      Seq("u" -> "pu"), 0L, 3600L * 1000000L, "cts", "pts")
+    val agged = joined
+      .groupBy(window(col("cts"), "86400000000 microseconds"), col("u"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("pv") * 100.0).cast("long")).as("cents"))
+      .select(col("window.start").cast("long").as("d"), col("u"),
+        col("n"), col("cents"))
+    val sink = "graft_bjagg_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = agged.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink).orderBy("d", "u")
+  }
+
   /** Continuous materialization OVER the joined stream: the
     * enrich-then-rollup pipeline (stream-stream interval join +
     * windowed aggregation — [[streamSqlJoinAggReplay]]'s topology)

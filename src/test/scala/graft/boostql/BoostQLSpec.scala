@@ -122,6 +122,27 @@ class BoostQLSpec extends SparkSpec {
       BoostQL.sqlDelete("SELECT click FROM dom.events", spark, root))
   }
 
+  test("DATE/TIMESTAMP literals: typed bounds equal string bounds; " +
+      "malformed text is a parse error; keyword stays contextual") {
+    def q(where: String) = BoostQL.sql(
+      "SELECT click.event_id, click FROM dom.events WHERE " + where +
+        " ORDER BY click.event_id", _ => fam).collect().toSeq
+    val typed = q("ts >= DATE '2024-01-10' AND " +
+      "ts < TIMESTAMP '2024-01-12 00:00:00'")
+    val strings = q("ts >= '2024-01-10 00:00:00' AND " +
+      "ts < '2024-01-12 00:00:00'")
+    assert(typed == strings && typed.nonEmpty)
+    // malformed literal text is a PARSE error naming the literal
+    val e1 = intercept[Parser.ParseException](Parser.parse(
+      "SELECT click FROM dom.events WHERE ts < DATE '2024-13-40'"))
+    assert(e1.getMessage.contains("2024-13-40"))
+    intercept[Parser.ParseException](Parser.parse(
+      "SELECT click FROM dom.events WHERE ts < TIMESTAMP 'nope'"))
+    // contextual: only `DATE '<str>'` engages — a series named date
+    // still resolves as an identifier
+    Parser.parse("SELECT date FROM dom.events WHERE date > 1.0")
+  }
+
   test("DELETE: row-level predicates rewrite only the matching rows") {
     import org.apache.spark.sql.functions.{col => c, element_at => ea}
     def freshFam(): String = {
@@ -154,7 +175,7 @@ class BoostQLSpec extends SparkSpec {
       BoostQL.sqlDelete("DELETE FROM dom.events WHERE click.user = '3'",
         spark, root)
       BoostQL.sqlDelete("DELETE FROM dom.events WHERE series = 'view' " +
-        "AND ts < '2024-01-15 12:00:00'", spark, root)
+        "AND ts < TIMESTAMP '2024-01-15 12:00:00'", spark, root)
       val after = TimeSeriesTable.open(spark, root, "dom", "events")
       assert(after.filter(c("series") === "click" &&
         ea(c("attributes"), "user") === "3").count() == 0)

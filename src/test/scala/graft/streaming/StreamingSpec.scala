@@ -691,6 +691,50 @@ class StreamingSpec extends SparkSpec {
       (batch.getLong(0), batch.getLong(1), batch.getLong(2)))
   }
 
+  test("bucketedIntervalJoin is pair-exact vs the naive interval join, " +
+      "incl. bucket-boundary ties") {
+    import spark.implicits._
+    // a dense grid that straddles every bucket boundary: bound
+    // [0, 10 s] → bucket width 10 s; left rows every 1 s, right rows
+    // every 700 ms, two keys — ties land exactly ON bucket edges
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val lrows = for (k <- Seq("a", "b"); i <- 0 until 40)
+      yield (k, new java.sql.Timestamp(base + i * 1000L))
+    val rrows = for (k <- Seq("a", "b"); j <- 0 until 60)
+      yield (k, new java.sql.Timestamp(base + j * 700L), j.toDouble)
+    val left = lrows.toDF("lk", "lts")
+    val right = rrows.toDF("rk", "rts", "v")
+    val loUs = 0L; val hiUs = 10L * 1000000L
+    val naive = left.join(right,
+      col("lk") === col("rk") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 10 SECONDS"), "inner")
+      .select("lk", "lts", "rts", "v")
+    val bucketed = StreamingOps.bucketedIntervalJoin(left, right,
+      Seq("lk" -> "rk"), loUs, hiUs, "lts", "rts")
+      .select("lk", "lts", "rts", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getDouble(3))).sorted.toSeq
+    val (n, b) = (canon(naive), canon(bucketed))
+    assert(n.nonEmpty && n == b,
+      s"bucketed join must be pair-identical (naive ${n.size}, bucketed ${b.size})")
+    // a negative lower bound exercises the two-bucket explode both ways
+    val naive2 = left.join(right,
+      col("lk") === col("rk") &&
+        col("rts") >= col("lts") - expr("INTERVAL 5 SECONDS") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 SECONDS"), "inner")
+      .select("lk", "lts", "rts", "v")
+    val bucketed2 = StreamingOps.bucketedIntervalJoin(left, right,
+      Seq("lk" -> "rk"), -5L * 1000000L, 5L * 1000000L, "lts", "rts")
+      .select("lk", "lts", "rts", "v")
+    assert(canon(naive2) == canon(bucketed2))
+    intercept[IllegalArgumentException](StreamingOps.bucketedIntervalJoin(
+      left, right, Seq.empty, 0L, 1L, "lts", "rts"))
+    intercept[IllegalArgumentException](StreamingOps.bucketedIntervalJoin(
+      left, right, Seq("lk" -> "rk"), 5L, 1L, "lts", "rts"))
+  }
+
   test("repeated streaming calls stage exactly one temp dir per sfDir") {
     def stagedDirs: Int = new java.io.File(System.getProperty("java.io.tmpdir"))
       .listFiles().count(f => f.isDirectory && f.getName.startsWith("graft-stream") &&
