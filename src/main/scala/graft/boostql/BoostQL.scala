@@ -1,7 +1,7 @@
 package graft.boostql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, make_ym_interval}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, make_ym_interval, when}
 
 import graft.sources.TimeSeriesTable
 import graft.tables.Tables
@@ -294,6 +294,153 @@ object BoostQL {
         "sqlDelete expects a DELETE statement")
     }
 
+  /** `UPDATE domain.family SET <target> = <expr> [, …] WHERE <predicate>`
+    * — row-level UPDATE, the redaction verb pairing [[sqlDelete]]'s
+    * takedown path (PII masking, value corrections, attribute
+    * backfills) and the reference write tier's other missing mutate
+    * verb (boostsession.go:94-184 appends; it never rewrites).
+    * Compiles to [[TimeSeriesTable.updateRows]]: a copy-on-write
+    * rewrite of ONLY the date partitions holding touched rows.
+    *
+    * Targets address the long layout like DELETE predicates do: a
+    * 1-part name sets that series' VALUE (rhs cast to double), a
+    * 2-part `series.attr` sets that series' per-point attribute (rhs
+    * cast to string; a NULL rhs REMOVES the key — redaction by
+    * deletion). `ts` and `series` are not assignable — moving rows
+    * along the partition axis or renaming a series is a DELETE plus an
+    * INSERT. RHS expressions ride the ordinary grammar (arithmetic,
+    * CAST, CASE, intervals, scalar builtins) over the SAME series'
+    * row; all SET expressions evaluate against pre-update state (ANSI).
+    * A row is touched when the WHERE is TRUE on it (row-level reading,
+    * same as DELETE) and its series has an assignment. Returns the
+    * affected partition names.
+    */
+  private val updateRe =
+    """(?is)^\s*update\s+(\w+)\s*\.\s*(\w+)\s+set\s+(.*\S)\s+where\s+(.*\S)\s*$""".r
+  private val updateShapeRe = """(?is)^\s*update\b.*$""".r
+
+  def sqlUpdate(stmt: String, spark: SparkSession, root: String): Seq[String] =
+    stmt match {
+      case updateRe(dom, fam, setText, predText) =>
+        val rawAssigns = splitTopLevel(setText, ',').map { piece =>
+          val eq = topLevelIndexOf(piece, '=')
+          if (eq < 0) throw Compiler.CompileException(
+            s"malformed SET assignment '${piece.trim}' — expected " +
+              "<target> = <expression>")
+          (piece.substring(0, eq), piece.substring(eq + 1))
+        }
+        val targetRe = """(?s)^\s*(\w+)(?:\s*\.\s*(\w+))?\s*$""".r
+        val targets: Seq[(String, Option[String])] = rawAssigns.map(_._1).map {
+          case targetRe(a, b) => (a, Option(b))
+          case other => throw Compiler.CompileException(
+            s"UPDATE target '${other.trim}' must be a series name " +
+              "(sets its value) or series.attribute")
+        }
+        targets.foreach { case (s, a) =>
+          if (a.isEmpty && (s.equalsIgnoreCase("ts") ||
+              s.equalsIgnoreCase("series")))
+            throw Compiler.CompileException(
+              s"UPDATE cannot assign '$s' — moving rows along the time " +
+                "axis or renaming a series changes which partition and " +
+                "row group a row lives in; spell it as a DELETE plus an " +
+                "INSERT")
+        }
+        val dup = targets.diff(targets.distinct)
+        if (dup.nonEmpty) throw Compiler.CompileException(
+          s"duplicate UPDATE target ${dup.map { case (s, a) =>
+            a.fold(s)(s + "." + _) }.distinct.mkString(", ")}")
+        // the RHS expressions and the WHERE ride the ordinary grammar
+        // via one synthetic SELECT (the parens keep item boundaries)
+        val synthetic = rawAssigns.map(_._2).zipWithIndex
+          .map { case (rhs, i) => s"($rhs) AS __set$i" }.mkString(", ")
+        val parsed = Parser.parseStmt(
+          s"SELECT $synthetic FROM $dom.$fam WHERE $predText") match {
+          case q: Ast.QuerySpec => q
+          case _ => throw Compiler.CompileException(
+            "UPDATE WHERE must be a plain predicate")
+        }
+        if (parsed.joins.nonEmpty || parsed.groupBy.nonEmpty ||
+            parsed.having.isDefined || parsed.orderBy.nonEmpty ||
+            parsed.limit.isDefined || parsed.offset.isDefined ||
+            parsed.qualify.isDefined || parsed.fill.isDefined)
+          throw Compiler.CompileException(
+            "UPDATE takes exactly 'UPDATE domain.family SET <target> = " +
+              "<expr>[, …] WHERE <predicate>' — no joins, grouping, " +
+              "ordering or paging")
+        val pred = parsed.where.getOrElse(throw Compiler.CompileException(
+          "UPDATE needs a WHERE predicate — rewriting a whole family " +
+            "unconditionally is a backfill job, not a query"))
+        val assigns = targets.zip(parsed.select).map {
+          case ((s, a), item) =>
+            val op = item match {
+              case Ast.ExprItem(o, _) => o
+              case Ast.FieldItem(n) => Ast.ORef(n)
+              case _: Ast.AggItem => throw Compiler.CompileException(
+                "UPDATE SET expressions are row-level — aggregates have " +
+                  "no meaning over one row; compute the aggregate first " +
+                  "and spell it as a literal")
+            }
+            val (rhsCol, refs) = longOperand(op, "UPDATE")
+            val foreign = refs - s
+            if (foreign.nonEmpty) throw Compiler.CompileException(
+              s"the SET expression for '${a.fold(s)(s + "." + _)}' " +
+                s"references series ${foreign.toSeq.sorted.mkString(", ")} " +
+                s"— the assignment applies to rows of series '$s', and " +
+                "one long row holds one series")
+            (s, a, rhsCol)
+        }
+        TimeSeriesTable.updateRows(spark, root, dom, fam,
+          longPredicate(pred, "UPDATE"), assigns)._2
+      case updateShapeRe() => throw Compiler.CompileException(
+        "UPDATE takes exactly 'UPDATE domain.family SET <target> = " +
+          "<expr>[, …] WHERE <predicate>'")
+      case _ => throw Compiler.CompileException(
+        "sqlUpdate expects an UPDATE statement")
+    }
+
+  /** Split at top-level occurrences of `sep` — outside parens and
+    * single-quoted literals (doubled-quote escapes round-trip: the
+    * closing quote ends the literal, the next reopens it).
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else if (c == '\'') { inStr = true; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** First top-level index of `ch` (outside parens and quoted
+    * literals), or -1.
+    */
+  private def topLevelIndexOf(s: String, ch: Char): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ch && depth == 0) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Compile a DELETE WHERE tree to a Column over the family's LONG
     * rows (series, ts, value, tags, attributes). DELETE is row-level
     * over the PHYSICAL layout, unlike SELECT's pivoted per-series view:
@@ -308,17 +455,74 @@ object BoostQL {
     * tags, same as SELECT's decode). One term cannot reference two
     * series — a single long row holds exactly one.
     */
-  private[boostql] def deletePredicate(e: Ast.BExpr): Column = {
+  private[boostql] def deletePredicate(e: Ast.BExpr): Column =
+    longPredicate(e, "DELETE")
+
+  /** Shared row-level compile over the LONG layout for the mutate verbs
+    * (DELETE predicates, UPDATE predicates and SET expressions). `ctx`
+    * names the verb in error messages.
+    */
+  private[boostql] def longPredicate(e: Ast.BExpr, ctx: String): Column = {
     import Ast._
     def scoped(series: Set[String], c: Column): Column = series.toSeq match {
       case Seq() => c
       case Seq(s) => col("series") === lit(s) && c
       case many => throw Compiler.CompileException(
-        s"a DELETE term references series ${many.sorted.mkString(", ")} — " +
+        s"a $ctx term references series ${many.sorted.mkString(", ")} — " +
           "one long row holds one series, so a single comparison cannot " +
           "span two; split it with AND/OR")
     }
-    def operand(o: Operand): (Column, Set[String]) = o match {
+    def operand(o: Operand): (Column, Set[String]) = longOperand(o, ctx)
+    def walk(e: BExpr): Column = e match {
+      case AndE(l, r) => walk(l) && walk(r)
+      case OrE(l, r)  => walk(l) || walk(r)
+      case NotE(x)    => !walk(x)
+      case Cmp(op, l, r) =>
+        val (a, as) = operand(l); val (b, bs) = operand(r)
+        val c = op match {
+          case "="  => a === b
+          case "!=" => a =!= b
+          case "<"  => a < b
+          case ">"  => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+        }
+        scoped(as ++ bs, c)
+      case IsNullE(o, neg) =>
+        val (c, s) = operand(o)
+        scoped(s, if (neg) c.isNotNull else c.isNull)
+      case InE(o, xs, neg) =>
+        val (c, s) = operand(o)
+        val items = xs.map(operand)
+        val folded = items.map(x => c === x._1).reduce(_ || _)
+        scoped(s ++ items.flatMap(_._2).toSet,
+          if (neg) !folded else folded)
+      case BetweenE(o, lo, hi, neg) =>
+        val (c, s) = operand(o)
+        val (l, ls) = operand(lo); val (h, hs) = operand(hi)
+        val b = c >= l && c <= h
+        scoped(s ++ ls ++ hs, if (neg) !b else b)
+      case LikeE(o, p, neg) =>
+        val (c, s) = operand(o)
+        val m = c.like(p)
+        scoped(s, if (neg) !m else m)
+      case _: InSubE | _: ExistsE | _: QuantE => throw Compiler.CompileException(
+        s"$ctx predicates cannot contain subqueries — compute the key " +
+          "set first and spell it as IN (…)")
+    }
+    walk(e)
+  }
+
+  /** Operand compile for the mutate verbs: series/attribute/ts
+    * references, literals, arithmetic, intervals, CAST and the scalar
+    * builtins over ONE long row. Returns the column plus the set of
+    * series the expression references (a single row holds one series,
+    * so callers scope or validate on it).
+    */
+  private[boostql] def longOperand(o: Ast.Operand, ctx: String): (Column, Set[String]) = {
+    import Ast._
+    def operand(o2: Operand): (Column, Set[String]) = longOperand(o2, ctx)
+    o match {
       case OLit(l) => (Compiler.litColumn(l), Set.empty)
       case ORef(RawName(Seq(t))) if t.equalsIgnoreCase("ts") =>
         (col("ts"), Set.empty)
@@ -383,54 +587,31 @@ object BoostQL {
             val compiled = args.map(operand)
             (build(compiled.map(_._1)), compiled.flatMap(_._2).toSet)
           case None => throw Compiler.CompileException(
-            s"$fn() is not available in DELETE predicates — the scalar " +
+            s"$fn() is not available in $ctx terms — the scalar " +
               "builtins only (window/time-series functions have no " +
               "row-level meaning here)")
         }
+      // searched CASE (row-level): conditions ride the same scoped
+      // compile as WHERE terms, branch values the operand grammar —
+      // `SET click = CASE WHEN click > 900.0 THEN 900.0 ELSE click END`
+      // is the clamping-correction shape
+      case OCase(branches, otherwise) =>
+        val compiled = branches.map { case (cond, v) =>
+          (longPredicate(cond, ctx), operand(v))
+        }
+        val (oc, os) = otherwise.map(operand)
+          .getOrElse((lit(null), Set.empty[String]))
+        val chained = compiled.tail.foldLeft(
+          when(compiled.head._1, compiled.head._2._1)) {
+          case (acc, (c, (v, _))) => acc.when(c, v)
+        }
+        (chained.otherwise(oc), compiled.flatMap(_._2._2).toSet ++ os)
       case other => throw Compiler.CompileException(
-        "DELETE predicates support series/attribute/ts references, " +
-          "literals, arithmetic, intervals, CAST and the scalar " +
+        s"$ctx terms support series/attribute/ts references, " +
+          "literals, arithmetic, intervals, CAST, CASE and the scalar " +
           "builtins — not " +
           other.getClass.getSimpleName.stripSuffix("$"))
     }
-    def walk(e: BExpr): Column = e match {
-      case AndE(l, r) => walk(l) && walk(r)
-      case OrE(l, r)  => walk(l) || walk(r)
-      case NotE(x)    => !walk(x)
-      case Cmp(op, l, r) =>
-        val (a, as) = operand(l); val (b, bs) = operand(r)
-        val c = op match {
-          case "="  => a === b
-          case "!=" => a =!= b
-          case "<"  => a < b
-          case ">"  => a > b
-          case "<=" => a <= b
-          case ">=" => a >= b
-        }
-        scoped(as ++ bs, c)
-      case IsNullE(o, neg) =>
-        val (c, s) = operand(o)
-        scoped(s, if (neg) c.isNotNull else c.isNull)
-      case InE(o, xs, neg) =>
-        val (c, s) = operand(o)
-        val items = xs.map(operand)
-        val folded = items.map(x => c === x._1).reduce(_ || _)
-        scoped(s ++ items.flatMap(_._2).toSet,
-          if (neg) !folded else folded)
-      case BetweenE(o, lo, hi, neg) =>
-        val (c, s) = operand(o)
-        val (l, ls) = operand(lo); val (h, hs) = operand(hi)
-        val b = c >= l && c <= h
-        scoped(s ++ ls ++ hs, if (neg) !b else b)
-      case LikeE(o, p, neg) =>
-        val (c, s) = operand(o)
-        val m = c.like(p)
-        scoped(s, if (neg) !m else m)
-      case _: InSubE | _: ExistsE | _: QuantE => throw Compiler.CompileException(
-        "DELETE predicates cannot contain subqueries — compute the key " +
-          "set first and spell it as IN (…)")
-    }
-    walk(e)
   }
 
   /** `INSERT INTO domain.family <select>` against STREAMING family

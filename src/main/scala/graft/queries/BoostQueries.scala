@@ -1024,6 +1024,42 @@ object BoostQueries {
           "ORDER BY u, n, cents", _ => reread)
     }),
 
+    // ROW-LEVEL UPDATE (the redaction path), oracle-checked end to end:
+    // a PII mask (click.user collapses to 'REDACTED' with the value
+    // zeroed — multi-assignment, attribute + value in one statement)
+    // and a value correction on purchases (arithmetic RHS referencing
+    // the target series' own pre-update value), each a copy-on-write
+    // rewrite of only the affected date partitions; the dialect then
+    // re-aggregates ALL THREE series from the reread family — clicks
+    // and purchases show the rewrites, views prove untouched series
+    // survive intact (byte-identity of untouched partitions is pinned
+    // in TimeSeriesTableSpec)
+    "boost_update_rows" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_rowupd").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      val a1 = BoostQL.sqlUpdate(
+        "UPDATE dom.events SET click.user = 'REDACTED', click = 0.0 " +
+          "WHERE click.user IN ('3', '7', '11')", s, root)
+      require(a1.nonEmpty, "expected affected partitions")
+      val a2 = BoostQL.sqlUpdate(
+        "UPDATE dom.events SET purchase = 250.0 + (purchase - 250.0) * 0.5 " +
+          "WHERE purchase > 250.0", s, root)
+      require(a2.nonEmpty, "expected affected partitions")
+      val reread = TimeSeriesTable.open(s, root, "dom", "events")
+      BoostQL.sql(
+        "SELECT click.user AS u, count(*) AS n, " +
+          "sum(CAST(click * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY click.user " +
+          "UNION ALL SELECT purchase.user AS u, count(*) AS n, " +
+          "sum(CAST(purchase * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY purchase.user " +
+          "UNION ALL SELECT view.user AS u, count(*) AS n, " +
+          "sum(CAST(view * 100.0 AS int)) AS cents " +
+          "FROM dom.events GROUP BY view.user " +
+          "ORDER BY u, n, cents", _ => reread)
+    }),
+
     // SQL ingest, oracle-checked end to end: INSERT INTO writes a
     // derived two-series family (each select column a series, UNPIVOT
     // to the long layout, date-partitioned append), then the dialect
@@ -2013,6 +2049,31 @@ object BoostQueries {
         |    CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT)
         |  FROM events WHERE event_type = 'view'
         |  GROUP BY 1) t
+        |ORDER BY u, n, cents""".stripMargin,
+
+    // the redaction path: the oracle replays both UPDATE statements as
+    // CASE rewrites over the raw events — masked click users collapse
+    // into 'REDACTED' with zeroed cents, corrected purchases follow the
+    // identical IEEE arithmetic, views pass through
+    "boost_update_rows" ->
+      """SELECT u, n, cents FROM (
+        |  SELECT CASE WHEN CAST(user_id AS VARCHAR) IN ('3', '7', '11')
+        |      THEN 'REDACTED' ELSE CAST(user_id AS VARCHAR) END AS u,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(TRUNC(
+        |      (CASE WHEN CAST(user_id AS VARCHAR) IN ('3', '7', '11')
+        |        THEN 0.0 ELSE value END) * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR), COUNT(*),
+        |    CAST(SUM(CAST(TRUNC(
+        |      (CASE WHEN value > 250.0 THEN 250.0 + (value - 250.0) * 0.5
+        |        ELSE value END) * 100.0) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(user_id AS VARCHAR), COUNT(*),
+        |    CAST(SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'view' GROUP BY 1) t
         |ORDER BY u, n, cents""".stripMargin,
 
     // the same date-slice contract through the SQL DELETE face

@@ -447,6 +447,128 @@ object TimeSeriesTable {
     (matched.values.sum, affected.toSeq.sorted.map(d => s"dt=$d"))
   }
 
+  /** ROW-LEVEL UPDATE — the redaction path, [[deleteRows]]'s sibling
+    * mutate verb: where DELETE removes a takedown's rows, UPDATE
+    * rewrites them in place (PII masking — `SET click.user =
+    * 'REDACTED'` — value corrections, attribute backfills). Same
+    * copy-on-write machinery, same 100 TB stance: a count pass finds
+    * the affected date partitions (column-pruned, predicate-pushed,
+    * collect bounded by one row per affected partition), then ONLY
+    * those partitions' files are re-read with the assignments applied,
+    * footer-verified, and swapped in via two renames per partition.
+    * Untouched partitions stay byte-identical.
+    *
+    * Assignments are `(series, attr, rhs)` triples over the long
+    * layout: `attr = None` sets the series' VALUE column (rhs cast to
+    * double), `attr = Some(a)` sets per-point attribute `a` (rhs cast
+    * to string; a NULL rhs REMOVES the key — redaction by deletion).
+    * Every RHS evaluates against the OLD row (ANSI UPDATE: all SET
+    * expressions see pre-update state, so `SET a = b, b = a` swaps).
+    * A row is touched when `predicate` is TRUE on it AND its series
+    * has an assignment; FALSE/NULL rows and other series pass through
+    * bit-unchanged inside rewritten partitions.
+    *
+    * The verify identity is row-count PRESERVATION: the rewrite must
+    * hold exactly the affected partitions' footer total (UPDATE moves
+    * no rows — `ts` and `series` are not assignable, so no row changes
+    * partition). A crash mid-swap leaves each partition untouched or
+    * fully swapped, originals recoverable under
+    * `.{family}__update_old`. Returns (rows updated, affected
+    * partition names); (0, empty) when nothing matches — no writes.
+    */
+  def updateRows(spark: SparkSession, root: String, domain: String,
+      family: String, predicate: org.apache.spark.sql.Column,
+      assigns: Seq[(String, Option[String], org.apache.spark.sql.Column)])
+      : (Long, Seq[String]) = {
+    require(assigns.nonEmpty, "updateRows needs at least one assignment")
+    val dir = s"$root/$domain/$family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, Seq.empty)
+    val files = listDataFiles(fs, p)
+    if (files.isEmpty) return (0L, Seq.empty)
+    val withDt = schema.add(StructField("dt", DateType, nullable = true))
+    val src = spark.read.schema(withDt).option("basePath", dir)
+      .parquet(files: _*)
+    val hit = coalesce(predicate, lit(false))
+    val targetSeries = assigns.map(_._1).distinct
+    val touched = hit && col("series").isin(targetSeries: _*)
+    val matchedRows = src.filter(touched).groupBy(col("dt")).count().collect()
+    if (matchedRows.isEmpty) return (0L, Seq.empty)
+    if (matchedRows.exists(_.isNullAt(0)))
+      throw new java.io.IOException(
+        s"row-level UPDATE on $dir: matching rows exist OUTSIDE the " +
+          "dt= partition layout — the per-partition copy-on-write swap " +
+          "needs the partitioned layout; compact() the family first")
+    val matched = matchedRows.map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+      case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
+    }
+    val affected = matched.keySet
+    val affectedFiles = files.filter(f => dtOf(f).exists(affected.contains))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // the verification identity: UPDATE preserves row counts — the
+    // rewrite must hold exactly the affected partitions' footer total
+    val expectedRows = footerRowCount(affectedFiles, hconf)
+    // all assignments in ONE select over the OLD row: value-sets fold
+    // into nested CASEs on the value column, attribute-sets into map
+    // rebuilds on the attributes column — both reference only source
+    // columns, so ANSI pre-update-state semantics hold by construction
+    val newValue = assigns.collect { case (s, None, rhs) => (s, rhs) }
+      .foldLeft(col("value")) { case (prev, (s, rhs)) =>
+        when(hit && col("series") === lit(s), rhs.cast(DoubleType))
+          .otherwise(prev)
+      }
+    val newAttrs = assigns.collect { case (s, Some(a), rhs) => (s, a, rhs) }
+      .foldLeft(col("attributes")) { case (prev, (s, a, rhs)) =>
+        val r = rhs.cast(StringType)
+        val cleaned = map_filter(
+          coalesce(prev, map().cast(MapType(StringType, StringType))),
+          (k, _) => k =!= lit(a))
+        val set = when(r.isNull, cleaned)
+          .otherwise(map_concat(cleaned, map(lit(a), r)))
+        when(hit && col("series") === lit(s), set).otherwise(prev)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$domain/.${family}__updating")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.schema(withDt).option("basePath", dir)
+      .parquet(affectedFiles: _*)
+      .select(col("series"), col("ts"), newValue.as("value"),
+        col("tags"), newAttrs.as("attributes"), col("dt"))
+      .repartition(col("dt"))
+      .sortWithinPartitions("series", "ts")
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+    val rewritten = footerRowCount(listDataFiles(fs, tmp), hconf)
+    if (rewritten != expectedRows) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"row-level UPDATE aborted for $dir: rewrite holds $rewritten " +
+          s"rows, expected $expectedRows (updates preserve row counts) " +
+          "— a concurrent write or a rewrite fault; source left untouched")
+    }
+    val asideRoot = new org.apache.hadoop.fs.Path(
+      s"$root/$domain/.${family}__update_old")
+    if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+    fs.mkdirs(asideRoot)
+    affected.toSeq.sorted.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(p, s"dt=$d")
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+      if (!fs.rename(live, aside)) throw new java.io.IOException(
+        s"row-level UPDATE swap failed for $dir: could not move " +
+          s"dt=$d aside — partition left untouched")
+      val rewrittenPart = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
+      if (!fs.rename(rewrittenPart, live)) {
+        fs.rename(aside, live) // roll back; partition restored
+        throw new java.io.IOException(
+          s"row-level UPDATE swap failed for $dir: rewrite rename of " +
+            s"dt=$d failed — partition restored")
+      }
+    }
+    fs.delete(asideRoot, true)
+    fs.delete(tmp, true)
+    (matched.values.sum, affected.toSeq.sorted.map(d => s"dt=$d"))
+  }
+
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):
     * date partitions × series-hash buckets, rows sorted by (series, ts)
     * within each bucket file. Spark's bucketing metadata lives in the

@@ -220,6 +220,85 @@ class BoostQLSpec extends SparkSpec {
       .contains("no joins, grouping, ordering or paging"))
   }
 
+  test("UPDATE: row-level masking, removal, CASE clamps and the " +
+      "refusal matrix") {
+    import org.apache.spark.sql.functions.{col => c, element_at => ea}
+    def freshFam(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-rowupd-ql").toString
+      TimeSeriesTable.append(fam, root, "dom", "events")
+      root
+    }
+    // PII mask: attribute + value in one statement; row counts hold;
+    // the predicate sees pre-update state, so a second pass is a no-op
+    locally {
+      val root = freshFam()
+      val stmt = "UPDATE dom.events SET click.user = 'REDACTED', " +
+        "click = 0.0 WHERE click.user = '3'"
+      val wasMasked = fam.filter(c("series") === "click" &&
+        ea(c("attributes"), "user") === "3").count()
+      assert(wasMasked > 0)
+      val affected = BoostQL.sqlUpdate(stmt, spark, root)
+      assert(affected.nonEmpty && affected.forall(_.startsWith("dt=")))
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.count() == fam.count())
+      assert(after.filter(c("series") === "click" &&
+        ea(c("attributes"), "user") === "3").count() == 0)
+      val masked = after.filter(ea(c("attributes"), "user") === "REDACTED")
+      assert(masked.count() == wasMasked)
+      assert(masked.filter(c("value") =!= 0.0).count() == 0)
+      // idempotent: the masked rows no longer match
+      assert(BoostQL.sqlUpdate(stmt, spark, root).isEmpty)
+    }
+    // attribute REMOVAL via NULL rhs + a CASE clamp, both scoped to one
+    // series; other series keep the removed key
+    locally {
+      val root = freshFam()
+      BoostQL.sqlUpdate("UPDATE dom.events SET purchase.event_id = NULL, " +
+        "purchase = CASE WHEN purchase > 100.0 THEN 100.0 ELSE purchase END " +
+        "WHERE purchase >= 0.0", spark, root)
+      val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      assert(after.filter(c("series") === "purchase" &&
+        ea(c("attributes"), "event_id").isNotNull).count() == 0)
+      assert(after.filter(c("series") === "purchase" &&
+        c("value") > 100.0).count() == 0)
+      assert(after.filter(c("series") === "click" &&
+        ea(c("attributes"), "event_id").isNotNull).count() > 0)
+      // sub-threshold values pass through the ELSE branch unchanged
+      assert(after.filter(c("series") === "purchase" &&
+          c("value") < 100.0).count() ==
+        fam.filter(c("series") === "purchase" && c("value") < 100.0).count())
+    }
+    // refusal matrix for the row-level face
+    val root = freshFam()
+    def refusal(stmt: String): String =
+      intercept[Compiler.CompileException](
+        BoostQL.sqlUpdate(stmt, spark, root)).getMessage
+    assert(refusal("UPDATE dom.events SET ts = " +
+      "TIMESTAMP '2024-01-01 00:00:00' WHERE click > 0.0")
+      .contains("cannot assign"))
+    assert(refusal("UPDATE dom.events SET series = 'x' WHERE click > 0.0")
+      .contains("cannot assign"))
+    assert(refusal("UPDATE dom.events SET click = purchase WHERE click > 0.0")
+      .contains("one long row holds one series"))
+    locally {
+      val m = refusal("UPDATE dom.events SET click = count(click) " +
+        "WHERE click > 0.0")
+      assert(m.contains("row-level") || m.contains("UPDATE terms support"), m)
+    }
+    assert(refusal("UPDATE dom.events SET click = 1.0, click = 2.0 " +
+      "WHERE click > 0.0").contains("duplicate"))
+    assert(refusal("UPDATE dom.events SET click = 1.0 WHERE click.user IN " +
+      "(SELECT view.user FROM dom.events)").contains("subqueries"))
+    assert(refusal("UPDATE dom.events SET click WHERE click > 0.0")
+      .contains("expected <target> = <expression>"))
+    // no WHERE at all: the shape refusal names the full grammar
+    assert(refusal("UPDATE dom.events SET click = 1.0")
+      .contains("takes exactly"))
+    assert(refusal("UPDATE dom.events SET click = 1.0 " +
+      "WHERE click > 5.0 ORDER BY click")
+      .contains("no joins, grouping, ordering or paging"))
+  }
+
   test("INSERT INTO: SQL ingest round-trips; shape mismatches refuse") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-insert-spec").toString

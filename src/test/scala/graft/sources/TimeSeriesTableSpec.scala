@@ -332,4 +332,85 @@ class TimeSeriesTableSpec extends SparkSpec {
       .select("value").collect().map(_.getDouble(0)).toSeq.sorted
     assert(vals == Seq(20.0, 30.0))
   }
+
+  test("updateRows rewrites values and attributes in place; untouched " +
+      "partitions stay byte-identical; row counts preserved") {
+    val root = Files.createTempDirectory("graft-rowupd").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val before = TimeSeriesTable.open(spark, root, "dom", "events")
+    val dts = before.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0).toString).toSeq
+    assert(dts.size >= 2, "need at least two date partitions")
+    val target = dts.head
+    val untouched = dts.tail
+    val digestsBefore = untouched.map(d =>
+      d -> partitionDigests(s"$root/dom/events/dt=$d")).toMap
+    val pred = col("series") === "purchase" &&
+      to_date(col("ts")) === lit(target)
+    val matchCnt = before.filter(pred).count()
+    assert(matchCnt > 0, s"no purchases on $target — pick another date")
+    val total = before.count()
+    // three assignments in one statement: value rewrite, attribute
+    // mask, attribute REMOVAL (NULL rhs)
+    val (updated, affected) = TimeSeriesTable.updateRows(spark, root,
+      "dom", "events", pred, Seq(
+        ("purchase", None, lit(-1.0)),
+        ("purchase", Some("user"), lit("REDACTED")),
+        ("purchase", Some("event_id"), lit(null))))
+    assert(updated == matchCnt)
+    assert(affected == Seq(s"dt=$target"))
+    // untouched partitions: same files, same bytes
+    untouched.foreach { d =>
+      assert(partitionDigests(s"$root/dom/events/dt=$d") ==
+        digestsBefore(d), s"dt=$d should be byte-identical")
+    }
+    val after = TimeSeriesTable.open(spark, root, "dom", "events")
+    // UPDATE preserves row counts — globally and on the touched slice
+    assert(after.count() == total)
+    val touched = after.filter(col("series") === "purchase" &&
+      to_date(col("ts")) === lit(target))
+    assert(touched.count() == matchCnt)
+    assert(touched.filter(col("value") =!= -1.0).count() == 0)
+    assert(touched.filter(
+      element_at(col("attributes"), "user") =!= "REDACTED").count() == 0)
+    assert(touched.filter(
+      element_at(col("attributes"), "event_id").isNotNull).count() == 0)
+    // non-matching rows inside the REWRITTEN partition pass through:
+    // same per-series signature as the source's
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("series").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("s"))
+        .orderBy("series").collect().toSeq
+    assert(sig(after.filter(to_date(col("ts")) === lit(target) &&
+        col("series") =!= "purchase")) ==
+      sig(fam.filter(to_date(col("ts")) === lit(target) &&
+        col("series") =!= "purchase")))
+    // zero matches: nothing moves, nothing is written
+    val (zero, none) = TimeSeriesTable.updateRows(spark, root, "dom",
+      "events", col("series") === "no_such_series",
+      Seq(("no_such_series", None, lit(0.0))))
+    assert(zero == 0L && none.isEmpty)
+  }
+
+  test("updateRows RHS sees pre-update state (ANSI): an attribute " +
+      "snapshot of the value survives the value's own rewrite") {
+    val root = Files.createTempDirectory("graft-rowupd2").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val (updated, _) = TimeSeriesTable.updateRows(spark, root, "dom",
+      "events", col("series") === "view" && col("value") > 0.0, Seq(
+        ("view", Some("prev"), col("value").cast("string")),
+        ("view", None, col("value") * 2.0)))
+    assert(updated > 0)
+    val after = TimeSeriesTable.open(spark, root, "dom", "events")
+      .filter(col("series") === "view" &&
+        element_at(col("attributes"), "prev").isNotNull)
+    assert(after.count() == updated)
+    // prev * 2 == value on every updated row — the snapshot saw the
+    // OLD value even though the value assignment rode the same statement
+    assert(after.filter(
+      element_at(col("attributes"), "prev").cast("double") * 2.0 =!=
+        col("value")).count() == 0)
+  }
 }
