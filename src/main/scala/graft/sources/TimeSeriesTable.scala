@@ -344,6 +344,22 @@ object TimeSeriesTable {
     (files.length, tmpFiles.length)
   }
 
+  /** Rewrite parallelism for the mutate verbs ([[deleteRows]] /
+    * [[updateRows]]): hash each date's rows into
+    * `shufflePartitions / |affected partitions|` series slices, so a
+    * takedown touching three dates of a TB-per-day family does NOT
+    * serialize each date into one task (a bare `repartition(dt)`
+    * would). Series-hash slicing keeps every series' rows CLUSTERED
+    * within one file per date — row-group series pruning survives the
+    * rewrite — and unlike `repartitionByRange` it needs no sampling
+    * pass over the input. With many affected dates the quotient hits 1
+    * and the shape degrades gracefully to the one-file-per-date
+    * [[append]] layout.
+    */
+  private def rewriteSlices(spark: SparkSession, affectedParts: Int): Int =
+    math.max(1, spark.sessionState.conf.numShufflePartitions /
+      math.max(1, affectedParts))
+
   /** ROW-LEVEL DELETE — the takedown path (PII purge, copyright
     * removal: the one mutate verb an LLM corpus store is guaranteed to
     * need). The reference's write tier has append/retention but no
@@ -411,7 +427,7 @@ object TimeSeriesTable {
     spark.read.schema(withDt).option("basePath", dir)
       .parquet(affectedFiles: _*)
       .filter(!hit)
-      .repartition(col("dt"))
+      .repartition(col("dt"), pmod(hash(col("series")), lit(rewriteSlices(spark, affected.size))))
       .sortWithinPartitions("series", "ts")
       .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
     val kept = footerRowCount(listDataFiles(fs, tmp), hconf)
@@ -535,7 +551,7 @@ object TimeSeriesTable {
       .parquet(affectedFiles: _*)
       .select(col("series"), col("ts"), newValue.as("value"),
         col("tags"), newAttrs.as("attributes"), col("dt"))
-      .repartition(col("dt"))
+      .repartition(col("dt"), pmod(hash(col("series")), lit(rewriteSlices(spark, affected.size))))
       .sortWithinPartitions("series", "ts")
       .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
     val rewritten = footerRowCount(listDataFiles(fs, tmp), hconf)
