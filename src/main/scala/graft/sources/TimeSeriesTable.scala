@@ -585,6 +585,89 @@ object TimeSeriesTable {
     (matched.values.sum, affected.toSeq.sorted.map(d => s"dt=$d"))
   }
 
+  /** Crash recovery for the copy-on-write verbs ([[compact]],
+    * [[deleteRows]], [[updateRows]]) — makes a family READABLE again
+    * after a crash mid-swap, applying each verb's documented
+    * either-untouched-or-fully-swapped invariant:
+    *
+    *  - compact's whole-dir aside (`.{family}__old`): live dir missing
+    *    means the crash hit between the two renames — the aside IS the
+    *    source, restore it; live dir present means the swap finished —
+    *    the aside is a stale copy, drop it.
+    *  - the mutate verbs' per-partition asides
+    *    (`.{family}__delete_old` / `__update_old`): a partition still
+    *    present under the aside was either swapped (live dt exists —
+    *    drop the aside copy) or mid-swap (live dt missing — rename it
+    *    back).
+    *  - in-flight rewrite temps (`__compacting` / `__deleting` /
+    *    `__updating`) are dropped — unswapped rewrite output is
+    *    rolled back, never half-applied.
+    *
+    * After recovery the family is consistent but a crashed DELETE /
+    * UPDATE may be PARTIALLY applied across partitions (each partition
+    * fully, per the invariant). Re-running a DELETE finishes it
+    * (survivor rows still match). Re-running an UPDATE is safe only
+    * when its predicate excludes already-updated rows (a mask like
+    * `SET user = 'REDACTED' WHERE user = '3'` is; an arithmetic
+    * rewrite like `SET v = v * 0.5 WHERE v > x` is not — check the
+    * returned action log before re-running). Returns one line per
+    * action taken; empty = nothing to recover.
+    */
+  def recover(spark: SparkSession, root: String, domain: String,
+      family: String): Seq[String] = {
+    val live = new org.apache.hadoop.fs.Path(s"$root/$domain/$family")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    // compact: whole-dir aside first (the live dir itself may be gone)
+    val compactAside = new org.apache.hadoop.fs.Path(
+      s"$root/$domain/.${family}__old")
+    if (fs.exists(compactAside)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(compactAside, live)) throw new java.io.IOException(
+          s"recovery failed: could not restore $live from $compactAside")
+        actions += s"restored $family from the compact aside"
+      } else {
+        fs.delete(compactAside, true)
+        actions += "dropped stale compact aside (swap had completed)"
+      }
+    }
+    // mutate verbs: per-partition asides
+    Seq("delete", "update").foreach { verb =>
+      val asideRoot = new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${family}__${verb}_old")
+      if (fs.exists(asideRoot)) {
+        fs.listStatus(asideRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("dt="))
+          .sortBy(_.getPath.getName)
+          .foreach { st =>
+            val d = st.getPath.getName
+            val liveDt = new org.apache.hadoop.fs.Path(live, d)
+            if (fs.exists(liveDt)) {
+              fs.delete(st.getPath, true)
+              actions += s"dropped swapped $verb aside $d"
+            } else {
+              if (!fs.rename(st.getPath, liveDt))
+                throw new java.io.IOException(
+                  s"recovery failed: could not restore $d from the " +
+                    s"$verb aside")
+              actions += s"restored $d from the $verb aside (mid-swap)"
+            }
+          }
+        fs.delete(asideRoot, true)
+      }
+    }
+    // in-flight rewrite temps: unswapped output rolls back
+    Seq("compacting", "deleting", "updating").foreach { phase =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${family}__$phase")
+      if (fs.exists(tmp)) {
+        fs.delete(tmp, true)
+        actions += s"dropped in-flight $phase temp"
+      }
+    }
+    actions.toSeq
+  }
+
   /** Bucketed layout variant (SURVEY §7.4.4's open layout question):
     * date partitions × series-hash buckets, rows sorted by (series, ts)
     * within each bucket file. Spark's bucketing metadata lives in the

@@ -393,6 +393,48 @@ class TimeSeriesTableSpec extends SparkSpec {
     assert(zero == 0L && none.isEmpty)
   }
 
+  test("recover restores crash states: compact mid-swap, mutate " +
+      "mid-swap, stale asides and in-flight temps") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = Files.createTempDirectory("graft-recover").toString
+    val fam = TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val total = TimeSeriesTable.open(spark, root, "dom", "events").count()
+    // clean family: nothing to do
+    assert(TimeSeriesTable.recover(spark, root, "dom", "events").isEmpty)
+    // compact crash between the two renames: live dir moved aside,
+    // rewrite temp still present
+    JF.move(JP.get(s"$root/dom/events"), JP.get(s"$root/dom/.events__old"))
+    JF.createDirectories(JP.get(s"$root/dom/.events__compacting"))
+    val a1 = TimeSeriesTable.recover(spark, root, "dom", "events")
+    assert(a1.exists(_.contains("restored events from the compact aside")), a1)
+    assert(a1.exists(_.contains("compacting temp")), a1)
+    assert(TimeSeriesTable.open(spark, root, "dom", "events").count() == total)
+    // delete mid-swap: one live partition sits under the aside root
+    val dts = new java.io.File(s"$root/dom/events").listFiles()
+      .map(_.getName).filter(_.startsWith("dt=")).sorted
+    val victim = dts.head
+    JF.createDirectories(JP.get(s"$root/dom/.events__delete_old"))
+    JF.move(JP.get(s"$root/dom/events/$victim"),
+      JP.get(s"$root/dom/.events__delete_old/$victim"))
+    val a2 = TimeSeriesTable.recover(spark, root, "dom", "events")
+    assert(a2.exists(_.contains(s"restored $victim from the delete aside")), a2)
+    assert(TimeSeriesTable.open(spark, root, "dom", "events").count() == total)
+    // update swapped-but-uncleaned: aside copy exists WHILE the live
+    // partition does too — the aside is stale and must drop, the live
+    // partition must stay byte-identical
+    val digestBefore = partitionDigests(s"$root/dom/events/$victim")
+    JF.createDirectories(JP.get(s"$root/dom/.events__update_old/$victim"))
+    JF.write(JP.get(s"$root/dom/.events__update_old/$victim/stale.parquet"),
+      Array[Byte](1, 2, 3))
+    val a3 = TimeSeriesTable.recover(spark, root, "dom", "events")
+    assert(a3.exists(_.contains(s"dropped swapped update aside $victim")), a3)
+    assert(!new java.io.File(s"$root/dom/.events__update_old").exists())
+    assert(partitionDigests(s"$root/dom/events/$victim") == digestBefore)
+    // idempotent: a second recover finds nothing
+    assert(TimeSeriesTable.recover(spark, root, "dom", "events").isEmpty)
+  }
+
   test("updateRows RHS sees pre-update state (ANSI): an attribute " +
       "snapshot of the value survives the value's own rewrite") {
     val root = Files.createTempDirectory("graft-rowupd2").toString
