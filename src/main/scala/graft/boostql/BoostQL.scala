@@ -745,8 +745,17 @@ object BoostQL {
         val spark = df.sparkSession
         import spark.implicits._
         Seq(plan).toDF("plan")
+      case dmlRe(verb) =>
+        val v = verb.toLowerCase
+        throw Compiler.CompileException(
+          s"${v.toUpperCase} is a write statement — sql() compiles read " +
+            s"queries; use BoostQL.sql${v.capitalize}(stmt, …) " +
+            "(INSERT takes the families resolver, DELETE/UPDATE take " +
+            "the warehouse root)")
       case _ => Compiler.compile(Parser.parseStmt(query), families)
     }
+
+  private val dmlRe = """(?is)^\s*(insert|delete|update)\b.*$""".r
 
   /** The SQL front over a STREAM: compile a dialect query against
     * streaming family frames ([[TimeSeriesTable.openStream]]) — the

@@ -297,6 +297,13 @@ class BoostQLSpec extends SparkSpec {
     assert(refusal("UPDATE dom.events SET click = 1.0 " +
       "WHERE click > 5.0 ORDER BY click")
       .contains("no joins, grouping, ordering or paging"))
+    // the read front points write statements at their entry points
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "UPDATE dom.events SET click = 1.0 WHERE click > 0.0", _ => fam))
+      .getMessage.contains("sqlUpdate"))
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "DELETE FROM dom.events WHERE click > 0.0", _ => fam))
+      .getMessage.contains("sqlDelete"))
   }
 
   test("INSERT INTO: SQL ingest round-trips; shape mismatches refuse") {
