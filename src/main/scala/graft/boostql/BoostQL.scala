@@ -233,6 +233,31 @@ object BoostQL {
       "INSERT must be 'INSERT INTO domain.family SELECT …'")
   }
 
+  /** `UPSERT INTO domain.family <select>` — idempotent SQL ingest, the
+    * merge sibling of [[sqlInsert]]: the select maps onto long rows by
+    * the same UNPIVOT contract ([[insertLong]]), but rows REPLACE any
+    * existing datapoint with the same (series, ts) key instead of
+    * duplicating it, compiling to [[TimeSeriesTable.upsertRows]]
+    * (copy-on-write rewrite of only the partitions holding colliding
+    * keys; everything else is an additive append). This is the
+    * re-delivery/correction verb: `INSERT` run twice doubles a day,
+    * `UPSERT` run twice is the same day. Returns (existing rows
+    * replaced, incoming rows written).
+    */
+  private val upsertRe =
+    """(?is)^\s*upsert\s+into\s+(\w+)\s*\.\s*(\w+)\s+((?:select|with)\b.*)$""".r
+
+  def sqlUpsert(stmt: String, families: ((String, String)) => DataFrame,
+      root: String): (Long, Long) = stmt match {
+    case upsertRe(dom, fam, rest) =>
+      val df = Compiler.compile(Parser.parseStmt(rest), families)
+      val (replaced, written, _) = TimeSeriesTable.upsertRows(
+        df.sparkSession, root, dom, fam, insertLong(df))
+      (replaced, written)
+    case _ => throw Compiler.CompileException(
+      "UPSERT must be 'UPSERT INTO domain.family SELECT …'")
+  }
+
   /** `DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'` — the
     * SQL face of retention (TimescaleDB `drop_chunks`), compiling to
     * [[TimeSeriesTable.expire]]: METADATA-ONLY whole-date-partition
@@ -750,12 +775,12 @@ object BoostQL {
         throw Compiler.CompileException(
           s"${v.toUpperCase} is a write statement — sql() compiles read " +
             s"queries; use BoostQL.sql${v.capitalize}(stmt, …) " +
-            "(INSERT takes the families resolver, DELETE/UPDATE take " +
-            "the warehouse root)")
+            "(INSERT/UPSERT take the families resolver, DELETE/UPDATE " +
+            "take the warehouse root)")
       case _ => Compiler.compile(Parser.parseStmt(query), families)
     }
 
-  private val dmlRe = """(?is)^\s*(insert|delete|update)\b.*$""".r
+  private val dmlRe = """(?is)^\s*(insert|upsert|delete|update)\b.*$""".r
 
   /** The SQL front over a STREAM: compile a dialect query against
     * streaming family frames ([[TimeSeriesTable.openStream]]) — the

@@ -1080,6 +1080,37 @@ object BoostQueries {
         .orderBy("ts")
     }),
 
+    // ROW-LEVEL UPSERT (the re-delivery/merge verb), oracle-checked end
+    // to end: seed a derived family by INSERT (one p point per purchase
+    // ts), then UPSERT a correction batch over the high tail — same
+    // (series, ts) keys, so the rows REPLACE the seed points via a
+    // copy-on-write rewrite of only the colliding date partitions — and
+    // a q series shifted 45 days past the corpus — no collisions, so
+    // those rows take the additive append path into brand-new
+    // partitions. The dialect reads both series from the reread family;
+    // the oracle replays the merge as seed LEFT JOIN corrections.
+    "boost_upsert_rows" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sqlInsert(
+        "INSERT INTO dom.derived SELECT ts, max(purchase) AS p " +
+          "FROM dom.events GROUP BY ts", _ => fam, root)
+      val (replaced, _) = BoostQL.sqlUpsert(
+        "UPSERT INTO dom.derived SELECT ts, max(purchase * 2.0) AS p " +
+          "FROM dom.events WHERE purchase > 300.0 GROUP BY ts",
+        _ => fam, root)
+      require(replaced > 0, "expected the correction batch to replace rows")
+      val (r2, w2) = BoostQL.sqlUpsert(
+        "UPSERT INTO dom.derived SELECT ts + INTERVAL '45 days' AS ts, " +
+          "max(view) AS q FROM dom.events GROUP BY ts", _ => fam, root)
+      require(r2 == 0L && w2 > 0L,
+        "expected the shifted q batch to be pure inserts")
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT p, ts FROM dom.derived " +
+        "UNION ALL SELECT q AS p, ts FROM dom.derived ORDER BY ts, p",
+          _ => reread)
+    }),
+
     // WITH common table expressions (substitution into derived tables;
     // each use optimizes independently — here the cnt > 2 filter pushes
     // into only the b copy, shrinking the broadcast side)
@@ -2017,6 +2048,22 @@ object BoostQueries {
       """SELECT value AS p, value * 2.0 AS p2, ts
         |FROM events WHERE event_type = 'purchase' AND value > 250.0
         |ORDER BY ts""".stripMargin,
+
+    // the merge verb: p = seed (per-ts max purchase) overridden by the
+    // correction batch where one exists; q = the shifted view rollup,
+    // pure inserts
+    "boost_upsert_rows" ->
+      """WITH seed AS (SELECT ts, MAX(value) AS p FROM events
+        |    WHERE event_type = 'purchase' GROUP BY ts),
+        |  repl AS (SELECT ts, MAX(value * 2.0) AS p FROM events
+        |    WHERE event_type = 'purchase' AND value > 300.0 GROUP BY ts),
+        |  qrows AS (SELECT ts + INTERVAL '45 days' AS ts, MAX(value) AS q
+        |    FROM events WHERE event_type = 'view' GROUP BY ts)
+        |SELECT p, ts FROM (
+        |  SELECT COALESCE(r.p, s.p) AS p, s.ts FROM seed s
+        |    LEFT JOIN repl r ON s.ts = r.ts
+        |  UNION ALL SELECT q AS p, ts FROM qrows) t
+        |ORDER BY ts, p""".stripMargin,
 
     "boost_compact_roundtrip" ->
       """SELECT CAST(event_id AS VARCHAR) AS error_event_id, value AS error

@@ -585,8 +585,161 @@ object TimeSeriesTable {
     (matched.values.sum, affected.toSeq.sorted.map(d => s"dt=$d"))
   }
 
+  /** ROW-LEVEL UPSERT (MERGE) — the idempotent-ingest verb completing
+    * the mutate tier ([[deleteRows]] is the takedown, [[updateRows]]
+    * the redaction, this the re-delivery): every incoming row REPLACES
+    * all existing rows with the same (series, ts) key and INSERTS
+    * otherwise, so re-running a batch (at-least-once upstreams,
+    * backfill re-runs, late corrections) never duplicates points. The
+    * reference's write path is append-only (boostsession.go:94-184);
+    * re-delivery there duplicates.
+    *
+    * The incoming frame is STAGED to parquet first (one write,
+    * batch-proportional): the key-overlap count and the rewrite must
+    * see the SAME rows, and an arbitrary incoming plan (a shuffled
+    * SELECT, a sampled source) is not re-read-stable. Incoming frames
+    * with NULL or internally-duplicate (series, ts) keys refuse —
+    * which duplicate wins is undefined in a DataFrame.
+    *
+    * Incoming dates then split two ways (bounded collects — one row
+    * per date):
+    *
+    *  - dates whose keys OVERLAP existing rows → copy-on-write rewrite
+    *    of only those partitions (existing rows anti-joined against the
+    *    incoming keys, unioned with the incoming rows), footer-VERIFIED
+    *    (kept = existing − replaced + incoming) before anything moves,
+    *    then the [[deleteRows]]-style two-rename swap per partition;
+    *  - dates with no key overlap (whether the partition exists or is
+    *    brand new) → plain additive [[append]] of just those incoming
+    *    rows. The daily-ingest case stays append-cheap even when
+    *    spelled as UPSERT — no rewrite unless a key actually collides.
+    *
+    * Existing duplicate keys all fall to the one incoming row (MERGE's
+    * delete-then-insert semantics). A crash mid-swap leaves each
+    * partition untouched or fully swapped ([[recover]] knows the
+    * upsert aside); a crash between the swap and the append phase
+    * leaves the replaced dates applied and the append dates absent —
+    * re-running the same upsert finishes it (replacement is
+    * idempotent). Returns (existing rows replaced, incoming rows
+    * written, rewritten partition names).
+    */
+  def upsertRows(spark: SparkSession, root: String, domain: String,
+      family: String, incoming: DataFrame): (Long, Long, Seq[String]) = {
+    val missing = SchemaColumns.filterNot(incoming.columns.contains)
+    require(missing.isEmpty,
+      s"upsertRows needs the family columns; missing ${missing.mkString(", ")}")
+    val dir = s"$root/$domain/$family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$root/$domain/.${family}__upsert_in")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    incoming.select(col("series").cast(StringType),
+        col("ts").cast(TimestampType), col("value").cast(DoubleType),
+        col("tags").cast(MapType(StringType, StringType)),
+        col("attributes").cast(MapType(StringType, StringType)))
+      .write.parquet(staging.toString)
+    try {
+      val inc = spark.read.schema(schema).parquet(staging.toString)
+      val stats = inc.agg(count(lit(1)),
+        count(when(col("series").isNull || col("ts").isNull, 1)),
+        countDistinct(col("series"), col("ts"))).head()
+      val incomingTotal = stats.getLong(0)
+      if (incomingTotal == 0L) return (0L, 0L, Seq.empty)
+      if (stats.getLong(1) > 0L) throw new java.io.IOException(
+        s"UPSERT into $dir: incoming rows carry NULL (series, ts) keys " +
+          "— the merge key must be present on every row")
+      if (stats.getLong(2) != incomingTotal) throw new java.io.IOException(
+        s"UPSERT into $dir: the incoming batch holds duplicate " +
+          "(series, ts) keys — which duplicate wins is undefined in a " +
+          "DataFrame; aggregate the batch to one row per key first")
+      val incDates = inc.groupBy(to_date(col("ts")).as("dt")).count()
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      val files = if (fs.exists(p)) listDataFiles(fs, p) else Seq.empty
+      def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+        case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
+      }
+      val withDt = schema.add(StructField("dt", DateType, nullable = true))
+      // only files on incoming dates can hold colliding keys; files
+      // OUTSIDE the dt= layout could too, invisibly to the swap — read
+      // them in the count pass and refuse if they collide (same
+      // compact-first contract as the other mutate verbs)
+      val candidates = files.filter(f =>
+        dtOf(f).fold(true)(incDates.contains))
+      val overlapByDt: Map[String, Long] =
+        if (candidates.isEmpty) Map.empty
+        else {
+          val rows = spark.read.schema(withDt).option("basePath", dir)
+            .parquet(candidates: _*)
+            .join(inc.select("series", "ts"), Seq("series", "ts"), "leftsemi")
+            .groupBy(col("dt")).count().collect()
+          if (rows.exists(_.isNullAt(0))) throw new java.io.IOException(
+            s"UPSERT into $dir: colliding keys exist OUTSIDE the dt= " +
+              "partition layout — the per-partition copy-on-write swap " +
+              "needs the partitioned layout; compact() the family first")
+          rows.map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+        }
+      val overlapDates = overlapByDt.keySet
+      val replaced = overlapByDt.values.sum
+      def onDates(ds: Set[String]) = inc.filter(
+        to_date(col("ts")).isin(ds.toSeq.map(java.sql.Date.valueOf): _*))
+      if (overlapDates.nonEmpty) {
+        val rewriteFiles = files.filter(f =>
+          dtOf(f).exists(overlapDates.contains))
+        val expectedKept = footerRowCount(rewriteFiles, hconf) - replaced +
+          overlapDates.toSeq.map(incDates).sum
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$root/$domain/.${family}__upserting")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        spark.read.schema(withDt).option("basePath", dir)
+          .parquet(rewriteFiles: _*).drop("dt")
+          .join(inc.select("series", "ts"), Seq("series", "ts"), "left_anti")
+          .unionByName(onDates(overlapDates))
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(col("dt"),
+            pmod(hash(col("series")), lit(rewriteSlices(spark, overlapDates.size))))
+          .sortWithinPartitions("series", "ts")
+          .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+        val kept = footerRowCount(listDataFiles(fs, tmp), hconf)
+        if (kept != expectedKept) {
+          fs.delete(tmp, true)
+          throw new java.io.IOException(
+            s"UPSERT aborted for $dir: rewrite holds $kept rows, expected " +
+              s"$expectedKept (existing − replaced + incoming) — a " +
+              "concurrent write or a rewrite fault; source left untouched")
+        }
+        val asideRoot = new org.apache.hadoop.fs.Path(
+          s"$root/$domain/.${family}__upsert_old")
+        if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+        fs.mkdirs(asideRoot)
+        overlapDates.toSeq.sorted.foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(p, s"dt=$d")
+          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+          if (!fs.rename(live, aside)) throw new java.io.IOException(
+            s"UPSERT swap failed for $dir: could not move dt=$d aside — " +
+              "partition left untouched")
+          val rewritten = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
+          if (!fs.rename(rewritten, live)) {
+            fs.rename(aside, live) // roll back; partition restored
+            throw new java.io.IOException(
+              s"UPSERT swap failed for $dir: rewrite rename of dt=$d " +
+                "failed — partition restored")
+          }
+        }
+        fs.delete(asideRoot, true)
+        fs.delete(tmp, true)
+      }
+      val appendDates = incDates.keySet -- overlapDates
+      if (appendDates.nonEmpty)
+        append(onDates(appendDates), root, domain, family)
+      (replaced, incomingTotal, overlapDates.toSeq.sorted.map(d => s"dt=$d"))
+    } finally fs.delete(staging, true)
+  }
+
   /** Crash recovery for the copy-on-write verbs ([[compact]],
-    * [[deleteRows]], [[updateRows]]) — makes a family READABLE again
+    * [[deleteRows]], [[updateRows]], [[upsertRows]]) — makes a family
+    * READABLE again
     * after a crash mid-swap, applying each verb's documented
     * either-untouched-or-fully-swapped invariant:
     *
@@ -595,13 +748,14 @@ object TimeSeriesTable {
     *    source, restore it; live dir present means the swap finished —
     *    the aside is a stale copy, drop it.
     *  - the mutate verbs' per-partition asides
-    *    (`.{family}__delete_old` / `__update_old`): a partition still
-    *    present under the aside was either swapped (live dt exists —
-    *    drop the aside copy) or mid-swap (live dt missing — rename it
-    *    back).
+    *    (`.{family}__delete_old` / `__update_old` / `__upsert_old`): a
+    *    partition still present under the aside was either swapped
+    *    (live dt exists — drop the aside copy) or mid-swap (live dt
+    *    missing — rename it back).
     *  - in-flight rewrite temps (`__compacting` / `__deleting` /
-    *    `__updating`) are dropped — unswapped rewrite output is
-    *    rolled back, never half-applied.
+    *    `__updating` / `__upserting`) and the upsert's staged incoming
+    *    batch (`__upsert_in`) are dropped — unswapped rewrite output
+    *    is rolled back, never half-applied.
     *
     * After recovery the family is consistent but a crashed DELETE /
     * UPDATE may be PARTIALLY applied across partitions (each partition
@@ -632,7 +786,7 @@ object TimeSeriesTable {
       }
     }
     // mutate verbs: per-partition asides
-    Seq("delete", "update").foreach { verb =>
+    Seq("delete", "update", "upsert").foreach { verb =>
       val asideRoot = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__${verb}_old")
       if (fs.exists(asideRoot)) {
@@ -657,7 +811,8 @@ object TimeSeriesTable {
       }
     }
     // in-flight rewrite temps: unswapped output rolls back
-    Seq("compacting", "deleting", "updating").foreach { phase =>
+    Seq("compacting", "deleting", "updating", "upserting", "upsert_in")
+      .foreach { phase =>
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__$phase")
       if (fs.exists(tmp)) {

@@ -356,6 +356,33 @@ class BoostQLSpec extends SparkSpec {
     bad("INSERT dom.x SELECT ts, click AS c FROM dom.events")
   }
 
+  test("UPSERT INTO: idempotent SQL ingest — re-delivery replaces " +
+      "instead of duplicating; shape refusals; read-front dispatch") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-spec").toString
+    val stmt = "UPSERT INTO dom.hot SELECT ts, click AS hot " +
+      "FROM dom.events WHERE click > 200.0"
+    val (r1, w1) = BoostQL.sqlUpsert(stmt, _ => fam, root)
+    assert(r1 == 0L && w1 > 0L, "first delivery inserts everything")
+    val snapshot = TimeSeriesTable.open(spark, root, "dom", "hot")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    // the INSERT verb would double the family here; UPSERT replaces
+    val (r2, w2) = BoostQL.sqlUpsert(stmt, _ => fam, root)
+    assert(r2 == w1 && w2 == w1, "re-delivery replaces its own rows")
+    val after = TimeSeriesTable.open(spark, root, "dom", "hot")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(after == snapshot, "re-delivered content is unchanged")
+    // the unpivot contract is shared with INSERT — same shape refusals
+    def bad(s: String): Unit =
+      intercept[Compiler.CompileException](BoostQL.sqlUpsert(s, _ => fam, root))
+    bad("UPSERT INTO dom.x SELECT click AS c FROM dom.events")
+    bad("UPSERT dom.x SELECT ts, click AS c FROM dom.events")
+    // the read front points UPSERT at its entry point
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "UPSERT INTO dom.x SELECT ts, click AS c FROM dom.events", _ => fam))
+      .getMessage.contains("sqlUpsert"))
+  }
+
   test("approx_percentile: exact below k, HAVING reuse, refusals") {
     // per-user purchase groups sit far below k = 256, so the sample
     // holds every row and the estimate equals the exact interpolated

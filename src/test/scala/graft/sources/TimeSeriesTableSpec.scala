@@ -455,4 +455,100 @@ class TimeSeriesTableSpec extends SparkSpec {
       element_at(col("attributes"), "prev").cast("double") * 2.0 =!=
         col("value")).count() == 0)
   }
+
+  private def mkRows(xs: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    xs.map { case (s, t, v) => (s, Timestamp.valueOf(t), v) }
+      .toDF("series", "ts", "value")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .withColumn("attributes", map().cast("map<string,string>"))
+  }
+
+  test("upsertRows replaces colliding keys (all existing duplicates " +
+      "collapse), appends fresh keys additively, leaves untouched " +
+      "partitions byte-identical") {
+    val root = Files.createTempDirectory("graft-upsert").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),
+      ("cpu", "2024-01-01 02:00:00", 2.0),
+      ("cpu", "2024-01-02 01:00:00", 3.0),
+      ("mem", "2024-01-02 02:00:00", 4.0),
+      ("cpu", "2024-01-03 01:00:00", 5.0))), root, "dom", "m")
+    // a second append duplicates the first key — the family now holds
+    // TWO rows at (cpu, 01-01 01:00); MERGE semantics collapse both
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.25))), root, "dom", "m")
+    val d3Before = partitionDigests(s"$root/dom/m/dt=2024-01-03")
+    val d2Before = partitionDigests(s"$root/dom/m/dt=2024-01-02")
+    val (replaced, written, affected) = TimeSeriesTable.upsertRows(
+      spark, root, "dom", "m", mkRows(Seq(
+        ("cpu", "2024-01-01 01:00:00", 10.0), // replaces BOTH dup rows
+        ("mem", "2024-01-02 03:00:00", 40.0), // fresh key, existing dt
+        ("cpu", "2024-01-05 01:00:00", 50.0)))) // brand-new dt
+    assert(replaced == 2L && written == 3L)
+    assert(affected == Seq("dt=2024-01-01"))
+    // no-incoming partition: byte-identical
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-03") == d3Before)
+    // fresh-key date took the APPEND path: original files byte-identical,
+    // plus at least one new file — never a rewrite without a collision
+    val d2After = partitionDigests(s"$root/dom/m/dt=2024-01-02")
+    assert(d2Before.forall { case (f, h) => d2After.get(f).contains(h) })
+    assert(d2After.size > d2Before.size)
+    assert(new java.io.File(s"$root/dom/m/dt=2024-01-05").isDirectory,
+      "brand-new date should materialize as a partition")
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+    assert(after.count() == 6 - 2 + 3)
+    val winner = after.filter(col("series") === "cpu" &&
+        col("ts") === lit(Timestamp.valueOf("2024-01-01 01:00:00")))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(winner == Seq(10.0), "both duplicate rows fall to the one " +
+      "incoming row")
+    assert(after.filter(col("value") === 2.0).count() == 1,
+      "non-colliding row inside the rewritten partition survives")
+    // staging and temps are gone
+    assert(!new java.io.File(s"$root/dom/.m__upsert_in").exists())
+    assert(!new java.io.File(s"$root/dom/.m__upserting").exists())
+    assert(!new java.io.File(s"$root/dom/.m__upsert_old").exists())
+  }
+
+  test("upsertRows refuses duplicate and NULL incoming keys; " +
+      "re-delivering the same batch is a no-op on content") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-upsert2").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0))), root, "dom", "m")
+    val dup = mkRows(Seq(
+      ("cpu", "2024-01-02 01:00:00", 1.0),
+      ("cpu", "2024-01-02 01:00:00", 2.0)))
+    val e1 = intercept[java.io.IOException] {
+      TimeSeriesTable.upsertRows(spark, root, "dom", "m", dup)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val withNull = Seq(("cpu", None: Option[Timestamp], 1.0))
+      .toDF("series", "ts", "value")
+      .withColumn("tags", map().cast("map<string,string>"))
+      .withColumn("attributes", map().cast("map<string,string>"))
+    val e2 = intercept[java.io.IOException] {
+      TimeSeriesTable.upsertRows(spark, root, "dom", "m", withNull)
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // failed upserts leave the family intact and no litter behind
+    assert(TimeSeriesTable.open(spark, root, "dom", "m").count() == 1)
+    assert(!new java.io.File(s"$root/dom/.m__upsert_in").exists())
+    // re-delivery: the same batch twice — second run replaces exactly
+    // what the first wrote and the content is unchanged
+    val batch = mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 7.0),
+      ("mem", "2024-01-01 02:00:00", 8.0)))
+    val (r1, w1, _) = TimeSeriesTable.upsertRows(spark, root, "dom", "m", batch)
+    assert(r1 == 1L && w1 == 2L)
+    def snapshot() = TimeSeriesTable.open(spark, root, "dom", "m")
+      .select("series", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSeq.sorted
+    val firstRun = snapshot()
+    val (r2, w2, _) = TimeSeriesTable.upsertRows(spark, root, "dom", "m", batch)
+    assert(r2 == 2L && w2 == 2L, "second delivery replaces its own rows")
+    assert(snapshot() == firstRun, "re-delivery must not change content")
+  }
 }
