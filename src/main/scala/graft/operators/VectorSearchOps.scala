@@ -138,24 +138,11 @@ object VectorSearchOps {
       refine: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val sample = c.withColumn("h", md5(col("nbr_id").cast("string")))
-      .orderBy("h")
-      .limit(ksub).select("cv").collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "corpus is empty")
-    val dim = sample.head.length
-    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
-    val sub = dim / m
-    // flat [m][ksub][sub] over normalized samples; if the corpus has
-    // fewer than ksub rows, cycle the sample (duplicate centroids are
-    // harmless — argmin picks the first)
-    val codebook = new Array[Double](m * ksub * sub)
-    for (cIdx <- 0 until ksub) {
-      val v = sample(cIdx % sample.length)
-      val norm = math.sqrt(v.map(x => x * x).sum)
-      val inv = if (norm > 0) 1.0 / norm else 0.0
-      for (j <- 0 until m; t <- 0 until sub)
-        codebook((j * ksub + cIdx) * sub + t) = v(j * sub + t) * inv
-    }
+    val codebook = buildCodebook(
+      c.withColumn("h", md5(col("nbr_id").cast("string")))
+        .orderBy("h")
+        .limit(ksub).select("cv").collect().map(_.getSeq[Double](0).toArray),
+      m, ksub)
     val encoded = c.select(col("nbr_id"),
       GraftFunctions.pqEncode(col("cv"), codebook, m, ksub).as("codes"))
     val q = queries.select(col(idCol).cast("long").as("q_id"),
@@ -172,6 +159,121 @@ object VectorSearchOps {
       .select("q_id", "nbr_id")
     // exact refine on the survivors only
     cand.join(c, Seq("nbr_id")).join(broadcast(q.select("q_id", "qv")), Seq("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Flat [m][ksub][sub] codebook over L2-normalized sample rows: the
+    * sample's j-th subvector seeds subspace j's centroids. If the
+    * corpus has fewer than ksub rows, the sample cycles (duplicate
+    * centroids are harmless — argmin picks the first).
+    */
+  private def buildCodebook(sample: Array[Array[Double]], m: Int,
+      ksub: Int): Array[Double] = {
+    require(sample.nonEmpty, "corpus is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val codebook = new Array[Double](m * ksub * sub)
+    for (cIdx <- 0 until ksub) {
+      val v = sample(cIdx % sample.length)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val inv = if (norm > 0) 1.0 / norm else 0.0
+      for (j <- 0 until m; t <- 0 until sub)
+        codebook((j * ksub + cIdx) * sub + t) = v(j * sub + t) * inv
+    }
+    codebook
+  }
+
+  /** IVF-PQ composite ANN top-k — the full 100 TB shape: the coarse
+    * quantizer prunes the corpus to the queries' `nprobe` lists BEFORE
+    * the compressed scan touches anything, and only `k·refine`
+    * survivors per query are re-read exactly. [[ivfTopK]] prunes lists
+    * but scans full vectors inside them; [[pqTopK]] compresses rows but
+    * ADC-scans every one; this composes both, so the per-query scan
+    * cost drops to (nprobe/nlist of the corpus) × (m bytes per row)
+    * plus the bounded exact refine — the FAISS IVFPQ layout.
+    *
+    * Same determinism contract as the parents: coarse centroids are
+    * the `nlist` md5-smallest corpus rows, the PQ codebook the `ksub`
+    * md5-smallest (the portable-hash convention), both inlined as plan
+    * literals — so list assignment AND encode ride ONE zero-shuffle
+    * narrow pass over the corpus, and the SQL oracle replays the exact
+    * samples. Codes are plain PQ codes over the normalized vector
+    * (FAISS `by_residual=false`): residual codes would couple the
+    * codebook to the coarse assignment, breaking the replayable-oracle
+    * decomposition, and at these list counts recall is driven by
+    * `nprobe`, not residual precision.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 32, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val cents = c.withColumn("h", md5(col("nbr_id").cast("string")))
+      .orderBy("h").limit(nlist)
+      .select("nbr_id", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centArr = array(cents.toIndexedSeq.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), lit(v).as("v")) }: _*)
+    def bestList(vec: Column): Column =
+      aggregate(centArr,
+        struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+        (acc, ce) => {
+          val s = GraftFunctions.cosine(vec, ce.getField("v"))
+          when(s > acc.getField("sim"),
+            struct(ce.getField("cid").as("cid"), s.as("sim"))).otherwise(acc)
+        }).getField("cid")
+    val codebook = buildCodebook(
+      c.withColumn("h", md5(col("nbr_id").cast("string")))
+        .orderBy("h")
+        .limit(ksub).select("cv").collect().map(_.getSeq[Double](0).toArray),
+      m, ksub)
+    // ONE narrow pass: coarse list id + PQ codes per corpus row — the
+    // full vector is dropped here and re-read only at the refine.
+    // `cid` rides through a single-element explode: joining directly on
+    // an alias of the aggregate() fold trips Catalyst's
+    // InferFiltersFromConstraints into synthesizing a filter that
+    // references the corpus vector column on the PROBE side of the join
+    // (an unresolvable plan — [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]);
+    // the Generate node breaks the alias-constraint chain so no such
+    // filter is inferred, at the cost of a no-op generator per row.
+    val assigned = c.select(col("nbr_id"),
+        explode(array(bestList(col("cv")))).as("cid"),
+        GraftFunctions.pqEncode(col("cv"), codebook, m, ksub).as("codes"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // the probe table — each query's nprobe list ids, each row carrying
+    // its query's ADC LUT — is MATERIALIZED as a driver-side model
+    // artifact, like the centroids: bounded at nq × nprobe rows of
+    // m·ksub doubles (the ANN contract is a broadcast-sized query set).
+    // Materializing also severs the probe plan's lineage from the
+    // corpus scan, so the big side's optimizer constraints (the list
+    // assignment is an alias over a corpus column) cannot leak across
+    // the join into the probe branch.
+    val probePlan = q.select(col("q_id"), col("qv"), explode(centArr).as("ce"))
+      .select(col("q_id"), col("qv"), col("ce.cid").as("cid"),
+        GraftFunctions.cosine(col("qv"), col("ce.v")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cid"),
+        GraftFunctions.pqLut(col("qv"), codebook, m, ksub).as("lut"))
+    val probes = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probePlan.collect(): _*), probePlan.schema)
+    // ADC only inside the probed lists
+    val cand = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), ksub).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").desc, col("nbr_id").asc)))
+      .filter(col("rk") <= k.toLong * refine)
+      .select("q_id", "nbr_id")
+    cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("nbr_id"),
         round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
       .withColumn("rank", row_number().over(

@@ -358,6 +358,95 @@ object PipelineQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of `ann_ivfpq` ([[VectorSearchOps.ivfPqTopK]],
+    * nlist=32, nprobe=4, m=8, ksub=16, k=10, refine=4): the coarse
+    * tier is `ann_ivf`'s replay verbatim (md5-sampled centroids,
+    * argmax-cosine assignment with ties to sample order, top-nprobe
+    * probes with ties to lowest centroid id) and the compressed tier
+    * is [[pqOracleSql]]'s (md5-sampled codebook, [[lsum]]-ordered
+    * encode/LUT/ADC) — with the ADC cross join cut down to the probed
+    * (query, list) pairs, which is the whole point of the composite.
+    */
+  private def ivfPqOracleSql: String = {
+    val norm = lsum("list_transform(embedding::DOUBLE[], y -> y * y)")
+    s"""WITH
+       |cents AS (
+       |  SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv,
+       |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) AS ord
+       |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC LIMIT 32),
+       |assigned AS (
+       |  SELECT nbr_id, ccid AS cid FROM (
+       |    SELECT c.vec_id AS nbr_id, ce.ccid,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], ce.ccv) DESC,
+       |                 ce.ord ASC) AS rk
+       |    FROM embeddings c CROSS JOIN cents ce)
+       |  WHERE rk = 1),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR) ASC) AS cix,
+       |         embedding::DOUBLE[] AS v
+       |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC LIMIT 16),
+       |cb AS (
+       |  SELECT cix,
+       |    list_transform(v, x -> x * (1.0 / sqrt(${lsum("list_transform(v, y -> y * y)")}))) AS cv
+       |  FROM samp),
+       |corp AS (
+       |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS rv,
+       |    list_transform(embedding::DOUBLE[], x -> x * (1.0 / sqrt($norm))) AS nv
+       |  FROM embeddings),
+       |enc1 AS (
+       |  SELECT c.nbr_id, j.j, b.cix,
+       |    ${lsum("list_transform(generate_series(1, 8), t -> (c.nv[(j.j - 1) * 8 + t] - b.cv[(j.j - 1) * 8 + t]) * (c.nv[(j.j - 1) * 8 + t] - b.cv[(j.j - 1) * 8 + t]))")} AS dist
+       |  FROM corp c, (SELECT unnest(generate_series(1, 8)) AS j) j, cb b),
+       |codes AS (
+       |  SELECT nbr_id, list(cix - 1 ORDER BY j) AS code FROM (
+       |    SELECT nbr_id, j, cix,
+       |      row_number() OVER (PARTITION BY nbr_id, j ORDER BY dist ASC, cix ASC) AS rk
+       |    FROM enc1)
+       |  WHERE rk = 1 GROUP BY nbr_id),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+       |    list_transform(embedding::DOUBLE[], x -> x * (1.0 / sqrt($norm))) AS nq
+       |  FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, ccid AS cid FROM (
+       |    SELECT q.q_id, ce.ccid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.qv, ce.ccv) DESC,
+       |                 ce.ccid ASC) AS rk
+       |    FROM qn q CROSS JOIN cents ce)
+       |  WHERE rk <= 4),
+       |lut1 AS (
+       |  SELECT q.q_id, j.j, b.cix,
+       |    ${lsum("list_transform(generate_series(1, 8), t -> q.nq[(j.j - 1) * 8 + t] * b.cv[(j.j - 1) * 8 + t])")} AS lv
+       |  FROM qn q, (SELECT unnest(generate_series(1, 8)) AS j) j, cb b),
+       |lut AS (SELECT q_id, list(lv ORDER BY j, cix) AS lut FROM lut1 GROUP BY q_id),
+       |adc AS (
+       |  SELECT p.q_id, c.nbr_id,
+       |    ${lsum("list_transform(generate_series(1, 8), j -> l.lut[(j - 1) * 16 + c.code[j] + 1])")} AS adc
+       |  FROM codes c
+       |  JOIN assigned a ON a.nbr_id = c.nbr_id
+       |  JOIN probes p ON p.cid = a.cid
+       |  JOIN lut l ON l.q_id = p.q_id
+       |  WHERE c.nbr_id <> p.q_id),
+       |cand AS (
+       |  SELECT q_id, nbr_id FROM (
+       |    SELECT q_id, nbr_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nbr_id ASC) AS rk
+       |    FROM adc)
+       |  WHERE rk <= 40)
+       |SELECT q_id, rank, nbr_id, cos FROM (
+       |  SELECT ca.q_id, ca.nbr_id,
+       |    round(list_cosine_similarity(q.qv, c.rv), 6) AS cos,
+       |    row_number() OVER (PARTITION BY ca.q_id
+       |      ORDER BY round(list_cosine_similarity(q.qv, c.rv), 6) DESC,
+       |               ca.nbr_id ASC) AS rank
+       |  FROM cand ca JOIN corp c ON c.nbr_id = ca.nbr_id
+       |  JOIN qn q ON q.q_id = ca.q_id)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of `ann_lsh` ([[VectorSearchOps.annLshTopK]],
     * numBits=6, tables=8, seed=42, k=10): the hyperplane matrix is
     * derived, not stored — component (t, b, i) is
@@ -640,6 +729,18 @@ object PipelineQueries {
       // (pqOracleSql); recall floor + determinism in PipelineSpec
       val e = embs(s, d)
       VectorSearchOps.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
+    "ann_ivfpq" -> ((s, d) => {
+      // the IVF-PQ composite (FAISS IVFPQ, by_residual=false): coarse
+      // list pruning BEFORE the compressed ADC scan, exact refine after
+      // — the full 100 TB shape. Deterministic end to end: the DuckDB
+      // oracle replays both md5 samples, the assignment/probes, encode,
+      // LUT, the ADC restricted to probed lists, and the refine exactly
+      // (ivfPqOracleSql); recall floor in PipelineSpec
+      val e = embs(s, d)
+      VectorSearchOps.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
     }),
 
@@ -1168,6 +1269,7 @@ object PipelineQueries {
 
     "ann_lsh" -> lshOracleSql,
     "ann_pq" -> pqOracleSql,
+    "ann_ivfpq" -> ivfPqOracleSql,
 
     // full IVF replay: same portable md5-ordered centroid sample as
     // VectorSearchOps.ivfTopK (nlist=32), argmax-cosine list assignment

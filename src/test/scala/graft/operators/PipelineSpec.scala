@@ -321,6 +321,37 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("IVF-PQ ANN: deterministic, probed-list subset of PQ scan, " +
+      "useful recall, exact refined cosines") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 5)
+    val brute = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = VectorSearchOps.ivfPqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two approximations stack (coarse pruning × code quantization) on
+    // a structureless corpus — chance would be ~0.125 (nprobe/nlist)
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-PQ recall $recall below floor")
+    val again = VectorSearchOps.ivfPqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfpq, "IVF-PQ must be deterministic")
+    // the refine stage emits exact cosines wherever brute also ranked
+    // the pair
+    val bruteCos = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    VectorSearchOps.ivfPqTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("q_id", "nbr_id", "cos").collect().foreach { r =>
+        bruteCos.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+          assert(r.getDouble(2) == exact, s"refined cosine must be exact")
+        }
+      }
+  }
+
   test("language-id + quality + token stats are sane") {
     val st = TextAnalysisOps.qualityScore(docs, "text")
     val bad = st.filter(col("quality") < 0 || col("quality") > 1).count()
