@@ -541,7 +541,8 @@ object Compiler {
     * ORDER BY only, no GROUP BY combination).
     */
   private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp",
-    "session", "holt", "holt_forecast")
+    "session", "holt", "holt_forecast", "holt_winters",
+    "holt_winters_forecast")
 
   /** Whole-partition series statistics (`zscore`): no time order — the
     * statistic is over the entire series (or each OVER partition), so
@@ -1389,7 +1390,8 @@ object Compiler {
         part: Seq[RawName] = Seq.empty): Column = {
       import org.apache.spark.sql.expressions.{Window => W}
       val arity =
-        if (fn == "holt" || fn == "holt_forecast") 3
+        if (fn == "holt_winters" || fn == "holt_winters_forecast") 5
+        else if (fn == "holt" || fn == "holt_forecast") 3
         else if (fn == "ewma" || fn == "session") 2 else 1
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
@@ -1536,6 +1538,46 @@ object Compiler {
             graft.functions.Holt(
               ColumnBridge.expression(c.cast("double")), alpha, beta,
               forecast = fn == "holt_forecast"),
+            WindowSpecDefinition(
+              part.map(p => ColumnBridge.expression(col(ref(p).inName))),
+              Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),
+              UnspecifiedFrame)))
+        case "holt_winters" | "holt_winters_forecast" =>
+          // Holt-Winters additive triple-exponential smoothing — level +
+          // trend + period-slot seasonal cycle (holt_winters = the
+          // seasonal fit l + s, holt_winters_forecast = one-step-ahead
+          // l + b + s_next). Same running-frame kernel shape; the
+          // smoothing constants AND the period are baked into the
+          // update expressions, so all four must be compile-time
+          // literals.
+          def hwParam(o: Operand, what: String, zeroOk: Boolean): Double =
+            o match {
+              case OLit(BFloat(a))
+                if (a > 0.0 || (zeroOk && a == 0.0)) && a <= 1.0 => a
+              case OLit(BInt(1)) => 1.0
+              case OLit(BInt(0)) if zeroOk => 0.0
+              case _ => throw CompileException(
+                s"$fn() $what must be a numeric literal in " +
+                  (if (zeroOk) "[0, 1]" else "(0, 1]"))
+            }
+          val alpha = hwParam(args(1), "alpha", zeroOk = false)
+          val beta = hwParam(args(2), "beta", zeroOk = true)
+          val gamma = hwParam(args(3), "gamma", zeroOk = true)
+          val period = args(4) match {
+            case OLit(BInt(p)) if p >= 2 && p <= 24 => p.toInt
+            case _ => throw CompileException(
+              s"$fn() period must be an integer literal in [2, 24] " +
+                "(the seasonal cycle length in observations: 7 for " +
+                "day-of-week, 12 for month, 24 for hour-of-day)")
+          }
+          import org.apache.spark.sql.catalyst.expressions.{
+            Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+            WindowSpecDefinition}
+          ColumnBridge.column(WindowExpression(
+            graft.functions.HoltWinters(
+              ColumnBridge.expression(c.cast("double")), alpha, beta,
+              gamma, period,
+              forecast = fn == "holt_winters_forecast"),
             WindowSpecDefinition(
               part.map(p => ColumnBridge.expression(col(ref(p).inName))),
               Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),

@@ -104,6 +104,106 @@ case class Holt(child: Expression, alpha: Double, beta: Double,
     copy(child = newChild)
 }
 
+/** Holt-Winters ADDITIVE triple-exponential smoothing — level + linear
+  * trend + a `period`-slot seasonal cycle — over a running window:
+  *
+  *   l_i = alpha * (x_i - s_(i-p)) + (1 - alpha) * (l_(i-1) + b_(i-1))
+  *   b_i = beta * (l_i - l_(i-1)) + (1 - beta) * b_(i-1)
+  *   s_i = gamma * (x_i - l_i) + (1 - gamma) * s_(i-p)
+  *
+  * seeded at the first non-null observation with `l = x, b = 0` and all
+  * seasonal slots 0 (the streaming-friendly seed, matching [[Holt]]'s
+  * zero-trend convention: the textbook one-full-season seed needs
+  * lookahead; here seasonality is LEARNED through gamma over the first
+  * cycles, and the recurrence degenerates to exactly [[Holt]] while the
+  * slots are still zero). The seasonal index advances only on non-null
+  * observations; a null input leaves all state unchanged and re-emits
+  * the previous fit.
+  *
+  * Emits the seasonal FIT `l_i + s_i` (the deseasonalized level plus
+  * this index's just-updated seasonal), or the one-step-ahead forecast
+  * `l_i + b_i + s_(i+1-p)` when `forecast` is set — "what should the
+  * NEXT point be, given trend and where we are in the cycle".
+  *
+  * Execution shape: an [[AggregateWindowFunction]] with a
+  * (level, trend, counter, period × seasonal-slot) buffer — one
+  * declarative update per row, O(n·period) expression nodes per step
+  * (the slot dispatch is a nested conditional over the literal period,
+  * which is why `period` is capped at 24: day-of-week 7, month-of-year
+  * 12 and hour-of-day 24 cycles all fit, and the generated update stays
+  * comfortably under codegen limits). Every step is a fixed IEEE
+  * sequence, so an engine replaying the same arithmetic (a recursive
+  * CTE carrying the slot list) matches bit for bit.
+  */
+case class HoltWinters(child: Expression, alpha: Double, beta: Double,
+    gamma: Double, period: Int, forecast: Boolean = false)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+  require(alpha > 0.0 && alpha <= 1.0, "holt_winters alpha must be in (0, 1]")
+  require(beta >= 0.0 && beta <= 1.0, "holt_winters beta must be in [0, 1]")
+  require(gamma >= 0.0 && gamma <= 1.0, "holt_winters gamma must be in [0, 1]")
+  require(period >= 2 && period <= 24,
+    "holt_winters period must be in [2, 24]")
+
+  import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Not, Pmod}
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (forecast) "graft_holt_winters_forecast" else "graft_holt_winters"
+
+  private lazy val x = Cast(child, DoubleType)
+  private lazy val l =
+    AttributeReference("l", DoubleType, nullable = true)()
+  private lazy val b =
+    AttributeReference("b", DoubleType, nullable = true)()
+  // non-null observations seen so far; the seasonal index is n mod p
+  private lazy val n =
+    AttributeReference("n", LongType, nullable = false)()
+  private lazy val s = (0 until period).map(k =>
+    AttributeReference(s"s$k", DoubleType, nullable = false)())
+
+  private def pm(e: Expression): Expression =
+    Pmod(e, Literal(period.toLong))
+  // value of seasonal slot (idx mod p), read from the given buffer view
+  private def slotAt(idx: Expression): Expression =
+    CaseWhen(
+      (0 until period).map(k =>
+        (EqualTo(pm(idx), Literal(k.toLong)): Expression, s(k): Expression)),
+      None)
+  // the current observation's stored seasonal (pre-update state)
+  private lazy val sj = slotAt(n)
+  // the new level in terms of the OLD buffer; the trend and seasonal
+  // updates inline the identical tree (pre-update-state semantics)
+  private def lNext: Expression =
+    Literal(alpha) * (x - sj) + Literal(1.0 - alpha) * (l + b)
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(l, b, n) ++ s
+  override val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+      Literal(0L)) ++ Seq.fill(period)(Literal(0.0))
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(
+      If(IsNull(x), l, If(IsNull(l), x, lNext)),
+      If(IsNull(x), b, If(IsNull(l), Literal(0.0),
+        Literal(beta) * (lNext - l) + Literal(1.0 - beta) * b)),
+      If(IsNull(x), n, n + Literal(1L))) ++
+    (0 until period).map { k =>
+      // only the current index's slot moves; the seed row leaves the
+      // zero slots in place (gamma*(x - x) contributes nothing)
+      If(IsNull(x) || Not(EqualTo(pm(n), Literal(k.toLong))), s(k),
+        If(IsNull(l), s(k),
+          Literal(gamma) * (x - lNext) + Literal(1.0 - gamma) * s(k)))
+    }
+  // evaluate reads the POST-update buffer: the current row's slot is
+  // (n - 1) mod p, the next observation's is n mod p
+  override lazy val evaluateExpression: Expression =
+    if (forecast) l + b + slotAt(n) else l + slotAt(n - Literal(1L))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HoltWinters = copy(child = newChild)
+}
+
 /** Running affine chain `y_i = coef_i · y_(i-1) + offset_i`, seeded at
   * the first row with `seed_i` (the value the chain takes when there is
   * no previous state). The stitch step of two-phase parallel

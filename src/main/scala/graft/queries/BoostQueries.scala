@@ -916,6 +916,21 @@ object BoostQueries {
         "holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS fc " +
         "FROM dom.events ORDER BY click.event_id")),
 
+    // holt_winters(x, a, b, g, p) / holt_winters_forecast(...): additive
+    // triple-exponential smoothing — level + trend + a p-slot seasonal
+    // cycle, the periodic tier holt can't model (a daily cycle reads as
+    // oscillating trend to it). Buffer = (level, trend, counter,
+    // p seasonal slots); dyadic smoothing constants so 1-a/1-b/1-g are
+    // exact doubles both sides; the oracle replays the recurrence with
+    // a recursive CTE carrying the slot list.
+    "boost_ts_holt_winters" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "holt_winters(click, 0.5, 0.25, 0.25, 4) " +
+        "OVER (PARTITION BY click.user) AS hw, " +
+        "holt_winters_forecast(click, 0.5, 0.25, 0.25, 4) " +
+        "OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // zscore(x): whole-partition standardization spelled as explicit
     // S/Q/n sums — an integral input keeps the sums exact (order-
     // independent), so the remaining double ops are a fixed IEEE
@@ -2723,6 +2738,40 @@ object BoostQueries {
         |)
         |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
         |  l AS lv, l + b AS fc
+        |FROM s ORDER BY click_event_id""".stripMargin,
+
+    // the identical Holt-Winters recurrence, replayed recursively with
+    // the 4-slot seasonal cycle carried as a list: the level row
+    // re-derives l with the same expression the kernel inlines, the
+    // slot update rewrites only index (n mod 4), and the fit/forecast
+    // read slots (n-1) mod 4 / n mod 4 of the post-update state —
+    // every step the same fixed IEEE sequence
+    "boost_ts_holt_winters" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), s AS (
+        |  SELECT event_id, user_id, rn, x,
+        |    x AS l, 0e0 AS b, [0e0, 0e0, 0e0, 0e0] AS sl, 1::BIGINT AS n
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.rn, p.x,
+        |    0.5 * (p.x - s.sl[(s.n % 4) + 1]) + 0.5 * (s.l + s.b),
+        |    0.25 * ((0.5 * (p.x - s.sl[(s.n % 4) + 1]) + 0.5 * (s.l + s.b)) - s.l)
+        |      + 0.75 * s.b,
+        |    list_transform(generate_series(1, 4), k ->
+        |      CASE WHEN k = (s.n % 4) + 1
+        |        THEN 0.25 * (p.x - (0.5 * (p.x - s.sl[(s.n % 4) + 1])
+        |               + 0.5 * (s.l + s.b)))
+        |             + 0.75 * s.sl[(s.n % 4) + 1]
+        |        ELSE s.sl[k] END),
+        |    s.n + 1
+        |  FROM pts p JOIN s ON p.user_id = s.user_id AND p.rn = s.rn + 1
+        |)
+        |SELECT CAST(event_id AS VARCHAR) AS click_event_id,
+        |  l + sl[((n - 1) % 4) + 1] AS hw,
+        |  l + b + sl[(n % 4) + 1] AS fc
         |FROM s ORDER BY click_event_id""".stripMargin,
 
     // exact integer S/Q/n per partition, then the same fixed IEEE

@@ -2270,6 +2270,64 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("holt_winters: seasonal smoothing learns a planted cycle, " +
+      "degenerates to holt at gamma = 0, validates params") {
+    // gamma = 0 freezes the (all-zero) seasonal slots: holt_winters
+    // must equal plain holt bit for bit, fit and forecast both
+    val eq = Compiler.compile(Parser.parse(
+      "SELECT holt_winters(click, 0.5, 0.25, 0, 4) " +
+        "OVER (PARTITION BY click.user) AS hw, " +
+        "holt(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS h, " +
+        "holt_winters_forecast(click, 0.5, 0.25, 0, 4) " +
+        "OVER (PARTITION BY click.user) AS hwf, " +
+        "holt_forecast(click, 0.5, 0.25) " +
+        "OVER (PARTITION BY click.user) AS hf " +
+        "FROM dom.events"), fam).collect()
+    assert(eq.nonEmpty && eq.forall(r =>
+      r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == r.getDouble(3)))
+    // a planted period-4 cycle on a level series: after a few cycles
+    // the one-step forecast must track the cycle far better than holt
+    // (which reads the oscillation as trend noise)
+    import spark.implicits._
+    val cyc = Seq.tabulate(40) { i =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 4}%02d:${15 * (i % 4)}%02d:00")
+      ("cyc", ts, 100.0 + Seq(0.0, 10.0, -5.0, -5.0)(i % 4),
+        Map.empty[String, String], Map("i" -> i.toString))
+    }.toDF("series", "ts", "value", "tags", "attributes")
+    val out = Compiler.compile(Parser.parse(
+      "SELECT cyc.i, cyc, " +
+        "holt_winters_forecast(cyc, 0.5, 0.125, 0.5, 4) AS hwf, " +
+        "holt_forecast(cyc, 0.5, 0.125) AS hf " +
+        "FROM dom.cyc"), _ => cyc).collect()
+      .map(r => (r.getString(0).toInt, r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // compare each forecast to the NEXT observation over the last 2 cycles
+    val byI = out.map(t => t._1 -> t).toMap
+    val errs = (31 until 39).map { i =>
+      val next = byI(i + 1)._2
+      (math.abs(byI(i)._3 - next), math.abs(byI(i)._4 - next))
+    }
+    val (hwErr, hErr) = (errs.map(_._1).sum, errs.map(_._2).sum)
+    assert(hwErr < hErr / 2,
+      s"seasonal forecast should beat holt on a planted cycle: $hwErr vs $hErr")
+    // validation pins
+    intercept[Compiler.CompileException] { // arity is five
+      Compiler.compile(Parser.parse(
+        "SELECT holt_winters(click, 0.5, 0.25, 0.25) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // period must be >= 2
+      Compiler.compile(Parser.parse(
+        "SELECT holt_winters(click, 0.5, 0.25, 0.25, 1) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // period capped at 24
+      Compiler.compile(Parser.parse(
+        "SELECT holt_winters(click, 0.5, 0.25, 0.25, 48) AS s FROM dom.events"), fam)
+    }
+    intercept[Compiler.CompileException] { // gamma out of range
+      Compiler.compile(Parser.parse(
+        "SELECT holt_winters(click, 0.5, 0.25, 1.5, 4) AS s FROM dom.events"), fam)
+    }
+  }
+
   test("session() assigns monotone per-partition session ids") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Compiler.compile(Parser.parse(
