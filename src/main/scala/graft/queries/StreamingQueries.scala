@@ -103,10 +103,22 @@ object StreamingQueries {
     // per (user, hour-bucket); same output contract as
     // stream_sql_join_agg, same oracle
     "stream_join_agg_bucketed" -> ((s, d) =>
-      StreamingOps.streamJoinAggBucketedReplay(s, d))
+      StreamingOps.streamJoinAggBucketedReplay(s, d)),
+    // stream-STATIC enrichment: the event stream broadcast-joined to the
+    // customer dimension (no join state, no watermark — the static side
+    // replans into each micro-batch), rolled up per (segment, type)
+    "stream_static_join" -> ((s, d) =>
+      StreamingOps.streamStaticJoinReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // streaming/batch parity for the stream-static enrich + rollup
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+
     "stream_window_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS w_start_us,
         |  event_type, COUNT(*) AS n,

@@ -1011,6 +1011,42 @@ object StreamingOps {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Stream-STATIC enrichment join + rollup: the event stream joined to
+    * a batch dimension table (customers) and aggregated per
+    * (market segment, event type) — the other canonical streaming join
+    * topology, complementing the stream-stream interval join: telemetry
+    * enriched with a slowly-changing dimension. No watermark and NO
+    * JOIN STATE at all — the static side is planned into every
+    * micro-batch as a fresh broadcast (dimension updates between
+    * batches are picked up; at 100 TB/day stream rates the dimension
+    * re-scan per trigger is why production dims are compact parquet —
+    * or the join key is pre-bucketed on both sides). The explicit
+    * `broadcast()` pins the no-shuffle plan: the stream side never
+    * repartitions for the join, only for the downstream aggregation.
+    */
+  def streamStaticJoinReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+      .transform(graft.tables.Tables.normalizeEventsTs)
+    val dim = graft.tables.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "graft_ssj_" + UUID.randomUUID.toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .select("c_mktsegment", "event_type", "n", "sum_value")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   /** Streaming corpus curation: run the (narrow) model-scoring tier
     * over a DOCUMENT stream and keep a running per-language keep/drop
     * ledger — the shape of a live ingest filter in front of a training

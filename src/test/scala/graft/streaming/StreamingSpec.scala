@@ -620,6 +620,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 3600000000L))
   }
 
+  test("stream-static enrichment join equals the batch join+rollup") {
+    // (the broadcast itself is pinned by the explicit broadcast() hint
+    // in streamStaticJoinReplay; the returned frame reads the memory
+    // sink, so the streaming join plan is not visible here)
+    val got = StreamingOps.streamStaticJoinReplay(spark, sfDir).collect()
+    // every event's user_id resolves in the dimension — the inner join
+    // must lose nothing
+    assert(got.map(_.getLong(2)).sum ==
+      Tables.events(spark, sfDir).count())
+    val batch = Tables.events(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment", "event_type").collect()
+    assert(got.toSeq == batch.toSeq && got.nonEmpty)
+  }
+
   test("streaming curation ledger equals the batch ledger (stateless map tier)") {
     val w = Array.tabulate(256)(i => (i - 100) / 200.0)
     val streamed = StreamingOps.streamingCurationReplay(spark, sfDir, w, 0.02)
