@@ -692,11 +692,15 @@ object TimeSeriesTable {
         val tmp = new org.apache.hadoop.fs.Path(
           s"$root/$domain/.${family}__upserting")
         if (fs.exists(tmp)) fs.delete(tmp, true)
+        // existing rows KEEP their path-derived dt (like the sibling
+        // verbs — a row never migrates partitions in a rewrite);
+        // incoming rows land on their ts-date, which is within the
+        // overlap set by construction
         spark.read.schema(withDt).option("basePath", dir)
-          .parquet(rewriteFiles: _*).drop("dt")
+          .parquet(rewriteFiles: _*)
           .join(inc.select("series", "ts"), Seq("series", "ts"), "left_anti")
-          .unionByName(onDates(overlapDates))
-          .withColumn("dt", to_date(col("ts")))
+          .unionByName(onDates(overlapDates)
+            .withColumn("dt", to_date(col("ts"))))
           .repartition(col("dt"),
             pmod(hash(col("series")), lit(rewriteSlices(spark, overlapDates.size))))
           .sortWithinPartitions("series", "ts")
