@@ -228,7 +228,7 @@ object ScaleBench {
     // corpus, not this one
     val streamTier = Set("stream_window_agg", "stream_sliding_agg",
       "stream_dedup_count", "stream_session", "stream_join",
-      "stream_top_k")
+      "stream_top_k", "stream_static_join")
     val tier = SparkEntry.queries.filter { case (n, _) =>
       if (streaming) streamTier.contains(n)
       else if (boost)
