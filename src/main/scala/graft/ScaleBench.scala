@@ -246,7 +246,7 @@ object ScaleBench {
     } ++ (if (!streaming && !boost && !relational) Map(kScaled) else Map.empty)
     // warm both corpora (footers, page cache, codegen)
     val warmTables =
-      if (streaming) Seq("events")
+      if (streaming) Seq("events", "customer")
       else if (relational || boost) Seq("events", "lineitem", "orders",
         "customer", "supplier", "part", "nation", "region")
       else Seq("documents", "embeddings")

@@ -50,6 +50,27 @@ object BoostQL {
   private val showRe =
     """(?is)^\s*show\s+families(?:\s+in\s+(\w+))?\s*$""".r
 
+  /** `SHOW PARTITIONS domain.family` — the partition-inventory third of
+    * the discovery face (SHOW FAMILIES lists the catalog, DESCRIBE one
+    * family's series, this one family's PHYSICAL layout): one row per
+    * dt= date partition with file count, bytes and footer row total.
+    * Operates on the WAREHOUSE like the mutate verbs (takes the root,
+    * not a query frame) and is metadata-only — the "what would
+    * retention or a takedown touch" question, answerable on a petabyte
+    * family without a scan. Compiles to [[TimeSeriesTable.partitions]].
+    */
+  private val showPartsRe =
+    """(?is)^\s*show\s+partitions\s+(\w+)\s*\.\s*(\w+)\s*$""".r
+  private val showPartsShapeRe = """(?is)^\s*show\s+partitions\b.*$""".r
+
+  def sqlShowPartitions(stmt: String, spark: SparkSession,
+      root: String): DataFrame = stmt match {
+    case showPartsRe(dom, fam) =>
+      TimeSeriesTable.partitions(spark, root, dom, fam)
+    case _ => throw Compiler.CompileException(
+      "SHOW PARTITIONS takes exactly 'SHOW PARTITIONS domain.family'")
+  }
+
   /** `FUNNEL s1 -> s2 [-> …] BY <attr> [WITHIN '<interval>'] FROM
     * dom.family` — the ordered-conversion funnel as a first-class
     * statement (the most user-reached product-analytics shape): each
@@ -755,6 +776,10 @@ object BoostQL {
         "SHOW FAMILIES needs an enumerable registry — pass the families " +
           "as a Map (the sql(query, Map) overload); a resolver function " +
           "cannot be listed")
+      case showPartsShapeRe() => throw Compiler.CompileException(
+        "SHOW PARTITIONS is a warehouse statement — it inventories a " +
+          "family's physical date partitions, which a query frame cannot " +
+          "see; use BoostQL.sqlShowPartitions(stmt, spark, root)")
       case describeRe(dom, f) => describe(families((dom, f)))
       case funnelRe(steps, attr, within, dom, f) =>
         funnelStmt(steps, attr, within, families((dom, f)))

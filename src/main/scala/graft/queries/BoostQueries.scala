@@ -287,6 +287,20 @@ object BoostQueries {
         .orderBy("domain", "family")
     }),
 
+    // SHOW PARTITIONS — the physical-layout third of the discovery
+    // face: metadata-only partition inventory of a warehouse family
+    // (parallel listing + parquet footers, no data scan). The oracle
+    // recomputes each date partition's row total from the raw events —
+    // matching it proves the footer totals agree with the data the
+    // write path actually committed, partition by partition
+    "boost_show_partitions" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_showp").toString
+      TimeSeriesTable.append(
+        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+      BoostQL.sqlShowPartitions("SHOW PARTITIONS dom.events", s, root)
+        .select("part", "n_rows").orderBy("part")
+    }),
+
     // time-axis extraction: the diurnal/weekly profile — hour-of-day ×
     // ISO day-of-week rollup (GROUP BY ALL exercises the sugar over
     // the new functions)
@@ -1798,6 +1812,14 @@ object BoostQueries {
       """SELECT 'dom' AS domain, 'events' AS family
         |UNION ALL SELECT 'ops', 'metrics'
         |ORDER BY domain, family""".stripMargin,
+
+    // each dt= partition's footer row total equals the raw events'
+    // per-date count — the write path committed every row where the
+    // partition layout says it did
+    "boost_show_partitions" ->
+      """SELECT 'dt=' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS part,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY part""".stripMargin,
 
     // isodow is the dialect's dow() contract (1 = Monday … 7 = Sunday)
     "boost_fn_time" ->

@@ -344,6 +344,38 @@ object TimeSeriesTable {
     (files.length, tmpFiles.length)
   }
 
+  /** Partition inventory — the operational "what would expire, compact
+    * or a takedown touch" question: one row per `dt=` date partition
+    * with its file count, byte size and parquet-footer row total,
+    * sorted by partition. METADATA-ONLY: one parallel listing plus
+    * footer reads, no data scan — the same cost class as the mutate
+    * verbs' count passes, safe to point at a petabyte family. Files
+    * outside the dt= layout (pre-partition-era writes) group under
+    * `(unpartitioned)` so the inventory never under-reports.
+    */
+  def partitions(spark: SparkSession, root: String, domain: String,
+      family: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$root/$domain/$family")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val empty = Seq.empty[(String, Long, Long, Long)]
+      .toDF("part", "n_files", "n_bytes", "n_rows")
+    if (!fs.exists(p)) return empty
+    val files = listDataFiles(fs, p)
+    if (files.isEmpty) return empty
+    def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+      case seg if seg.startsWith("dt=") => seg
+    }
+    val rows = files.groupBy(f => dtOf(f).getOrElse("(unpartitioned)"))
+      .toSeq.map { case (part, fp) =>
+        val bytes = fp.map(f => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(f)).getLen).sum
+        (part, fp.size.toLong, bytes, footerRowCount(fp, hconf))
+      }.sortBy(_._1)
+    rows.toDF("part", "n_files", "n_bytes", "n_rows")
+  }
+
   /** Rewrite parallelism for the mutate verbs ([[deleteRows]] /
     * [[updateRows]]): hash each date's rows into
     * `shufflePartitions / |affected partitions|` series slices, so a

@@ -2270,6 +2270,33 @@ class BoostQLSpec extends SparkSpec {
     }
   }
 
+  test("SHOW PARTITIONS: metadata inventory matches the written layout; " +
+      "read front and malformed shapes refuse") {
+    import org.apache.spark.sql.functions.{col => c, to_date}
+    val root = java.nio.file.Files.createTempDirectory("graft-showp").toString
+    TimeSeriesTable.append(fam, root, "dom", "events")
+    val inv = BoostQL.sqlShowPartitions("SHOW PARTITIONS dom.events", spark, root)
+    val got = inv.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.forall(_._1.startsWith("dt=")))
+    // footer row totals equal the data's per-date counts
+    val expect = fam.groupBy(to_date(c("ts")).cast("string").as("d")).count()
+      .collect().map(r => ("dt=" + r.getString(0)) -> r.getLong(1)).toMap
+    assert(got.map(t => t._1 -> t._4).toMap == expect)
+    // bytes and file counts are positive on every partition
+    assert(got.forall(t => t._2 > 0 && t._3 > 0))
+    // a family that does not exist lists as empty, not an error
+    assert(BoostQL.sqlShowPartitions(
+      "SHOW PARTITIONS dom.nothing", spark, root).isEmpty)
+    // the read front points at the warehouse entry point
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "SHOW PARTITIONS dom.events", _ => fam))
+      .getMessage.contains("sqlShowPartitions"))
+    // malformed shape refuses
+    intercept[Compiler.CompileException](BoostQL.sqlShowPartitions(
+      "SHOW PARTITIONS events", spark, root))
+  }
+
   test("holt_winters: seasonal smoothing learns a planted cycle, " +
       "degenerates to holt at gamma = 0, validates params") {
     // gamma = 0 freezes the (all-zero) seasonal slots: holt_winters
