@@ -108,10 +108,21 @@ object StreamingQueries {
     // customer dimension (no join state, no watermark — the static side
     // replans into each micro-batch), rolled up per (segment, type)
     "stream_static_join" -> ((s, d) =>
-      StreamingOps.streamStaticJoinReplay(s, d))
+      StreamingOps.streamStaticJoinReplay(s, d)),
+    // continuous MERGE: per-micro-batch UPSERT through foreachBatch —
+    // the SAME stream delivered TWICE (worst-case restart replay) lands
+    // a family equal to the batch source, never doubled
+    "stream_upsert" -> ((s, d) => StreamingOps.streamUpsertReplay(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // a double delivery through the merge sink equals the source once:
+    // re-delivery replaced, never duplicated
+    "stream_upsert" ->
+      """SELECT event_type AS series, ts, value,
+        |  CAST(user_id AS VARCHAR) AS user
+        |FROM events ORDER BY series, ts""".stripMargin,
+
     // streaming/batch parity for the stream-static enrich + rollup
     "stream_static_join" ->
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,

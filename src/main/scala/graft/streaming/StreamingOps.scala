@@ -1047,6 +1047,56 @@ object StreamingOps {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Continuous MERGE into a family: the stream lands through
+    * per-micro-batch UPSERT ([[graft.sources.TimeSeriesTable.upsertRows]])
+    * instead of blind append, so an at-least-once upstream — or a
+    * restarted query replaying a committed batch — never duplicates
+    * points. This is the `foreachBatch` + idempotent-verb pattern, the
+    * standard way to get effectively-once file sinks without a
+    * transactional store: the checkpoint makes batch REPLAY possible,
+    * the merge key (series, ts) makes replay HARMLESS.
+    *
+    * The replay proves exactly that property the hard way: the SAME
+    * staged stream is run TWICE (separate checkpoints — a full
+    * re-delivery, the worst case a restart can produce). Through
+    * append-based ingest the family would double; through UPSERT the
+    * second delivery replaces the first and the family equals the batch
+    * source exactly — which is what the DuckDB oracle checks. A
+    * duplicate (series, ts) key inside one delivery would REFUSE
+    * loudly rather than resolve arbitrarily (upsertRows' contract), so
+    * the parity claim cannot silently depend on arrival order.
+    */
+  def streamUpsertReplay(spark: SparkSession, sfDir: String,
+      statePartitions: Int = 4): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val root = tempRoot("graft-supsert")
+    def deliver(tag: String): Unit = {
+      val fam = spark.readStream.schema(schema).parquet(stageDir(sfDir))
+        .transform(graft.tables.Tables.normalizeEventsTs)
+        .select(col("event_type").as("series"), col("ts"), col("value"),
+          map().cast("map<string,string>").as("tags"),
+          map(lit("user"), col("user_id").cast("string")).as("attributes"))
+      withStatePartitions(spark, statePartitions) {
+        val q = fam.writeStream
+          .option("checkpointLocation", s"$root/ckpt_$tag")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.sources.TimeSeriesTable.upsertRows(
+              spark, root.toString, "dom", "events", batch)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+    }
+    deliver("first")
+    deliver("redelivery")
+    graft.sources.TimeSeriesTable.open(spark, root.toString, "dom", "events")
+      .select(col("series"), col("ts"), col("value"),
+        element_at(col("attributes"), "user").as("user"))
+      .orderBy("series", "ts")
+  }
+
   /** Streaming corpus curation: run the (narrow) model-scoring tier
     * over a DOCUMENT stream and keep a running per-language keep/drop
     * ledger — the shape of a live ingest filter in front of a training
