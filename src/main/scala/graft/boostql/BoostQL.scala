@@ -279,6 +279,125 @@ object BoostQL {
       "UPSERT must be 'UPSERT INTO domain.family SELECT …'")
   }
 
+  /** `MERGE INTO domain.family USING (<select>) WHEN …` — ANSI MERGE,
+    * the general mutate verb the tier's other verbs are special cases
+    * of (UPSERT ≡ unconditional matched-UPDATE + not-matched-INSERT).
+    * The USING select maps onto long rows by the same UNPIVOT contract
+    * as INSERT/UPSERT ([[insertLong]]) and matches existing rows on
+    * the family key (series, ts); the WHEN clauses then decide each
+    * row's fate:
+    *
+    *   - `WHEN MATCHED [AND <cond>] THEN UPDATE` — replace the
+    *     existing row with the source row
+    *   - `WHEN MATCHED [AND <cond>] THEN DELETE` — drop it
+    *   - `WHEN NOT MATCHED THEN INSERT` — write unmatched source rows
+    *
+    * Matched clauses apply FIRST-TRUE-WINS in statement order (ANSI);
+    * a row matching no clause is kept unchanged. Conditions ride the
+    * mutate verbs' row-level grammar (series-scoped terms, ts/series,
+    * scalar builtins, CASE) extended with the reserved `src` prefix
+    * for the incoming side — `src.value` is the source datapoint,
+    * `src.<k>` a source attribute — so `WHEN MATCHED AND p < src.value
+    * THEN UPDATE` is the only-newer-wins shape and `WHEN MATCHED AND
+    * src.status = 'tombstone' THEN DELETE` a fed takedown. Compiles to
+    * [[TimeSeriesTable.mergeRows]]: copy-on-write rewrite of only the
+    * dates holding a non-keep outcome, footer-verified, two-rename
+    * swap; insert-only dates stay on the additive append. Returns
+    * (rows updated, rows deleted, rows inserted).
+    */
+  def sqlMerge(stmt: String, families: ((String, String)) => DataFrame,
+      root: String): (Long, Long, Long) = {
+    val headRe =
+      """(?is)^\s*merge\s+into\s+(\w+)\s*\.\s*(\w+)\s+using\s*\(""".r
+    val m = headRe.findPrefixMatchOf(stmt).getOrElse(
+      throw Compiler.CompileException(
+        "MERGE takes 'MERGE INTO domain.family USING (<select>) " +
+          "WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE … " +
+          "[WHEN NOT MATCHED THEN INSERT]'"))
+    val (dom, fam) = (m.group(1), m.group(2))
+    // scan to the USING paren's top-level close (quotes respected)
+    val openIdx = m.end - 1
+    var depth = 0; var inStr = false; var closeIdx = -1
+    var i = openIdx
+    while (i < stmt.length && closeIdx < 0) {
+      val c = stmt.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) closeIdx = i }
+      i += 1
+    }
+    if (closeIdx < 0) throw Compiler.CompileException(
+      "MERGE USING (<select>) is missing its closing parenthesis")
+    val select = stmt.substring(openIdx + 1, closeIdx)
+    val rest = stmt.substring(closeIdx + 1)
+      .replaceFirst("(?is)^\\s*(?:as\\s+src\\b)?\\s*", "")
+    // split the tail at top-level WHEN keywords introducing a clause
+    // (CASE WHEN inside a condition sits behind MATCHED/NOT, and
+    // quoted/parenthesized text is skipped by the scan)
+    val whenAt = scala.collection.mutable.ArrayBuffer.empty[Int]
+    depth = 0; inStr = false; i = 0
+    val lower = rest.toLowerCase
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && lower.startsWith("when", i) &&
+          (i == 0 || !Character.isLetterOrDigit(rest.charAt(i - 1))) &&
+          lower.substring(i + 4).dropWhile(_.isWhitespace)
+            .matches("(?s)^(matched|not\\s+matched)\\b.*"))
+        whenAt += i
+      i += 1
+    }
+    if (whenAt.isEmpty || rest.substring(0, whenAt.head).trim.nonEmpty)
+      throw Compiler.CompileException(
+        "MERGE needs at least one WHEN clause after USING (<select>)")
+    val clauseTexts = whenAt.toSeq.zipAll(
+      whenAt.toSeq.drop(1), -1, rest.length)
+      .map { case (a, b) => rest.substring(a, b) }
+    val matchedRe =
+      """(?is)^when\s+matched\s+(?:and\s+(.*)\s+)?then\s+(update|delete)\s*$""".r
+    val insertRe2 = """(?is)^when\s+not\s+matched\s+then\s+insert\s*$""".r
+    var insertClauses = 0
+    var sawUnconditional = false
+    val matched = clauseTexts.flatMap {
+      case insertRe2() =>
+        insertClauses += 1
+        if (insertClauses > 1) throw Compiler.CompileException(
+          "MERGE allows one WHEN NOT MATCHED THEN INSERT clause")
+        None
+      case matchedRe(condText, action) =>
+        if (sawUnconditional) throw Compiler.CompileException(
+          "a WHEN MATCHED clause after an unconditional one is " +
+            "unreachable — first true clause wins; reorder or add AND")
+        val cond = Option(condText).map { t =>
+          val parsed = Parser.parseStmt(
+            s"SELECT 1 AS one FROM $dom.$fam WHERE $t") match {
+            case q: Ast.QuerySpec => q
+            case _ => throw Compiler.CompileException(
+              "a MERGE matched condition must be a plain predicate")
+          }
+          val pred = parsed.where.getOrElse(
+            throw Compiler.CompileException(
+              "a MERGE matched condition must be a plain predicate"))
+          longPredicate(pred, "MERGE", allowSrc = true)
+        }
+        if (cond.isEmpty) sawUnconditional = true
+        Some((cond, action.toLowerCase))
+      case other => throw Compiler.CompileException(
+        s"malformed MERGE clause '${other.trim.take(60)}' — expected " +
+          "WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE or " +
+          "WHEN NOT MATCHED THEN INSERT")
+    }
+    val df = Compiler.compile(Parser.parseStmt(select), families)
+    val (upd, del, ins, _) = TimeSeriesTable.mergeRows(
+      df.sparkSession, root, dom, fam, insertLong(df),
+      matched, insertClauses > 0)
+    (upd, del, ins)
+  }
+
   /** `DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'` — the
     * SQL face of retention (TimescaleDB `drop_chunks`), compiling to
     * [[TimeSeriesTable.expire]]: METADATA-ONLY whole-date-partition
@@ -508,7 +627,8 @@ object BoostQL {
     * (DELETE predicates, UPDATE predicates and SET expressions). `ctx`
     * names the verb in error messages.
     */
-  private[boostql] def longPredicate(e: Ast.BExpr, ctx: String): Column = {
+  private[boostql] def longPredicate(e: Ast.BExpr, ctx: String,
+      allowSrc: Boolean = false): Column = {
     import Ast._
     def scoped(series: Set[String], c: Column): Column = series.toSeq match {
       case Seq() => c
@@ -518,7 +638,8 @@ object BoostQL {
           "one long row holds one series, so a single comparison cannot " +
           "span two; split it with AND/OR")
     }
-    def operand(o: Operand): (Column, Set[String]) = longOperand(o, ctx)
+    def operand(o: Operand): (Column, Set[String]) =
+      longOperand(o, ctx, allowSrc)
     def walk(e: BExpr): Column = e match {
       case AndE(l, r) => walk(l) && walk(r)
       case OrE(l, r)  => walk(l) || walk(r)
@@ -565,11 +686,24 @@ object BoostQL {
     * series the expression references (a single row holds one series,
     * so callers scope or validate on it).
     */
-  private[boostql] def longOperand(o: Ast.Operand, ctx: String): (Column, Set[String]) = {
+  private[boostql] def longOperand(o: Ast.Operand, ctx: String,
+      allowSrc: Boolean = false): (Column, Set[String]) = {
     import Ast._
-    def operand(o2: Operand): (Column, Set[String]) = longOperand(o2, ctx)
+    def operand(o2: Operand): (Column, Set[String]) =
+      longOperand(o2, ctx, allowSrc)
     o match {
       case OLit(l) => (Compiler.litColumn(l), Set.empty)
+      // MERGE matched-clause conditions see the SOURCE row through the
+      // reserved `src` prefix: src.value is the incoming datapoint,
+      // any other src.<k> an incoming attribute (shadowing tags, same
+      // decode as the target side); src.ts / src.series equal the
+      // target key on a matched row by definition
+      case ORef(RawName(Seq(s, f))) if allowSrc && s.equalsIgnoreCase("src") =>
+        if (f.equalsIgnoreCase("value")) (col("src_value"), Set.empty)
+        else if (f.equalsIgnoreCase("ts")) (col("ts"), Set.empty)
+        else if (f.equalsIgnoreCase("series")) (col("series"), Set.empty)
+        else (coalesce(element_at(col("src_attributes"), f),
+          element_at(col("src_tags"), f)), Set.empty)
       case ORef(RawName(Seq(t))) if t.equalsIgnoreCase("ts") =>
         (col("ts"), Set.empty)
       case ORef(RawName(Seq(t))) if t.equalsIgnoreCase("series") =>
@@ -643,7 +777,7 @@ object BoostQL {
       // is the clamping-correction shape
       case OCase(branches, otherwise) =>
         val compiled = branches.map { case (cond, v) =>
-          (longPredicate(cond, ctx), operand(v))
+          (longPredicate(cond, ctx, allowSrc), operand(v))
         }
         val (oc, os) = otherwise.map(operand)
           .getOrElse((lit(null), Set.empty[String]))

@@ -1140,6 +1140,37 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // ANSI MERGE (the general mutate verb; UPSERT is its unconditional
+    // special case), oracle-checked end to end: seed p = per-ts max
+    // purchase, then one MERGE whose batch carries corrections for the
+    // >300 tail plus a 45-day-shifted view rollup. First-true-wins
+    // clause order: raise-only corrections (src.value < 700) UPDATE,
+    // the un-raised high tail (p > 420) DELETEs, everything else keeps,
+    // and the shifted rows INSERT as unmatched. The dialect reads the
+    // reread family; the oracle replays clause order via LEFT JOIN +
+    // CASE with the same guards.
+    "boost_merge_rows" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_merge").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sqlInsert(
+        "INSERT INTO dom.derived SELECT ts, max(purchase) AS p " +
+          "FROM dom.events GROUP BY ts", _ => fam, root)
+      val (upd, del, ins) = BoostQL.sqlMerge(
+        "MERGE INTO dom.derived USING (" +
+          "SELECT ts, max(purchase * 2.0) AS p FROM dom.events " +
+          "WHERE purchase > 100.0 GROUP BY ts " +
+          "UNION ALL SELECT ts + INTERVAL '45 days' AS ts, " +
+          "max(view) AS p FROM dom.events GROUP BY ts) " +
+          "WHEN MATCHED AND src.value < 300.0 THEN UPDATE " +
+          "WHEN MATCHED AND p > 200.0 THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT", _ => fam, root)
+      require(upd > 0 && del > 0 && ins > 0,
+        s"expected all three MERGE outcomes, got ($upd, $del, $ins)")
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT p, ts FROM dom.derived ORDER BY ts, p",
+        _ => reread)
+    }),
+
     // WITH common table expressions (substitution into derived tables;
     // each use optimizes independently — here the cnt > 2 filter pushes
     // into only the b copy, shrinking the broadcast side)
@@ -2100,6 +2131,26 @@ object BoostQueries {
         |  SELECT COALESCE(r.p, s.p) AS p, s.ts FROM seed s
         |    LEFT JOIN repl r ON s.ts = r.ts
         |  UNION ALL SELECT q AS p, ts FROM qrows) t
+        |ORDER BY ts, p""".stripMargin,
+
+    // ANSI MERGE replay: matched seed rows take the first true clause
+    // (update when the correction is < 700, else delete when the seed
+    // value tops 420, else keep); unmatched batch rows insert
+    "boost_merge_rows" ->
+      """WITH seed AS (SELECT ts, MAX(value) AS p FROM events
+        |    WHERE event_type = 'purchase' GROUP BY ts),
+        |  batch AS (SELECT ts, MAX(value * 2.0) AS v FROM events
+        |    WHERE event_type = 'purchase' AND value > 100.0 GROUP BY ts
+        |    UNION ALL SELECT ts + INTERVAL '45 days' AS ts, MAX(value) AS v
+        |    FROM events WHERE event_type = 'view' GROUP BY ts),
+        |  kept AS (SELECT CASE WHEN b.v IS NOT NULL AND b.v < 300.0
+        |      THEN b.v ELSE s.p END AS p, s.ts
+        |    FROM seed s LEFT JOIN batch b ON s.ts = b.ts
+        |    WHERE NOT (b.v IS NOT NULL AND NOT (b.v < 300.0)
+        |      AND s.p > 200.0)),
+        |  ins AS (SELECT b.v AS p, b.ts FROM batch b
+        |    LEFT JOIN seed s ON b.ts = s.ts WHERE s.ts IS NULL)
+        |SELECT p, ts FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t
         |ORDER BY ts, p""".stripMargin,
 
     "boost_compact_roundtrip" ->

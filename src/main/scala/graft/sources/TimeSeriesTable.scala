@@ -773,9 +773,246 @@ object TimeSeriesTable {
     } finally fs.delete(staging, true)
   }
 
+  /** ANSI MERGE over a family — the general mutate verb subsuming
+    * [[upsertRows]] (which is matched-UPDATE + not-matched-INSERT with
+    * no conditions): incoming rows match existing rows on the family
+    * key (series, ts); each MATCHED existing row takes the FIRST
+    * `matched` clause whose condition holds — `"update"` replaces the
+    * row with the source row (value, tags, attributes), `"delete"`
+    * drops it, no clause true → the row is kept as is. Unmatched
+    * incoming rows are written only when `insertUnmatched`. Clause
+    * conditions are Columns over the JOINED row: the existing row's
+    * columns (series, ts, value, tags, attributes) plus the source
+    * row's as `src_value` / `src_tags` / `src_attributes`; a NULL
+    * condition is false (ANSI).
+    *
+    * Same copy-on-write machinery and 100 TB stance as the sibling
+    * verbs: the incoming batch STAGES to parquet once (the
+    * classification pass and the rewrite must see identical rows —
+    * recomputing a nondeterministic source between passes would merge
+    * two different batches), a classification pass touches only files
+    * on incoming dates (column access is the clause conditions' and
+    * the collect is bounded at one row per date × clause), ONLY dates
+    * holding a non-keep outcome rewrite — footer-verified at
+    * existing − deleted + inserted-on-those-dates — and swap in via
+    * two renames per partition. Matched-keep-only dates and untouched
+    * dates stay byte-identical; unmatched inserts on non-rewrite dates
+    * take the additive [[append]] path (a daily-ingest MERGE stays
+    * append-cheap). Existing duplicate (series, ts) keys each take the
+    * merge outcome independently — the verb preserves multiplicity;
+    * UPSERT is the collapsing variant. Returns (rows updated, rows
+    * deleted, rows inserted, rewritten partitions).
+    */
+  def mergeRows(spark: SparkSession, root: String, domain: String,
+      family: String, incoming: DataFrame,
+      matched: Seq[(Option[org.apache.spark.sql.Column], String)],
+      insertUnmatched: Boolean): (Long, Long, Long, Seq[String]) = {
+    require(matched.forall(c => c._2 == "update" || c._2 == "delete"),
+      "matched clause actions must be update|delete")
+    require(matched.nonEmpty || insertUnmatched,
+      "MERGE needs at least one WHEN clause")
+    val missing = SchemaColumns.filterNot(incoming.columns.contains)
+    require(missing.isEmpty,
+      s"mergeRows needs the family columns; missing ${missing.mkString(", ")}")
+    val dir = s"$root/$domain/$family"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$root/$domain/.${family}__merge_in")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    incoming.select(col("series").cast(StringType),
+        col("ts").cast(TimestampType), col("value").cast(DoubleType),
+        col("tags").cast(MapType(StringType, StringType)),
+        col("attributes").cast(MapType(StringType, StringType)))
+      .write.parquet(staging.toString)
+    try {
+      val inc = spark.read.schema(schema).parquet(staging.toString)
+      val stats = inc.agg(count(lit(1)),
+        count(when(col("series").isNull || col("ts").isNull, 1)),
+        countDistinct(col("series"), col("ts"))).head()
+      val incomingTotal = stats.getLong(0)
+      if (incomingTotal == 0L) return (0L, 0L, 0L, Seq.empty)
+      if (stats.getLong(1) > 0L) throw new java.io.IOException(
+        s"MERGE into $dir: incoming rows carry NULL (series, ts) keys " +
+          "— the merge key must be present on every row")
+      if (stats.getLong(2) != incomingTotal) throw new java.io.IOException(
+        s"MERGE into $dir: the incoming batch holds duplicate " +
+          "(series, ts) keys — ANSI MERGE refuses a source that matches " +
+          "one target row twice; aggregate the batch to one row per key")
+      val incDates = inc.groupBy(to_date(col("ts")).as("dt")).count()
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      val files = if (fs.exists(p)) listDataFiles(fs, p) else Seq.empty
+      def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+        case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
+      }
+      val withDt = schema.add(StructField("dt", DateType, nullable = true))
+      // only files on incoming dates can hold matching keys; files
+      // OUTSIDE the dt= layout could too, invisibly to the swap —
+      // refuse on collision (compact-first, same as the sibling verbs)
+      val candidates = files.filter(f =>
+        dtOf(f).fold(true)(incDates.contains))
+      val incSrc = inc.select(col("series"), col("ts"),
+        col("value").as("src_value"), col("tags").as("src_tags"),
+        col("attributes").as("src_attributes"),
+        lit(true).as("__src_matched"))
+      // first-true-clause-wins outcome over the joined row; NULL
+      // conditions are false, no clause true → keep (-1)
+      val outcome: org.apache.spark.sql.Column = matched.zipWithIndex
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, ((cond, _), i)) =>
+            val c = coalesce(cond.getOrElse(lit(true)), lit(false))
+            Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+        }.fold(lit(-1))(_.otherwise(lit(-1)))
+      val deleteIdx = matched.zipWithIndex.collect {
+        case ((_, "delete"), i) => i }
+      val updateIdx = matched.zipWithIndex.collect {
+        case ((_, "update"), i) => i }
+      // classification pass: per (date, outcome) row counts — bounded
+      // at incoming dates × (clauses + 1) rows on the driver
+      val byDtOutcome: Seq[(String, Int, Long)] =
+        if (candidates.isEmpty || matched.isEmpty) Seq.empty
+        else {
+          val rows = spark.read.schema(withDt).option("basePath", dir)
+            .parquet(candidates: _*)
+            .join(incSrc, Seq("series", "ts"), "inner")
+            .select(col("dt"), outcome.as("__oc"))
+            .groupBy(col("dt"), col("__oc")).count().collect()
+          if (rows.exists(_.isNullAt(0))) throw new java.io.IOException(
+            s"MERGE into $dir: matching keys exist OUTSIDE the dt= " +
+              "partition layout — the per-partition copy-on-write swap " +
+              "needs the partitioned layout; compact() the family first")
+          rows.toSeq.map(r =>
+            (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+        }
+      val updated = byDtOutcome.collect {
+        case (_, oc, n) if updateIdx.contains(oc) => n }.sum
+      val deleted = byDtOutcome.collect {
+        case (_, oc, n) if deleteIdx.contains(oc) => n }.sum
+      val deletedByDt: Map[String, Long] = byDtOutcome
+        .filter(r => deleteIdx.contains(r._2))
+        .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      // a date rewrites only when some row there takes a non-keep
+      // outcome; matched-keep-only dates stay byte-identical
+      val rewriteDates: Set[String] = byDtOutcome
+        .collect { case (d, oc, _) if oc >= 0 => d }.toSet
+      // unmatched incoming rows (the INSERT half) — computed only when
+      // a NOT MATCHED clause exists; existing keys come from the same
+      // candidate files the classification read
+      val unmatched: Option[DataFrame] =
+        if (!insertUnmatched) None
+        else if (candidates.isEmpty) Some(inc)
+        else Some(inc.join(
+          spark.read.schema(withDt).option("basePath", dir)
+            .parquet(candidates: _*).select("series", "ts"),
+          Seq("series", "ts"), "left_anti"))
+      val insertedByDt: Map[String, Long] = unmatched.fold(
+        Map.empty[String, Long])(u => u.groupBy(to_date(col("ts")).as("d"))
+        .count().collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toMap)
+      val inserted = insertedByDt.values.sum
+      val appendDates = insertedByDt.keySet -- rewriteDates
+      // the unmatched anti-join reads the PRE-swap candidate files, so
+      // the append subset must MATERIALIZE before the swap replaces
+      // them (a lazy read after the swap would hit deleted paths); the
+      // appended bytes are proportional to the batch's insert half
+      val insStaging = new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${family}__merge_ins")
+      if (fs.exists(insStaging)) fs.delete(insStaging, true)
+      if (appendDates.nonEmpty)
+        unmatched.get.filter(to_date(col("ts")).isin(
+          appendDates.toSeq.map(java.sql.Date.valueOf): _*))
+          .write.parquet(insStaging.toString)
+      if (rewriteDates.nonEmpty) {
+        val rewriteFiles = files.filter(f =>
+          dtOf(f).exists(rewriteDates.contains))
+        val expectedKept = footerRowCount(rewriteFiles, hconf) -
+          deletedByDt.filter(kv => rewriteDates.contains(kv._1)).values.sum +
+          insertedByDt.filter(kv => rewriteDates.contains(kv._1)).values.sum
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$root/$domain/.${family}__merging")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val isUpdate = updateIdx.foldLeft(lit(false))(
+          (acc, i) => acc || col("__oc") === lit(i))
+        val isDelete = deleteIdx.foldLeft(lit(false))(
+          (acc, i) => acc || col("__oc") === lit(i))
+        // existing rows keep their path-derived dt (a mutate verb never
+        // migrates a row); unmatched inserts on rewrite dates ride the
+        // same swap so the partition flips once, atomically
+        val existingMerged = spark.read.schema(withDt)
+          .option("basePath", dir).parquet(rewriteFiles: _*)
+          .join(incSrc, Seq("series", "ts"), "left")
+          .withColumn("__oc",
+            when(coalesce(col("__src_matched"), lit(false)), outcome)
+              .otherwise(lit(-1)))
+          .filter(!isDelete)
+          .select(col("series"), col("ts"),
+            when(isUpdate, col("src_value")).otherwise(col("value"))
+              .as("value"),
+            when(isUpdate, col("src_tags")).otherwise(col("tags"))
+              .as("tags"),
+            when(isUpdate, col("src_attributes")).otherwise(col("attributes"))
+              .as("attributes"),
+            col("dt"))
+        val insertsOnRewrite = unmatched.map(_
+          .withColumn("dt", to_date(col("ts")))
+          .filter(col("dt").isin(
+            rewriteDates.toSeq.map(java.sql.Date.valueOf): _*)))
+        val rewrite = insertsOnRewrite
+          .fold(existingMerged)(existingMerged.unionByName(_))
+        rewrite
+          .repartition(col("dt"), pmod(hash(col("series")),
+            lit(rewriteSlices(spark, rewriteDates.size))))
+          .sortWithinPartitions("series", "ts")
+          .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+        val kept = footerRowCount(listDataFiles(fs, tmp), hconf)
+        if (kept != expectedKept) {
+          fs.delete(tmp, true)
+          throw new java.io.IOException(
+            s"MERGE aborted for $dir: rewrite holds $kept rows, expected " +
+              s"$expectedKept (existing − deleted + inserted) — a " +
+              "concurrent write or a rewrite fault; source left untouched")
+        }
+        val asideRoot = new org.apache.hadoop.fs.Path(
+          s"$root/$domain/.${family}__merge_old")
+        if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+        fs.mkdirs(asideRoot)
+        rewriteDates.toSeq.sorted.foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(p, s"dt=$d")
+          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+          if (!fs.rename(live, aside)) throw new java.io.IOException(
+            s"MERGE swap failed for $dir: could not move dt=$d aside — " +
+              "partition left untouched")
+          val rewritten = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
+          // a partition whose every row was deleted (and received no
+          // insert) has no rewrite output: the rename-aside IS the merge
+          if (fs.exists(rewritten) && !fs.rename(rewritten, live)) {
+            fs.rename(aside, live) // roll back; partition restored
+            throw new java.io.IOException(
+              s"MERGE swap failed for $dir: rewrite rename of dt=$d " +
+                "failed — partition restored")
+          }
+        }
+        fs.delete(asideRoot, true)
+        fs.delete(tmp, true)
+      }
+      if (appendDates.nonEmpty) {
+        append(spark.read.schema(schema).parquet(insStaging.toString),
+          root, domain, family)
+        fs.delete(insStaging, true)
+      }
+      (updated, deleted, inserted,
+        rewriteDates.toSeq.sorted.map(d => s"dt=$d"))
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${family}__merge_ins"), true)
+    }
+  }
+
   /** Crash recovery for the copy-on-write verbs ([[compact]],
-    * [[deleteRows]], [[updateRows]], [[upsertRows]]) — makes a family
-    * READABLE again
+    * [[deleteRows]], [[updateRows]], [[upsertRows]], [[mergeRows]]) —
+    * makes a family READABLE again
     * after a crash mid-swap, applying each verb's documented
     * either-untouched-or-fully-swapped invariant:
     *
@@ -784,14 +1021,15 @@ object TimeSeriesTable {
     *    source, restore it; live dir present means the swap finished —
     *    the aside is a stale copy, drop it.
     *  - the mutate verbs' per-partition asides
-    *    (`.{family}__delete_old` / `__update_old` / `__upsert_old`): a
+    *    (`.{family}__delete_old` / `__update_old` / `__upsert_old` /
+    *    `__merge_old`): a
     *    partition still present under the aside was either swapped
     *    (live dt exists — drop the aside copy) or mid-swap (live dt
     *    missing — rename it back).
     *  - in-flight rewrite temps (`__compacting` / `__deleting` /
-    *    `__updating` / `__upserting`) and the upsert's staged incoming
-    *    batch (`__upsert_in`) are dropped — unswapped rewrite output
-    *    is rolled back, never half-applied.
+    *    `__updating` / `__upserting` / `__merging`) and the staged
+    *    incoming batches (`__upsert_in` / `__merge_in`) are dropped —
+    *    unswapped rewrite output is rolled back, never half-applied.
     *
     * After recovery the family is consistent but a crashed DELETE /
     * UPDATE may be PARTIALLY applied across partitions (each partition
@@ -822,7 +1060,7 @@ object TimeSeriesTable {
       }
     }
     // mutate verbs: per-partition asides
-    Seq("delete", "update", "upsert").foreach { verb =>
+    Seq("delete", "update", "upsert", "merge").foreach { verb =>
       val asideRoot = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__${verb}_old")
       if (fs.exists(asideRoot)) {
@@ -847,8 +1085,8 @@ object TimeSeriesTable {
       }
     }
     // in-flight rewrite temps: unswapped output rolls back
-    Seq("compacting", "deleting", "updating", "upserting", "upsert_in")
-      .foreach { phase =>
+    Seq("compacting", "deleting", "updating", "upserting", "upsert_in",
+        "merging", "merge_in", "merge_ins").foreach { phase =>
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__$phase")
       if (fs.exists(tmp)) {

@@ -122,6 +122,50 @@ class BoostQLSpec extends SparkSpec {
       BoostQL.sqlDelete("SELECT click FROM dom.events", spark, root))
   }
 
+  test("MERGE: clause order is first-true-wins, src attribute refs " +
+      "resolve, malformed shapes refuse with the reason") {
+    import org.apache.spark.sql.functions.{col => c, element_at}
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
+    BoostQL.sqlInsert("INSERT INTO dom.d SELECT ts, max(click) AS m " +
+      "FROM dom.events GROUP BY ts", _ => fam, root)
+    val seedCount = TimeSeriesTable.open(spark, root, "dom", "d").count()
+    // batch carries a status attribute; tombstones delete FIRST, the
+    // rest update only when they RAISE the stored value (always here:
+    // the batch doubles) — clause order decides the tombstones' fate
+    val (upd, del, ins) = BoostQL.sqlMerge(
+      "MERGE INTO dom.d USING (SELECT ts, max(click) * 2.0 AS m, " +
+        "CASE WHEN max(click) > 200.0 THEN 'tombstone' ELSE 'ok' END AS status " +
+        "FROM dom.events GROUP BY ts) " +
+        "WHEN MATCHED AND src.status = 'tombstone' THEN DELETE " +
+        "WHEN MATCHED AND m < src.value THEN UPDATE " +
+        "WHEN NOT MATCHED THEN INSERT", _ => fam, root)
+    assert(del > 0 && upd > 0, s"expected deletes and updates ($upd, $del)")
+    assert(ins == 0L, "every batch key matches the seed")
+    val after = TimeSeriesTable.open(spark, root, "dom", "d")
+    assert(after.count() == seedCount - del)
+    // updated rows carry the batch's status attribute (source row
+    // replaces the target row wholesale); no tombstone survives
+    assert(after.filter(c("series") === "m" &&
+      element_at(c("attributes"), "status") === "ok").count() == upd)
+    assert(after.filter(
+      element_at(c("attributes"), "status") === "tombstone").count() == 0)
+    // refusals name the malformed piece
+    def bad(stmt: String, needle: String) = {
+      val e = intercept[Compiler.CompileException](
+        BoostQL.sqlMerge(stmt, _ => fam, root))
+      assert(e.getMessage.toLowerCase.contains(needle), e.getMessage)
+    }
+    bad("MERGE INTO dom.d USING (SELECT ts, max(click) AS m FROM " +
+      "dom.events GROUP BY ts)", "when clause")
+    bad("MERGE INTO dom.d USING (SELECT 1) WHEN NOT MATCHED THEN INSERT " +
+      "WHEN NOT MATCHED THEN INSERT", "one when not matched")
+    bad("MERGE INTO dom.d USING (SELECT 1) WHEN MATCHED THEN UPDATE " +
+      "WHEN MATCHED AND m > 0.0 THEN DELETE", "unreachable")
+    bad("MERGE INTO dom.d USING (SELECT 1) WHEN MATCHED THEN MERGE",
+      "malformed merge clause")
+    bad("MERGE INTO dom.d USING (SELECT 1", "closing parenthesis")
+  }
+
   test("DATE/TIMESTAMP literals: typed bounds equal string bounds; " +
       "malformed text is a parse error; keyword stays contextual") {
     def q(where: String) = BoostQL.sql(

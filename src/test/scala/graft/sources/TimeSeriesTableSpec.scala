@@ -511,6 +511,86 @@ class TimeSeriesTableSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/dom/.m__upsert_old").exists())
   }
 
+  test("mergeRows: first-true-clause-wins, keep-only dates stay " +
+      "byte-identical, inserts append, dup target keys keep multiplicity") {
+    val root = Files.createTempDirectory("graft-merge").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),  // matched, update (src 10 < 50)
+      ("cpu", "2024-01-01 02:00:00", 80.0), // matched, delete (>= 50, tgt > 70)
+      ("cpu", "2024-01-02 01:00:00", 60.0), // matched, KEEP (src 55 >= 50, tgt <= 70)
+      ("mem", "2024-01-02 02:00:00", 4.0),  // unmatched target — keep
+      ("cpu", "2024-01-03 01:00:00", 5.0))), root, "dom", "m")
+    // duplicate target key: BOTH rows take the merge outcome
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.5))), root, "dom", "m")
+    val d2Before = partitionDigests(s"$root/dom/m/dt=2024-01-02")
+    val d3Before = partitionDigests(s"$root/dom/m/dt=2024-01-03")
+    val clauses = Seq(
+      (Some(col("src_value") < 50.0), "update"),
+      (Some(col("value") > 70.0), "delete"))
+    val (upd, del, ins, parts) = TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", mkRows(Seq(
+        ("cpu", "2024-01-01 01:00:00", 10.0),  // update (both dup rows)
+        ("cpu", "2024-01-01 02:00:00", 55.0),  // delete via clause 2
+        ("cpu", "2024-01-02 01:00:00", 55.0),  // keep (no clause true)
+        ("cpu", "2024-01-05 01:00:00", 50.0))), // unmatched → insert
+      clauses, insertUnmatched = true)
+    assert(upd == 2L, s"both duplicate rows update, got $upd")
+    assert(del == 1L && ins == 1L)
+    assert(parts == Seq("dt=2024-01-01"),
+      "only the date with a non-keep outcome rewrites")
+    // matched-keep-only date and untouched date: byte-identical
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-02") == d2Before)
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-03") == d3Before)
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+    assert(after.count() == 6 - 1 + 1) // two dups collapsed to... no:
+    // 6 rows − 1 delete + 1 insert; the dup key's TWO rows both updated
+    val at0101 = after.filter(col("ts") ===
+        lit(Timestamp.valueOf("2024-01-01 01:00:00")))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(at0101 == Seq(10.0, 10.0),
+      s"dup rows each take the update, got $at0101")
+    assert(after.filter(col("ts") ===
+      lit(Timestamp.valueOf("2024-01-01 02:00:00"))).count() == 0)
+    assert(after.filter(col("series") === "cpu" &&
+      col("value") === 60.0).count() == 1, "kept row unchanged")
+    assert(new java.io.File(s"$root/dom/m/dt=2024-01-05").isDirectory)
+    // temps gone
+    for (sfx <- Seq("merge_in", "merging", "merge_old", "merge_ins"))
+      assert(!new java.io.File(s"$root/dom/.m__$sfx").exists(), sfx)
+    // delete-only MERGE with no insert clause: unmatched incoming rows
+    // are NOT written
+    val (u2, d2, i2, _) = TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", mkRows(Seq(
+        ("mem", "2024-01-02 02:00:00", 0.0),
+        ("mem", "2024-01-09 09:00:00", 0.0))),
+      Seq((None, "delete")), insertUnmatched = false)
+    assert(u2 == 0L && d2 == 1L && i2 == 0L)
+    // re-open: the swap invalidated the earlier read's file index
+    assert(TimeSeriesTable.open(spark, root, "dom", "m").count() == 5,
+      "delete applied, unmatched row dropped")
+  }
+
+  test("mergeRows crash mid-swap recovers via the merge aside") {
+    val root = Files.createTempDirectory("graft-merge-rec").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),
+      ("cpu", "2024-01-02 01:00:00", 2.0))), root, "dom", "m")
+    val before = TimeSeriesTable.open(spark, root, "dom", "m")
+      .select("series", "ts", "value").collect().toSeq.sortBy(_.toString)
+    // simulate a crash between the two renames: live dt moved to the
+    // merge aside, rewrite never landed
+    val fam = new java.io.File(s"$root/dom/m/dt=2024-01-01")
+    val aside = new java.io.File(s"$root/dom/.m__merge_old/dt=2024-01-01")
+    aside.getParentFile.mkdirs()
+    assert(fam.renameTo(aside))
+    val actions = TimeSeriesTable.recover(spark, root, "dom", "m")
+    assert(actions.exists(_.contains("merge aside")), actions.toString)
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+      .select("series", "ts", "value").collect().toSeq.sortBy(_.toString)
+    assert(after == before)
+  }
+
   test("upsertRows refuses duplicate and NULL incoming keys; " +
       "re-delivering the same batch is a no-op on content") {
     import spark.implicits._
