@@ -34,6 +34,43 @@ object VectorSearchOps {
       .filter(col("rank") <= k)
   }
 
+  /** FILTERED vector search — metadata-constrained exact top-k, the
+    * tenant/category-scoped query every production vector store serves
+    * (`top-k among vectors WHERE <metadata predicate>`). This is
+    * PRE-filtering: the constraint applies before any distance is
+    * computed, so recall over the satisfying subset is exact — the
+    * post-filtering alternative (top-k first, filter after) silently
+    * returns fewer than k under selective predicates.
+    *
+    * Two constraint shapes compose:
+    *  - static predicates: the caller filters/joins `corpus` before the
+    *    call (a `lang = 'en'` filter or a metadata-table semi-join);
+    *    Catalyst pushes scan-level predicates into parquet, so at
+    *    100 TB the distance kernel only ever sees surviving rows;
+    *  - per-query attributes via `matchCols`: each query searches only
+    *    corpus rows sharing its values (tenant isolation, label-scoped
+    *    search). Equality on `matchCols` turns the brute-force CROSS
+    *    join into a broadcast HASH join — the constraint is the join
+    *    key, so each corpus row meets only its own partition's queries
+    *    instead of all of them.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, matchCols: Seq[String] = Seq.empty): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id") +:
+      col(vecCol).cast("array<double>").as("cv") +: matchCols.map(col): _*)
+    val q = queries.select(col(idCol).as("q_id") +:
+      col(vecCol).cast("array<double>").as("qv") +: matchCols.map(col): _*)
+    val joined =
+      if (matchCols.isEmpty) c.crossJoin(broadcast(q))
+      else c.join(broadcast(q), matchCols)
+    joined.filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Candidate set via multi-table random-hyperplane LSH: a corpus row
     * is a candidate for a query if they share a bucket in any of
     * `tables` independent hash tables. Returns (q_id, nbr_id) distinct.
@@ -159,6 +196,62 @@ object VectorSearchOps {
       .select("q_id", "nbr_id")
     // exact refine on the survivors only
     cand.join(c, Seq("nbr_id")).join(broadcast(q.select("q_id", "qv")), Seq("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Scalar-quantization (SQ8) ANN top-k — the compression point
+    * between the exact scan and PQ: each dimension quantizes to one
+    * byte against per-dimension [min, max] bounds, an 8× shrink on
+    * dim-64 double vectors with far less distortion than PQ's 8-byte
+    * codes. The bounds come from ONE aggregation pass over the corpus
+    * (2·dim doubles — a driver-sized model artifact like the IVF
+    * centroids, inlined into the plan as literals), so encode, decode
+    * and the approximate scan are ZERO-SHUFFLE narrow maps; at 100 TB
+    * the stored/scanned form is the byte codes, the decoded doubles
+    * exist only inside the scoring projection, and the full vectors
+    * are re-read only for the k·refine survivors per query (exact
+    * refine via semi-join back to the corpus, same as [[pqTopK]]).
+    * Everything is deterministic double arithmetic — a SQL oracle
+    * replays the bounds, the round-trip quantization and both ranking
+    * stages exactly.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val dim = c.select(size(col("cv"))).head.getInt(0)
+    val statExprs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("cv"), i + 1)), max(element_at(col("cv"), i + 1))))
+    val statRow = c.agg(statExprs.head, statExprs.tail: _*).head
+    val mins = Array.tabulate(dim)(i => statRow.getDouble(2 * i))
+    val maxs = Array.tabulate(dim)(i => statRow.getDouble(2 * i + 1))
+    val lo = lit(mins)
+    val hi = lit(maxs)
+    // quantize + dequantize in one narrow pass: code = round(255·t),
+    // decoded = lo + code/255·(hi−lo); a constant dimension (hi = lo)
+    // codes to 0 and decodes to the constant
+    val dv = transform(col("cv"), (x, i) => {
+      val l = element_at(lo, i + 1)
+      val h = element_at(hi, i + 1)
+      when(h === l, l).otherwise(
+        l + round((x - l) / (h - l) * lit(255)) / lit(255.0) * (h - l))
+    })
+    val decoded = c.select(col("nbr_id"), dv.as("dv"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cand = decoded.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("q_id"))
+      .select(col("q_id"), col("nbr_id"),
+        round(GraftFunctions.cosine(col("qv"), col("dv")), 6).as("approx"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx").desc, col("nbr_id").asc)))
+      .filter(col("rk") <= k.toLong * refine)
+      .select("q_id", "nbr_id")
+    cand.join(c, Seq("nbr_id")).join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("nbr_id"),
         round(GraftFunctions.cosine(col("qv"), col("cv")), 6).as("cos"))
       .withColumn("rank", row_number().over(

@@ -702,6 +702,32 @@ object PipelineQueries {
         .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
     }),
 
+    "ann_sq8" -> ((s, d) => {
+      // scalar quantization: per-dim byte codes against corpus-wide
+      // [min,max] bounds (one agg pass -> driver artifact), approximate
+      // scan over the dequantized codes, exact refine on survivors —
+      // fully deterministic, so the oracle replays bounds + round-trip
+      val e = embs(s, d)
+      VectorSearchOps.sq8TopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
+    "ann_filtered" -> ((s, d) => {
+      // metadata-constrained search, PRE-filtered (exact recall over
+      // the satisfying subset): corpus restricted to english docs via a
+      // documents semi-join, and each query scoped to its OWN label
+      // (tenant isolation) — the label equality turns the scoring join
+      // into a broadcast hash join instead of a cross join
+      val e = embs(s, d)
+      val corpus = e.join(Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "leftsemi")
+      VectorSearchOps.filteredTopK(corpus, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, Seq("label"))
+        .select("q_id", "rank", "nbr_id", "cos").orderBy("q_id", "rank")
+    }),
+
     "ann_lsh" -> ((s, d) => {
       // approximate vs brute force, but deterministic: the DuckDB oracle
       // regenerates the derived hyperplane matrix and replays bucketing
@@ -1264,6 +1290,57 @@ object PipelineQueries {
         |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
         |               c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // SQ8 replay: per-dim [min,max] bounds, quantize round(255·t) and
+    // dequantize lo + code/255·(hi−lo) with the SAME expression shape
+    // as the Spark side, rounded-approx candidate cut at k·refine, then
+    // the exact rounded-cosine refine
+    "ann_sq8" ->
+      """WITH stats AS (
+        |  SELECT i, min(embedding[i]::DOUBLE) AS lo, max(embedding[i]::DOUBLE) AS hi
+        |  FROM embeddings, generate_series(1, 64) AS g(i) GROUP BY i),
+        |arrs AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+        |  FROM stats),
+        |dec AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN his[i] = los[i] THEN los[i]
+        |          ELSE los[i] + round((embedding[i]::DOUBLE - los[i])
+        |            / (his[i] - los[i]) * 255) / 255.0 * (his[i] - los[i]) END
+        |     for i in generate_series(1, 64)] AS dv
+        |  FROM embeddings, arrs),
+        |cand AS (
+        |  SELECT q_id, nbr_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.dv), 6) DESC,
+        |                 c.vec_id ASC) AS rk
+        |    FROM embeddings q JOIN dec c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 5)
+        |  WHERE rk <= 40)
+        |SELECT q_id, rank, nbr_id, cos FROM (
+        |  SELECT cand.q_id, cand.nbr_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    row_number() OVER (PARTITION BY cand.q_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               cand.nbr_id ASC) AS rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |    JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // filtered replay: same rounded-cosine ranking as ann_topk with the
+    // english semi-join and per-query label equality as pre-filters
+    "ann_filtered" ->
+      """SELECT q_id, rank, nbr_id, cos FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.label = q.label AND c.vec_id <> q.vec_id
+        |  JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'en'
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 

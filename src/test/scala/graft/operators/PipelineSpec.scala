@@ -253,6 +253,56 @@ class PipelineSpec extends SparkSpec {
       docs.select(countDistinct("text")).head.getLong(0))
   }
 
+  test("SQ8 ANN: near-exact recall vs brute force (quantization " +
+      "distortion, not bucketing, is the only approximation)") {
+    val queries = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorSearchOps.bruteForceTopK(
+      embs, queries, "vec_id", "embedding", 10))
+    val sq8 = pairs(VectorSearchOps.sq8TopK(
+      embs, queries, "vec_id", "embedding", 10))
+    val recall = brute.intersect(sq8).size.toDouble / brute.size
+    // 8-bit per-dim codes barely move cosines: on this corpus the
+    // candidate stage keeps every true neighbor — pin a high floor
+    assert(recall >= 0.9, s"SQ8 recall $recall below floor")
+    assert(pairs(VectorSearchOps.sq8TopK(
+      embs, queries, "vec_id", "embedding", 10)) == sq8, "deterministic")
+  }
+
+  test("filtered ANN: pre-filter semantics are exact over the subset; " +
+      "matchCols compile to a hash join, not a cross join") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val got = VectorSearchOps.filteredTopK(embs, queries,
+      "vec_id", "embedding", 5, Seq("label"))
+    // exact-over-subset: per query, results equal brute force over the
+    // label-restricted corpus
+    val labels = queries.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val gotPairs = got.select("q_id", "nbr_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    labels.foreach { case (qid, lbl) =>
+      val expect = VectorSearchOps.bruteForceTopK(
+          embs.filter(col("label") === lbl),
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+        .select("q_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(gotPairs.filter(_._1 == qid) == expect,
+        s"query $qid (label $lbl) diverges from brute force over subset")
+    }
+    // every result respects the constraint
+    val corpusLabels = embs.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    gotPairs.foreach { case (q, n, _) =>
+      assert(corpusLabels(n) == labels(q), s"$n leaked across labels") }
+    // plan: the label equality is a broadcast HASH join — the filtered
+    // path must not fall back to the nested-loop cross join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("ANN-LSH candidates give useful recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 10)
     val brute = VectorSearchOps.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
