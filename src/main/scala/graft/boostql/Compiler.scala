@@ -542,7 +542,7 @@ object Compiler {
     */
   private val tsWinFns = Set("rate", "delta", "locf", "ewma", "interp",
     "session", "holt", "holt_forecast", "holt_winters",
-    "holt_winters_forecast")
+    "holt_winters_forecast", "cusum", "cusum_low")
 
   /** Whole-partition series statistics (`zscore`): no time order — the
     * statistic is over the entire series (or each OVER partition), so
@@ -1391,7 +1391,8 @@ object Compiler {
       import org.apache.spark.sql.expressions.{Window => W}
       val arity =
         if (fn == "holt_winters" || fn == "holt_winters_forecast") 5
-        else if (fn == "holt" || fn == "holt_forecast") 3
+        else if (fn == "holt" || fn == "holt_forecast" ||
+          fn == "cusum" || fn == "cusum_low") 3
         else if (fn == "ewma" || fn == "session") 2 else 1
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
@@ -1509,6 +1510,34 @@ object Compiler {
           ColumnBridge.column(WindowExpression(
             graft.functions.Ewma(
               ColumnBridge.expression(c.cast("double")), alpha),
+            WindowSpecDefinition(
+              part.map(p => ColumnBridge.expression(col(ref(p).inName))),
+              Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),
+              UnspecifiedFrame)))
+        case "cusum" | "cusum_low" =>
+          // one-sided tabular CUSUM — the changepoint statistic:
+          // cusum(x, target, slack) accumulates deviations past
+          // target ± slack, floored at zero (cusum = upward shifts,
+          // cusum_low = downward); alarms are the user's threshold
+          // over the emitted statistic. Parameters bake into the
+          // update expressions, so both must be numeric literals.
+          def cusumParam(o: Operand, what: String): Double = o match {
+            case OLit(BFloat(a)) if java.lang.Double.isFinite(a) => a
+            case OLit(BInt(a)) => a.toDouble
+            case _ => throw CompileException(
+              s"$fn() $what must be a finite numeric literal")
+          }
+          val target = cusumParam(args(1), "target")
+          val slack = cusumParam(args(2), "slack")
+          if (slack < 0.0) throw CompileException(
+            s"$fn() slack must be >= 0")
+          import org.apache.spark.sql.catalyst.expressions.{
+            Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+            WindowSpecDefinition}
+          ColumnBridge.column(WindowExpression(
+            graft.functions.Cusum(
+              ColumnBridge.expression(c.cast("double")), target, slack,
+              low = fn == "cusum_low"),
             WindowSpecDefinition(
               part.map(p => ColumnBridge.expression(col(ref(p).inName))),
               Seq(SortOrder(ColumnBridge.expression(col(axis)), Ascending)),
@@ -2334,6 +2363,40 @@ object Compiler {
           s"$f() is not valid with a sliding bucket key — the window " +
             "expansion would double-count segments")
       }
+      /** acf(x, k): lag-k autocorrelation — Pearson correlation of the
+        * group's (xᵢ, xᵢ₊ₖ) pairs in time-axis order, the seasonality
+        * probe ("does the metric echo itself k steps later?") pairing
+        * holt_winters' literal period. Rides the same pre-aggregation
+        * window pass as the segment aggregates: ONE lead(k) over the
+        * group keys materializes the pair columns (both gated on both
+        * sides non-null — ANSI pair semantics), and the aggregate is
+        * corr's exact-sums formula over them (integral inputs keep the
+        * sums order-independent; the double tail is a fixed IEEE
+        * sequence — cross-engine stable, same discipline as
+        * [[Parser.corrDesugar]]). Same restrictions as the segment
+        * tier: the pair structure is a property of the consecutive
+        * time axis.
+        */
+      val acfSpecs: Seq[(String, Column, Int)] = aggSpecs.collect {
+        case Right(("acf", e, ps, a2)) =>
+          (aggXColName("acf", e, ps, a2),
+            operandColumn(e, aggOk = false), ps.head.toInt)
+        case Left(("acf", _)) => throw CompileException(
+          "acf() requires (field, lag) arguments")
+      }
+      if (acfSpecs.nonEmpty) {
+        if (multi) throw CompileException(
+          "acf() is single-source only — joined frames have no " +
+            "unambiguous time axis")
+        if (!isFam(0) && !subHasTs(0)) throw CompileException(
+          "acf() pairs points k apart on the time axis — this " +
+            "derived table does not output a timestamp column named ts")
+        if (spec.groupMode != "plain") throw CompileException(
+          "acf() is not valid with ROLLUP/CUBE/GROUPING SETS")
+        if (slidingEntries.nonEmpty) throw CompileException(
+          "acf() is not valid with a sliding bucket key — the window " +
+            "expansion would re-mesh which points sit k apart")
+      }
       /** mad(x): median absolute deviation — median(|x − median(x)|),
         * the robust dispersion aggregate (a z-score's stddev is dragged
         * by the very outliers it measures; a median is not). Needs the
@@ -2356,7 +2419,8 @@ object Compiler {
       if (madSpecs.nonEmpty && spec.groupMode != "plain")
         throw CompileException(
           "mad() is not valid with ROLLUP/CUBE/GROUPING SETS")
-      val preAgg = if (segSpecs.isEmpty && madSpecs.isEmpty) preExpanded
+      val preAgg = if (segSpecs.isEmpty && madSpecs.isEmpty &&
+          acfSpecs.isEmpty) preExpanded
       else {
         import org.apache.spark.sql.expressions.{Window => W}
         // materialize expression keys as NAMED columns first, so the
@@ -2392,12 +2456,43 @@ object Compiler {
           }
           df.withColumn(s"__seg_$nm", seg)
         }
+        // acf: gated (xᵢ, xᵢ₊ₖ) pair columns in the ORIGINAL type —
+        // sums stay exact over integral inputs, cast after (corr's
+        // discipline)
+        val withAcf = acfSpecs.foldLeft(withSegs) {
+          case (df, (nm, v, kk)) =>
+            val nx = lead(v, kk).over(w)
+            val ok = v.isNotNull && nx.isNotNull
+            df.withColumn(s"__acf_x_$nm", when(ok, v))
+              .withColumn(s"__acf_y_$nm", when(ok, nx))
+        }
         // mad: whole-partition (unordered) frame — the group median
         val wAll = W.partitionBy(partCols: _*)
-        madSpecs.foldLeft(withSegs) { case (df, (nm, v)) =>
+        madSpecs.foldLeft(withAcf) { case (df, (nm, v)) =>
           df.withColumn(s"__mad_dev_$nm",
             abs(v - percentile(v, lit(0.5)).over(wAll)))
         }
+      }
+      /** corr's exact-sums formula over the materialized pair columns;
+        * zero variance on either side → NULL (never DIVIDE_BY_ZERO). */
+      def acfColumn(nm: String): Column = {
+        val x = col(s"__acf_x_$nm")
+        val y = col(s"__acf_y_$nm")
+        val n = count(x).cast("double")
+        val sx = sum(x).cast("double")
+        val sy = sum(y).cast("double")
+        val sxx = sum(x * x).cast("double")
+        val syy = sum(y * y).cast("double")
+        val sxy = sum(x * y).cast("double")
+        val num = n * sxy - sx * sy
+        // guard BEFORE the sqrt: over exact integer sums the variance
+        // terms are exact doubles, and an engine whose NaN compares
+        // HIGH (DuckDB's total order) would pass a sqrt(negative)
+        // guard spelled on the sqrt value
+        val dxx = n * sxx - sx * sx
+        val dyy = n * syy - sy * sy
+        when(dxx > lit(0.0) && dyy > lit(0.0),
+          num / sqrt(dxx) / sqrt(dyy))
       }
       def segColumn(f: String, nm: String): Column = f match {
         case "twa" =>
@@ -2423,6 +2518,9 @@ object Compiler {
           val nm = aggColName(f, a); segColumn(f, nm).as(nm)
         case Right((f, e, ps, a2)) if segFns(f) =>
           val nm = aggXColName(f, e, ps, a2); segColumn(f, nm).as(nm)
+        case Right(("acf", e, ps, a2)) =>
+          val nm = aggXColName("acf", e, ps, a2)
+          acfColumn(nm).as(nm)
         case Left(("mad", a)) =>
           val nm = aggColName("mad", a)
           percentile(col(s"__mad_dev_$nm"), lit(0.5)).as(nm)

@@ -110,7 +110,7 @@ object Parser {
     "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
     "arg_max", "arg_min", "max_by", "min_by", "string_agg",
     "bool_and", "bool_or", "count_if", "regr_slope", "regr_intercept",
-    "regr_r2", "regr_count", "regr_avgx", "regr_avgy")
+    "regr_r2", "regr_count", "regr_avgx", "regr_avgy", "acf")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. The `regr_*`
@@ -1250,6 +1250,32 @@ object Parser {
             case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
             case None    => OAggX(fn, parg, Seq(p))
           }
+        } else if (id.equalsIgnoreCase("acf")) {
+          // acf(x, k): lag-k autocorrelation — Pearson correlation of
+          // the group's consecutive (xᵢ, xᵢ₊ₖ) pairs on the time axis
+          // ("does this metric echo itself k steps later?" — the
+          // seasonality probe pairing holt_winters' literal period).
+          // k is a positive integer literal so the lead() frame pins at
+          // compile time. No FILTER: dropping rows re-meshes which
+          // points are k apart — filter in WHERE or a subquery, where
+          // the lag structure is explicit. No OVER: the pre-aggregation
+          // lead() pass is itself a window — nesting is not defined.
+          val x = nested(addOperand())
+          expectSym(",")
+          val kk = peek match {
+            case TNum(s) if s.matches("\\d+") && s.toLong >= 1 &&
+                s.toLong <= 10000 =>
+              pos += 1; s.toInt
+            case t => throw ParseException(
+              s"acf() lag must be an integer literal in [1, 10000], got $t")
+          }
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            "acf is not supported as a window function")
+          filterClause().foreach(_ => throw ParseException(
+            "acf() does not support FILTER — dropping rows re-meshes " +
+              "which points sit k apart; filter in WHERE or a subquery"))
+          OAggX("acf", x, Seq(kk.toDouble))
         } else if (id.equalsIgnoreCase("arg_max") ||
             id.equalsIgnoreCase("arg_min") ||
             id.equalsIgnoreCase("max_by") || id.equalsIgnoreCase("min_by")) {

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.{
-  AggregateWindowFunction, AttributeReference, Cast, Expression, If, IsNull,
-  Literal}
+  AggregateWindowFunction, AttributeReference, Cast, Expression, Greatest,
+  If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.trees.{TernaryLike, UnaryLike}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -45,6 +45,57 @@ case class Ewma(child: Expression, alpha: Double)
   override lazy val evaluateExpression: Expression = y
 
   override protected def withNewChildInternal(newChild: Expression): Ewma =
+    copy(child = newChild)
+}
+
+/** One-sided tabular CUSUM over a running window — the changepoint
+  * statistic (Page 1954): accumulate deviations beyond an allowed
+  * slack around a target mean, floored at zero so in-control stretches
+  * reset the evidence:
+  *
+  *   high side: s_i = max(0, s_(i-1) + (x_i − (target + slack)))
+  *   low  side: s_i = max(0, s_(i-1) + ((target − slack) − x_i))
+  *
+  * An alarm is the user's threshold comparison over the emitted
+  * statistic (`QUALIFY s > h` / `WHERE`), not baked in — the kernel is
+  * the evidence accumulator. Seeded at 0 before any observation; a
+  * null input leaves the state unchanged and emits the last value.
+  *
+  * Same execution shape as [[Ewma]]: a one-slot
+  * [[AggregateWindowFunction]] on the pinned running ROWS frame, one
+  * declarative update per row, O(n) per partition. Over integral
+  * inputs with integral parameters every update is exact integer
+  * arithmetic in doubles, and the recurrence equals the closed form
+  * s_i = W_i − min(0, min_{j≤i} W_j) over the running deviation sum
+  * W — which is how a SQL engine replays it with two running windows,
+  * bit-identically.
+  */
+case class Cusum(child: Expression, target: Double, slack: Double,
+    low: Boolean = false)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+  require(java.lang.Double.isFinite(target) &&
+    java.lang.Double.isFinite(slack), "cusum target/slack must be finite")
+  require(slack >= 0.0, "cusum slack must be >= 0")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (low) "graft_cusum_low" else "graft_cusum"
+
+  private lazy val x = Cast(child, DoubleType)
+  private lazy val s =
+    AttributeReference("s", DoubleType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = s :: Nil
+  override val initialValues: Seq[Expression] = Literal(0.0) :: Nil
+  override lazy val updateExpressions: Seq[Expression] = {
+    val dev: Expression =
+      if (low) Literal(target - slack) - x else x - Literal(target + slack)
+    If(IsNull(x), s,
+      Greatest(Seq(Literal(0.0), s + dev))) :: Nil
+  }
+  override lazy val evaluateExpression: Expression = s
+
+  override protected def withNewChildInternal(newChild: Expression): Cusum =
     copy(child = newChild)
 }
 

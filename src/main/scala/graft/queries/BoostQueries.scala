@@ -836,6 +836,33 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 2 ORDER BY purchase.user")),
 
+    // CUSUM changepoint statistic (Page): running evidence of an
+    // upward / downward mean shift beyond target ± slack, floored at
+    // zero — the alarm is a threshold over the emitted statistic. One
+    // running-frame kernel pass per side; integer cents with integral
+    // parameters keep every update exact, so the oracle replays the
+    // recurrence through its closed form (running deviation sum minus
+    // its running minimum) bit-identically
+    "boost_ts_cusum" -> ((s, d) =>
+      run(s, d, "SELECT ts, " +
+        "cusum(CAST(purchase * 100.0 AS int), 4800.0, 1000.0) AS hi, " +
+        "cusum_low(CAST(purchase * 100.0 AS int), 4800.0, 1000.0) AS lo " +
+        "FROM dom.events WHERE purchase IS NOT NULL ORDER BY ts")),
+
+    // lag-k autocorrelation per series key: Pearson corr of consecutive
+    // (xᵢ, xᵢ₊ₖ) observation pairs in time order — the seasonality probe
+    // ("does this user's spend echo itself k purchases later?"). One
+    // lead() pass + the hash aggregate on the same keys (one exchange);
+    // integer cents keep the pair sums exact, so the oracle replays the
+    // identical IEEE tail
+    "boost_ts_acf" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "acf(CAST(purchase * 100.0 AS int), 1) AS r1, " +
+        "acf(CAST(purchase * 100.0 AS int), 2) AS r2, " +
+        "count(purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 5 ORDER BY purchase.user")),
+
     // time-weighted average on the SQL front: trapezoid integral over
     // integer cents — one lead() pass on the group keys + the hash
     // aggregate on the same keys (exchange reused), exact segment sums,
@@ -2570,6 +2597,63 @@ object BoostQueries {
         |  cnt AS n,
         |  sx / nd AS ax,
         |  sy / nd AS ay
+        |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // closed-form CUSUM replay: s_i = W_i − min(0, min_{j≤i} W_j) over
+    // the running deviation sum W — equals the max(0, s+dev) recurrence
+    // exactly over integral inputs
+    "boost_ts_cusum" ->
+      """WITH p AS (
+        |  SELECT ts, CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT ts,
+        |    SUM(x - 5800) OVER r AS wh,
+        |    SUM(3800 - x) OVER r AS wl
+        |  FROM p WINDOW r AS (ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT ts,
+        |  CAST(wh - LEAST(MIN(wh) OVER r, 0) AS DOUBLE) AS hi,
+        |  CAST(wl - LEAST(MIN(wl) OVER r, 0) AS DOUBLE) AS lo
+        |FROM w WINDOW r AS (ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY ts""".stripMargin,
+
+    // lag-pair replay: LEAD over (user, ts), exact BIGINT pair sums
+    // double-cast, the identical corr tail with pre-sqrt guards
+    "boost_ts_acf" ->
+      """WITH t AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u, ts,
+        |    CAST(TRUNC(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT u, x,
+        |    LEAD(x, 1) OVER w AS y1,
+        |    LEAD(x, 2) OVER w AS y2
+        |  FROM t WINDOW w AS (PARTITION BY u ORDER BY ts)),
+        |g AS (
+        |  SELECT u, COUNT(*) AS n,
+        |    CAST(COUNT(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y1 END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y1 * y1 END) AS DOUBLE) AS syy1,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x * y1 END) AS DOUBLE) AS sxy1,
+        |    CAST(COUNT(CASE WHEN y2 IS NOT NULL THEN x END) AS DOUBLE) AS n2,
+        |    CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x END) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y2 END) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx2,
+        |    CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y2 * y2 END) AS DOUBLE) AS syy2,
+        |    CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x * y2 END) AS DOUBLE) AS sxy2
+        |  FROM l GROUP BY u HAVING COUNT(*) > 5)
+        |SELECT u AS purchase_user,
+        |  CASE WHEN n1 * sxx1 - sx1 * sx1 > 0 AND n1 * syy1 - sy1 * sy1 > 0
+        |    THEN (n1 * sxy1 - sx1 * sy1) / SQRT(n1 * sxx1 - sx1 * sx1)
+        |           / SQRT(n1 * syy1 - sy1 * sy1) END AS r1,
+        |  CASE WHEN n2 * sxx2 - sx2 * sx2 > 0 AND n2 * syy2 - sy2 * sy2 > 0
+        |    THEN (n2 * sxy2 - sx2 * sy2) / SQRT(n2 * sxx2 - sx2 * sx2)
+        |           / SQRT(n2 * syy2 - sy2 * sy2) END AS r2,
+        |  n
         |FROM g ORDER BY purchase_user""".stripMargin,
 
     // identical trapezoid arithmetic: exact BIGINT segment sums per

@@ -3293,6 +3293,82 @@ class BoostQLSpec extends SparkSpec {
       "increase(c) AS i FROM dom.f GROUP BY d")
   }
 
+  test("acf(): planted period-2 signal reads -1 at lag 1 and +1 at " +
+      "lag 2; constant series NULLs; refusal matrix applies") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // strict alternation 1,5,1,5,…: lag-1 pairs anti-correlate
+    // perfectly (-1), lag-2 pairs correlate perfectly (+1)
+    val rows: Seq[(String, Timestamp, Option[Double])] =
+      (0 until 12).map(i => ("c",
+        Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        Some(if (i % 2 == 0) 1.0 else 5.0)))
+    def fam(rs: Seq[(String, Timestamp, Option[Double])]) =
+      spark.createDataFrame(rs).toDF("series", "ts", "value")
+        .withColumn("attributes", map().cast("map<string,string>"))
+        .withColumn("tags", map().cast("map<string,string>"))
+    val r = Compiler.compile(Parser.parse(
+      "SELECT acf(CAST(c AS int), 1) AS r1, acf(CAST(c AS int), 2) AS r2 " +
+        "FROM dom.f"), fam(rows)).collect()(0)
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-12, r.getDouble(0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12, r.getDouble(1))
+    // zero variance on a side → NULL, never DIVIDE_BY_ZERO/NaN
+    val const = (0 until 6).map(i => ("c",
+      Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+      Some(2.0): Option[Double]))
+    val rc = Compiler.compile(Parser.parse(
+      "SELECT acf(c, 1) AS r1 FROM dom.f"), fam(const)).collect()(0)
+    assert(rc.isNullAt(0))
+    // lag beyond the group leaves no pairs → NULL
+    val rl = Compiler.compile(Parser.parse(
+      "SELECT acf(c, 100) AS r FROM dom.f"), fam(rows)).collect()(0)
+    assert(rl.isNullAt(0))
+    def refuses(q: String): Unit =
+      intercept[Exception](Compiler.compile(Parser.parse(q), fam(rows)))
+    refuses("SELECT c.host, acf(c, 1) AS r FROM dom.f GROUP BY ROLLUP (c.host)")
+    refuses("SELECT acf(c) AS r FROM dom.f")            // lag required
+    refuses("SELECT acf(c, 0) AS r FROM dom.f")         // positive lag
+    refuses("SELECT acf(c, 1) FILTER (WHERE c > 0.0) AS r FROM dom.f")
+    refuses("SELECT acf(c, 1) OVER (PARTITION BY c.host) AS r FROM dom.f")
+  }
+
+  test("cusum(): planted mean shift accumulates evidence, in-control " +
+      "stretches reset to zero, nulls hold state; refusals") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // in-control at 10 (target 10, slack 2: no side accumulates), then
+    // a +5 shift: hi ramps by (15-12)=3 per point; a dip back resets
+    val vals = Seq(10.0, 11.0, 9.0, 15.0, 15.0, 15.0, 5.0, 10.0)
+    val rows: Seq[(String, Timestamp, Option[Double])] =
+      vals.zipWithIndex.map { case (v, i) => ("c",
+        Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), Some(v)) }
+    def fam(rs: Seq[(String, Timestamp, Option[Double])]) =
+      spark.createDataFrame(rs).toDF("series", "ts", "value")
+        .withColumn("attributes", map().cast("map<string,string>"))
+        .withColumn("tags", map().cast("map<string,string>"))
+    val got = Compiler.compile(Parser.parse(
+      "SELECT ts, cusum(c, 10.0, 2.0) AS hi, cusum_low(c, 10.0, 2.0) AS lo " +
+        "FROM dom.f ORDER BY ts"), fam(rows)).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    // hi: 0,0,0,3,6,9, then 5 is 7 under the 12 bound -> floor 2... no:
+    // max(0, 9 + (5-12)) = 2, then max(0, 2 + (10-12)) = 0
+    assert(got.map(_._1) == Seq(0.0, 0.0, 0.0, 3.0, 6.0, 9.0, 2.0, 0.0))
+    // lo accumulates only on the dip: 8 - 5 = 3, then 8 - 10 -> 1
+    assert(got.map(_._2) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 3.0, 1.0))
+    // a null input holds the statistic (emits the last value)
+    val rows2 = rows.take(6) :+ (("c",
+      Timestamp.valueOf("2024-01-01 00:06:00"), None: Option[Double]))
+    val g2 = Compiler.compile(Parser.parse(
+      "SELECT ts, cusum(c, 10.0, 2.0) AS hi FROM dom.f ORDER BY ts"),
+      fam(rows2)).collect().map(_.getDouble(1)).toSeq
+    assert(g2 == Seq(0.0, 0.0, 0.0, 3.0, 6.0, 9.0, 9.0))
+    def refuses(q: String): Unit =
+      intercept[Exception](Compiler.compile(Parser.parse(q), fam(rows)))
+    refuses("SELECT cusum(c, 10.0) AS s FROM dom.f")        // arity
+    refuses("SELECT cusum(c, c, 2.0) AS s FROM dom.f")      // literal target
+    refuses("SELECT cusum(c, 10.0, -1.0) AS s FROM dom.f")  // slack >= 0
+  }
+
   test("SHOW FAMILIES: registry listing, domain filter, resolver refusal") {
     val reg = Map(("dom", "events") -> fam, ("ops", "metrics") -> fam,
       ("ops", "alerts") -> fam)
