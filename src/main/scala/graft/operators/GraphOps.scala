@@ -199,6 +199,65 @@ object GraphOps {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** PageRank by power iteration over an UNDIRECTED edge list, in
+    * EXACT fixed-point integer arithmetic — centrality inside the
+    * near-dup graph (which document is the hub of its template family;
+    * the canonical-pick signal complementing dd_canonical's
+    * longest-doc rule).
+    *
+    * Every quantity is a long in `scale` units and every operation an
+    * integer op — init r = scale div n, per-edge contribution
+    * r div deg, damping 0.85 = 17/20 and teleport 0.15 = 3/20 as exact
+    * rationals via integer div — so the result is independent of
+    * summation order (long sums commute exactly, where double
+    * PageRank's per-node Σ drifts with shuffle order) and a SQL engine
+    * unrolling the same iterations replays it BIT-IDENTICALLY. The
+    * deliberate trade: each iteration floors at most `2 + deg` times,
+    * a ≤ iterations·(2+deg)/scale absolute error — ~1e-10 at the
+    * default scale, far below any ranking use.
+    *
+    * Scale shape: per iteration ONE shuffle-sum of per-edge longs on
+    * dst plus broadcast-friendly joins against the degree table;
+    * `localCheckpoint` per round truncates the iterative lineage (the
+    * CC/star idiom above). Isolated nodes (no edges) are not ranked —
+    * rank mass lives on the edge-connected subgraph; symmetrization
+    * means no dangling nodes, so total mass is conserved up to floor
+    * dust and no redistribution term is needed.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      "pageRank iterations must be in [1, 100]")
+    val sym = canonical(edges, srcCol, dstCol)
+    val e = sym.select(col("a").as("src"), col("b").as("dst"))
+      .union(sym.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "pageRank needs at least one edge")
+    // Scala long division here MUST mirror the oracle's integer //
+    // chain: (scale div n), ((3·scale div 20) div n)
+    val init = scale / n
+    val base = 3 * scale / 20 / n
+    var rank = deg.select(col("id"), lit(init).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg.select(col("id").as("src"), col("deg")), Seq("src"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      rank = deg.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"17 * coalesce(s, 0L) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Does `dt` externalize (Row.get) to a JVM value whose natural
     * Comparable order matches Catalyst's ordering? The driver fast path
     * may only engage for these; Catalyst-orderable types with

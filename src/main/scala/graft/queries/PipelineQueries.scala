@@ -91,6 +91,42 @@ object PipelineQueries {
        |    UNION ALL SELECT z FROM tri)
        |  GROUP BY id)""".stripMargin
 
+  /** PageRank oracle: the same near-dup `pairs` edge set symmetrized,
+    * then the ten power iterations UNROLLED as chained CTEs (standard
+    * SQL bars aggregation in a recursive term) — every op the identical
+    * integer expression the Spark side compiles (`//` ≡ `div`; all
+    * values non-negative so trunc = floor), hence bit-identical.
+    */
+  private val pageRankOracle: String = {
+    val scale = 1000000000000L
+    val head = s"""$shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE $jaccardExpr >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT id, $scale // n AS r FROM deg, nn)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT d.id,
+         |    (3 * $scale // 20 // nn.n)
+         |      + (17 * coalesce(c.s, 0) // 20) AS r
+         |  FROM deg d CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(p.r // dg.deg) AS BIGINT) AS s
+         |    FROM edges e JOIN r${i - 1} p ON p.id = e.src
+         |    JOIN deg dg ON dg.id = e.src
+         |    GROUP BY e.dst) c ON c.id = d.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + iters +
+      "\nSELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r10 " +
+      "ORDER BY doc_id"
+  }
+
   /** Demo classifier model for `txt_classify`: deterministic weights in
     * [-1, 1] spread over the 256 hash buckets by a Knuth multiplicative
     * hash, micro-unit quantized (the operator's exactness contract).
@@ -675,6 +711,20 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // PageRank centrality over the near-dup graph in exact fixed-point
+    // integer arithmetic (10 iterations, damping 17/20): which document
+    // is the HUB of its template family — the canonical-pick signal
+    // complementing dd_canonical's longest-doc rule. Integer ops make
+    // the result summation-order independent, so the oracle unrolls the
+    // same ten iterations bit-identically
+    "graph_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(
+          TextDedupOps.ngramJaccardPairs(docs(s, d), "doc_id", "text"),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("r", "rank_fp")
+        .orderBy("doc_id")),
+
     // cluster resolution: keep each component's longest doc (tie -> min
     // id) — the survivor list a dedup pipeline actually emits
     "dd_canonical" -> ((s, d) =>
@@ -1255,6 +1305,8 @@ object PipelineQueries {
          |       ELSE 0.0e0 END AS clustering
          |FROM deg d LEFT JOIN tcnt t ON t.id = d.id
          |ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank" -> pageRankOracle,
 
     "dd_canonical" ->
       s"""$componentCte

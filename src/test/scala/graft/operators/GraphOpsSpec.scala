@@ -159,4 +159,41 @@ class GraphOpsSpec extends SparkSpec {
       assert(triOf(edges) === expect, s"seed=$seed")
     }
   }
+
+  private def prOf(edges: Seq[(Long, Long)],
+      iters: Int = 10): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("pageRank: symmetric graphs rank by degree share; hub of a star " +
+      "dominates; mass conserved up to floor dust") {
+    val scale = 1000000000000L
+    // triangle: perfect symmetry — every node identical, exactly
+    // scale/3 at every iteration (integer fixed point: no drift)
+    val tri = prOf(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert(tri.values.toSet.size == 1)
+    assert(math.abs(tri(0L) - scale / 3) <= 10)
+    // star: the center holds more mass than any leaf, leaves tie
+    val star = prOf(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+    assert(star(9L) > star(1L) * 2)
+    assert(Set(star(1L), star(2L), star(3L), star(4L)).size == 1)
+    // undirected graph, no dangling nodes: total mass ≈ scale
+    // (each node floors away < iters·(2+deg) units)
+    val total = star.values.sum
+    assert(math.abs(total - scale) < 1000L, total.toString)
+  }
+
+  test("pageRank is summation-order independent: repartitioned and " +
+      "reversed edge lists give bit-identical ranks") {
+    val rnd = new Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val base = prOf(edges)
+    val reversed = prOf(edges.map(_.swap).reverse)
+    assert(reversed === base)
+    val repart = GraphOps.pageRank(
+        edges.toDF("s", "d").repartition(17), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(repart === base)
+  }
 }
