@@ -279,6 +279,97 @@ object BoostQL {
       "UPSERT must be 'UPSERT INTO domain.family SELECT …'")
   }
 
+  /** `CREATE [OR REPLACE] FAMILY domain.family AS <select>` — CTAS, the
+    * DDL face of the derived-family workflow [[sqlInsert]] serves
+    * imperatively: one statement materializes a query as a NEW family
+    * in the warehouse (select output → long rows by the same UNPIVOT
+    * contract, date-partitioned [[TimeSeriesTable.append]] layout).
+    * Plain CREATE refuses when the family already exists (ANSI; an
+    * accidental re-run must not double a corpus — that is INSERT's
+    * contract, chosen explicitly); OR REPLACE stages the new rows
+    * FIRST, then swaps — a failed select never destroys the previous
+    * family. Returns the number of datapoints written.
+    */
+  def sqlCreateFamily(stmt: String,
+      families: ((String, String)) => DataFrame, root: String): Long = {
+    val createRe =
+      """(?is)^\s*create\s+(or\s+replace\s+)?family\s+(\w+)\s*\.\s*(\w+)\s+as\s+((?:select|with)\b.*)$""".r
+    stmt match {
+      case createRe(orReplace, dom, fam, rest) =>
+        val df = Compiler.compile(Parser.parseStmt(rest), families)
+        val spark = df.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(s"$root/$dom/$fam")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(dir)
+        if (exists && orReplace == null) throw Compiler.CompileException(
+          s"family $dom.$fam already exists — CREATE OR REPLACE FAMILY " +
+            "swaps it atomically, INSERT INTO appends to it")
+        val rows = insertLong(df)
+        if (!exists) {
+          TimeSeriesTable.append(rows, root, dom, fam)
+          TimeSeriesTable.open(spark, root, dom, fam).count()
+        } else {
+          // replace: stage the full new family, then two-rename swap
+          // (the compact() shape) — the select runs BEFORE anything
+          // moves, so a failure leaves the old family untouched
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$root/$dom/.${fam}__ctas")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          TimeSeriesTable.append(rows, root, dom, s".${fam}__ctas")
+          val n = spark.read.schema(
+            TimeSeriesTable.schema.add("dt", "date")).option("basePath",
+            tmp.toString).parquet(tmp.toString).count()
+          val aside = new org.apache.hadoop.fs.Path(
+            s"$root/$dom/.${fam}__ctas_old")
+          if (fs.exists(aside)) fs.delete(aside, true)
+          if (!fs.rename(dir, aside)) throw new java.io.IOException(
+            s"CREATE OR REPLACE FAMILY: could not move $dir aside — " +
+              "family left untouched")
+          if (!fs.rename(tmp, dir)) {
+            fs.rename(aside, dir)
+            throw new java.io.IOException(
+              s"CREATE OR REPLACE FAMILY: swap rename failed — " +
+                "family restored")
+          }
+          fs.delete(aside, true)
+          n
+        }
+      case _ => throw Compiler.CompileException(
+        "CREATE FAMILY takes 'CREATE [OR REPLACE] FAMILY domain.family " +
+          "AS SELECT …'")
+    }
+  }
+
+  /** `DROP FAMILY [IF EXISTS] domain.family` — the operational drop the
+    * row-level verbs refuse by design (a whole-family DELETE is not a
+    * query). Removes the family directory recursively. Plain DROP of a
+    * missing family refuses (a typo should not silently succeed);
+    * IF EXISTS makes it idempotent. Returns true when a family was
+    * dropped.
+    */
+  def sqlDropFamily(stmt: String, spark: SparkSession,
+      root: String): Boolean = {
+    val dropRe =
+      """(?is)^\s*drop\s+family\s+(if\s+exists\s+)?(\w+)\s*\.\s*(\w+)\s*$""".r
+    stmt match {
+      case dropRe(ifExists, dom, fam) =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/$dom/$fam")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) {
+          if (ifExists == null) throw Compiler.CompileException(
+            s"family $dom.$fam does not exist — DROP FAMILY IF EXISTS " +
+              "is the idempotent form")
+          false
+        } else {
+          if (!fs.delete(dir, true)) throw new java.io.IOException(
+            s"DROP FAMILY: could not delete $dir")
+          true
+        }
+      case _ => throw Compiler.CompileException(
+        "DROP FAMILY takes 'DROP FAMILY [IF EXISTS] domain.family'")
+    }
+  }
+
   /** `MERGE INTO domain.family USING (<select>) WHEN …` — ANSI MERGE,
     * the general mutate verb the tier's other verbs are special cases
     * of (UPSERT ≡ unconditional matched-UPDATE + not-matched-INSERT).

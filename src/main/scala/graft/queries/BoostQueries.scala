@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.boostql.BoostQL
+import graft.boostql.{BoostQL, Compiler}
 import graft.sources.TimeSeriesTable
 import graft.tables.Tables
 
@@ -1167,6 +1167,39 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // the DDL face: CTAS materializes a query as a NEW family (plain
+    // re-CREATE refuses — accidental re-runs must not double a corpus),
+    // OR REPLACE stages first then swaps (a failed select never
+    // destroys the previous family), DROP FAMILY is the operational
+    // whole-family drop the row-level DELETE refuses by design, and
+    // IF EXISTS makes it idempotent. The read proves the REPLACE won.
+    "boost_create_family" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val n1 = BoostQL.sqlCreateFamily(
+        "CREATE FAMILY dom.derived AS SELECT ts, max(view) AS v " +
+          "FROM dom.events GROUP BY ts", _ => fam, root)
+      require(n1 > 0, "CTAS wrote no rows")
+      val refused =
+        try { BoostQL.sqlCreateFamily("CREATE FAMILY dom.derived AS " +
+          "SELECT ts, max(view) AS v FROM dom.events GROUP BY ts",
+          _ => fam, root); false }
+        catch { case _: Compiler.CompileException => true }
+      require(refused, "plain CREATE over an existing family must refuse")
+      val n2 = BoostQL.sqlCreateFamily(
+        "CREATE OR REPLACE FAMILY dom.derived AS SELECT ts, " +
+          "max(view) * 2.0 AS v FROM dom.events GROUP BY ts", _ => fam, root)
+      require(n2 == n1, "the replacement rollup has the same ts keys")
+      BoostQL.sqlCreateFamily("CREATE FAMILY dom.scratch AS SELECT ts, " +
+        "max(click) AS c FROM dom.events GROUP BY ts", _ => fam, root)
+      require(BoostQL.sqlDropFamily("DROP FAMILY dom.scratch", s, root))
+      require(!BoostQL.sqlDropFamily(
+        "DROP FAMILY IF EXISTS dom.scratch", s, root))
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT v, ts FROM dom.derived ORDER BY ts",
+        _ => reread)
+    }),
+
     // ANSI MERGE (the general mutate verb; UPSERT is its unconditional
     // special case), oracle-checked end to end: seed p = per-ts max
     // purchase, then one MERGE whose batch carries corrections for the
@@ -2159,6 +2192,11 @@ object BoostQueries {
         |    LEFT JOIN repl r ON s.ts = r.ts
         |  UNION ALL SELECT q AS p, ts FROM qrows) t
         |ORDER BY ts, p""".stripMargin,
+
+    // the surviving family is the OR REPLACE variant (doubled rollup)
+    "boost_create_family" ->
+      """SELECT MAX(value) * 2.0 AS v, ts FROM events
+        |WHERE event_type = 'view' GROUP BY ts ORDER BY ts""".stripMargin,
 
     // ANSI MERGE replay: matched seed rows take the first true clause
     // (update when the correction is < 700, else delete when the seed

@@ -1046,18 +1046,22 @@ object TimeSeriesTable {
     val live = new org.apache.hadoop.fs.Path(s"$root/$domain/$family")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    // compact: whole-dir aside first (the live dir itself may be gone)
-    val compactAside = new org.apache.hadoop.fs.Path(
-      s"$root/$domain/.${family}__old")
-    if (fs.exists(compactAside)) {
-      if (!fs.exists(live)) {
-        if (!fs.rename(compactAside, live)) throw new java.io.IOException(
-          s"recovery failed: could not restore $live from $compactAside")
-        actions += s"restored $family from the compact aside"
-      } else {
-        fs.delete(compactAside, true)
-        actions += "dropped stale compact aside (swap had completed)"
-      }
+    // whole-dir asides first (the live dir itself may be gone):
+    // compact's and CREATE OR REPLACE FAMILY's swap share the shape
+    Seq("old" -> "compact", "ctas_old" -> "ctas").foreach {
+      case (sfx, verb) =>
+        val wholeAside = new org.apache.hadoop.fs.Path(
+          s"$root/$domain/.${family}__$sfx")
+        if (fs.exists(wholeAside)) {
+          if (!fs.exists(live)) {
+            if (!fs.rename(wholeAside, live)) throw new java.io.IOException(
+              s"recovery failed: could not restore $live from $wholeAside")
+            actions += s"restored $family from the $verb aside"
+          } else {
+            fs.delete(wholeAside, true)
+            actions += s"dropped stale $verb aside (swap had completed)"
+          }
+        }
     }
     // mutate verbs: per-partition asides
     Seq("delete", "update", "upsert", "merge").foreach { verb =>
@@ -1086,7 +1090,7 @@ object TimeSeriesTable {
     }
     // in-flight rewrite temps: unswapped output rolls back
     Seq("compacting", "deleting", "updating", "upserting", "upsert_in",
-        "merging", "merge_in", "merge_ins").foreach { phase =>
+        "merging", "merge_in", "merge_ins", "ctas").foreach { phase =>
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__$phase")
       if (fs.exists(tmp)) {

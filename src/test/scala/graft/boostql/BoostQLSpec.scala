@@ -166,6 +166,39 @@ class BoostQLSpec extends SparkSpec {
     bad("MERGE INTO dom.d USING (SELECT 1", "closing parenthesis")
   }
 
+  test("CREATE/DROP FAMILY: CTAS refuses over an existing family, " +
+      "OR REPLACE swap is staged and crash-recoverable, DROP grammar") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    val n = BoostQL.sqlCreateFamily("CREATE FAMILY dom.x AS " +
+      "SELECT ts, max(click) AS c FROM dom.events GROUP BY ts",
+      _ => fam, root)
+    assert(n > 0)
+    intercept[Compiler.CompileException](BoostQL.sqlCreateFamily(
+      "CREATE FAMILY dom.x AS SELECT ts, max(click) AS c " +
+        "FROM dom.events GROUP BY ts", _ => fam, root))
+    // a failing OR REPLACE select leaves the old family untouched
+    intercept[Exception](BoostQL.sqlCreateFamily(
+      "CREATE OR REPLACE FAMILY dom.x AS SELECT nosuch FROM dom.events",
+      _ => fam, root))
+    assert(TimeSeriesTable.open(spark, root, "dom", "x").count() == n)
+    // crash between the swap renames: live dir gone, aside present —
+    // recover() restores the previous family
+    val live = new java.io.File(s"$root/dom/x")
+    val aside = new java.io.File(s"$root/dom/.x__ctas_old")
+    assert(live.renameTo(aside))
+    val acts = TimeSeriesTable.recover(spark, root, "dom", "x")
+    assert(acts.exists(_.contains("ctas aside")), acts.toString)
+    assert(TimeSeriesTable.open(spark, root, "dom", "x").count() == n)
+    // DROP: missing refuses, IF EXISTS is idempotent
+    intercept[Compiler.CompileException](
+      BoostQL.sqlDropFamily("DROP FAMILY dom.nosuch", spark, root))
+    assert(BoostQL.sqlDropFamily("DROP FAMILY dom.x", spark, root))
+    assert(!BoostQL.sqlDropFamily(
+      "DROP FAMILY IF EXISTS dom.x", spark, root))
+    intercept[Compiler.CompileException](
+      BoostQL.sqlDropFamily("DROP FAMILY x", spark, root))
+  }
+
   test("DATE/TIMESTAMP literals: typed bounds equal string bounds; " +
       "malformed text is a parse error; keyword stays contextual") {
     def q(where: String) = BoostQL.sql(
