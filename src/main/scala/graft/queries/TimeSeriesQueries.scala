@@ -255,6 +255,40 @@ object TimeSeriesQueries {
         .orderBy("series", "ts_us")
     }),
 
+    // INCREMENTAL rollup maintenance: materialize the 1-day rollup over
+    // a partial corpus, append the rest, refresh — only the appended
+    // dates re-aggregate (asserted), a third refresh is a metadata-only
+    // no-op, and the final family hash-matches the from-scratch rollup
+    // oracle. The refresh verb is what keeps dashboard rollups current
+    // under daily ingest without rescanning history.
+    "ts_refresh_rollup" -> ((s, d) => {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_refresh").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      TimeSeriesTable.append(fam.filter(col("ts") < lit(cut)),
+        root, "dom", "events")
+      val day = 86400L * 1000000L
+      val (r1, _) = TimeSeriesTable.refreshDownsample(
+        s, root, "dom", "events", day, "1d")
+      require(r1.nonEmpty, "initial refresh materializes every date")
+      TimeSeriesTable.append(fam.filter(col("ts") >= lit(cut)),
+        root, "dom", "events")
+      val (r2, rm2) = TimeSeriesTable.refreshDownsample(
+        s, root, "dom", "events", day, "1d")
+      require(r2.nonEmpty && r2.size < r1.size,
+        s"refresh must touch only the appended dates " +
+          s"(${r2.size} of ${r1.size})")
+      require(rm2.isEmpty, "nothing expired")
+      val (r3, rm3) = TimeSeriesTable.refreshDownsample(
+        s, root, "dom", "events", day, "1d")
+      require(r3.isEmpty && rm3.isEmpty, "no-op refresh must touch nothing")
+      TimeSeriesTable.open(s, root, "dom", "events_1d")
+        .select(col("series"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("series", "ts_us")
+    }),
+
     // ordered funnel over the event stream: signup → view → click →
     // purchase, each step strictly after the previous, the whole
     // journey within 14 days of signup. One exchange on the user key
@@ -582,6 +616,30 @@ object TimeSeriesQueries {
     // sums divided once in doubles, integer epoch bucketing, the
     // identical {series}:{agg}_1d naming
     "ts_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+        |    value
+        |  FROM events),
+        |g AS (
+        |  SELECT series, bus,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE) AS av,
+        |    MIN(value) AS mn, MAX(value) AS mx,
+        |    CAST(COUNT(value) AS DOUBLE) AS n
+        |  FROM b GROUP BY series, bus)
+        |SELECT series || ':avg_1d' AS series, bus AS ts_us, av AS value FROM g
+        |UNION ALL
+        |SELECT series || ':min_1d', bus, mn FROM g
+        |UNION ALL
+        |SELECT series || ':max_1d', bus, mx FROM g
+        |UNION ALL
+        |SELECT series || ':count_1d', bus, n FROM g
+        |ORDER BY series, ts_us""".stripMargin,
+
+    // the incrementally-maintained rollup must equal the from-scratch
+    // one — the oracle is the SAME full-corpus replay as ts_rollup
+    "ts_refresh_rollup" ->
       """WITH b AS (
         |  SELECT event_type AS series,
         |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,

@@ -159,7 +159,21 @@ object TimeSeriesTable {
     require(bucketMicros > 0, "bucketMicros must be positive")
     require(label.nonEmpty && label.forall(c => c.isLetterOrDigit || c == '_'),
       "label must be alphanumeric")
-    val src = open(spark, root, domain, family)
+    val rows = rollupRows(open(spark, root, domain, family),
+      bucketMicros, label)
+    val target = toFamily.getOrElse(s"${family}_$label")
+    append(rows, root, domain, target)
+    target
+  }
+
+  /** The downsample aggregation body over an arbitrary source frame —
+    * shared by the one-shot [[downsample]] materialization and the
+    * incremental [[refreshDownsample]] (which feeds it only the
+    * changed dates' files). Determinism contract as documented on
+    * [[downsample]].
+    */
+  private def rollupRows(src: DataFrame, bucketMicros: Long,
+      label: String): DataFrame = {
     val u = unix_micros(col("ts"))
     val bucket = timestamp_micros(u - pmod(u, lit(bucketMicros)))
     // tags are series-constant by the data model, but nothing enforces
@@ -179,7 +193,7 @@ object TimeSeriesTable {
         min(col("value")).as("__min"), max(col("value")).as("__max"),
         min_by(col("tags"), renderedTags).as("__tags"))
       .withColumn("__avg", col("__sum") / col("__n").cast("double"))
-    val rows = g.select(col("series"), col("ts"), col("__tags"),
+    g.select(col("series"), col("ts"), col("__tags"),
       explode(array(
         struct(lit("avg").as("a"), col("__avg").as("v")),
         struct(lit("min").as("a"), col("__min").as("v")),
@@ -191,9 +205,133 @@ object TimeSeriesTable {
           .as("series"),
         col("ts"), col("e.v").as("value"), col("__tags").as("tags"),
         map().cast(MapType(StringType, StringType)).as("attributes"))
+  }
+
+  /** INCREMENTAL materialized-rollup maintenance — the refresh verb
+    * that keeps a [[downsample]] family current as its source family
+    * takes appends, upserts, deletes or compactions, recomputing ONLY
+    * the source date partitions whose file set changed.
+    *
+    * Change detection is metadata-only: a per-date signature (sorted
+    * relative-path:length list, hashed) of the source's data files,
+    * compared against a manifest stored as a hidden sidecar in the
+    * derived family (`.graft_refresh_manifest`; dot-files are invisible
+    * to parquet readers). A date whose signature moved — new files
+    * appended, a compaction's rewrite, a mutate verb's swap — is
+    * re-aggregated from its files alone and SWAPPED into the derived
+    * family partition-atomically (two renames per date, aside
+    * recoverable via [[recover]]); a date that vanished from the
+    * source (expire/retention) drops from the rollup; untouched dates'
+    * derived files are never read, written, or moved. First refresh of
+    * a missing derived family is simply "every date changed" — the
+    * initial materialization and the maintenance path are one code
+    * path. The manifest writes LAST, so a crash anywhere re-runs as a
+    * larger-but-idempotent refresh.
+    *
+    * Requires `bucketMicros` to divide a day: derived rows then land
+    * on the same `dt` as their source rows, which is what makes the
+    * per-date swap sound (a week-wide bucket would straddle dates).
+    * At 100 TB this is THE rollup-maintenance lever: a daily ingest
+    * touches yesterday's partition, so the refresh re-aggregates one
+    * date, not months.
+    *
+    * Returns (rebuilt derived partitions, dropped derived partitions).
+    */
+  def refreshDownsample(spark: SparkSession, root: String, domain: String,
+      family: String, bucketMicros: Long, label: String,
+      toFamily: Option[String] = None): (Seq[String], Seq[String]) = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(86400000000L % bucketMicros == 0,
+      "refreshDownsample needs a day-divisible bucket so derived rows " +
+        "stay on their source date — use downsample() for wider buckets")
+    require(label.nonEmpty && label.forall(c => c.isLetterOrDigit || c == '_'),
+      "label must be alphanumeric")
     val target = toFamily.getOrElse(s"${family}_$label")
-    append(rows, root, domain, target)
-    target
+    val srcDir = s"$root/$domain/$family"
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgtPath = new org.apache.hadoop.fs.Path(s"$root/$domain/$target")
+    def dtOf(p: String): Option[String] = p.split('/').collectFirst {
+      case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
+    }
+    val statuses =
+      if (fs.exists(srcPath)) listDataStatus(fs, srcPath) else Seq.empty
+    val byDt = statuses.groupBy(st => dtOf(st.getPath.toString))
+    if (byDt.contains(None) && byDt(None).nonEmpty)
+      throw new java.io.IOException(
+        s"refreshDownsample on $srcDir: data files exist OUTSIDE the " +
+          "dt= partition layout — compact() the family first")
+    val sig: Map[String, String] = byDt.collect {
+      case (Some(d), sts) =>
+        val rendered = sts.map(st =>
+            st.getPath.getName + ":" + st.getLen).sorted.mkString("\n")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (d, md.digest(rendered.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    val manifestPath = new org.apache.hadoop.fs.Path(tgtPath,
+      ".graft_refresh_manifest")
+    val old: Map[String, String] =
+      if (!fs.exists(manifestPath)) Map.empty
+      else {
+        val in = fs.open(manifestPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(d, s) = line.split('\t'); (d, s)
+        }.toMap
+      }
+    val changed = sig.keySet.filter(d => !old.get(d).contains(sig(d)))
+    val removed = old.keySet -- sig.keySet
+    if (changed.isEmpty && removed.isEmpty) return (Seq.empty, Seq.empty)
+    if (changed.nonEmpty) {
+      val rebuildFiles = statuses.map(_.getPath.toString)
+        .filter(f => dtOf(f).exists(changed.contains))
+      val rows = rollupRows(
+        spark.read.schema(schema).parquet(rebuildFiles: _*),
+        bucketMicros, label)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${target}__refreshing")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      rows.withColumn("dt", to_date(col("ts")))
+        .repartition(col("dt"))
+        .sortWithinPartitions("series", "ts")
+        .write.partitionBy("dt").mode("overwrite").parquet(tmp.toString)
+      val asideRoot = new org.apache.hadoop.fs.Path(
+        s"$root/$domain/.${target}__refresh_old")
+      if (fs.exists(asideRoot)) fs.delete(asideRoot, true)
+      fs.mkdirs(asideRoot)
+      if (!fs.exists(tgtPath)) fs.mkdirs(tgtPath)
+      changed.toSeq.sorted.foreach { d =>
+        val live = new org.apache.hadoop.fs.Path(tgtPath, s"dt=$d")
+        if (fs.exists(live)) {
+          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+          if (!fs.rename(live, aside)) throw new java.io.IOException(
+            s"refresh swap failed for $target: could not move dt=$d " +
+              "aside — partition left untouched")
+        }
+        val rewritten = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
+        // a source date whose every row has a NULL value can roll up
+        // to nothing; absence of rewrite output then means an empty
+        // derived partition — the aside move above already cleared it
+        if (fs.exists(rewritten) && !fs.rename(rewritten, live))
+          throw new java.io.IOException(
+            s"refresh swap failed for $target: rewrite rename of " +
+              s"dt=$d failed")
+      }
+      fs.delete(asideRoot, true)
+      fs.delete(tmp, true)
+    }
+    removed.toSeq.sorted.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(tgtPath, s"dt=$d"), true)
+    }
+    // manifest LAST: a crash above re-runs as a larger refresh
+    val outStream = fs.create(manifestPath, true)
+    try outStream.write(sig.toSeq.sorted
+      .map { case (d, s) => s"$d\t$s" }.mkString("\n").getBytes("UTF-8"))
+    finally outStream.close()
+    (changed.toSeq.sorted.map(d => s"dt=$d"),
+      removed.toSeq.sorted.map(d => s"dt=$d"))
   }
 
   /** COMPACTION: rewrite the family into few large (series, ts)-sorted
@@ -261,9 +399,15 @@ object TimeSeriesTable {
     * and counts only data files.
     */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[String] = {
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    listDataStatus(fs, root).map(_.getPath.toString)
+
+  private def listDataStatus(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     import scala.jdk.CollectionConverters._
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.FileStatus]
     var dirs = Seq(root)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     try {
@@ -281,7 +425,7 @@ object TimeSeriesTable {
         }.toSeq
         out ++= level.collect {
           case st if !st.isDirectory &&
-            st.getPath.getName.endsWith(".parquet") => st.getPath.toString
+            st.getPath.getName.endsWith(".parquet") => st
         }
       }
       out.toSeq
@@ -1064,7 +1208,7 @@ object TimeSeriesTable {
         }
     }
     // mutate verbs: per-partition asides
-    Seq("delete", "update", "upsert", "merge").foreach { verb =>
+    Seq("delete", "update", "upsert", "merge", "refresh").foreach { verb =>
       val asideRoot = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__${verb}_old")
       if (fs.exists(asideRoot)) {
@@ -1090,7 +1234,8 @@ object TimeSeriesTable {
     }
     // in-flight rewrite temps: unswapped output rolls back
     Seq("compacting", "deleting", "updating", "upserting", "upsert_in",
-        "merging", "merge_in", "merge_ins", "ctas").foreach { phase =>
+        "merging", "merge_in", "merge_ins", "ctas", "refreshing")
+      .foreach { phase =>
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/$domain/.${family}__$phase")
       if (fs.exists(tmp)) {

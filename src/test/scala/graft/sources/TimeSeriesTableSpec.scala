@@ -571,6 +571,48 @@ class TimeSeriesTableSpec extends SparkSpec {
       "delete applied, unmatched row dropped")
   }
 
+  test("refreshDownsample: appends refresh only their dates, expire " +
+      "drops derived partitions, untouched derived files byte-identical") {
+    val root = Files.createTempDirectory("graft-refresh").toString
+    val day = 86400L * 1000000L
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),
+      ("cpu", "2024-01-01 02:00:00", 3.0),
+      ("cpu", "2024-01-02 01:00:00", 5.0),
+      ("mem", "2024-01-03 01:00:00", 7.0))), root, "dom", "m")
+    val (r1, rm1) = TimeSeriesTable.refreshDownsample(
+      spark, root, "dom", "m", day, "1d")
+    assert(r1 == Seq("dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"))
+    assert(rm1.isEmpty)
+    val d2Before = partitionDigests(s"$root/dom/m_1d/dt=2024-01-02")
+    // append onto an existing date + a brand-new date
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 03:00:00", 5.0),
+      ("cpu", "2024-01-04 01:00:00", 9.0))), root, "dom", "m")
+    val (r2, rm2) = TimeSeriesTable.refreshDownsample(
+      spark, root, "dom", "m", day, "1d")
+    assert(r2 == Seq("dt=2024-01-01", "dt=2024-01-04") && rm2.isEmpty)
+    // untouched derived date: byte-identical
+    assert(partitionDigests(s"$root/dom/m_1d/dt=2024-01-02") == d2Before)
+    val derived = TimeSeriesTable.open(spark, root, "dom", "m_1d")
+    val avg0101 = derived.filter(col("series") === "cpu:avg_1d" &&
+        to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-01")))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(avg0101 == Seq(3.0), s"avg over 1,3,5 — got $avg0101")
+    // expire drops the source date; refresh drops the derived one
+    TimeSeriesTable.expire(spark, root, "dom", "m",
+      java.sql.Date.valueOf("2024-01-02"))
+    val (r3, rm3) = TimeSeriesTable.refreshDownsample(
+      spark, root, "dom", "m", day, "1d")
+    assert(r3.isEmpty && rm3 == Seq("dt=2024-01-01"))
+    assert(!new java.io.File(s"$root/dom/m_1d/dt=2024-01-01").exists())
+    // no-op on a second run; week-wide buckets refuse
+    assert(TimeSeriesTable.refreshDownsample(
+      spark, root, "dom", "m", day, "1d") == ((Seq.empty, Seq.empty)))
+    intercept[IllegalArgumentException](TimeSeriesTable.refreshDownsample(
+      spark, root, "dom", "m", 7 * day, "1w"))
+  }
+
   test("mergeRows crash mid-swap recovers via the merge aside") {
     val root = Files.createTempDirectory("graft-merge-rec").toString
     TimeSeriesTable.append(mkRows(Seq(
