@@ -1022,15 +1022,61 @@ object BoostQL {
         Seq(plan).toDF("plan")
       case dmlRe(verb) =>
         val v = verb.toLowerCase
+        val entry = v match {
+          case "merge"   => "sqlMerge"
+          case "create"  => "sqlCreateFamily"
+          case "drop"    => "sqlDropFamily"
+          case "refresh" => "sqlRefreshRollup"
+          case other     => s"sql${other.capitalize}"
+        }
         throw Compiler.CompileException(
           s"${v.toUpperCase} is a write statement — sql() compiles read " +
-            s"queries; use BoostQL.sql${v.capitalize}(stmt, …) " +
-            "(INSERT/UPSERT take the families resolver, DELETE/UPDATE " +
-            "take the warehouse root)")
+            s"queries; use BoostQL.$entry(stmt, …) " +
+            "(INSERT/UPSERT/MERGE/CREATE take the families resolver, " +
+            "DELETE/UPDATE/DROP/REFRESH take the warehouse root)")
       case _ => Compiler.compile(Parser.parseStmt(query), families)
     }
 
-  private val dmlRe = """(?is)^\s*(insert|upsert|delete|update)\b.*$""".r
+  private val dmlRe =
+    """(?is)^\s*(insert|upsert|delete|update|merge|create|drop|refresh)\b.*$""".r
+
+  /** `REFRESH ROLLUP domain.family BUCKET '<interval>' AS <label>
+    * [INTO domain.family2]` — the SQL face of
+    * [[TimeSeriesTable.refreshDownsample]]: materialize or
+    * incrementally maintain the family's fixed-width rollup, touching
+    * only the source dates whose file set changed since the last
+    * refresh. The bucket must be a fixed day-divisible width (derived
+    * rows must stay on their source date for the per-date swap).
+    * Returns (rebuilt partitions, dropped partitions).
+    */
+  def sqlRefreshRollup(stmt: String, spark: SparkSession,
+      root: String): (Seq[String], Seq[String]) = {
+    val refreshRe =
+      ("""(?is)^\s*refresh\s+rollup\s+(\w+)\s*\.\s*(\w+)\s+bucket\s+""" +
+        """'([^']+)'\s+as\s+(\w+)(?:\s+into\s+(\w+)\s*\.\s*(\w+))?\s*$""").r
+    stmt match {
+      case refreshRe(dom, fam, width, label, intoDom, intoFam) =>
+        val us = Compiler.parseIntervalMicros(width).getOrElse(
+          throw Compiler.CompileException(
+            s"REFRESH ROLLUP bucket '$width' must be a fixed width " +
+              "(microsecond…day) — calendar widths cannot stay on one " +
+              "source date"))
+        if (us <= 0 || 86400000000L % us != 0)
+          throw Compiler.CompileException(
+            "REFRESH ROLLUP bucket must be positive and divide one day " +
+              "— a wider bucket straddles date partitions; use " +
+              "downsample() for a one-shot wider rollup")
+        if (intoDom != null && intoDom != dom)
+          throw Compiler.CompileException(
+            "REFRESH ROLLUP INTO must target the same domain — the " +
+              "refresh manifest lives beside the derived family")
+        TimeSeriesTable.refreshDownsample(spark, root, dom, fam, us,
+          label, Option(intoFam))
+      case _ => throw Compiler.CompileException(
+        "REFRESH ROLLUP takes 'REFRESH ROLLUP domain.family BUCKET " +
+          "'<interval>' AS <label> [INTO domain.family2]'")
+    }
+  }
 
   /** The SQL front over a STREAM: compile a dialect query against
     * streaming family frames ([[TimeSeriesTable.openStream]]) — the

@@ -1167,6 +1167,31 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // the SQL face of incremental rollup maintenance: REFRESH ROLLUP
+    // materializes the 6-hour rollup, a later ingest refreshes ONLY the
+    // appended dates (asserted), and the final family hash-matches the
+    // from-scratch replay — recording rules as one idempotent statement
+    "boost_refresh_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, unix_micros}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlrefresh").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      TimeSeriesTable.append(fam.filter(col("ts") < lit(cut)),
+        root, "dom", "events")
+      val stmt = "REFRESH ROLLUP dom.events BUCKET '6 hours' AS h6"
+      val (r1, _) = BoostQL.sqlRefreshRollup(stmt, s, root)
+      TimeSeriesTable.append(fam.filter(col("ts") >= lit(cut)),
+        root, "dom", "events")
+      val (r2, rm2) = BoostQL.sqlRefreshRollup(stmt, s, root)
+      require(r2.nonEmpty && r2.size < r1.size && rm2.isEmpty,
+        s"refresh must touch only the appended dates (${r2.size})")
+      TimeSeriesTable.open(s, root, "dom", "events_h6")
+        .select(col("series"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("series", "ts_us")
+    }),
+
     // the DDL face: CTAS materializes a query as a NEW family (plain
     // re-CREATE refuses — accidental re-runs must not double a corpus),
     // OR REPLACE stages first then swaps (a failed select never
@@ -2192,6 +2217,29 @@ object BoostQueries {
         |    LEFT JOIN repl r ON s.ts = r.ts
         |  UNION ALL SELECT q AS p, ts FROM qrows) t
         |ORDER BY ts, p""".stripMargin,
+
+    // incremental == from-scratch: the full-corpus 6-hour replay
+    "boost_refresh_rollup" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |    epoch_us(ts) - epoch_us(ts) % 21600000000 AS bus,
+        |    value
+        |  FROM events),
+        |g AS (
+        |  SELECT series, bus,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE) AS av,
+        |    MIN(value) AS mn, MAX(value) AS mx,
+        |    CAST(COUNT(value) AS DOUBLE) AS n
+        |  FROM b GROUP BY series, bus)
+        |SELECT series || ':avg_h6' AS series, bus AS ts_us, av AS value FROM g
+        |UNION ALL
+        |SELECT series || ':min_h6', bus, mn FROM g
+        |UNION ALL
+        |SELECT series || ':max_h6', bus, mx FROM g
+        |UNION ALL
+        |SELECT series || ':count_h6', bus, n FROM g
+        |ORDER BY series, ts_us""".stripMargin,
 
     // the surviving family is the OR REPLACE variant (doubled rollup)
     "boost_create_family" ->

@@ -197,6 +197,21 @@ class BoostQLSpec extends SparkSpec {
       "DROP FAMILY IF EXISTS dom.x", spark, root))
     intercept[Compiler.CompileException](
       BoostQL.sqlDropFamily("DROP FAMILY x", spark, root))
+    // REFRESH ROLLUP grammar: calendar and non-day-divisible widths
+    // refuse with the per-date-swap reason; the read front points at
+    // the entry point
+    assert(intercept[Compiler.CompileException](BoostQL.sqlRefreshRollup(
+        "REFRESH ROLLUP dom.events BUCKET '1 month' AS m1", spark, root))
+      .getMessage.contains("fixed width"))
+    assert(intercept[Compiler.CompileException](BoostQL.sqlRefreshRollup(
+        "REFRESH ROLLUP dom.events BUCKET '7 hours' AS h7", spark, root))
+      .getMessage.contains("divide one day"))
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "REFRESH ROLLUP dom.events BUCKET '1 hour' AS h1", _ => fam))
+      .getMessage.contains("sqlRefreshRollup"))
+    assert(intercept[Compiler.CompileException](BoostQL.sql(
+        "MERGE INTO dom.x USING (SELECT 1) WHEN MATCHED THEN DELETE",
+        _ => fam)).getMessage.contains("sqlMerge"))
   }
 
   test("DATE/TIMESTAMP literals: typed bounds equal string bounds; " +
