@@ -235,6 +235,19 @@ object Ast {
     * Extension: the reference's FROM accepts only family names
     * (query/parser/joinparser.go:84-201).
     */
+  /** `ATTRIBUTES(domain.family, series)` — the attribute-UNNEST table
+    * source: one row per (datapoint, attribute entry) of the named
+    * series, columns `ts` (the point's time axis, so the ts-pinned
+    * functions bind), `akey`, `avalue`. The dynamic-key complement of
+    * the static `series.attr` decode: aggregate over keys you do NOT
+    * know ahead of time (`SELECT akey, count(*) … GROUP BY akey`).
+    * Flat columns like a derived table; alias optional when it is the
+    * only source.
+    */
+  final case class AttrSource(domain: String, family: String,
+      series: String, aliasOpt: Option[String]) extends FromRel {
+    def alias: Option[String] = aliasOpt
+  }
   final case class SubSource(stmt: QueryStmt, aliasName: String)
       extends FromRel {
     def alias: Option[String] = Some(aliasName)

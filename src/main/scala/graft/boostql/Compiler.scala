@@ -685,6 +685,17 @@ object Compiler {
     // sourceFrame, so each derived table still compiles exactly once.
     val innerFrames: Map[Int, DataFrame] = sources.zipWithIndex.collect {
       case (sub: SubSource, i) => i -> compile(sub.stmt, families)
+      // ATTRIBUTES(dom.fam, series): one row per (datapoint, attribute
+      // entry) — flat (ts, akey, avalue) like a derived table. Points
+      // with no attributes contribute no rows (UNNEST semantics); the
+      // series filter pushes into the scan like any series predicate.
+      case (a: AttrSource, i) =>
+        i -> families((a.domain, a.family))
+          .filter(col("series") === a.series)
+          .select(col("ts"),
+            explode(map_entries(col("attributes"))).as("__e"))
+          .select(col("ts"), col("__e.key").as("akey"),
+            col("__e.value").as("avalue"))
     }.toMap
     def subHasTs(i: Int): Boolean = innerFrames.get(i).exists(df =>
       df.columns.contains("ts") &&
@@ -709,7 +720,7 @@ object Compiler {
     // (executor.go:239-252)
     def ref(n: RawName): SField =
       if (!multi) sources.head match {
-        case _: SubSource => n.parts match {
+        case _: SubSource | _: AttrSource => n.parts match {
           case Seq(t) if t.equalsIgnoreCase("ts") && subHasTs(0) =>
             SField(0, None, FieldRef("ts", None), isTs = true)
           case Seq(a, t) if sources.head.alias.contains(a) &&
@@ -1068,24 +1079,32 @@ object Compiler {
     // does this by vertex reuse, planner.go:265-290) and pushes
     // `series = 'x'` into parquet.
     def sourceFrame(srcIdx: Int): DataFrame = sources(srcIdx) match {
-      case sub: SubSource =>
-        // Derived table: compile the inner statement to its own frame
-        // (full recursion — set-op compounds, nested derived tables, its
-        // own aggregation all included), then project the referenced
-        // output columns under this scope's internal names. Catalyst
-        // flattens the nesting into ONE plan, so pushdown/pruning cross
-        // the derived-table boundary (an outer WHERE on a sub column
-        // reaches the inner scan unless an agg/limit blocks it).
+      case _: SubSource | _: AttrSource =>
+        // Derived table (or the ATTRIBUTES unnest source, which behaves
+        // exactly like one): compile the inner statement to its own
+        // frame (full recursion — set-op compounds, nested derived
+        // tables, its own aggregation all included), then project the
+        // referenced output columns under this scope's internal names.
+        // Catalyst flattens the nesting into ONE plan, so
+        // pushdown/pruning cross the derived-table boundary (an outer
+        // WHERE on a sub column reaches the inner scan unless an
+        // agg/limit blocks it).
+        val subName = sources(srcIdx) match {
+          case s2: SubSource => s2.aliasName
+          case a2: AttrSource => a2.alias.getOrElse(
+            s"ATTRIBUTES(${a2.domain}.${a2.family}, ${a2.series})")
+          case _ => "?"
+        }
         val inner = innerFrames(srcIdx)
         val refs = allRefs.filter(_.src == srcIdx)
         if (refs.isEmpty)
           throw CompileException(
-            s"derived table ${sub.aliasName} is never referenced")
+            s"derived table $subName is never referenced")
         val have = inner.columns.toSet
         val missing = refs.map(_.f.colName).distinct.filterNot(have)
         if (missing.nonEmpty)
           throw CompileException(
-            s"derived table ${sub.aliasName} has no column(s) " +
+            s"derived table $subName has no column(s) " +
               s"${missing.mkString(", ")} (outputs: ${inner.columns.mkString(", ")})")
         val projected = refs.distinctBy(_.f.colName)
           .map(r => col(r.f.colName).as(r.inName))

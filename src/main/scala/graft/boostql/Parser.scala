@@ -911,6 +911,21 @@ object Parser {
           case None => throw ParseException(
             "derived table requires an alias: (SELECT …) AS name")
         }
+      } else if ((peek match {
+        case TIdent(id) => id.equalsIgnoreCase("attributes")
+        case _ => false
+      }) && toks(pos + 1) == TSym("(")) {
+        // ATTRIBUTES(dom.fam, series): the attribute-UNNEST source —
+        // flat (ts, akey, avalue) rows for dynamic-key aggregation
+        pos += 1
+        expectSym("(")
+        val dom = ident()
+        expectSym(".")
+        val famName = ident()
+        expectSym(",")
+        val series = ident()
+        expectSym(")")
+        AttrSource(dom, famName, series, sourceAlias())
       } else {
         val first = ident()
         if (sym(".")) {

@@ -1167,6 +1167,15 @@ object BoostQueries {
           _ => reread)
     }),
 
+    // attribute UNNEST: ATTRIBUTES(dom.fam, series) is a table source of
+    // flat (ts, akey, avalue) rows — aggregation over attribute keys you
+    // do NOT know ahead of time, the dynamic-key complement of the
+    // static series.attr decode (which needs the key in the query text)
+    "boost_unnest_attrs" -> ((s, d) =>
+      run(s, d, "SELECT akey, count(*) AS n, min(avalue) AS lo, " +
+        "max(avalue) AS hi FROM ATTRIBUTES(dom.events, purchase) " +
+        "GROUP BY akey ORDER BY akey")),
+
     // the SQL face of incremental rollup maintenance: REFRESH ROLLUP
     // materializes the 6-hour rollup, a later ingest refreshes ONLY the
     // appended dates (asserted), and the final family hash-matches the
@@ -2217,6 +2226,19 @@ object BoostQueries {
         |    LEFT JOIN repl r ON s.ts = r.ts
         |  UNION ALL SELECT q AS p, ts FROM qrows) t
         |ORDER BY ts, p""".stripMargin,
+
+    // the unnest enumerates the three attribute keys every event row
+    // carries (props' k plus the hoisted user/event_id)
+    "boost_unnest_attrs" ->
+      """WITH a AS (
+        |  SELECT 'k' AS akey, json_extract_string(props, '$.k') AS avalue
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL SELECT 'user', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL SELECT 'event_id', CAST(event_id AS VARCHAR)
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT akey, count(*) AS n, min(avalue) AS lo, max(avalue) AS hi
+        |FROM a GROUP BY akey ORDER BY akey""".stripMargin,
 
     // incremental == from-scratch: the full-corpus 6-hour replay
     "boost_refresh_rollup" ->

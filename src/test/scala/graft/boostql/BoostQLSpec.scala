@@ -3380,6 +3380,42 @@ class BoostQLSpec extends SparkSpec {
     refuses("SELECT acf(c, 1) OVER (PARTITION BY c.host) AS r FROM dom.f")
   }
 
+  test("ATTRIBUTES() unnest source: dynamic-key aggregation, ts rides " +
+      "along for bucket(), empty maps contribute no rows") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rows = spark.createDataFrame(Seq(
+        ("c", Timestamp.valueOf("2024-01-01 01:00:00"), 1.0,
+          Map("h" -> "a", "env" -> "prod")),
+        ("c", Timestamp.valueOf("2024-01-02 01:00:00"), 2.0,
+          Map("h" -> "b")),
+        ("c", Timestamp.valueOf("2024-01-02 02:00:00"), 3.0,
+          Map.empty[String, String]),
+        ("other", Timestamp.valueOf("2024-01-01 01:00:00"), 4.0,
+          Map("h" -> "z"))))
+      .toDF("series", "ts", "value", "attributes")
+      .withColumn("tags", map().cast("map<string,string>"))
+    val got = Compiler.compile(Parser.parse(
+      "SELECT akey, count(*) AS n, min(avalue) AS lo " +
+        "FROM ATTRIBUTES(dom.f, c) GROUP BY akey ORDER BY akey"),
+      (_: (String, String)) => rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // only series c; the empty-map point contributes nothing; 'other'
+    // never leaks
+    assert(got == Seq(("env", 1L, "prod"), ("h", 2L, "a")))
+    // the time axis survives the unnest: bucket() groups by day
+    val byDay = Compiler.compile(Parser.parse(
+      "SELECT bucket(ts, '1 day') AS d, count(*) AS n " +
+        "FROM ATTRIBUTES(dom.f, c) AS a GROUP BY d ORDER BY d"),
+      (_: (String, String)) => rows).collect().map(_.getLong(1)).toSeq
+    assert(byDay == Seq(2L, 1L))
+    // unknown columns refuse with the outputs listed
+    val e = intercept[Compiler.CompileException](Compiler.compile(
+      Parser.parse("SELECT nosuch FROM ATTRIBUTES(dom.f, c)"),
+      (_: (String, String)) => rows))
+    assert(e.getMessage.contains("akey"), e.getMessage)
+  }
+
   test("cusum(): planted mean shift accumulates evidence, in-control " +
       "stretches reset to zero, nulls hold state; refusals") {
     import org.apache.spark.sql.functions._
