@@ -1198,7 +1198,7 @@ object BoostQueries {
     // appended dates (asserted), and the final family hash-matches the
     // from-scratch replay — recording rules as one idempotent statement
     "boost_refresh_rollup" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, lit, unix_micros}
+      import org.apache.spark.sql.functions.{col, lit, to_date, unix_micros}
       val root = java.nio.file.Files
         .createTempDirectory("graft_sqlrefresh").toString
       val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
@@ -1209,9 +1209,18 @@ object BoostQueries {
       val (r1, _) = BoostQL.sqlRefreshRollup(stmt, s, root)
       TimeSeriesTable.append(fam.filter(col("ts") >= lit(cut)),
         root, "dom", "events")
+      // the semantic claim is EXACTNESS: the refreshed partitions are
+      // precisely the appended dates — no stale date recomputes, no
+      // appended date is missed (collect bounded at one string per
+      // date; corpus-split-ratio assumptions would break on replicated
+      // scale corpora)
+      val appended = fam.filter(col("ts") >= lit(cut))
+        .select(to_date(col("ts")).cast("string")).distinct()
+        .collect().map("dt=" + _.getString(0)).toSet
       val (r2, rm2) = BoostQL.sqlRefreshRollup(stmt, s, root)
-      require(r2.nonEmpty && r2.size < r1.size && rm2.isEmpty,
-        s"refresh must touch only the appended dates (${r2.size})")
+      require(r2.toSet == appended && rm2.isEmpty,
+        s"refresh must touch exactly the appended dates " +
+          s"(${r2.size} vs ${appended.size})")
       TimeSeriesTable.open(s, root, "dom", "events_h6")
         .select(col("series"), unix_micros(col("ts")).as("ts_us"),
           col("value"))

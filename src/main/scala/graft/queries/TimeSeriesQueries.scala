@@ -274,11 +274,16 @@ object TimeSeriesQueries {
       require(r1.nonEmpty, "initial refresh materializes every date")
       TimeSeriesTable.append(fam.filter(col("ts") >= lit(cut)),
         root, "dom", "events")
+      // exactness, not a split-ratio assumption (which a replicated
+      // scale corpus breaks): refreshed == appended dates, precisely
+      val appended = fam.filter(col("ts") >= lit(cut))
+        .select(to_date(col("ts")).cast("string")).distinct()
+        .collect().map("dt=" + _.getString(0)).toSet
       val (r2, rm2) = TimeSeriesTable.refreshDownsample(
         s, root, "dom", "events", day, "1d")
-      require(r2.nonEmpty && r2.size < r1.size,
-        s"refresh must touch only the appended dates " +
-          s"(${r2.size} of ${r1.size})")
+      require(r2.toSet == appended,
+        s"refresh must touch exactly the appended dates " +
+          s"(${r2.size} vs ${appended.size})")
       require(rm2.isEmpty, "nothing expired")
       val (r3, rm3) = TimeSeriesTable.refreshDownsample(
         s, root, "dom", "events", day, "1d")
