@@ -1276,7 +1276,7 @@ object Parser {
           val y = nested(addOperand())
           expectSym(",")
           val kk = peek match {
-            case TNum(s) if s.matches("\\d+") && s.toLong <= 10000 =>
+            case TNum(s) if s.matches("\\d{1,5}") && s.toLong <= 10000 =>
               pos += 1; s.toInt
             case t => throw ParseException(
               s"xcorr() lag must be an integer literal in [0, 10000], got $t")
@@ -1301,7 +1301,7 @@ object Parser {
           val x = nested(addOperand())
           expectSym(",")
           val kk = peek match {
-            case TNum(s) if s.matches("\\d+") && s.toLong >= 1 &&
+            case TNum(s) if s.matches("\\d{1,5}") && s.toLong >= 1 &&
                 s.toLong <= 10000 =>
               pos += 1; s.toInt
             case t => throw ParseException(

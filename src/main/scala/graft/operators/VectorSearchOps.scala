@@ -223,10 +223,17 @@ object VectorSearchOps {
       vecCol: String, k: Int, refine: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val dim = c.select(size(col("cv"))).head.getInt(0)
+    val headRow = c.select(size(col("cv"))).head(1)
+    require(headRow.nonEmpty,
+      "sq8TopK needs a non-empty corpus — the per-dimension min/max " +
+        "bounds are trained from the corpus itself")
+    val dim = headRow.head.getInt(0)
     val statExprs = (0 until dim).flatMap(i => Seq(
       min(element_at(col("cv"), i + 1)), max(element_at(col("cv"), i + 1))))
     val statRow = c.agg(statExprs.head, statExprs.tail: _*).head
+    require((0 until 2 * dim).forall(!statRow.isNullAt(_)),
+      "sq8TopK needs non-NULL vector components in every dimension — " +
+        "an all-NULL dimension has no min/max bounds to quantize against")
     val mins = Array.tabulate(dim)(i => statRow.getDouble(2 * i))
     val maxs = Array.tabulate(dim)(i => statRow.getDouble(2 * i + 1))
     val lo = lit(mins)

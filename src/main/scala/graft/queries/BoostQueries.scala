@@ -1264,8 +1264,8 @@ object BoostQueries {
     // special case), oracle-checked end to end: seed p = per-ts max
     // purchase, then one MERGE whose batch carries corrections for the
     // >300 tail plus a 45-day-shifted view rollup. First-true-wins
-    // clause order: raise-only corrections (src.value < 700) UPDATE,
-    // the un-raised high tail (p > 420) DELETEs, everything else keeps,
+    // clause order: raise-only corrections (src.value < 300) UPDATE,
+    // the un-raised high tail (p > 200) DELETEs, everything else keeps,
     // and the shifted rows INSERT as unmatched. The dialect reads the
     // reread family; the oracle replays clause order via LEFT JOIN +
     // CASE with the same guards.

@@ -213,7 +213,7 @@ object TimeSeriesTable {
     * the source date partitions whose file set changed.
     *
     * Change detection is metadata-only: a per-date signature (sorted
-    * relative-path:length list, hashed) of the source's data files,
+    * file-name:length:mtime list, hashed) of the source's data files,
     * compared against a manifest stored as a hidden sidecar in the
     * derived family (`.graft_refresh_manifest`; dot-files are invisible
     * to parquet readers). A date whose signature moved — new files
@@ -263,8 +263,13 @@ object TimeSeriesTable {
           "dt= partition layout — compact() the family first")
     val sig: Map[String, String] = byDt.collect {
       case (Some(d), sts) =>
+        // name + length + mtime: mtime catches a non-Spark writer that
+        // rewrites a file IN PLACE with the same name and byte length
+        // (Spark's own writers always mint fresh UUID names, but the
+        // signature shouldn't depend on that discipline)
         val rendered = sts.map(st =>
-            st.getPath.getName + ":" + st.getLen).sorted.mkString("\n")
+            st.getPath.getName + ":" + st.getLen + ":" +
+              st.getModificationTime).sorted.mkString("\n")
         val md = java.security.MessageDigest.getInstance("MD5")
         (d, md.digest(rendered.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString)
@@ -304,20 +309,24 @@ object TimeSeriesTable {
       if (!fs.exists(tgtPath)) fs.mkdirs(tgtPath)
       changed.toSeq.sorted.foreach { d =>
         val live = new org.apache.hadoop.fs.Path(tgtPath, s"dt=$d")
-        if (fs.exists(live)) {
-          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
-          if (!fs.rename(live, aside)) throw new java.io.IOException(
+        val aside = new org.apache.hadoop.fs.Path(asideRoot, s"dt=$d")
+        val movedAside = fs.exists(live)
+        if (movedAside && !fs.rename(live, aside))
+          throw new java.io.IOException(
             s"refresh swap failed for $target: could not move dt=$d " +
               "aside — partition left untouched")
-        }
         val rewritten = new org.apache.hadoop.fs.Path(tmp, s"dt=$d")
         // a source date whose every row has a NULL value can roll up
         // to nothing; absence of rewrite output then means an empty
         // derived partition — the aside move above already cleared it
-        if (fs.exists(rewritten) && !fs.rename(rewritten, live))
+        if (fs.exists(rewritten) && !fs.rename(rewritten, live)) {
+          // restore the aside inline (matching the mergeRows swap) so
+          // the derived partition isn't missing until recover() runs
+          if (movedAside) fs.rename(aside, live)
           throw new java.io.IOException(
             s"refresh swap failed for $target: rewrite rename of " +
-              s"dt=$d failed")
+              s"dt=$d failed — derived partition restored")
+        }
       }
       fs.delete(asideRoot, true)
       fs.delete(tmp, true)
