@@ -1925,12 +1925,26 @@ object BoostQL {
     // watermark metadata survives the join + projection, which the
     // downstream window aggregate requires
     val tsName = "__jts"
-    subItems.getOrElseUpdate(tsName,
-      ExprItem(ORef(RawName(Seq(bSide, "ts"))), tsName))
-    val subSpec = spec.copy(select = subItems.values.toSeq,
-      groupBy = Seq.empty, having = None)
-    val flat = Compiler.compile(subSpec, wmFam)
-    sweepJoin(flat)
+    // HOT-KEY path first: when the ON decomposes into cross-side equi
+    // keys + a finite two-sided interval bound and every select helper
+    // sits on one side, the join compiles to the bucketed-probe
+    // topology (StreamingOps.bucketedIntervalJoin) — same output
+    // multiset, but a hot key's state probe stays bounded by one
+    // bound-width time bucket instead of scanning the key's full
+    // watermark horizon (measured 80× of uniform for the symmetric
+    // plan under one hot user; 1.04× bucketed). Falls back to the
+    // symmetric-hash plan when the shape doesn't decompose (mixed-side
+    // expressions, non-equi conjuncts, unqualified references).
+    val flat = tryBucketedJoinAgg(spec, aliases, wmFam,
+        subItems.values.toSeq, tsName, bSide).getOrElse {
+      subItems.getOrElseUpdate(tsName,
+        ExprItem(ORef(RawName(Seq(bSide, "ts"))), tsName))
+      val subSpec = spec.copy(select = subItems.values.toSeq,
+        groupBy = Seq.empty, having = None)
+      val f = Compiler.compile(subSpec, wmFam)
+      sweepJoin(f)
+      f
+    }
     val keyCols = window(col(tsName), s"$widthUs microseconds") +:
       dimSet.toSeq.sorted.map(col)
     val aggCols = outs.collect { case AggOut(fn, arg, nm) =>
@@ -1952,6 +1966,213 @@ object BoostQL {
       case DimOut(nm)       => col(nm)
       case AggOut(_, _, nm) => col(nm)
     }: _*)
+  }
+
+  /** The HOT-KEY-PROOF compilation of the joined-stream aggregate:
+    * split the joined sub-select per side, compile each side through
+    * the ordinary dialect compiler (same pushed-filter scans, same
+    * per-source watermark), and join via
+    * [[graft.streaming.StreamingOps.bucketedIntervalJoin]] — the
+    * time-bucket equi-key decomposition whose state probe is bounded
+    * by one bound-width bucket per key however hot one key runs.
+    *
+    * Engages automatically when the shape decomposes:
+    *   - every ON conjunct is a cross-side equality (→ a join key), a
+    *     cross-side time-axis comparison (`b.ts <= a.ts + INTERVAL` /
+    *     BETWEEN / ts equality → the interval bound), or a single-side
+    *     predicate (→ pushed into that side's WHERE — inner-join-safe);
+    *   - the accumulated bound is FINITE on both ends (the caller
+    *     already refuses half-bounded joins, but e.g. a bound written
+    *     against a non-ts axis lands here as non-decomposable);
+    *   - at least one non-time equi key exists (the bucket key
+    *     composes WITH the key — a pure time join has no hot key to
+    *     protect and keeps the symmetric plan);
+    *   - every select helper (dim, aggregate argument) and every WHERE
+    *     conjunct references exactly one side, alias-qualified.
+    *
+    * Returns None — symmetric-hash fallback, behavior unchanged — for
+    * anything else: mixed-side expressions (`sum(a.x + b.y)`),
+    * unqualified references (side-ambiguous in a self-join), non-equi
+    * cross-side conjuncts, OR across sides, strict bounds that
+    * under/overflow, or a side that compiles to something stateful.
+    * Exactness: each left row explodes into its ≤2 covering buckets
+    * (array_distinct), the exact time bounds still apply, so every
+    * true pair matches exactly once — pinned by the
+    * bucketedIntervalJoin batch spec and the shared DuckDB oracle
+    * (both topologies hash-match it).
+    */
+  private def tryBucketedJoinAgg(spec: Ast.QuerySpec, aliases: Seq[String],
+      wmFam: ((String, String)) => DataFrame,
+      items: Seq[Ast.SelectItem], tsName: String,
+      bSide: String): Option[DataFrame] = {
+    import graft.boostql.Ast._
+    val (aAl, bAl) = (aliases.head, aliases(1))
+    // which sides does an expression reference? None = undecidable
+    // (a 1/2-part name without an alias head is side-ambiguous here —
+    // the two-source resolution belongs to the batch compiler)
+    def sidesOfOp(o: Operand): Option[Set[String]] = o match {
+      case ORef(RawName(parts)) =>
+        if (parts.length >= 2 && aliases.contains(parts.head))
+          Some(Set(parts.head))
+        else None
+      case OLit(_) | OInterval(_) => Some(Set.empty)
+      case OArith(_, l, r) =>
+        for { a <- sidesOfOp(l); b <- sidesOfOp(r) } yield a ++ b
+      case ONeg(x)     => sidesOfOp(x)
+      case OCast(x, _) => sidesOfOp(x)
+      case OFn(_, args) => args.foldLeft(Option(Set.empty[String])) {
+        (acc, e) => for { a <- acc; b <- sidesOfOp(e) } yield a ++ b
+      }
+      case OCase(bs, el) =>
+        val parts = bs.map(br =>
+          for { c <- sidesOfB(br._1); v <- sidesOfOp(br._2) } yield c ++ v) ++
+          el.map(sidesOfOp)
+        parts.foldLeft(Option(Set.empty[String])) {
+          (acc, e) => for { a <- acc; b <- e } yield a ++ b
+        }
+      case _ => None
+    }
+    def sidesOfB(e: BExpr): Option[Set[String]] = e match {
+      case Cmp(_, l, r) =>
+        for { a <- sidesOfOp(l); b <- sidesOfOp(r) } yield a ++ b
+      case AndE(l, r) =>
+        for { a <- sidesOfB(l); b <- sidesOfB(r) } yield a ++ b
+      case OrE(l, r) =>
+        for { a <- sidesOfB(l); b <- sidesOfB(r) } yield a ++ b
+      case NotE(x)       => sidesOfB(x)
+      case IsNullE(o, _) => sidesOfOp(o)
+      case LikeE(o, _, _) => sidesOfOp(o)
+      case InE(o, xs, _) => (o +: xs).foldLeft(Option(Set.empty[String])) {
+        (acc, e) => for { a <- acc; b <- sidesOfOp(e) } yield a ++ b
+      }
+      case BetweenE(o, lo, hi, _) =>
+        Seq(o, lo, hi).foldLeft(Option(Set.empty[String])) {
+          (acc, e) => for { a <- acc; b <- sidesOfOp(e) } yield a ++ b
+        }
+      case _ => None
+    }
+    // ts-axis operand with a constant micros offset: a.ts [± INTERVAL]
+    def tsOff(o: Operand): Option[(String, Long)] = o match {
+      case ORef(RawName(Seq(al, t)))
+        if t.equalsIgnoreCase("ts") && aliases.contains(al) => Some((al, 0L))
+      case OArith("+", x, OInterval(s)) => for {
+        ao <- tsOff(x); us <- Compiler.parseIntervalMicros(s)
+      } yield (ao._1, ao._2 + us)
+      case OArith("-", x, OInterval(s)) => for {
+        ao <- tsOff(x); us <- Compiler.parseIntervalMicros(s)
+      } yield (ao._1, ao._2 - us)
+      case OArith("+", i @ OInterval(_), x) => tsOff(OArith("+", x, i))
+      case _ => None
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    def conjuncts(e: BExpr): Seq[BExpr] = e match {
+      case AndE(l, r) => conjuncts(l) ++ conjuncts(r)
+      case BetweenE(o, lo, hi, false) =>
+        Seq(Cmp(">=", o, lo), Cmp("<=", o, hi))
+      case other => Seq(other)
+    }
+    var lo = Long.MinValue; var hi = Long.MaxValue
+    val keys = Vector.newBuilder[(Operand, Operand)] // (A-side, B-side)
+    val aWhere = Vector.newBuilder[BExpr]
+    val bWhere = Vector.newBuilder[BExpr]
+    // a single-side conjunct pushes into that side's WHERE (inner join:
+    // filtering before or after the join is the same multiset)
+    def pushSide(c: BExpr): Boolean = sidesOfB(c) match {
+      case Some(s) if s.subsetOf(Set(aAl)) => aWhere += c; true
+      case Some(s) if s == Set(bAl)        => bWhere += c; true
+      case _ => false
+    }
+    val cond = spec.joins.head.on.getOrElse(return None)
+    for (c <- conjuncts(cond)) c match {
+      case Cmp(op, l, r) if tsOff(l).isDefined && tsOff(r).isDefined &&
+          tsOff(l).get._1 != tsOff(r).get._1 =>
+        // normalize to δ = ts_B − ts_A: ts_al + ol OP ts_ar + orr
+        val (al, ol) = tsOff(l).get
+        val (_, orr) = tsOff(r).get
+        val (effOp, k) =
+          if (al == bAl) (op, orr - ol) else (flip(op), ol - orr)
+        effOp match {
+          case "<="       => hi = math.min(hi, k)
+          case "<"        => if (k == Long.MinValue) return None
+                             else hi = math.min(hi, k - 1)
+          case ">="       => lo = math.max(lo, k)
+          case ">"        => if (k == Long.MaxValue) return None
+                             else lo = math.max(lo, k + 1)
+          case "=" | "==" => lo = math.max(lo, k); hi = math.min(hi, k)
+          case _          => return None
+        }
+      case c @ Cmp("=" | "==", l, r) =>
+        (sidesOfOp(l), sidesOfOp(r)) match {
+          case (Some(sl), Some(sr))
+            if sl.size == 1 && sr.size == 1 && sl != sr =>
+            keys += (if (sl.head == aAl) (l, r) else (r, l))
+          case _ => if (!pushSide(c)) return None
+        }
+      case other => if (!pushSide(other)) return None
+    }
+    val keyPairs = keys.result()
+    if (keyPairs.isEmpty) return None
+    if (lo == Long.MinValue || hi == Long.MaxValue || hi < lo) return None
+    // split the WHERE the same way
+    spec.where.foreach(w =>
+      for (c <- conjuncts(w)) if (!pushSide(c)) return None)
+    // assign each select helper to its side (side-free → A)
+    val aItems = Vector.newBuilder[SelectItem]
+    val bItems = Vector.newBuilder[SelectItem]
+    items.foreach {
+      case it @ ExprItem(e, _) => sidesOfOp(e) match {
+        case Some(s) if s.subsetOf(Set(aAl)) => aItems += it
+        case Some(s) if s == Set(bAl)        => bItems += it
+        case _                               => return None
+      }
+      case _ => return None
+    }
+    keyPairs.zipWithIndex.foreach { case ((ae, be), i) =>
+      aItems += ExprItem(ae, s"__ek${i}_a")
+      bItems += ExprItem(be, s"__ek${i}_b")
+    }
+    val aTs = if (bSide == aAl) tsName else "__jts_o"
+    val bTs = if (bSide == bAl) tsName else "__jts_o"
+    aItems += ExprItem(ORef(RawName(Seq(aAl, "ts"))), aTs)
+    bItems += ExprItem(ORef(RawName(Seq(bAl, "ts"))), bTs)
+    def andAll(cs: Seq[BExpr]): Option[BExpr] = cs.reduceOption(AndE.apply)
+    val aSpec = QuerySpec(select = aItems.result(), source = spec.source,
+      joins = Seq.empty, where = andAll(aWhere.result()),
+      groupBy = Seq.empty, having = None, orderBy = Seq.empty, limit = None)
+    val bSpec = QuerySpec(select = bItems.result(),
+      source = spec.joins.head.source, joins = Seq.empty,
+      where = andAll(bWhere.result()), groupBy = Seq.empty, having = None,
+      orderBy = Seq.empty, limit = None)
+    // a side that compiles to anything stateful (a multi-series align
+    // is itself a join) cannot ride the decomposition — fall back and
+    // let the symmetric path's sweep issue its richer refusal
+    def stateless(df: DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical
+      var ok = true
+      df.queryExecution.analyzed.foreach {
+        case _: logical.Project | _: logical.Filter |
+             _: logical.SubqueryAlias | _: logical.LeafNode |
+             _: logical.EventTimeWatermark => ()
+        case _ => ok = false
+      }
+      ok
+    }
+    try {
+      val aDf = Compiler.compile(aSpec, wmFam)
+      val bDf = Compiler.compile(bSpec, wmFam)
+      if (!stateless(aDf) || !stateless(bDf)) return None
+      Some(graft.streaming.StreamingOps.bucketedIntervalJoin(
+        aDf, bDf,
+        keyPairs.indices.map(i => s"__ek${i}_a" -> s"__ek${i}_b"),
+        lo, hi, leftTs = aTs, rightTs = bTs))
+    } catch {
+      // a per-side compile refusal (an expression form the split spec
+      // can't carry) — the joint symmetric compile may still accept it
+      case _: Compiler.CompileException => None
+    }
   }
 
   /** Time-scoped execution — the dialect face of the reference's

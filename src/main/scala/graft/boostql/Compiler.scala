@@ -1413,6 +1413,14 @@ object Compiler {
         else if (fn == "holt" || fn == "holt_forecast" ||
           fn == "cusum" || fn == "cusum_low") 3
         else if (fn == "ewma" || fn == "session") 2 else 1
+      // the escaped bucket-stitched form compiles through a frame
+      // transform (a join-back, not a window Column), which only a
+      // TOP-LEVEL select item can carry — anywhere else (nested in an
+      // expression, under QUALIFY, in ORDER BY) refuses with the shape
+      if (fn == "ewma" && args.length == 3) throw CompileException(
+        "the bucket-stitched ewma(x, alpha, '<width>') escape is a " +
+          "top-level select item only (not nested in an expression, " +
+          "not under QUALIFY) — alias it and reference the alias")
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
       if (fn == "session") {
@@ -2130,6 +2138,59 @@ object Compiler {
         case _ => ()
       }
 
+    /** Escaped/auto-stitched smoothing detection (hoisted so the final
+      * projection can read the materialized `__esc_<alias>` columns
+      * back): top-level zscore items (auto) and three-argument ewma
+      * items (opt-in width) — each compiled in the non-aggregate branch
+      * below as a frame transform instead of a per-key window Column.
+      */
+    val escapable: Seq[(String, Operand, Seq[RawName], Option[(Double, Long)])] =
+      if (qualify2.isDefined || hasAgg) Seq.empty
+      else if (multi || (!isFam(0) && !subHasTs(0))) Seq.empty
+      else {
+        def ewmaParams(args: Seq[Operand]): (Operand, Double, Long) = {
+          val alpha = args(1) match {
+            case OLit(BFloat(a)) if a > 0.0 && a <= 1.0 => a
+            case OLit(BInt(1))                          => 1.0
+            case _ => throw CompileException(
+              "ewma() alpha must be a numeric literal in (0, 1]")
+          }
+          val widthUs = args(2) match {
+            case OLit(BStr(w)) => parseIntervalMicros(w).filter(_ > 0)
+              .getOrElse(throw CompileException(
+                s"ewma() bucket width '$w' must be a positive " +
+                  "fixed-width interval (microsecond…day)"))
+            case _ => throw CompileException(
+              "ewma() bucket width must be a string literal like '1 day'")
+          }
+          (args.head, alpha, widthUs)
+        }
+        def winShape(part: Seq[RawName],
+            ord: Seq[(RawName, Boolean, Option[Boolean])],
+            frame: Option[WFrame], fn: String): Seq[RawName] = {
+          if (ord.nonEmpty) throw CompileException(
+            s"$fn() orders by the time axis implicitly — OVER may " +
+              "only carry PARTITION BY")
+          if (frame.isDefined)
+            throw CompileException(s"$fn() does not take a window frame")
+          part
+        }
+        spec.select.collect {
+          case ExprItem(OFn("zscore", Seq(arg)), nm) =>
+            (nm, arg, Seq.empty[RawName], None)
+          case ExprItem(OWin("zscore", Seq(arg), part, ord, frame), nm) =>
+            (nm, arg, winShape(part, ord, frame, "zscore"), None)
+          case ExprItem(OFn("ewma", args), nm) if args.length == 3 =>
+            val (arg, a, wUs) = ewmaParams(args)
+            (nm, arg, Seq.empty[RawName], Some((a, wUs)))
+          case ExprItem(OWin("ewma", args, part, ord, frame), nm)
+            if args.length == 3 =>
+            val (arg, a, wUs) = ewmaParams(args)
+            (nm, arg, winShape(part, ord, frame, "ewma"), Some((a, wUs)))
+        }
+      }
+    val escapedNames: Set[String] = escapable.map(_._1).toSet
+
     val projected: DataFrame = if (hasAgg) {
       /** SLIDING buckets: `GROUP BY bucket(ts, '<width>', '<slide>')`
         * (by select alias) expands each row MAP-SIDE into its
@@ -2360,14 +2421,27 @@ object Compiler {
         * expansion would double-count segments).
         */
       val segFns = Set("twa", "increase", "resets")
-      val segSpecs: Seq[(String, String, Column)] = aggSpecs.collect {
-        case Left((f, a)) if segFns(f) =>
-          val sf = a.getOrElse(throw CompileException(
-            s"$f(*) is not valid — $f() needs an argument"))
-          (f, aggColName(f, a), col(sf.inName))
-        case Right((f, e, ps, a2)) if segFns(f) =>
-          (f, aggXColName(f, e, ps, a2), operandColumn(e, aggOk = false))
-      }
+      val segSpecs: Seq[(String, String, Column, Option[Long])] =
+        aggSpecs.collect {
+          case Left((f, a)) if segFns(f) =>
+            val sf = a.getOrElse(throw CompileException(
+              s"$f(*) is not valid — $f() needs an argument"))
+            (f, aggColName(f, a), col(sf.inName), None)
+          case Right((f, e, ps, a2)) if segFns(f) =>
+            // twa's optional bucket width (arg2, parser-shaped): the
+            // hot-key escape routing the segment pre-pass through the
+            // bucket-then-stitch decomposition below
+            val bucketUs = a2.map {
+              case OLit(BStr(w)) => parseIntervalMicros(w).filter(_ > 0)
+                .getOrElse(throw CompileException(
+                  s"$f() bucket width '$w' must be a positive " +
+                    "fixed-width interval (microsecond…day)"))
+              case _ => throw CompileException(
+                s"$f() bucket width must be a string literal like '1 day'")
+            }
+            (f, aggXColName(f, e, ps, a2),
+              operandColumn(e, aggOk = false), bucketUs)
+        }
       if (segSpecs.nonEmpty) {
         val f = segSpecs.head._1
         if (multi) throw CompileException(
@@ -2470,18 +2544,70 @@ object Compiler {
         }
         val w = W.partitionBy(partCols: _*).orderBy(col("__ts_0"))
         val us = unix_micros(col("__ts_0"))
-        val withSegs = segSpecs.foldLeft(withKeys) { case (df, (f, nm, v)) =>
-          val nx = lead(v, 1).over(w)
-          val seg = f match {
-            case "twa" => (v + nx) * (lead(us, 1).over(w) - us)
-            case "increase" =>
-              when(v.isNull || nx.isNull, lit(null))
-                .otherwise(when(nx >= v, nx - v).otherwise(nx))
-            case "resets" =>
-              when(v.isNull || nx.isNull, lit(null))
-                .otherwise(when(nx < v, lit(1L)).otherwise(lit(0L)))
-          }
-          df.withColumn(s"__seg_$nm", seg)
+        val partNames = groupEntries.map {
+          case Left(sf)               => sf.inName
+          case Right(ExprItem(_, nm)) => nm
+        }
+        /** twa's bucket-then-stitch segment pre-pass — the hot-key
+          * escape (`twa(x, '<width>')`): the single-pass lead() window
+          * partitions by the group keys alone, so one hot key
+          * serializes its whole series through one task. The trapezoid
+          * segments decompose exactly over any time partition:
+          * in-bucket segments come from a (keys, bucket)-partitioned
+          * lead() window (parallelism = keys × buckets), and each
+          * bucket-LAST row takes its boundary segment (to the NEXT
+          * bucket's first point) from a bucket-summary join — same rows
+          * out, same `__seg_` column, IDENTICAL segment multiset, so
+          * the downstream aggregate (and the single-pass DuckDB oracle)
+          * is bit-equal over integral inputs. Null group keys stitch
+          * null-safely (they are their own window partition).
+          */
+        def twaBucketedSeg(df: DataFrame, nm: String, v: Column,
+            bUs: Long): DataFrame = {
+          val tbk = s"__tbk_$nm"
+          val dfB = df.withColumn(tbk, us - pmod(us, lit(bUs)))
+          val wIn = W.partitionBy((partNames :+ tbk).map(col): _*)
+            .orderBy(col("__ts_0"))
+          val nx = lead(v, 1).over(wIn)
+          val nu = lead(us, 1).over(wIn)
+          val firstPer = dfB
+            .groupBy((partNames :+ tbk).map(col): _*)
+            .agg(min(struct(us.as("u"), v.as("v"))).as("__f"))
+          val wB = W.partitionBy(partNames.map(col): _*)
+            .orderBy(col(tbk).asc)
+          val bndTbl = firstPer
+            .withColumn("__nf", lead(col("__f"), 1).over(wB))
+            .select((partNames :+ tbk).map(c =>
+              col(c).as(s"__bs_$c")) :+ col("__nf"): _*)
+          val cond = partNames.map(c => col(c) <=> col(s"__bs_$c"))
+            .foldLeft(col(tbk) === col(s"__bs_$tbk"))(_ && _)
+          dfB.withColumn(s"__seg_$nm", (v + nx) * (nu - us))
+            .withColumn(s"__nu_$nm", nu)
+            .join(bndTbl, cond, "left")
+            .withColumn(s"__seg_$nm",
+              when(col(s"__nu_$nm").isNotNull, col(s"__seg_$nm"))
+                .otherwise((v + col("__nf").getField("v")) *
+                  (col("__nf").getField("u") - us)))
+            .drop((partNames :+ tbk).map(c => s"__bs_$c") ++
+              Seq(tbk, s"__nu_$nm", "__nf"): _*)
+        }
+        val withSegs = segSpecs.foldLeft(withKeys) {
+          case (df, ("twa", nm, v, Some(bUs))) => twaBucketedSeg(df, nm, v, bUs)
+          case (df, (f, nm, v, bUs)) =>
+            if (bUs.isDefined) throw CompileException(
+              s"$f() does not take a bucket width — the escape applies " +
+                "to twa()")
+            val nx = lead(v, 1).over(w)
+            val seg = f match {
+              case "twa" => (v + nx) * (lead(us, 1).over(w) - us)
+              case "increase" =>
+                when(v.isNull || nx.isNull, lit(null))
+                  .otherwise(when(nx >= v, nx - v).otherwise(nx))
+              case "resets" =>
+                when(v.isNull || nx.isNull, lit(null))
+                  .otherwise(when(nx < v, lit(1L)).otherwise(lit(0L)))
+            }
+            df.withColumn(s"__seg_$nm", seg)
         }
         // acf: gated (xᵢ, xᵢ₊ₖ) pair columns in the ORIGINAL type —
         // sums stay exact over integral inputs, cast after (corr's
@@ -2764,6 +2890,59 @@ object Compiler {
       // carry the subquery value too
       attachScalarSubs(fillStep(havd), postScalarSubs)
     } else {
+      // --- escaped/auto-stitched smoothing forms ----------------------
+      // Two per-key window shapes get join-back compilations here, so a
+      // hot key stops serializing one task (the skew artifact's failure
+      // mode), both reading back through outputCol as `__esc_<alias>`:
+      //  - zscore(x) [OVER (PARTITION BY k)] AUTO-stitches: the
+      //    whole-partition S/Q/n sums come from a groupBy (map-side
+      //    partial aggregation — parallel however hot the key) and
+      //    broadcast-join back null-safely; the sums are the SAME exact
+      //    order-independent longs and the double tail the same fixed
+      //    IEEE sequence, so this is BIT-EQUAL to the window form (the
+      //    boost_ts_zscore oracle pins it end to end). Engages for
+      //    top-level select items without QUALIFY; anything else keeps
+      //    the window form.
+      //  - ewma(x, alpha, '<width>') is the OPT-IN bucket-stitched
+      //    escape ([[graft.operators.TimeSeriesOps.ewmaStitched]]):
+      //    per-(key, bucket) kernel + affine bucket chaining — ~1e-9
+      //    reassociation, so it is a new spelling, never a silent
+      //    rewrite of ewma(x, alpha).
+      val stitched = escapable.foldLeft(filtered) {
+        case (df, (nm, arg, part, ewmaOpt)) =>
+          val c = operandColumn(arg, aggOk = false)
+          val keyNames = part.map(p => ref(p).inName)
+          ewmaOpt match {
+            case Some((alpha, widthUs)) =>
+              val in = s"__esc_in_$nm"
+              graft.operators.TimeSeriesOps.ewmaStitched(
+                df.withColumn(in, c), keyNames, "__ts_0", in,
+                Seq.empty, alpha, widthUs, out = s"__esc_$nm").drop(in)
+            case None =>
+              // zscore: exact S/Q/n sums per key via groupBy (the
+              // original column type keeps integral sums exact), then
+              // one broadcast join back — zero row shuffle
+              val stats = df.groupBy(keyNames.map(col): _*)
+                .agg(count(c).cast("double").as(s"__zn_$nm"),
+                  sum(c).cast("double").as(s"__zs_$nm"),
+                  sum(c * c).cast("double").as(s"__zq_$nm"))
+              val statsR = keyNames.foldLeft(stats)((d, k) =>
+                d.withColumnRenamed(k, s"__zk_${nm}_$k"))
+              val joined =
+                if (keyNames.isEmpty) df.crossJoin(broadcast(statsR))
+                else df.join(broadcast(statsR),
+                  keyNames.map(k => col(k) <=> col(s"__zk_${nm}_$k"))
+                    .reduce(_ && _), "left")
+              val n = col(s"__zn_$nm"); val s = col(s"__zs_$nm")
+              val q = col(s"__zq_$nm")
+              val sd = sqrt(when(n > lit(1.0),
+                (q - s * s / n) / (n - lit(1.0))))
+              joined.withColumn(s"__esc_$nm",
+                  when(sd > lit(0.0), (c.cast("double") - s / n) / sd))
+                .drop(keyNames.map(k => s"__zk_${nm}_$k") ++
+                  Seq(s"__zn_$nm", s"__zs_$nm", s"__zq_$nm"): _*)
+          }
+      }
       // --- QUALIFY: filter AFTER windows compute ----------------------
       // Spark's analyzer rejects window expressions inside Filter, so
       // the predicate materializes as a projected boolean first
@@ -2776,13 +2955,13 @@ object Compiler {
       // read these columns back instead of recomputing. Grouped queries
       // are already window-free (the win+agg refusal above), so QUALIFY
       // there has nothing to filter on and refuses explicitly.
-      qualify2.fold(filtered) { q =>
+      qualify2.fold(stitched) { q =>
         // materialized under reserved __q_ names, NOT the select
         // aliases: an alias that collides with a source column (a
         // series named like the alias) would otherwise be clobbered
         // mid-fold and later window expressions would read the window
         // value instead of the series
-        val withWins = spec.select.foldLeft(filtered) {
+        val withWins = spec.select.foldLeft(stitched) {
           case (df, ExprItem(e, nm)) if hasWinOp(e) =>
             df.withColumn(s"__q_$nm", operandColumn(e, aggOk = false, winOk = true))
           case (df, _) => df
@@ -2820,6 +2999,9 @@ object Compiler {
       // recomputing here would re-rank the filtered partitions
       case ExprItem(e, nm) if qualify2.isDefined && hasWinOp(e) =>
         col(s"__q_$nm").as(nm)
+      // escaped/auto-stitched smoothing items were materialized as
+      // frame transforms — read the computed column back
+      case ExprItem(_, nm) if escapedNames(nm) => col(s"__esc_$nm").as(nm)
       case ExprItem(e, nm) => operandColumn(e, aggOk = hasAgg, winOk = true).as(nm)
     }
     // a computed ORDER BY key sorts on its compiled expression (an
@@ -2829,6 +3011,7 @@ object Compiler {
     // the already-materialized pre-filter values)
     def orderCol(i: SelectItem): Column = i match {
       case ExprItem(_, nm) if hasAgg && groupedExprNames.contains(nm) => col(nm)
+      case ExprItem(_, nm) if escapedNames(nm) => col(s"__esc_$nm")
       case ExprItem(e, _) => operandColumn(e, aggOk = hasAgg, winOk = true)
       case other          => col(itemColName(other))
     }

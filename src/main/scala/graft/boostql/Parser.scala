@@ -1265,6 +1265,38 @@ object Parser {
             case Some(c) => OAggX(fn, OCase(Seq((c, parg)), None), Seq(p))
             case None    => OAggX(fn, parg, Seq(p))
           }
+        } else if (id.equalsIgnoreCase("twa")) {
+          // twa(x [, '<bucket width>']): time-weighted average. The
+          // optional width routes the lead-segment pre-pass through the
+          // bucket-then-stitch decomposition — the hot-key escape: the
+          // per-key segment window serializes one task per key, the
+          // bucketed form fans a hot key out over its time buckets.
+          // Bit-equal over integral inputs (identical segment multiset,
+          // identical exact sums); the width rides in OAggX.arg2 like
+          // string_agg's separator, so structural dedup across
+          // SELECT/HAVING/ORDER BY includes it.
+          if (sym("*")) {
+            // keep the legacy OAgg(*) shape so the compiler's
+            // "twa(*) is not valid" refusal fires as before
+            expectSym(")")
+            OAgg("twa", None)
+          } else {
+          val parg = nested(addOperand())
+          val width = if (sym(",")) peek match {
+            case TStr(w) => pos += 1; Some(OLit(BStr(w)): Operand)
+            case t => throw ParseException(
+              s"twa() bucket width must be a string literal like " +
+                s"'1 day', got $t")
+          } else None
+          expectSym(")")
+          if (peekIsKw("over")) throw ParseException(
+            "twa is not supported as a window function")
+          filterClause() match {
+            case Some(c) => OAggX("twa", OCase(Seq((c, parg)), None),
+              Nil, width)
+            case None    => OAggX("twa", parg, Nil, width)
+          }
+          }
         } else if (id.equalsIgnoreCase("xcorr")) {
           // xcorr(x, y, k): lag-k CROSS-correlation — Pearson corr of
           // (xᵢ, yᵢ₊ₖ) pairs in time order ("does x lead y by k

@@ -619,55 +619,99 @@ object TimeSeriesOps {
   def ewmaBucketed(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieBreak: Seq[String], alpha: Double,
       bucketSeconds: Long, out: String = "ewma"): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    ewmaStitched(df.filter(col(valCol).isNotNull), Seq(keyCol), tsCol,
+      valCol, tieBreak, alpha, bucketSeconds * 1000000L, out)
+  }
+
+  /** The general bucket-then-stitch EWMA kernel — [[ewmaBucketed]] with
+    * multi-column keys, a micros-granular bucket width, and the
+    * single-pass form's FULL null semantics PRESERVED: a null-valued
+    * row re-emits the last smoothed value (the [[graft.functions.Ewma]]
+    * LOCF convention) and leaves the state unchanged, instead of being
+    * dropped. This is the form the dialect's escaped
+    * `ewma(x, α, '<width>')` compiles to, so the SQL front keeps its
+    * null contract while gaining the hot-key topology.
+    *
+    * The decomposition tracks the RUNNING NON-NULL COUNT (not the row
+    * number): each non-null observation multiplies the carried state by
+    * (1−α), a null one doesn't — so y_i = z_i + (1−α)^cnn_i·(y_in −
+    * x_1) with cnn_i = non-nulls up to row i, x_1 the bucket's first
+    * non-null, z the in-bucket kernel value. An all-null bucket
+    * composes as the identity (A = 1, B = 0) and its rows re-emit the
+    * incoming state. Null KEY values stitch null-safely (they are their
+    * own window partition in the single-pass form). Same ~1e-9
+    * reassociation caveat as [[ewmaBucketed]].
+    */
+  def ewmaStitched(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], alpha: Double,
+      bucketUs: Long, out: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(bucketUs > 0, "bucketUs must be positive")
     import org.apache.spark.sql.catalyst.expressions.{
       Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
       WindowSpecDefinition}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val om = 1.0 - alpha
-    val bucketUs = bucketSeconds * 1000000L
     val u = unix_micros(col(tsCol))
-    val rows = df.filter(col(valCol).isNotNull)
-      .withColumn("__bk", u - pmod(u, lit(bucketUs)))
+    val rows = df.withColumn("__bk", u - pmod(u, lit(bucketUs)))
+    val partNames = keys :+ "__bk"
     val ord = (col(tsCol) +: tieBreak.map(col)).map(c =>
       SortOrder(ColumnBridge.expression(c), Ascending))
     val zCol = ColumnBridge.column(WindowExpression(
       graft.functions.Ewma(
         ColumnBridge.expression(col(valCol).cast("double")), alpha),
       WindowSpecDefinition(
-        Seq(keyCol, "__bk").map(c => ColumnBridge.expression(col(c))),
+        partNames.map(c => ColumnBridge.expression(col(c))),
         ord, UnspecifiedFrame)))
-    val w1 = Window.partitionBy(col(keyCol), col("__bk"))
+    val w1 = Window.partitionBy(partNames.map(col): _*)
       .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
-    val wb = Window.partitionBy(col(keyCol), col("__bk"))
+    val runF = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(partNames.map(col): _*)
     val withZ = rows.withColumn("__z", zCol)
       .withColumn("__rn", row_number().over(w1))
       .withColumn("__nb", count(lit(1)).over(wb))
-      .withColumn("__x1", first(col(valCol).cast("double"))
-        .over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val aB = pow(lit(om), col("__nb"))
+      // running/in-bucket NON-NULL counts: the state multiplies by
+      // (1−α) only on observations, so null rows don't advance the
+      // exponent (count(col) skips nulls)
+      .withColumn("__cnn", count(col(valCol)).over(runF))
+      .withColumn("__x1", first(col(valCol).cast("double"),
+        ignoreNulls = true).over(runF))
+      // per-bucket non-null count, materialized BEFORE the summary
+      // filter below (a window evaluated after it would see one row)
+      .withColumn("__nnb", count(col(valCol)).over(wb))
+    val aB = pow(lit(om), col("__nnb"))
     val summary = withZ.filter(col("__rn") === col("__nb"))
-      .select(col(keyCol), col("__bk"), aB.as("__A"),
-        (col("__z") - aB * col("__x1")).as("__B"), col("__z").as("__s"))
-    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("__bk").asc)
+      .select((keys.map(col) :+ col("__bk") :+ aB.as("__A") :+
+        // an all-null bucket is the identity map (A = 1, B = 0, null
+        // seed): the incoming state passes through unchanged
+        coalesce(col("__z") - aB * col("__x1"), lit(0.0)).as("__B") :+
+        col("__z").as("__s")): _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk").asc)
     val yEnd = ColumnBridge.column(WindowExpression(
       graft.functions.AffineScan(
         ColumnBridge.expression(col("__A")),
         ColumnBridge.expression(col("__B")),
         ColumnBridge.expression(col("__s"))),
       WindowSpecDefinition(
-        Seq(ColumnBridge.expression(col(keyCol))),
+        keys.map(c => ColumnBridge.expression(col(c))),
         Seq(SortOrder(ColumnBridge.expression(col("__bk")), Ascending)),
         UnspecifiedFrame)))
     val chained = summary.withColumn("__yend", yEnd)
       .withColumn("__y0", lag(col("__yend"), 1).over(w2))
-      .select(col(keyCol), col("__bk"), col("__y0"))
-    withZ.join(chained, Seq(keyCol, "__bk"))
+      .select((keys.map(c => col(c).as(s"__st_$c")) :+
+        col("__bk").as("__st_bk") :+ col("__y0")): _*)
+    // null-safe on the keys: a null key is its own partition in the
+    // single-pass window form and must stitch to its own summary
+    val cond = keys.map(c => col(c) <=> col(s"__st_$c"))
+      .foldLeft(col("__bk") === col("__st_bk"))(_ && _)
+    withZ.join(chained, cond)
       .withColumn(out, when(col("__y0").isNull, col("__z"))
-        .otherwise(col("__z") +
-          pow(lit(om), col("__rn")) * (col("__y0") - col("__x1"))))
-      .drop("__bk", "__z", "__rn", "__nb", "__x1", "__y0")
+        .otherwise(when(col("__z").isNull, col("__y0"))
+          .otherwise(col("__z") +
+            pow(lit(om), col("__cnn")) * (col("__y0") - col("__x1")))))
+      .drop((keys.map(c => s"__st_$c") ++ Seq("__st_bk", "__bk", "__z",
+        "__rn", "__nb", "__nnb", "__cnn", "__x1", "__y0")): _*)
   }
 
   /** Time-weighted average per key (the TimescaleDB

@@ -891,6 +891,21 @@ object BoostQueries {
         "FROM dom.events GROUP BY purchase.user " +
         "HAVING count(purchase) > 1 ORDER BY purchase.user")),
 
+    // the HOT-KEY ESCAPE spelling of the same query — twa(x, '1 day')
+    // routes the lead-segment pre-pass through the bucket-then-stitch
+    // decomposition (in-bucket segments per (key, day) + a boundary-
+    // segment stitch over bucket summaries). The segment MULTISET is
+    // identical and the sums are the same exact longs, so the result
+    // is bit-equal to the single-pass form: it SHARES boost_ts_twa's
+    // oracle verbatim — that sharing IS the proof the escape changes
+    // the topology, not the answer.
+    "boost_ts_twa_escape" -> ((s, d) =>
+      run(s, d, "SELECT purchase.user, " +
+        "round(twa(CAST(purchase * 100.0 AS int), '1 day'), 6) AS tw, " +
+        "count(purchase) AS n " +
+        "FROM dom.events GROUP BY purchase.user " +
+        "HAVING count(purchase) > 1 ORDER BY purchase.user")),
+
     // fixed-bin histogram: 8 conditional sums over [0, 25000) cents,
     // assembled into one comma-joined count string — a per-group
     // distribution summary with constant aggregation state
@@ -961,6 +976,20 @@ object BoostQueries {
     "boost_ts_ewma" -> ((s, d) =>
       run(s, d, "SELECT click.event_id, " +
         "ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm " +
+        "FROM dom.events ORDER BY click.event_id")),
+
+    // the HOT-KEY ESCAPE spelling — ewma(x, alpha, '<width>') opts into
+    // the bucket-then-stitch decomposition (TimeSeriesOps.ewmaStitched:
+    // in-bucket kernel per (user, day), per-bucket affine chaining, a
+    // bucket-summary stitch join). An OPT-IN spelling because the
+    // stitch reassociates (~1e-9 vs the single pass in general); with
+    // alpha = 0.5 every power and scale is exact, so the oracle replays
+    // the DECOMPOSITION itself bit for bit (the ts_ewma_bucketed
+    // discipline), proving the stitch algebra cross-engine through the
+    // SQL front.
+    "boost_ts_ewma_escape" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "ewma(click, 0.5, '1 day') OVER (PARTITION BY click.user) AS sm " +
         "FROM dom.events ORDER BY click.event_id")),
 
     // holt(x, a, b) / holt_forecast(x, a, b): double-exponential
@@ -1492,7 +1521,15 @@ object BoostQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the escaped twa is BIT-EQUAL to the single-pass form (identical
+    // segment multiset, identical exact long sums) — sharing the oracle
+    // verbatim is the proof the escape changes only the topology
+    m + ("boost_ts_twa_escape" -> m("boost_ts_twa"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "boost_select_where" ->
       """SELECT CAST(user_id AS VARCHAR) AS click_user, value AS click
         |FROM events WHERE event_type = 'click' AND value < 100.0
@@ -3275,6 +3312,52 @@ object BoostQueries {
         |     arr.vals[CAST(floor(0.5 * (arr.ns - 1)) AS BIGINT) + 1]) *
         |    (0.5 * (arr.ns - 1) - floor(0.5 * (arr.ns - 1))), 6) AS ap50,
         |  ex.p50 AS p50, ex.n AS n
-        |FROM ex JOIN arr ON ex.d = arr.d ORDER BY d""".stripMargin
+        |FROM ex JOIN arr ON ex.d = arr.d ORDER BY d""".stripMargin,
+
+    // the escaped ewma replays its DECOMPOSITION (in-bucket recursion
+    // per (user, day), affine chain per user, per-row finish) — alpha
+    // = 0.5 keeps every power/scale exact, the ts_ewma_bucketed
+    // discipline brought to the SQL front
+    "boost_ts_ewma_escape" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bk,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts) AS rn,
+        |    count(*) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000) AS nb,
+        |    first_value(value) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts) AS x1
+        |  FROM events WHERE event_type = 'click'
+        |), z AS (
+        |  SELECT event_id, user_id, bk, rn, nb, x1, x AS z
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.bk, p.rn, p.nb, p.x1,
+        |    0.5 * p.x + 0.5 * z.z
+        |  FROM pts p JOIN z
+        |    ON p.user_id = z.user_id AND p.bk = z.bk AND p.rn = z.rn + 1
+        |), sm AS (
+        |  SELECT user_id, bk, power(0.5, nb) AS a,
+        |    z - power(0.5, nb) * x1 AS b, z AS s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk) AS bi
+        |  FROM z WHERE rn = nb
+        |), ch AS (
+        |  SELECT user_id, bk, bi, s AS yend FROM sm WHERE bi = 1
+        |  UNION ALL
+        |  SELECT m.user_id, m.bk, m.bi, m.a * ch.yend + m.b
+        |  FROM sm m JOIN ch
+        |    ON m.user_id = ch.user_id AND m.bi = ch.bi + 1
+        |), y0 AS (
+        |  SELECT user_id, bk,
+        |    lag(yend) OVER (PARTITION BY user_id ORDER BY bk) AS y0
+        |  FROM ch)
+        |SELECT CAST(z.event_id AS VARCHAR) AS click_event_id,
+        |  CASE WHEN y0.y0 IS NULL THEN z.z
+        |    ELSE z.z + power(0.5, z.rn) * (y0.y0 - z.x1) END AS sm
+        |FROM z JOIN y0 ON z.user_id = y0.user_id AND z.bk = y0.bk
+        |ORDER BY click_event_id""".stripMargin
   )
 }

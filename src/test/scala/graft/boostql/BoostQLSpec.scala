@@ -4010,6 +4010,92 @@ class BoostQLSpec extends SparkSpec {
     refuses("OUTLIERS purchase K 0 FROM dom.events")
   }
 
+  test("hot-key smoothing escapes: zscore auto-stitches bit-equally, " +
+      "ewma/twa width spellings match their single-pass forms, " +
+      "refusals name the shape") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // three hour-buckets, a null VALUE row, and a null KEY row — the
+    // stitch paths must carry both exactly like the window forms
+    val rows: Seq[(String, Timestamp, Option[Double], Option[String])] =
+      Seq(
+        ("c", Timestamp.valueOf("2024-01-01 00:05:00"), Some(10.0), Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 00:25:00"), Some(14.0), Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 00:45:00"), None,       Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 01:10:00"), Some(6.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 01:30:00"), Some(9.0),  None),
+        ("c", Timestamp.valueOf("2024-01-01 02:15:00"), Some(3.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 02:40:00"), Some(7.0),  Some("b")),
+        ("c", Timestamp.valueOf("2024-01-01 02:55:00"), Some(5.0),  None))
+    val f = spark.createDataFrame(rows).toDF("series", "ts", "value", "h")
+      .withColumn("attributes",
+        map(lit("host"), col("h")).cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+      .drop("h")
+    def q(text: String) = Compiler.compile(Parser.parse(text), f)
+    def planOf(text: String) = q(text).queryExecution.analyzed
+    def hasNode(text: String, node: String): Boolean =
+      planOf(text).collect { case p if p.nodeName == node => p }.nonEmpty
+    // --- zscore: AUTO-stitched (groupBy + broadcast join-back) -------
+    val zsText = "SELECT ts, zscore(CAST(c AS int)) " +
+      "OVER (PARTITION BY c.host) AS z FROM dom.f ORDER BY ts"
+    assert(hasNode(zsText, "Join") && !hasNode(zsText, "Window"),
+      "top-level zscore must compile to the stitched join-back plan")
+    // nested use keeps the window form
+    val zsNested = "SELECT ts, zscore(CAST(c AS int)) " +
+      "OVER (PARTITION BY c.host) * 1.0 AS z2 FROM dom.f ORDER BY ts"
+    assert(hasNode(zsNested, "Window"),
+      "nested zscore must keep the window form")
+    // ×1.0 is the IEEE identity, so the two plans must agree BIT for bit
+    val zs = q(zsText).collect().map(r =>
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val zw = q(zsNested).collect().map(r =>
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(zs.toSeq == zw.toSeq && zs.exists(_.isDefined),
+      "stitched zscore must be bit-equal to the window form")
+    // under QUALIFY the window form engages (and works)
+    assert(q("SELECT ts, zscore(CAST(c AS int)) OVER (PARTITION BY " +
+      "c.host) AS z FROM dom.f QUALIFY z > 0.0 ORDER BY ts")
+      .collect().forall(_.getDouble(1) > 0.0))
+    // --- ewma escape: opt-in width, ~1e-9 of the single pass ---------
+    val sgl = q("SELECT ts, ewma(c, 0.25) OVER (PARTITION BY c.host) " +
+      "AS sm FROM dom.f ORDER BY ts").collect()
+    val esc = q("SELECT ts, ewma(c, 0.25, '1 hour') OVER (PARTITION BY " +
+      "c.host) AS sm FROM dom.f ORDER BY ts").collect()
+    assert(sgl.length == rows.length && esc.length == rows.length)
+    sgl.zip(esc).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1),
+        s"null pattern diverged at ${a.getTimestamp(0)}")
+      if (!a.isNullAt(1))
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+          1e-9 * math.max(1.0, math.abs(a.getDouble(1))),
+          s"ewma escape diverged at ${a.getTimestamp(0)}: " +
+            s"${a.getDouble(1)} vs ${b.getDouble(1)}")
+    }
+    // --- twa escape: bit-equal over integral inputs -------------------
+    val twaS = q("SELECT c.host AS h, twa(CAST(c AS int)) AS tw " +
+      "FROM dom.f GROUP BY c.host ORDER BY h").collect().map(_.toSeq)
+    val twaE = q("SELECT c.host AS h, twa(CAST(c AS int), '1 hour') " +
+      "AS tw FROM dom.f GROUP BY c.host ORDER BY h").collect().map(_.toSeq)
+    assert(twaS.toSeq == twaE.toSeq && twaS.nonEmpty,
+      "bucketed twa must be bit-equal to the single-pass form")
+    // --- refusals name the shape --------------------------------------
+    def refuses(text: String, frag: String): Unit = {
+      val e = intercept[Compiler.CompileException](q(text).collect())
+      assert(e.getMessage.contains(frag), s"message: ${e.getMessage}")
+    }
+    refuses("SELECT round(ewma(c, 0.5, '1 day') OVER (PARTITION BY " +
+      "c.host), 6) AS x FROM dom.f", "top-level select item")
+    refuses("SELECT ewma(c, 0.5, '1 day') OVER (PARTITION BY c.host) " +
+      "AS x FROM dom.f QUALIFY x > 0.0", "top-level select item")
+    refuses("SELECT ewma(c, 0.5, 'nonsense') OVER (PARTITION BY " +
+      "c.host) AS x FROM dom.f", "bucket width")
+    refuses("SELECT twa(CAST(c AS int), '0 seconds') AS tw FROM dom.f",
+      "bucket width")
+    intercept[Parser.ParseException](
+      Parser.parse("SELECT twa(c, 5) AS tw FROM dom.f"))
+  }
+
   test("compiler: nested derived tables collapse into one plan") {
     import org.apache.spark.sql.functions._
     val df = Compiler.compile(Parser.parse(

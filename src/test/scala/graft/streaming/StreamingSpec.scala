@@ -520,6 +520,63 @@ class StreamingSpec extends SparkSpec {
       s"join state must evict behind the watermark: ${joinState.sum} of $sides")
   }
 
+  test("joined-stream aggregate auto-compiles to the bucketed hot-key topology; undecomposable shapes fall back") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val fam = graft.sources.TimeSeriesTable.fromEvents(Tables.events(spark, sfDir))
+    def hasBucketExplode(df: org.apache.spark.sql.DataFrame): Boolean = {
+      var gen = false
+      df.queryExecution.analyzed.foreach {
+        case g: Generate => gen = true
+        case _ => ()
+      }
+      gen && df.queryExecution.analyzed.toString.contains("__gbkt")
+    }
+    // the canonical enrich-then-rollup shape decomposes: per-side
+    // stateless compiles + bucketedIntervalJoin (Generate = the ≤2-
+    // bucket explode; __gbkt = the derived time-bucket equi key)
+    val canonical = graft.boostql.BoostQL.sqlStream(
+      "SELECT CAST(bucket(a.ts, '1 day') AS int) AS d, " +
+        "a.click.user AS u, count(*) AS n, " +
+        "sum(CAST(b.purchase * 100.0 AS int)) AS cents " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour' " +
+        "GROUP BY d, u", _ => fam, "2 days")
+    assert(hasBucketExplode(canonical),
+      "expected the bucketed-interval decomposition to engage")
+    // BETWEEN spells the same bound; single-side ON/WHERE conjuncts
+    // push into their side and keep the decomposition
+    val between = graft.boostql.BoostQL.sqlStream(
+      "SELECT bucket(a.ts, '1 day') AS d, count(*) AS n " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts BETWEEN a.ts AND a.ts + INTERVAL '1 hour' " +
+        "AND b.purchase > 10.0 WHERE a.click < 90.0 GROUP BY d",
+      _ => fam, "2 days")
+    assert(hasBucketExplode(between))
+    // a MIXED-SIDE aggregate argument is side-unsplittable — the
+    // symmetric-hash fallback compiles it (no explode), same semantics
+    val mixed = graft.boostql.BoostQL.sqlStream(
+      "SELECT bucket(a.ts, '1 day') AS d, " +
+        "sum(a.click + b.purchase) AS s " +
+        "FROM dom.events AS a JOIN dom.events AS b " +
+        "ON a.click.user = b.purchase.user " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '1 hour' " +
+        "GROUP BY d", _ => fam, "2 days")
+    assert(!hasBucketExplode(mixed), "mixed-side args must fall back")
+    assert(mixed.collect().nonEmpty)
+    // the SQL front agrees with the hand-built bucketed replay (the
+    // DuckDB oracle pins the same equality at the harness tier)
+    val viaBucketed = canonical.orderBy("d", "u").collect().toSeq
+    assert(viaBucketed.nonEmpty)
+    val direct = StreamingOps.streamJoinAggBucketedReplay(spark, sfDir)
+      .collect().toSeq
+    assert(viaBucketed.map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))) ==
+      direct.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+  }
+
   test("family roundtrip: ingest + openStream tail equals batch; maxFilesPerTrigger bounds batches") {
     // end-to-end topology: streamIntoFamily write half -> openStream
     // read half -> watermarked daily agg. Result must equal the plain
