@@ -381,6 +381,14 @@ object BoostQL {
     *     existing row with the source row
     *   - `WHEN MATCHED [AND <cond>] THEN DELETE` — drop it
     *   - `WHEN NOT MATCHED THEN INSERT` — write unmatched source rows
+    *   - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` — the
+    *     MIRROR-SYNC clause: drop target rows whose key is absent from
+    *     the batch (conditions see target columns only; `src.` refuses
+    *     — there is no source row by definition). DELETE only; a
+    *     by-source UPDATE is the UPDATE statement's job. Scale note:
+    *     this clause inverts locality — absent keys can sit on ANY
+    *     date, so the classification reads the WHOLE family (inherent
+    *     to mirror-sync); keep-only dates still stay byte-identical.
     *
     * Matched clauses apply FIRST-TRUE-WINS in statement order (ANSI);
     * a row matching no clause is kept unchanged. Conditions ride the
@@ -450,41 +458,78 @@ object BoostQL {
     val matchedRe =
       """(?is)^when\s+matched\s+(?:and\s+(.*)\s+)?then\s+(update|delete)\s*$""".r
     val insertRe2 = """(?is)^when\s+not\s+matched\s+then\s+insert\s*$""".r
+    // WHEN NOT MATCHED BY SOURCE — the MIRROR-SYNC clause: target rows
+    // whose key is absent from the batch. DELETE only: the dialect's
+    // matched-UPDATE replaces the row with the SOURCE row, which does
+    // not exist for a by-source clause by definition (a target-side
+    // rewrite is the UPDATE statement, same copy-on-write machinery).
+    // Conditions see TARGET columns only — `src.` refuses with the
+    // reason instead of silently resolving as a series named src.
+    val bySrcRe =
+      """(?is)^when\s+not\s+matched\s+by\s+source\s+(?:and\s+(.*)\s+)?then\s+(update|delete|insert)\s*$""".r
+    def parseCond(condText: String, what: String, allowSrc: Boolean,
+        forbidSrc: Boolean): Column = {
+      val parsed = Parser.parseStmt(
+        s"SELECT 1 AS one FROM $dom.$fam WHERE $condText") match {
+        case q: Ast.QuerySpec => q
+        case _ => throw Compiler.CompileException(
+          s"a MERGE $what condition must be a plain predicate")
+      }
+      val pred = parsed.where.getOrElse(
+        throw Compiler.CompileException(
+          s"a MERGE $what condition must be a plain predicate"))
+      longPredicate(pred, "MERGE", allowSrc = allowSrc,
+        forbidSrc = forbidSrc)
+    }
     var insertClauses = 0
     var sawUnconditional = false
-    val matched = clauseTexts.flatMap {
+    var sawUnconditionalBs = false
+    val matchedB = Seq.newBuilder[(Option[Column], String)]
+    val bySourceB = Seq.newBuilder[(Option[Column], String)]
+    clauseTexts.foreach {
+      case bySrcRe(condText, action) =>
+        action.toLowerCase match {
+          case "delete" => ()
+          case "update" => throw Compiler.CompileException(
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported — " +
+              "the dialect's matched-UPDATE replaces the row with the " +
+              "SOURCE row, which does not exist for a by-source clause; " +
+              "spell a target-side rewrite as the UPDATE statement " +
+              "(same copy-on-write machinery)")
+          case _ => throw Compiler.CompileException(
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT is contradictory — " +
+              "the clause addresses rows already present in the target")
+        }
+        if (sawUnconditionalBs) throw Compiler.CompileException(
+          "a WHEN NOT MATCHED BY SOURCE clause after an unconditional " +
+            "one is unreachable — first true clause wins; reorder or " +
+            "add AND")
+        val cond = Option(condText).map(parseCond(_, "by-source",
+          allowSrc = false, forbidSrc = true))
+        if (cond.isEmpty) sawUnconditionalBs = true
+        bySourceB += ((cond, "delete"))
       case insertRe2() =>
         insertClauses += 1
         if (insertClauses > 1) throw Compiler.CompileException(
           "MERGE allows one WHEN NOT MATCHED THEN INSERT clause")
-        None
       case matchedRe(condText, action) =>
         if (sawUnconditional) throw Compiler.CompileException(
           "a WHEN MATCHED clause after an unconditional one is " +
             "unreachable — first true clause wins; reorder or add AND")
-        val cond = Option(condText).map { t =>
-          val parsed = Parser.parseStmt(
-            s"SELECT 1 AS one FROM $dom.$fam WHERE $t") match {
-            case q: Ast.QuerySpec => q
-            case _ => throw Compiler.CompileException(
-              "a MERGE matched condition must be a plain predicate")
-          }
-          val pred = parsed.where.getOrElse(
-            throw Compiler.CompileException(
-              "a MERGE matched condition must be a plain predicate"))
-          longPredicate(pred, "MERGE", allowSrc = true)
-        }
+        val cond = Option(condText).map(parseCond(_, "matched",
+          allowSrc = true, forbidSrc = false))
         if (cond.isEmpty) sawUnconditional = true
-        Some((cond, action.toLowerCase))
+        matchedB += ((cond, action.toLowerCase))
       case other => throw Compiler.CompileException(
         s"malformed MERGE clause '${other.trim.take(60)}' — expected " +
-          "WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE or " +
-          "WHEN NOT MATCHED THEN INSERT")
+          "WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE, " +
+          "WHEN NOT MATCHED THEN INSERT or " +
+          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE")
     }
     val df = Compiler.compile(Parser.parseStmt(select), families)
     val (upd, del, ins, _) = TimeSeriesTable.mergeRows(
       df.sparkSession, root, dom, fam, insertLong(df),
-      matched, insertClauses > 0)
+      matchedB.result(), insertClauses > 0, bySourceB.result())
     (upd, del, ins)
   }
 
@@ -718,7 +763,7 @@ object BoostQL {
     * names the verb in error messages.
     */
   private[boostql] def longPredicate(e: Ast.BExpr, ctx: String,
-      allowSrc: Boolean = false): Column = {
+      allowSrc: Boolean = false, forbidSrc: Boolean = false): Column = {
     import Ast._
     def scoped(series: Set[String], c: Column): Column = series.toSeq match {
       case Seq() => c
@@ -729,7 +774,7 @@ object BoostQL {
           "span two; split it with AND/OR")
     }
     def operand(o: Operand): (Column, Set[String]) =
-      longOperand(o, ctx, allowSrc)
+      longOperand(o, ctx, allowSrc, forbidSrc)
     def walk(e: BExpr): Column = e match {
       case AndE(l, r) => walk(l) && walk(r)
       case OrE(l, r)  => walk(l) || walk(r)
@@ -777,12 +822,20 @@ object BoostQL {
     * so callers scope or validate on it).
     */
   private[boostql] def longOperand(o: Ast.Operand, ctx: String,
-      allowSrc: Boolean = false): (Column, Set[String]) = {
+      allowSrc: Boolean = false,
+      forbidSrc: Boolean = false): (Column, Set[String]) = {
     import Ast._
     def operand(o2: Operand): (Column, Set[String]) =
-      longOperand(o2, ctx, allowSrc)
+      longOperand(o2, ctx, allowSrc, forbidSrc)
     o match {
       case OLit(l) => (Compiler.litColumn(l), Set.empty)
+      // a by-source condition sees the TARGET row only: `src.` would
+      // otherwise silently resolve as a series named src
+      case ORef(RawName(s +: _)) if forbidSrc && s.equalsIgnoreCase("src") =>
+        throw Compiler.CompileException(
+          "a WHEN NOT MATCHED BY SOURCE condition sees only the TARGET " +
+            "row — there is no source row for an absent key by " +
+            "definition; drop the src. prefix")
       // MERGE matched-clause conditions see the SOURCE row through the
       // reserved `src` prefix: src.value is the incoming datapoint,
       // any other src.<k> an incoming attribute (shadowing tags, same

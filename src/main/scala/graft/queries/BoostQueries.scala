@@ -1320,6 +1320,37 @@ object BoostQueries {
         _ => reread)
     }),
 
+    // MERGE with the MIRROR-SYNC clause (WHEN NOT MATCHED BY SOURCE),
+    // oracle-checked end to end: seed p = per-ts max purchase, then one
+    // MERGE whose batch is the doubled >100 tail plus a 45-day-shifted
+    // view rollup. Matched raise-only corrections UPDATE, unmatched
+    // batch rows INSERT, and seed rows ABSENT from the batch DELETE
+    // when small (p < 30) — the takedown half of keeping a derived
+    // family in lockstep with its source. The oracle replays the full
+    // outer join with the same clause guards.
+    "boost_merge_sync" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_msync").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sqlInsert(
+        "INSERT INTO dom.derived SELECT ts, max(purchase) AS p " +
+          "FROM dom.events GROUP BY ts", _ => fam, root)
+      val (upd, del, ins) = BoostQL.sqlMerge(
+        "MERGE INTO dom.derived USING (" +
+          "SELECT ts, max(purchase * 2.0) AS p FROM dom.events " +
+          "WHERE purchase > 100.0 GROUP BY ts " +
+          "UNION ALL SELECT ts + INTERVAL '45 days' AS ts, " +
+          "max(view) AS p FROM dom.events GROUP BY ts) " +
+          "WHEN MATCHED AND src.value < 300.0 THEN UPDATE " +
+          "WHEN NOT MATCHED THEN INSERT " +
+          "WHEN NOT MATCHED BY SOURCE AND p < 30.0 THEN DELETE",
+        _ => fam, root)
+      require(upd > 0 && del > 0 && ins > 0,
+        s"expected update + by-source delete + insert, got ($upd, $del, $ins)")
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT p, ts FROM dom.derived ORDER BY ts, p",
+        _ => reread)
+    }),
+
     // WITH common table expressions (substitution into derived tables;
     // each use optimizes independently — here the cnt > 2 filter pushes
     // into only the b copy, shrinking the broadcast side)
@@ -2346,6 +2377,25 @@ object BoostQueries {
         |    FROM seed s LEFT JOIN batch b ON s.ts = b.ts
         |    WHERE NOT (b.v IS NOT NULL AND NOT (b.v < 300.0)
         |      AND s.p > 200.0)),
+        |  ins AS (SELECT b.v AS p, b.ts FROM batch b
+        |    LEFT JOIN seed s ON b.ts = s.ts WHERE s.ts IS NULL)
+        |SELECT p, ts FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t
+        |ORDER BY ts, p""".stripMargin,
+
+    // the full-outer replay with the same clause guards: matched rows
+    // take the raise-only correction, batch-only rows insert, and
+    // seed-only rows survive only when the by-source guard is false
+    "boost_merge_sync" ->
+      """WITH seed AS (SELECT ts, MAX(value) AS p FROM events
+        |    WHERE event_type = 'purchase' GROUP BY ts),
+        |  batch AS (SELECT ts, MAX(value * 2.0) AS v FROM events
+        |    WHERE event_type = 'purchase' AND value > 100.0 GROUP BY ts
+        |    UNION ALL SELECT ts + INTERVAL '45 days' AS ts, MAX(value) AS v
+        |    FROM events WHERE event_type = 'view' GROUP BY ts),
+        |  kept AS (SELECT CASE WHEN b.v IS NOT NULL AND b.v < 300.0
+        |      THEN b.v ELSE s.p END AS p, s.ts
+        |    FROM seed s LEFT JOIN batch b ON s.ts = b.ts
+        |    WHERE NOT (b.v IS NULL AND s.p < 30.0)),
         |  ins AS (SELECT b.v AS p, b.ts FROM batch b
         |    LEFT JOIN seed s ON b.ts = s.ts WHERE s.ts IS NULL)
         |SELECT p, ts FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t

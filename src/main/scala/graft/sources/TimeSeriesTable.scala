@@ -953,16 +953,32 @@ object TimeSeriesTable {
     * take the additive [[append]] path (a daily-ingest MERGE stays
     * append-cheap). Existing duplicate (series, ts) keys each take the
     * merge outcome independently — the verb preserves multiplicity;
-    * UPSERT is the collapsing variant. Returns (rows updated, rows
-    * deleted, rows inserted, rewritten partitions).
+    * UPSERT is the collapsing variant.
+    *
+    * `bySource` carries the mirror-sync clauses (`WHEN NOT MATCHED BY
+    * SOURCE [AND <cond>] THEN DELETE`): existing rows whose key is
+    * ABSENT from the batch take the first true by-source clause
+    * (conditions see target columns only — there is no source row by
+    * definition; DELETE is the only action, a by-source UPDATE is the
+    * UPDATE statement's job). Locality inverts: absent-key rows can sit
+    * on ANY date, so the classification covers the WHOLE family, not
+    * just incoming dates — keep-only dates still stay byte-identical.
+    * Returns (rows updated, rows deleted, rows inserted, rewritten
+    * partitions).
     */
   def mergeRows(spark: SparkSession, root: String, domain: String,
       family: String, incoming: DataFrame,
       matched: Seq[(Option[org.apache.spark.sql.Column], String)],
-      insertUnmatched: Boolean): (Long, Long, Long, Seq[String]) = {
+      insertUnmatched: Boolean,
+      bySource: Seq[(Option[org.apache.spark.sql.Column], String)] =
+        Seq.empty): (Long, Long, Long, Seq[String]) = {
     require(matched.forall(c => c._2 == "update" || c._2 == "delete"),
       "matched clause actions must be update|delete")
-    require(matched.nonEmpty || insertUnmatched,
+    // by-source UPDATE has no source row to replace with — target-side
+    // rewrites are the UPDATE statement's job (same copy-on-write)
+    require(bySource.forall(_._2 == "delete"),
+      "NOT MATCHED BY SOURCE clause actions must be delete")
+    require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val missing = SchemaColumns.filterNot(incoming.columns.contains)
     require(missing.isEmpty,
@@ -1002,9 +1018,15 @@ object TimeSeriesTable {
       val withDt = schema.add(StructField("dt", DateType, nullable = true))
       // only files on incoming dates can hold matching keys; files
       // OUTSIDE the dt= layout could too, invisibly to the swap —
-      // refuse on collision (compact-first, same as the sibling verbs)
-      val candidates = files.filter(f =>
-        dtOf(f).fold(true)(incDates.contains))
+      // refuse on collision (compact-first, same as the sibling verbs).
+      // A NOT MATCHED BY SOURCE clause inverts the locality: rows
+      // ABSENT from the batch can sit on ANY date, so the
+      // classification (and potentially the rewrite) covers the whole
+      // family — inherent to mirror-sync, and stated in the sqlMerge
+      // doc rather than silently narrowed.
+      val candidates =
+        if (bySource.nonEmpty) files
+        else files.filter(f => dtOf(f).fold(true)(incDates.contains))
       val incSrc = inc.select(col("series"), col("ts"),
         col("value").as("src_value"), col("tags").as("src_tags"),
         col("attributes").as("src_attributes"),
@@ -1017,19 +1039,40 @@ object TimeSeriesTable {
             val c = coalesce(cond.getOrElse(lit(true)), lit(false))
             Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
         }.fold(lit(-1))(_.otherwise(lit(-1)))
+      // NOT MATCHED BY SOURCE clauses take the index space after the
+      // matched ones (first-true-wins among themselves); conditions see
+      // TARGET columns only. With no by-source clauses this folds to
+      // the keep outcome (-1) — the pre-existing unmatched behavior.
+      val bsOutcome: org.apache.spark.sql.Column = bySource.zipWithIndex
+        .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+          case (acc, ((cond, _), i)) =>
+            val c = coalesce(cond.getOrElse(lit(true)), lit(false))
+            val idx = lit(matched.length + i)
+            Some(acc.fold(when(c, idx))(_.when(c, idx)))
+        }.fold(lit(-1))(_.otherwise(lit(-1)))
       val deleteIdx = matched.zipWithIndex.collect {
-        case ((_, "delete"), i) => i }
+        case ((_, "delete"), i) => i } ++
+        bySource.zipWithIndex.collect {
+          case ((_, "delete"), i) => matched.length + i }
       val updateIdx = matched.zipWithIndex.collect {
         case ((_, "update"), i) => i }
       // classification pass: per (date, outcome) row counts — bounded
-      // at incoming dates × (clauses + 1) rows on the driver
+      // at touched dates × (clauses + 1) rows on the driver
       val byDtOutcome: Seq[(String, Int, Long)] =
-        if (candidates.isEmpty || matched.isEmpty) Seq.empty
+        if (candidates.isEmpty || (matched.isEmpty && bySource.isEmpty))
+          Seq.empty
         else {
-          val rows = spark.read.schema(withDt).option("basePath", dir)
+          val existing = spark.read.schema(withDt).option("basePath", dir)
             .parquet(candidates: _*)
-            .join(incSrc, Seq("series", "ts"), "inner")
-            .select(col("dt"), outcome.as("__oc"))
+          val classified =
+            if (bySource.isEmpty)
+              existing.join(incSrc, Seq("series", "ts"), "inner")
+                .select(col("dt"), outcome.as("__oc"))
+            else existing.join(incSrc, Seq("series", "ts"), "left")
+              .select(col("dt"),
+                when(coalesce(col("__src_matched"), lit(false)), outcome)
+                  .otherwise(bsOutcome).as("__oc"))
+          val rows = classified
             .groupBy(col("dt"), col("__oc")).count().collect()
           if (rows.exists(_.isNullAt(0))) throw new java.io.IOException(
             s"MERGE into $dir: matching keys exist OUTSIDE the dt= " +
@@ -1097,7 +1140,7 @@ object TimeSeriesTable {
           .join(incSrc, Seq("series", "ts"), "left")
           .withColumn("__oc",
             when(coalesce(col("__src_matched"), lit(false)), outcome)
-              .otherwise(lit(-1)))
+              .otherwise(bsOutcome))
           .filter(!isDelete)
           .select(col("series"), col("ts"),
             when(isUpdate, col("src_value")).otherwise(col("value"))

@@ -164,6 +164,29 @@ class BoostQLSpec extends SparkSpec {
     bad("MERGE INTO dom.d USING (SELECT 1) WHEN MATCHED THEN MERGE",
       "malformed merge clause")
     bad("MERGE INTO dom.d USING (SELECT 1", "closing parenthesis")
+    // NOT MATCHED BY SOURCE: delete-only, target-side conditions only,
+    // unreachable ordering applies within the clause family
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE", "update statement")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN INSERT", "contradictory")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE AND src.value > 1.0 THEN DELETE",
+      "target")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE AND m > 0.0 THEN DELETE", "unreachable")
+    // mirror-sync end to end through the SQL face: keys absent from
+    // the batch and below the guard are dropped, everything else keeps
+    val before2 = TimeSeriesTable.open(spark, root, "dom", "d").count()
+    val (u3, d3, i3) = BoostQL.sqlMerge(
+      "MERGE INTO dom.d USING (SELECT ts, max(click) AS m " +
+        "FROM dom.events WHERE click > 100.0 GROUP BY ts) " +
+        "WHEN NOT MATCHED BY SOURCE AND m < 50.0 THEN DELETE",
+      _ => fam, root)
+    assert(u3 == 0L && i3 == 0L && d3 > 0L, s"got ($u3, $d3, $i3)")
+    assert(TimeSeriesTable.open(spark, root, "dom", "d").count() ==
+      before2 - d3)
   }
 
   test("CREATE/DROP FAMILY: CTAS refuses over an existing family, " +

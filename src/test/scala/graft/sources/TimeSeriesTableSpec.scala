@@ -571,6 +571,55 @@ class TimeSeriesTableSpec extends SparkSpec {
       "delete applied, unmatched row dropped")
   }
 
+  test("mergeRows NOT MATCHED BY SOURCE: mirror-sync deletes absent " +
+      "keys, conditions gate per row, keep-only dates stay " +
+      "byte-identical, unconditional sync mirrors the batch") {
+    val root = Files.createTempDirectory("graft-msync").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),   // matched → update
+      ("cpu", "2024-01-01 02:00:00", 5.0),   // absent, value < 10 → delete
+      ("cpu", "2024-01-02 01:00:00", 50.0),  // absent, value >= 10 → keep
+      ("mem", "2024-01-03 01:00:00", 3.0))), // absent, value < 10 → delete
+      root, "dom", "m")
+    val d2Before = partitionDigests(s"$root/dom/m/dt=2024-01-02")
+    val (upd, del, ins, parts) = TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", mkRows(Seq(
+        ("cpu", "2024-01-01 01:00:00", 9.0),
+        ("cpu", "2024-01-09 01:00:00", 7.0))), // unmatched, no insert clause
+      Seq((None, "update")), insertUnmatched = false,
+      bySource = Seq((Some(col("value") < 10.0), "delete")))
+    assert(upd == 1L && del == 2L && ins == 0L, s"got ($upd, $del, $ins)")
+    assert(parts == Seq("dt=2024-01-01", "dt=2024-01-03"),
+      s"only dates with a non-keep outcome rewrite, got $parts")
+    // the absent-but-kept date was classified but never rewritten
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-02") == d2Before)
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+    assert(after.count() == 2)
+    assert(after.filter(col("value") === 9.0).count() == 1, "update applied")
+    assert(after.filter(col("value") === 50.0).count() == 1, "gated keep")
+    assert(after.filter(col("series") === "mem").count() == 0)
+    // unconditional by-source + insert: the family MIRRORS the batch
+    val batch2 = mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 9.0),
+      ("io", "2024-02-01 01:00:00", 2.0)))
+    val (u2, d2, i2, _) = TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", batch2,
+      Seq((None, "update")), insertUnmatched = true,
+      bySource = Seq((None, "delete")))
+    assert(u2 == 1L && d2 == 1L && i2 == 1L, s"got ($u2, $d2, $i2)")
+    val mirrored = TimeSeriesTable.open(spark, root, "dom", "m")
+      .select("series", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(mirrored == Set(
+      ("cpu", Timestamp.valueOf("2024-01-01 01:00:00"), 9.0),
+      ("io", Timestamp.valueOf("2024-02-01 01:00:00"), 2.0)),
+      s"family must mirror the batch exactly, got $mirrored")
+    // by-source actions are delete-only
+    intercept[IllegalArgumentException](TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", batch2, Seq.empty,
+      insertUnmatched = false, bySource = Seq((None, "update"))))
+  }
+
   test("refreshDownsample: appends refresh only their dates, expire " +
       "drops derived partitions, untouched derived files byte-identical") {
     val root = Files.createTempDirectory("graft-refresh").toString
