@@ -294,6 +294,37 @@ object TimeSeriesQueries {
         .orderBy("series", "ts_us")
     }),
 
+    // the MUTATE half of rollup maintenance, closing the loop the
+    // append test opens: a row-level takedown DELETE swaps some date
+    // partitions, and the next REFRESH heals the derived rollup by
+    // re-aggregating EXACTLY the dates the delete rewrote (asserted
+    // against the delete's own partition list — signature-driven, no
+    // changelog to maintain or trust). The oracle aggregates the
+    // SURVIVING rows from scratch, so the healed rollup hash-matching
+    // it proves the incremental repair equals a full rebuild.
+    "ts_refresh_after_delete" -> ((s, d) => {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_refreshdel").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      TimeSeriesTable.append(fam, root, "dom", "events")
+      val day = 86400L * 1000000L
+      val (r1, _) = TimeSeriesTable.refreshDownsample(
+        s, root, "dom", "events", day, "1d")
+      require(r1.nonEmpty, "initial refresh materializes every date")
+      val parts = graft.boostql.BoostQL.sqlDelete(
+        "DELETE FROM dom.events WHERE purchase > 250.0", s, root)
+      require(parts.nonEmpty, "the takedown must rewrite some partition")
+      val (r2, rm2) = TimeSeriesTable.refreshDownsample(
+        s, root, "dom", "events", day, "1d")
+      require((r2 ++ rm2).toSet == parts.toSet,
+        s"refresh must re-aggregate exactly the rewritten dates " +
+          s"(${r2.size}+${rm2.size} vs ${parts.size})")
+      TimeSeriesTable.open(s, root, "dom", "events_1d")
+        .select(col("series"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("series", "ts_us")
+    }),
+
     // ordered funnel over the event stream: signup → view → click →
     // purchase, each step strictly after the previous, the whole
     // journey within 14 days of signup. One exchange on the user key
@@ -626,6 +657,31 @@ object TimeSeriesQueries {
         |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
         |    value
         |  FROM events),
+        |g AS (
+        |  SELECT series, bus,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE) AS av,
+        |    MIN(value) AS mn, MAX(value) AS mx,
+        |    CAST(COUNT(value) AS DOUBLE) AS n
+        |  FROM b GROUP BY series, bus)
+        |SELECT series || ':avg_1d' AS series, bus AS ts_us, av AS value FROM g
+        |UNION ALL
+        |SELECT series || ':min_1d', bus, mn FROM g
+        |UNION ALL
+        |SELECT series || ':max_1d', bus, mx FROM g
+        |UNION ALL
+        |SELECT series || ':count_1d', bus, n FROM g
+        |ORDER BY series, ts_us""".stripMargin,
+
+    // the delete-healed rollup must equal aggregating the SURVIVORS
+    // from scratch — the ts_rollup replay over the takedown's complement
+    "ts_refresh_after_delete" ->
+      """WITH b AS (
+        |  SELECT event_type AS series,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bus,
+        |    value
+        |  FROM events
+        |  WHERE NOT (event_type = 'purchase' AND value > 250.0)),
         |g AS (
         |  SELECT series, bus,
         |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)

@@ -505,6 +505,19 @@ object TimeSeriesTable {
     * verbs' count passes, safe to point at a petabyte family. Files
     * outside the dt= layout (pre-partition-era writes) group under
     * `(unpartitioned)` so the inventory never under-reports.
+    *
+    * The footer reads are CACHED through a self-validating manifest
+    * sidecar (`.graft_partitions_manifest`, the refreshDownsample
+    * discipline): each call signs every partition's file set
+    * (name:length:mtime, metadata already in the listing's hand) and
+    * re-reads footers ONLY for partitions whose signature moved — a
+    * daily-ingest family answers from yesterday's manifest plus one
+    * partition's footers, however many dates it holds. The cache can
+    * never serve stale rows (a changed file set changes the signature,
+    * which is exactly what every writer — append, compact, the mutate
+    * swaps, a non-Spark tool — must alter to change the data), and a
+    * read-only warehouse still works: the manifest write is
+    * best-effort.
     */
   def partitions(spark: SparkSession, root: String, domain: String,
       family: String): DataFrame = {
@@ -515,18 +528,59 @@ object TimeSeriesTable {
     val empty = Seq.empty[(String, Long, Long, Long)]
       .toDF("part", "n_files", "n_bytes", "n_rows")
     if (!fs.exists(p)) return empty
-    val files = listDataFiles(fs, p)
-    if (files.isEmpty) return empty
+    val statuses = listDataStatus(fs, p)
+    if (statuses.isEmpty) return empty
     def dtOf(f: String): Option[String] = f.split('/').collectFirst {
       case seg if seg.startsWith("dt=") => seg
     }
-    val rows = files.groupBy(f => dtOf(f).getOrElse("(unpartitioned)"))
-      .toSeq.map { case (part, fp) =>
-        val bytes = fp.map(f => fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(f)).getLen).sum
-        (part, fp.size.toLong, bytes, footerRowCount(fp, hconf))
-      }.sortBy(_._1)
-    rows.toDF("part", "n_files", "n_bytes", "n_rows")
+    val byPart = statuses.groupBy(st =>
+      dtOf(st.getPath.toString).getOrElse("(unpartitioned)"))
+    def sigOf(sts: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+      val rendered = sts.map(st =>
+        st.getPath.getName + ":" + st.getLen + ":" +
+          st.getModificationTime).sorted.mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val manifestPath = new org.apache.hadoop.fs.Path(p,
+      ".graft_partitions_manifest")
+    // part → (sig, n_files, n_bytes, n_rows); unparsable lines ignored
+    val cached: Map[String, (String, Long, Long, Long)] =
+      if (!fs.exists(manifestPath)) Map.empty
+      else try {
+        val in = fs.open(manifestPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.linesIterator.flatMap { line =>
+          line.split('\t') match {
+            case Array(part, sig, nf, nb, nr) =>
+              try Some(part -> (sig, nf.toLong, nb.toLong, nr.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: java.io.IOException => Map.empty }
+    var footerReads = false
+    val rows = byPart.toSeq.map { case (part, sts) =>
+      val sig = sigOf(sts)
+      cached.get(part) match {
+        case Some((s, nf, nb, nr)) if s == sig => (part, sig, nf, nb, nr)
+        case _ =>
+          footerReads = true
+          (part, sig, sts.size.toLong, sts.map(_.getLen).sum,
+            footerRowCount(sts.map(_.getPath.toString), hconf))
+      }
+    }.sortBy(_._1)
+    // rewrite the manifest only when something changed (incl. dropped
+    // partitions); best-effort — SHOW must work on a read-only store
+    if (footerReads || cached.keySet != byPart.keySet) try {
+      val out = fs.create(manifestPath, true)
+      try out.write(rows.map { case (part, sig, nf, nb, nr) =>
+        s"$part\t$sig\t$nf\t$nb\t$nr" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+    rows.map { case (part, _, nf, nb, nr) => (part, nf, nb, nr) }
+      .toDF("part", "n_files", "n_bytes", "n_rows")
   }
 
   /** Rewrite parallelism for the mutate verbs ([[deleteRows]] /

@@ -241,6 +241,39 @@ class TimeSeriesTableSpec extends SparkSpec {
     }.toMap
   }
 
+  test("partitions inventory: manifest cache serves repeat calls, " +
+      "any writer invalidates via the file-set signature") {
+    val root = Files.createTempDirectory("graft-parts").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),
+      ("cpu", "2024-01-01 02:00:00", 2.0),
+      ("cpu", "2024-01-02 01:00:00", 3.0))), root, "dom", "m")
+    def inv() = TimeSeriesTable.partitions(spark, root, "dom", "m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val first = inv()
+    assert(first.map(t => (t._1, t._4)) ==
+      Seq(("dt=2024-01-01", 2L), ("dt=2024-01-02", 1L)))
+    val manifest = new java.io.File(
+      s"$root/dom/m/.graft_partitions_manifest")
+    assert(manifest.isFile, "first call must write the manifest")
+    // repeat call: identical rows, manifest byte-identical (no rewrite)
+    val mBytes = java.nio.file.Files.readAllBytes(manifest.toPath).toSeq
+    assert(inv() == first)
+    assert(java.nio.file.Files.readAllBytes(manifest.toPath).toSeq ==
+      mBytes, "an unchanged family must not rewrite the manifest")
+    // an append moves one partition's signature → only that row changes
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-02 02:00:00", 4.0))), root, "dom", "m")
+    val second = inv()
+    assert(second.head == first.head, "untouched partition row reused")
+    assert(second(1)._4 == 2L, "appended partition re-counted")
+    // a mutate swap (delete the whole first date) drops its row
+    TimeSeriesTable.expire(spark, root, "dom", "m",
+      java.sql.Date.valueOf("2024-01-02"))
+    assert(inv().map(_._1) == Seq("dt=2024-01-02"))
+  }
+
   test("deleteRows rewrites only matching partitions; untouched " +
       "partitions stay byte-identical") {
     val root = Files.createTempDirectory("graft-rowdel").toString
