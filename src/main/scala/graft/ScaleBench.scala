@@ -266,6 +266,13 @@ object ScaleBench {
       require(n > 0, s"$probeName returned 0 rows on $d — empty source?")
       System.err.println(s"[scale] probe $probeName on $d: $n rows")
     }
+    // host probes: the CPU and temp-dir-I/O calibration twins
+    // (graft.Bench) — byte-identical work every round, so cross-round
+    // ratio reads can divide out host drift from engine regression
+    val cpuCal = Bench.calibrate(spark, 3)
+    val ioCal = Bench.calibrateIo(spark, 3)
+    System.err.println(
+      f"[scale] host probes: cpu $cpuCal%.3f s, io $ioCal%.3f s")
     System.err.println(s"[scale] benching ${tier.size} queries at base scale")
     val (baseT, baseF) = Bench.run(spark, baseDir, tier, iters)
     // Symmetry between the two timed phases: the base phase starts with
@@ -286,6 +293,48 @@ object ScaleBench {
     }
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => f""""$k":$v%.4f""" }.mkString("{", ",", "}")
+    // ANN RECALL AT SCALE (curation tier only): recall@k vs
+    // bruteForceTopK on BOTH corpora. Timing linearity alone can hide a
+    // quality cliff — list/bucket occupancy changes with corpus size,
+    // so an index whose latency scales perfectly can silently stop
+    // returning the true neighbors. Floors restate the sf0.001
+    // PipelineSpec pins (measurement, not a gate: a floor miss at
+    // scale is a tuning task with evidence, the run still completes).
+    val annRecall: String =
+      if (streaming || boost || relational) ""
+      else {
+        val floors = Seq("ann_lsh" -> 0.25, "ann_ivf" -> 0.15,
+          "ann_pq" -> 0.25, "ann_ivfpq" -> 0.15, "ann_sq8" -> 0.9)
+        def recalls(d: String): Seq[(String, Double)] = {
+          val exact = SparkEntry.queries("ann_topk")(spark, d)
+            .select("q_id", "nbr_id").collect()
+            .groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+          floors.map { case (n, _) =>
+            val approx = SparkEntry.queries(n)(spark, d)
+              .select("q_id", "nbr_id").collect()
+              .groupBy(_.getLong(0)).view
+              .mapValues(_.map(_.getLong(1)).toSet).toMap
+            val per = exact.map { case (q, ex) =>
+              approx.get(q).fold(0.0)(ap =>
+                ap.intersect(ex).size.toDouble / ex.size)
+            }
+            n -> (if (per.isEmpty) Double.NaN else per.sum / per.size)
+          }
+        }
+        System.err.println("[scale] measuring ANN recall@10 on both corpora")
+        val rb = recalls(baseDir)
+        val rs = recalls(scaleDir)
+        rs.foreach { case (n, r) =>
+          val f = floors.toMap.apply(n)
+          if (r < f) System.err.println(
+            f"[scale] WARNING: $n recall at ${reps}x = $r%.3f below " +
+              f"the $f%.2f floor — tuning task (probes/bands/lists)")
+        }
+        s""""ann_recall":{"k":10,"floors":${jmap(
+          floors.map { case (n, f) => n -> f })},""" +
+        s""""base":${jmap(rb)},"scaled":${jmap(rs)}},"""
+      }
     def jfail(m: Seq[(String, String)]): String =
       m.map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString("{", ",", "}")
     val totalBase = baseT.map(_._2).sum
@@ -310,10 +359,11 @@ object ScaleBench {
       }
     val json =
       s"""{"base_sf":"$baseDir","scale_dir":"$scaleDir","scale_factor":$reps,""" +
+      f""""cpu_calibration_sec":$cpuCal%.3f,"io_calibration_sec":$ioCal%.3f,""" +
       s""""iters":$iters,"excluded":["dd_embed_cosine (quadratic by exact-all-pairs contract)",""" +
       s""""dd_semantic fixed-k form (n^2/k at fixed k; measured as dd_semantic_kscaled with k ~ n instead)"],""" +
       f""""total_base_sec":$totalBase%.3f,"total_scaled_sec":$totalScale%.3f,""" +
-      f""""total_ratio":${totalScale / totalBase}%.2f,""" + decomp +
+      f""""total_ratio":${totalScale / totalBase}%.2f,""" + decomp + annRecall +
       s""""base":${jmap(baseT)},"scaled":${jmap(scaleT)},"ratio":${jmap(ratios)},""" +
       s""""failed_base":${jfail(baseF)},"failed_scaled":${jfail(scaleF)}}"""
     Files.writeString(Paths.get(outJson), json + "\n")

@@ -78,6 +78,12 @@ object SkewBench {
       System.err.println(s"[skew] benching ${tier.size} queries: $name")
       Bench.run(spark, d, tier, iters)
     }
+    // host probes (graft.Bench calibration twins): divide out host
+    // drift when comparing skew artifacts across rounds
+    val cpuCal = Bench.calibrate(spark, 3)
+    val ioCal = Bench.calibrateIo(spark, 3)
+    System.err.println(
+      f"[skew] host probes: cpu $cpuCal%.3f s, io $ioCal%.3f s")
     val (baseT, baseF) = phase("base 1x", baseDir)
     val (uniT, uniF) = phase(s"uniform ${reps}x", uniDir)
     val (skewT, skewF) = phase(s"skewed ${reps}x", skewDir)
@@ -152,6 +158,7 @@ object SkewBench {
     val svu = ratios(skewT, uniM)
     val json =
       s"""{"tier":"skew","base_sf":"$baseDir","scale_factor":$reps,""" +
+      f""""cpu_calibration_sec":$cpuCal%.3f,"io_calibration_sec":$ioCal%.3f,""" +
       s""""hot_series":"click","hot_reps":$hotReps,""" +
       f""""hot_share":$hotShare%.3f,"iters":$iters,""" +
       f""""total_base_sec":${baseT.map(_._2).sum}%.3f,""" +
