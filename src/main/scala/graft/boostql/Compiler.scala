@@ -1413,7 +1413,7 @@ object Compiler {
         else if (fn == "holt" || fn == "holt_forecast" ||
           fn == "cusum" || fn == "cusum_low") 3
         else if (fn == "ewma" || fn == "session") 2 else 1
-      // the escaped bucket-stitched form compiles through a frame
+      // the escaped bucket-stitched forms compile through a frame
       // transform (a join-back, not a window Column), which only a
       // TOP-LEVEL select item can carry — anywhere else (nested in an
       // expression, under QUALIFY, in ORDER BY) refuses with the shape
@@ -1421,6 +1421,12 @@ object Compiler {
         "the bucket-stitched ewma(x, alpha, '<width>') escape is a " +
           "top-level select item only (not nested in an expression, " +
           "not under QUALIFY) — alias it and reference the alias")
+      if ((fn == "holt" || fn == "holt_forecast") && args.length == 4)
+        throw CompileException(
+          s"the bucket-stitched $fn(x, alpha, beta, '<width>') escape " +
+            "is a top-level select item only (not nested in an " +
+            "expression, not under QUALIFY) — alias it and reference " +
+            "the alias")
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
       if (fn == "session") {
@@ -2140,31 +2146,49 @@ object Compiler {
 
     /** Escaped/auto-stitched smoothing detection (hoisted so the final
       * projection can read the materialized `__esc_<alias>` columns
-      * back): top-level zscore items (auto) and three-argument ewma
-      * items (opt-in width) — each compiled in the non-aggregate branch
-      * below as a frame transform instead of a per-key window Column.
+      * back): top-level zscore items (auto), three-argument ewma items
+      * and four-argument holt/holt_forecast items (opt-in width) — each
+      * compiled in the non-aggregate branch below as a frame transform
+      * instead of a per-key window Column. The Option carries
+      * (fn, alpha, beta, widthUs); None = the zscore stitch.
       */
-    val escapable: Seq[(String, Operand, Seq[RawName], Option[(Double, Long)])] =
+    val escapable: Seq[(String, Operand, Seq[RawName],
+        Option[(String, Double, Double, Long)])] =
       if (qualify2.isDefined || hasAgg) Seq.empty
       else if (multi || (!isFam(0) && !subHasTs(0))) Seq.empty
       else {
-        def ewmaParams(args: Seq[Operand]): (Operand, Double, Long) = {
-          val alpha = args(1) match {
-            case OLit(BFloat(a)) if a > 0.0 && a <= 1.0 => a
-            case OLit(BInt(1))                          => 1.0
-            case _ => throw CompileException(
-              "ewma() alpha must be a numeric literal in (0, 1]")
-          }
-          val widthUs = args(2) match {
-            case OLit(BStr(w)) => parseIntervalMicros(w).filter(_ > 0)
-              .getOrElse(throw CompileException(
-                s"ewma() bucket width '$w' must be a positive " +
-                  "fixed-width interval (microsecond…day)"))
-            case _ => throw CompileException(
-              "ewma() bucket width must be a string literal like '1 day'")
-          }
-          (args.head, alpha, widthUs)
+        def smoothLit(fn: String, o: Operand, what: String,
+            zeroOk: Boolean): Double = o match {
+          case OLit(BFloat(a))
+            if (a > 0.0 || (zeroOk && a == 0.0)) && a <= 1.0 => a
+          case OLit(BInt(1)) => 1.0
+          case OLit(BInt(0)) if zeroOk => 0.0
+          case _ => throw CompileException(
+            s"$fn() $what must be a numeric literal in " +
+              (if (zeroOk) "[0, 1]" else "(0, 1]"))
         }
+        def widthLit(fn: String, o: Operand): Long = o match {
+          case OLit(BStr(w)) => parseIntervalMicros(w).filter(_ > 0)
+            .getOrElse(throw CompileException(
+              s"$fn() bucket width '$w' must be a positive " +
+                "fixed-width interval (microsecond…day)"))
+          case _ => throw CompileException(
+            s"$fn() bucket width must be a string literal like '1 day'")
+        }
+        def escOf(fn: String,
+            args: Seq[Operand]): (Operand, (String, Double, Double, Long)) =
+          fn match {
+            case "ewma" =>
+              (args.head, (fn, smoothLit(fn, args(1), "alpha",
+                zeroOk = false), 0.0, widthLit(fn, args(2))))
+            case _ => // holt | holt_forecast
+              (args.head, (fn, smoothLit(fn, args(1), "alpha",
+                zeroOk = false), smoothLit(fn, args(2), "beta",
+                zeroOk = true), widthLit(fn, args(3))))
+          }
+        def escaped(fn: String, n: Int): Boolean =
+          (fn == "ewma" && n == 3) ||
+            ((fn == "holt" || fn == "holt_forecast") && n == 4)
         def winShape(part: Seq[RawName],
             ord: Seq[(RawName, Boolean, Option[Boolean])],
             frame: Option[WFrame], fn: String): Seq[RawName] = {
@@ -2180,13 +2204,13 @@ object Compiler {
             (nm, arg, Seq.empty[RawName], None)
           case ExprItem(OWin("zscore", Seq(arg), part, ord, frame), nm) =>
             (nm, arg, winShape(part, ord, frame, "zscore"), None)
-          case ExprItem(OFn("ewma", args), nm) if args.length == 3 =>
-            val (arg, a, wUs) = ewmaParams(args)
-            (nm, arg, Seq.empty[RawName], Some((a, wUs)))
-          case ExprItem(OWin("ewma", args, part, ord, frame), nm)
-            if args.length == 3 =>
-            val (arg, a, wUs) = ewmaParams(args)
-            (nm, arg, winShape(part, ord, frame, "ewma"), Some((a, wUs)))
+          case ExprItem(OFn(fn, args), nm) if escaped(fn, args.length) =>
+            val (arg, e) = escOf(fn, args)
+            (nm, arg, Seq.empty[RawName], Some(e))
+          case ExprItem(OWin(fn, args, part, ord, frame), nm)
+            if escaped(fn, args.length) =>
+            val (arg, e) = escOf(fn, args)
+            (nm, arg, winShape(part, ord, frame, fn), Some(e))
         }
       }
     val escapedNames: Set[String] = escapable.map(_._1).toSet
@@ -2909,15 +2933,22 @@ object Compiler {
       //    reassociation, so it is a new spelling, never a silent
       //    rewrite of ewma(x, alpha).
       val stitched = escapable.foldLeft(filtered) {
-        case (df, (nm, arg, part, ewmaOpt)) =>
+        case (df, (nm, arg, part, escOpt)) =>
           val c = operandColumn(arg, aggOk = false)
           val keyNames = part.map(p => ref(p).inName)
-          ewmaOpt match {
-            case Some((alpha, widthUs)) =>
+          escOpt match {
+            case Some(("ewma", alpha, _, widthUs)) =>
               val in = s"__esc_in_$nm"
               graft.operators.TimeSeriesOps.ewmaStitched(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
                 Seq.empty, alpha, widthUs, out = s"__esc_$nm").drop(in)
+            case Some((fn, alpha, beta, widthUs)) =>
+              val in = s"__esc_in_$nm"
+              graft.operators.TimeSeriesOps.holtStitched(
+                df.withColumn(in, c), keyNames, "__ts_0", in,
+                Seq.empty, alpha, beta, widthUs,
+                forecast = fn == "holt_forecast",
+                out = s"__esc_$nm").drop(in)
             case None =>
               // zscore: exact S/Q/n sums per key via groupBy (the
               // original column type keeps integral sums exact), then

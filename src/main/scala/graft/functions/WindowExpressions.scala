@@ -293,3 +293,124 @@ case class AffineScan(coef: Expression, offset: Expression,
       newSecond: Expression, newThird: Expression): AffineScan =
     copy(coef = newFirst, offset = newSecond, seed = newThird)
 }
+
+/** In-bucket HOLT scan state for the bucket-then-stitch decomposition
+  * of double-exponential smoothing — [[Holt]]'s recurrence is LINEAR in
+  * the (level, trend) state vector v: v_i = M·v_(i-1) + c·x_i with
+  *
+  *   M = [[1-α, 1-α], [-αβ, 1-αβ]],  c = (α, αβ)
+  *
+  * so a bucket composes affinely (v_end = M^n·v_in + d) and a hot key
+  * can fan out over its time buckets exactly like the EWMA stitch
+  * ([[AffineScan]]) — only the carried state is 2-dimensional. This
+  * kernel runs the SEEDED in-bucket recurrence (l = x₁, b = 0 at the
+  * first non-null observation — identical arithmetic to [[Holt]]) and
+  * simultaneously accumulates the running matrix power P_i = M^(k-1)
+  * (k = non-null observations so far): P is exactly the sensitivity of
+  * the state to a different step-1 seed, which is what the stitch's
+  * per-row correction needs (v_true = v_seeded + P·Δ₁). Emits a
+  * six-field struct (l, b, p11, p12, p21, p22); null inputs leave all
+  * state unchanged (the [[Holt]] LOCF convention).
+  */
+case class HoltScan(child: Expression, alpha: Double, beta: Double)
+    extends AggregateWindowFunction with UnaryLike[Expression] {
+  require(alpha > 0.0 && alpha <= 1.0, "holt alpha must be in (0, 1]")
+  require(beta >= 0.0 && beta <= 1.0, "holt beta must be in [0, 1]")
+
+  import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", DoubleType), StructField("b", DoubleType),
+    StructField("p11", DoubleType), StructField("p12", DoubleType),
+    StructField("p21", DoubleType), StructField("p22", DoubleType)))
+  override def prettyName: String = "graft_holt_scan"
+
+  private val m11 = 1.0 - alpha
+  private val m12 = 1.0 - alpha
+  private val m21 = -(alpha * beta)
+  private val m22 = 1.0 - alpha * beta
+
+  private lazy val x = Cast(child, DoubleType)
+  private lazy val l = AttributeReference("l", DoubleType, nullable = true)()
+  private lazy val b = AttributeReference("b", DoubleType, nullable = true)()
+  private lazy val p11 = AttributeReference("p11", DoubleType, nullable = true)()
+  private lazy val p12 = AttributeReference("p12", DoubleType, nullable = true)()
+  private lazy val p21 = AttributeReference("p21", DoubleType, nullable = true)()
+  private lazy val p22 = AttributeReference("p22", DoubleType, nullable = true)()
+
+  private def lNext: Expression =
+    Literal(alpha) * x + Literal(1.0 - alpha) * (l + b)
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    l :: b :: p11 :: p12 :: p21 :: p22 :: Nil
+  override val initialValues: Seq[Expression] =
+    Seq.fill(6)(Literal.create(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(x), l, If(IsNull(l), x, lNext)),
+    If(IsNull(x), b, If(IsNull(l), Literal(0.0),
+      Literal(beta) * (lNext - l) + Literal(1.0 - beta) * b)),
+    If(IsNull(x), p11, If(IsNull(l), Literal(1.0),
+      p11 * Literal(m11) + p12 * Literal(m21))),
+    If(IsNull(x), p12, If(IsNull(l), Literal(0.0),
+      p11 * Literal(m12) + p12 * Literal(m22))),
+    If(IsNull(x), p21, If(IsNull(l), Literal(0.0),
+      p21 * Literal(m11) + p22 * Literal(m21))),
+    If(IsNull(x), p22, If(IsNull(l), Literal(1.0),
+      p21 * Literal(m12) + p22 * Literal(m22))))
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("l"), l, Literal("b"), b,
+    Literal("p11"), p11, Literal("p12"), p12,
+    Literal("p21"), p21, Literal("p22"), p22))
+
+  override protected def withNewChildInternal(newChild: Expression): HoltScan =
+    copy(child = newChild)
+}
+
+/** Running TWO-DIMENSIONAL affine chain — [[AffineScan]]'s 2×2 sibling
+  * for stitching 2-state linear recurrences ([[Holt]]): per input row
+  * (one per bucket), y = A·y_prev + d with A = (a11 a12; a21 a22) and
+  * d = (d1, d2); a row arriving with no prior state takes its seed
+  * (s1, s2) — which may itself be null (an all-null leading bucket has
+  * no state to seed). Emits struct(y1, y2).
+  */
+case class Affine2Scan(a11: Expression, a12: Expression, a21: Expression,
+    a22: Expression, d1: Expression, d2: Expression,
+    s1: Expression, s2: Expression)
+    extends AggregateWindowFunction {
+
+  import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def children: Seq[Expression] =
+    Seq(a11, a12, a21, a22, d1, d2, s1, s2)
+  override def dataType: DataType = StructType(Seq(
+    StructField("y1", DoubleType), StructField("y2", DoubleType)))
+  override def prettyName: String = "graft_affine2_scan"
+
+  private lazy val ca11 = Cast(a11, DoubleType)
+  private lazy val ca12 = Cast(a12, DoubleType)
+  private lazy val ca21 = Cast(a21, DoubleType)
+  private lazy val ca22 = Cast(a22, DoubleType)
+  private lazy val cd1 = Cast(d1, DoubleType)
+  private lazy val cd2 = Cast(d2, DoubleType)
+  private lazy val y1 = AttributeReference("y1", DoubleType, nullable = true)()
+  private lazy val y2 = AttributeReference("y2", DoubleType, nullable = true)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = y1 :: y2 :: Nil
+  override val initialValues: Seq[Expression] =
+    Seq.fill(2)(Literal.create(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(y1), Cast(s1, DoubleType),
+      ca11 * y1 + ca12 * y2 + cd1),
+    If(IsNull(y1), Cast(s2, DoubleType),
+      ca21 * y1 + ca22 * y2 + cd2))
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("y1"), y1, Literal("y2"), y2))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Affine2Scan =
+    Affine2Scan(newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7))
+}

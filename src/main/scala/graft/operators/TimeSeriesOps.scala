@@ -714,6 +714,126 @@ object TimeSeriesOps {
         "__rn", "__nb", "__nnb", "__cnn", "__x1", "__y0")): _*)
   }
 
+  /** Two-phase bucket-then-stitch [[graft.functions.Holt]] — the
+    * hot-key escape for double-exponential smoothing, generalizing
+    * [[ewmaStitched]] to the 2-dimensional (level, trend) state. Holt's
+    * recurrence is LINEAR: v_i = M·v_(i-1) + c·x_i with
+    * M = [[1-α, 1-α], [-αβ, 1-αβ]], c = (α, αβ), so a bucket composes
+    * affinely (v_end = M^n·v_in + d):
+    *
+    *  - phase 1 (parallel per (key, bucket)):
+    *    [[graft.functions.HoltScan]] runs the seeded in-bucket
+    *    recurrence AND the running matrix power P_i = M^(k-1) (the
+    *    sensitivity of the state to the step-1 seed) in one window
+    *    pass;
+    *  - phase 2 (bucket-summary-sized): [[graft.functions.Affine2Scan]]
+    *    chains the per-bucket (A = P_n·M, d = z_n + P_n·u) affine maps
+    *    per key — O(#buckets), the only sequential step;
+    *  - phase 3: rows re-join their bucket's incoming state v_in and
+    *    finish as v_i = z_i + P_i·Δ₁, Δ₁ = M·v_in + c·x₁ − (x₁, 0).
+    *
+    * Mathematically identical to the single-pass kernel; numerically it
+    * reassociates (matrix products instead of the scalar chain), so
+    * expect ~1e-9 relative agreement — same caveat as [[ewmaStitched]],
+    * and the same null contract: null values re-emit the carried state
+    * (LOCF), null keys stitch null-safely, all-null buckets compose as
+    * the identity. `forecast` emits l + b (one step ahead) like
+    * [[graft.functions.Holt]].
+    */
+  def holtStitched(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], alpha: Double, beta: Double,
+      bucketUs: Long, forecast: Boolean = false,
+      out: String = "holt"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (m11, m12, m21, m22) =
+      (1.0 - alpha, 1.0 - alpha, -(alpha * beta), 1.0 - alpha * beta)
+    val u = unix_micros(col(tsCol))
+    val rows = df.withColumn("__bk", u - pmod(u, lit(bucketUs)))
+    val partNames = keys :+ "__bk"
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(c =>
+      SortOrder(ColumnBridge.expression(c), Ascending))
+    val hsCol = ColumnBridge.column(WindowExpression(
+      graft.functions.HoltScan(
+        ColumnBridge.expression(col(valCol).cast("double")), alpha, beta),
+      WindowSpecDefinition(
+        partNames.map(c => ColumnBridge.expression(col(c))),
+        ord, UnspecifiedFrame)))
+    val w1 = Window.partitionBy(partNames.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val runF = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(partNames.map(col): _*)
+    val withS = rows.withColumn("__hs", hsCol)
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__nb", count(lit(1)).over(wb))
+      .withColumn("__x1", first(col(valCol).cast("double"),
+        ignoreNulls = true).over(runF))
+    def f(n: String) = col("__hs").getField(n)
+    // per-bucket affine map: A = P_n·M, d = z_n + P_n·u with
+    // u = ((α−1)·x₁, αβ·x₁); an all-null bucket (l null) is identity
+    val u1 = lit(alpha - 1.0) * col("__x1")
+    val u2 = lit(alpha * beta) * col("__x1")
+    val isNullBk = f("l").isNull
+    val summary = withS.filter(col("__rn") === col("__nb"))
+      .select((keys.map(col) :+ col("__bk") :+
+        when(isNullBk, lit(1.0)).otherwise(
+          f("p11") * lit(m11) + f("p12") * lit(m21)).as("__a11") :+
+        when(isNullBk, lit(0.0)).otherwise(
+          f("p11") * lit(m12) + f("p12") * lit(m22)).as("__a12") :+
+        when(isNullBk, lit(0.0)).otherwise(
+          f("p21") * lit(m11) + f("p22") * lit(m21)).as("__a21") :+
+        when(isNullBk, lit(1.0)).otherwise(
+          f("p21") * lit(m12) + f("p22") * lit(m22)).as("__a22") :+
+        when(isNullBk, lit(0.0)).otherwise(
+          f("l") + (f("p11") * u1 + f("p12") * u2)).as("__d1") :+
+        when(isNullBk, lit(0.0)).otherwise(
+          f("b") + (f("p21") * u1 + f("p22") * u2)).as("__d2") :+
+        f("l").as("__s1") :+ f("b").as("__s2")): _*)
+    val yEnd = ColumnBridge.column(WindowExpression(
+      graft.functions.Affine2Scan(
+        ColumnBridge.expression(col("__a11")),
+        ColumnBridge.expression(col("__a12")),
+        ColumnBridge.expression(col("__a21")),
+        ColumnBridge.expression(col("__a22")),
+        ColumnBridge.expression(col("__d1")),
+        ColumnBridge.expression(col("__d2")),
+        ColumnBridge.expression(col("__s1")),
+        ColumnBridge.expression(col("__s2"))),
+      WindowSpecDefinition(
+        keys.map(c => ColumnBridge.expression(col(c))),
+        Seq(SortOrder(ColumnBridge.expression(col("__bk")), Ascending)),
+        UnspecifiedFrame)))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk").asc)
+    val chained = summary.withColumn("__yend", yEnd)
+      .withColumn("__y0", lag(col("__yend"), 1).over(w2))
+      .select((keys.map(c => col(c).as(s"__st_$c")) :+
+        col("__bk").as("__st_bk") :+
+        col("__y0").getField("y1").as("__y0l") :+
+        col("__y0").getField("y2").as("__y0b")): _*)
+    val cond = keys.map(c => col(c) <=> col(s"__st_$c"))
+      .foldLeft(col("__bk") === col("__st_bk"))(_ && _)
+    val y0l = col("__y0l"); val y0b = col("__y0b")
+    // per-row finish: Δ₁ then the P_i-propagated correction
+    val del1 = lit(1.0 - alpha) * (y0l + y0b) + lit(alpha - 1.0) * col("__x1")
+    val del2 = lit(m21) * y0l + lit(m22) * y0b +
+      lit(alpha * beta) * col("__x1")
+    val li = f("l") + (f("p11") * del1 + f("p12") * del2)
+    val bi = f("b") + (f("p21") * del1 + f("p22") * del2)
+    withS.join(chained, cond)
+      .withColumn(out,
+        when(y0l.isNull, if (forecast) f("l") + f("b") else f("l"))
+          .otherwise(when(f("l").isNull,
+            if (forecast) y0l + y0b else y0l)
+            .otherwise(if (forecast) li + bi else li)))
+      .drop((keys.map(c => s"__st_$c") ++ Seq("__st_bk", "__bk", "__hs",
+        "__rn", "__nb", "__x1", "__y0l", "__y0b")): _*)
+  }
+
   /** Time-weighted average per key (the TimescaleDB
     * `time_weighted_average` / trapezoid-integral aggregate): for
     * irregularly-sampled series, the plain AVG over-weights densely

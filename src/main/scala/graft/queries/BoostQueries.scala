@@ -1003,6 +1003,23 @@ object BoostQueries {
         "holt_forecast(click, 0.5, 0.25) OVER (PARTITION BY click.user) AS fc " +
         "FROM dom.events ORDER BY click.event_id")),
 
+    // the HOT-KEY ESCAPE spelling of holt — holt(x, α, β, '<width>')
+    // opts into the 2-STATE bucket-then-stitch decomposition
+    // (TimeSeriesOps.holtStitched): Holt's recurrence is linear in the
+    // (level, trend) vector, so per-(user, day) kernels compose through
+    // 2×2 affine maps chained by Affine2Scan, with the HoltScan kernel
+    // carrying the running matrix power that finishes each row. Opt-in
+    // (matrix products reassociate ~1e-9); α = ½, β = ¼ make every
+    // matrix entry dyadic, so the oracle replays the DECOMPOSITION
+    // itself bit for bit — both the level and the forecast face.
+    "boost_ts_holt_escape" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "holt(click, 0.5, 0.25, '1 day') " +
+        "OVER (PARTITION BY click.user) AS lv, " +
+        "holt_forecast(click, 0.5, 0.25, '1 day') " +
+        "OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // holt_winters(x, a, b, g, p) / holt_winters_forecast(...): additive
     // triple-exponential smoothing — level + trend + a p-slot seasonal
     // cycle, the periodic tier holt can't model (a daily cycle reads as
@@ -3363,6 +3380,81 @@ object BoostQueries {
         |    (0.5 * (arr.ns - 1) - floor(0.5 * (arr.ns - 1))), 6) AS ap50,
         |  ex.p50 AS p50, ex.n AS n
         |FROM ex JOIN arr ON ex.d = arr.d ORDER BY d""".stripMargin,
+
+    // the escaped holt replays its 2-STATE decomposition: a six-column
+    // recursion per (user, day) carries (l, b) and the running matrix
+    // power P = M^(k-1) (M entries dyadic at α = ½, β = ¼), the
+    // per-bucket affine maps (A = P·M, d = z + P·u) chain recursively
+    // per user, and each row finishes as z + P·Δ₁ — every expression
+    // spelled with the same operand order as the Spark kernels, so the
+    // replay is bit-exact
+    "boost_ts_holt_escape" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_id, user_id, value AS x,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bk,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts) AS rn,
+        |    count(*) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000) AS nb,
+        |    first_value(value) OVER (PARTITION BY user_id,
+        |      epoch_us(ts) - epoch_us(ts) % 86400000000
+        |      ORDER BY ts) AS x1
+        |  FROM events WHERE event_type = 'click'
+        |), z AS (
+        |  SELECT event_id, user_id, bk, rn, nb, x1, x AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    CAST(1.0 AS DOUBLE) AS p11, CAST(0.0 AS DOUBLE) AS p12,
+        |    CAST(0.0 AS DOUBLE) AS p21, CAST(1.0 AS DOUBLE) AS p22
+        |  FROM pts WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.event_id, p.user_id, p.bk, p.rn, p.nb, p.x1,
+        |    0.5 * p.x + 0.5 * (z.l + z.b),
+        |    0.25 * ((0.5 * p.x + 0.5 * (z.l + z.b)) - z.l) + 0.75 * z.b,
+        |    z.p11 * 0.5 + z.p12 * -0.125,
+        |    z.p11 * 0.5 + z.p12 * 0.875,
+        |    z.p21 * 0.5 + z.p22 * -0.125,
+        |    z.p21 * 0.5 + z.p22 * 0.875
+        |  FROM pts p JOIN z
+        |    ON p.user_id = z.user_id AND p.bk = z.bk AND p.rn = z.rn + 1
+        |), sm AS (
+        |  SELECT user_id, bk,
+        |    p11 * 0.5 + p12 * -0.125 AS a11,
+        |    p11 * 0.5 + p12 * 0.875 AS a12,
+        |    p21 * 0.5 + p22 * -0.125 AS a21,
+        |    p21 * 0.5 + p22 * 0.875 AS a22,
+        |    l + (p11 * (-0.5 * x1) + p12 * (0.125 * x1)) AS d1,
+        |    b + (p21 * (-0.5 * x1) + p22 * (0.125 * x1)) AS d2,
+        |    l AS s1, b AS s2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bk) AS bi
+        |  FROM z WHERE rn = nb
+        |), ch AS (
+        |  SELECT user_id, bk, bi, s1 AS y1, s2 AS y2 FROM sm WHERE bi = 1
+        |  UNION ALL
+        |  SELECT m.user_id, m.bk, m.bi,
+        |    m.a11 * ch.y1 + m.a12 * ch.y2 + m.d1,
+        |    m.a21 * ch.y1 + m.a22 * ch.y2 + m.d2
+        |  FROM sm m JOIN ch
+        |    ON m.user_id = ch.user_id AND m.bi = ch.bi + 1
+        |), y0 AS (
+        |  SELECT user_id, bk,
+        |    lag(y1) OVER (PARTITION BY user_id ORDER BY bk) AS y0l,
+        |    lag(y2) OVER (PARTITION BY user_id ORDER BY bk) AS y0b
+        |  FROM ch)
+        |SELECT CAST(z.event_id AS VARCHAR) AS click_event_id,
+        |  CASE WHEN y0.y0l IS NULL THEN z.l
+        |    ELSE z.l + (z.p11 * (0.5 * (y0.y0l + y0.y0b) + -0.5 * z.x1)
+        |      + z.p12 * (-0.125 * y0.y0l + 0.875 * y0.y0b
+        |        + 0.125 * z.x1)) END AS lv,
+        |  CASE WHEN y0.y0l IS NULL THEN z.l + z.b
+        |    ELSE (z.l + (z.p11 * (0.5 * (y0.y0l + y0.y0b) + -0.5 * z.x1)
+        |      + z.p12 * (-0.125 * y0.y0l + 0.875 * y0.y0b
+        |        + 0.125 * z.x1)))
+        |    + (z.b + (z.p21 * (0.5 * (y0.y0l + y0.y0b) + -0.5 * z.x1)
+        |      + z.p22 * (-0.125 * y0.y0l + 0.875 * y0.y0b
+        |        + 0.125 * z.x1))) END AS fc
+        |FROM z JOIN y0 ON z.user_id = y0.user_id AND z.bk = y0.bk
+        |ORDER BY click_event_id""".stripMargin,
 
     // the escaped ewma replays its DECOMPOSITION (in-bucket recursion
     // per (user, day), affine chain per user, per-row finish) — alpha

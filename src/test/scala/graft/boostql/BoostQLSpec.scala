@@ -4107,8 +4107,24 @@ class BoostQLSpec extends SparkSpec {
       val e = intercept[Compiler.CompileException](q(text).collect())
       assert(e.getMessage.contains(frag), s"message: ${e.getMessage}")
     }
+    // --- holt escape: the 2-state stitch through the same front ------
+    val holtS = q("SELECT ts, holt(c, 0.5, 0.25) OVER (PARTITION BY " +
+      "c.host) AS h FROM dom.f ORDER BY ts").collect()
+    val holtE = q("SELECT ts, holt(c, 0.5, 0.25, '1 hour') OVER " +
+      "(PARTITION BY c.host) AS h FROM dom.f ORDER BY ts").collect()
+    holtS.zip(holtE).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1))
+        assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+          1e-9 * math.max(1.0, math.abs(a.getDouble(1))),
+          s"holt escape diverged at ${a.getTimestamp(0)}")
+    }
     refuses("SELECT round(ewma(c, 0.5, '1 day') OVER (PARTITION BY " +
       "c.host), 6) AS x FROM dom.f", "top-level select item")
+    refuses("SELECT holt(c, 0.5, 0.25, '1 day') OVER (PARTITION BY " +
+      "c.host) * 2.0 AS x FROM dom.f", "top-level select item")
+    refuses("SELECT holt_forecast(c, 0.5, 0.25, 'bogus') OVER " +
+      "(PARTITION BY c.host) AS x FROM dom.f", "bucket width")
     refuses("SELECT ewma(c, 0.5, '1 day') OVER (PARTITION BY c.host) " +
       "AS x FROM dom.f QUALIFY x > 0.0", "top-level select item")
     refuses("SELECT ewma(c, 0.5, 'nonsense') OVER (PARTITION BY " +

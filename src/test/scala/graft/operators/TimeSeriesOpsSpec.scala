@@ -438,4 +438,69 @@ class TimeSeriesOpsSpec extends SparkSpec {
       TimeSeriesOps.ewmaBucketed(df, "k", "ts", "v", Seq.empty, 1.5, 60L)
     }
   }
+
+  test("holtStitched matches the single-pass Holt kernel (~1e-9) incl. " +
+      "nulls, null keys, all-null buckets, and the forecast form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // two keys + a NULL key, 300 irregular points each with planted
+    // null-value runs (incl. one whole day of nulls on key "a" — the
+    // all-null-bucket identity composition)
+    val pts = (0 until 900).map { i =>
+      val key = i % 3 match {
+        case 0 => Some("a"); case 1 => Some("b"); case _ => None
+      }
+      val t = new Timestamp(1704067200000L + (i / 3).toLong * 9257 * 1000)
+      val dayIdx = (i / 3).toLong * 9257 / 86400
+      val v: Option[Double] =
+        if (key.contains("a") && dayIdx == 3) None // all-null day
+        else if (i % 11 == 0) None                  // scattered nulls
+        else Some(math.sin(i * 0.29) * 40 + (i % 17))
+      (key, t, v)
+    }
+    val df = pts.toDF("k", "ts", "v")
+    def single(forecast: Boolean) = {
+      val we = ColumnBridge.column(WindowExpression(
+        graft.functions.Holt(
+          ColumnBridge.expression(col("v").cast("double")),
+          0.35, 0.2, forecast),
+        WindowSpecDefinition(
+          Seq(ColumnBridge.expression(col("k"))),
+          Seq(SortOrder(ColumnBridge.expression(col("ts")), Ascending)),
+          UnspecifiedFrame)))
+      df.withColumn("h", we)
+        .select(col("k"), col("ts"), col("h")).collect()
+        .map(r => ((Option(r.getString(0)), r.getTimestamp(1).getTime),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    }
+    for (forecast <- Seq(false, true)) {
+      val exp = single(forecast)
+      val got = TimeSeriesOps.holtStitched(df, Seq("k"), "ts", "v",
+        tieBreak = Seq.empty, alpha = 0.35, beta = 0.2,
+        bucketUs = 86400L * 1000000L, forecast = forecast, out = "h")
+        .select(col("k"), col("ts"), col("h")).collect()
+        .map(r => ((Option(r.getString(0)), r.getTimestamp(1).getTime),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      assert(got.length == exp.size)
+      got.foreach { case (key, v) =>
+        val e = exp(key)
+        assert(v.isDefined == e.isDefined, s"$key null pattern: $v vs $e")
+        for (a <- v; b <- e)
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"$key (forecast=$forecast): $a vs $b")
+      }
+    }
+    // phases hash on (key, bucket) — the hot-key fan-out
+    val plan = TimeSeriesOps.holtStitched(df, Seq("k"), "ts", "v",
+      Seq.empty, 0.35, 0.2, 86400L * 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bk"), s"stitched phases must key on __bk:\n$plan")
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtStitched(df, Seq("k"), "ts", "v", Seq.empty,
+        0.35, 1.2, 60L)
+    }
+  }
 }
