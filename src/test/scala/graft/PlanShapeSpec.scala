@@ -280,18 +280,24 @@ class PlanShapeSpec extends SparkSpec {
       s"interp should plan series exchange + sort only ($exchanges):\n$plan")
   }
 
-  test("ewma + zscore share the per-key exchange (no shuffle between windows)") {
+  test("ewma + zscore: zscore auto-stitches to a broadcast join-back, " +
+      "no row ever shuffles for it; ewma stays the native window") {
     val df = BoostQL.onTestdata(spark, sfDir)(
       "SELECT click.event_id, ewma(click, 0.5) OVER (PARTITION BY click.user) AS sm, " +
         "zscore(click) OVER (PARTITION BY click.user) AS z " +
         "FROM dom.events ORDER BY click.event_id")
     val plan = planOf(df).split("== Initial Plan ==")(0)
-    // ewma's ordered running frame and zscore's whole-partition spec
-    // cannot share one Window operator, but both hash on the same key:
-    // one data exchange, one presentation sort exchange, nothing else
+    // zscore no longer rides a whole-partition Window (which serializes
+    // a hot key): its exact S/Q/n sums come from a partial-aggregated
+    // groupBy BROADCAST-joined back, so the only row exchanges left are
+    // ewma's key partitioning and the presentation sort — the zscore
+    // stats flow through a broadcast exchange, never a row shuffle
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"zscore stats must broadcast back:\n$plan")
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2,
-      s"stacked series windows must reuse the key partitioning ($exchanges):\n$plan")
+    assert(exchanges <= 3,
+      s"ewma key exchange + sort + at most one agg exchange ($exchanges):\n$plan")
     assert(!plan.contains("ScalaUDF"),
       s"ewma must stay a native window aggregate:\n$plan")
   }
