@@ -1427,6 +1427,13 @@ object Compiler {
             "is a top-level select item only (not nested in an " +
             "expression, not under QUALIFY) — alias it and reference " +
             "the alias")
+      if ((fn == "holt_winters" || fn == "holt_winters_forecast") &&
+          args.length == 6)
+        throw CompileException(
+          s"the bucket-stitched $fn(x, alpha, beta, gamma, period, " +
+            "'<width>') escape is a top-level select item only (not " +
+            "nested in an expression, not under QUALIFY) — alias it " +
+            "and reference the alias")
       if (args.length != arity)
         throw CompileException(s"$fn() expects exactly $arity argument(s)")
       if (fn == "session") {
@@ -2146,14 +2153,16 @@ object Compiler {
 
     /** Escaped/auto-stitched smoothing detection (hoisted so the final
       * projection can read the materialized `__esc_<alias>` columns
-      * back): top-level zscore items (auto), three-argument ewma items
-      * and four-argument holt/holt_forecast items (opt-in width) — each
-      * compiled in the non-aggregate branch below as a frame transform
-      * instead of a per-key window Column. The Option carries
-      * (fn, alpha, beta, widthUs); None = the zscore stitch.
+      * back): top-level zscore items (auto), three-argument ewma items,
+      * four-argument holt/holt_forecast items and six-argument
+      * holt_winters[_forecast] items (opt-in width) — each compiled in
+      * the non-aggregate branch below as a frame transform instead of a
+      * per-key window Column. The Option carries
+      * (fn, alpha, beta, gamma, period, widthUs) — gamma/period are 0
+      * for the non-seasonal kernels; None = the zscore stitch.
       */
     val escapable: Seq[(String, Operand, Seq[RawName],
-        Option[(String, Double, Double, Long)])] =
+        Option[(String, Double, Double, Double, Int, Long)])] =
       if (qualify2.isDefined || hasAgg) Seq.empty
       else if (multi || (!isFam(0) && !subHasTs(0))) Seq.empty
       else {
@@ -2175,20 +2184,35 @@ object Compiler {
           case _ => throw CompileException(
             s"$fn() bucket width must be a string literal like '1 day'")
         }
-        def escOf(fn: String,
-            args: Seq[Operand]): (Operand, (String, Double, Double, Long)) =
+        def periodLit(fn: String, o: Operand): Int = o match {
+          case OLit(BInt(p)) if p >= 2 && p <= 8 => p.toInt
+          case _ => throw CompileException(
+            s"the stitched $fn() period must be an integer literal in " +
+              "[2, 8] — the (2+p)² matrix-power buffer is " +
+              "codegen-bounded; longer cycles use the single-pass form")
+        }
+        def escOf(fn: String, args: Seq[Operand])
+            : (Operand, (String, Double, Double, Double, Int, Long)) =
           fn match {
             case "ewma" =>
               (args.head, (fn, smoothLit(fn, args(1), "alpha",
-                zeroOk = false), 0.0, widthLit(fn, args(2))))
-            case _ => // holt | holt_forecast
+                zeroOk = false), 0.0, 0.0, 0, widthLit(fn, args(2))))
+            case "holt" | "holt_forecast" =>
               (args.head, (fn, smoothLit(fn, args(1), "alpha",
                 zeroOk = false), smoothLit(fn, args(2), "beta",
-                zeroOk = true), widthLit(fn, args(3))))
+                zeroOk = true), 0.0, 0, widthLit(fn, args(3))))
+            case _ => // holt_winters | holt_winters_forecast
+              (args.head, (fn, smoothLit(fn, args(1), "alpha",
+                zeroOk = false), smoothLit(fn, args(2), "beta",
+                zeroOk = true), smoothLit(fn, args(3), "gamma",
+                zeroOk = true), periodLit(fn, args(4)),
+                widthLit(fn, args(5))))
           }
         def escaped(fn: String, n: Int): Boolean =
           (fn == "ewma" && n == 3) ||
-            ((fn == "holt" || fn == "holt_forecast") && n == 4)
+            ((fn == "holt" || fn == "holt_forecast") && n == 4) ||
+            ((fn == "holt_winters" || fn == "holt_winters_forecast") &&
+              n == 6)
         def winShape(part: Seq[RawName],
             ord: Seq[(RawName, Boolean, Option[Boolean])],
             frame: Option[WFrame], fn: String): Seq[RawName] = {
@@ -2921,12 +2945,15 @@ object Compiler {
       //  - zscore(x) [OVER (PARTITION BY k)] AUTO-stitches: the
       //    whole-partition S/Q/n sums come from a groupBy (map-side
       //    partial aggregation — parallel however hot the key) and
-      //    broadcast-join back null-safely; the sums are the SAME exact
-      //    order-independent longs and the double tail the same fixed
-      //    IEEE sequence, so this is BIT-EQUAL to the window form (the
-      //    boost_ts_zscore oracle pins it end to end). Engages for
-      //    top-level select items without QUALIFY; anything else keeps
-      //    the window form.
+      //    join back null-safely. For INTEGRAL inputs the sums are the
+      //    SAME exact order-independent longs and the double tail the
+      //    same fixed IEEE sequence, so the rewrite is BIT-EQUAL to the
+      //    window form (the boost_ts_zscore oracle pins it end to end
+      //    on a CAST-AS-int column); for double inputs the partial-
+      //    aggregation merge order can differ from the window's single-
+      //    pass order in the last ulp — same contract as
+      //    varianceColumn. Engages for top-level select items without
+      //    QUALIFY; anything else keeps the window form.
       //  - ewma(x, alpha, '<width>') is the OPT-IN bucket-stitched
       //    escape ([[graft.operators.TimeSeriesOps.ewmaStitched]]):
       //    per-(key, bucket) kernel + affine bucket chaining — ~1e-9
@@ -2937,22 +2964,39 @@ object Compiler {
           val c = operandColumn(arg, aggOk = false)
           val keyNames = part.map(p => ref(p).inName)
           escOpt match {
-            case Some(("ewma", alpha, _, widthUs)) =>
+            case Some(("ewma", alpha, _, _, _, widthUs)) =>
               val in = s"__esc_in_$nm"
               graft.operators.TimeSeriesOps.ewmaStitched(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
                 Seq.empty, alpha, widthUs, out = s"__esc_$nm").drop(in)
-            case Some((fn, alpha, beta, widthUs)) =>
+            case Some((fn @ ("holt" | "holt_forecast"), alpha, beta,
+                _, _, widthUs)) =>
               val in = s"__esc_in_$nm"
               graft.operators.TimeSeriesOps.holtStitched(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
                 Seq.empty, alpha, beta, widthUs,
                 forecast = fn == "holt_forecast",
                 out = s"__esc_$nm").drop(in)
+            case Some((fn, alpha, beta, gamma, period, widthUs)) =>
+              // holt_winters | holt_winters_forecast: the (2+p)-state
+              // bucket-then-stitch (TimeSeriesOps.holtWintersStitched)
+              val in = s"__esc_in_$nm"
+              graft.operators.TimeSeriesOps.holtWintersStitched(
+                df.withColumn(in, c), keyNames, "__ts_0", in,
+                Seq.empty, alpha, beta, gamma, period, widthUs,
+                forecast = fn == "holt_winters_forecast",
+                out = s"__esc_$nm").drop(in)
             case None =>
               // zscore: exact S/Q/n sums per key via groupBy (the
               // original column type keeps integral sums exact), then
-              // one broadcast join back — zero row shuffle
+              // one join back. The stats side is O(#distinct keys) and
+              // carries NO broadcast() hint: the planner broadcasts it
+              // when its runtime size clears autoBroadcastJoinThreshold
+              // (the common case — it is an aggregate), and a
+              // near-unique partition key falls back to a shuffle join
+              // with AQE skew splitting instead of OOMing the driver on
+              // a forced broadcast. The keyless form stays an explicit
+              // broadcast — one row by construction.
               val stats = df.groupBy(keyNames.map(col): _*)
                 .agg(count(c).cast("double").as(s"__zn_$nm"),
                   sum(c).cast("double").as(s"__zs_$nm"),
@@ -2961,7 +3005,7 @@ object Compiler {
                 d.withColumnRenamed(k, s"__zk_${nm}_$k"))
               val joined =
                 if (keyNames.isEmpty) df.crossJoin(broadcast(statsR))
-                else df.join(broadcast(statsR),
+                else df.join(statsR,
                   keyNames.map(k => col(k) <=> col(s"__zk_${nm}_$k"))
                     .reduce(_ && _), "left")
               val n = col(s"__zn_$nm"); val s = col(s"__zs_$nm")

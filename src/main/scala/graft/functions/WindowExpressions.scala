@@ -367,6 +367,196 @@ case class HoltScan(child: Expression, alpha: Double, beta: Double)
     copy(child = newChild)
 }
 
+/** In-bucket HOLT-WINTERS scan state for the bucket-then-stitch
+  * decomposition of ADDITIVE triple-exponential smoothing —
+  * [[HoltWinters]]'s recurrence is LINEAR in the (2+p)-dimensional
+  * state v = (l, b, s_0..s_(p-1)): v_i = M_j·v_(i-1) + c_j·x_i, where
+  * the step matrix M_j depends ONLY on which seasonal slot
+  * j = (global observation count) mod p the step reads — so a bucket
+  * still composes affinely (v_end = P·v_in + d) and a hot key fans out
+  * over its time buckets exactly like [[HoltScan]], provided each
+  * bucket knows its ENTRY PHASE φ (global observations before it,
+  * mod p): `phase` is that per-bucket column (constant within the
+  * window partition), threaded in by
+  * [[graft.operators.TimeSeriesOps.holtWintersStitched]] from a
+  * bucket-summary prefix count.
+  *
+  * Step at slot j (the [[HoltWinters]] arithmetic verbatim):
+  *   l' = α(x − s_j) + (1−α)(l + b)
+  *   b' = β(l' − l) + (1−β)b
+  *   s_j' = γ(x − l') + (1−γ)s_j
+  * which as a matrix has rows l' = (1−α)l + (1−α)b + (−α)s_j,
+  * b' = (−αβ)l + (1−αβ)b + (−αβ)s_j,
+  * s_j' = (−γ(1−α))l + (−γ(1−α))b + (γα+1−γ)s_j, other slots identity.
+  *
+  * The kernel runs the SEEDED in-bucket recurrence (l = x₁, b = 0,
+  * slots stay 0 at the first non-null observation) and simultaneously
+  * LEFT-accumulates the running matrix product P_i = M_(j_i)·P_(i-1)
+  * over steps 2..i (P = I at the seed): P_i is the sensitivity of the
+  * state to a different step-1 seed, which is what the stitch's
+  * per-row correction needs (v_true = v_seeded + P·Δ₁). Emits a struct
+  * (l, b, n, s: array[p], p: array[(2+p)²] row-major); null inputs
+  * leave all state unchanged (the [[HoltWinters]] LOCF convention).
+  *
+  * `period` is capped at 8 here (vs the single-pass kernel's 24):
+  * the buffer is (2+p)(3+p) slots and the update expressions must stay
+  * codegen-bounded — day-of-week 7 fits; hour-of-day cycles belong to
+  * the single-pass form.
+  */
+case class HwScan(child: Expression, phase: Expression, alpha: Double,
+    beta: Double, gamma: Double, period: Int)
+    extends AggregateWindowFunction {
+  require(alpha > 0.0 && alpha <= 1.0, "holt_winters alpha must be in (0, 1]")
+  require(beta >= 0.0 && beta <= 1.0, "holt_winters beta must be in [0, 1]")
+  require(gamma >= 0.0 && gamma <= 1.0, "holt_winters gamma must be in [0, 1]")
+  require(period >= 2 && period <= 8,
+    "stitched holt_winters period must be in [2, 8]")
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    CaseWhen, CreateArray, CreateNamedStruct, EqualTo, Not, Pmod}
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField,
+    StructType}
+
+  private val dim = 2 + period
+
+  override def children: Seq[Expression] = Seq(child, phase)
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", DoubleType), StructField("b", DoubleType),
+    StructField("n", LongType),
+    StructField("s", ArrayType(DoubleType)),
+    StructField("p", ArrayType(DoubleType))))
+  override def prettyName: String = "graft_hw_scan"
+
+  // step-matrix coefficients (see scaladoc): row l, row b, row s_j
+  private val a1 = 1.0 - alpha
+  private val a2 = -alpha
+  private val b1 = -(alpha * beta)
+  private val b2 = 1.0 - alpha * beta
+  private val b3 = -(alpha * beta)
+  private val g1 = -(gamma * (1.0 - alpha))
+  private val g2 = gamma * alpha + 1.0 - gamma
+
+  private lazy val x = Cast(child, DoubleType)
+  private lazy val ph = Cast(phase, LongType)
+  private lazy val l = AttributeReference("l", DoubleType, nullable = true)()
+  private lazy val b = AttributeReference("b", DoubleType, nullable = true)()
+  private lazy val n = AttributeReference("n", LongType, nullable = false)()
+  private lazy val s = (0 until period).map(k =>
+    AttributeReference(s"s$k", DoubleType, nullable = false)())
+  // running matrix product, row-major; null until the seed writes I
+  private lazy val p = (0 until dim).map(r => (0 until dim).map(c =>
+    AttributeReference(s"p${r}_$c", DoubleType, nullable = true)()))
+
+  // slot the CURRENT observation reads: (φ + local obs count) mod p
+  private def jj: Expression = Pmod(ph + n, Literal(period.toLong))
+  private def slotAt(idx: Expression,
+      views: Seq[Expression]): Expression =
+    CaseWhen((0 until period).map(k =>
+      (EqualTo(Pmod(idx, Literal(period.toLong)),
+        Literal(k.toLong)): Expression, views(k))), None)
+  private lazy val sj = slotAt(jj, s)
+  private def lNext: Expression =
+    Literal(alpha) * (x - sj) + Literal(1.0 - alpha) * (l + b)
+
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(l, b, n) ++ s ++ p.flatten
+  override val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType), Literal.create(null, DoubleType),
+      Literal(0L)) ++ Seq.fill(period)(Literal(0.0)) ++
+      Seq.fill(dim * dim)(Literal.create(null, DoubleType))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    // P column c of the slot row the current step reads
+    def pjj(c: Int): Expression = slotAt(jj, (0 until period).map(m => p(2 + m)(c)))
+    val stateUp: Seq[Expression] = Seq(
+      If(IsNull(x), l, If(IsNull(l), x, lNext)),
+      If(IsNull(x), b, If(IsNull(l), Literal(0.0),
+        Literal(beta) * (lNext - l) + Literal(1.0 - beta) * b)),
+      If(IsNull(x), n, n + Literal(1L))) ++
+      (0 until period).map { k =>
+        If(IsNull(x) || Not(EqualTo(jj, Literal(k.toLong))), s(k),
+          If(IsNull(l), s(k),
+            Literal(gamma) * (x - lNext) + Literal(1.0 - gamma) * s(k)))
+      }
+    // P' = M_jj · P: only rows l, b, s_jj move; seed writes the identity
+    val pUp: Seq[Expression] = (0 until dim).flatMap { r =>
+      (0 until dim).map { c =>
+        val seeded = Literal(if (r == c) 1.0 else 0.0)
+        val stepped: Expression = r match {
+          case 0 =>
+            Literal(a1) * p(0)(c) + Literal(a1) * p(1)(c) +
+              Literal(a2) * pjj(c)
+          case 1 =>
+            Literal(b1) * p(0)(c) + Literal(b2) * p(1)(c) +
+              Literal(b3) * pjj(c)
+          case _ =>
+            val m = r - 2
+            If(Not(EqualTo(jj, Literal(m.toLong))), p(r)(c),
+              Literal(g1) * p(0)(c) + Literal(g1) * p(1)(c) +
+                Literal(g2) * p(r)(c))
+        }
+        If(IsNull(x), p(r)(c), If(IsNull(l), seeded, stepped))
+      }
+    }
+    stateUp ++ pUp
+  }
+
+  override lazy val evaluateExpression: Expression = CreateNamedStruct(Seq(
+    Literal("l"), l, Literal("b"), b, Literal("n"), n,
+    Literal("s"), CreateArray(s),
+    Literal("p"), CreateArray(p.flatten)))
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HwScan =
+    copy(child = newChildren(0), phase = newChildren(1))
+}
+
+/** Running N-DIMENSIONAL affine chain — [[AffineScan]]'s array-typed
+  * sibling for stitching the (2+p)-state [[HwScan]] decomposition: per
+  * input row (one per bucket), y = A·y_prev + d with A a row-major
+  * `dim`×`dim` array and d a `dim` array; a row arriving with no prior
+  * state takes its seed array (which may itself be null — an all-null
+  * leading bucket has no state to seed, and the next real bucket's
+  * seed takes over). Each output component is the left-folded product
+  * sum Σ_c A[r·dim+c]·y_c followed by + d[r] — the association the
+  * decomposition-replay oracle mirrors. Emits array[dim].
+  */
+case class AffineArrScan(a: Expression, d: Expression, s: Expression,
+    dim: Int) extends AggregateWindowFunction
+    with TernaryLike[Expression] {
+  require(dim >= 1 && dim <= 32, "AffineArrScan dim must be in [1, 32]")
+
+  import org.apache.spark.sql.catalyst.expressions.{CreateArray, GetArrayItem}
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "graft_affine_arr_scan"
+
+  override def first: Expression = a
+  override def second: Expression = d
+  override def third: Expression = s
+
+  private lazy val y = (0 until dim).map(r =>
+    AttributeReference(s"y$r", DoubleType, nullable = true)())
+  private def at(arr: Expression, i: Int): Expression =
+    GetArrayItem(arr, Literal(i, IntegerType))
+
+  override def aggBufferAttributes: Seq[AttributeReference] = y
+  override val initialValues: Seq[Expression] =
+    Seq.fill(dim)(Literal.create(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] =
+    (0 until dim).map { r =>
+      val stepped = (0 until dim).map(c =>
+        (at(a, r * dim + c) * y(c)): Expression).reduceLeft(_ + _) + at(d, r)
+      If(IsNull(y.head), at(s, r), stepped)
+    }
+  override lazy val evaluateExpression: Expression = CreateArray(y)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AffineArrScan =
+    copy(a = newFirst, d = newSecond, s = newThird)
+}
+
 /** Running TWO-DIMENSIONAL affine chain — [[AffineScan]]'s 2×2 sibling
   * for stitching 2-state linear recurrences ([[Holt]]): per input row
   * (one per bucket), y = A·y_prev + d with A = (a11 a12; a21 a22) and

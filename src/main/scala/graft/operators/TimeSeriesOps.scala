@@ -834,6 +834,201 @@ object TimeSeriesOps {
         "__rn", "__nb", "__x1", "__y0l", "__y0b")): _*)
   }
 
+  /** Two-phase bucket-then-stitch [[graft.functions.HoltWinters]] —
+    * the hot-key escape for additive triple-exponential smoothing,
+    * generalizing [[holtStitched]] to the (2+p)-dimensional
+    * (level, trend, seasonal-cycle) state. The recurrence is LINEAR in
+    * that state, but the step matrix depends on WHICH seasonal slot the
+    * step reads — slot = (global observation count) mod p — so each
+    * bucket's kernel must know its ENTRY PHASE φ (observations in all
+    * prior buckets of the key, mod p). That adds a phase 0 the 1- and
+    * 2-state stitches don't need:
+    *
+    *  - phase 0 (bucket-summary-sized): per-(key, bucket) non-null
+    *    counts via groupBy, a running prefix sum per key over the
+    *    BUCKET SUMMARIES (exact integer arithmetic — never a row-level
+    *    window on the bare key), φ = prefix mod p, joined back to rows;
+    *  - phase 1 (parallel per (key, bucket)):
+    *    [[graft.functions.HwScan]] runs the seeded in-bucket recurrence
+    *    AND left-accumulates the running matrix product
+    *    P_i = M_(j_i)···M_(j_2) in one window pass;
+    *  - phase 2 (bucket-summary-sized): per-bucket affine maps
+    *    (A = P_n·M_φ, d = z_n + P_n·u, seed = z_n) chained per key by
+    *    [[graft.functions.AffineArrScan]] — O(#buckets), the only
+    *    sequential step;
+    *  - phase 3: rows re-join their bucket's incoming state v_in and
+    *    finish as v_i = z_i + P_i·Δ₁ with
+    *    Δ₁ = M_φ·v_in + c_φ·x₁ − (x₁, 0, …) — only the emitted
+    *    components (level + the row's seasonal slot, plus trend for the
+    *    forecast face) are materialized.
+    *
+    * Mathematically identical to the single-pass kernel; numerically it
+    * reassociates (matrix products instead of the scalar chain), so
+    * expect ~1e-9 relative agreement — same caveat and null contract as
+    * [[holtStitched]] (null values re-emit the carried fit, null keys
+    * stitch null-safely, all-null buckets compose as the identity).
+    * `forecast` emits the one-step-ahead l + b + s_(next slot). The
+    * period is capped at 8 (see [[graft.functions.HwScan]]).
+    */
+  def holtWintersStitched(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], alpha: Double, beta: Double,
+      gamma: Double, period: Int, bucketUs: Long,
+      forecast: Boolean = false, out: String = "holt_winters"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0, 1]")
+    require(period >= 2 && period <= 8, "period must be in [2, 8]")
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
+      WindowSpecDefinition}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = 2 + period
+    // step-matrix coefficients (the HwScan scaladoc's rows)
+    val a1 = 1.0 - alpha; val a2 = -alpha
+    val b1 = -(alpha * beta); val b2 = 1.0 - alpha * beta
+    val b3 = -(alpha * beta)
+    val g1 = -(gamma * (1.0 - alpha)); val g2 = gamma * alpha + 1.0 - gamma
+    val uTs = unix_micros(col(tsCol))
+    val rows = df.withColumn("__bk", uTs - pmod(uTs, lit(bucketUs)))
+    // --- phase 0: entry phase per bucket --------------------------------
+    val counts = rows.groupBy((keys :+ "__bk").map(col): _*)
+      .agg(count(col(valCol)).as("__c"))
+    val wph = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val phases = counts
+      .withColumn("__ph",
+        pmod(coalesce(sum(col("__c")).over(wph), lit(0L)),
+          lit(period.toLong)))
+      .select(keys.map(c => col(c).as(s"__phk_$c")) ++
+        Seq(col("__bk").as("__phk_bk"), col("__ph")): _*)
+    val condPh = keys.map(c => col(c) <=> col(s"__phk_$c"))
+      .foldLeft(col("__bk") === col("__phk_bk"))(_ && _)
+    val rows2 = rows.join(phases, condPh)
+      .drop(keys.map(c => s"__phk_$c") :+ "__phk_bk": _*)
+    // --- phase 1: seeded in-bucket scan + running matrix product --------
+    val partNames = keys :+ "__bk"
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(c =>
+      SortOrder(ColumnBridge.expression(c), Ascending))
+    val hsCol = ColumnBridge.column(WindowExpression(
+      graft.functions.HwScan(
+        ColumnBridge.expression(col(valCol).cast("double")),
+        ColumnBridge.expression(col("__ph")), alpha, beta, gamma, period),
+      WindowSpecDefinition(
+        partNames.map(c => ColumnBridge.expression(col(c))),
+        ord, UnspecifiedFrame)))
+    val w1 = Window.partitionBy(partNames.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val wb = Window.partitionBy(partNames.map(col): _*)
+    val withS = rows2.withColumn("__hs", hsCol)
+      .withColumn("__rn", row_number().over(w1))
+      .withColumn("__nb", count(lit(1)).over(wb))
+      .withColumn("__x1", first(col(valCol).cast("double"),
+        ignoreNulls = true).over(wb))
+    def f(nm: String) = col("__hs").getField(nm)
+    def sOf(m: Int) = f("s").getItem(m)
+    def pOf(r: Int, c: Int) = f("p").getItem(r * dim + c)
+    // P column c of the φ-slot row, dispatched on the bucket's phase
+    def pPhi(r: Int): Column = (0 until period).map(m =>
+      when(col("__ph") === m, pOf(r, 2 + m))).reduceRight(_ otherwise _)
+    def stateOf(r: Int): Column =
+      if (r == 0) f("l") else if (r == 1) f("b") else sOf(r - 2)
+    // --- phase 2: per-bucket affine maps, chained per key ---------------
+    val isNullBk = f("l").isNull
+    val u1 = lit(alpha - 1.0) * col("__x1")
+    val u2 = lit(alpha * beta) * col("__x1")
+    val u3 = lit(gamma * (1.0 - alpha)) * col("__x1")
+    val aEntries: Seq[Column] = (0 until dim).flatMap { r =>
+      (0 until dim).map { c =>
+        val stepped: Column = c match {
+          // A = P_n·M_φ — columns l and b mix rows l/b/s_φ of M; a
+          // seasonal column c is only touched when c is the φ slot
+          case 0 => pOf(r, 0) * lit(a1) + pOf(r, 1) * lit(b1) +
+            pPhi(r) * lit(g1)
+          case 1 => pOf(r, 0) * lit(a1) + pOf(r, 1) * lit(b2) +
+            pPhi(r) * lit(g1)
+          case _ =>
+            val m = c - 2
+            when(col("__ph") === m,
+              pOf(r, 0) * lit(a2) + pOf(r, 1) * lit(b3) +
+                pOf(r, c) * lit(g2))
+              .otherwise(pOf(r, c))
+        }
+        when(isNullBk, lit(if (r == c) 1.0 else 0.0)).otherwise(stepped)
+      }
+    }
+    val dEntries: Seq[Column] = (0 until dim).map { r =>
+      when(isNullBk, lit(0.0)).otherwise(
+        stateOf(r) + (pOf(r, 0) * u1 + pOf(r, 1) * u2 + pPhi(r) * u3))
+    }
+    val sEntries: Seq[Column] = (0 until dim).map { r =>
+      when(isNullBk, lit(null).cast("double")).otherwise(stateOf(r))
+    }
+    val summary = withS.filter(col("__rn") === col("__nb"))
+      .select(keys.map(col) ++ Seq(col("__bk"), col("__ph"), col("__x1"),
+        array(aEntries: _*).as("__A"), array(dEntries: _*).as("__d"),
+        array(sEntries: _*).as("__s")): _*)
+    val yEnd = ColumnBridge.column(WindowExpression(
+      graft.functions.AffineArrScan(
+        ColumnBridge.expression(col("__A")),
+        ColumnBridge.expression(col("__d")),
+        ColumnBridge.expression(col("__s")), dim),
+      WindowSpecDefinition(
+        keys.map(c => ColumnBridge.expression(col(c))),
+        Seq(SortOrder(ColumnBridge.expression(col("__bk")), Ascending)),
+        UnspecifiedFrame)))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("__bk").asc)
+    // Δ₁ per bucket: M_φ·v_in + c_φ·x₁ − (x₁, 0, …) — the seed-state
+    // discrepancy the per-row P_i correction propagates
+    val vl = col("__vin").getItem(0)
+    val vb = col("__vin").getItem(1)
+    def vs(m: Int) = col("__vin").getItem(2 + m)
+    val vsPhi: Column = (0 until period).map(m =>
+      when(col("__ph") === m, vs(m))).reduceRight(_ otherwise _)
+    val dl = lit(1.0 - alpha) * (vl + vb) + lit(-alpha) * vsPhi + u1
+    val db = lit(b1) * vl + lit(b2) * vb + lit(b3) * vsPhi + u2
+    val dsEntries: Seq[Column] = (0 until period).map { m =>
+      when(col("__ph") === m,
+        lit(g1) * vl + lit(g1) * vb + lit(g2) * vs(m) + u3)
+        .otherwise(vs(m))
+    }
+    val chained = summary.withColumn("__yend", yEnd)
+      .withColumn("__vin", lag(col("__yend"), 1).over(w2))
+      .withColumn("__delta", array(dl +: db +: dsEntries: _*))
+      .select(keys.map(c => col(c).as(s"__st_$c")) ++
+        Seq(col("__bk").as("__st_bk"), col("__vin"), col("__delta")): _*)
+    val cond = keys.map(c => col(c) <=> col(s"__st_$c"))
+      .foldLeft(col("__bk") === col("__st_bk"))(_ && _)
+    // --- phase 3: per-row finish ----------------------------------------
+    def corr(r: Int): Column = (0 until dim).map(c =>
+      pOf(r, c) * col("__delta").getItem(c)).reduceLeft(_ + _)
+    val corrL = corr(0); val corrB = corr(1)
+    def slotCase(idx: Column, body: Int => Column): Column =
+      (0 until period).map(m =>
+        when(pmod(idx, lit(period.toLong)) === m, body(m)))
+        .reduceRight(_ otherwise _)
+    val jjFit = col("__ph") + f("n") - lit(1L)
+    val jjFc = col("__ph") + f("n")
+    val vinNull = vl.isNull
+    val outCol =
+      if (!forecast)
+        when(vinNull, f("l") + slotCase(jjFit, sOf))
+          .otherwise(when(f("l").isNull,
+            vl + slotCase(col("__ph") + lit(period.toLong) - lit(1L), vs))
+            .otherwise((f("l") + corrL) +
+              slotCase(jjFit, m => sOf(m) + corr(2 + m))))
+      else
+        when(vinNull, (f("l") + f("b")) + slotCase(jjFc, sOf))
+          .otherwise(when(f("l").isNull,
+            (vl + vb) + slotCase(col("__ph"), vs))
+            .otherwise(((f("l") + corrL) + (f("b") + corrB)) +
+              slotCase(jjFc, m => sOf(m) + corr(2 + m))))
+    withS.join(chained, cond)
+      .withColumn(out, outCol)
+      .drop(keys.map(c => s"__st_$c") ++ Seq("__st_bk", "__bk", "__ph",
+        "__hs", "__rn", "__nb", "__x1", "__vin", "__delta"): _*)
+  }
+
   /** Time-weighted average per key (the TimescaleDB
     * `time_weighted_average` / trapezoid-integral aggregate): for
     * irregularly-sampled series, the plain AVG over-weights densely

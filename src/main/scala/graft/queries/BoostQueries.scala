@@ -1035,6 +1035,26 @@ object BoostQueries {
         "OVER (PARTITION BY click.user) AS fc " +
         "FROM dom.events ORDER BY click.event_id")),
 
+    // the HOT-KEY ESCAPE spelling of holt_winters — an extra '<width>'
+    // argument opts into the (2+p)-STATE bucket-then-stitch
+    // (TimeSeriesOps.holtWintersStitched): the seasonal recurrence is
+    // linear in (level, trend, p seasonal slots), but each step's
+    // matrix depends on which slot the GLOBAL observation count
+    // selects, so every (user, day) kernel first learns its entry
+    // phase from a bucket-summary prefix count, then runs the seeded
+    // scan plus the running 6×6 matrix product (HwScan), chains
+    // per-bucket affine maps (AffineArrScan), and finishes each row as
+    // z + P·Δ₁. Opt-in (matrix products reassociate ~1e-9); α = ½,
+    // β = ¼, γ = ¼ make every matrix coefficient dyadic, so the oracle
+    // replays the DECOMPOSITION itself bit for bit — both faces.
+    "boost_ts_hw_escape" -> ((s, d) =>
+      run(s, d, "SELECT click.event_id, " +
+        "holt_winters(click, 0.5, 0.25, 0.25, 4, '1 day') " +
+        "OVER (PARTITION BY click.user) AS hw, " +
+        "holt_winters_forecast(click, 0.5, 0.25, 0.25, 4, '1 day') " +
+        "OVER (PARTITION BY click.user) AS fc " +
+        "FROM dom.events ORDER BY click.event_id")),
+
     // zscore(x): whole-partition standardization spelled as explicit
     // S/Q/n sums — an integral input keeps the sums exact (order-
     // independent), so the remaining double ops are a fixed IEEE
@@ -1574,7 +1594,186 @@ object BoostQueries {
     // the escaped twa is BIT-EQUAL to the single-pass form (identical
     // segment multiset, identical exact long sums) — sharing the oracle
     // verbatim is the proof the escape changes only the topology
-    m + ("boost_ts_twa_escape" -> m("boost_ts_twa"))
+    m + ("boost_ts_twa_escape" -> m("boost_ts_twa")) +
+      ("boost_ts_hw_escape" -> hwEscapeOracleSql)
+  }
+
+  /** Decomposition-replay oracle for the stitched holt_winters escape
+    * (p = 4, α = ½, β = ¼, γ = ¼ — every step-matrix coefficient
+    * dyadic): replays the ESCAPE's own arithmetic — the per-bucket
+    * entry phase from a bucket-summary prefix count, the seeded
+    * in-bucket recursion carrying (l, b, s0..s3) AND the running 6×6
+    * matrix product P (the boost_ts_holt_escape discipline in 6
+    * dimensions), the per-bucket affine maps (A = P·M_φ,
+    * d = z + P·u), the recursive per-user chain, and each row's
+    * z + P·Δ₁ finish — with every expression association mirroring the
+    * Spark kernels (HwScan / AffineArrScan /
+    * TimeSeriesOps.holtWintersStitched), so the replay is bit-exact.
+    * The 6×6 select lists are generated by loops to keep the 36-column
+    * matrix recursion typo-proof.
+    */
+  private lazy val hwEscapeOracleSql: String = {
+    val p = 4; val dim = 2 + p
+    // step-matrix coefficients at α = .5, β = .25, γ = .25 (all dyadic):
+    // row l = (a1, a1, a2·slot), row b = (b1, b2, b3·slot),
+    // row s_j = (g1, g1, g2·slot)
+    val (a1, a2) = ("0.5", "-0.5")
+    val (b1, b2, b3) = ("-0.125", "0.875", "-0.125")
+    val (g1, g2) = ("-0.125", "0.875")
+    def st(r: Int) = if (r == 0) "l" else if (r == 1) "b" else s"s${r - 2}"
+    def pn(r: Int, c: Int) = s"p${r}_$c"
+    // slot dispatch on the step's global phase (the z recursion's rows)
+    def caseJj(sel: Int => String) =
+      s"(CASE ((p.phi + p.rn - 1) % $p) " +
+        (0 until p).map(m => s"WHEN $m THEN ${sel(m)}").mkString(" ") +
+        " END)"
+    def casePhi(pre: String, sel: Int => String) =
+      s"(CASE $pre.phi " +
+        (0 until p).map(m => s"WHEN $m THEN ${sel(m)}").mkString(" ") +
+        " END)"
+    val seedP = (0 until dim).flatMap(r => (0 until dim).map(c =>
+      s"CAST(${if (r == c) "1.0" else "0.0"} AS DOUBLE) AS ${pn(r, c)}"))
+    val ln = s"0.5 * (p.x - ${caseJj(m => s"z.s$m")}) + 0.5 * (z.l + z.b)"
+    val stepS = (0 until p).map(m =>
+      s"CASE WHEN ((p.phi + p.rn - 1) % $p) = $m " +
+        s"THEN 0.25 * (p.x - ($ln)) + 0.75 * z.s$m ELSE z.s$m END")
+    val stepP = (0 until dim).flatMap { r =>
+      (0 until dim).map { c =>
+        r match {
+          case 0 => s"$a1 * z.${pn(0, c)} + $a1 * z.${pn(1, c)} + " +
+            s"$a2 * ${caseJj(m => s"z.${pn(2 + m, c)}")}"
+          case 1 => s"$b1 * z.${pn(0, c)} + $b2 * z.${pn(1, c)} + " +
+            s"$b3 * ${caseJj(m => s"z.${pn(2 + m, c)}")}"
+          case _ =>
+            val m = r - 2
+            s"CASE WHEN ((p.phi + p.rn - 1) % $p) = $m " +
+              s"THEN $g1 * z.${pn(0, c)} + $g1 * z.${pn(1, c)} + " +
+              s"$g2 * z.${pn(r, c)} ELSE z.${pn(r, c)} END"
+        }
+      }
+    }
+    // per-bucket affine map A = P_n·M_φ (columns l/b mix rows l/b/s_φ
+    // of M; a seasonal column moves only when it IS the φ slot),
+    // d = z_n + P_n·u with u = ((α−1)x₁, αβx₁, γ(1−α)x₁ at slot φ)
+    val aCols = (0 until dim).flatMap { r =>
+      (0 until dim).map { c =>
+        val e = c match {
+          case 0 => s"z.${pn(r, 0)} * 0.5 + z.${pn(r, 1)} * -0.125 + " +
+            s"${casePhi("z", m => s"z.${pn(r, 2 + m)}")} * -0.125"
+          case 1 => s"z.${pn(r, 0)} * 0.5 + z.${pn(r, 1)} * 0.875 + " +
+            s"${casePhi("z", m => s"z.${pn(r, 2 + m)}")} * -0.125"
+          case _ =>
+            val m = c - 2
+            s"CASE WHEN z.phi = $m THEN z.${pn(r, 0)} * -0.5 + " +
+              s"z.${pn(r, 1)} * -0.125 + z.${pn(r, 2 + m)} * 0.875 " +
+              s"ELSE z.${pn(r, 2 + m)} END"
+        }
+        s"$e AS a${r}_$c"
+      }
+    }
+    val dCols = (0 until dim).map(r =>
+      s"z.${st(r)} + (z.${pn(r, 0)} * (-0.5 * z.x1) + " +
+        s"z.${pn(r, 1)} * (0.125 * z.x1) + " +
+        s"${casePhi("z", m => s"z.${pn(r, 2 + m)}")} * (0.125 * z.x1)) " +
+        s"AS d$r")
+    val sdCols = (0 until dim).map(r => s"z.${st(r)} AS sd$r")
+    val chStep = (0 until dim).map(r =>
+      (0 until dim).map(c => s"m.a${r}_$c * ch.y$c").mkString(" + ") +
+        s" + m.d$r")
+    // Δ₁ per bucket: M_φ·v_in + c_φ·x₁ − (x₁, 0, …)
+    val ddCols = {
+      val vPhi = casePhi("m", m => s"vin.v${2 + m}")
+      Seq(
+        s"0.5 * (vin.v0 + vin.v1) + -0.5 * $vPhi + -0.5 * m.x1 AS dd0",
+        s"-0.125 * vin.v0 + 0.875 * vin.v1 + -0.125 * $vPhi + " +
+          "0.125 * m.x1 AS dd1") ++
+        (0 until p).map(m =>
+          s"CASE WHEN m.phi = $m THEN -0.125 * vin.v0 + " +
+            s"-0.125 * vin.v1 + 0.875 * vin.v${2 + m} + 0.125 * m.x1 " +
+            s"ELSE vin.v${2 + m} END AS dd${2 + m}")
+    }
+    def corr(r: Int) =
+      (0 until dim).map(c => s"z.${pn(r, c)} * dlt.dd$c").mkString(" + ")
+    def caseFin(idx: String, sel: Int => String) =
+      s"(CASE (($idx) % $p) " +
+        (0 until p).map(m => s"WHEN $m THEN ${sel(m)}").mkString(" ") +
+        " END)"
+    val jjFit = "z.phi + z.rn - 1"
+    val jjFc = "z.phi + z.rn"
+    val hwOut =
+      s"CASE WHEN dlt.v0 IS NULL THEN z.l + ${caseFin(jjFit, m => s"z.s$m")} " +
+        s"ELSE (z.l + (${corr(0)})) + " +
+        s"${caseFin(jjFit, m => s"(z.s$m + (${corr(2 + m)}))")} END"
+    val fcOut =
+      s"CASE WHEN dlt.v0 IS NULL THEN (z.l + z.b) + " +
+        s"${caseFin(jjFc, m => s"z.s$m")} " +
+        s"ELSE ((z.l + (${corr(0)})) + (z.b + (${corr(1)}))) + " +
+        s"${caseFin(jjFc, m => s"(z.s$m + (${corr(2 + m)}))")} END"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT event_id, user_id, value AS x, ts,
+       |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bk
+       |  FROM events WHERE event_type = 'click'
+       |), bc AS (
+       |  SELECT user_id, bk, count(*) AS c FROM base GROUP BY 1, 2
+       |), phs AS (
+       |  SELECT user_id, bk, CAST(coalesce(sum(c) OVER (
+       |    PARTITION BY user_id ORDER BY bk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % $p
+       |    AS BIGINT) AS phi
+       |  FROM bc
+       |), pts AS (
+       |  SELECT b.event_id, b.user_id, b.x, b.bk, phs.phi,
+       |    row_number() OVER (PARTITION BY b.user_id, b.bk
+       |      ORDER BY b.ts) AS rn,
+       |    count(*) OVER (PARTITION BY b.user_id, b.bk) AS nb,
+       |    first_value(b.x) OVER (PARTITION BY b.user_id, b.bk
+       |      ORDER BY b.ts) AS x1
+       |  FROM base b JOIN phs ON b.user_id = phs.user_id AND b.bk = phs.bk
+       |), z AS (
+       |  SELECT event_id, user_id, bk, rn, nb, x1, phi, x AS l,
+       |    CAST(0.0 AS DOUBLE) AS b,
+       |    ${(0 until p).map(m => s"CAST(0.0 AS DOUBLE) AS s$m")
+            .mkString(", ")},
+       |    ${seedP.mkString(",\n       |    ")}
+       |  FROM pts WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.event_id, p.user_id, p.bk, p.rn, p.nb, p.x1, p.phi,
+       |    $ln,
+       |    0.25 * (($ln) - z.l) + 0.75 * z.b,
+       |    ${stepS.mkString(",\n       |    ")},
+       |    ${stepP.mkString(",\n       |    ")}
+       |  FROM pts p JOIN z
+       |    ON p.user_id = z.user_id AND p.bk = z.bk AND p.rn = z.rn + 1
+       |), sm AS (
+       |  SELECT z.user_id, z.bk, z.phi, z.x1,
+       |    ${aCols.mkString(",\n       |    ")},
+       |    ${dCols.mkString(",\n       |    ")},
+       |    ${sdCols.mkString(",\n       |    ")},
+       |    row_number() OVER (PARTITION BY z.user_id ORDER BY z.bk) AS bi
+       |  FROM z WHERE z.rn = z.nb
+       |), ch AS (
+       |  SELECT user_id, bk, bi, ${(0 until dim)
+            .map(r => s"sd$r AS y$r").mkString(", ")}
+       |  FROM sm WHERE bi = 1
+       |  UNION ALL
+       |  SELECT m.user_id, m.bk, m.bi,
+       |    ${chStep.mkString(",\n       |    ")}
+       |  FROM sm m JOIN ch ON m.user_id = ch.user_id AND m.bi = ch.bi + 1
+       |), vin AS (
+       |  SELECT user_id, bk, ${(0 until dim).map(r =>
+            s"lag(y$r) OVER (PARTITION BY user_id ORDER BY bk) AS v$r")
+            .mkString(",\n       |    ")}
+       |  FROM ch
+       |), dlt AS (
+       |  SELECT vin.user_id, vin.bk, vin.v0, vin.v1,
+       |    ${ddCols.mkString(",\n       |    ")}
+       |  FROM vin JOIN sm m ON vin.user_id = m.user_id AND vin.bk = m.bk
+       |)
+       |SELECT CAST(z.event_id AS VARCHAR) AS click_event_id,
+       |  $hwOut AS hw,
+       |  $fcOut AS fc
+       |FROM z JOIN dlt ON z.user_id = dlt.user_id AND z.bk = dlt.bk
+       |ORDER BY click_event_id""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2380,8 +2579,8 @@ object BoostQueries {
         |WHERE event_type = 'view' GROUP BY ts ORDER BY ts""".stripMargin,
 
     // ANSI MERGE replay: matched seed rows take the first true clause
-    // (update when the correction is < 700, else delete when the seed
-    // value tops 420, else keep); unmatched batch rows insert
+    // (update when the correction is < 300, else delete when the seed
+    // value tops 200, else keep); unmatched batch rows insert
     "boost_merge_rows" ->
       """WITH seed AS (SELECT ts, MAX(value) AS p FROM events
         |    WHERE event_type = 'purchase' GROUP BY ts),

@@ -572,12 +572,20 @@ object TimeSeriesTable {
       }
     }.sortBy(_._1)
     // rewrite the manifest only when something changed (incl. dropped
-    // partitions); best-effort — SHOW must work on a read-only store
+    // partitions); best-effort — SHOW must work on a read-only store.
+    // Written to a temp sibling then renamed over the live path (the
+    // mutate verbs' swap discipline): an in-place overwrite lets a
+    // concurrent reader see a torn final line whose truncated n_rows
+    // still parses as a smaller valid number under a complete signature
     if (footerReads || cached.keySet != byPart.keySet) try {
-      val out = fs.create(manifestPath, true)
+      val tmpManifest = new org.apache.hadoop.fs.Path(p,
+        s".graft_partitions_manifest.tmp.${java.util.UUID.randomUUID}")
+      val out = fs.create(tmpManifest, true)
       try out.write(rows.map { case (part, sig, nf, nb, nr) =>
         s"$part\t$sig\t$nf\t$nb\t$nr" }.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      fs.delete(manifestPath, false)
+      if (!fs.rename(tmpManifest, manifestPath)) fs.delete(tmpManifest, false)
     } catch { case _: java.io.IOException => () }
     rows.map { case (part, _, nf, nb, nr) => (part, nf, nb, nr) }
       .toDF("part", "n_files", "n_bytes", "n_rows")
