@@ -297,32 +297,60 @@ object ScaleBench {
     // bruteForceTopK on BOTH corpora. Timing linearity alone can hide a
     // quality cliff — list/bucket occupancy changes with corpus size,
     // so an index whose latency scales perfectly can silently stop
-    // returning the true neighbors. Floors restate the sf0.001
-    // PipelineSpec pins (measurement, not a gate: a floor miss at
-    // scale is a tuning task with evidence, the run still completes).
+    // returning the true neighbors.
+    //
+    // HELD-OUT protocol: the registered ann_* queries draw their query
+    // vectors FROM the corpus, and on a replica corpus each query's own
+    // near-copies (offset k·1e-4) occupy the entire true top-10 — every
+    // index trivially ranks them first and recall saturates to 1.0 by
+    // construction (the round-17 artifact's admission). Here the
+    // queries are the BASE corpus's vec_id < 50 vectors and the
+    // searched corpus EXCLUDES those identities and every replica of
+    // them (vec_id mod the replica id-offset), so the true top-10 are
+    // genuine near vectors and recall measures whether each index
+    // routes a query to the right buckets/lists at shifted occupancy —
+    // the real question. Floors restate the sf0.001 PipelineSpec pins
+    // (measurement, not a gate: a floor miss at scale is a tuning task
+    // with evidence, the run still completes).
     val annRecall: String =
       if (streaming || boost || relational) ""
       else {
+        import graft.operators.VectorSearchOps
         val floors = Seq("ann_lsh" -> 0.25, "ann_ivf" -> 0.15,
           "ann_pq" -> 0.25, "ann_ivfpq" -> 0.15, "ann_sq8" -> 0.9)
-        def recalls(d: String): Seq[(String, Double)] = {
-          val exact = SparkEntry.queries("ann_topk")(spark, d)
-            .select("q_id", "nbr_id").collect()
+        val fns: Map[String, (DataFrame, DataFrame) => DataFrame] = Map(
+          "ann_lsh" -> ((c, q) =>
+            VectorSearchOps.annLshTopK(c, q, "vec_id", "embedding", 10)),
+          "ann_ivf" -> ((c, q) =>
+            VectorSearchOps.ivfTopK(c, q, "vec_id", "embedding", 10)),
+          "ann_pq" -> ((c, q) =>
+            VectorSearchOps.pqTopK(c, q, "vec_id", "embedding", 10)),
+          "ann_ivfpq" -> ((c, q) =>
+            VectorSearchOps.ivfPqTopK(c, q, "vec_id", "embedding", 10)),
+          "ann_sq8" -> ((c, q) =>
+            VectorSearchOps.sq8TopK(c, q, "vec_id", "embedding", 10)))
+        def ids(df: DataFrame): Map[Long, Set[Long]] =
+          df.select("q_id", "nbr_id").collect()
             .groupBy(_.getLong(0)).view
             .mapValues(_.map(_.getLong(1)).toSet).toMap
+        def recalls(d: String): Seq[(String, Double)] = {
+          val q = graft.tables.Tables.embeddings(spark, baseDir)
+            .filter(col("vec_id") < 50)
+          val corpus = graft.tables.Tables.embeddings(spark, d)
+            .filter(pmod(col("vec_id"), lit(IdOffset)) >= 50)
+          val exact = ids(VectorSearchOps.bruteForceTopK(
+            corpus, q, "vec_id", "embedding", 10))
           floors.map { case (n, _) =>
-            val approx = SparkEntry.queries(n)(spark, d)
-              .select("q_id", "nbr_id").collect()
-              .groupBy(_.getLong(0)).view
-              .mapValues(_.map(_.getLong(1)).toSet).toMap
-            val per = exact.map { case (q, ex) =>
-              approx.get(q).fold(0.0)(ap =>
+            val approx = ids(fns(n)(corpus, q))
+            val per = exact.map { case (qid, ex) =>
+              approx.get(qid).fold(0.0)(ap =>
                 ap.intersect(ex).size.toDouble / ex.size)
             }
             n -> (if (per.isEmpty) Double.NaN else per.sum / per.size)
           }
         }
-        System.err.println("[scale] measuring ANN recall@10 on both corpora")
+        System.err.println(
+          "[scale] measuring held-out ANN recall@10 on both corpora")
         val rb = recalls(baseDir)
         val rs = recalls(scaleDir)
         rs.foreach { case (n, r) =>
@@ -331,7 +359,9 @@ object ScaleBench {
             f"[scale] WARNING: $n recall at ${reps}x = $r%.3f below " +
               f"the $f%.2f floor — tuning task (probes/bands/lists)")
         }
-        s""""ann_recall":{"k":10,"floors":${jmap(
+        s""""ann_recall":{"k":10,"protocol":"held-out (queries = base """ +
+        s"""vec_id < 50, corpus excludes them and all their replicas)",""" +
+        s""""floors":${jmap(
           floors.map { case (n, f) => n -> f })},""" +
         s""""base":${jmap(rb)},"scaled":${jmap(rs)}},"""
       }

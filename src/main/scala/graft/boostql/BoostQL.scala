@@ -71,6 +71,24 @@ object BoostQL {
       "SHOW PARTITIONS takes exactly 'SHOW PARTITIONS domain.family'")
   }
 
+  /** Warehouse-aware `DESCRIBE domain.family` — the same six-column
+    * series catalog as the frame-based route in [[sql]], but served
+    * through [[TimeSeriesTable.describeCached]]'s signed per-partition
+    * sidecar: a repeat DESCRIBE re-aggregates only partitions whose
+    * file set moved (the SHOW PARTITIONS manifest discipline), so a
+    * daily-ingest family answers from one partition's scan. Takes the
+    * warehouse root like the mutate verbs; the frame route stays for
+    * ad-hoc frames, and the two agree exactly (the merge is exact —
+    * counts sum, extents min/max, key sets union).
+    */
+  def sqlDescribe(stmt: String, spark: SparkSession,
+      root: String): DataFrame = stmt match {
+    case describeRe(dom, fam) =>
+      TimeSeriesTable.describeCached(spark, root, dom, fam)
+    case _ => throw Compiler.CompileException(
+      "DESCRIBE takes exactly 'DESCRIBE domain.family'")
+  }
+
   /** `FUNNEL s1 -> s2 [-> …] BY <attr> [WITHIN '<interval>'] FROM
     * dom.family` — the ordered-conversion funnel as a first-class
     * statement (the most user-reached product-analytics shape): each
@@ -384,11 +402,19 @@ object BoostQL {
     *   - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` — the
     *     MIRROR-SYNC clause: drop target rows whose key is absent from
     *     the batch (conditions see target columns only; `src.` refuses
-    *     — there is no source row by definition). DELETE only; a
-    *     by-source UPDATE is the UPDATE statement's job. Scale note:
-    *     this clause inverts locality — absent keys can sit on ANY
-    *     date, so the classification reads the WHOLE family (inherent
-    *     to mirror-sync); keep-only dates still stay byte-identical.
+    *     — there is no source row by definition).
+    *   - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET
+    *     <target> = <expr>[, …]` — the ANSI "flag stale rows instead
+    *     of purging them" half: absent-key rows take the SET
+    *     assignments ([[sqlUpdate]]'s target grammar — a series' value
+    *     or a `series.attribute`; a NULL rhs removes the key), with
+    *     both conditions AND set expressions over TARGET columns only
+    *     (`src.` refuses in either position). Scale note:
+    *     the by-source clauses invert locality — absent keys can sit
+    *     on ANY date, so the classification reads the WHOLE family
+    *     (inherent to mirror-sync); keep-only dates still stay
+    *     byte-identical, and a by-source UPDATE touching only series S
+    *     rewrites only dates holding an absent-key S row.
     *
     * Matched clauses apply FIRST-TRUE-WINS in statement order (ANSI);
     * a row matching no clause is kept unchanged. Conditions ride the
@@ -458,13 +484,16 @@ object BoostQL {
     val matchedRe =
       """(?is)^when\s+matched\s+(?:and\s+(.*)\s+)?then\s+(update|delete)\s*$""".r
     val insertRe2 = """(?is)^when\s+not\s+matched\s+then\s+insert\s*$""".r
-    // WHEN NOT MATCHED BY SOURCE — the MIRROR-SYNC clause: target rows
-    // whose key is absent from the batch. DELETE only: the dialect's
+    // WHEN NOT MATCHED BY SOURCE — the MIRROR-SYNC clauses: target
+    // rows whose key is absent from the batch. DELETE drops them;
+    // UPDATE SET applies target-side assignments (the dialect's
     // matched-UPDATE replaces the row with the SOURCE row, which does
-    // not exist for a by-source clause by definition (a target-side
-    // rewrite is the UPDATE statement, same copy-on-write machinery).
-    // Conditions see TARGET columns only — `src.` refuses with the
-    // reason instead of silently resolving as a series named src.
+    // not exist here — so the by-source form carries explicit SET
+    // text instead). Conditions AND set expressions see TARGET columns
+    // only — `src.` refuses with the reason instead of silently
+    // resolving as a series named src.
+    val bySrcUpdRe =
+      """(?is)^when\s+not\s+matched\s+by\s+source\s+(?:and\s+(.*)\s+)?then\s+update\s+set\s+(.*\S)\s*$""".r
     val bySrcRe =
       """(?is)^when\s+not\s+matched\s+by\s+source\s+(?:and\s+(.*)\s+)?then\s+(update|delete|insert)\s*$""".r
     def parseCond(condText: String, what: String, allowSrc: Boolean,
@@ -485,29 +514,35 @@ object BoostQL {
     var sawUnconditional = false
     var sawUnconditionalBs = false
     val matchedB = Seq.newBuilder[(Option[Column], String)]
-    val bySourceB = Seq.newBuilder[(Option[Column], String)]
+    val bySourceB = Seq.newBuilder[TimeSeriesTable.BySourceClause]
+    def bsCond(condText: String): Option[Column] = {
+      if (sawUnconditionalBs) throw Compiler.CompileException(
+        "a WHEN NOT MATCHED BY SOURCE clause after an unconditional " +
+          "one is unreachable — first true clause wins; reorder or " +
+          "add AND")
+      val cond = Option(condText).map(parseCond(_, "by-source",
+        allowSrc = false, forbidSrc = true))
+      if (cond.isEmpty) sawUnconditionalBs = true
+      cond
+    }
     clauseTexts.foreach {
+      case bySrcUpdRe(condText, setText) =>
+        bySourceB += TimeSeriesTable.BySourceClause(bsCond(condText),
+          "update", parseBySourceAssigns(dom, fam, setText))
       case bySrcRe(condText, action) =>
         action.toLowerCase match {
           case "delete" => ()
           case "update" => throw Compiler.CompileException(
-            "WHEN NOT MATCHED BY SOURCE THEN UPDATE is not supported — " +
-              "the dialect's matched-UPDATE replaces the row with the " +
-              "SOURCE row, which does not exist for a by-source clause; " +
-              "spell a target-side rewrite as the UPDATE statement " +
-              "(same copy-on-write machinery)")
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs SET " +
+              "assignments — there is no source row to replace with " +
+              "for an absent key; spell the target-side rewrite as " +
+              "UPDATE SET <target> = <expr>[, …]")
           case _ => throw Compiler.CompileException(
             "WHEN NOT MATCHED BY SOURCE THEN INSERT is contradictory — " +
               "the clause addresses rows already present in the target")
         }
-        if (sawUnconditionalBs) throw Compiler.CompileException(
-          "a WHEN NOT MATCHED BY SOURCE clause after an unconditional " +
-            "one is unreachable — first true clause wins; reorder or " +
-            "add AND")
-        val cond = Option(condText).map(parseCond(_, "by-source",
-          allowSrc = false, forbidSrc = true))
-        if (cond.isEmpty) sawUnconditionalBs = true
-        bySourceB += ((cond, "delete"))
+        bySourceB += TimeSeriesTable.BySourceClause(bsCond(condText),
+          "delete")
       case insertRe2() =>
         insertClauses += 1
         if (insertClauses > 1) throw Compiler.CompileException(
@@ -524,13 +559,79 @@ object BoostQL {
         s"malformed MERGE clause '${other.trim.take(60)}' — expected " +
           "WHEN MATCHED [AND <cond>] THEN UPDATE|DELETE, " +
           "WHEN NOT MATCHED THEN INSERT or " +
-          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE")
+          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | " +
+          "UPDATE SET <target> = <expr>[, …]")
     }
     val df = Compiler.compile(Parser.parseStmt(select), families)
     val (upd, del, ins, _) = TimeSeriesTable.mergeRows(
       df.sparkSession, root, dom, fam, insertLong(df),
       matchedB.result(), insertClauses > 0, bySourceB.result())
     (upd, del, ins)
+  }
+
+  /** SET-assignment parse for the MERGE by-source UPDATE clause —
+    * [[sqlUpdate]]'s target grammar (a 1-part name sets that series'
+    * value, `series.attr` a per-point attribute, NULL rhs removes the
+    * key; `ts`/`series` refuse) with the by-source restriction: RHS
+    * expressions see TARGET columns only (`src.` refuses — there is no
+    * source row for an absent key by definition).
+    */
+  private def parseBySourceAssigns(dom: String, fam: String,
+      setText: String): Seq[(String, Option[String], Column)] = {
+    val rawAssigns = splitTopLevel(setText, ',').map { piece =>
+      val eq = topLevelIndexOf(piece, '=')
+      if (eq < 0) throw Compiler.CompileException(
+        s"malformed SET assignment '${piece.trim}' — expected " +
+          "<target> = <expression>")
+      (piece.substring(0, eq), piece.substring(eq + 1))
+    }
+    val targetRe = """(?s)^\s*(\w+)(?:\s*\.\s*(\w+))?\s*$""".r
+    val targets: Seq[(String, Option[String])] = rawAssigns.map(_._1).map {
+      case targetRe(a, b) => (a, Option(b))
+      case other => throw Compiler.CompileException(
+        s"MERGE by-source SET target '${other.trim}' must be a series " +
+          "name (sets its value) or series.attribute")
+    }
+    targets.foreach { case (s, a) =>
+      if (a.isEmpty && (s.equalsIgnoreCase("ts") ||
+          s.equalsIgnoreCase("series")))
+        throw Compiler.CompileException(
+          s"MERGE by-source SET cannot assign '$s' — moving rows along " +
+            "the time axis or renaming a series is a DELETE plus an " +
+            "INSERT")
+    }
+    val dup = targets.diff(targets.distinct)
+    if (dup.nonEmpty) throw Compiler.CompileException(
+      s"duplicate MERGE by-source SET target ${dup.map { case (s, a) =>
+        a.fold(s)(s + "." + _) }.distinct.mkString(", ")}")
+    val synthetic = rawAssigns.map(_._2).zipWithIndex
+      .map { case (rhs, i) => s"($rhs) AS __set$i" }.mkString(", ")
+    val parsed = Parser.parseStmt(
+      s"SELECT $synthetic FROM $dom.$fam") match {
+      case q: Ast.QuerySpec => q
+      case _ => throw Compiler.CompileException(
+        "MERGE by-source SET expressions must be plain row-level " +
+          "expressions")
+    }
+    targets.zip(parsed.select).map { case ((s, a), item) =>
+      val op = item match {
+        case Ast.ExprItem(o, _) => o
+        case Ast.FieldItem(n) => Ast.ORef(n)
+        case _: Ast.AggItem => throw Compiler.CompileException(
+          "MERGE by-source SET expressions are row-level — aggregates " +
+            "have no meaning over one row; compute the aggregate first " +
+            "and spell it as a literal")
+      }
+      val (rhsCol, refs) = longOperand(op, "MERGE by-source SET",
+        allowSrc = false, forbidSrc = true)
+      val foreign = refs - s
+      if (foreign.nonEmpty) throw Compiler.CompileException(
+        s"the SET expression for '${a.fold(s)(s + "." + _)}' " +
+          s"references series ${foreign.toSeq.sorted.mkString(", ")} — " +
+          s"the assignment applies to rows of series '$s', and one " +
+          "long row holds one series")
+      (s, a, rhsCol)
+    }
   }
 
   /** `DELETE FROM domain.family WHERE ts < DATE 'YYYY-MM-DD'` — the

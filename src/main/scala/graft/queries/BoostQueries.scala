@@ -1388,6 +1388,40 @@ object BoostQueries {
         _ => reread)
     }),
 
+    // MERGE with the by-source UPDATE clause (WHEN NOT MATCHED BY
+    // SOURCE … THEN UPDATE SET), oracle-checked end to end: same seed
+    // and batch as boost_merge_sync, but absent-key rows are FLAGGED
+    // instead of purged — small strays negate their value and gain a
+    // stale='y' attribute (SET over target columns only), large strays
+    // still DELETE (first-true-wins among the by-source clauses),
+    // mid-range strays keep. The readback surfaces the attribute so the
+    // oracle's full-outer replay checks both the CASE-rewritten values
+    // and the flag column.
+    "boost_merge_sync_update" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_msyncu").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      BoostQL.sqlInsert(
+        "INSERT INTO dom.derived SELECT ts, max(purchase) AS p " +
+          "FROM dom.events GROUP BY ts", _ => fam, root)
+      val (upd, del, ins) = BoostQL.sqlMerge(
+        "MERGE INTO dom.derived USING (" +
+          "SELECT ts, max(purchase * 2.0) AS p FROM dom.events " +
+          "WHERE purchase > 100.0 GROUP BY ts " +
+          "UNION ALL SELECT ts + INTERVAL '45 days' AS ts, " +
+          "max(view) AS p FROM dom.events GROUP BY ts) " +
+          "WHEN MATCHED AND src.value < 300.0 THEN UPDATE " +
+          "WHEN NOT MATCHED THEN INSERT " +
+          "WHEN NOT MATCHED BY SOURCE AND p < 30.0 " +
+          "THEN UPDATE SET p = p * -1.0, p.stale = 'y' " +
+          "WHEN NOT MATCHED BY SOURCE AND p > 60.0 THEN DELETE",
+        _ => fam, root)
+      require(upd > 0 && del > 0 && ins > 0,
+        s"expected update + by-source delete + insert, got ($upd, $del, $ins)")
+      val reread = TimeSeriesTable.open(s, root, "dom", "derived")
+      BoostQL.sql("SELECT p, p.stale AS stale, ts FROM dom.derived " +
+        "ORDER BY ts, p", _ => reread)
+    }),
+
     // WITH common table expressions (substitution into derived tables;
     // each use optimizes independently — here the cnt > 2 filter pushes
     // into only the b copy, shrinking the broadcast side)
@@ -2615,6 +2649,31 @@ object BoostQueries {
         |  ins AS (SELECT b.v AS p, b.ts FROM batch b
         |    LEFT JOIN seed s ON b.ts = s.ts WHERE s.ts IS NULL)
         |SELECT p, ts FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t
+        |ORDER BY ts, p""".stripMargin,
+
+    // the full-outer replay with the by-source UPDATE: matched rows
+    // take the raise-only correction, batch-only rows insert with no
+    // flag, and seed-only rows are CASE-rewritten (small strays negate
+    // and flag stale='y'), deleted (large strays, only when the update
+    // guard did not capture first), or kept
+    "boost_merge_sync_update" ->
+      """WITH seed AS (SELECT ts, MAX(value) AS p FROM events
+        |    WHERE event_type = 'purchase' GROUP BY ts),
+        |  batch AS (SELECT ts, MAX(value * 2.0) AS v FROM events
+        |    WHERE event_type = 'purchase' AND value > 100.0 GROUP BY ts
+        |    UNION ALL SELECT ts + INTERVAL '45 days' AS ts, MAX(value) AS v
+        |    FROM events WHERE event_type = 'view' GROUP BY ts),
+        |  kept AS (SELECT CASE WHEN b.v IS NOT NULL AND b.v < 300.0 THEN b.v
+        |      WHEN b.v IS NULL AND s.p < 30.0 THEN s.p * -1.0
+        |      ELSE s.p END AS p,
+        |    CASE WHEN b.v IS NULL AND s.p < 30.0 THEN 'y' END AS stale,
+        |    s.ts
+        |    FROM seed s LEFT JOIN batch b ON s.ts = b.ts
+        |    WHERE NOT (b.v IS NULL AND NOT (s.p < 30.0) AND s.p > 60.0)),
+        |  ins AS (SELECT b.v AS p, CAST(NULL AS VARCHAR) AS stale, b.ts
+        |    FROM batch b LEFT JOIN seed s ON b.ts = s.ts WHERE s.ts IS NULL)
+        |SELECT p, stale, ts
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) t
         |ORDER BY ts, p""".stripMargin,
 
     "boost_compact_roundtrip" ->

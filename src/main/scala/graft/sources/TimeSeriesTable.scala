@@ -591,6 +591,159 @@ object TimeSeriesTable {
       .toDF("part", "n_files", "n_bytes", "n_rows")
   }
 
+  /** Manifest-cached DESCRIBE over a warehouse family — the per-series
+    * catalog (point count, epoch-micros time extent, sorted
+    * attribute/tag key inventories; the same six columns the dialect's
+    * frame-based `DESCRIBE` computes) served WITHOUT re-scanning
+    * partitions whose file set has not moved. The discipline is
+    * [[partitions]]'s: each call signs every partition's file set
+    * (name:length:mtime, metadata already in the listing's hand) and
+    * re-aggregates ONLY signature-moved partitions, merging
+    * per-partition stats — counts sum, extents min/max, key sets
+    * union — so a daily-ingest family answers from yesterday's
+    * sidecar (`.graft_describe_manifest`) plus one partition's scan.
+    * Per-series stats merge EXACTLY (no sketches), so the cached
+    * answer is identical to the from-scratch aggregation.
+    *
+    * The sidecar holds one line per (partition, series) — the design
+    * assumes series-cardinality × partitions is metadata-sized (the
+    * same assumption the manifest file itself embodies); values are
+    * URL-encoded so series names and key inventories survive tabs.
+    * The cache can never serve stale rows (a changed file set changes
+    * the signature — exactly what every writer must alter), writes go
+    * through temp+rename (no torn reads), and a read-only warehouse
+    * still works: the manifest write is best-effort. Files outside the
+    * dt= layout group under `(unpartitioned)` like [[partitions]].
+    */
+  def describeCached(spark: SparkSession, root: String, domain: String,
+      family: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$root/$domain/$family")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty = Seq.empty[(String, Long, Option[Long], Option[Long],
+      String, String)].toDF("series", "n_points", "first_us", "last_us",
+      "attr_keys", "tag_keys")
+    if (!fs.exists(p)) return empty
+    val statuses = listDataStatus(fs, p)
+    if (statuses.isEmpty) return empty
+    def dtOf(f: String): Option[String] = f.split('/').collectFirst {
+      case seg if seg.startsWith("dt=") => seg
+    }
+    val byPart = statuses.groupBy(st =>
+      dtOf(st.getPath.toString).getOrElse("(unpartitioned)"))
+    def sigOf(sts: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+      val rendered = sts.map(st =>
+        st.getPath.getName + ":" + st.getLen + ":" +
+          st.getModificationTime).sorted.mkString("\n")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // one cached stat row: (series, n, firstUs, lastUs, attrKeys, tagKeys)
+    type Stat = (Option[String], Long, Option[Long], Option[Long],
+      Seq[String], Seq[String])
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8")
+    def encOpt(s: Option[String]): String = s.fold("0")("1" + enc(_))
+    def decOpt(s: String): Option[String] =
+      if (s == "0") None else Some(dec(s.substring(1)))
+    def encL(l: Option[Long]): String = l.fold("-")(_.toString)
+    def decL(s: String): Option[Long] =
+      if (s == "-") None else Some(s.toLong)
+    val manifestPath = new org.apache.hadoop.fs.Path(p,
+      ".graft_describe_manifest")
+    val cached: Map[String, (String, Seq[Stat])] =
+      if (!fs.exists(manifestPath)) Map.empty
+      else try {
+        val in = fs.open(manifestPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.linesIterator.flatMap { line =>
+          // split with limit -1: an empty key-inventory tail field is a
+          // legitimate value, and the default split would DROP trailing
+          // empties — silently un-matching the 8-field pattern and
+          // serving that partition's remaining rows as the full set
+          line.split("\t", -1) match {
+            case Array(part, sig, ser, n, fu, lu, ak, tk) =>
+              try Some((part, sig, (decOpt(ser), n.toLong, decL(fu),
+                decL(lu),
+                if (ak.isEmpty) Seq.empty[String]
+                else ak.split(',').toSeq.map(dec),
+                if (tk.isEmpty) Seq.empty[String]
+                else tk.split(',').toSeq.map(dec)): Stat))
+              catch { case _: RuntimeException => None }
+            case _ => None
+          }
+        }.toSeq.groupBy(_._1).map { case (part, rows) =>
+          // a partition's lines all carry one signature by construction;
+          // discard the partition if a torn write ever mixed two
+          val sigs = rows.map(_._2).distinct
+          part -> (sigs.head, if (sigs.length == 1) rows.map(_._3)
+            else Seq.empty)
+        }.filter(_._2._2.nonEmpty)
+      } catch { case _: java.io.IOException => Map.empty }
+    var rescans = false
+    val perPart: Seq[(String, String, Seq[Stat])] =
+      byPart.toSeq.sortBy(_._1).map { case (part, sts) =>
+        val sig = sigOf(sts)
+        cached.get(part) match {
+          case Some((s, rows)) if s == sig => (part, sig, rows)
+          case _ =>
+            rescans = true
+            val df = spark.read.schema(schema)
+              .parquet(sts.map(_.getPath.toString): _*)
+            val rows = df.groupBy("series").agg(
+              count(lit(1)).as("n"),
+              unix_micros(min(col("ts"))).as("fu"),
+              unix_micros(max(col("ts"))).as("lu"),
+              array_sort(array_distinct(flatten(
+                collect_set(map_keys(col("attributes")))))).as("ak"),
+              array_sort(array_distinct(flatten(
+                collect_set(map_keys(col("tags")))))).as("tk"))
+              .collect().toSeq.map { r =>
+                (Option(r.getString(0)), r.getLong(1),
+                  if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                  if (r.isNullAt(3)) None else Some(r.getLong(3)),
+                  r.getSeq[String](4), r.getSeq[String](5)): Stat
+              }
+            (part, sig, rows)
+        }
+      }
+    // best-effort sidecar rewrite, temp+rename (the partitions()
+    // manifest discipline)
+    if (rescans || cached.keySet != byPart.keySet) try {
+      val lines = perPart.flatMap { case (part, sig, rows) =>
+        rows.map { case (ser, n, fu, lu, ak, tk) =>
+          Seq(part, sig, encOpt(ser), n.toString, encL(fu), encL(lu),
+            ak.map(enc).mkString(","), tk.map(enc).mkString(","))
+            .mkString("\t")
+        }
+      }
+      val tmpManifest = new org.apache.hadoop.fs.Path(p,
+        s".graft_describe_manifest.tmp.${java.util.UUID.randomUUID}")
+      val out = fs.create(tmpManifest, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(manifestPath, false)
+      if (!fs.rename(tmpManifest, manifestPath))
+        fs.delete(tmpManifest, false)
+    } catch { case _: java.io.IOException => () }
+    // exact merge across partitions: counts sum, extents min/max,
+    // key inventories union — identical to the one-pass aggregation
+    val out = perPart.flatMap(_._3).groupBy(_._1).toSeq.map {
+      case (ser, rows) =>
+        (ser.orNull,
+          rows.map(_._2).sum,
+          rows.flatMap(_._3).reduceOption(_ min _),
+          rows.flatMap(_._4).reduceOption(_ max _),
+          rows.flatMap(_._5).distinct.sorted.mkString(","),
+          rows.flatMap(_._6).distinct.sorted.mkString(","))
+    }
+    out.toDF("series", "n_points", "first_us", "last_us",
+      "attr_keys", "tag_keys").orderBy("series")
+  }
+
   /** Rewrite parallelism for the mutate verbs ([[deleteRows]] /
     * [[updateRows]]): hash each date's rows into
     * `shufflePartitions / |affected partitions|` series slices, so a
@@ -988,6 +1141,19 @@ object TimeSeriesTable {
     } finally fs.delete(staging, true)
   }
 
+  /** One `WHEN NOT MATCHED BY SOURCE` clause for [[mergeRows]]:
+    * `cond` (None = unconditional) sees TARGET columns only; `action`
+    * is `"delete"` or `"update"`; an update clause carries its SET
+    * assignments in [[updateRows]]'s shape — (series, None, rhs) sets
+    * that series' value, (series, Some(attr), rhs) a per-point
+    * attribute (NULL rhs removes the key) — with RHS over target
+    * columns only (there is no source row by definition).
+    */
+  case class BySourceClause(cond: Option[org.apache.spark.sql.Column],
+      action: String,
+      assigns: Seq[(String, Option[String], org.apache.spark.sql.Column)] =
+        Seq.empty)
+
   /** ANSI MERGE over a family — the general mutate verb subsuming
     * [[upsertRows]] (which is matched-UPDATE + not-matched-INSERT with
     * no conditions): incoming rows match existing rows on the family
@@ -1018,13 +1184,19 @@ object TimeSeriesTable {
     * UPSERT is the collapsing variant.
     *
     * `bySource` carries the mirror-sync clauses (`WHEN NOT MATCHED BY
-    * SOURCE [AND <cond>] THEN DELETE`): existing rows whose key is
-    * ABSENT from the batch take the first true by-source clause
-    * (conditions see target columns only — there is no source row by
-    * definition; DELETE is the only action, a by-source UPDATE is the
-    * UPDATE statement's job). Locality inverts: absent-key rows can sit
-    * on ANY date, so the classification covers the WHOLE family, not
-    * just incoming dates — keep-only dates still stay byte-identical.
+    * SOURCE [AND <cond>] THEN DELETE | UPDATE SET …`): existing rows
+    * whose key is ABSENT from the batch take the first true by-source
+    * clause (conditions see target columns only — there is no source
+    * row by definition). DELETE drops the row; UPDATE applies its SET
+    * assignments ([[updateRows]]'s shape — a value set or a per-point
+    * attribute set, RHS over target columns only) — the "flag stale
+    * rows instead of purging them" half of mirror-sync. A row captured
+    * by an UPDATE clause whose series has no assignment is a no-op:
+    * ANSI semantics still consume the clause (no fall-through to later
+    * clauses), but the row neither counts as updated nor forces its
+    * date to rewrite. Locality inverts: absent-key rows can sit on ANY
+    * date, so the classification covers the WHOLE family, not just
+    * incoming dates — keep-only dates still stay byte-identical.
     * Returns (rows updated, rows deleted, rows inserted, rewritten
     * partitions).
     */
@@ -1032,14 +1204,19 @@ object TimeSeriesTable {
       family: String, incoming: DataFrame,
       matched: Seq[(Option[org.apache.spark.sql.Column], String)],
       insertUnmatched: Boolean,
-      bySource: Seq[(Option[org.apache.spark.sql.Column], String)] =
-        Seq.empty): (Long, Long, Long, Seq[String]) = {
+      bySource: Seq[BySourceClause] = Seq.empty)
+      : (Long, Long, Long, Seq[String]) = {
     require(matched.forall(c => c._2 == "update" || c._2 == "delete"),
       "matched clause actions must be update|delete")
-    // by-source UPDATE has no source row to replace with — target-side
-    // rewrites are the UPDATE statement's job (same copy-on-write)
-    require(bySource.forall(_._2 == "delete"),
-      "NOT MATCHED BY SOURCE clause actions must be delete")
+    require(bySource.forall(c => c.action == "delete" ||
+      c.action == "update"),
+      "NOT MATCHED BY SOURCE clause actions must be delete|update")
+    require(bySource.forall(c =>
+      c.action != "update" || c.assigns.nonEmpty),
+      "a NOT MATCHED BY SOURCE UPDATE clause needs SET assignments")
+    require(bySource.forall(c =>
+      c.action != "delete" || c.assigns.isEmpty),
+      "a NOT MATCHED BY SOURCE DELETE clause takes no SET assignments")
     require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val missing = SchemaColumns.filterNot(incoming.columns.contains)
@@ -1107,17 +1284,33 @@ object TimeSeriesTable {
       // the keep outcome (-1) — the pre-existing unmatched behavior.
       val bsOutcome: org.apache.spark.sql.Column = bySource.zipWithIndex
         .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-          case (acc, ((cond, _), i)) =>
-            val c = coalesce(cond.getOrElse(lit(true)), lit(false))
+          case (acc, (cl, i)) =>
+            val c = coalesce(cl.cond.getOrElse(lit(true)), lit(false))
             val idx = lit(matched.length + i)
             Some(acc.fold(when(c, idx))(_.when(c, idx)))
         }.fold(lit(-1))(_.otherwise(lit(-1)))
       val deleteIdx = matched.zipWithIndex.collect {
         case ((_, "delete"), i) => i } ++
         bySource.zipWithIndex.collect {
-          case ((_, "delete"), i) => matched.length + i }
+          case (cl, i) if cl.action == "delete" => matched.length + i }
       val updateIdx = matched.zipWithIndex.collect {
         case ((_, "update"), i) => i }
+      val bsUpdateIdx = bySource.zipWithIndex.collect {
+        case (cl, i) if cl.action == "update" => matched.length + i }
+      // EFFECTIVE outcome: a row captured by a by-source UPDATE clause
+      // whose series has no assignment is a no-op — ANSI already
+      // consumed the clause (bsOutcome picked it, so no fall-through),
+      // and downgrading it to keep (-1) afterwards is byte-identical
+      // while sparing its date a pointless rewrite
+      def effOutcome(raw: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        bySource.zipWithIndex.foldLeft(raw) {
+          case (acc, (cl, i)) if cl.action == "update" =>
+            val targets = cl.assigns.map(_._1).distinct
+            when(raw === lit(matched.length + i) &&
+              !col("series").isin(targets: _*), lit(-1)).otherwise(acc)
+          case (acc, _) => acc
+        }
       // classification pass: per (date, outcome) row counts — bounded
       // at touched dates × (clauses + 1) rows on the driver
       val byDtOutcome: Seq[(String, Int, Long)] =
@@ -1133,7 +1326,7 @@ object TimeSeriesTable {
             else existing.join(incSrc, Seq("series", "ts"), "left")
               .select(col("dt"),
                 when(coalesce(col("__src_matched"), lit(false)), outcome)
-                  .otherwise(bsOutcome).as("__oc"))
+                  .otherwise(effOutcome(bsOutcome)).as("__oc"))
           val rows = classified
             .groupBy(col("dt"), col("__oc")).count().collect()
           if (rows.exists(_.isNullAt(0))) throw new java.io.IOException(
@@ -1144,7 +1337,8 @@ object TimeSeriesTable {
             (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
         }
       val updated = byDtOutcome.collect {
-        case (_, oc, n) if updateIdx.contains(oc) => n }.sum
+        case (_, oc, n) if updateIdx.contains(oc) ||
+          bsUpdateIdx.contains(oc) => n }.sum
       val deleted = byDtOutcome.collect {
         case (_, oc, n) if deleteIdx.contains(oc) => n }.sum
       val deletedByDt: Map[String, Long] = byDtOutcome
@@ -1196,21 +1390,53 @@ object TimeSeriesTable {
           (acc, i) => acc || col("__oc") === lit(i))
         // existing rows keep their path-derived dt (a mutate verb never
         // migrates a row); unmatched inserts on rewrite dates ride the
-        // same swap so the partition flips once, atomically
+        // same swap so the partition flips once, atomically.
+        // By-source UPDATE assignments fold over the matched-update
+        // base exactly like updateRows' SET machinery: value sets
+        // nested-CASE on the value column, attribute sets rebuild the
+        // map FROM THE ACCUMULATED column (so several assignments to
+        // one series compose), both reading pre-update state only.
+        val bsValue = bySource.zipWithIndex.foldLeft(
+          when(isUpdate, col("src_value")).otherwise(col("value"))) {
+          case (prev, (cl, i)) if cl.action == "update" =>
+            cl.assigns.collect { case (s, None, rhs) => (s, rhs) }
+              .foldLeft(prev) { case (pv, (s, rhs)) =>
+                when(col("__oc") === lit(matched.length + i) &&
+                  col("series") === lit(s), rhs.cast(DoubleType))
+                  .otherwise(pv)
+              }
+          case (prev, _) => prev
+        }
+        val bsAttrs = bySource.zipWithIndex.foldLeft(
+          when(isUpdate, col("src_attributes"))
+            .otherwise(col("attributes"))) {
+          case (prev, (cl, i)) if cl.action == "update" =>
+            cl.assigns.collect { case (s, Some(a), rhs) => (s, a, rhs) }
+              .foldLeft(prev) { case (pv, (s, a, rhs)) =>
+                val r = rhs.cast(StringType)
+                val cleaned = map_filter(
+                  coalesce(pv,
+                    map().cast(MapType(StringType, StringType))),
+                  (k, _) => k =!= lit(a))
+                val set = when(r.isNull, cleaned)
+                  .otherwise(map_concat(cleaned, map(lit(a), r)))
+                when(col("__oc") === lit(matched.length + i) &&
+                  col("series") === lit(s), set).otherwise(pv)
+              }
+          case (prev, _) => prev
+        }
         val existingMerged = spark.read.schema(withDt)
           .option("basePath", dir).parquet(rewriteFiles: _*)
           .join(incSrc, Seq("series", "ts"), "left")
           .withColumn("__oc",
             when(coalesce(col("__src_matched"), lit(false)), outcome)
-              .otherwise(bsOutcome))
+              .otherwise(effOutcome(bsOutcome)))
           .filter(!isDelete)
           .select(col("series"), col("ts"),
-            when(isUpdate, col("src_value")).otherwise(col("value"))
-              .as("value"),
+            bsValue.as("value"),
             when(isUpdate, col("src_tags")).otherwise(col("tags"))
               .as("tags"),
-            when(isUpdate, col("src_attributes")).otherwise(col("attributes"))
-              .as("attributes"),
+            bsAttrs.as("attributes"),
             col("dt"))
         val insertsOnRewrite = unmatched.map(_
           .withColumn("dt", to_date(col("ts")))

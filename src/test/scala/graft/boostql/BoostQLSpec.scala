@@ -164,10 +164,11 @@ class BoostQLSpec extends SparkSpec {
     bad("MERGE INTO dom.d USING (SELECT 1) WHEN MATCHED THEN MERGE",
       "malformed merge clause")
     bad("MERGE INTO dom.d USING (SELECT 1", "closing parenthesis")
-    // NOT MATCHED BY SOURCE: delete-only, target-side conditions only,
-    // unreachable ordering applies within the clause family
+    // NOT MATCHED BY SOURCE: delete or update-with-SET only,
+    // target-side conditions AND set expressions only, unreachable
+    // ordering applies within the clause family
     bad("MERGE INTO dom.d USING (SELECT 1) " +
-      "WHEN NOT MATCHED BY SOURCE THEN UPDATE", "update statement")
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE", "needs set")
     bad("MERGE INTO dom.d USING (SELECT 1) " +
       "WHEN NOT MATCHED BY SOURCE THEN INSERT", "contradictory")
     bad("MERGE INTO dom.d USING (SELECT 1) " +
@@ -176,6 +177,20 @@ class BoostQLSpec extends SparkSpec {
     bad("MERGE INTO dom.d USING (SELECT 1) " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE " +
       "WHEN NOT MATCHED BY SOURCE AND m > 0.0 THEN DELETE", "unreachable")
+    // by-source UPDATE SET: src. refuses in the RHS (no source row for
+    // an absent key), ts/series are not assignable, foreign-series RHS
+    // refuses, aggregates refuse
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET m = src.value",
+      "target")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ts = ts", "assign")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET m = max(m)",
+      "by-source set")
+    bad("MERGE INTO dom.d USING (SELECT 1) " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET m = m, m = m * 2.0",
+      "duplicate")
     // mirror-sync end to end through the SQL face: keys absent from
     // the batch and below the guard are dropped, everything else keeps
     val before2 = TimeSeriesTable.open(spark, root, "dom", "d").count()
@@ -4133,6 +4148,87 @@ class BoostQLSpec extends SparkSpec {
       "bucket width")
     intercept[Parser.ParseException](
       Parser.parse("SELECT twa(c, 5) AS tw FROM dom.f"))
+  }
+
+  test("holt_winters escape: the (2+p)-state stitch tracks the " +
+      "single-pass kernel across bucket phases; refusals name the shape") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // same fixture discipline as the ewma/holt escape test: several
+    // hour-buckets with UNEVEN observation counts (so later buckets
+    // enter at non-zero seasonal phase), a null VALUE row and a null
+    // KEY row — the phase join and the stitch must carry all of it
+    val rows: Seq[(String, Timestamp, Option[Double], Option[String])] =
+      Seq(
+        ("c", Timestamp.valueOf("2024-01-01 00:05:00"), Some(10.0), Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 00:25:00"), Some(14.0), Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 00:45:00"), None,       Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 00:55:00"), Some(8.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 01:10:00"), Some(6.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 01:30:00"), Some(9.0),  None),
+        ("c", Timestamp.valueOf("2024-01-01 02:15:00"), Some(3.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 02:25:00"), Some(11.0), Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 02:40:00"), Some(7.0),  Some("b")),
+        ("c", Timestamp.valueOf("2024-01-01 02:55:00"), Some(5.0),  None),
+        ("c", Timestamp.valueOf("2024-01-01 03:20:00"), Some(4.0),  Some("a")),
+        ("c", Timestamp.valueOf("2024-01-01 03:40:00"), Some(12.0), Some("a")))
+    val f = spark.createDataFrame(rows).toDF("series", "ts", "value", "h")
+      .withColumn("attributes",
+        map(lit("host"), col("h")).cast("map<string,string>"))
+      .withColumn("tags", map().cast("map<string,string>"))
+      .drop("h")
+    def q(text: String) = Compiler.compile(Parser.parse(text), f)
+    // both faces, p = 3 so the uneven bucket counts shift the phase
+    for (fn <- Seq("holt_winters", "holt_winters_forecast")) {
+      val sgl = q(s"SELECT ts, $fn(c, 0.5, 0.25, 0.25, 3) OVER " +
+        "(PARTITION BY c.host) AS hw FROM dom.f ORDER BY ts").collect()
+      val esc = q(s"SELECT ts, $fn(c, 0.5, 0.25, 0.25, 3, '1 hour') " +
+        "OVER (PARTITION BY c.host) AS hw FROM dom.f ORDER BY ts")
+        .collect()
+      assert(sgl.length == rows.length && esc.length == rows.length)
+      sgl.zip(esc).foreach { case (a, b) =>
+        assert(a.isNullAt(1) == b.isNullAt(1),
+          s"$fn null pattern diverged at ${a.getTimestamp(0)}")
+        if (!a.isNullAt(1))
+          assert(math.abs(a.getDouble(1) - b.getDouble(1)) <=
+            1e-9 * math.max(1.0, math.abs(a.getDouble(1))),
+            s"$fn escape diverged at ${a.getTimestamp(0)}: " +
+              s"${a.getDouble(1)} vs ${b.getDouble(1)}")
+      }
+    }
+    // a single wide bucket IS the single pass (phase 0, one chain link)
+    val one = q("SELECT ts, holt_winters(c, 0.5, 0.25, 0.25, 3, " +
+      "'1 day') OVER (PARTITION BY c.host) AS hw FROM dom.f " +
+      "ORDER BY ts").collect()
+    val oneS = q("SELECT ts, holt_winters(c, 0.5, 0.25, 0.25, 3) " +
+      "OVER (PARTITION BY c.host) AS hw FROM dom.f ORDER BY ts")
+      .collect()
+    one.zip(oneS).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getDouble(1) == b.getDouble(1),
+        s"one-bucket stitch must equal the single pass bit for bit at " +
+          s"${a.getTimestamp(0)}")
+    }
+    def refuses(text: String, frag: String): Unit = {
+      val e = intercept[Compiler.CompileException](q(text).collect())
+      assert(e.getMessage.contains(frag), s"message: ${e.getMessage}")
+    }
+    refuses("SELECT holt_winters(c, 0.5, 0.25, 0.25, 3, '1 hour') " +
+      "OVER (PARTITION BY c.host) * 2.0 AS x FROM dom.f",
+      "top-level select item")
+    refuses("SELECT holt_winters(c, 0.5, 0.25, 0.25, 3, '1 hour') " +
+      "OVER (PARTITION BY c.host) AS x FROM dom.f QUALIFY x > 0.0",
+      "top-level select item")
+    refuses("SELECT holt_winters_forecast(c, 0.5, 0.25, 0.25, 3, " +
+      "'bogus') OVER (PARTITION BY c.host) AS x FROM dom.f",
+      "bucket width")
+    refuses("SELECT holt_winters(c, 0.5, 0.25, 0.25, 30, '1 hour') " +
+      "OVER (PARTITION BY c.host) AS x FROM dom.f", "[2, 8]")
+    refuses("SELECT holt_winters(c, 0.5, 0.25, 0.25, 1, '1 hour') " +
+      "OVER (PARTITION BY c.host) AS x FROM dom.f", "[2, 8]")
+    refuses("SELECT holt_winters(c, 0.5, 0.25, 0.25, 3, '1 hour') " +
+      "OVER (PARTITION BY c.host ORDER BY c) AS x FROM dom.f",
+      "time axis implicitly")
   }
 
   test("compiler: nested derived tables collapse into one plan") {

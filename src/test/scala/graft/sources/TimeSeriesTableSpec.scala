@@ -274,6 +274,61 @@ class TimeSeriesTableSpec extends SparkSpec {
     assert(inv().map(_._1) == Seq("dt=2024-01-02"))
   }
 
+  test("describeCached: equals the frame DESCRIBE exactly, repeat " +
+      "calls serve from the manifest, any writer invalidates via the " +
+      "file-set signature") {
+    import graft.boostql.BoostQL
+    val root = Files.createTempDirectory("graft-desc").toString
+    // two series over three dates, with attribute/tag keys on some rows
+    val rows = mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),
+      ("cpu", "2024-01-01 02:00:00", 2.0),
+      ("cpu", "2024-01-02 01:00:00", 3.0),
+      ("mem", "2024-01-02 02:00:00", 4.0),
+      ("cpu", "2024-01-03 01:00:00", 5.0)))
+      .withColumn("attributes",
+        when(col("value") > 2.0, map(lit("host"), lit("a")))
+          .otherwise(map(lit("dc"), lit("x"), lit("rack"), lit("r1"))))
+      .withColumn("tags",
+        when(col("series") === "mem", map(lit("team"), lit("infra")))
+          .otherwise(map().cast("map<string,string>")))
+    TimeSeriesTable.append(rows, root, "dom", "m")
+    def cached() = TimeSeriesTable
+      .describeCached(spark, root, "dom", "m").collect().map(_.toSeq).toSeq
+    def frame() = BoostQL.sql("DESCRIBE dom.m",
+      _ => TimeSeriesTable.open(spark, root, "dom", "m"))
+      .collect().map(_.toSeq).toSeq
+    val first = cached()
+    assert(first == frame(),
+      "cached DESCRIBE must equal the frame aggregation exactly")
+    val manifest = new java.io.File(
+      s"$root/dom/m/.graft_describe_manifest")
+    assert(manifest.isFile, "first call must write the sidecar")
+    // repeat call: identical rows, manifest byte-identical (no rewrite)
+    val mBytes = java.nio.file.Files.readAllBytes(manifest.toPath).toSeq
+    assert(cached() == first)
+    assert(java.nio.file.Files.readAllBytes(manifest.toPath).toSeq ==
+      mBytes, "an unchanged family must not rewrite the sidecar")
+    // an append moves one partition's signature → merged stats update
+    // and still equal the from-scratch frame aggregation
+    TimeSeriesTable.append(mkRows(Seq(
+      ("io", "2024-01-02 03:00:00", 9.0),
+      ("cpu", "2024-01-02 04:00:00", 6.0))), root, "dom", "m")
+    val second = cached()
+    assert(second == frame(),
+      "after an append the merged stats must equal the frame " +
+        "aggregation (one partition re-scanned)")
+    assert(second.exists(r => r.head == "io"),
+      "the appended series appears")
+    // the warehouse-aware dialect route serves the same rows
+    assert(BoostQL.sqlDescribe("DESCRIBE dom.m", spark, root)
+      .collect().map(_.toSeq).toSeq == second)
+    // a mutate swap (expire the first date) invalidates those rows
+    TimeSeriesTable.expire(spark, root, "dom", "m",
+      java.sql.Date.valueOf("2024-01-02"))
+    assert(cached() == frame(), "after expire the catalog re-merges")
+  }
+
   test("deleteRows rewrites only matching partitions; untouched " +
       "partitions stay byte-identical") {
     val root = Files.createTempDirectory("graft-rowdel").toString
@@ -620,7 +675,7 @@ class TimeSeriesTableSpec extends SparkSpec {
         ("cpu", "2024-01-01 01:00:00", 9.0),
         ("cpu", "2024-01-09 01:00:00", 7.0))), // unmatched, no insert clause
       Seq((None, "update")), insertUnmatched = false,
-      bySource = Seq((Some(col("value") < 10.0), "delete")))
+      bySource = Seq(TimeSeriesTable.BySourceClause(Some(col("value") < 10.0), "delete")))
     assert(upd == 1L && del == 2L && ins == 0L, s"got ($upd, $del, $ins)")
     assert(parts == Seq("dt=2024-01-01", "dt=2024-01-03"),
       s"only dates with a non-keep outcome rewrite, got $parts")
@@ -638,7 +693,7 @@ class TimeSeriesTableSpec extends SparkSpec {
     val (u2, d2, i2, _) = TimeSeriesTable.mergeRows(
       spark, root, "dom", "m", batch2,
       Seq((None, "update")), insertUnmatched = true,
-      bySource = Seq((None, "delete")))
+      bySource = Seq(TimeSeriesTable.BySourceClause(None, "delete")))
     assert(u2 == 1L && d2 == 1L && i2 == 1L, s"got ($u2, $d2, $i2)")
     val mirrored = TimeSeriesTable.open(spark, root, "dom", "m")
       .select("series", "ts", "value").collect()
@@ -647,10 +702,62 @@ class TimeSeriesTableSpec extends SparkSpec {
       ("cpu", Timestamp.valueOf("2024-01-01 01:00:00"), 9.0),
       ("io", Timestamp.valueOf("2024-02-01 01:00:00"), 2.0)),
       s"family must mirror the batch exactly, got $mirrored")
-    // by-source actions are delete-only
+    // a by-source UPDATE clause must carry SET assignments
     intercept[IllegalArgumentException](TimeSeriesTable.mergeRows(
       spark, root, "dom", "m", batch2, Seq.empty,
-      insertUnmatched = false, bySource = Seq((None, "update"))))
+      insertUnmatched = false, bySource = Seq(TimeSeriesTable.BySourceClause(None, "update"))))
+  }
+
+  test("mergeRows NOT MATCHED BY SOURCE UPDATE: SET rewrites absent " +
+      "keys in place, no-op series spare their dates, first-true-wins " +
+      "against a later delete") {
+    val root = Files.createTempDirectory("graft-msyncu").toString
+    TimeSeriesTable.append(mkRows(Seq(
+      ("cpu", "2024-01-01 01:00:00", 1.0),   // matched → keep (no clause)
+      ("cpu", "2024-01-01 02:00:00", 5.0),   // absent, < 10 → UPDATE SET
+      ("cpu", "2024-01-02 01:00:00", 50.0),  // absent, >= 10, > 40 → delete
+      ("cpu", "2024-01-03 01:00:00", 20.0),  // absent, mid → keep
+      ("mem", "2024-01-04 01:00:00", 3.0))), // absent, < 10 BUT mem has no
+      root, "dom", "m")                      // assignment → no-op keep
+    val d3Before = partitionDigests(s"$root/dom/m/dt=2024-01-03")
+    val d4Before = partitionDigests(s"$root/dom/m/dt=2024-01-04")
+    val (upd, del, ins, parts) = TimeSeriesTable.mergeRows(
+      spark, root, "dom", "m", mkRows(Seq(
+        ("cpu", "2024-01-01 01:00:00", 1.0))),
+      Seq.empty, insertUnmatched = false,
+      bySource = Seq(
+        TimeSeriesTable.BySourceClause(Some(col("value") < 10.0),
+          "update", Seq(
+            ("cpu", None, col("value") * lit(-1.0)),
+            ("cpu", Some("stale"), lit("y")))),
+        // the delete guard ALSO covers < 10 — a fall-through bug would
+        // delete the no-op mem row the update clause already consumed
+        TimeSeriesTable.BySourceClause(
+          Some(col("value") < 10.0 || col("value") > 40.0), "delete")))
+    assert(upd == 1L && del == 1L && ins == 0L, s"got ($upd, $del, $ins)")
+    assert(parts == Seq("dt=2024-01-01", "dt=2024-01-02"),
+      s"only dates with an effective non-keep outcome rewrite, got $parts")
+    // the absent-but-kept date AND the no-op (mem) date: byte-identical
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-03") == d3Before)
+    assert(partitionDigests(s"$root/dom/m/dt=2024-01-04") == d4Before,
+      "a by-source UPDATE whose series has no assignment must not " +
+        "rewrite that date")
+    val after = TimeSeriesTable.open(spark, root, "dom", "m")
+    assert(after.count() == 4)
+    val flagged = after.filter(col("ts") ===
+      lit(Timestamp.valueOf("2024-01-01 02:00:00"))).collect()
+    assert(flagged.length == 1)
+    val fr = flagged.head
+    assert(fr.getDouble(fr.fieldIndex("value")) == -5.0,
+      "SET value applied to pre-update state")
+    assert(fr.getMap[String, String](fr.fieldIndex("attributes"))
+      .get("stale").contains("y"), "SET attribute applied")
+    // mem row captured by the update clause (value < 10) did NOT fall
+    // through to the delete clause — ANSI consumed the clause
+    assert(after.filter(col("series") === "mem").count() == 1)
+    // matched row untouched (keep), deleted row gone
+    assert(after.filter(col("value") === 1.0).count() == 1)
+    assert(after.filter(col("value") === 50.0).count() == 0)
   }
 
   test("refreshDownsample: appends refresh only their dates, expire " +
