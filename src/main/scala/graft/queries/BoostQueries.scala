@@ -500,6 +500,20 @@ object BoostQueries {
     "boost_describe" -> ((s, d) =>
       run(s, d, "DESCRIBE dom.events")),
 
+    // the MANIFEST-CACHED warehouse DESCRIBE, oracle-checked through
+    // the cache: ingest the family once, DESCRIBE twice — the first
+    // call writes the signed per-partition sidecar, the SECOND call
+    // (the compared result) serves every partition from it; the merge
+    // is exact, so the cache-served catalog hash-matches the same
+    // oracle the frame-based DESCRIBE uses
+    "boost_describe_cached" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_descc").toString
+      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      TimeSeriesTable.append(fam, root, "dom", "events")
+      BoostQL.sqlDescribe("DESCRIBE dom.events", s, root).count()
+      BoostQL.sqlDescribe("DESCRIBE dom.events", s, root)
+    }),
+
     // deterministic md5-keyed sampling through the SQL front: a
     // reproducible ~25% subset of purchases by event_id — same subset
     // at any scale/partitioning/run, and the same predicate keyed on a
@@ -1629,7 +1643,11 @@ object BoostQueries {
     // segment multiset, identical exact long sums) — sharing the oracle
     // verbatim is the proof the escape changes only the topology
     m + ("boost_ts_twa_escape" -> m("boost_ts_twa")) +
-      ("boost_ts_hw_escape" -> hwEscapeOracleSql)
+      ("boost_ts_hw_escape" -> hwEscapeOracleSql) +
+      // the manifest-cache-served DESCRIBE must equal the frame form
+      // exactly (exact per-partition merge) — sharing the oracle
+      // verbatim is the proof
+      ("boost_describe_cached" -> m("boost_describe"))
   }
 
   /** Decomposition-replay oracle for the stitched holt_winters escape
