@@ -2609,6 +2609,14 @@ object Compiler {
           * the downstream aggregate (and the single-pass DuckDB oracle)
           * is bit-equal over integral inputs. Null group keys stitch
           * null-safely (they are their own window partition).
+          *
+          * Assumes DISTINCT timestamps per key (the family ingest
+          * contract): under duplicate (key, ts) rows the single-pass
+          * lead() breaks the tie in arbitrary row order while the
+          * boundary stitch picks min(struct(u, v)) — value-ordered —
+          * so the two forms may pick different boundary partners.
+          * Both are "a" valid trapezoid chain; only the multiset
+          * identity claim above needs the distinctness assumption.
           */
         def twaBucketedSeg(df: DataFrame, nm: String, v: Column,
             bUs: Long): DataFrame = {

@@ -217,9 +217,17 @@ object GraphOps {
     * default scale, far below any ranking use.
     *
     * Scale shape: per iteration ONE shuffle-sum of per-edge longs on
-    * dst plus broadcast-friendly joins against the degree table;
-    * `localCheckpoint` per round truncates the iterative lineage (the
-    * CC/star idiom above). Isolated nodes (no edges) are not ranked —
+    * dst plus a join against the degree-carrying edge list. The degree
+    * join is hoisted OUT of the loop (loop-invariant — guide §1.2/§2.4)
+    * onto a checkpointed (src, dst, deg) list, and iterations chain
+    * LAZILY into one action instead of localCheckpoint-ing each round:
+    * every rank_i feeds exactly one consumer, so the single job's stage
+    * DAG computes each iteration once, without 10 eager materialization
+    * jobs' scheduling floor (measured: 2.7 s → 2.1 s at sf0.1 for 10
+    * iterations; plan size stays linear in iterations). The CC/star
+    * idiom keeps ITS per-round checkpoints because its rounds are
+    * data-dependent (convergence loop over counts); this loop is a
+    * fixed unroll. Isolated nodes (no edges) are not ranked —
     * rank mass lives on the edge-connected subgraph; symmetrization
     * means no dangling nodes, so total mass is conserved up to floor
     * dust and no redistribution term is needed.
@@ -238,22 +246,31 @@ object GraphOps {
       .localCheckpoint()
     val n = deg.count()
     require(n > 0, "pageRank needs at least one edge")
+    // Loop-invariant hoist (guide §1.2/§2.4): the per-edge degree
+    // denominator never changes across iterations, so attach it to the
+    // edge list ONCE instead of re-joining deg inside every iteration —
+    // 10 iterations previously paid 10 deg-joins (each a build+probe
+    // pass, and at scale a shuffle) for bytes that were constant. The
+    // checkpointed (src, dst, deg) list is one long wider per edge;
+    // `r div deg` reads the same values, so the fixed-point integer
+    // chain (and the oracle replay) is bit-identical.
+    val eDeg = e
+      .join(deg.select(col("id").as("src"), col("deg")), Seq("src"))
+      .localCheckpoint()
     // Scala long division here MUST mirror the oracle's integer //
     // chain: (scale div n), ((3·scale div 20) div n)
     val init = scale / n
     val base = 3 * scale / 20 / n
     var rank = deg.select(col("id"), lit(init).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = eDeg
         .join(rank.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.select(col("id").as("src"), col("deg")), Seq("src"))
         .select(col("dst").as("id"), expr("r div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       rank = deg.select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"17 * coalesce(s, 0L) div 20")).as("r"))
-        .localCheckpoint()
     }
     rank
   }

@@ -683,31 +683,55 @@ object TimeSeriesTable {
             else Seq.empty)
         }.filter(_._2._2.nonEmpty)
       } catch { case _: java.io.IOException => Map.empty }
-    var rescans = false
+    // One Spark job for ALL signature-moved partitions, not one per
+    // partition (guide §1.2 step 1 / §5 driver): the previous
+    // per-partition scan+collect launched a sequential job per moved
+    // partition — a fresh 30-date family paid 30 job schedules for one
+    // catalog (measured: ~1.5 s of boost_describe_cached's 2.65 s) and
+    // a 3,000-partition backfill would pay 3,000. The moved files are
+    // tagged with their partition name via a path→part lookup column
+    // and aggregated by (part, series) in one pass; the collect stays
+    // bounded at (moved partitions × series) rows — the sidecar's own
+    // size assumption.
+    val sigs: Map[String, String] = byPart.map { case (part, sts) =>
+      part -> sigOf(sts)
+    }
+    val moved: Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] =
+      byPart.toSeq.sortBy(_._1).filter { case (part, _) =>
+        !cached.get(part).exists(_._1 == sigs(part)) }
+    val rescans = moved.nonEmpty
+    val movedStats: Map[String, Seq[Stat]] = if (!rescans) Map.empty
+    else {
+      // partition name from the file's own path — the same `dt=` segment
+      // rule the listing's dtOf applies, as a native (codegen) regexp
+      // rather than a closure UDF; both spellings of the path carry the
+      // identical directory segment, so the keys line up with byPart's
+      val seg = regexp_extract(input_file_name(), "/(dt=[^/]+)/", 1)
+      val df = spark.read.schema(schema)
+        .parquet(moved.flatMap(_._2).map(_.getPath.toString): _*)
+        .withColumn("__part",
+          when(seg =!= "", seg).otherwise(lit("(unpartitioned)")))
+      df.groupBy(col("__part"), col("series")).agg(
+          count(lit(1)).as("n"),
+          unix_micros(min(col("ts"))).as("fu"),
+          unix_micros(max(col("ts"))).as("lu"),
+          array_sort(array_distinct(flatten(
+            collect_set(map_keys(col("attributes")))))).as("ak"),
+          array_sort(array_distinct(flatten(
+            collect_set(map_keys(col("tags")))))).as("tk"))
+        .collect().toSeq.map { r =>
+          r.getString(0) -> ((Option(r.getString(1)), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getSeq[String](5), r.getSeq[String](6)): Stat)
+        }.groupBy(_._1).map { case (part, rows) => part -> rows.map(_._2) }
+    }
     val perPart: Seq[(String, String, Seq[Stat])] =
-      byPart.toSeq.sortBy(_._1).map { case (part, sts) =>
-        val sig = sigOf(sts)
+      byPart.toSeq.sortBy(_._1).map { case (part, _) =>
+        val sig = sigs(part)
         cached.get(part) match {
           case Some((s, rows)) if s == sig => (part, sig, rows)
-          case _ =>
-            rescans = true
-            val df = spark.read.schema(schema)
-              .parquet(sts.map(_.getPath.toString): _*)
-            val rows = df.groupBy("series").agg(
-              count(lit(1)).as("n"),
-              unix_micros(min(col("ts"))).as("fu"),
-              unix_micros(max(col("ts"))).as("lu"),
-              array_sort(array_distinct(flatten(
-                collect_set(map_keys(col("attributes")))))).as("ak"),
-              array_sort(array_distinct(flatten(
-                collect_set(map_keys(col("tags")))))).as("tk"))
-              .collect().toSeq.map { r =>
-                (Option(r.getString(0)), r.getLong(1),
-                  if (r.isNullAt(2)) None else Some(r.getLong(2)),
-                  if (r.isNullAt(3)) None else Some(r.getLong(3)),
-                  r.getSeq[String](4), r.getSeq[String](5)): Stat
-              }
-            (part, sig, rows)
+          case _ => (part, sig, movedStats.getOrElse(part, Seq.empty))
         }
       }
     // best-effort sidecar rewrite, temp+rename (the partitions()
@@ -1042,20 +1066,26 @@ object TimeSeriesTable {
       .write.parquet(staging.toString)
     try {
       val inc = spark.read.schema(schema).parquet(staging.toString)
-      val stats = inc.agg(count(lit(1)),
-        count(when(col("series").isNull || col("ts").isNull, 1)),
-        countDistinct(col("series"), col("ts"))).head()
-      val incomingTotal = stats.getLong(0)
+      // ONE pass for key-sanity stats + per-date counts (mergeRows'
+      // fusion, same per-date distinct == global distinct identity)
+      val dtStats = inc.groupBy(to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("series").isNull, 1)).as("nulls"),
+          countDistinct(col("series"), col("ts")).as("dist"))
+        .collect()
+      val incomingTotal = dtStats.map(_.getLong(1)).sum
       if (incomingTotal == 0L) return (0L, 0L, Seq.empty)
-      if (stats.getLong(1) > 0L) throw new java.io.IOException(
-        s"UPSERT into $dir: incoming rows carry NULL (series, ts) keys " +
-          "— the merge key must be present on every row")
-      if (stats.getLong(2) != incomingTotal) throw new java.io.IOException(
-        s"UPSERT into $dir: the incoming batch holds duplicate " +
-          "(series, ts) keys — which duplicate wins is undefined in a " +
-          "DataFrame; aggregate the batch to one row per key first")
-      val incDates = inc.groupBy(to_date(col("ts")).as("dt")).count()
-        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      if (dtStats.exists(r => r.isNullAt(0) || r.getLong(2) > 0L))
+        throw new java.io.IOException(
+          s"UPSERT into $dir: incoming rows carry NULL (series, ts) keys " +
+            "— the merge key must be present on every row")
+      if (dtStats.map(_.getLong(3)).sum != incomingTotal)
+        throw new java.io.IOException(
+          s"UPSERT into $dir: the incoming batch holds duplicate " +
+            "(series, ts) keys — which duplicate wins is undefined in a " +
+            "DataFrame; aggregate the batch to one row per key first")
+      val incDates = dtStats
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
       val files = if (fs.exists(p)) listDataFiles(fs, p) else Seq.empty
       def dtOf(f: String): Option[String] = f.split('/').collectFirst {
         case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
@@ -1236,20 +1266,31 @@ object TimeSeriesTable {
       .write.parquet(staging.toString)
     try {
       val inc = spark.read.schema(schema).parquet(staging.toString)
-      val stats = inc.agg(count(lit(1)),
-        count(when(col("series").isNull || col("ts").isNull, 1)),
-        countDistinct(col("series"), col("ts"))).head()
-      val incomingTotal = stats.getLong(0)
+      // ONE pass over the staged batch for the key-sanity stats AND the
+      // per-date counts (guide §1.2: don't re-read what one aggregation
+      // can answer) — previously two sequential jobs. The global
+      // distinct-key count decomposes per date exactly because the key
+      // embeds the date: duplicate (series, ts) pairs always share
+      // to_date(ts), so Σ per-date distinct == global distinct.
+      val dtStats = inc.groupBy(to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("series").isNull, 1)).as("nulls"),
+          countDistinct(col("series"), col("ts")).as("dist"))
+        .collect()
+      val incomingTotal = dtStats.map(_.getLong(1)).sum
       if (incomingTotal == 0L) return (0L, 0L, 0L, Seq.empty)
-      if (stats.getLong(1) > 0L) throw new java.io.IOException(
-        s"MERGE into $dir: incoming rows carry NULL (series, ts) keys " +
-          "— the merge key must be present on every row")
-      if (stats.getLong(2) != incomingTotal) throw new java.io.IOException(
-        s"MERGE into $dir: the incoming batch holds duplicate " +
-          "(series, ts) keys — ANSI MERGE refuses a source that matches " +
-          "one target row twice; aggregate the batch to one row per key")
-      val incDates = inc.groupBy(to_date(col("ts")).as("dt")).count()
-        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      // a NULL ts lands in the null dt group; a NULL series counts there
+      if (dtStats.exists(r => r.isNullAt(0) || r.getLong(2) > 0L))
+        throw new java.io.IOException(
+          s"MERGE into $dir: incoming rows carry NULL (series, ts) keys " +
+            "— the merge key must be present on every row")
+      if (dtStats.map(_.getLong(3)).sum != incomingTotal)
+        throw new java.io.IOException(
+          s"MERGE into $dir: the incoming batch holds duplicate " +
+            "(series, ts) keys — ANSI MERGE refuses a source that matches " +
+            "one target row twice; aggregate the batch to one row per key")
+      val incDates = dtStats
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
       val files = if (fs.exists(p)) listDataFiles(fs, p) else Seq.empty
       def dtOf(f: String): Option[String] = f.split('/').collectFirst {
         case seg if seg.startsWith("dt=") => seg.stripPrefix("dt=")
