@@ -2967,8 +2967,32 @@ object Compiler {
       //    per-(key, bucket) kernel + affine bucket chaining — ~1e-9
       //    reassociation, so it is a new spelling, never a silent
       //    rewrite of ewma(x, alpha).
-      val stitched = escapable.foldLeft(filtered) {
-        case (df, (nm, arg, part, escOpt)) =>
+      // FIT+FORECAST faces of the same holt/holt_winters escape (same
+      // argument, PARTITION BY keys, and smoothing parameters) share
+      // ONE stitch pipeline: phases 0–2 are face-independent and only
+      // the per-row finish differs, so the paired-face query shape
+      // (boost_ts_holt_escape / boost_ts_hw_escape) runs the kernel
+      // once instead of once per select item. Grouping preserves
+      // first-occurrence order; non-pairable items group alone.
+      val escGrouped: Seq[Seq[(String, Operand, Seq[RawName],
+          Option[(String, Double, Double, Double, Int, Long)])]] = {
+        val buf = scala.collection.mutable.LinkedHashMap[Any,
+          scala.collection.mutable.ArrayBuffer[(String, Operand,
+            Seq[RawName], Option[(String, Double, Double, Double, Int,
+            Long)])]]()
+        escapable.foreach { it =>
+          val key: Any = it._4 match {
+            case Some((fn, a, b, g, p, w)) if fn.startsWith("holt") =>
+              (fn.stripSuffix("_forecast"), it._2, it._3, a, b, g, p, w)
+            case _ => ("solo", it._1)
+          }
+          buf.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer.empty) += it
+        }
+        buf.values.map(_.toSeq).toSeq
+      }
+      val stitched = escGrouped.foldLeft(filtered) {
+        case (df, group @ ((nm, arg, part, escOpt) +: _)) =>
           val c = operandColumn(arg, aggOk = false)
           val keyNames = part.map(p => ref(p).inName)
           escOpt match {
@@ -2977,23 +3001,24 @@ object Compiler {
               graft.operators.TimeSeriesOps.ewmaStitched(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
                 Seq.empty, alpha, widthUs, out = s"__esc_$nm").drop(in)
-            case Some((fn @ ("holt" | "holt_forecast"), alpha, beta,
-                _, _, widthUs)) =>
+            case Some((fn, alpha, beta, _, _, widthUs))
+                if fn == "holt" || fn == "holt_forecast" =>
               val in = s"__esc_in_$nm"
-              graft.operators.TimeSeriesOps.holtStitched(
+              val outs = group.map { case (n, _, _, Some((f, _, _, _, _, _))) =>
+                (s"__esc_$n", f == "holt_forecast") }
+              graft.operators.TimeSeriesOps.holtStitchedMulti(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
-                Seq.empty, alpha, beta, widthUs,
-                forecast = fn == "holt_forecast",
-                out = s"__esc_$nm").drop(in)
+                Seq.empty, alpha, beta, widthUs, outs).drop(in)
             case Some((fn, alpha, beta, gamma, period, widthUs)) =>
               // holt_winters | holt_winters_forecast: the (2+p)-state
               // bucket-then-stitch (TimeSeriesOps.holtWintersStitched)
               val in = s"__esc_in_$nm"
-              graft.operators.TimeSeriesOps.holtWintersStitched(
+              val outs = group.map { case (n, _, _, Some((f, _, _, _, _, _))) =>
+                (s"__esc_$n", f == "holt_winters_forecast") }
+              graft.operators.TimeSeriesOps.holtWintersStitchedMulti(
                 df.withColumn(in, c), keyNames, "__ts_0", in,
-                Seq.empty, alpha, beta, gamma, period, widthUs,
-                forecast = fn == "holt_winters_forecast",
-                out = s"__esc_$nm").drop(in)
+                Seq.empty, alpha, beta, gamma, period, widthUs, outs)
+                .drop(in)
             case None =>
               // zscore: exact S/Q/n sums per key via groupBy (the
               // original column type keeps integral sums exact), then

@@ -743,7 +743,22 @@ object TimeSeriesOps {
   def holtStitched(df: DataFrame, keys: Seq[String], tsCol: String,
       valCol: String, tieBreak: Seq[String], alpha: Double, beta: Double,
       bucketUs: Long, forecast: Boolean = false,
-      out: String = "holt"): DataFrame = {
+      out: String = "holt"): DataFrame =
+    holtStitchedMulti(df, keys, tsCol, valCol, tieBreak, alpha, beta,
+      bucketUs, Seq((out, forecast)))
+
+  /** [[holtStitched]] with SEVERAL output faces off ONE pipeline: the
+    * fit and forecast spellings share the entire phase-1/2 DAG (scan,
+    * matrix powers, bucket chaining, join-back) and differ only in the
+    * per-row finish expression, so a query selecting both (the
+    * `boost_ts_holt_escape` shape) pays the kernel once instead of
+    * per face. Each `(out, forecast)` pair adds one column; a single
+    * pair is exactly the old behavior.
+    */
+  def holtStitchedMulti(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, tieBreak: Seq[String], alpha: Double, beta: Double,
+      bucketUs: Long, outs: Seq[(String, Boolean)]): DataFrame = {
+    require(outs.nonEmpty, "holtStitchedMulti needs at least one output")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
     require(bucketUs > 0, "bucketUs must be positive")
@@ -824,12 +839,14 @@ object TimeSeriesOps {
       lit(alpha * beta) * col("__x1")
     val li = f("l") + (f("p11") * del1 + f("p12") * del2)
     val bi = f("b") + (f("p21") * del1 + f("p22") * del2)
-    withS.join(chained, cond)
-      .withColumn(out,
-        when(y0l.isNull, if (forecast) f("l") + f("b") else f("l"))
-          .otherwise(when(f("l").isNull,
-            if (forecast) y0l + y0b else y0l)
-            .otherwise(if (forecast) li + bi else li)))
+    def outCol(forecast: Boolean): Column =
+      when(y0l.isNull, if (forecast) f("l") + f("b") else f("l"))
+        .otherwise(when(f("l").isNull,
+          if (forecast) y0l + y0b else y0l)
+          .otherwise(if (forecast) li + bi else li))
+    outs.foldLeft(withS.join(chained, cond)) {
+        case (d, (out, forecast)) => d.withColumn(out, outCol(forecast))
+      }
       .drop((keys.map(c => s"__st_$c") ++ Seq("__st_bk", "__bk", "__hs",
         "__rn", "__nb", "__x1", "__y0l", "__y0b")): _*)
   }
@@ -873,7 +890,21 @@ object TimeSeriesOps {
   def holtWintersStitched(df: DataFrame, keys: Seq[String], tsCol: String,
       valCol: String, tieBreak: Seq[String], alpha: Double, beta: Double,
       gamma: Double, period: Int, bucketUs: Long,
-      forecast: Boolean = false, out: String = "holt_winters"): DataFrame = {
+      forecast: Boolean = false, out: String = "holt_winters"): DataFrame =
+    holtWintersStitchedMulti(df, keys, tsCol, valCol, tieBreak, alpha,
+      beta, gamma, period, bucketUs, Seq((out, forecast)))
+
+  /** [[holtWintersStitched]] with SEVERAL output faces off ONE
+    * pipeline — the [[holtStitchedMulti]] discipline for the seasonal
+    * kernel: phases 0–2 (entry-phase counts, HwScan matrix powers,
+    * AffineArrScan chaining, join-back) are face-independent; only the
+    * per-row finish differs between fit and forecast.
+    */
+  def holtWintersStitchedMulti(df: DataFrame, keys: Seq[String],
+      tsCol: String, valCol: String, tieBreak: Seq[String], alpha: Double,
+      beta: Double, gamma: Double, period: Int, bucketUs: Long,
+      outs: Seq[(String, Boolean)]): DataFrame = {
+    require(outs.nonEmpty, "holtWintersStitchedMulti needs at least one output")
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(beta >= 0.0 && beta <= 1.0, "beta must be in [0, 1]")
     require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0, 1]")
@@ -1010,7 +1041,7 @@ object TimeSeriesOps {
     val jjFit = col("__ph") + f("n") - lit(1L)
     val jjFc = col("__ph") + f("n")
     val vinNull = vl.isNull
-    val outCol =
+    def outCol(forecast: Boolean): Column =
       if (!forecast)
         when(vinNull, f("l") + slotCase(jjFit, sOf))
           .otherwise(when(f("l").isNull,
@@ -1023,8 +1054,9 @@ object TimeSeriesOps {
             (vl + vb) + slotCase(col("__ph"), vs))
             .otherwise(((f("l") + corrL) + (f("b") + corrB)) +
               slotCase(jjFc, m => sOf(m) + corr(2 + m))))
-    withS.join(chained, cond)
-      .withColumn(out, outCol)
+    outs.foldLeft(withS.join(chained, cond)) {
+        case (d, (out, forecast)) => d.withColumn(out, outCol(forecast))
+      }
       .drop(keys.map(c => s"__st_$c") ++ Seq("__st_bk", "__bk", "__ph",
         "__hs", "__rn", "__nb", "__x1", "__vin", "__delta"): _*)
   }

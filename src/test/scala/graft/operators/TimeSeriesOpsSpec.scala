@@ -503,4 +503,56 @@ class TimeSeriesOpsSpec extends SparkSpec {
         0.35, 1.2, 60L)
     }
   }
+
+  test("multi-output stitch (shared pipeline for fit+forecast faces) " +
+      "is BIT-EQUAL to per-face single calls") {
+    import org.apache.spark.sql.functions._
+    val pts = (0 until 600).map { i =>
+      val key = if (i % 2 == 0) Some("a") else Some("b")
+      val t = new Timestamp(1704067200000L + (i / 2).toLong * 9257 * 1000)
+      val v: Option[Double] =
+        if (i % 13 == 0) None else Some(math.cos(i * 0.31) * 25 + (i % 7))
+      (key, t, v)
+    }
+    val df = pts.toDF("k", "ts", "v")
+    def cmp(multi: org.apache.spark.sql.DataFrame,
+        singles: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+      def m(d: org.apache.spark.sql.DataFrame, c: String) = d
+        .select(col("k"), col("ts"), col(c)).collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      singles.foreach { case (c, s) =>
+        val exp = m(s, c); val got = m(multi, c)
+        assert(got.size == exp.size)
+        // exact comparison: the shared pipeline evaluates the SAME
+        // finish expression over the SAME joined rows as the single
+        // call — any drift means the faces stopped sharing state
+        got.foreach { case (key, v) => assert(v == exp(key), s"$c $key") }
+      }
+    }
+    val bUs = 86400L * 1000000L
+    cmp(
+      TimeSeriesOps.holtStitchedMulti(df, Seq("k"), "ts", "v", Seq.empty,
+        0.5, 0.25, bUs, Seq(("fit", false), ("fc", true))),
+      Seq(
+        "fit" -> TimeSeriesOps.holtStitched(df, Seq("k"), "ts", "v",
+          Seq.empty, 0.5, 0.25, bUs, forecast = false, out = "fit"),
+        "fc" -> TimeSeriesOps.holtStitched(df, Seq("k"), "ts", "v",
+          Seq.empty, 0.5, 0.25, bUs, forecast = true, out = "fc")))
+    cmp(
+      TimeSeriesOps.holtWintersStitchedMulti(df, Seq("k"), "ts", "v",
+        Seq.empty, 0.5, 0.25, 0.25, 4, bUs,
+        Seq(("fit", false), ("fc", true))),
+      Seq(
+        "fit" -> TimeSeriesOps.holtWintersStitched(df, Seq("k"), "ts",
+          "v", Seq.empty, 0.5, 0.25, 0.25, 4, bUs, forecast = false,
+          out = "fit"),
+        "fc" -> TimeSeriesOps.holtWintersStitched(df, Seq("k"), "ts",
+          "v", Seq.empty, 0.5, 0.25, 0.25, 4, bUs, forecast = true,
+          out = "fc")))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.holtStitchedMulti(df, Seq("k"), "ts", "v", Seq.empty,
+        0.5, 0.25, bUs, Seq.empty)
+    }
+  }
 }
