@@ -161,6 +161,28 @@ object StreamingOps {
       .orderBy("w_start_us", "event_type")
   }
 
+  /** Batch-append the events corpus into a family store — the FIXTURE
+    * seed for replays whose pinned property is the READ half (an
+    * openStream tail + stateful dialect transform). The write-half
+    * streaming topology is pinned by stream_family_roundtrip and
+    * stream_sql_insert, which keep [[streamIntoFamily]]; every other
+    * replay was paying a second streaming query (checkpoint WAL,
+    * file-source listing, query start/stop — ~1.5-2 s of fixed floor
+    * per replay at sf0.1, StreamProbe-measured) purely to stage the
+    * same rows [[graft.sources.TimeSeriesTable.append]] lands in one
+    * batch write with the identical layout (date-partitioned,
+    * (series, ts)-sorted). Guide §1.2 step 1: remove passes that
+    * compute nothing the measured property needs. The outer-join/
+    * flush-row replays already seeded this way (the sink log would
+    * hide flush rows from the tail); this makes the batch seed the
+    * uniform fixture path.
+    */
+  private def batchSeedFamily(spark: SparkSession, sfDir: String,
+      root: String): Unit =
+    graft.sources.TimeSeriesTable.append(
+      graft.sources.TimeSeriesTable.fromEvents(
+        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+
   /** Run a daily tumbling-window aggregate over the events table *as a
     * stream* (AvailableNow trigger: process all existing data in
     * micro-batches, then stop), materializing into an in-memory sink.
@@ -331,7 +353,7 @@ object StreamingOps {
     */
   def streamSqlFilterReplay(spark: SparkSession, sfDir: String): DataFrame = {
     val root = tempRoot("graft-sqlstream")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -360,7 +382,7 @@ object StreamingOps {
   def streamSqlWindowReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlwstream")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -391,7 +413,7 @@ object StreamingOps {
   def streamSqlHistReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlhist")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -422,7 +444,7 @@ object StreamingOps {
   def streamSqlRegrReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlregr")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -453,7 +475,7 @@ object StreamingOps {
   def streamSqlHavingReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlhav")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -482,7 +504,7 @@ object StreamingOps {
   def streamSqlTopKReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqltopk")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -509,7 +531,7 @@ object StreamingOps {
   def streamSqlSlidingReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlslstream")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -563,7 +585,7 @@ object StreamingOps {
   def streamSqlSessionReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlsess")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     val stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -596,7 +618,7 @@ object StreamingOps {
   def streamSqlJoinReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqljoin")
-    streamIntoFamily(spark, sfDir, root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     def stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
     val out = graft.boostql.BoostQL.sqlStream(
@@ -663,9 +685,7 @@ object StreamingOps {
     // simply missing). The write-half streaming topology is pinned by
     // stream_family_roundtrip / stream_sql_insert; this replay pins the
     // outer-join semantics.
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events",
       Seq("click", "purchase"))
     def stream = graft.sources.TimeSeriesTable
@@ -703,9 +723,7 @@ object StreamingOps {
   def streamSqlFullJoinReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlfjoin")
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events",
       Seq("click", "purchase"))
     def stream = graft.sources.TimeSeriesTable
@@ -746,9 +764,7 @@ object StreamingOps {
     val root = tempRoot("graft-sqljagg")
     // batch append, same reason as streamSqlLeftJoinReplay: the flush
     // rows must be visible to the file-stream tail
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events",
       Seq("click", "purchase"))
     def stream = graft.sources.TimeSeriesTable
@@ -848,9 +864,7 @@ object StreamingOps {
   def streamJoinAggBucketedReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-bjagg")
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events",
       Seq("click", "purchase"))
     def stream = graft.sources.TimeSeriesTable
@@ -896,9 +910,7 @@ object StreamingOps {
   def streamSqlJoinInsertReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqljins")
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events",
       Seq("click", "purchase"))
     def stream = graft.sources.TimeSeriesTable
@@ -935,9 +947,7 @@ object StreamingOps {
   def streamSqlSessionInsertReplay(spark: SparkSession, sfDir: String,
       statePartitions: Int = 4): DataFrame = {
     val root = tempRoot("graft-sqlsessins")
-    graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
-        graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
+    batchSeedFamily(spark, sfDir, root)
     appendFlushRows(spark, sfDir, root, "dom", "events", Seq("click"))
     def stream = graft.sources.TimeSeriesTable
       .openStream(spark, root, "dom", "events")
