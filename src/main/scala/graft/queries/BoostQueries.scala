@@ -296,7 +296,7 @@ object BoostQueries {
     "boost_show_partitions" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_showp").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       BoostQL.sqlShowPartitions("SHOW PARTITIONS dom.events", s, root)
         .select("part", "n_rows").orderBy("part")
     }),
@@ -508,7 +508,7 @@ object BoostQueries {
     // oracle the frame-based DESCRIBE uses
     "boost_describe_cached" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_descc").toString
-      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val fam = TimeSeriesTable.fromEventsFanned(Tables.events(s, d))
       TimeSeriesTable.append(fam, root, "dom", "events")
       BoostQL.sqlDescribe("DESCRIBE dom.events", s, root).count()
       BoostQL.sqlDescribe("DESCRIBE dom.events", s, root)
@@ -1087,7 +1087,7 @@ object BoostQueries {
     "boost_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       val reread = TimeSeriesTable.open(s, root, "dom", "events")
       BoostQL.sql("SELECT view.event_id, view FROM dom.events WHERE view >= 200.0",
           _ => reread)
@@ -1101,7 +1101,7 @@ object BoostQueries {
     // oracle bit for bit (compaction moves bytes, never rows)
     "boost_compact_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
-      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val fam = TimeSeriesTable.fromEventsFanned(Tables.events(s, d))
       import org.apache.spark.sql.functions.{col, element_at, lit, pmod}
       val id = element_at(col("attributes"), "event_id").cast("long")
       TimeSeriesTable.append(fam.filter(pmod(id, lit(2)) === 0), root, "dom", "events")
@@ -1119,7 +1119,7 @@ object BoostQueries {
     "boost_expire_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_expire").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       TimeSeriesTable.expire(s, root, "dom", "events",
         java.sql.Date.valueOf("2024-01-15"))
       val reread = TimeSeriesTable.open(s, root, "dom", "events")
@@ -1136,7 +1136,7 @@ object BoostQueries {
     "boost_delete_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_sqldel").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       val dropped = BoostQL.sqlDelete(
         "DELETE FROM dom.events WHERE ts < DATE '2024-01-20'", s, root)
       require(dropped.nonEmpty, "expected partitions to drop")
@@ -1158,7 +1158,7 @@ object BoostQueries {
     "boost_delete_rows" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_rowdel").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       val affected = BoostQL.sqlDelete(
         "DELETE FROM dom.events WHERE click.user IN ('3', '7', '11') " +
           "OR purchase > 450.0", s, root)
@@ -1190,7 +1190,7 @@ object BoostQueries {
     "boost_update_rows" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_rowupd").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       val a1 = BoostQL.sqlUpdate(
         "UPDATE dom.events SET click.user = 'REDACTED', click = 0.0 " +
           "WHERE click.user IN ('3', '7', '11')", s, root)
@@ -1281,7 +1281,7 @@ object BoostQueries {
       import org.apache.spark.sql.functions.{col, lit, to_date, unix_micros}
       val root = java.nio.file.Files
         .createTempDirectory("graft_sqlrefresh").toString
-      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val fam = TimeSeriesTable.fromEventsFanned(Tables.events(s, d))
       val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
       TimeSeriesTable.append(fam.filter(col("ts") < lit(cut)),
         root, "dom", "events")

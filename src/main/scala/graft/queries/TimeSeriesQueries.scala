@@ -246,7 +246,7 @@ object TimeSeriesQueries {
       val root =
         java.nio.file.Files.createTempDirectory("graft_rollup").toString
       TimeSeriesTable.append(
-        TimeSeriesTable.fromEvents(Tables.events(s, d)), root, "dom", "events")
+        TimeSeriesTable.fromEventsFanned(Tables.events(s, d)), root, "dom", "events")
       val fam = TimeSeriesTable.downsample(s, root, "dom", "events",
         bucketMicros = 86400L * 1000000L, label = "1d")
       TimeSeriesTable.open(s, root, "dom", fam)
@@ -264,7 +264,7 @@ object TimeSeriesQueries {
     "ts_refresh_rollup" -> ((s, d) => {
       val root =
         java.nio.file.Files.createTempDirectory("graft_refresh").toString
-      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val fam = TimeSeriesTable.fromEventsFanned(Tables.events(s, d))
       val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
       TimeSeriesTable.append(fam.filter(col("ts") < lit(cut)),
         root, "dom", "events")
@@ -305,7 +305,7 @@ object TimeSeriesQueries {
     "ts_refresh_after_delete" -> ((s, d) => {
       val root =
         java.nio.file.Files.createTempDirectory("graft_refreshdel").toString
-      val fam = TimeSeriesTable.fromEvents(Tables.events(s, d))
+      val fam = TimeSeriesTable.fromEventsFanned(Tables.events(s, d))
       TimeSeriesTable.append(fam, root, "dom", "events")
       val day = 86400L * 1000000L
       val (r1, _) = TimeSeriesTable.refreshDownsample(

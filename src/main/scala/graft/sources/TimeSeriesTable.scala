@@ -63,6 +63,29 @@ object TimeSeriesTable {
     )
   }
 
+  /** [[fromEvents]] with the per-row decode parallelized for
+    * ingest-shaped consumers (append/seed paths that materialize EVERY
+    * column): when the raw events scan yields fewer splits than the
+    * session's parallelism — the fixture corpus is one sub-MB parquet
+    * row group, so ONE task would run the whole `from_json` +
+    * map-building projection — fan the narrow raw rows out first so
+    * the decode lands above the exchange on every core (guide §2.5
+    * "input skew: repartition immediately after the read"). Production
+    * corpora (many files / row groups) already exceed the threshold
+    * and take NO extra exchange. Round-robin repartition is
+    * retry-deterministic (sortBeforeRepartition is on by default).
+    * Read paths keep plain [[fromEvents]]: they prune the decode away
+    * or filter at the scan, where an unconditional exchange would only
+    * cost (measured: the docs-table variant of this fan-out regressed
+    * every pruned read 1.4-3.3x at sf0.1).
+    */
+  def fromEventsFanned(events: DataFrame): DataFrame = {
+    val p = events.sparkSession.sparkContext.defaultParallelism
+    val src = if (events.rdd.getNumPartitions < p) events.repartition(p)
+              else events
+    fromEvents(src)
+  }
+
   /** Open a family from a warehouse root: `root/domain/family/`.
     * Format is parquet by default; orc/json/csv are supported for
     * interchange (the explicit schema keeps text formats lossless for

@@ -180,7 +180,7 @@ object StreamingOps {
   private def batchSeedFamily(spark: SparkSession, sfDir: String,
       root: String): Unit =
     graft.sources.TimeSeriesTable.append(
-      graft.sources.TimeSeriesTable.fromEvents(
+      graft.sources.TimeSeriesTable.fromEventsFanned(
         graft.tables.Tables.events(spark, sfDir)), root, "dom", "events")
 
   /** Run a daily tumbling-window aggregate over the events table *as a
