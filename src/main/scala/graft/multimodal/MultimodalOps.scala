@@ -69,6 +69,16 @@ case class VideoMeta(
   */
 object MultimodalOps {
 
+  /** Every ImageIO call here reads/writes in-memory byte arrays, but
+    * ImageIO's default stream cache is DISK-backed: each read/write
+    * creates and deletes a temp file, which serializes parallel codec
+    * tasks on the filesystem (and is pure overhead even single-
+    * threaded). Memory-cached streams are the right setting for
+    * byte-array payloads of bounded size — set once, process-wide,
+    * on first touch of this object.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via `javax.imageio` — the PNG/BMP/GIF/JPEG
     * readers that ship with the JDK, so no external media library is
     * needed for actual image dimensions. Reads only the header

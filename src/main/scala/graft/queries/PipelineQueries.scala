@@ -33,6 +33,25 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
+  /** Pruned doc-id column fanned out for per-row CODEC work (the mm_*
+    * tier): the downstream map synthesizes and decodes real PNG/WAV/MP4
+    * payloads per id, and the one-row-group fixture scan would run ALL
+    * of that on a single task. Shuffling just the 8-byte ids — never
+    * payloads (guide §8's rule: move decisions on proxies, payload
+    * bytes once) — costs almost nothing and parallelizes the codec
+    * tier; a multi-split production scan already exceeds the session
+    * parallelism and takes no exchange. (A previous experiment fanning
+    * the WHOLE docs table regressed every pruned read 1.4-3.3x — the
+    * guard plus id-only projection is what makes this one safe.)
+    */
+  private def docIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    val p = s.sparkContext.defaultParallelism
+    (if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids).as[Long]
+  }
+
   /** DuckDB fragment: distinct word-3-gram shingles per doc — must stay
     * semantically identical to [[TextDedupOps.shingles]](k=3). */
   private val shingleCte =
@@ -936,6 +955,10 @@ object PipelineQueries {
     "mm_audio" -> ((s, d) => {
       val spark = s
       import spark.implicits._
+      // NOT fanned out: javax.sound.sampled's provider registry
+      // serializes concurrent readers, so the parallel form measured
+      // 2.2x WORSE than the single-task one (matched A/B at sf0.1);
+      // the WAV header parse is cheap enough that one task wins
       val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         val rate = 8000 + (id % 4).toInt * 4000
         val ch = 1 + (id % 2).toInt
@@ -959,7 +982,7 @@ object PipelineQueries {
     "mm_video" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val media = docIds(s, d).map { id =>
         val timescale = Array(600L, 1000L, 90000L)((id % 3).toInt)
         val nFrames = 24 + id % 72
         val delta = timescale / 24
@@ -983,7 +1006,7 @@ object PipelineQueries {
     "mm_resize" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val media = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val media = docIds(s, d).map { id =>
         graft.multimodal.MediaRow(id, "png",
           graft.multimodal.MultimodalOps.ImageCodec.syntheticPng(
             16 + (id % 5).toInt * 8, 12 + (id % 3).toInt * 6, id))
