@@ -646,10 +646,22 @@ object PipelineQueries {
         .select("keep_id", "n_copies").orderBy("keep_id")),
 
     // exact substring-level dedup: per-doc coverage by 8-token passages
-    // shared with at least one other document (Lee et al. 2022)
-    "dd_passages" -> ((s, d) =>
-      TextDedupOps.passageDupStats(docs(s, d), "doc_id", "text", k = 8)
-        .orderBy("doc_id")),
+    // shared with at least one other document (Lee et al. 2022).
+    // The operator scans its input twice (df branch + positions
+    // branch), and each branch pays the tokenize + per-gram md5 +
+    // explode BELOW its first exchange — on the one-row-group fixture
+    // scan that is two single-task passes over the whole corpus, so
+    // fan the pruned (id, text) rows out first (guarded: multi-split
+    // production scans take no exchange). Unlike the all-consumers
+    // docs fan-out (measured 1.4-3.3x regression), this is one query
+    // whose shuffled bytes are tiny against the parallelized work.
+    "dd_passages" -> ((s, d) => {
+      val in = docs(s, d).select(col("doc_id"), col("text"))
+      val p = s.sparkContext.defaultParallelism
+      val fanned = if (in.rdd.getNumPartitions < p) in.repartition(p) else in
+      TextDedupOps.passageDupStats(fanned, "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
 
     // corpus-trained bigram LM score (CCNet-style quality signal);
     // micro-nat integer quantization keeps the oracle hash exact
