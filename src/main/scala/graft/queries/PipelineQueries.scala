@@ -1085,7 +1085,7 @@ object PipelineQueries {
       val uniq = kept.join(
         TextDedupOps.exactDedup(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id"), col("n_copies")),
-        Seq("doc_id"))
+        Seq("doc_id")).localCheckpoint()
       val cc = GraphOps.connectedComponents(
           TextDedupOps.ngramJaccardPairs(uniq, "doc_id", "text"),
           "id_a", "id_b")
